@@ -1,0 +1,138 @@
+"""Text-analysis functions for the training-data-pipeline surface
+(BASELINE.json north star; exercised on the ``documents`` fixture).
+
+The reference's only text data is rating ``comment`` / product ``name``
+(/root/reference/sql/dwh.sql:10,19) with no analysis applied; these
+operators are the engine extension mandated by BASELINE.json.
+
+Everything here is built-in-function compositions (split / transform /
+aggregate / filter on arrays) — JVM-side, codegen-friendly, no Python
+in the hot path.  At 100 TB these are embarrassingly parallel
+narrow ops: no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic.  Deliberately small: the heuristic's job is cheap routing,
+# not linguistics.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "it", "that", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "por", "con"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est", "un", "une", "dans"],
+}
+
+_ENGLISH_STOPWORDS = STOPWORDS["en"]
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokenize_ws(col: Column | str) -> Column:
+    """Whitespace tokenization; empty strings filtered so repeated
+    spaces don't yield ghost tokens."""
+    return F.filter(F.split(F.trim(_col(col)), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (long)."""
+    return F.size(tokenize_ws(col)).cast("bigint")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count: splits on word/number/punct boundaries
+    the way BPE pre-tokenizers do (letters runs, digit runs, single
+    punct marks each count once).
+    """
+    toks = F.filter(
+        F.split(_col(col), r"(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
+        lambda t: (t != F.lit("")) & (t != F.lit(" ")),
+    )
+    return F.size(toks).cast("bigint")
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are punctuation."""
+    c = _col(col)
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return (punct.cast("double") / F.greatest(F.length(c), F.lit(1)).cast("double"))
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (English, by default) stopwords."""
+    words = stopwords or _ENGLISH_STOPWORDS
+    toks = tokenize_ws(F.lower(_col(col)))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*words)))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def mean_token_len(col: Column | str) -> Column:
+    toks = tokenize_ws(col)
+    total = F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Quality-scoring feature bundle (length / punctuation / stopword
+    ratios) — the standard pretraining-corpus heuristics (C4/Gopher
+    style).  Returned as named columns for select(**) use.
+    """
+    c = _col(col)
+    return {
+        "n_chars": F.length(c).cast("bigint"),
+        "n_tokens": token_count(c),
+        "punct_ratio": punct_ratio(c),
+        "stopword_ratio": stopword_ratio(c),
+        "mean_token_len": mean_token_len(c),
+    }
+
+
+def quality_score(col: Column | str) -> Column:
+    """Single [0,1] quality score combining the heuristics: rewards
+    mid-length docs, some stopwords, low punctuation noise."""
+    f = quality_features(col)
+    len_ok = F.when((f["n_tokens"] >= 5) & (f["n_tokens"] <= 100_000), 1.0).otherwise(0.0)
+    stop_ok = F.when(f["stopword_ratio"] >= 0.01, 1.0).otherwise(0.5)
+    punct_ok = F.when(f["punct_ratio"] <= 0.3, 1.0).otherwise(0.3)
+    tok_ok = F.when((f["mean_token_len"] >= 2.0) & (f["mean_token_len"] <= 12.0), 1.0).otherwise(0.5)
+    return (len_ok * stop_ok * punct_ok * tok_ok).alias("quality_score")
+
+
+def language_id(col: Column | str) -> Column:
+    """Stopword-hit language ID: score each candidate language by its
+    stopword hits in the doc, return the argmax ('und' when no
+    stopword of any language appears).  Pure array built-ins — the
+    whole classifier is one codegen'd expression, no shuffle, no UDF.
+    """
+    toks = tokenize_ws(F.lower(_col(col)))
+    scores = F.map_from_arrays(
+        F.array(*[F.lit(lang) for lang in STOPWORDS]),
+        F.array(
+            *[
+                F.size(F.filter(toks, lambda t, w=words: t.isin(*w)))
+                for words in STOPWORDS.values()
+            ]
+        ),
+    )
+    entries = F.map_entries(scores)  # array<struct<key,value>>
+    best = F.array_max(F.transform(entries, lambda e: F.struct(e["value"].alias("v"), e["key"].alias("k"))))
+    return F.when(best["v"] > 0, best["k"]).otherwise(F.lit("und"))
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Deterministic 64-bit document fingerprint: rolling polynomial
+    combine of per-token xxhash64 values.  Order-sensitive (unlike a
+    bag-of-words hash) so re-ordered text fingerprints differently;
+    whitespace-normalized so formatting doesn't.
+    """
+    toks = tokenize_ws(_col(col))
+    return F.aggregate(
+        toks,
+        F.lit(1125899906842597).cast("bigint"),  # large prime seed
+        lambda acc, t: acc * F.lit(31).cast("bigint") + F.xxhash64(t),
+    )

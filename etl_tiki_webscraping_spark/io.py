@@ -1,0 +1,32 @@
+"""Parquet loaders for the driver-generated test tables (TESTDATA.md).
+
+Thin by design: ``spark.read.parquet`` already gives vectorized scans,
+column pruning and predicate pushdown; wrapping it any further would
+only hide the plan from Catalyst.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_tiki_webscraping_spark.schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TESTDATA_TABLES:
+        raise KeyError(f"unknown test table {name!r}; expected one of {TESTDATA_TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TESTDATA_TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view for spark.sql queries."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,265 @@
+"""Deduplication operators for the training-data pipeline surface
+(BASELINE.json north star; run on the ``documents`` fixture).
+
+The reference's only dedup is keyed dropDuplicates
+(/root/reference/dags/etl.py:86) plus upsert-by-PK across daily runs
+(:181-202).  The operators here extend that to content-level dedup:
+
+- exact           : hash-groupBy on normalized text
+- minhash_lsh     : shingle -> minhash signature -> band -> bucket join
+- simhash         : 64-bit simhash + hamming-banded candidates
+- ngram_jaccard   : exact n-gram Jaccard verification on candidate pairs
+
+All pure DataFrame compositions of built-ins (split/transform/
+aggregate/xxhash64/explode/groupBy) — no Python UDFs, no driver-side
+loops.  Scale shape: one shuffle to band buckets, pairwise work only
+WITHIN buckets (the LSH point), exact verification only on candidate
+pairs.  That is the shape that survives 100 TB; all-pairs comparison
+does not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_tiki_webscraping_spark.functions.text import tokenize_ws
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact content dedup: keep the lowest-id row per distinct
+    normalized text.  Grouping key is md5(normalized) so the shuffle
+    key is 16 bytes, not the document body — at 100 TB you shuffle
+    hashes, never payloads.
+    """
+    h = F.md5(normalize_text(text_col)).alias("__h")
+    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# shingling + minhash
+# --------------------------------------------------------------------------
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct)."""
+    toks = tokenize_ws(F.lower(F.col(col) if isinstance(col, str) else col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    # short docs (< n tokens): fall back to the whole doc as one shingle
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: per seed, min over shingles of
+    xxhash64(shingle, seed).  64 independent 64-bit hash families via
+    the seed column; array<bigint> result.
+    """
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def _band_buckets(sig_col: Column, bands: int, rows_per_band: int) -> Column:
+    """Hash each band of the signature to one bucket id:
+    array<struct<band:int, bucket:bigint>>."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(",", *[sig_col[b * rows_per_band + r].cast("string") for r in range(rows_per_band)])
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b): docs sharing >=1 band bucket.
+
+    Plan shape: narrow signature computation -> explode to (band,
+    bucket) -> self-join within buckets.  The self-join shuffles both
+    sides on (band, bucket) — small keys — and the pair blow-up is
+    bounded by bucket sizes, not corpus size.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    r = num_hashes // bands
+    sig = (
+        df.select(
+            F.col(id_col).alias("id"),
+            minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("sig"),
+        )
+    )
+    buckets = sig.select("id", F.explode(_band_buckets(F.col("sig"), bands, r)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (
+        left.join(right, on=["band", "bucket"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_on_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs: join shingle sets back
+    on both ids, intersect/union sizes.  Only candidate pairs pay the
+    set comparison cost.
+    """
+    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh"))
+    return (
+        pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), on="id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup removal: MinHash-LSH candidates -> exact Jaccard verify
+    -> drop the higher id of each duplicate pair (union-by-min-edge
+    approximation of connected components: a doc is dropped if it is
+    near-identical to ANY lower-id doc — single-pass, no iteration,
+    which is the right cost/quality tradeoff for corpus dedup).
+    """
+    cand = minhash_candidate_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
+    dups = (
+        jaccard_on_pairs(cand, df, text_col, id_col, shingle_n)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(dups, on=id_col, how="left_anti")
+
+
+# --------------------------------------------------------------------------
+# simhash
+# --------------------------------------------------------------------------
+
+def simhash64(col: Column | str) -> Column:
+    """64-bit SimHash over whitespace tokens, entirely JVM-side:
+    per-token xxhash64 -> per-bit +/-1 votes -> sign -> bit pack.
+    """
+    toks = tokenize_ws(F.lower(F.col(col) if isinstance(col, str) else col))
+    zero64 = F.array_repeat(F.lit(0).cast("bigint"), 64)
+    votes = F.aggregate(
+        toks,
+        zero64,
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: F.when(
+                    F.shiftright(F.xxhash64(t), i.cast("int")).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1).cast("bigint"),
+                ).otherwise(F.lit(-1).cast("bigint")),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    packed = F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("bigint"), i.cast("int"))).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return packed
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit hashes (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup candidates by SimHash: band the 64-bit hash into 4
+    16-bit chunks; by pigeonhole, any pair within hamming distance 3
+    shares at least one exact chunk.  Join within chunk buckets, then
+    verify the full hamming distance.
+    """
+    sh = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sh"))
+    chunks = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("sh"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "sh", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
+    l, r = chunks.alias("l"), chunks.alias("r")
+    return (
+        l.join(r, on=["chunk", "val"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            hamming64(F.col("l.sh"), F.col("r.sh")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

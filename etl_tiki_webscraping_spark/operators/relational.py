@@ -1,0 +1,125 @@
+"""Core relational operators (SURVEY.md §2.2-2.8).
+
+These wrap bare DataFrame calls only where the reference pins semantics
+worth testing explicitly (deterministic dedup, FK semi-join, key-space
+union, tail-loss-free repartition).  Everything stays declarative so
+Catalyst keeps predicate pushdown / column pruning / join selection.
+
+Reference citations:
+- dedup by key:      /root/reference/dags/etl.py:86   (drop_duplicates on shop_id)
+- semi-join FK gate: /root/reference/dags/etl.py:247-251 (isin over db∪batch keys)
+- key-space union:   /root/reference/dags/etl.py:250
+- union-all concat:  /root/reference/dags/etl.py:66,147 (pd.concat of page frames)
+- 5-way split:       /root/reference/dags/etl.py:115-120 (tail-loss bug NOT copied)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_first(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """One arbitrary representative row per key — the reference's
+    ``drop_duplicates(subset=["shop_id"])`` (dags/etl.py:86).
+
+    Like the pandas original on unordered input, WHICH row survives is
+    not defined.  Use :func:`dedup_deterministic` when the survivor
+    matters.  Spark executes this as a partial (map-side) + final
+    hash aggregate on the key — one shuffle, no sort.
+    """
+    return df.dropDuplicates(list(keys))
+
+
+def dedup_deterministic(df: DataFrame, keys: Sequence[str], order_by: Sequence[Column | str]) -> DataFrame:
+    """Deterministic keep-first dedup: the survivor is the first row per
+    key under ``order_by`` (SURVEY §2.4 A1 deterministic variant).
+
+    row_number over a window = one shuffle on the key + per-partition
+    sort; at 100 TB this is the same cost shape as dropDuplicates plus
+    the sort, and AQE handles skewed keys.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def distinct_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Distinct key tuples (SURVEY §2.4 A2) — ``set(df[key])``."""
+    return df.select(*keys).distinct()
+
+
+def key_space_union(*key_dfs: DataFrame) -> DataFrame:
+    """Union of key sets (SURVEY §2.3 J2): ``set(a) | set(b)``
+    (dags/etl.py:250).  union + distinct; Catalyst collapses the
+    distinct into a single hash aggregate over the union.
+    """
+    return reduce(DataFrame.unionByName, key_dfs).distinct()
+
+
+def fk_semi_join(fact: DataFrame, dim_keys: DataFrame, on: Sequence[str] | str, *, broadcast_keys: bool = True) -> DataFrame:
+    """FK-enforcement filter (SURVEY §2.3 J1): keep fact rows whose key
+    exists in ``dim_keys`` — the distributed form of the reference's
+    ``products[products.shop_id.isin(all_shop_id)]`` (dags/etl.py:251).
+
+    Never collects the key set to the driver (100-TB rule).  With
+    ``broadcast_keys`` (default) the key side ships to every executor
+    — right whenever the dimension key set fits in memory; otherwise a
+    shuffled semi join (AQE may still convert it back to broadcast at
+    runtime).
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    keys = dim_keys.select(*on).distinct()
+    if broadcast_keys:
+        keys = F.broadcast(keys)
+    return fact.join(keys, on=on, how="left_semi")
+
+
+def anti_join(fact: DataFrame, keys: DataFrame, on: Sequence[str] | str) -> DataFrame:
+    """Rows in ``fact`` whose key is absent from ``keys`` (the upsert
+    write path's "existing rows not being replaced" leg, SURVEY §2.9 W2c).
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    return fact.join(keys.select(*on).distinct(), on=on, how="left_anti")
+
+
+def union_all(dfs: Sequence[DataFrame]) -> DataFrame:
+    """N-ary UNION ALL by column name (SURVEY §2.5 U1/U2) — the
+    reference's ``pd.concat(all_pages)`` (dags/etl.py:66,147).  Narrow
+    (no shuffle); in a real Spark source this disappears because one
+    read yields one DataFrame.
+    """
+    if not dfs:
+        raise ValueError("union_all of zero DataFrames")
+    return reduce(DataFrame.unionByName, dfs)
+
+
+def top_k_per_group(df: DataFrame, keys: Sequence[str], order_by: Sequence[Column | str], k: int) -> DataFrame:
+    """Top-k rows per group via row_number window (SURVEY §2.7).
+
+    At scale this is one shuffle on the group key; Spark's
+    ``WindowGroupLimit`` physical rule (3.5+) pushes the k-limit into
+    the sort so each partition keeps only k rows before the final
+    filter.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def repartition_even(df: DataFrame, n: int) -> DataFrame:
+    """Split into ``n`` parallel parts covering EVERY row — the fixed
+    form of the reference's 5-way split whose integer-division slicing
+    drops up to n-1 tail rows (dags/etl.py:115-120, SURVEY §2.8 R1).
+    Round-robin repartition: even sizes, no key skew, no tail loss.
+    """
+    return df.repartition(n)

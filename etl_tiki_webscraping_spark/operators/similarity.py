@@ -1,0 +1,247 @@
+"""Embedding similarity search (BASELINE.json north star; run on the
+``embeddings`` fixture: vec_id bigint, embedding array<float>, label int).
+
+Three tiers, in increasing scale:
+
+- brute_force_topk : exact cosine top-k, queries broadcast against the
+  corpus.  Baseline + oracle-checkable.  Right answer when
+  |queries| * |corpus| pairs fit the cluster (it parallelizes
+  perfectly — no shuffle except the final per-query top-k).
+- lsh_topk : random-hyperplane (signed random projection) bucketing;
+  only same-bucket pairs are scored.  Approximate; recall tunable by
+  number of tables/bits.  The 100-TB path for all-pairs-ish workloads.
+- ivf_topk : inverted-file index — assign vectors to nearest of C
+  centroids (one narrow pass), probe the nprobe nearest cells per
+  query.  The classic billion-vector layout (FAISS IVF) expressed
+  relationally: cell assignment is a column, probing is a semi-join.
+
+Everything is built-in array functions (zip_with/aggregate) — the dot
+products run inside codegen, Python never touches a vector.
+
+Embedding cosine near-dup (dedup tier): ``cosine_dedup_pairs`` reuses
+the LSH bucketing to find pairs with cosine >= threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_tiki_webscraping_spark.operators.relational import top_k_per_group
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns, JVM-side."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def as_double_vec(a: Column | str) -> Column:
+    """Cast array<float> -> array<double> up front so every arithmetic
+    step is double-precision (and matches external oracles)."""
+    c = F.col(a) if isinstance(a, str) else a
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast the (small) query set,
+    score every corpus vector, window top-k per query.
+
+    Plan: one narrow broadcast-nested-loop scoring pass over the corpus
+    (perfectly parallel, no shuffle) + one shuffle on query_id for the
+    top-k.  Ties broken by neighbor id for determinism.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"), as_double_vec(vec_col).alias("__qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("__cvec"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        F.col("__qid").alias(query_id_col),
+        "neighbor_id",
+        cosine(F.col("__qvec"), F.col("__cvec")).alias("cosine"),
+    )
+    return top_k_per_group(
+        scored, [query_id_col], [F.col("cosine").desc(), F.col("neighbor_id").asc()], k
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH: signed random projections, deterministic pseudo-random hyperplanes
+# --------------------------------------------------------------------------
+
+def _hyperplane_bit(vec: Column, table: int, bit: int) -> Column:
+    """Sign bit of <vec, h>, where hyperplane h's components are
+    deterministic pseudo-random +/-1 derived from xxhash64(dim, table,
+    bit) — no stored hyperplane matrix, reproducible across runs/nodes.
+    """
+    signed = F.zip_with(
+        vec,
+        F.sequence(F.lit(0), F.size(vec) - 1),
+        lambda v, i: F.when(
+            F.xxhash64(i, F.lit(table), F.lit(bit)).bitwiseAND(F.lit(1)) == 1, v
+        ).otherwise(-v),
+    )
+    s = F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v)
+    return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def srp_bucket(vec: Column, table: int, bits: int) -> Column:
+    """Pack ``bits`` hyperplane signs into one bucket id per table."""
+    b = F.lit(0).cast("bigint")
+    for i in range(bits):
+        b = F.shiftleft(b, 1).bitwiseOR(_hyperplane_bit(vec, table, i).cast("bigint"))
+    return b
+
+
+def srp_buckets(vec: Column, tables: int, bits: int) -> Column:
+    """array<struct<table,bucket>> for multi-table LSH."""
+    return F.array(
+        *[
+            F.struct(F.lit(t).alias("table"), srp_bucket(vec, t, bits).alias("bucket"))
+            for t in range(tables)
+        ]
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    tables: int = 8,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors sharing an LSH
+    bucket with the query in any table.  Shuffles on (table, bucket) —
+    bounded candidate sets instead of |Q|x|C| scoring.
+    """
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("__cvec"))
+    q = queries.select(F.col(query_id_col).alias("__qid"), as_double_vec(vec_col).alias("__qvec"))
+    cb = c.select(
+        "neighbor_id", "__cvec", F.explode(srp_buckets(F.col("__cvec"), tables, bits)).alias("tb")
+    ).select("neighbor_id", "__cvec", "tb.table", "tb.bucket")
+    qb = q.select(
+        "__qid", "__qvec", F.explode(srp_buckets(F.col("__qvec"), tables, bits)).alias("tb")
+    ).select("__qid", "__qvec", "tb.table", "tb.bucket")
+    cand = (
+        cb.join(qb, on=["table", "bucket"])
+        .select("__qid", "__qvec", "neighbor_id", "__cvec")
+        .dropDuplicates(["__qid", "neighbor_id"])
+    )
+    scored = cand.select(
+        F.col("__qid").alias(query_id_col),
+        "neighbor_id",
+        cosine(F.col("__qvec"), F.col("__cvec")).alias("cosine"),
+    )
+    return top_k_per_group(
+        scored, [query_id_col], [F.col("cosine").desc(), F.col("neighbor_id").asc()], k
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF: inverted-file cells via relational assignment
+# --------------------------------------------------------------------------
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (max cosine).
+    Centroids broadcast; one narrow pass; output adds ``cell``.
+    At 100 TB you'd persist this partitioned-by-cell so queries prune
+    whole files (partition pruning does the index lookup).
+    """
+    cents = centroids.select(
+        F.col(centroid_id_col).alias("__cid"), as_double_vec(vec_col).alias("__cent")
+    )
+    scored = corpus.withColumn("__vec", as_double_vec(vec_col)).crossJoin(F.broadcast(cents))
+    scored = scored.withColumn("__sim", cosine(F.col("__vec"), F.col("__cent")))
+    best = top_k_per_group(scored, [id_col], [F.col("__sim").desc(), F.col("__cid").asc()], 1)
+    return best.withColumnRenamed("__cid", "cell").drop("__cent", "__sim", "__vec")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """IVF search: per query, probe the ``nprobe`` nearest cells and
+    run exact cosine only inside them."""
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, centroid_id_col)
+    cents = centroids.select(
+        F.col(centroid_id_col).alias("cell"), as_double_vec(vec_col).alias("__cent")
+    )
+    q = queries.select(F.col(query_id_col).alias("__qid"), as_double_vec(vec_col).alias("__qvec"))
+    qcells = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__sim", cosine(F.col("__qvec"), F.col("__cent")))
+        .transform(lambda d: top_k_per_group(d, ["__qid"], [F.col("__sim").desc(), F.col("cell").asc()], nprobe))
+        .select("__qid", "__qvec", "cell")
+    )
+    cand = assigned.withColumn("__cvec", as_double_vec(vec_col)).join(qcells, on="cell")
+    scored = cand.select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("__qvec"), F.col("__cvec")).alias("cosine"),
+    )
+    return top_k_per_group(
+        scored, [query_id_col], [F.col("cosine").desc(), F.col("neighbor_id").asc()], k
+    )
+
+
+def cosine_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    tables: int = 8,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
+    threshold) via the same SRP bucketing — self-join within buckets
+    only."""
+    v = df.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("__vec"))
+    b = v.select("id", "__vec", F.explode(srp_buckets(F.col("__vec"), tables, bits)).alias("tb")).select(
+        "id", "__vec", "tb.table", "tb.bucket"
+    )
+    l, r = b.alias("l"), b.alias("r")
+    pairs = (
+        l.join(r, on=["table", "bucket"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.__vec").alias("va"),
+            F.col("r.__vec").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,108 @@
+"""Structured Streaming surface (SURVEY.md §2.10).
+
+The reference is batch-only: a daily full re-scrape + PK upsert
+(``schedule_interval="@daily"`` /root/reference/dags/etl.py:296-297;
+merge loads :181-202).  That pattern IS incremental-by-merge, and its
+idiomatic Spark form is ``Trigger.AvailableNow`` streaming with
+``foreachBatch(upsert)`` — each micro-batch merged idempotently, state
+carried by the checkpoint instead of re-reading the world.
+
+Exercised against the ``events`` fixture: event-time tumbling windows
+with watermarks for late data, stateful dropDuplicates on event_id,
+and the foreachBatch-upsert sink.  Each streaming transform has a
+batch twin (same logical plan on a static frame) used by the
+correctness oracle; the streaming path is covered by unit tests with
+file sources + AvailableNow.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window counts/sums per event type with a watermark.
+
+    Works on a streaming DataFrame (late rows beyond the watermark are
+    dropped; state is bounded) AND on a batch DataFrame (watermark is a
+    no-op there) — one definition, both engines.
+    """
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("w"), F.col(type_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            type_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def windowed_event_counts_batch(events: DataFrame, window_duration: str = "1 hour") -> DataFrame:
+    """Batch twin without the watermark node (for oracle comparison)."""
+    return (
+        events.groupBy(F.window(F.col("ts"), window_duration).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: Sequence[str] = ("event_id",),
+    watermark_delay: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stateful exactly-once dedup on the event key within the
+    watermark horizon — the streaming analog of the reference's
+    upsert-based cross-run dedup (PK keyed, SURVEY §2.9 W2).
+    """
+    return events.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(list(keys))
+
+
+def foreach_batch_upsert(
+    stream: DataFrame,
+    target_path: str,
+    keys: Sequence[str],
+    checkpoint_dir: str,
+    order_by: Sequence[str] | None = None,
+) -> DataStreamWriter:
+    """``writeStream.foreachBatch`` sink that merges every micro-batch
+    into a parquet target by PK — the reference's daily staging+merge
+    (dags/etl.py:173-202) as a streaming sink.  Idempotent per batch:
+    re-processing a batch after failure converges to the same table.
+    """
+    from etl_tiki_webscraping_spark.sinks.upsert import upsert_parquet
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_parquet(batch_df.sparkSession, batch_df, target_path, keys, order_by)
+
+    return (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(merge)
+    )
