@@ -110,14 +110,13 @@ def language_id(col: Column | str) -> Column:
     whole classifier is one codegen'd expression, no shuffle, no UDF.
     """
     toks = tokenize_ws(F.lower(_col(col)))
+
+    def hits(words: list[str]) -> Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
     scores = F.map_from_arrays(
         F.array(*[F.lit(lang) for lang in STOPWORDS]),
-        F.array(
-            *[
-                F.size(F.filter(toks, lambda t, w=words: t.isin(*w)))
-                for words in STOPWORDS.values()
-            ]
-        ),
+        F.array(*[hits(words) for words in STOPWORDS.values()]),
     )
     entries = F.map_entries(scores)  # array<struct<key,value>>
     best = F.array_max(F.transform(entries, lambda e: F.struct(e["value"].alias("v"), e["key"].alias("k"))))
@@ -125,14 +124,15 @@ def language_id(col: Column | str) -> Column:
 
 
 def doc_fingerprint(col: Column | str) -> Column:
-    """Deterministic 64-bit document fingerprint: rolling polynomial
-    combine of per-token xxhash64 values.  Order-sensitive (unlike a
+    """Deterministic 64-bit document fingerprint: rolling hash-chain of
+    tokens — acc' = xxhash64(acc, token).  Order-sensitive (unlike a
     bag-of-words hash) so re-ordered text fingerprints differently;
-    whitespace-normalized so formatting doesn't.
+    whitespace-normalized so formatting doesn't.  Hash-chaining instead
+    of polynomial multiply keeps the fold overflow-free under ANSI mode.
     """
     toks = tokenize_ws(_col(col))
     return F.aggregate(
         toks,
         F.lit(1125899906842597).cast("bigint"),  # large prime seed
-        lambda acc, t: acc * F.lit(31).cast("bigint") + F.xxhash64(t),
+        lambda acc, t: F.xxhash64(acc, t),
     )

@@ -19,6 +19,19 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown test table {name!r}; expected one of {TESTDATA_TABLES}")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by
+        # default; read nanos as long and floor-convert to microseconds
+        # (matching DuckDB's ns->us truncation).  Runtime-settable conf,
+        # so this works in the driver's session too.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -189,9 +189,21 @@ def minhash_dedup(
 # simhash
 # --------------------------------------------------------------------------
 
+def _bit_vote(h: Column, i: int) -> Column:
+    """+1/-1 vote for bit i of a 64-bit hash (bit 63 via sign test —
+    1 << 63 is not a valid signed-long literal)."""
+    if i == 63:
+        is_set = h < 0
+    else:
+        is_set = h.bitwiseAND(F.lit(1 << i)) != 0
+    return F.when(is_set, F.lit(1).cast("bigint")).otherwise(F.lit(-1).cast("bigint"))
+
+
 def simhash64(col: Column | str) -> Column:
     """64-bit SimHash over whitespace tokens, entirely JVM-side:
-    per-token xxhash64 -> per-bit +/-1 votes -> sign -> bit pack.
+    per-token xxhash64 -> per-bit +/-1 votes (bit masks unrolled in
+    Python — column-indexed shifts aren't expressible) -> sign ->
+    bit pack.
     """
     toks = tokenize_ws(F.lower(F.col(col) if isinstance(col, str) else col))
     zero64 = F.array_repeat(F.lit(0).cast("bigint"), 64)
@@ -200,27 +212,18 @@ def simhash64(col: Column | str) -> Column:
         zero64,
         lambda acc, t: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda i: F.when(
-                    F.shiftright(F.xxhash64(t), i.cast("int")).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1).cast("bigint"),
-                ).otherwise(F.lit(-1).cast("bigint")),
-            ),
+            F.array(*[_bit_vote(F.xxhash64(t), i) for i in range(64)]),
             lambda a, b: a + b,
         ),
     )
-    packed = F.aggregate(
-        F.zip_with(
-            votes,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("bigint"), i.cast("int"))).otherwise(
-                F.lit(0).cast("bigint")
-            ),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
+    bit_lits = [F.lit(1 << i).cast("bigint") for i in range(63)] + [
+        F.lit(-(1 << 63)).cast("bigint")  # sign bit as min-long
+    ]
+    packed = F.lit(0).cast("bigint")
+    for i in range(64):
+        packed = packed.bitwiseOR(
+            F.when(F.element_at(votes, i + 1) > 0, bit_lits[i]).otherwise(F.lit(0).cast("bigint"))
+        )
     return packed
 
 

@@ -1,0 +1,978 @@
+"""Query catalog: one named query per operator in SURVEY.md §2 plus the
+extension surface, each paired with a DuckDB-runnable ANSI-SQL oracle
+where SQL can express it (driver contract, __spark_entry__.py).
+
+Determinism rules used throughout (so order-insensitive value hashes
+match across engines):
+- SUMs of doubles go through DECIMAL(18,6) (exact, order-independent),
+  then cast to double for a stable output schema.
+- AVGs are emitted as exact-decimal-sum / count in double division —
+  one IEEE op, no accumulation-order dependence.
+- Every computed column is aliased identically in Spark and SQL.
+- Top-k / limit queries always carry a total tie-break ordering.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_tiki_webscraping_spark.io import load_table
+from etl_tiki_webscraping_spark.operators.relational import (
+    anti_join,
+    dedup_deterministic,
+    dedup_first,
+    distinct_keys,
+    fk_semi_join,
+    key_space_union,
+    top_k_per_group,
+    union_all,
+)
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    fn: SparkQuery
+    oracle: str | None  # DuckDB SQL; None -> rows-only driver check
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[SparkQuery], SparkQuery]:
+    def deco(fn: SparkQuery) -> SparkQuery:
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def get_queries() -> dict[str, SparkQuery]:
+    return {name: spec.fn for name, spec in QUERIES.items()}
+
+
+def get_oracles() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None}
+
+
+def _exact_sum(col: str):
+    """Order-independent sum of a double column: exact decimal
+    accumulate, double on the way out."""
+    return F.sum(F.col(col).cast("decimal(18,6)")).cast("double")
+
+
+# ===========================================================================
+# Flagship (SURVEY §7 step 1): the reference's core semantics in
+# analytical form — union of date-sliced orders (U1), dedup (A1),
+# FK semi-join (J1/J2), star join, groupBy aggregates.
+# ===========================================================================
+
+@register(
+    "flagship",
+    oracle="""
+    WITH sliced AS (
+        SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01'
+        UNION ALL
+        SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    ),
+    custs AS (
+        SELECT DISTINCT c_custkey, c_nationkey, c_acctbal FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+    )
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(s.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue,
+           CAST(SUM(CAST(s.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_order_value
+    FROM sliced s
+    JOIN custs c ON s.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="Union-sliced orders ⋈ deduped segment customers ⋈ nation, revenue rollup "
+        "(reference semantics: dags/etl.py:66,86,250-251 re-expressed analytically)",
+)
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    cut = F.lit("1995-01-01").cast("timestamp")
+    sliced = union_all(
+        [orders.filter(F.col("o_orderdate") < cut), orders.filter(F.col("o_orderdate") >= cut)]
+    )
+    custs = (
+        customer.filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+        .distinct()
+    )
+    joined = (
+        sliced.join(F.broadcast(custs), sliced.o_custkey == custs.c_custkey)
+        .join(F.broadcast(nation), custs.c_nationkey == nation.n_nationkey)
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _exact_sum("o_totalprice").alias("total_revenue"),
+        (_exact_sum("o_totalprice") / F.count(F.lit(1)).cast("double")).alias("avg_order_value"),
+    )
+
+
+# ===========================================================================
+# §2.2 Projections / filters / predicates
+# ===========================================================================
+
+@register(
+    "projection_pruning",
+    oracle="SELECT p_partkey, p_name, p_retailprice FROM part",
+    doc="P1-P3 fixed projection list (dags/etl.py:67-80)",
+)
+def q_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_retailprice")
+
+
+@register(
+    "literal_provenance_tag",
+    oracle="SELECT o_orderkey, 'sendo' AS source_system, 'daily' AS batch_tag FROM orders",
+    doc="P6 literal column append (dags/etl.py:61-62,143)",
+)
+def q_lit_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.lit("sendo").alias("source_system"),
+        F.lit("daily").alias("batch_tag"),
+    )
+
+
+@register(
+    "membership_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag
+    FROM lineitem WHERE l_returnflag IN ('A', 'R')
+    """,
+    doc="P5 isin membership predicate (dags/etl.py:251, small-key broadcast form)",
+)
+def q_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag").isin("A", "R"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+    )
+
+
+# ===========================================================================
+# §2.3 Joins
+# ===========================================================================
+
+@register(
+    "fk_semi_join",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+    doc="J1 left-semi FK gate (dags/etl.py:247-251) — distributed, no driver collect",
+)
+def q_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    building = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return fk_semi_join(orders, building.select(F.col("c_custkey").alias("o_custkey")), "o_custkey").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@register(
+    "anti_join",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+    doc="left-anti complement of J1 (upsert survivor leg, SURVEY §2.9 W2c)",
+)
+def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    building = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return anti_join(orders, building.select(F.col("c_custkey").alias("o_custkey")), "o_custkey").select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+@register(
+    "key_space_union",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    UNION
+    SELECT c_custkey AS custkey FROM customer
+    """,
+    doc="J2/U3 key-space union+distinct (dags/etl.py:250)",
+)
+def q_key_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders_keys = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    cust_keys = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    return key_space_union(orders_keys, cust_keys)
+
+
+@register(
+    "star_join_rollup",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    doc="implied star-schema equi-joins (sql/dwh.sql:28,44 FK graph) with broadcast dims",
+)
+def q_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _exact_sum("c_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+# ===========================================================================
+# §2.4 Aggregations / distinct
+# ===========================================================================
+
+@register(
+    "dedup_keys",
+    oracle="SELECT DISTINCT l_orderkey FROM lineitem",
+    doc="A1 dropDuplicates key projection == DISTINCT (dags/etl.py:86)",
+)
+def q_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_first(load_table(spark, sf_dir, "lineitem"), ["l_orderkey"]).select("l_orderkey")
+
+
+@register(
+    "dedup_deterministic",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC
+               ) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+    doc="A1 deterministic variant: latest order per customer via row_number window",
+)
+def q_dedup_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    return dedup_deterministic(
+        orders, ["o_custkey"], [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()]
+    )
+
+
+@register(
+    "distinct_keys",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer",
+    doc="A2 distinct key set (dags/etl.py:250)",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return distinct_keys(load_table(spark, sf_dir, "customer"), ["c_mktsegment"])
+
+
+@register(
+    "groupby_agg_metrics",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H-Q1-style pricing summary — the groupBy/agg surface the warehouse's "
+        "pre-aggregated columns imply (SURVEY §2.4, sql/dwh.sql:4-11)",
+)
+def q_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(18,6)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _exact_sum("l_quantity").alias("sum_qty"),
+        _exact_sum("l_extendedprice").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        (_exact_sum("l_quantity") / F.count(F.lit(1)).cast("double")).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "rollup_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="grouping-sets surface: ROLLUP over returnflag/linestatus (SURVEY §2.4 native)",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"), _exact_sum("l_quantity").alias("sum_qty"))
+    )
+
+
+@register(
+    "count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="exact count-distinct per group (SURVEY §2.4)",
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "conditional_percent_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) * 100.0 AS pct_large_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="good_review_percent recompute pattern (SURVEY §2.4: avg of predicate × 100)",
+)
+def q_cond_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hits = F.sum(F.when(F.col("l_quantity") > 25, 1).otherwise(0)).cast("double")
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(((hits / F.count(F.lit(1)).cast("double")) * F.lit(100.0)).alias("pct_large_qty"))
+    )
+
+
+# ===========================================================================
+# §2.5 Set operations
+# ===========================================================================
+
+@register(
+    "union_all_slices",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01'
+    UNION ALL
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    """,
+    doc="U1/U2 n-ary UNION ALL of page frames (dags/etl.py:66,147)",
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1995-01-01").cast("timestamp")
+    return union_all(
+        [
+            orders.filter(F.col("o_orderdate") < cut).select("o_orderkey", "o_totalprice"),
+            orders.filter(F.col("o_orderdate") >= cut).select("o_orderkey", "o_totalprice"),
+        ]
+    )
+
+
+@register(
+    "intersect_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+    doc="INTERSECT surface (SURVEY §2.5, native)",
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    custs = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return custs.intersect(orders)
+
+
+# ===========================================================================
+# §2.6 Scalar functions
+# ===========================================================================
+
+@register(
+    "regexp_suffix_strip",
+    oracle=r"""
+    SELECT p_partkey,
+           regexp_replace(p_name || '.html', '\.html$', '') AS clean_path
+    FROM part
+    """,
+    doc="F1 '.html' suffix strip (dags/etl.py:91) + F2 string build",
+)
+def q_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.functions.scalar import strip_html_suffix
+
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        strip_html_suffix(F.concat(F.col("p_name"), F.lit(".html"))).alias("clean_path"),
+    )
+
+
+@register(
+    "date_dayfirst_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%d/%m/%Y') AS day_first_str,
+           CAST(strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y') AS DATE) AS parsed_date
+    FROM orders
+    """,
+    doc="F3 dd/MM/yyyy day-first parse (dags/etl.py:164-166)",
+)
+def q_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.functions.scalar import parse_day_first_date
+
+    day_str = F.date_format(F.col("o_orderdate"), "dd/MM/yyyy")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        day_str.alias("day_first_str"),
+        parse_day_first_date(day_str).alias("parsed_date"),
+    )
+
+
+@register(
+    "json_extraction",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct
+    FROM events
+    """,
+    doc="F4 JSON path extraction (dags/etl.py:31,57,95,139): get_json_object + typed from_json",
+)
+def q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return events.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k_path"),
+        parsed["k"].alias("k_struct"),
+    )
+
+
+@register(
+    "array_explode",
+    oracle="""
+    SELECT vec_id, CAST(unnest(range(0, len(embedding))) AS INT) AS pos,
+           CAST(unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE) AS component
+    FROM embeddings
+    """,
+    doc="F5 nested-array traversal: posexplode over embedding vectors (dags/etl.py:33-39 analog)",
+)
+def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding")
+    ).select(
+        "vec_id", F.col("pos"), F.col("col").cast("double").alias("component")
+    )
+
+
+@register(
+    "map_build_explode",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    """,
+    doc="F5/F6 sitemap flatten: build map<region, list<nation>> then explode back to "
+        "relational pairs (dags/etl.py:32-39)",
+)
+def q_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    # build the reference's dict-of-lists shape, then dissolve it back —
+    # proves MapType round-trips losslessly
+    nested = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.collect_list("n_name").alias("nations"))
+        .select(F.map_from_entries(F.array(F.struct("r_name", "nations"))).alias("m"))
+        .select(F.explode("m").alias("region", "nations"))
+    )
+    return nested.select("region", F.explode("nations").alias("nation"))
+
+
+# ===========================================================================
+# §2.7 Sorts / limits / top-k / windows
+# ===========================================================================
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rank FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+               ) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+    doc="§2.7 top-k per group via row_number window (WindowGroupLimit pushes k into sort)",
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+@register(
+    "sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+    """,
+    doc="§2.7 global top-N (TakeOrderedAndProject — no full sort at scale)",
+)
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice")
+        .limit(100)
+    )
+
+
+# ===========================================================================
+# §2.9 Sinks — upsert semantics as a checkable query
+# ===========================================================================
+
+@register(
+    "upsert_merge",
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 1000000000, o_custkey, 'N' AS o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    UNION ALL
+    SELECT * FROM updates
+    """,
+    doc="W2 upsert: ON DUPLICATE KEY UPDATE semantics (dags/etl.py:181-199) as "
+        "anti-join + union — conflicting keys take update values, new keys insert",
+)
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.sinks.upsert import upsert_dataframes
+
+    orders = load_table(spark, sf_dir, "orders")
+    conflicting = orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    fresh = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    updates = conflicting.unionByName(fresh)
+    return upsert_dataframes(orders, updates, ["o_orderkey"])
+
+
+# ===========================================================================
+# §2.1 Sources — paginated source with a deterministic injected fetcher
+# ===========================================================================
+
+@register(
+    "paginated_source_scan",
+    oracle="""
+    SELECT n_nationkey, CAST(unnest(range(0, n_nationkey * 3 + 5)) AS BIGINT) AS item_id
+    FROM nation
+    """,
+    doc="S2/S4 pagination-until-empty per key via mapInPandas; fetcher injected "
+        "(deterministic synthetic pages; proves no tail loss — dags/etl.py:50-64,115-120)",
+)
+def q_paginated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.sources.http import FetchConfig, paginated_source
+
+    keys = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    page_size = 4
+
+    def fetch_page(row: dict, page: int, cfg: FetchConfig) -> list | None:
+        total = row["n_nationkey"] * 3 + 5
+        start = (page - 1) * page_size
+        if start >= total:
+            return None  # empty page terminates (dags/etl.py:58-59)
+        return [{"item_id": i} for i in range(start, min(start + page_size, total))]
+
+    return paginated_source(
+        keys, fetch_page, "n_nationkey int, item_id bigint", FetchConfig(max_retries=0)
+    )
+
+
+# ===========================================================================
+# Extension surface: text analysis (documents)
+# ===========================================================================
+
+@register(
+    "text_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+               + CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS n_bpe_ish
+    FROM documents
+    """,
+    doc="token counting: whitespace tokens + BPE-ish pretokenizer count "
+        "(alnum runs + punct marks), all JVM-side regexp",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    alnum_runs = F.regexp_count(F.col("text"), F.lit(r"[A-Za-z0-9]+"))
+    punct_chars = F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", ""))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n_tokens"),
+        (alnum_runs + punct_chars).cast("bigint").alias("n_bpe_ish"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+               / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+           CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                    t -> t IN ('the','and','of','to','in','is','it','that','for','with'))) AS DOUBLE)
+               / CAST(greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1) AS DOUBLE)
+               AS stopword_ratio
+    FROM documents
+    """,
+    doc="quality scoring: punctuation + stopword ratios (C4/Gopher-style heuristics)",
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.functions.text import punct_ratio, stopword_ratio
+
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        punct_ratio("text").alias("punct_ratio"),
+        stopword_ratio("text").alias("stopword_ratio"),
+    )
+
+
+@register(
+    "language_id",
+    oracle=None,  # heuristic classifier — no SQL oracle; rows-only check
+    doc="stopword-hit language ID, pure built-in array expressions (no UDF)",
+)
+def q_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.functions.text import language_id
+
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", language_id("text").alias("pred_lang")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=None,  # xxhash64 rolling hash — engine-specific, rows-only
+    doc="order-sensitive 64-bit rolling document fingerprint (xxhash64 fold)",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.functions.text import doc_fingerprint
+
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", doc_fingerprint("text").alias("fingerprint")
+    )
+
+
+# ===========================================================================
+# Extension surface: deduplication (documents)
+# ===========================================================================
+
+@register(
+    "dedup_exact_text",
+    oracle=r"""
+    SELECT doc_id, text, lang, source, n_chars FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+            ORDER BY doc_id ASC
+        ) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+    doc="exact content dedup: hash-groupBy on md5(normalized text), min-id survivor",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64-based signatures — rows-only
+    doc="MinHash+LSH near-dup removal: shingle → 64-hash signature → 16 bands → "
+        "bucket join → exact-Jaccard verify ≥0.8 → drop higher id",
+)
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.dedup import minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup(docs, "text", "doc_id", threshold=0.8).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-based — rows-only
+    doc="SimHash near-dup candidates: 64-bit simhash, 16-bit chunk banding, hamming ≤ 3",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.dedup import simhash_candidate_pairs
+
+    return simhash_candidate_pairs(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.tok AS ta, b.tok AS tb
+        FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 10 = 0
+    )
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(ta, tb))) AS DOUBLE) AS jaccard
+    FROM pairs
+    """,
+    doc="exact n-gram (n=1) Jaccard similarity on fixed candidate pairs — the "
+        "verification kernel of MinHash dedup, oracle-checkable",
+)
+def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.dedup import jaccard_on_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").filter(F.col("doc_id") % 10 == 0)
+    pairs = ids.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    ).join(
+        docs.select(F.col("doc_id").alias("id_b")), on="id_b", how="left_semi"
+    )
+    return jaccard_on_pairs(pairs, docs, "text", "doc_id", shingle_n=1)
+
+
+# ===========================================================================
+# Extension surface: similarity search (embeddings)
+# ===========================================================================
+
+@register(
+    "knn_bruteforce",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               round(list_dot_product(
+                         list_transform(q.qvec, x -> CAST(x AS DOUBLE)),
+                         list_transform(e.embedding, x -> CAST(x AS DOUBLE)))
+                     / (sqrt(list_dot_product(list_transform(q.qvec, x -> CAST(x AS DOUBLE)),
+                                              list_transform(q.qvec, x -> CAST(x AS DOUBLE))))
+                        * sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                                list_transform(e.embedding, x -> CAST(x AS DOUBLE))))),
+                     6) AS cosine
+        FROM q, embeddings e
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rn
+        FROM scored
+    ) WHERE rn <= 10
+    """,
+    doc="exact cosine top-10 per query (queries broadcast, corpus scan, window top-k)",
+)
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rank on the ROUNDED score so tie-breaking matches the oracle
+    # exactly even when rounding collapses near-equal cosines
+    from etl_tiki_webscraping_spark.operators.similarity import as_double_vec, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), as_double_vec("embedding").alias("qvec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), as_double_vec("embedding").alias("cvec"))
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
+    )
+    return top_k_per_group(
+        scored, ["query_id"], [F.col("cosine").desc(), F.col("neighbor_id").asc()], 10
+    )
+
+
+@register(
+    "knn_lsh",
+    oracle=None,  # approximate — rows-only
+    doc="LSH (signed-random-projection) approximate top-k: bucket join, score within buckets",
+)
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, k=10, tables=8, bits=8)
+
+
+@register(
+    "knn_ivf",
+    oracle=None,  # approximate — rows-only
+    doc="IVF approximate top-k: centroid cells + nprobe probing, relational IVF layout",
+)
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids = emb.filter(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, centroids, k=10, nprobe=4)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=None,  # LSH-bucketed — rows-only
+    doc="embedding-cosine near-dup pairs via SRP-LSH buckets (threshold 0.30 on the "
+        "random test vectors so the check exercises non-empty output; production "
+        "near-dup would use ≥0.95)",
+)
+def q_cos_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.similarity import cosine_dedup_pairs
+
+    return cosine_dedup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.30)
+
+
+# ===========================================================================
+# Streaming batch twins (events)
+# ===========================================================================
+
+@register(
+    "windowed_event_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+    doc="§2.10 tumbling event-time window aggregation (batch twin of the streaming op)",
+)
+def q_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window(F.col("ts"), "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="sessionization: 30-min-gap sessions via lag + running sum windows "
+        "(the stateful-streaming analog expressed relationally)",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    flagged = events.withColumn(
+        "is_new",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 30 * 60), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("is_new").over(run).cast("bigint"))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("session_value"),
+    )

@@ -42,6 +42,9 @@ def get_spark(app_name: str = "etl-tiki-webscraping-spark", shuffle_partitions: 
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # testdata events.parquet carries TIMESTAMP(NANOS); read as long
+        # (converted to timestamps in io.load_table)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     return builder.getOrCreate()
 

@@ -33,6 +33,21 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+
+def _schema_names(schema: T.StructType | str) -> list[str]:
+    if isinstance(schema, T.StructType):
+        return schema.fieldNames()
+    return T._parse_datatype_string(schema).fieldNames()
+
+
+def _conform(pdf: pd.DataFrame, names: list[str]) -> pd.DataFrame:
+    """Reorder/complete pandas output to the declared schema order —
+    mapInPandas matches Arrow columns positionally."""
+    for n in names:
+        if n not in pdf.columns:
+            pdf[n] = None
+    return pdf[names]
+
 # Default UA pool mirrors the reference's rotation concept (dags/etl.py:11-18);
 # strings are generic, not copied.
 DEFAULT_USER_AGENTS = (
@@ -97,7 +112,7 @@ def paginated_source(
     """
     cfg = cfg or FetchConfig()
     key_cols = keys.columns
-    out_names = schema.fieldNames() if isinstance(schema, T.StructType) else None
+    out_names = _schema_names(schema)
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -109,11 +124,11 @@ def paginated_source(
                         break  # empty page terminates (dags/etl.py:58-59)
                     pdf = pd.DataFrame.from_records(data)
                     for k in key_cols:  # provenance tag
-                        if out_names is None or k in out_names:
+                        if k in out_names:
                             pdf[k] = row[k]
                     pages.append(pdf)
                 if pages:
-                    yield pd.concat(pages, ignore_index=True)
+                    yield _conform(pd.concat(pages, ignore_index=True), out_names)
 
     # Spread keys across partitions: pagination depth per key is unknown,
     # so round-robin by key count keeps workers busy; AQE cannot help
@@ -135,7 +150,7 @@ def keyed_lookup_source(
     """
     cfg = cfg or FetchConfig()
     key_cols = keys.columns
-    out_names = schema.fieldNames() if isinstance(schema, T.StructType) else None
+    out_names = _schema_names(schema)
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -146,11 +161,11 @@ def keyed_lookup_source(
                     continue
                 rec = dict(data)
                 for k in key_cols:
-                    if out_names is None or k in out_names:
+                    if k in out_names:
                         rec.setdefault(k, row[k])
                 rows.append(rec)
             if rows:
-                yield pd.DataFrame.from_records(rows)
+                yield _conform(pd.DataFrame.from_records(rows), out_names)
 
     n = num_partitions or min(max(keys.sparkSession.sparkContext.defaultParallelism, 1), 64)
     return keys.repartition(n).mapInPandas(run, schema=schema)
