@@ -1,0 +1,82 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing = full query execution including the action (collect for small
+results, count for large ones) — scan + shuffle + aggregate, not just
+plan construction.  One warm-up of the session (tiny query) so JVM/
+codegen startup isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the reference-surface core + each extension family.
+# (name, action) where action: 'collect' for small outputs, 'count'
+# for row-heavy outputs so driver transfer doesn't dominate timing.
+HEADLINE = [
+    ("flagship", "collect"),
+    ("groupby_agg_metrics", "collect"),
+    ("star_join_rollup", "collect"),
+    ("fk_semi_join", "count"),
+    ("upsert_merge", "count"),
+    ("dedup_deterministic", "count"),
+    ("window_topk_per_group", "count"),
+    ("sessionize_events", "count"),
+    ("windowed_event_counts", "count"),
+    ("json_extraction", "count"),
+    ("dedup_exact_text", "count"),
+    ("dedup_minhash_lsh", "count"),
+    ("knn_bruteforce", "count"),
+    ("knn_lsh", "count"),
+    ("text_quality_score", "count"),
+]
+
+
+def main() -> None:
+    from etl_tiki_webscraping_spark.plans.catalog import QUERIES
+    from etl_tiki_webscraping_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM + parquet footer reads off the clock
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name, action in HEADLINE:
+        fn = QUERIES[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        if action == "collect":
+            df.collect()
+        else:
+            df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

