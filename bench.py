@@ -49,8 +49,14 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: JVM + parquet footer reads off the clock
+    # warm-up: JVM + codegen, and fork the per-core Python workers so
+    # the first Arrow-UDF query isn't billed worker startup
     spark.range(1000).selectExpr("sum(id)").collect()
+    from pyspark.sql import functions as F
+
+    _warm = F.pandas_udf(lambda s: s, "long")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.range(10_000).repartition(cpus).select(_warm("id")).count()
 
     timings: dict[str, float] = {}
     for name, action in HEADLINE:

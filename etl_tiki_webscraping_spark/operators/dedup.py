@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from etl_tiki_webscraping_spark.functions.text import tokenize_ws
 
@@ -85,17 +86,23 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
     )
 
 
-def minhash_signatures_udf(num_hashes: int = 64):
-    """Arrow-vectorized MinHash signature kernel (the scale path).
+def minhash_analysis_udf(num_hashes: int = 64, shingle_n: int = 3):
+    """Arrow-vectorized tokenize→shingle→hash→signature kernel (the
+    scale path): text → struct<sig: array<bigint>, hset: array<bigint>>.
 
-    One stable 31-bit base hash per shingle (crc32, process- and
-    node-independent), then the classic universal-hash family
-    g_i(h) = (a_i*h + b_i) mod p with p = 2^31-1, lifted to a numpy
-    (num_hashes x n_shingles) broadcast + column-min.  Products stay
+    One pass per document: whitespace tokens, distinct word n-gram
+    shingles, a stable 31-bit base hash per shingle (crc32 — process-
+    and node-independent), then the classic universal-hash family
+    g_i(h) = (a_i*h + b_i) mod p with p = 2^31-1 as a numpy
+    (num_hashes × n_shingles) broadcast + column-min.  Products stay
     under 2^62, so everything runs in native int64 — no object math.
-    ~100x the interpreted expression fold; per-partition, no shuffle.
-    31-bit hash space is ample for Jaccard estimation (collision rate
-    ~n_shingles/2^31 per doc).
+    ``hset`` (the sorted distinct shingle hashes) rides along so exact
+    Jaccard verification downstream intersects bigint arrays JVM-side
+    instead of re-shingling text.  Fusing the whole chain into one
+    Arrow batch kernel replaced an interpreted higher-order-function
+    pipeline that spent ~8 s shingling 5 k docs; per-partition, no
+    shuffle.  31-bit hash space is ample for Jaccard estimation
+    (collision rate ~n_shingles/2^31 per doc).
     """
     from zlib import crc32
 
@@ -104,21 +111,57 @@ def minhash_signatures_udf(num_hashes: int = 64):
     a = rng.integers(1, p, size=num_hashes, dtype=np.int64)[:, None]
     b = rng.integers(0, p, size=num_hashes, dtype=np.int64)[:, None]
 
-    @F.pandas_udf("array<bigint>")
-    def sig(shingles: pd.Series) -> pd.Series:
-        out = []
-        for sh in shingles:
-            if sh is None or len(sh) == 0:
-                out.append([0] * num_hashes)
-                continue
-            base = np.fromiter(
-                (crc32(s.encode()) & 0x7FFFFFFF for s in sh), dtype=np.int64, count=len(sh)
-            )[None, :]
-            g = (a * base + b) % p  # (k, n) int64, no overflow
-            out.append(g.min(axis=1).tolist())
-        return pd.Series(out)
+    @F.pandas_udf(f"struct<sig: array<bigint>, hset: array<bigint>>")
+    def analyze(texts: pd.Series) -> pd.DataFrame:
+        sigs, hsets = [], []
+        for t in texts:
+            toks = (t or "").lower().split()
+            if len(toks) >= shingle_n:
+                sh = {
+                    " ".join(toks[i : i + shingle_n])
+                    for i in range(len(toks) - shingle_n + 1)
+                }
+            else:
+                sh = {" ".join(toks)}
+            base = np.unique(
+                np.fromiter(
+                    (crc32(s.encode()) & 0x7FFFFFFF for s in sh),
+                    dtype=np.int64,
+                    count=len(sh),
+                )
+            )
+            hsets.append(base.tolist())
+            g = (a * base[None, :] + b) % p  # (k, n) int64, no overflow
+            sigs.append(g.min(axis=1).tolist())
+        return pd.DataFrame({"sig": sigs, "hset": hsets})
 
-    return sig
+    return analyze
+
+
+def minhash_analysis(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    target_partitions: int | None = None,
+) -> DataFrame:
+    """(id, sig, hset) per document — the shared input of candidate
+    generation and verification.  At pipeline scale, checkpoint this to
+    parquet once and feed both consumers from the checkpoint instead of
+    recomputing the narrow scan.
+
+    ``target_partitions`` repartitions before the kernel for corpora
+    whose scan yields fewer splits than cores; left off by default —
+    at real scale parquet splitting already saturates the executors,
+    and on small fixtures forking one Python worker per core costs
+    more than the compute."""
+    if target_partitions:
+        df = df.repartition(target_partitions)
+    udf = minhash_analysis_udf(num_hashes, shingle_n)
+    return df.select(
+        F.col(id_col).alias("id"), udf(F.col(text_col)).alias("a")
+    ).select("id", F.col("a.sig").alias("sig"), F.col("a.hset").alias("hset"))
 
 
 def _band_buckets(sig_col: Column, bands: int, rows_per_band: int) -> Column:
@@ -154,14 +197,7 @@ def minhash_candidate_pairs(
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     r = num_hashes // bands
-    sig_udf = minhash_signatures_udf(num_hashes)
-    sig = (
-        df.select(
-            F.col(id_col).alias("id"),
-            shingles(text_col, shingle_n).alias("sh"),
-        )
-        .select("id", sig_udf(F.col("sh")).alias("sig"))
-    )
+    sig = minhash_analysis(df, text_col, id_col, num_hashes, shingle_n).select("id", "sig")
     buckets = sig.select("id", F.explode(_band_buckets(F.col("sig"), bands, r)).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
@@ -215,12 +251,37 @@ def minhash_dedup(
     approximation of connected components: a doc is dropped if it is
     near-identical to ANY lower-id doc — single-pass, no iteration,
     which is the right cost/quality tradeoff for corpus dedup).
+
+    Single analysis pass; the shingle-hash set (``hset``) rides through
+    the band explode so the bucket self-join already holds both sides'
+    sets and exact-Jaccard verification is an inline JVM array
+    intersect — no re-join, no second scan of the corpus (the same
+    carry-through shape spark.ml's approxSimilarityJoin uses).
+    Candidate pairs shuffle 8-byte hashes, never document text.
     """
-    cand = minhash_candidate_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    r = num_hashes // bands
+    # Persisted because the self-join's build side would otherwise
+    # re-execute the scan + Arrow kernel (Catalyst broadcasts one side
+    # — there is no shuffle exchange to reuse).  MEMORY_AND_DISK:
+    # spills rather than recomputes at scale; LRU-evicted later.
+    analysis = minhash_analysis(df, text_col, id_col, num_hashes, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    buckets = analysis.select(
+        "id", "hset", F.explode(_band_buckets(F.col("sig"), bands, r)).alias("bb")
+    ).select("id", "hset", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    l = buckets.alias("l")
+    rt = buckets.alias("r")
     dups = (
-        jaccard_on_pairs(cand, df, text_col, id_col, shingle_n)
-        .filter(F.col("jaccard") >= threshold)
-        .select(F.col("id_b").alias(id_col))
+        l.join(rt, on=["band", "bucket"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .filter(
+            F.size(F.array_intersect(F.col("l.hset"), F.col("r.hset"))).cast("double")
+            / F.size(F.array_union(F.col("l.hset"), F.col("r.hset"))).cast("double")
+            >= threshold
+        )
+        .select(F.col("r.id").alias(id_col))
         .distinct()
     )
     return df.join(dups, on=id_col, how="left_anti")
@@ -268,6 +329,41 @@ def simhash64(col: Column | str) -> Column:
     return packed
 
 
+def simhash64_udf():
+    """Arrow-vectorized SimHash kernel: stable 64-bit token hashes
+    (blake2b-8, node-independent), numpy bit-matrix votes, sign-packed
+    into one signed int64.  Same banding/verify contract as the
+    expression form but one batch kernel per Arrow chunk instead of an
+    interpreted 64-wide fold per token."""
+    from hashlib import blake2b
+
+    shifts = np.arange(64, dtype=np.uint64)
+
+    @F.pandas_udf("bigint")
+    def sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = (t or "").lower().split()
+            if not toks:
+                out.append(0)
+                continue
+            h = np.fromiter(
+                (
+                    int.from_bytes(blake2b(s.encode(), digest_size=8).digest(), "little")
+                    for s in toks
+                ),
+                dtype=np.uint64,
+                count=len(toks),
+            )
+            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            votes = (bits * 2 - 1).sum(axis=0)
+            packed = int(((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+            out.append(packed - (1 << 64) if packed >= (1 << 63) else packed)
+        return pd.Series(out, dtype="int64")
+
+    return sh
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit hashes (bit_count of xor)."""
     return F.bit_count(a.bitwiseXOR(b))
@@ -279,7 +375,7 @@ def simhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str, max_hammi
     shares at least one exact chunk.  Join within chunk buckets, then
     verify the full hamming distance.
     """
-    sh = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sh"))
+    sh = df.select(F.col(id_col).alias("id"), simhash64_udf()(F.col(text_col)).alias("sh"))
     chunks = sh.select(
         "id",
         "sh",
