@@ -24,12 +24,11 @@ def parse_day_first_date(col: Column | str, fmt: str = "dd/MM/yyyy") -> Column:
     ``pd.to_datetime(col, format="%d/%m/%Y")`` (dags/etl.py:164-166).
 
     Divergence note (SURVEY §7 risk register): pandas raises on a
-    malformed string; Spark's ``to_date`` returns null unless ANSI mode
-    is on.  We keep null-on-error (the engine treats malformed dates as
-    data-quality filters, not job failures) and expose
-    ``try_to_date``-style semantics explicitly.
+    malformed string, and Spark 4's default ANSI mode makes ``to_date``
+    raise too.  We pin null-on-error via ``try_to_date`` (the engine
+    treats malformed dates as data-quality filters, not job failures).
     """
-    return F.to_date(F.col(col) if isinstance(col, str) else col, fmt)
+    return F.try_to_date(F.col(col) if isinstance(col, str) else col, fmt)
 
 
 def build_url(template: str, *cols: Column) -> Column:

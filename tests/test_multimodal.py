@@ -1,0 +1,70 @@
+"""Multimodal column plumbing: binary payloads + typed metadata, decode
+kernels (deterministic fakes), 1->N frame sampling."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_tiki_webscraping_spark.operators.multimodal import (
+    attach_meta,
+    extract_image_features,
+    sample_frames,
+    _decode_image_impl,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, bytes(range(64))),
+        (2, b"\xff" * 100),
+        (3, b"short"),
+    ]
+    return spark.createDataFrame(rows, "media_id bigint, content binary")
+
+
+def test_attach_meta_sizes(media):
+    out = attach_meta(media, media_type="image", fmt="raw")
+    metas = {r["media_id"]: r["meta"] for r in out.collect()}
+    assert metas[1]["size_bytes"] == 64
+    assert metas[2]["size_bytes"] == 100
+    assert metas[1]["media_type"] == "image"
+    assert metas[1]["format"] == "raw"
+
+
+def test_extract_image_features_schema_and_shape(media):
+    out = extract_image_features(media)
+    assert out.schema.simpleString() == (
+        "struct<media_id:bigint,width:int,height:int,mean_luma:double,feature:array<float>>"
+    )
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows) == 3
+    for r in rows.values():
+        assert (r["width"], r["height"]) == (8, 8)
+        assert len(r["feature"]) == 64
+        assert 0.0 <= r["mean_luma"] <= 255.0
+    # deterministic fake: same bytes -> same features
+    again = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    assert rows[1]["feature"] == again[1]["feature"]
+
+
+def test_decode_is_deterministic_and_pads():
+    a = _decode_image_impl(b"abc")
+    b = _decode_image_impl(b"abc")
+    assert (a == b).all()
+    assert a.shape == (8, 8)
+
+
+def test_sample_frames_one_to_many(media):
+    out = sample_frames(media, every_n_bytes=16)
+    counts = {}
+    for r in out.collect():
+        counts[r["media_id"]] = counts.get(r["media_id"], 0) + 1
+    assert counts[1] == 4   # 64 bytes / 16
+    assert counts[2] == 7   # ceil(100/16)
+    assert counts[3] == 1   # 5 bytes -> 1 frame
+    # frames reassemble to the original payload
+    frames = sorted(
+        (r["frame_index"], bytes(r["frame"])) for r in out.collect() if r["media_id"] == 1
+    )
+    assert b"".join(f for _, f in frames) == bytes(range(64))

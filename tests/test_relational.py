@@ -1,0 +1,97 @@
+"""Unit tests for core relational operators (SURVEY.md §2.2-2.8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_tiki_webscraping_spark.operators.relational import (
+    anti_join,
+    dedup_deterministic,
+    dedup_first,
+    distinct_keys,
+    fk_semi_join,
+    key_space_union,
+    repartition_even,
+    top_k_per_group,
+    union_all,
+)
+
+
+def _people(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", 10),
+            (1, "b", 30),
+            (1, "c", 20),
+            (2, "d", 5),
+            (3, "e", 7),
+        ],
+        "k int, v string, score int",
+    )
+
+
+def test_dedup_first_one_row_per_key(spark):
+    out = dedup_first(_people(spark), ["k"])
+    assert out.count() == 3
+    assert {r["k"] for r in out.collect()} == {1, 2, 3}
+
+
+def test_dedup_deterministic_picks_ordered_survivor(spark):
+    out = dedup_deterministic(_people(spark), ["k"], [F.col("score").desc()])
+    rows = {r["k"]: r["v"] for r in out.collect()}
+    assert rows == {1: "b", 2: "d", 3: "e"}  # highest score wins
+    # drops helper column
+    assert out.columns == ["k", "v", "score"]
+
+
+def test_distinct_keys(spark):
+    out = distinct_keys(_people(spark), ["k"])
+    assert sorted(r["k"] for r in out.collect()) == [1, 2, 3]
+
+
+def test_key_space_union(spark):
+    a = spark.createDataFrame([(1,), (2,)], "k int")
+    b = spark.createDataFrame([(2,), (3,)], "k int")
+    out = key_space_union(a, b)
+    assert sorted(r["k"] for r in out.collect()) == [1, 2, 3]
+
+
+def test_fk_semi_join_keeps_only_known_keys(spark):
+    fact = _people(spark)
+    dim = spark.createDataFrame([(1,), (3,), (99,)], "k int")
+    out = fk_semi_join(fact, dim, "k")
+    assert sorted(r["v"] for r in out.collect()) == ["a", "b", "c", "e"]
+    # semi join must not duplicate fact rows even with dup dim keys
+    dim_dup = spark.createDataFrame([(1,), (1,)], "k int")
+    assert fk_semi_join(fact, dim_dup, "k").count() == 3
+
+
+def test_anti_join_complements_semi(spark):
+    fact = _people(spark)
+    keys = spark.createDataFrame([(1,), (3,)], "k int")
+    semi = fk_semi_join(fact, keys, "k").count()
+    anti = anti_join(fact, keys, "k").count()
+    assert semi + anti == fact.count()
+
+
+def test_union_all_by_name(spark):
+    a = spark.createDataFrame([(1, "x")], "k int, v string")
+    b = spark.createDataFrame([("y", 2)], "v string, k int")  # different order
+    out = union_all([a, b])
+    assert sorted((r["k"], r["v"]) for r in out.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_top_k_per_group(spark):
+    out = top_k_per_group(_people(spark), ["k"], [F.col("score").desc()], 2)
+    got = sorted((r["k"], r["v"]) for r in out.collect())
+    assert got == [(1, "b"), (1, "c"), (2, "d"), (3, "e")]
+
+
+def test_repartition_even_covers_every_row(spark):
+    # regression for the reference's 5-way split tail loss
+    # (/root/reference/dags/etl.py:115-120): len//5*5 rows covered,
+    # remainder silently dropped.  Ours must cover ALL rows.
+    df = spark.range(103)  # 103 % 5 == 3 -> reference would lose 3 rows
+    out = repartition_even(df, 5)
+    assert out.count() == 103
+    assert out.rdd.getNumPartitions() == 5

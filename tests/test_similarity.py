@@ -1,0 +1,106 @@
+"""Similarity-search operators vs a numpy oracle on tiny synthetic
+vectors."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from etl_tiki_webscraping_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_dedup_pairs,
+    ivf_assign,
+    ivf_topk,
+    lsh_topk,
+)
+
+DIM = 8
+N = 40
+RNG = np.random.default_rng(7)
+
+
+def _vectors():
+    base = RNG.standard_normal((N, DIM)).astype(np.float32)
+    # vec 1 = near-copy of vec 0 (cosine ~ 1)
+    base[1] = base[0] + 0.01 * RNG.standard_normal(DIM).astype(np.float32)
+    return base
+
+
+VECS = _vectors()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, VECS[i].tolist()) for i in range(N)]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+@pytest.fixture(scope="module")
+def queries(spark):
+    rows = [(i, VECS[i].tolist()) for i in range(3)]
+    return spark.createDataFrame(rows, "query_id bigint, embedding array<float>")
+
+
+def _numpy_topk(qi: int, k: int) -> list[int]:
+    v = VECS.astype(np.float64)
+    sims = (v @ v[qi]) / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[qi]))
+    order = sorted(range(N), key=lambda j: (-sims[j], j))
+    return order[:k]
+
+
+def test_brute_force_matches_numpy(corpus, queries):
+    out = brute_force_topk(corpus, queries, k=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append((r["cosine"], r["neighbor_id"]))
+    for qid in range(3):
+        ids = [n for _, n in sorted(got[qid], key=lambda t: (-t[0], t[1]))]
+        assert ids == _numpy_topk(qid, 5)
+
+
+def test_brute_force_self_is_top1(corpus, queries):
+    out = brute_force_topk(corpus, queries, k=1).collect()
+    for r in out:
+        assert r["neighbor_id"] == r["query_id"]  # cosine(v, v) == 1
+        assert abs(r["cosine"] - 1.0) < 1e-12
+
+
+def test_lsh_topk_finds_self_and_near_copy(corpus, queries):
+    out = lsh_topk(corpus, queries, k=3, tables=8, bits=4)
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # self always lands in its own bucket; near-copy of 0 almost surely
+    for qid, ids in by_q.items():
+        assert qid in ids
+    assert 1 in by_q[0]
+
+
+def test_ivf_assign_puts_vector_in_own_centroid_cell(spark, corpus):
+    cents = spark.createDataFrame(
+        [(0, VECS[0].tolist()), (10, VECS[10].tolist()), (20, VECS[20].tolist())],
+        "centroid_id bigint, embedding array<float>",
+    )
+    out = {r["vec_id"]: r["cell"] for r in ivf_assign(corpus, cents).collect()}
+    assert out[0] == 0 and out[10] == 10 and out[20] == 20
+    assert len(out) == N  # every vector assigned to exactly one cell
+
+
+def test_ivf_topk_self_hit(spark, corpus, queries):
+    cents = spark.createDataFrame(
+        [(0, VECS[0].tolist()), (10, VECS[10].tolist()), (20, VECS[20].tolist())],
+        "centroid_id bigint, embedding array<float>",
+    )
+    out = ivf_topk(corpus, queries, cents, k=2, nprobe=2)
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for qid in range(3):
+        assert qid in by_q[qid]
+
+
+def test_cosine_dedup_pairs_finds_near_copy(corpus):
+    pairs = {(r["id_a"], r["id_b"]) for r in cosine_dedup_pairs(corpus, threshold=0.95).collect()}
+    assert (0, 1) in pairs
+    for a, b in pairs:
+        assert a < b

@@ -1,0 +1,94 @@
+"""Structured Streaming surface: AvailableNow file-source runs with the
+foreachBatch-upsert sink, stateful dedup, and batch/stream parity of the
+windowed aggregation (SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from etl_tiki_webscraping_spark.streaming.events import (
+    foreach_batch_upsert,
+    streaming_dedup,
+    windowed_event_counts,
+    windowed_event_counts_batch,
+)
+
+SCHEMA = "event_id string, ts timestamp, event_type string, value double"
+
+ROWS = [
+    {"event_id": "e1", "ts": "2024-01-01 10:05:00", "event_type": "view", "value": 1.0},
+    {"event_id": "e2", "ts": "2024-01-01 10:45:00", "event_type": "view", "value": 2.0},
+    {"event_id": "e2", "ts": "2024-01-01 10:45:00", "event_type": "view", "value": 2.0},  # dup id
+    {"event_id": "e3", "ts": "2024-01-01 11:10:00", "event_type": "click", "value": 5.0},
+]
+
+
+def _write_json_source(tmp_path) -> str:
+    src = tmp_path / "stream-in"
+    src.mkdir()
+    with open(src / "part-0.json", "w") as f:
+        for r in ROWS:
+            f.write(json.dumps(r) + "\n")
+    return str(src)
+
+
+def test_windowed_counts_batch_and_stream_agree(spark, tmp_path):
+    src = _write_json_source(tmp_path)
+    static = spark.read.schema(SCHEMA).json(src)
+    batch = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_event_counts_batch(static).collect()
+    }
+
+    stream = spark.readStream.schema(SCHEMA).json(src)
+    agg = windowed_event_counts(stream)
+    out_dir = str(tmp_path / "stream-out")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_counts")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .start()
+    )
+    q.awaitTermination(60)
+    streamed = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    assert streamed == batch
+    assert batch[("2024-01-01 10:00:00", "view")] == (3, 5.0)
+
+
+def test_streaming_dedup_drops_duplicate_event_ids(spark, tmp_path):
+    src = _write_json_source(tmp_path)
+    stream = spark.readStream.schema(SCHEMA).json(src)
+    deduped = streaming_dedup(stream, keys=["event_id"])
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination(60)
+    ids = [r["event_id"] for r in spark.sql("select event_id from dedup_out").collect()]
+    assert sorted(ids) == ["e1", "e2", "e3"]
+
+
+def test_foreach_batch_upsert_is_idempotent_per_key(spark, tmp_path):
+    src = _write_json_source(tmp_path)
+    target = str(tmp_path / "warehouse")
+    stream = spark.readStream.schema(SCHEMA).json(src)
+    writer = foreach_batch_upsert(
+        stream, target, keys=["event_id"], checkpoint_dir=str(tmp_path / "ckpt3")
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(60)
+    out = spark.read.parquet(target)
+    assert out.count() == 3  # dup event_id merged by PK
+    assert sorted(r["event_id"] for r in out.select("event_id").collect()) == ["e1", "e2", "e3"]

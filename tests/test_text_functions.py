@@ -1,0 +1,100 @@
+"""Text-analysis and scalar function semantics (SURVEY.md §2.6 +
+extension surface)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from etl_tiki_webscraping_spark.functions.scalar import (
+    build_url,
+    parse_day_first_date,
+    strip_html_suffix,
+)
+from etl_tiki_webscraping_spark.functions.text import (
+    bpe_ish_token_count,
+    doc_fingerprint,
+    language_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+
+
+def _one(spark, text):
+    return spark.createDataFrame([(text,)], "t string")
+
+
+def test_token_count(spark):
+    row = _one(spark, "  a  b   c ").select(token_count("t").alias("n")).collect()[0]
+    assert row["n"] == 3  # repeated spaces don't create ghost tokens
+
+
+def test_bpe_ish_token_count(spark):
+    row = _one(spark, "it's 42%").select(bpe_ish_token_count("t").alias("n")).collect()[0]
+    # it / ' / s / 42 / % = 5
+    assert row["n"] == 5
+
+
+def test_punct_ratio_bounds(spark):
+    assert _one(spark, "!!!").select(punct_ratio("t").alias("r")).collect()[0]["r"] == 1.0
+    assert _one(spark, "abc").select(punct_ratio("t").alias("r")).collect()[0]["r"] == 0.0
+
+
+def test_stopword_ratio(spark):
+    r = _one(spark, "the cat and the hat").select(stopword_ratio("t").alias("r")).collect()[0]["r"]
+    assert abs(r - 3 / 5) < 1e-9
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat is in the house and it is warm",),
+            ("el gato que vive en la casa con un perro",),
+            ("der hund ist von den kindern und das haus",),
+            ("zzz qqq www",),
+        ],
+        "t string",
+    )
+    langs = [r["l"] for r in df.select(language_id("t").alias("l")).collect()]
+    assert langs == ["en", "es", "de", "und"]
+
+
+def test_doc_fingerprint_order_sensitive_ws_insensitive(spark):
+    df = spark.createDataFrame(
+        [("a b c",), ("a  b   c",), ("c b a",)], "t string"
+    )
+    fps = [r["f"] for r in df.select(doc_fingerprint("t").alias("f")).collect()]
+    assert fps[0] == fps[1]  # whitespace-normalized
+    assert fps[0] != fps[2]  # order-sensitive
+
+
+def test_quality_score_range(spark):
+    df = spark.createDataFrame(
+        [("the quick brown fox is a good and normal sentence with the usual words",), ("!!!",)],
+        "t string",
+    )
+    scores = [r["q"] for r in df.select(quality_score("t").alias("q")).collect()]
+    assert scores[0] == 1.0
+    assert 0.0 <= scores[1] < scores[0]
+
+
+def test_strip_html_suffix_anchored(spark):
+    df = spark.createDataFrame([("shop/item.html",), ("a.html/b",)], "t string")
+    out = [r["s"] for r in df.select(strip_html_suffix("t").alias("s")).collect()]
+    assert out == ["shop/item", "a.html/b"]  # interior '.html' untouched
+
+
+def test_parse_day_first_date(spark):
+    df = spark.createDataFrame([("25/12/2024",), ("not-a-date",)], "t string")
+    out = [r["d"] for r in df.select(parse_day_first_date("t").alias("d")).collect()]
+    assert out[0] == datetime.date(2024, 12, 25)
+    assert out[1] is None  # null-on-error, documented divergence from pandas
+
+
+def test_build_url(spark):
+    df = spark.createDataFrame([("phones", 3)], "cat string, page int")
+    out = df.select(build_url("https://x/api?c=%s&p=%d", F.col("cat"), F.col("page")).alias("u")).collect()
+    assert out[0]["u"] == "https://x/api?c=phones&p=3"

@@ -1,0 +1,121 @@
+"""Upsert / MERGE semantics (SURVEY.md §2.9 W1-W3) — the conflict rules
+of the reference's INSERT..ON DUPLICATE KEY UPDATE loads
+(/root/reference/dags/etl.py:181-202,218-246,260-281)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_tiki_webscraping_spark.sinks.staging import upsert_on_duplicate_key_sql
+from etl_tiki_webscraping_spark.sinks.upsert import (
+    merge_sql,
+    upsert_dataframes,
+    upsert_parquet,
+)
+
+
+def _target(spark):
+    return spark.createDataFrame(
+        [("s1", "old-name", 10), ("s2", "keep", 20)],
+        "shop_id string, name string, product_total int",
+    )
+
+
+def _updates(spark):
+    return spark.createDataFrame(
+        [("s1", "new-name", 11), ("s3", "fresh", 30)],
+        "shop_id string, name string, product_total int",
+    )
+
+
+def test_upsert_updates_every_non_key_column(spark):
+    out = upsert_dataframes(_target(spark), _updates(spark), ["shop_id"])
+    rows = {r["shop_id"]: (r["name"], r["product_total"]) for r in out.collect()}
+    assert rows == {
+        "s1": ("new-name", 11),  # conflict: all non-key cols replaced
+        "s2": ("keep", 20),      # untouched
+        "s3": ("fresh", 30),     # inserted
+    }
+
+
+def test_upsert_is_idempotent(spark):
+    once = upsert_dataframes(_target(spark), _updates(spark), ["shop_id"])
+    twice = upsert_dataframes(once, _updates(spark), ["shop_id"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_upsert_intra_batch_duplicates_last_wins_under_order(spark):
+    # MySQL resolves intra-batch dup keys in undefined heap order; we
+    # pin last-wins under an explicit ordering (SURVEY §7 risk register).
+    updates = spark.createDataFrame(
+        [("s1", "v1", 1), ("s1", "v2", 2)],
+        "shop_id string, name string, version int",
+    )
+    target = spark.createDataFrame([], "shop_id string, name string, version int")
+    out = upsert_dataframes(target, updates, ["shop_id"], order_by=[F.col("version")])
+    assert out.collect()[0]["name"] == "v2"
+
+
+def test_upsert_extra_update_columns_are_projected_away(spark):
+    updates = _updates(spark).withColumn("extra", F.lit("x"))
+    out = upsert_dataframes(_target(spark), updates, ["shop_id"])
+    assert out.columns == ["shop_id", "name", "product_total"]
+
+
+def test_upsert_parquet_roundtrip(spark, tmp_parquet_dir):
+    upsert_parquet(spark, _target(spark), tmp_parquet_dir, ["shop_id"])
+    upsert_parquet(spark, _updates(spark), tmp_parquet_dir, ["shop_id"])
+    out = spark.read.parquet(tmp_parquet_dir)
+    rows = {r["shop_id"]: (r["name"], r["product_total"]) for r in out.collect()}
+    assert rows == {"s1": ("new-name", 11), "s2": ("keep", 20), "s3": ("fresh", 30)}
+    # no staging dir left behind
+    assert not os.path.exists(tmp_parquet_dir + ".__staging__")
+
+
+def test_upsert_parquet_rerun_converges(spark, tmp_parquet_dir):
+    upsert_parquet(spark, _updates(spark), tmp_parquet_dir, ["shop_id"])
+    first = sorted(map(tuple, spark.read.parquet(tmp_parquet_dir).collect()))
+    upsert_parquet(spark, _updates(spark), tmp_parquet_dir, ["shop_id"])
+    second = sorted(map(tuple, spark.read.parquet(tmp_parquet_dir).collect()))
+    assert first == second
+
+
+def test_mysql_merge_sql_contract():
+    sql = upsert_on_duplicate_key_sql(
+        "rating", "temp_rating", ["rating_id"], ["rating_id", "star", "comment"]
+    )
+    # structure of the reference's generated statement (dags/etl.py:181-199)
+    assert sql.startswith("INSERT INTO rating (rating_id, star, comment)")
+    assert "SELECT rating_id, star, comment FROM temp_rating" in sql
+    assert "ON DUPLICATE KEY UPDATE star=VALUES(star), comment=VALUES(comment)" in sql
+    assert "rating_id=VALUES(rating_id)" not in sql  # keys never updated
+
+
+def test_ansi_merge_sql_contract():
+    sql = merge_sql("shop_info", "temp_shop_info", ["shop_id"], ["shop_id", "name"])
+    assert "MERGE INTO shop_info t USING temp_shop_info s ON t.shop_id = s.shop_id" in sql
+    assert "WHEN MATCHED THEN UPDATE SET t.name = s.name" in sql
+    assert "WHEN NOT MATCHED THEN INSERT (shop_id, name) VALUES (s.shop_id, s.name)" in sql
+
+
+def test_jdbc_staged_upsert_sequence(spark, monkeypatch):
+    """Full W1+W2a+W3 flow with the network write and SQL executor
+    mocked: stage -> merge -> drop staging, in that order."""
+    import etl_tiki_webscraping_spark.sinks.staging as staging_mod
+
+    calls: list[str] = []
+    monkeypatch.setattr(
+        staging_mod, "write_staging", lambda df, url, table, properties=None: calls.append(f"WRITE {table}")
+    )
+    staging_mod.jdbc_staged_upsert(
+        _updates(spark),
+        target="shop_info",
+        keys=["shop_id"],
+        url="jdbc:mock://db",
+        sql_executor=lambda stmt: calls.append(stmt.split()[0] + " " + stmt.split()[2] if stmt.startswith("INSERT") else stmt),
+    )
+    assert calls[0] == "WRITE temp_shop_info"
+    assert calls[1].startswith("INSERT")
+    assert calls[2] == "DROP TABLE IF EXISTS temp_shop_info"
