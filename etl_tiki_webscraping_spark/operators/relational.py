@@ -78,7 +78,9 @@ def fk_semi_join(fact: DataFrame, dim_keys: DataFrame, on: Sequence[str] | str, 
     keys = dim_keys.select(*on).distinct()
     if broadcast_keys:
         keys = F.broadcast(keys)
-    return fact.join(keys, on=on, how="left_semi")
+    # USING-joins move key columns to the front; restore the fact's
+    # column order so downstream table schemas stay stable
+    return fact.join(keys, on=on, how="left_semi").select(*fact.columns)
 
 
 def anti_join(fact: DataFrame, keys: DataFrame, on: Sequence[str] | str) -> DataFrame:
@@ -86,7 +88,7 @@ def anti_join(fact: DataFrame, keys: DataFrame, on: Sequence[str] | str) -> Data
     write path's "existing rows not being replaced" leg, SURVEY §2.9 W2c).
     """
     on = [on] if isinstance(on, str) else list(on)
-    return fact.join(keys.select(*on).distinct(), on=on, how="left_anti")
+    return fact.join(keys.select(*on).distinct(), on=on, how="left_anti").select(*fact.columns)
 
 
 def union_all(dfs: Sequence[DataFrame]) -> DataFrame:

@@ -976,3 +976,232 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("session_value"),
     )
+
+
+# ===========================================================================
+# §2.10 Real Structured Streaming (readStream -> AvailableNow -> memory sink)
+# ===========================================================================
+
+@register(
+    "streaming_windowed_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+    doc="§2.10 REAL streaming run: readStream file source, watermark + tumbling "
+        "window agg, Trigger.AvailableNow, memory sink — must equal the batch twin "
+        "(and its oracle) on fully-available input",
+)
+def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.streaming.events import (
+        read_events_stream,
+        run_available_now_to_memory,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window(F.col("ts"), "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_available_now_to_memory(agg, "stream_windowed_counts", "complete")
+
+
+@register(
+    "streaming_dedup_ids",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+    doc="§2.10 stateful streaming dedup: dropDuplicatesWithinWatermark on event_id "
+        "over a readStream source (ids are unique in the fixture, so the streaming "
+        "result must equal the full table — the dedup is exercised, not lossy)",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.streaming.events import (
+        read_events_stream,
+        run_available_now_to_memory,
+    )
+    from etl_tiki_webscraping_spark.streaming.events import streaming_dedup
+
+    stream = read_events_stream(spark, sf_dir)
+    deduped = streaming_dedup(stream, keys=["event_id"]).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return run_available_now_to_memory(deduped, "stream_dedup_ids", "append")
+
+
+# ===========================================================================
+# §2.1 S3 keyed lookup + §2.12 pipeline assembly
+# ===========================================================================
+
+@register(
+    "keyed_lookup_scan",
+    oracle="""
+    SELECT n_nationkey, upper(n_name) AS detail_name, n_nationkey * 2 AS detail_code
+    FROM nation WHERE n_nationkey % 5 <> 3
+    """,
+    doc="S3 per-key lookup enrichment via mapInPandas (dags/etl.py:89-96); fetcher "
+        "injected and deterministic; keys whose lookup fails (returns None) are skipped",
+)
+def q_keyed_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.sources.http import FetchConfig, keyed_lookup_source
+
+    keys = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def fetch_row(row: dict, cfg: FetchConfig) -> dict | None:
+        if row["n_nationkey"] % 5 == 3:
+            return None  # failed lookup -> key skipped
+        return {
+            "n_nationkey": row["n_nationkey"],
+            "detail_name": row["n_name"].upper(),
+            "detail_code": row["n_nationkey"] * 2,
+        }
+
+    return keyed_lookup_source(
+        keys, fetch_row, "n_nationkey bigint, detail_name string, detail_code bigint"
+    ).select("n_nationkey", "detail_name", "detail_code")
+
+
+@register(
+    "pipeline_e2e",
+    oracle=None,  # orchestration demo over mocked HTTP — rows-only
+    doc="§2.12 O1-O5 full Sendo-shaped pipeline on injected deterministic fetchers: "
+        "sitemap -> paginated products -> shop lookups -> ratings -> FK-ordered PK "
+        "upserts into a parquet warehouse; returns the loaded product_detail table",
+)
+def q_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from decimal import Decimal
+
+    from etl_tiki_webscraping_spark.plans.pipeline import (
+        PipelineFetchers,
+        run_pipeline,
+        warehouse_table,
+    )
+    from etl_tiki_webscraping_spark.sources.http import FetchConfig
+
+    sitemap = [
+        {"url_key": "electronics", "child": [{"url_key": "phones"}, {"url_key": "laptops"}]},
+        {"url_key": "fashion", "child": [{"url_key": "shoes"}]},
+    ]
+    shop_of = {"phones": 0, "laptops": 1, "shoes": 0}
+
+    def product_page(row, page, cfg):
+        if page > 3:
+            return None
+        sc = row["sub_category"]
+        return [
+            {
+                "product_id": f"p-{sc}-{page}-{j}",
+                "name": f"Product {sc} {page} {j}",
+                "category_path": f"{sc}/p-{sc}-{page}-{j}.html",
+                "price": Decimal("10.00"),
+                "price_max": Decimal("20.00"),
+                "final_price": Decimal("9.00"),
+                "final_price_max": Decimal("18.00"),
+                "shop_id": f"shop-{shop_of[sc]}",
+            }
+            for j in range(3)
+        ]
+
+    def shop_detail(row, cfg):
+        return {
+            "shop_id": row["shop_id"],
+            "shop_name": f"Shop {row['shop_id']}",
+            "good_review_percent": Decimal("99.10"),
+            "score": Decimal("4.50"),
+            "customer_id": "c1",
+            "phone_number": "555",
+            "rating_avg": Decimal("4.40"),
+            "rating_count": 10,
+            "response_time": "fast",
+            "product_total": 9,
+            "sale_on_sendo": "5 years",
+            "time_prepare_product": "1 day",
+            "warehourse_region_name": "north",
+        }
+
+    def rating_page(row, page, cfg):
+        if page > 1:
+            return None
+        return [
+            {
+                "rating_id": f"r-{row['shop_id']}-{i}",
+                "shop_id": row["shop_id"],
+                "address": "x",
+                "star": 4,
+                "comment": "ok",
+                "status": "approved",
+                "update_time": "05/03/2024",
+                "customer_id": f"c{i}",
+                "user_name": f"u{i}",
+                "product_name": "p",
+                "product_path": "p.html",
+                "price": Decimal("10.00"),
+            }
+            for i in range(3)
+        ]
+
+    fetchers = PipelineFetchers(
+        sitemap=lambda: sitemap,
+        product_page=product_page,
+        shop_detail=shop_detail,
+        rating_page=rating_page,
+    )
+    warehouse = tempfile.mkdtemp(prefix="pipeline-e2e-") + "/wh"
+    run_pipeline(spark, fetchers, warehouse, FetchConfig(max_retries=0, backoff_seconds=0.0))
+    return warehouse_table(spark, warehouse, "product_detail")
+
+
+# ===========================================================================
+# Multimodal columns (binary payload + typed metadata; stubbed decode)
+# ===========================================================================
+
+@register(
+    "multimodal_image_features",
+    oracle=None,  # stubbed decoder (no codec libs) — rows-only
+    doc="binary media column -> mapInPandas decode/feature kernel (deterministic "
+        "fake decoder; real impl swaps _decode_image_impl only): width/height/"
+        "mean-luma/feature-vector per media row, built from documents bytes",
+)
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.multimodal import extract_image_features
+
+    media = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("content"))
+    )
+    return extract_image_features(media)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(unnest(range(0, CAST(ceil(strlen(text) / 32.0) AS BIGINT))) AS INT) AS frame_index
+    FROM documents WHERE text IS NOT NULL AND strlen(text) > 0
+    """,
+    doc="1->N frame sampling over a binary column via mapInPandas (video demux "
+        "shape); frame indexes oracle-checked against byte-length arithmetic "
+        "(documents are ascii so strlen == byte length)",
+)
+def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.multimodal import sample_frames
+
+    media = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("content"))
+    )
+    return sample_frames(media, every_n_bytes=32).select("media_id", "frame_index")

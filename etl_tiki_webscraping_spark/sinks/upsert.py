@@ -63,7 +63,12 @@ def upsert_dataframes(
     """
     keys = list(keys)
     updates = _dedup_updates(updates.select(*target.columns), keys, order_by)
-    survivors = target.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
+    survivors = (
+        target.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
+        # USING-join moves key columns first; keep the target's order so
+        # the merged table's schema is stable across runs
+        .select(*target.columns)
+    )
     return survivors.unionByName(updates)
 
 

@@ -17,11 +17,52 @@ file sources + AvailableNow.
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.streaming import DataStreamWriter
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source streaming read of the ``events`` fixture.
+
+    Streams the parquet directory with a glob pinned to the events
+    file (a real deployment would point at an arriving-files dir).
+    Handles the fixture's TIMESTAMP(NANOS) ts the same way the batch
+    loader does (nanos-as-long + floor to micros) so the streaming and
+    batch plans see identical schemas.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def run_available_now_to_memory(stream: DataFrame, query_name: str, output_mode: str) -> DataFrame:
+    """Execute a streaming plan over all currently-available input
+    (``Trigger.AvailableNow`` — the idiomatic form of the reference's
+    daily batch re-run, dags/etl.py:296-297) into an in-memory sink and
+    return the result table."""
+    q = (
+        stream.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt-{query_name}-"))
+        .start()
+    )
+    q.awaitTermination()
+    return stream.sparkSession.table(query_name)
 
 
 def windowed_event_counts(
