@@ -118,6 +118,52 @@ def top_k_per_group(df: DataFrame, keys: Sequence[str], order_by: Sequence[Colum
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """As-of (backward) join: for every left row, attach the right row
+    with the greatest ``right_ts`` <= ``left_ts`` within the same key —
+    nulls when no prior right row exists.  Spark has no native as-of
+    join; the naive formulation (theta-join on key + ts-range, then
+    max-per-left-row) explodes to |L|x|R| pairs per key.
+
+    This implementation is the merge-scan shape that survives scale:
+    tag and UNION both sides, ONE shuffle on the key, per-key sort by
+    (ts, side), then ``last(right_col, ignorenulls)`` over a running
+    window forward-fills the most recent right values onto each left
+    row.  Cost: one shuffle + one sort — identical to a window
+    aggregation, independent of match fan-out.  Right rows sort before
+    left rows at equal timestamps, so ts-equal matches are included
+    (DuckDB/pandas ``merge_asof`` backward semantics).
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    rcols = list(right_cols) if right_cols is not None else [
+        c for c in right.columns if c not in on and c != right_ts
+    ]
+    l = left.withColumn("__t", F.col(left_ts)).withColumn("__side", F.lit(1))
+    r = right.select(
+        *on, F.col(right_ts).alias("__t"), *[F.col(c).alias(f"__r_{c}") for c in rcols]
+    ).withColumn("__side", F.lit(0))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        "*", *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}") for c in rcols]
+    )
+    return (
+        filled.filter(F.col("__side") == 1)
+        .select(*left.columns, *[F.col(f"__f_{c}").alias(c) for c in rcols])
+    )
+
+
 def repartition_even(df: DataFrame, n: int) -> DataFrame:
     """Split into ``n`` parallel parts covering EVERY row — the fixed
     form of the reference's 5-way split whose integer-division slicing

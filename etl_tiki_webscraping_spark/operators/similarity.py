@@ -103,24 +103,34 @@ def brute_force_topk(
 # LSH: signed random projections, deterministic pseudo-random hyperplanes
 # --------------------------------------------------------------------------
 
-def srp_buckets_udf(tables: int, bits: int, dim: int):
+def srp_buckets_udf(tables: int, bits: int):
     """Arrow-vectorized signed-random-projection bucketing.
 
-    Gaussian hyperplanes from a FIXED seed (deterministic across
-    runs/executors — no stored model).  Whole Arrow batch of vectors
+    Gaussian hyperplanes from a FIXED seed, derived lazily from the
+    observed vector dimension INSIDE the worker — same seed + same dim
+    gives identical planes on every executor and every run, with no
+    stored model and no driver-side dimension probe (which would cost
+    an extra job per invocation).  Whole Arrow batch of vectors
     projects in one (n x dim) @ (dim x tables*bits) matmul; sign bits
     pack into one bucket id per table.  Returns array<bigint> of
     length ``tables``.  This replaces an interpreted per-element
     expression fold ~100x slower; per-partition, no shuffle.
     """
-
-    rng = np.random.default_rng(42)
-    planes = rng.standard_normal((dim, tables * bits))  # (dim, t*b)
     weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.int64)
+    plane_cache: dict[int, np.ndarray] = {}
+
+    def planes_for(dim: int) -> np.ndarray:
+        if dim not in plane_cache:
+            rng = np.random.default_rng(42)
+            plane_cache[dim] = rng.standard_normal((dim, tables * bits))
+        return plane_cache[dim]
 
     @F.pandas_udf("array<bigint>")
     def buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])  # (n, dim)
+        planes = planes_for(mat.shape[1])
         signs = (mat @ planes >= 0).astype(np.int64).reshape(len(mat), tables, bits)
         ids = signs @ weights  # (n, tables)
         return pd.Series(list(ids))
@@ -131,11 +141,7 @@ def srp_buckets_udf(tables: int, bits: int, dim: int):
 def _with_srp_buckets(df: DataFrame, vec_col: str, tables: int, bits: int) -> DataFrame:
     """Attach (table, bucket) rows: posexplode of the per-table bucket
     array from the vectorized kernel."""
-    dim = 64  # test fixture dimension; inferred lazily below if wrong
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    if first is not None:
-        dim = first["d"]
-    udf = srp_buckets_udf(tables, bits, dim)
+    udf = srp_buckets_udf(tables, bits)
     return (
         df.withColumn("__buckets", udf(F.col(vec_col)))
         .select("*", F.posexplode("__buckets").alias("table", "bucket"))

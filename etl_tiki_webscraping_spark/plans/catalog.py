@@ -1205,3 +1205,142 @@ def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("content"))
     )
     return sample_frames(media, every_n_bytes=32).select("media_id", "frame_index")
+
+
+# ===========================================================================
+# §2.3/§2.7 extensions: as-of join + remaining agg/window families
+# ===========================================================================
+
+@register(
+    "asof_join_events_orders",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, o_orderdate,
+               CAST(MAX(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS order_price
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, o.o_orderdate AS matched_order_ts, o.order_price
+    FROM events e
+    ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    doc="as-of (backward) join: each event matched to the same customer's most "
+        "recent order at-or-before the event — merge-scan union + last-value "
+        "window (ONE shuffle, no |L|x|R| range explosion); DuckDB native ASOF "
+        "JOIN as the oracle",
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.relational import asof_join
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("order_ts"),
+        )
+        .agg(F.max(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("order_price"))
+        .select("user_id", F.col("order_ts").alias("matched_order_ts"), "order_price")
+    )
+    return asof_join(
+        events, orders, on="user_id", left_ts="ts", right_ts="matched_order_ts",
+        right_cols=["matched_order_ts", "order_price"],
+    ).select("event_id", "user_id", "matched_order_ts", "order_price")
+
+
+@register(
+    "cube_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="§2.4 CUBE aggregation: all 4 grouping combinations in one pass "
+        "(partial-agg + Expand, single shuffle)",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "grouping_sets_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="§2.4 GROUPING SETS via the Spark SQL surface (Spark SQL IS the engine's "
+        "query language; no parser of our own, SURVEY §7 non-goals)",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "running_window_sum",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total
+    FROM orders
+    """,
+    doc="§2.7 running (cumulative) window aggregate per key — decimal "
+        "accumulation so the result is order-exact across engines",
+)
+def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double").alias("running_total"),
+        )
+    )
+
+
+@register(
+    "lag_lead_delta",
+    oracle="""
+    SELECT event_id,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_prev,
+           lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) - value AS delta_next
+    FROM events
+    """,
+    doc="§2.7 lag/lead window offsets per key (event-over-event deltas)",
+)
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta_prev"),
+        (F.lead("value").over(w) - F.col("value")).alias("delta_next"),
+    )
