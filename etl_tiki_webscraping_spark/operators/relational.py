@@ -164,6 +164,37 @@ def asof_join(
     )
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str] | str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: append a random salt (0..buckets-1) to
+    each fact row's key and replicate every dim row once per salt value,
+    so one hot key's rows spread over ``salt_buckets`` shuffle
+    partitions instead of hammering a single reducer.
+
+    Use when a shuffled join's key distribution is heavily skewed AND
+    AQE's skew-join splitting isn't available/enough (AQE splits
+    oversized partitions post-shuffle; salting prevents the hot
+    partition from forming at all).  Cost: the dim side is replicated
+    ``salt_buckets``× — right for a big-fact / modest-dim join with a
+    hot fact key, wrong for dim tables small enough to broadcast
+    (just broadcast those).
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    salted_fact = fact.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = salted_fact.join(salted_dim, on=on + ["__salt"], how=how).drop("__salt")
+    return out
+
+
 def repartition_even(df: DataFrame, n: int) -> DataFrame:
     """Split into ``n`` parallel parts covering EVERY row — the fixed
     form of the reference's 5-way split whose integer-division slicing

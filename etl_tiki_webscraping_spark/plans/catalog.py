@@ -1344,3 +1344,76 @@ def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") - F.lag("value").over(w)).alias("delta_prev"),
         (F.lead("value").over(w) - F.col("value")).alias("delta_next"),
     )
+
+
+# ===========================================================================
+# Skew handling + remaining scalar/sketch surface
+# ===========================================================================
+
+@register(
+    "skew_salted_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_orderstatus,
+           CAST(l.l_extendedprice AS DOUBLE) AS price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey % 50 = 0
+    """,
+    doc="skew-resistant salted equi-join: fact keys salted 16 ways, dim side "
+        "replicated per salt — result must be IDENTICAL to the plain join "
+        "(salting changes the shuffle layout, never the semantics)",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.relational import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus")
+    )
+    return salted_join(li, orders, on="l_orderkey", salt_buckets=16).select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_orderstatus",
+        F.col("l_extendedprice").cast("double").alias("price"),
+    )
+
+
+@register(
+    "url_build",
+    oracle="""
+    SELECT n_nationkey,
+           printf('https://api.example.com/v1/%s/items?page=%d',
+                  replace(lower(n_name), ' ', '-'), n_nationkey % 7) AS url
+    FROM nation
+    """,
+    doc="F2 URL construction from key + page columns (dags/etl.py:53,91,135) as "
+        "codegen'd format_string",
+)
+def q_url_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.functions.scalar import build_url
+
+    return load_table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        build_url(
+            "https://api.example.com/v1/%s/items?page=%d",
+            F.regexp_replace(F.lower(F.col("n_name")), " ", "-"),
+            F.col("n_nationkey") % 7,
+        ).alias("url"),
+    )
+
+
+@register(
+    "approx_distinct_users",
+    oracle=None,  # HLL sketch — approximate by construction, rows-only
+    doc="approx_count_distinct (HyperLogLog++) per event_type: the constant-memory "
+        "distinct sketch for 100 TB cardinalities; exact twin is `count_distinct`",
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+    )

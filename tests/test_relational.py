@@ -95,3 +95,36 @@ def test_repartition_even_covers_every_row(spark):
     out = repartition_even(df, 5)
     assert out.count() == 103
     assert out.rdd.getNumPartitions() == 5
+
+
+def test_asof_join_backward_semantics(spark):
+    from etl_tiki_webscraping_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 10), (2, "k", 25), (3, "k", 5), (4, "z", 50)],
+        "id int, k string, t int",
+    )
+    right = spark.createDataFrame(
+        [("k", 10, "at10"), ("k", 20, "at20"), ("k", 30, "at30")],
+        "k string, t int, tag string",
+    )
+    out = {
+        r["id"]: r["tag"]
+        for r in asof_join(left, right, on="k", left_ts="t", right_ts="t").collect()
+    }
+    assert out[1] == "at10"  # ts-equal matches (backward, inclusive)
+    assert out[2] == "at20"  # most recent prior
+    assert out[3] is None    # nothing at-or-before t=5
+    assert out[4] is None    # key with no right rows at all
+
+
+def test_salted_join_matches_plain_join(spark):
+    from etl_tiki_webscraping_spark.operators.relational import salted_join
+
+    fact = spark.createDataFrame(
+        [(i, "hot" if i % 3 else "cold") for i in range(300)], "id int, k string"
+    )
+    dim = spark.createDataFrame([("hot", 1), ("cold", 2)], "k string, dim_val int")
+    plain = fact.join(dim, on="k").select("id", "dim_val")
+    salted = salted_join(fact, dim, on="k", salt_buckets=8).select("id", "dim_val")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
