@@ -1417,3 +1417,83 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
     )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE term <> '' GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY 1
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln((SELECT n_docs FROM n) / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (term)
+    ),
+    ranked AS (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (ORDER BY tfidf DESC, doc_id ASC, term ASC) AS rn
+        FROM scored
+    )
+    SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 100
+    """,
+    doc="tf-idf over whitespace terms: explode -> per-doc tf -> doc-frequency join "
+        "-> idf weight -> global top-100; the classic text-relevance pipeline as "
+        "pure relational ops (score rounded to 6dp before ranking so the global "
+        "order is engine-independent)",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from etl_tiki_webscraping_spark.functions.text import tokenize_ws
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+    )
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id", F.explode(tokenize_ws(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(dfreq, on="term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.orderBy(F.col("tfidf").desc(), F.col("doc_id").asc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+@register(
+    "streaming_stateful_sessions",
+    oracle=None,  # single-batch stream holds trailing per-user sessions in state
+    doc="custom stateful streaming operator via applyInPandasWithState: per-user "
+        "gap sessionization with event-time timeouts; sessions closed within the "
+        "batch emit, trailing open sessions stay in state (batch twin: "
+        "sessionize_events)",
+)
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.streaming.events import (
+        read_events_stream,
+        run_available_now_to_memory,
+        sessionize_stream,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    sessions = sessionize_stream(stream, gap="30 minutes")
+    return run_available_now_to_memory(sessions, "stream_stateful_sessions", "append")

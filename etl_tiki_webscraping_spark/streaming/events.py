@@ -123,6 +123,101 @@ def streaming_dedup(
     return events.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(list(keys))
 
 
+def sessionize_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "0 seconds",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom STATEFUL streaming sessionization via
+    ``applyInPandasWithState`` — the operator Spark's built-ins can't
+    express (``session_window`` exists for aggregation, but not with
+    arbitrary per-session state transitions / emission logic).
+
+    Per key, consecutive events within ``gap`` belong to one session.
+    Sessions that close WITHIN a batch (a later event arrives after the
+    gap) emit immediately; the trailing open session is held in state
+    with an event-time timeout of ``last_ts + gap`` and emits when the
+    watermark passes it.  State per key is four scalars — bounded
+    regardless of session length; the batch twin is the catalog's
+    ``sessionize_events`` (lag + running-sum windows).
+    """
+    import pandas as pd  # driver-side too: parse the gap duration
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = int(pd.Timedelta(gap).total_seconds() * 1000)
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    state_schema = "session_start bigint, last_ts bigint, n_events bigint, sum_value double"
+
+    def _emit(user_id, ss, lt, n, sv):
+        return {
+            "user_id": int(user_id),
+            "session_start": pd.to_datetime(ss, unit="ms"),
+            "session_end": pd.to_datetime(lt, unit="ms"),
+            "n_events": int(n),
+            "sum_value": float(sv),
+        }
+
+    def fn(key, pdfs, state: GroupState):
+        user_id = key[0]
+        if state.hasTimedOut:
+            ss, lt, n, sv = state.get
+            state.remove()
+            yield pd.DataFrame([_emit(user_id, ss, lt, n, sv)])
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(ts_col)
+        # normalize to ns first — Arrow may hand us datetime64[us] or [ns]
+        ts_ms = (
+            pdf[ts_col].astype("datetime64[ns]").astype("int64") // 1_000_000
+        ).tolist()
+        vals = pdf[value_col].tolist()
+        ss = lt = n = sv = None
+        if state.exists:
+            ss, lt, n, sv = state.get
+        closed = []
+        for t, v in zip(ts_ms, vals):
+            if ss is None:
+                ss, lt, n, sv = t, t, 1, float(v)
+            elif t - lt > gap_ms:
+                closed.append(_emit(user_id, ss, lt, n, sv))
+                ss, lt, n, sv = t, t, 1, float(v)
+            else:
+                lt, n, sv = t, n + 1, sv + float(v)
+        timeout_at = int(lt) + gap_ms
+        wm = state.getCurrentWatermarkMs()
+        if timeout_at <= wm:
+            # the open session is already expired relative to the
+            # watermark (e.g. late-ish batch): emit now — a timeout in
+            # the past cannot be registered
+            closed.append(_emit(user_id, ss, lt, n, sv))
+            if state.exists:
+                state.remove()
+        else:
+            state.update((int(ss), int(lt), int(n), float(sv)))
+            state.setTimeoutTimestamp(timeout_at)
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
 def foreach_batch_upsert(
     stream: DataFrame,
     target_path: str,

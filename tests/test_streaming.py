@@ -92,3 +92,63 @@ def test_foreach_batch_upsert_is_idempotent_per_key(spark, tmp_path):
     out = spark.read.parquet(target)
     assert out.count() == 3  # dup event_id merged by PK
     assert sorted(r["event_id"] for r in out.select("event_id").collect()) == ["e1", "e2", "e3"]
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """3 micro-batches (maxFilesPerTrigger=1): a session closed inline
+    by a later event in the same key, and a session flushed by the
+    event-time timeout when the watermark passes it."""
+    from etl_tiki_webscraping_spark.streaming.events import sessionize_stream
+
+    src = tmp_path / "sess-in"
+    src.mkdir()
+    batches = [
+        [  # batch 1: u1 two events (one session), u2 one event
+            {"event_id": "a", "ts": "2024-01-01 10:00:00", "event_type": "view", "value": 1.0, "user_id": 1},
+            {"event_id": "b", "ts": "2024-01-01 10:05:00", "event_type": "view", "value": 2.0, "user_id": 1},
+            {"event_id": "c", "ts": "2024-01-01 10:00:00", "event_type": "view", "value": 7.0, "user_id": 2},
+        ],
+        [  # batch 2: u1 far later -> closes u1's first session inline
+            {"event_id": "d", "ts": "2024-01-01 12:00:00", "event_type": "view", "value": 3.0, "user_id": 1},
+        ],
+        [  # batch 3: watermark moves past u2's timeout -> u2 session emits
+            {"event_id": "e", "ts": "2024-01-01 14:00:00", "event_type": "view", "value": 9.0, "user_id": 3},
+        ],
+    ]
+    for i, rows in enumerate(batches):
+        p = src / f"part-{i}.json"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        # file source orders batches by modification time — make the
+        # intended order explicit (same-ms writes tie otherwise)
+        os.utime(p, (1700000000 + i * 60, 1700000000 + i * 60))
+
+    schema = "event_id string, ts timestamp, event_type string, value double, user_id long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    sessions = sessionize_stream(stream, gap="30 minutes")
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt-sess"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], str(r["session_start"])): (r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from sess_out").collect()
+    }
+    # u1's 10:00-10:05 session closed inline by the 12:00 event
+    assert got[(1, "2024-01-01 10:00:00")] == (2, 3.0)
+    # u2's session flushed by timeout once the watermark passed 10:30
+    assert got[(2, "2024-01-01 10:00:00")] == (1, 7.0)
+    # u1's 12:00 session flushed when the 14:00 batch moved the watermark
+    assert got[(1, "2024-01-01 12:00:00")] == (1, 3.0)
+    # u3's 14:00 session is still open (timeout 14:30 > final watermark 14:00)
+    assert len(got) == 3
