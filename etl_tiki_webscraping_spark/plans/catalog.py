@@ -1497,3 +1497,33 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     sessions = sessionize_stream(stream, gap="30 minutes")
     return run_available_now_to_memory(sessions, "stream_stateful_sessions", "append")
+
+
+@register(
+    "custom_datasource_scan",
+    oracle="""
+    SELECT CAST(unnest(range(0, n_nationkey * 3 + 5)) AS BIGINT) AS item_id,
+           CAST(n_nationkey AS BIGINT) AS k
+    FROM nation
+    """,
+    doc="Spark-4 custom DataSource (python data source API): one InputPartition "
+        "per key, pagination-until-empty inside the partition read — the "
+        "planner-visible form of the mapInPandas source builders (S1-S4 at scale)",
+)
+def q_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    from etl_tiki_webscraping_spark.sources.datasource import PaginatedHttpDataSource
+
+    spark.dataSource.register(PaginatedHttpDataSource)
+    keys = [
+        {"k": r["n_nationkey"]}
+        for r in load_table(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]  # source DESCRIPTOR (like a URL list) — config, not data movement
+    return (
+        spark.read.format("paginated_http")
+        .schema("item_id bigint, k bigint")
+        .option("keys", json.dumps(keys))
+        .option("fetcher", "etl_tiki_webscraping_spark.sources.datasource:synthetic_fetch_page")
+        .load()
+    )
