@@ -33,12 +33,18 @@ HEADLINE = [
     ("window_topk_per_group", "count"),
     ("sessionize_events", "count"),
     ("windowed_event_counts", "count"),
+    ("streaming_windowed_counts", "count"),
+    ("asof_join_events_orders", "count"),
+    ("cube_agg", "collect"),
     ("json_extraction", "count"),
     ("dedup_exact_text", "count"),
     ("dedup_minhash_lsh", "count"),
     ("knn_bruteforce", "count"),
     ("knn_lsh", "count"),
     ("text_quality_score", "count"),
+    ("tfidf_top_terms", "collect"),
+    ("corpus_quality_filter", "count"),
+    ("deterministic_split", "count"),
 ]
 
 

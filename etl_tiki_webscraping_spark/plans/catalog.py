@@ -1527,3 +1527,72 @@ def q_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("fetcher", "etl_tiki_webscraping_spark.sources.datasource:synthetic_fetch_page")
         .load()
     )
+
+
+@register(
+    "corpus_quality_filter",
+    oracle=r"""
+    WITH feats AS (
+        SELECT doc_id, lang, source,
+               len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS n_tokens,
+               CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+                   / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+               CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                        t -> t IN ('the','and','of','to','in','is','it','that','for','with'))) AS DOUBLE)
+                   / CAST(greatest(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                        t -> t <> '')), 1) AS DOUBLE) AS stopword_ratio
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, lang, source, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM feats
+    WHERE n_tokens >= 5 AND punct_ratio <= 0.3 AND stopword_ratio >= 0.01
+    """,
+    doc="the composite pretraining-corpus gate: keep docs passing ALL quality "
+        "heuristics (length, punctuation noise, stopword density) — one "
+        "codegen'd filter pass, no UDF, no shuffle",
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.functions.text import (
+        punct_ratio,
+        stopword_ratio,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            token_count("text").alias("n_tokens"),
+            punct_ratio("text").alias("__punct"),
+            stopword_ratio("text").alias("__stop"),
+        )
+        .filter((F.col("n_tokens") >= 5) & (F.col("__punct") <= 0.3) & (F.col("__stop") >= 0.01))
+        .drop("__punct", "__stop")
+    )
+
+
+@register(
+    "deterministic_split",
+    oracle="""
+    SELECT doc_id,
+           CASE
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+               ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+    doc="deterministic 80/10/10 train/val/test split by content-independent key "
+        "hash (md5 prefix) — reproducible across engines, runs and cluster sizes; "
+        "the sampling primitive a training pipeline needs instead of rand()",
+)
+def q_det_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint") % 100
+    )
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
