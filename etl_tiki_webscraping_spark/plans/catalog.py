@@ -1596,3 +1596,117 @@ def q_det_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
     )
+
+
+@register(
+    "pivot_event_matrix",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+           CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
+    FROM events GROUP BY user_id
+    """,
+    doc="pivot: per-user event-type count matrix; explicit pivot values so Spark "
+        "skips the extra distinct-discovery job (and the output schema is stable)",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@register(
+    "unpivot_stack",
+    oracle="""
+    SELECT o_orderkey, 'total' AS measure, CAST(o_totalprice AS DOUBLE) AS amount FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'key_mod' AS measure, CAST(o_orderkey % 1000 AS DOUBLE) AS amount FROM orders
+    """,
+    doc="unpivot (wide->long) via the native unpivot/melt operator — narrow, "
+        "no shuffle",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("total"),
+            (F.col("o_orderkey") % 1000).cast("double").alias("key_mod"),
+        )
+        .unpivot(["o_orderkey"], ["total", "key_mod"], "measure", "amount")
+    )
+
+
+@register(
+    "exact_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90
+    FROM events GROUP BY event_type
+    """,
+    doc="exact interpolated percentiles per group (median/p90); the approximate "
+        "twin for 100 TB is percentile_approx/approx_count_distinct",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+    )
+
+
+@register(
+    "scd2_history_merge",
+    oracle="""
+    WITH cur AS (
+        SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+               '2024-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+        FROM orders
+    ),
+    upd AS (
+        SELECT o_orderkey, 'X' AS o_orderstatus,
+               CAST(o_totalprice * 1.1 AS DOUBLE) AS o_totalprice,
+               '2024-06-01' AS eff
+        FROM orders WHERE o_orderkey % 20 = 0
+    )
+    SELECT c.* FROM cur c WHERE c.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+    UNION ALL
+    SELECT c.o_orderkey, c.o_orderstatus, c.o_totalprice, c.valid_from,
+           u.eff AS valid_to, FALSE AS is_current
+    FROM cur c JOIN upd u USING (o_orderkey)
+    UNION ALL
+    SELECT u.o_orderkey, u.o_orderstatus, u.o_totalprice,
+           u.eff AS valid_from, CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+    FROM upd u
+    """,
+    doc="SCD2 (type-2 slowly-changing dimension) merge: changed keys close their "
+        "current version (valid_to = effective ts) and open a new one; unchanged "
+        "rows pass through — CDC history tracking without Delta, one shuffle",
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.sinks.upsert import scd2_apply
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.lit("2024-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 20 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).cast("double").alias("o_totalprice"),
+        F.lit("2024-06-01").alias("effective_ts"),
+    )
+    return scd2_apply(target, updates, ["o_orderkey"])

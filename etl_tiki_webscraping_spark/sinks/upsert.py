@@ -109,6 +109,70 @@ def upsert_parquet(
     os.replace(staging, target_path)
 
 
+def scd2_apply(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    effective_ts_col: str = "effective_ts",
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge (CDC history tracking) as
+    pure DataFrame ops — the Delta-less emulation of
+    ``MERGE INTO ... WHEN MATCHED AND <changed> THEN close+insert``.
+
+    ``target`` carries (keys, attrs, valid_from, valid_to, is_current);
+    ``updates`` carries (keys, attrs, effective_ts).  For each update
+    whose attributes differ (null-safe) from the key's current row —
+    or whose key is new — the current row is closed
+    (valid_to = effective_ts, is_current = false) and a new current
+    version is inserted.  Unchanged updates are no-ops, so replaying
+    the same feed is idempotent.
+
+    Plan shape: one join of current-rows vs updates on the key plus
+    two anti/semi legs Catalyst derives from it — the same single
+    shuffle a Delta MERGE performs; history rows pass through
+    untouched (no rewrite amplification).
+    """
+    keys = list(keys)
+    attrs = list(compare_cols) if compare_cols is not None else [
+        c for c in updates.columns if c not in keys and c != effective_ts_col
+    ]
+    meta = ["valid_from", "valid_to", "is_current"]
+    out_cols = keys + attrs + meta
+
+    hist = target.filter(~F.col("is_current")).select(*out_cols)
+    cur = target.filter(F.col("is_current")).select(*out_cols)
+
+    u = updates.select(*keys, *attrs, F.col(effective_ts_col).alias("__eff"))
+    t = cur.select(*keys, *[F.col(c).alias(f"__t_{c}") for c in attrs], "valid_from")
+    j = u.join(t, on=keys, how="left")
+    same = F.lit(True)
+    for c in attrs:
+        same = same & F.col(c).eqNullSafe(F.col(f"__t_{c}"))
+    changed = j.filter(F.col("valid_from").isNull() | ~same)  # new key or attr change
+
+    changed_keys = changed.select(*keys).distinct()
+    closing = (
+        cur.join(F.broadcast(changed.select(*keys, "__eff")), on=keys, how="inner")
+        .select(
+            *keys,
+            *attrs,
+            "valid_from",
+            F.col("__eff").alias("valid_to"),
+            F.lit(False).alias("is_current"),
+        )
+    )
+    untouched = cur.join(changed_keys, on=keys, how="left_anti").select(*out_cols)
+    fresh = changed.select(
+        *keys,
+        *attrs,
+        F.col("__eff").alias("valid_from"),
+        F.lit(None).cast(cur.schema["valid_to"].dataType).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return hist.unionByName(untouched).unionByName(closing).unionByName(fresh)
+
+
 def merge_sql(target: str, staging: str, keys: Sequence[str], columns: Sequence[str]) -> str:
     """Build the ANSI/Delta ``MERGE INTO`` equivalent of the reference's
     ``INSERT ... ON DUPLICATE KEY UPDATE`` (dags/etl.py:181-199) — W2

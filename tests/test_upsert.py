@@ -119,3 +119,55 @@ def test_jdbc_staged_upsert_sequence(spark, monkeypatch):
     assert calls[0] == "WRITE temp_shop_info"
     assert calls[1].startswith("INSERT")
     assert calls[2] == "DROP TABLE IF EXISTS temp_shop_info"
+
+
+def _scd2_target(spark):
+    return spark.createDataFrame(
+        [
+            ("s1", "Alpha", "2024-01-01", None, True),
+            ("s2", "Beta", "2024-01-01", None, True),
+            ("s3", "Gamma-old", "2023-06-01", "2024-01-01", False),
+            ("s3", "Gamma", "2024-01-01", None, True),
+        ],
+        "shop_id string, name string, valid_from string, valid_to string, is_current boolean",
+    )
+
+
+def test_scd2_change_closes_and_inserts(spark):
+    from etl_tiki_webscraping_spark.sinks.upsert import scd2_apply
+
+    updates = spark.createDataFrame(
+        [
+            ("s1", "Alpha-NEW", "2024-02-01"),  # changed -> close + insert
+            ("s2", "Beta", "2024-02-01"),       # unchanged -> no-op
+            ("s9", "Niner", "2024-02-01"),      # new key -> insert
+        ],
+        "shop_id string, name string, effective_ts string",
+    )
+    out = scd2_apply(_scd2_target(spark), updates, ["shop_id"])
+    rows = {(r["shop_id"], r["name"]): r for r in out.collect()}
+
+    closed = rows[("s1", "Alpha")]
+    assert (closed["valid_to"], closed["is_current"]) == ("2024-02-01", False)
+    fresh = rows[("s1", "Alpha-NEW")]
+    assert (fresh["valid_from"], fresh["valid_to"], fresh["is_current"]) == ("2024-02-01", None, True)
+    # unchanged current row passes through open
+    assert rows[("s2", "Beta")]["is_current"] is True
+    assert rows[("s2", "Beta")]["valid_to"] is None
+    # history row untouched
+    assert rows[("s3", "Gamma-old")]["is_current"] is False
+    # brand-new key opens at its effective ts
+    assert rows[("s9", "Niner")]["valid_from"] == "2024-02-01"
+    assert out.count() == 6  # 4 target + 1 closed-replacement + 1 new
+
+
+def test_scd2_replay_is_idempotent(spark):
+    from etl_tiki_webscraping_spark.sinks.upsert import scd2_apply
+
+    updates = spark.createDataFrame(
+        [("s1", "Alpha-NEW", "2024-02-01")],
+        "shop_id string, name string, effective_ts string",
+    )
+    once = scd2_apply(_scd2_target(spark), updates, ["shop_id"])
+    twice = scd2_apply(once, updates, ["shop_id"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
