@@ -252,36 +252,41 @@ def minhash_dedup(
     near-identical to ANY lower-id doc — single-pass, no iteration,
     which is the right cost/quality tradeoff for corpus dedup).
 
-    Single analysis pass; the shingle-hash set (``hset``) rides through
-    the band explode so the bucket self-join already holds both sides'
-    sets and exact-Jaccard verification is an inline JVM array
-    intersect — no re-join, no second scan of the corpus (the same
-    carry-through shape spark.ml's approxSimilarityJoin uses).
-    Candidate pairs shuffle 8-byte hashes, never document text.
+    Scale shape: the band explode and bucket self-join shuffle BARE IDS
+    (8-byte hashes + ids, never documents or shingle sets); candidate
+    pairs are DISTINCT'd before verification so a pair sharing k bands
+    is verified once, not k times (a near-dup-heavy corpus shares most
+    bands — worst case is exactly where redundant verification would
+    hurt most); then the shingle-hash sets join back once for the exact
+    Jaccard check.  The analysis is persisted because it feeds three
+    consumers (banding + both verify legs) and Catalyst would otherwise
+    re-execute the scan + Arrow kernel per consumer.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     r = num_hashes // bands
-    # Persisted because the self-join's build side would otherwise
-    # re-execute the scan + Arrow kernel (Catalyst broadcasts one side
-    # — there is no shuffle exchange to reuse).  MEMORY_AND_DISK:
-    # spills rather than recomputes at scale; LRU-evicted later.
     analysis = minhash_analysis(df, text_col, id_col, num_hashes, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     buckets = analysis.select(
-        "id", "hset", F.explode(_band_buckets(F.col("sig"), bands, r)).alias("bb")
-    ).select("id", "hset", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    l = buckets.alias("l")
-    rt = buckets.alias("r")
-    dups = (
-        l.join(rt, on=["band", "bucket"])
+        "id", F.explode(_band_buckets(F.col("sig"), bands, r)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = (
+        buckets.alias("l")
+        .join(buckets.alias("r"), on=["band", "bucket"])
         .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    hs = analysis.select("id", "hset")
+    dups = (
+        cand.join(hs.withColumnRenamed("id", "id_a").withColumnRenamed("hset", "h_a"), on="id_a")
+        .join(hs.withColumnRenamed("id", "id_b").withColumnRenamed("hset", "h_b"), on="id_b")
         .filter(
-            F.size(F.array_intersect(F.col("l.hset"), F.col("r.hset"))).cast("double")
-            / F.size(F.array_union(F.col("l.hset"), F.col("r.hset"))).cast("double")
+            F.size(F.array_intersect("h_a", "h_b")).cast("double")
+            / F.size(F.array_union("h_a", "h_b")).cast("double")
             >= threshold
         )
-        .select(F.col("r.id").alias(id_col))
+        .select(F.col("id_b").alias(id_col))
         .distinct()
     )
     return df.join(dups, on=id_col, how="left_anti")

@@ -160,22 +160,36 @@ def lsh_topk(
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors sharing an LSH
-    bucket with the query in any table.  Shuffles on (table, bucket) —
-    bounded candidate sets instead of |Q|x|C| scoring.
+    bucket with the query in any table.
+
+    Scale shape: the bucket join shuffles (table, bucket, id) rows ONLY
+    — a corpus vector is never duplicated through the multi-table
+    explode (at ``tables=8`` that duplication would 8× the shuffle
+    volume of the dominant side).  Candidate pairs are distinct'd as
+    bare id pairs, then the corpus vectors join back once (one shuffle
+    of each vector) and the query vectors broadcast.
     """
     c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("__cvec"))
     q = queries.select(F.col(query_id_col).alias("__qid"), as_double_vec(vec_col).alias("__qvec"))
-    cb = _with_srp_buckets(c, "__cvec", tables, bits)
-    qb = _with_srp_buckets(q, "__qvec", tables, bits)
+    cb = _with_srp_buckets(c.select("neighbor_id", F.col("__cvec").alias("__v")), "__v", tables, bits).select(
+        "neighbor_id", "table", "bucket"
+    )
+    qb = _with_srp_buckets(q.select("__qid", F.col("__qvec").alias("__v")), "__v", tables, bits).select(
+        "__qid", "table", "bucket"
+    )
     cand = (
         cb.join(qb, on=["table", "bucket"])
-        .select("__qid", "__qvec", "neighbor_id", "__cvec")
-        .dropDuplicates(["__qid", "neighbor_id"])
+        .select("__qid", "neighbor_id")
+        .distinct()
     )
-    scored = cand.select(
-        F.col("__qid").alias(query_id_col),
-        "neighbor_id",
-        cosine_udf()(F.col("__qvec"), F.col("__cvec")).alias("cosine"),
+    scored = (
+        cand.join(c, on="neighbor_id")
+        .join(F.broadcast(q), on="__qid")
+        .select(
+            F.col("__qid").alias(query_id_col),
+            "neighbor_id",
+            cosine_udf()(F.col("__qvec"), F.col("__cvec")).alias("cosine"),
+        )
     )
     return top_k_per_group(
         scored, [query_id_col], [F.col("cosine").desc(), F.col("neighbor_id").asc()], k
@@ -252,22 +266,22 @@ def cosine_dedup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
     threshold) via the same SRP bucketing — self-join within buckets
-    only."""
+    only.  Bare-id bucket join + distinct pairs + one vector re-join
+    per side (see lsh_topk's scale notes)."""
     v = df.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("__vec"))
-    b = _with_srp_buckets(v, "__vec", tables, bits)
-    l, r = b.alias("l"), b.alias("r")
+    b = _with_srp_buckets(v.select("id", F.col("__vec").alias("__v")), "__v", tables, bits).select(
+        "id", "table", "bucket"
+    )
     pairs = (
-        l.join(r, on=["table", "bucket"])
+        b.alias("l")
+        .join(b.alias("r"), on=["table", "bucket"])
         .filter(F.col("l.id") < F.col("r.id"))
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.__vec").alias("va"),
-            F.col("r.__vec").alias("vb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
     )
     return (
-        pairs.select("id_a", "id_b", cosine_udf()(F.col("va"), F.col("vb")).alias("cosine"))
+        pairs.join(v.select(F.col("id").alias("id_a"), F.col("__vec").alias("va")), on="id_a")
+        .join(v.select(F.col("id").alias("id_b"), F.col("__vec").alias("vb")), on="id_b")
+        .select("id_a", "id_b", cosine_udf()(F.col("va"), F.col("vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
