@@ -285,3 +285,89 @@ def cosine_dedup_pairs(
         .select("id_a", "id_b", cosine_udf()(F.col("va"), F.col("vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def ivf_train_centroids(
+    corpus: DataFrame,
+    n_cells: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Train IVF cell centroids with distributed k-means
+    (``pyspark.ml.clustering.KMeans`` — Lloyd's over the cluster, the
+    same coarse quantizer FAISS IVF uses).  Returns (centroid_id,
+    embedding) ready for :func:`ivf_assign` / :func:`ivf_topk`.
+
+    Scale: k-means passes are map-side sums + one small reduce per
+    iteration; run it on a sample when the corpus is huge (centroid
+    quality saturates long before full-corpus training pays off).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(as_double_vec(vec_col)).alias("features"))
+    model = KMeans(k=n_cells, maxIter=max_iter, seed=seed).fit(train)
+    spark = corpus.sparkSession
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(rows, f"centroid_id bigint, {vec_col} array<double>")
+
+
+def brute_force_topk_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """EXACT cosine top-k, blocked-matmul form — the 100 TB brute-force
+    path.  The query matrix (small) broadcasts to every task as numpy;
+    each corpus partition streams through ``mapInPandas`` doing ONE
+    (batch x dim) @ (dim x n_queries) matmul and keeps only its local
+    top-k per query, so the shuffle into the global top-k carries
+    ``partitions x queries x k`` rows instead of ``|corpus| x queries``.
+    Same answers as :func:`brute_force_topk`; that one stays as the
+    oracle-exact JVM fold.
+    """
+    import pandas as pd
+
+    q_rows = queries.select(query_id_col, vec_col).collect()  # small, broadcast below
+    q_ids = np.array([r[query_id_col] for r in q_rows])
+    q_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, q_mat))
+
+    out_schema = f"{query_id_col} bigint, neighbor_id bigint, cosine double"
+
+    def score(batches):
+        ids, qm = bq.value
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            c_ids = batch[id_col].to_numpy()
+            c_mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
+            c_mat = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = c_mat @ qm.T  # (batch, n_queries)
+            kk = min(k, len(c_ids))
+            # local top-k per query within this batch
+            top = np.argpartition(-sims, kth=kk - 1, axis=0)[:kk]  # (kk, n_queries)
+            recs = []
+            for qi in range(len(ids)):
+                for ci in top[:, qi]:
+                    recs.append((int(ids[qi]), int(c_ids[ci]), float(sims[ci, qi])))
+            yield pd.DataFrame(recs, columns=[query_id_col, "neighbor_id", "cosine"])
+
+    local = corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    # optional rounding BEFORE the global ranking so tie-breaking matches
+    # an external oracle that ranks on rounded scores
+    if round_digits is not None:
+        local = local.withColumn("cosine", F.round("cosine", round_digits))
+    return top_k_per_group(
+        local, [query_id_col], [F.col("cosine").desc(), F.col("neighbor_id").asc()], k
+    )

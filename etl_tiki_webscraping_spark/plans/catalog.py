@@ -1710,3 +1710,109 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("2024-06-01").alias("effective_ts"),
     )
     return scd2_apply(target, updates, ["o_orderkey"])
+
+
+@register(
+    "knn_bruteforce_blocked",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               round(list_dot_product(
+                         list_transform(q.qvec, x -> CAST(x AS DOUBLE)),
+                         list_transform(e.embedding, x -> CAST(x AS DOUBLE)))
+                     / (sqrt(list_dot_product(list_transform(q.qvec, x -> CAST(x AS DOUBLE)),
+                                              list_transform(q.qvec, x -> CAST(x AS DOUBLE))))
+                        * sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                                list_transform(e.embedding, x -> CAST(x AS DOUBLE))))),
+                     6) AS cosine
+        FROM q, embeddings e
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rn
+        FROM scored
+    ) WHERE rn <= 10
+    """,
+    doc="exact cosine top-10, blocked-matmul form: per-partition numpy matmul + "
+        "local top-k, global top-k over partitions x queries x k rows only — the "
+        "100 TB brute-force layout; must produce the SAME rows as knn_bruteforce",
+)
+def q_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.similarity import brute_force_topk_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk_blocked(emb, queries, k=10, round_digits=6)
+
+
+@register(
+    "knn_ivf_kmeans",
+    oracle=None,  # approximate (trained quantizer) — rows-only
+    doc="IVF with k-means-TRAINED centroids (pyspark.ml KMeans as the coarse "
+        "quantizer, FAISS-IVF style) instead of sampled data points; probe the "
+        "nprobe nearest trained cells per query",
+)
+def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.similarity import (
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids = ivf_train_centroids(emb, n_cells=16, max_iter=5)
+    return ivf_topk(emb, queries, centroids, k=10, nprobe=4)
+
+
+@register(
+    "session_window_agg",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM sessions GROUP BY user_id, sid
+    """,
+    doc="native session_window aggregation (gap-based event-time sessions as a "
+        "built-in grouping); oracle rebuilds the same sessions via lag + running "
+        "sum (Spark defines session end = last event + gap)",
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -104,3 +104,32 @@ def test_cosine_dedup_pairs_finds_near_copy(corpus):
     assert (0, 1) in pairs
     for a, b in pairs:
         assert a < b
+
+
+def test_blocked_brute_force_matches_exact(spark, corpus, queries):
+    from etl_tiki_webscraping_spark.operators.similarity import brute_force_topk_blocked
+
+    blocked = brute_force_topk_blocked(corpus.repartition(4), queries, k=5)
+    got = {}
+    for r in blocked.collect():
+        got.setdefault(r["query_id"], []).append((r["cosine"], r["neighbor_id"]))
+    for qid in range(3):
+        ids = [n for _, n in sorted(got[qid], key=lambda t: (-t[0], t[1]))]
+        assert ids == _numpy_topk(qid, 5)
+
+
+def test_ivf_train_centroids_shape(spark, corpus):
+    from etl_tiki_webscraping_spark.operators.similarity import (
+        ivf_assign,
+        ivf_train_centroids,
+    )
+
+    cents = ivf_train_centroids(corpus, n_cells=4, max_iter=5)
+    rows = cents.collect()
+    assert len(rows) == 4
+    assert {r["centroid_id"] for r in rows} == {0, 1, 2, 3}
+    assert all(len(r["embedding"]) == DIM for r in rows)
+    # every corpus vector lands in exactly one trained cell
+    assigned = ivf_assign(corpus, cents)
+    assert assigned.count() == N
+    assert {r["cell"] for r in assigned.collect()} <= {0, 1, 2, 3}
