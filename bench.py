@@ -40,6 +40,7 @@ HEADLINE = [
     ("dedup_exact_text", "count"),
     ("dedup_minhash_lsh", "count"),
     ("knn_bruteforce", "count"),
+    ("knn_bruteforce_blocked", "count"),
     ("knn_lsh", "count"),
     ("text_quality_score", "count"),
     ("tfidf_top_terms", "collect"),

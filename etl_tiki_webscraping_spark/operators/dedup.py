@@ -41,18 +41,21 @@ def normalize_text(col: Column | str) -> Column:
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact content dedup: keep the lowest-id row per distinct
-    normalized text.  Grouping key is md5(normalized) so the shuffle
-    key is 16 bytes, not the document body — at 100 TB you shuffle
-    hashes, never payloads.
+    normalized text.
+
+    Shuffle discipline: the survivor election aggregates (md5, id)
+    pairs only — 24-byte rows — and the winners semi-join back onto the
+    full table.  A window over the hash would drag every document body
+    through the shuffle; min-per-group is also a partial (map-side)
+    aggregate, which row_number cannot be.
     """
-    h = F.md5(normalize_text(text_col)).alias("__h")
-    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc())
-    return (
-        df.withColumn("__h", h)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__h", "__rn")
+    ids = (
+        df.select(F.md5(normalize_text(text_col)).alias("__h"), F.col(id_col))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
     )
+    return df.join(ids, on=id_col, how="left_semi").select(*df.columns)
 
 
 # --------------------------------------------------------------------------
