@@ -207,18 +207,43 @@ def ivf_assign(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
 ) -> DataFrame:
-    """Assign every vector to its nearest centroid (max cosine).
-    Centroids broadcast; one narrow pass; output adds ``cell``.
-    At 100 TB you'd persist this partitioned-by-cell so queries prune
-    whole files (partition pruning does the index lookup).
+    """Assign every vector to its nearest centroid (max cosine;
+    ties -> lowest centroid id).  One narrow mapInPandas pass: the
+    centroid matrix broadcasts as numpy and each Arrow batch is a
+    single (batch × dim) @ (dim × n_cells) matmul + argmax — no
+    |corpus| × |centroids| row blow-up, no shuffle.  At 100 TB you'd
+    persist the output partitioned-by-cell so queries prune whole
+    files (partition pruning does the index lookup).
     """
-    cents = centroids.select(
-        F.col(centroid_id_col).alias("__cid"), as_double_vec(vec_col).alias("__cent")
+    import pandas as pd
+
+    c_rows = sorted(
+        centroids.select(centroid_id_col, vec_col).collect(), key=lambda r: r[centroid_id_col]
     )
-    scored = corpus.withColumn("__vec", as_double_vec(vec_col)).crossJoin(F.broadcast(cents))
-    scored = scored.withColumn("__sim", cosine_udf()(F.col("__vec"), F.col("__cent")))
-    best = top_k_per_group(scored, [id_col], [F.col("__sim").desc(), F.col("__cid").asc()], 1)
-    return best.withColumnRenamed("__cid", "cell").drop("__cent", "__sim", "__vec")
+    c_ids = np.array([r[centroid_id_col] for r in c_rows])
+    c_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in c_rows])
+    c_mat = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+    bc = corpus.sparkSession.sparkContext.broadcast((c_ids, c_mat))
+
+    out_fields = corpus.schema.fields
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields) + ", cell bigint"
+    cols = [f.name for f in out_fields]
+
+    def assign(batches):
+        ids, cm = bc.value
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            # argmax returns the FIRST max index; centroids sorted by id,
+            # so ties resolve to the lowest centroid id
+            best = (mat @ cm.T).argmax(axis=1)
+            out = batch[cols].copy()
+            out["cell"] = ids[best]
+            yield out
+
+    return corpus.mapInPandas(assign, schema=out_schema)
 
 
 def ivf_topk(

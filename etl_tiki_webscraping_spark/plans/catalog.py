@@ -1421,7 +1421,7 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tfidf_top_terms",
-    oracle="""
+    oracle=r"""
     WITH toks AS (
         SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
         FROM documents WHERE text IS NOT NULL AND trim(text) <> ''

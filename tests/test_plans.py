@@ -1,0 +1,58 @@
+"""Plan-quality regression tests: pushdown, pruning, and join strategy
+must not silently degrade — these properties ARE the 100 TB contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_reach_the_scan(spark, sf_dir):
+    from etl_tiki_webscraping_spark.io import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    q = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_totalprice")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]" in plan
+    # column pruning: scan must read only the 3 referenced columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderkey" in read_schema and "o_totalprice" in read_schema
+    assert "o_comment" not in read_schema and "o_custkey" not in read_schema
+
+
+def test_fk_semi_join_broadcasts_key_side(spark, sf_dir):
+    from etl_tiki_webscraping_spark.io import load_table
+    from etl_tiki_webscraping_spark.operators.relational import fk_semi_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    custs = load_table(spark, sf_dir, "customer").select("c_custkey")
+    q = fk_semi_join(orders, custs.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan  # key side must not force a shuffle
+
+
+def test_star_join_uses_broadcast_for_dims(spark, sf_dir):
+    from etl_tiki_webscraping_spark.plans.catalog import QUERIES
+
+    plan = _plan(QUERIES["star_join_rollup"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region stay broadcast
+
+
+def test_asof_join_is_single_shuffle(spark, sf_dir):
+    from etl_tiki_webscraping_spark.io import load_table
+    from etl_tiki_webscraping_spark.operators.relational import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("ots"),
+        "o_totalprice",
+    )
+    q = asof_join(ev, orders, on="user_id", left_ts="ts", right_ts="ots")
+    plan = _plan(q)
+    # union of both sides + ONE hash exchange on the key for the window
+    assert plan.count("Exchange hashpartitioning") == 1
