@@ -111,8 +111,11 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_nationkey", "c_acctbal")
         .distinct()
     )
+    # customer grows with scale factor — no hand-forced broadcast; AQE picks
+    # broadcast at small SF and falls back to shuffle join when custs outgrows
+    # the threshold. nation is constant-size (25 rows) so its hint is safe.
     joined = (
-        sliced.join(F.broadcast(custs), sliced.o_custkey == custs.c_custkey)
+        sliced.join(custs, sliced.o_custkey == custs.c_custkey)
         .join(F.broadcast(nation), custs.c_nationkey == nation.n_nationkey)
     )
     return joined.groupBy(F.col("n_name").alias("nation")).agg(
@@ -1171,10 +1174,21 @@ def q_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_image_features",
-    oracle=None,  # stubbed decoder (no codec libs) — rows-only
+    oracle="""
+    SELECT doc_id AS media_id, 8 AS width, 8 AS height,
+           CAST(coalesce(list_sum(list_transform(range(1, least(strlen(text), 64) + 1),
+                    i -> ascii(substr(text, i, 1)))), 0) AS BIGINT) AS luma_sum,
+           round(coalesce(list_sum(list_transform(range(1, least(strlen(text), 64) + 1),
+                    i -> ascii(substr(text, i, 1)))), 0) / 64.0, 6) AS mean_luma
+    FROM documents
+    """,
     doc="binary media column -> mapInPandas decode/feature kernel (deterministic "
-        "fake decoder; real impl swaps _decode_image_impl only): width/height/"
-        "mean-luma/feature-vector per media row, built from documents bytes",
+        "fake decoder; real impl swaps _decode_image_impl only). The catalog "
+        "projection is driver-canonicalizer-safe: the feature array<float> is "
+        "digested to a scalar checksum (sum of the 64 feature values, exact in "
+        "float32 since values are byte codes); the full array output stays "
+        "covered by tests/test_multimodal.py. Oracle recomputes the fake "
+        "decoder's byte arithmetic in SQL (documents are ascii).",
 )
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_tiki_webscraping_spark.operators.multimodal import extract_image_features
@@ -1183,7 +1197,14 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .select(F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("content"))
     )
-    return extract_image_features(media)
+    feats = extract_image_features(media)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.aggregate("feature", F.lit(0.0), lambda acc, x: acc + x).cast("bigint").alias("luma_sum"),
+        F.round(F.col("mean_luma"), 6).alias("mean_luma"),
+    )
 
 
 @register(
@@ -1447,13 +1468,13 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 100
     """,
     doc="tf-idf over whitespace terms: explode -> per-doc tf -> doc-frequency join "
-        "-> idf weight -> global top-100; the classic text-relevance pipeline as "
-        "pure relational ops (score rounded to 6dp before ranking so the global "
-        "order is engine-independent)",
+        "-> idf weight -> global top-100 via orderBy().limit() so Spark plans "
+        "TakeOrderedAndProject (per-partition local top-100 + driver merge), NOT "
+        "a partition-less row_number window that would funnel every scored row "
+        "through one task at scale (score rounded to 6dp before ranking so the "
+        "global order is engine-independent)",
 )
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from etl_tiki_webscraping_spark.functions.text import tokenize_ws
 
     docs = (
@@ -1471,10 +1492,9 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term",
         F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
     )
-    w = Window.orderBy(F.col("tfidf").desc(), F.col("doc_id").asc(), F.col("term").asc())
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 100)
+        scored.orderBy(F.col("tfidf").desc(), F.col("doc_id").asc(), F.col("term").asc())
+        .limit(100)
         .select("doc_id", "term", "tfidf")
     )
 

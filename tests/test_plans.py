@@ -42,6 +42,29 @@ def test_star_join_uses_broadcast_for_dims(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2  # nation + region stay broadcast
 
 
+def test_tfidf_topk_avoids_global_window(spark, sf_dir):
+    """Global top-100 must plan as TakeOrderedAndProject (per-partition
+    local top-k + driver merge), never a partition-less row_number window
+    that funnels every scored row through one task."""
+    from etl_tiki_webscraping_spark.plans.catalog import QUERIES
+
+    plan = _plan(QUERIES["tfidf_top_terms"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_flagship_joins_resolve_to_broadcast_at_test_scale(spark, sf_dir):
+    """flagship no longer hand-forces broadcast on the scale-dependent
+    customer side; AQE (or the static threshold) must still pick a
+    broadcast join at test scale so small-SF perf does not regress."""
+    from etl_tiki_webscraping_spark.plans.catalog import QUERIES
+
+    df = QUERIES["flagship"].fn(spark, sf_dir)
+    df.collect()  # let AQE finalize the adaptive plan
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
 def test_asof_join_is_single_shuffle(spark, sf_dir):
     from etl_tiki_webscraping_spark.io import load_table
     from etl_tiki_webscraping_spark.operators.relational import asof_join
