@@ -240,7 +240,7 @@ def jaccard_on_pairs(
     )
 
 
-def minhash_dedup(
+def minhash_duplicate_edges(
     df: DataFrame,
     text_col: str,
     id_col: str,
@@ -249,11 +249,8 @@ def minhash_dedup(
     bands: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Near-dup removal: MinHash-LSH candidates -> exact Jaccard verify
-    -> drop the higher id of each duplicate pair (union-by-min-edge
-    approximation of connected components: a doc is dropped if it is
-    near-identical to ANY lower-id doc — single-pass, no iteration,
-    which is the right cost/quality tradeoff for corpus dedup).
+    """Verified near-duplicate edges ``(id_a < id_b)``: MinHash-LSH
+    candidates filtered by exact n-gram Jaccard >= threshold.
 
     Scale shape: the band explode and bucket self-join shuffle BARE IDS
     (8-byte hashes + ids, never documents or shingle sets); candidate
@@ -281,7 +278,7 @@ def minhash_dedup(
         .distinct()
     )
     hs = analysis.select("id", "hset")
-    dups = (
+    return (
         cand.join(hs.withColumnRenamed("id", "id_a").withColumnRenamed("hset", "h_a"), on="id_a")
         .join(hs.withColumnRenamed("id", "id_b").withColumnRenamed("hset", "h_b"), on="id_b")
         .filter(
@@ -289,10 +286,112 @@ def minhash_dedup(
             / F.size(F.array_union("h_a", "h_b")).cast("double")
             >= threshold
         )
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
+        .select("id_a", "id_b")
     )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    exact_components: bool = False,
+) -> DataFrame:
+    """Near-dup removal over verified MinHash-LSH duplicate edges.
+
+    Two survivor rules:
+
+    - default (single-pass): drop the higher id of each duplicate pair
+      — a doc is dropped if it is near-identical to ANY lower-id doc.
+      No iteration; the cheap corpus-dedup default.  It can keep two
+      docs that are only transitively similar (a~c, b~c but a!~b keeps
+      both a and b).
+    - ``exact_components=True``: run min-id connected components over
+      the verified edges and keep exactly ONE doc (the min id) per
+      duplicate cluster, so a~b~c chains collapse to a single survivor
+      even when the endpoints are not directly similar.  Costs
+      O(diameter) extra bare-id shuffles (see connected_components).
+    """
+    edges = minhash_duplicate_edges(
+        df, text_col, id_col, threshold, num_hashes, bands, shingle_n
+    )
+    if exact_components:
+        comps = connected_components(edges)
+        dups = comps.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        dups = edges.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(dups, on=id_col, how="left_anti")
+
+
+# --------------------------------------------------------------------------
+# connected components over duplicate edges
+# --------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected edge list ``(id_a, id_b)``
+    by iterated min-id label propagation: every node repeatedly adopts
+    the smallest label among itself and its neighbors until fixpoint.
+
+    Returns ``(id, component)`` for every node that appears in an edge;
+    ``component`` is the minimum id of the node's component.
+
+    Scale shape: each round is a constant number of hash shuffles of
+    bare (id, label) pairs — no payloads.  Plain one-hop propagation
+    needs O(diameter) rounds, which an adversarial chain (e.g. a run of
+    consecutive near-identical docs) can stretch to hundreds; so every
+    round also POINTER-JUMPS — each node re-reads the current label of
+    its label (path halving), which contracts chains geometrically and
+    bounds the round count at O(log diameter), the same guarantee
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce") gets.  Lineage is truncated every round via
+    ``localCheckpoint`` so the plan doesn't grow with iterations;
+    convergence is detected with a LIMIT 1 probe of changed labels.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn("component", F.col("id"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor = edges.join(labels, edges.dst == labels.id).select(
+            F.col("src").alias("id"), "component"
+        )
+        stepped = (
+            labels.select("id", "component")
+            .union(neighbor)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        # pointer jump: follow the label one hop (label of my label) so a
+        # chain's min id travels 2^k hops after k rounds, not k hops
+        lut = stepped.select(
+            F.col("id").alias("component"), F.col("component").alias("jumped")
+        )
+        new_labels = (
+            stepped.join(lut, on="component", how="left")
+            .select("id", F.coalesce("jumped", "component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
 
 
 # --------------------------------------------------------------------------

@@ -807,6 +807,85 @@ def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_on_pairs(pairs, docs, "text", "doc_id", shingle_n=1)
 
 
+@register(
+    "dedup_cluster_components",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents
+    ),
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.tok AS ta, b.tok AS tb
+        FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1 OR b.doc_id = a.doc_id + 2
+    ),
+    edges AS (
+        SELECT id_a, id_b FROM cand
+        WHERE CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_concat(ta, tb))) AS DOUBLE) >= 0.5
+    ),
+    undirected AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION SELECT id_b AS src, id_a AS dst FROM edges
+    ),
+    reach AS (
+        SELECT src AS id, src AS lbl FROM undirected
+        UNION
+        SELECT u.dst AS id, r.lbl FROM reach r JOIN undirected u ON u.src = r.id
+    ),
+    comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id)
+    SELECT d.doc_id, CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """,
+    doc="exact duplicate clustering: deterministic candidate window (doc_id +1/+2) "
+        "-> unigram Jaccard >= 0.5 edges -> iterated min-id connected components "
+        "(one bare-id shuffle per round, O(cluster diameter) rounds) so transitive "
+        "chains a~b~c collapse into ONE cluster; oracle recomputes the components "
+        "with a recursive reachability CTE in DuckDB — the distributed label "
+        "propagation is exactly equivalent to recursive min-label closure",
+)
+def q_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.dedup import (
+        connected_components,
+        jaccard_on_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    cand = (
+        ids.select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+        .union(ids.select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 2).alias("id_b")))
+        .join(ids.select(F.col("doc_id").alias("id_b")), on="id_b", how="left_semi")
+    )
+    edges = (
+        jaccard_on_pairs(cand, docs, "text", "doc_id", shingle_n=1)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    comps = connected_components(edges)
+    return docs.select("doc_id").join(
+        comps.withColumnRenamed("id", "doc_id"), on="doc_id", how="left"
+    ).select(
+        "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+    )
+
+
+@register(
+    "dedup_minhash_clusters",
+    oracle=None,  # crc32/LSH-based signatures — rows-only
+    doc="MinHash-LSH near-dup removal in exact-components mode: verified "
+        "duplicate edges -> min-id connected components -> keep ONE survivor "
+        "per duplicate cluster (transitive chains collapse, unlike the "
+        "single-pass drop-higher-id default)",
+)
+def q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.dedup import minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup(
+        docs, "text", "doc_id", threshold=0.8, exact_components=True
+    ).select("doc_id", "text", "lang", "source", "n_chars")
+
+
 # ===========================================================================
 # Extension surface: similarity search (embeddings)
 # ===========================================================================

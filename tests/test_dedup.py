@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from etl_tiki_webscraping_spark.operators.dedup import (
+    connected_components,
     exact_dedup,
     jaccard_on_pairs,
     minhash_analysis,
@@ -68,6 +69,78 @@ def test_jaccard_on_pairs_exact_values(spark):
     out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_on_pairs(pairs, docs, "text", "doc_id", shingle_n=1).collect()}
     assert abs(out[(1, 2)] - 3 / 5) < 1e-9  # |{a,b,c}| / |{a,b,c,d,e}|
     assert out[(1, 3)] == 0.0
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3 (1 and 3 not directly linked), island 4-5, singleton edge 6-7
+    edges = spark.createDataFrame(
+        [(2, 3), (1, 2), (4, 5), (6, 7)], "id_a bigint, id_b bigint"
+    )
+    out = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 6}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # 400-node path graph: one-hop propagation would need 400 rounds;
+    # pointer jumping must close it within the default max_iter
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(400)], "id_a bigint, id_b bigint"
+    )
+    out = connected_components(edges).collect()
+    assert len(out) == 401
+    assert all(r["component"] == 0 for r in out)
+
+
+def test_connected_components_transitive_via_high_id(spark):
+    # 1~3 and 2~3: single-pass drop-higher-id keeps {1, 2}; exact
+    # components must merge all three through the shared high neighbor
+    edges = spark.createDataFrame([(1, 3), (2, 3)], "id_a bigint, id_b bigint")
+    out = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_minhash_dedup_exact_components_collapses_chains(spark):
+    # sliding-window chain: neighbors are near-dups, endpoints are not
+    toks = ["w%d" % i for i in range(20)]
+    chain = [
+        (1, " ".join(toks[0:14])),   # w0..w13
+        (2, " ".join(toks[1:15])),   # w1..w14 -> J(1,2) = 13/15 ≈ 0.867
+        (3, " ".join(toks[2:16])),   # w2..w15 -> J(2,3) ≈ 0.867, J(1,3) = 12/16 = 0.75
+    ]
+    docs = spark.createDataFrame(chain, "doc_id bigint, text string")
+    kwargs = dict(threshold=0.8, shingle_n=1, num_hashes=256, bands=128)
+    exact = sorted(
+        r["doc_id"]
+        for r in minhash_dedup(
+            docs, "text", "doc_id", exact_components=True, **kwargs
+        ).collect()
+    )
+    assert exact == [1]  # whole chain collapses to one survivor
+
+
+def test_minhash_dedup_exact_components_vs_single_pass_divergence(spark):
+    # 1~3 and 2~3 similar, 1!~2: single-pass keeps {1,2}; exact keeps {1}
+    toks = ["w%d" % i for i in range(40)]
+    d1 = " ".join(toks[0:14])                 # w0..w13
+    d2 = " ".join(toks[20:34])                # w20..w33 (disjoint from d1)
+    d3 = " ".join(toks[0:13] + toks[20:33])   # 13 tokens of each
+    # J(1,3) = 13/27 ; too low. Make d3 near both by high overlap is
+    # impossible with J>=0.8 pairwise but J(1,2)=0 — use a lower threshold.
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id bigint, text string"
+    )
+    kwargs = dict(threshold=0.4, shingle_n=1, num_hashes=256, bands=128)
+    single = sorted(
+        r["doc_id"] for r in minhash_dedup(docs, "text", "doc_id", **kwargs).collect()
+    )
+    exact = sorted(
+        r["doc_id"]
+        for r in minhash_dedup(
+            docs, "text", "doc_id", exact_components=True, **kwargs
+        ).collect()
+    )
+    assert single == [1, 2]  # 2 is not near any LOWER id -> survives single-pass
+    assert exact == [1]      # component {1,2,3} -> one survivor
 
 
 def test_simhash_pairs_identical_distance_zero(spark):
