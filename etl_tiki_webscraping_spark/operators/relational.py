@@ -183,7 +183,17 @@ def salted_join(
     ``salt_buckets``× — right for a big-fact / modest-dim join with a
     hot fact key, wrong for dim tables small enough to broadcast
     (just broadcast those).
+
+    Only fact-preserving join types are supported: with ``right`` or
+    ``full``, every UNMATCHED dim row would surface once per salt value
+    (``salt_buckets`` duplicate null-extended rows), silently changing
+    the join's semantics.
     """
+    if how not in {"inner", "left", "left_semi", "left_anti"}:
+        raise ValueError(
+            f"salted_join supports how in {{'inner','left','left_semi','left_anti'}}, "
+            f"got {how!r}: dim-side salt replication breaks right/full outer semantics"
+        )
     on = [on] if isinstance(on, str) else list(on)
     salted_fact = fact.withColumn(
         "__salt", (F.rand(seed=42) * salt_buckets).cast("int")

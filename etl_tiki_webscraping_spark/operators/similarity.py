@@ -379,18 +379,33 @@ def brute_force_topk_blocked(
             c_mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
             c_mat = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
             sims = c_mat @ qm.T  # (batch, n_queries)
+            if round_digits is not None:
+                # the GLOBAL ranking happens on half-up-rounded scores, so the
+                # local selection must rank the same way — selecting on raw
+                # cosines could evict a row that ties at the rounded cutoff
+                # but wins the id tie-break globally
+                scale = 10.0**round_digits
+                rank_sims = np.copysign(np.floor(np.abs(sims) * scale + 0.5), sims) / scale
+            else:
+                rank_sims = sims
             kk = min(k, len(c_ids))
-            # local top-k per query within this batch
-            top = np.argpartition(-sims, kth=kk - 1, axis=0)[:kk]  # (kk, n_queries)
             recs = []
             for qi in range(len(ids)):
-                for ci in top[:, qi]:
+                s = rank_sims[:, qi]
+                order = np.lexsort((c_ids, -s))  # sim desc, id asc — the global order
+                cut = s[order[kk - 1]]
+                last = kk
+                # keep every row tied with the kk-th rounded score so ties
+                # survive to the global top-k
+                while last < len(order) and s[order[last]] == cut:
+                    last += 1
+                for ci in order[:last]:
                     recs.append((int(ids[qi]), int(c_ids[ci]), float(sims[ci, qi])))
             yield pd.DataFrame(recs, columns=[query_id_col, "neighbor_id", "cosine"])
 
     local = corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
-    # optional rounding BEFORE the global ranking so tie-breaking matches
-    # an external oracle that ranks on rounded scores
+    # rounding BEFORE the global ranking so tie-breaking matches an
+    # external oracle that ranks on rounded scores
     if round_digits is not None:
         local = local.withColumn("cosine", F.round("cosine", round_digits))
     return top_k_per_group(

@@ -42,7 +42,7 @@ from etl_tiki_webscraping_spark.schemas import (
     PRODUCT_DETAIL,
     SHOP_INFO,
 )
-from etl_tiki_webscraping_spark.sinks.upsert import upsert_parquet
+from etl_tiki_webscraping_spark.sinks.upsert import read_parquet_table, upsert_parquet
 from etl_tiki_webscraping_spark.sources.http import (
     FetchConfig,
     PageFetcher,
@@ -78,7 +78,7 @@ class PipelineResult:
 
 
 def warehouse_table(spark: SparkSession, warehouse_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(warehouse_dir, name))
+    return read_parquet_table(spark, os.path.join(warehouse_dir, name))
 
 
 def run_pipeline(

@@ -57,6 +57,25 @@ def upsert_on_duplicate_key_sql(target: str, staging: str, keys: Sequence[str], 
     )
 
 
+def upsert_on_conflict_sql(target: str, staging: str, keys: Sequence[str], columns: Sequence[str]) -> str:
+    """Standard (SQLite/PostgreSQL/DuckDB) upsert:
+    ``INSERT .. SELECT .. ON CONFLICT (keys) DO UPDATE SET c=excluded.c``
+    — same semantics as the reference's MySQL statement, in the
+    SQL-standard conflict-clause dialect.  (``WHERE true`` disambiguates
+    the SELECT from the conflict clause for SQLite's parser.)
+    """
+    keys = list(keys)
+    non_keys = [c for c in columns if c not in keys]
+    col_list = ", ".join(columns)
+    key_list = ", ".join(keys)
+    update_clause = ", ".join(f"{c}=excluded.{c}" for c in non_keys)
+    return (
+        f"INSERT INTO {target} ({col_list}) "
+        f"SELECT {col_list} FROM {staging} WHERE true "
+        f"ON CONFLICT ({key_list}) DO UPDATE SET {update_clause}"
+    )
+
+
 def jdbc_staged_upsert(
     df: DataFrame,
     target: str,
@@ -73,12 +92,16 @@ def jdbc_staged_upsert(
     (injected so tests can use an in-memory database and production can
     pass a real DB-API cursor).  ``dialect`` picks the merge statement:
     'mysql' reproduces the reference byte-for-byte in structure;
-    'ansi' emits MERGE INTO for warehouses that support it.
+    'standard' emits INSERT..ON CONFLICT DO UPDATE
+    (SQLite/PostgreSQL/DuckDB); 'ansi' emits MERGE INTO for warehouses
+    that support it.
     """
     staging = staging_table or f"temp_{target}"
     write_staging(df, url, staging, properties)
     if dialect == "mysql":
         stmt = upsert_on_duplicate_key_sql(target, staging, keys, df.columns)
+    elif dialect == "standard":
+        stmt = upsert_on_conflict_sql(target, staging, keys, df.columns)
     else:
         stmt = merge_sql(target, staging, keys, df.columns)
     sql_executor(stmt)

@@ -72,6 +72,31 @@ def upsert_dataframes(
     return survivors.unionByName(updates)
 
 
+SNAPSHOT_POINTER = "_LATEST"
+
+
+def _current_snapshot(target_path: str) -> str | None:
+    """Snapshot dir name the table pointer currently commits to, or
+    None if the table doesn't exist (or is a legacy plain-parquet dir)."""
+    import os
+
+    pointer = os.path.join(target_path, SNAPSHOT_POINTER)
+    if os.path.exists(pointer):
+        with open(pointer) as fh:
+            return fh.read().strip()
+    return None
+
+
+def read_parquet_table(spark: SparkSession, target_path: str) -> DataFrame:
+    """Read an upsert-managed parquet table: follow the ``_LATEST``
+    snapshot pointer if present, else read the path as plain parquet
+    (legacy layout / externally-written tables)."""
+    import os
+
+    snap = _current_snapshot(target_path)
+    return spark.read.parquet(os.path.join(target_path, snap) if snap else target_path)
+
+
 def upsert_parquet(
     spark: SparkSession,
     updates: DataFrame,
@@ -82,31 +107,69 @@ def upsert_parquet(
 ) -> None:
     """Upsert into a parquet table path; creates it if absent.
 
-    Read-modify-overwrite.  The read and the overwrite cannot share the
-    same files in one job, so the merged result is checkpointed through
-    a staging subdir then moved — mirroring the reference's
-    staging-table-then-merge shape (dags/etl.py:173-202) with the same
-    crash-safety property: a failed run leaves the target intact.
+    Commit protocol: versioned snapshot dirs + an atomically-swapped
+    pointer file (the single-writer core of what Delta/Iceberg do with
+    a transaction log):
+
+        <target>/_LATEST          -> "v00000007"   (the committed table)
+        <target>/v00000007/...    parquet snapshot
+        <target>/v00000006/...    previous snapshot (kept for readers
+                                   mid-scan + crash forensics; older
+                                   snapshots pruned best-effort)
+
+    The merged result is fully written into a NEW snapshot dir first;
+    the commit is the pointer swap.  EVERY crash point leaves a
+    complete, committed table: before the swap readers still see the
+    old snapshot, after it the new one — there is no window where the
+    target is missing or half-written (the flaw of delete-then-rename).
+    No POSIX rename of the data is required, so the same protocol works
+    on object stores where a 100 TB table actually lives: the pointer
+    swap maps to a single-object PUT (atomic on S3/GCS) or a
+    conditional put for multi-writer safety; the prune maps to a batch
+    delete.  Read back via :func:`read_parquet_table`.
     """
     import os
     import shutil
 
-    exists = os.path.exists(target_path)
-    if exists:
+    cur = _current_snapshot(target_path)
+    if cur is not None:
+        target = spark.read.parquet(os.path.join(target_path, cur))
+        merged = upsert_dataframes(target, updates, keys, order_by)
+        next_version = int(cur.lstrip("v")) + 1
+    elif os.path.exists(target_path) and any(
+        not e.startswith((".", "_")) for e in os.listdir(target_path)
+    ):
+        # legacy plain-parquet dir: upgrade in place to the snapshot layout
         target = spark.read.parquet(target_path)
         merged = upsert_dataframes(target, updates, keys, order_by)
+        next_version = 1
     else:
         merged = _dedup_updates(updates, list(keys), order_by)
+        next_version = 1
 
-    staging = target_path.rstrip("/") + ".__staging__"
-    writer = merged.write.mode("overwrite")
+    snap_name = f"v{next_version:08d}"
+    writer = merged.write.mode("overwrite")  # overwrite: a crashed run may have left this dir
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(staging)
+    writer.parquet(os.path.join(target_path, snap_name))
 
-    if exists:
-        shutil.rmtree(target_path)
-    os.replace(staging, target_path)
+    # commit = atomic pointer swap (object-store analog: single PUT)
+    pointer = os.path.join(target_path, SNAPSHOT_POINTER)
+    tmp = pointer + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(snap_name)
+    os.replace(tmp, pointer)
+
+    # best-effort prune: keep the new snapshot and its predecessor
+    keep = {snap_name, SNAPSHOT_POINTER, f"v{next_version - 1:08d}"}
+    for entry in os.listdir(target_path):
+        if entry in keep:
+            continue
+        full = os.path.join(target_path, entry)
+        try:
+            shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
+        except OSError:
+            pass  # concurrent reader on a slow FS; next run reclaims it
 
 
 def scd2_apply(
@@ -128,6 +191,13 @@ def scd2_apply(
     version is inserted.  Unchanged updates are no-ops, so replaying
     the same feed is idempotent.
 
+    Multiple updates for one key within a batch are resolved to the
+    LATEST row per key by effective_ts before the merge — otherwise
+    each of them would open a concurrent ``is_current`` version and
+    emit conflicting closing rows, corrupting the dimension history.
+    (Intermediate same-batch versions are intentionally not recorded;
+    feed batches at the granularity you want history kept.)
+
     Plan shape: one join of current-rows vs updates on the key plus
     two anti/semi legs Catalyst derives from it — the same single
     shuffle a Delta MERGE performs; history rows pass through
@@ -143,6 +213,12 @@ def scd2_apply(
     hist = target.filter(~F.col("is_current")).select(*out_cols)
     cur = target.filter(F.col("is_current")).select(*out_cols)
 
+    # latest update per key wins within a batch (deterministic merge input)
+    updates = dedup_deterministic(
+        updates.select(*keys, *attrs, effective_ts_col),
+        keys,
+        [F.col(effective_ts_col).desc(), *[F.col(c).desc() for c in attrs]],
+    )
     u = updates.select(*keys, *attrs, F.col(effective_ts_col).alias("__eff"))
     t = cur.select(*keys, *[F.col(c).alias(f"__t_{c}") for c in attrs], "valid_from")
     j = u.join(t, on=keys, how="left")

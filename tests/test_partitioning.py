@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from etl_tiki_webscraping_spark.sinks.upsert import upsert_parquet
+from etl_tiki_webscraping_spark.sinks.upsert import read_parquet_table, upsert_parquet
 
 
 def test_partitioned_upsert_prunes_at_read(spark, tmp_path):
@@ -16,7 +16,7 @@ def test_partitioned_upsert_prunes_at_read(spark, tmp_path):
     )
     upsert_parquet(spark, df, target, keys=["event_id"], partition_by=["event_type"])
 
-    read = spark.read.parquet(target).filter(F.col("event_type") == "click")
+    read = read_parquet_table(spark, target).filter(F.col("event_type") == "click")
     plan = read._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     # the partition predicate must be IN PartitionFilters (pruned), not a data filter
@@ -27,6 +27,6 @@ def test_partitioned_upsert_prunes_at_read(spark, tmp_path):
     # upsert into one partition leaves the layout partition-pruned
     updates = spark.createDataFrame([(0, "click", 999.0)], "event_id long, event_type string, value double")
     upsert_parquet(spark, updates, target, keys=["event_id"], partition_by=["event_type"])
-    out = spark.read.parquet(target)
+    out = read_parquet_table(spark, target)
     assert out.count() == 300
     assert out.filter("event_id = 0").collect()[0]["value"] == 999.0

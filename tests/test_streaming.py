@@ -89,7 +89,9 @@ def test_foreach_batch_upsert_is_idempotent_per_key(spark, tmp_path):
     )
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination(60)
-    out = spark.read.parquet(target)
+    from etl_tiki_webscraping_spark.sinks.upsert import read_parquet_table
+
+    out = read_parquet_table(spark, target)
     assert out.count() == 3  # dup event_id merged by PK
     assert sorted(r["event_id"] for r in out.select("event_id").collect()) == ["e1", "e2", "e3"]
 

@@ -8,9 +8,14 @@ import os
 
 from pyspark.sql import functions as F
 
-from etl_tiki_webscraping_spark.sinks.staging import upsert_on_duplicate_key_sql
+from etl_tiki_webscraping_spark.sinks.staging import (
+    upsert_on_conflict_sql,
+    upsert_on_duplicate_key_sql,
+)
 from etl_tiki_webscraping_spark.sinks.upsert import (
+    SNAPSHOT_POINTER,
     merge_sql,
+    read_parquet_table,
     upsert_dataframes,
     upsert_parquet,
 )
@@ -67,19 +72,56 @@ def test_upsert_extra_update_columns_are_projected_away(spark):
 def test_upsert_parquet_roundtrip(spark, tmp_parquet_dir):
     upsert_parquet(spark, _target(spark), tmp_parquet_dir, ["shop_id"])
     upsert_parquet(spark, _updates(spark), tmp_parquet_dir, ["shop_id"])
-    out = spark.read.parquet(tmp_parquet_dir)
+    out = read_parquet_table(spark, tmp_parquet_dir)
     rows = {r["shop_id"]: (r["name"], r["product_total"]) for r in out.collect()}
     assert rows == {"s1": ("new-name", 11), "s2": ("keep", 20), "s3": ("fresh", 30)}
-    # no staging dir left behind
-    assert not os.path.exists(tmp_parquet_dir + ".__staging__")
 
 
 def test_upsert_parquet_rerun_converges(spark, tmp_parquet_dir):
     upsert_parquet(spark, _updates(spark), tmp_parquet_dir, ["shop_id"])
-    first = sorted(map(tuple, spark.read.parquet(tmp_parquet_dir).collect()))
+    first = sorted(map(tuple, read_parquet_table(spark, tmp_parquet_dir).collect()))
     upsert_parquet(spark, _updates(spark), tmp_parquet_dir, ["shop_id"])
-    second = sorted(map(tuple, spark.read.parquet(tmp_parquet_dir).collect()))
+    second = sorted(map(tuple, read_parquet_table(spark, tmp_parquet_dir).collect()))
     assert first == second
+
+
+def test_upsert_parquet_snapshot_commit_layout(spark, tmp_parquet_dir):
+    """Snapshot + pointer commit: every crash point leaves a complete
+    committed table, old snapshots are pruned to one predecessor."""
+    upsert_parquet(spark, _target(spark), tmp_parquet_dir, ["shop_id"])
+    upsert_parquet(spark, _updates(spark), tmp_parquet_dir, ["shop_id"])
+    upsert_parquet(spark, _updates(spark), tmp_parquet_dir, ["shop_id"])
+
+    entries = sorted(os.listdir(tmp_parquet_dir))
+    assert SNAPSHOT_POINTER in entries
+    snaps = [e for e in entries if e.startswith("v")]
+    assert snaps == ["v00000002", "v00000003"]  # current + one predecessor
+    with open(os.path.join(tmp_parquet_dir, SNAPSHOT_POINTER)) as fh:
+        assert fh.read().strip() == "v00000003"
+
+    # a stray uncommitted snapshot (crash before the pointer swap) is
+    # invisible to readers; the next run overwrites it and commits
+    stray = os.path.join(tmp_parquet_dir, "v00000004")
+    os.makedirs(stray)
+    before = sorted(map(tuple, read_parquet_table(spark, tmp_parquet_dir).collect()))
+    upsert_parquet(spark, _updates(spark), tmp_parquet_dir, ["shop_id"])
+    after = sorted(map(tuple, read_parquet_table(spark, tmp_parquet_dir).collect()))
+    assert before == after
+    with open(os.path.join(tmp_parquet_dir, SNAPSHOT_POINTER)) as fh:
+        assert fh.read().strip() == "v00000004"
+
+
+def test_upsert_parquet_upgrades_legacy_plain_dir(spark, tmp_parquet_dir):
+    """A plain-parquet table written outside the commit protocol is
+    readable and upgraded in place on the first upsert."""
+    _target(spark).write.mode("overwrite").parquet(tmp_parquet_dir)
+    upsert_parquet(spark, _updates(spark), tmp_parquet_dir, ["shop_id"])
+    rows = {
+        r["shop_id"]: (r["name"], r["product_total"])
+        for r in read_parquet_table(spark, tmp_parquet_dir).collect()
+    }
+    assert rows == {"s1": ("new-name", 11), "s2": ("keep", 20), "s3": ("fresh", 30)}
+    assert os.path.exists(os.path.join(tmp_parquet_dir, SNAPSHOT_POINTER))
 
 
 def test_mysql_merge_sql_contract():
@@ -121,6 +163,74 @@ def test_jdbc_staged_upsert_sequence(spark, monkeypatch):
     assert calls[2] == "DROP TABLE IF EXISTS temp_shop_info"
 
 
+def test_jdbc_staged_upsert_executes_against_real_db(spark, monkeypatch):
+    """The staged-merge statement sequence EXECUTED end-to-end against
+    an in-process SQLite database (standard ON CONFLICT dialect): the
+    merged table must equal upsert_dataframes (strategy c) on the same
+    inputs — strategies (a) and (c) proven equivalent, and the staging
+    table is really dropped (W3)."""
+    import sqlite3
+
+    import etl_tiki_webscraping_spark.sinks.staging as staging_mod
+
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE shop_info (shop_id TEXT PRIMARY KEY, name TEXT, product_total INT)")
+    con.executemany(
+        "INSERT INTO shop_info VALUES (?, ?, ?)",
+        [tuple(r) for r in _target(spark).collect()],
+    )
+
+    def fake_write_staging(df, url, table, properties=None):
+        cols = ", ".join(f"{c} TEXT" if t == "string" else f"{c} INT"
+                         for c, t in zip(df.columns, [f.dataType.simpleString() for f in df.schema]))
+        con.execute(f"CREATE TABLE {table} ({cols})")
+        con.executemany(
+            f"INSERT INTO {table} VALUES ({', '.join('?' * len(df.columns))})",
+            [tuple(r) for r in df.collect()],
+        )
+
+    monkeypatch.setattr(staging_mod, "write_staging", fake_write_staging)
+    staging_mod.jdbc_staged_upsert(
+        _updates(spark),
+        target="shop_info",
+        keys=["shop_id"],
+        url="sqlite://memory",
+        sql_executor=con.execute,
+        dialect="standard",
+    )
+
+    merged_db = sorted(con.execute("SELECT shop_id, name, product_total FROM shop_info").fetchall())
+    merged_df = sorted(
+        tuple(r) for r in upsert_dataframes(_target(spark), _updates(spark), ["shop_id"]).collect()
+    )
+    assert merged_db == merged_df
+    # W3: staging table dropped
+    staged = con.execute(
+        "SELECT name FROM sqlite_master WHERE type='table' AND name LIKE 'temp_%'"
+    ).fetchall()
+    assert staged == []
+
+
+def test_standard_on_conflict_sql_contract():
+    sql = upsert_on_conflict_sql("rating", "temp_rating", ["rating_id"], ["rating_id", "star"])
+    assert sql.startswith("INSERT INTO rating (rating_id, star)")
+    assert "ON CONFLICT (rating_id) DO UPDATE SET star=excluded.star" in sql
+    assert "rating_id=excluded.rating_id" not in sql  # keys never updated
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    import pytest
+
+    from etl_tiki_webscraping_spark.operators.relational import salted_join
+
+    fact = spark.createDataFrame([(1, "k1")], "id long, k string")
+    dim = spark.createDataFrame([("k1", "v")], "k string, dim_val string")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(fact, dim, on="k", how="right")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(fact, dim, on="k", how="full")
+
+
 def _scd2_target(spark):
     return spark.createDataFrame(
         [
@@ -159,6 +269,30 @@ def test_scd2_change_closes_and_inserts(spark):
     # brand-new key opens at its effective ts
     assert rows[("s9", "Niner")]["valid_from"] == "2024-02-01"
     assert out.count() == 6  # 4 target + 1 closed-replacement + 1 new
+
+
+def test_scd2_multiple_updates_per_key_resolve_to_latest(spark):
+    """Two changed rows for one key in a batch must yield ONE new
+    current version (the latest by effective_ts) and ONE closing row —
+    not two concurrent is_current versions with conflicting valid_to."""
+    from etl_tiki_webscraping_spark.sinks.upsert import scd2_apply
+
+    updates = spark.createDataFrame(
+        [
+            ("s1", "Alpha-v2", "2024-02-01"),
+            ("s1", "Alpha-v3", "2024-03-01"),
+        ],
+        "shop_id string, name string, effective_ts string",
+    )
+    out = scd2_apply(_scd2_target(spark), updates, ["shop_id"])
+    s1 = [r for r in out.collect() if r["shop_id"] == "s1"]
+    current = [r for r in s1 if r["is_current"]]
+    assert len(current) == 1
+    assert current[0]["name"] == "Alpha-v3"
+    assert current[0]["valid_from"] == "2024-03-01"
+    closed = [r for r in s1 if not r["is_current"]]
+    assert len(closed) == 1
+    assert (closed[0]["name"], closed[0]["valid_to"]) == ("Alpha", "2024-03-01")
 
 
 def test_scd2_replay_is_idempotent(spark):
