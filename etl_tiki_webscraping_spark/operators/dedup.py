@@ -20,6 +20,8 @@ does not.
 
 from __future__ import annotations
 
+from collections.abc import Iterable, Iterator
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -65,6 +67,13 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingle set (distinct)."""
     toks = tokenize_ws(F.lower(F.col(col) if isinstance(col, str) else col))
+    if n == 1:
+        # fast path: unigram shingles ARE the distinct tokens — skip the
+        # interpreted sequence/slice/concat_ws chain entirely (empty docs
+        # keep the [""] sentinel the general branch produces)
+        return F.when(F.size(toks) >= 1, F.array_distinct(toks)).otherwise(
+            F.array(F.lit(""))
+        )
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
@@ -332,66 +341,104 @@ def minhash_dedup(
 # connected components over duplicate edges
 # --------------------------------------------------------------------------
 
+def _local_union_find(edges: DataFrame) -> DataFrame:
+    """Partition-local union-find over an edge list ``(id_a, id_b)``:
+    each task unions every edge it holds (path-halving, min-id roots)
+    and emits ``(id, root)`` for every node it saw.  One Arrow pass,
+    zero shuffles; memory is O(nodes per partition).
+    """
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for batch in batches:
+            for a, b in zip(batch["id_a"], batch["id_b"]):
+                a, b = int(a), int(b)
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra  # min id becomes the root
+        if parent:
+            nodes = list(parent)
+            yield pd.DataFrame({"id": nodes, "root": [find(x) for x in nodes]})
+
+    return edges.mapInPandas(run, "id bigint, root bigint")
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Connected components over an undirected edge list ``(id_a, id_b)``
-    by iterated min-id label propagation: every node repeatedly adopts
-    the smallest label among itself and its neighbors until fixpoint.
+    by iterated partition-local contraction: each round runs union-find
+    INSIDE every partition (one Arrow pass, no shuffle), rewrites the
+    surviving inter-partition edges onto the local roots, and recurses
+    on that strictly-smaller boundary graph until no edges remain.
 
     Returns ``(id, component)`` for every node that appears in an edge;
     ``component`` is the minimum id of the node's component.
 
-    Scale shape: each round is a constant number of hash shuffles of
-    bare (id, label) pairs — no payloads.  Plain one-hop propagation
-    needs O(diameter) rounds, which an adversarial chain (e.g. a run of
-    consecutive near-identical docs) can stretch to hundreds; so every
-    round also POINTER-JUMPS — each node re-reads the current label of
-    its label (path halving), which contracts chains geometrically and
-    bounds the round count at O(log diameter), the same guarantee
-    large-star/small-star (Kiveris et al., "Connected Components in
-    MapReduce") gets.  Lineage is truncated every round via
-    ``localCheckpoint`` so the plan doesn't grow with iterations;
-    convergence is detected with a LIMIT 1 probe of changed labels.
+    Scale shape: the expensive work (union-find) is embarrassingly
+    parallel and shuffle-free; only BOUNDARY edges — edges whose
+    endpoints landed in different partitions — survive a round, so the
+    graph contracts geometrically (a random edge partition kills the
+    fraction of edges that are partition-internal; as the graph shrinks
+    it is repartitioned onto fewer partitions, raising that fraction
+    toward 1).  Near-dup clusters resolve in 2-3 rounds; each round is
+    one mapInPandas pass + two bare-id joins.  This is the
+    contraction-hierarchy shape of MapReduce CC algorithms
+    (Kiveris et al.) rather than O(diameter) label propagation, which
+    an adversarial chain of consecutive near-identical docs stretches
+    to hundreds of rounds.  Lineage is truncated per round via
+    ``localCheckpoint``.
     """
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = (
-        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    labels = edges.select(F.col("src").alias("id")).distinct().withColumn("component", F.col("id"))
-    labels = labels.localCheckpoint(eager=True)
+    cur = pairs.select("id_a", "id_b")
+    mappings: list[DataFrame] = []
     for _ in range(max_iter):
-        neighbor = edges.join(labels, edges.dst == labels.id).select(
-            F.col("src").alias("id"), "component"
-        )
-        stepped = (
-            labels.select("id", "component")
-            .union(neighbor)
+        # a node seen by several partitions emits one row per partition;
+        # keep one root per node (min).  Connectivity survives: such a
+        # node has an edge into every local set it appeared in, and those
+        # edges rewrite into boundary edges between the sets' roots.
+        mapping = (
+            _local_union_find(cur)
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
-        )
-        # pointer jump: follow the label one hop (label of my label) so a
-        # chain's min id travels 2^k hops after k rounds, not k hops
-        lut = stepped.select(
-            F.col("id").alias("component"), F.col("component").alias("jumped")
-        )
-        new_labels = (
-            stepped.join(lut, on="component", how="left")
-            .select("id", F.coalesce("jumped", "component").alias("component"))
+            .agg(F.min("root").alias("root"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+        mappings.append(mapping)
+        ra = mapping.withColumnRenamed("id", "id_a").withColumnRenamed("root", "__ra")
+        rb = mapping.withColumnRenamed("id", "id_b").withColumnRenamed("root", "__rb")
+        cur = (
+            cur.join(ra, on="id_a")
+            .join(rb, on="id_b")
+            .filter(F.col("__ra") != F.col("__rb"))
+            .select(F.col("__ra").alias("id_a"), F.col("__rb").alias("id_b"))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        labels = new_labels
-        if changed == 0:
+        n_left = cur.count()
+        if n_left == 0:
             break
-    edges.unpersist()
-    return labels
+        # shrink the partition count with the graph so the next round's
+        # union-find sees denser locality (tail rounds: one partition)
+        cur = cur.repartition(max(1, n_left // 100_000))
+
+    # compose the contraction hierarchy top-down: the deepest roots are
+    # final; each shallower mapping re-labels through the level above it
+    comp = mappings[-1].select("id", F.col("root").alias("component"))
+    for mapping in reversed(mappings[:-1]):
+        above = comp.withColumnRenamed("id", "root")
+        comp = (
+            mapping.join(above, on="root", how="left")
+            .select("id", F.coalesce("component", F.col("root")).alias("component"))
+        )
+    return comp
 
 
 # --------------------------------------------------------------------------
