@@ -56,6 +56,9 @@ HEADLINE = [
     ("scd2_history_merge", "count"),
     ("dedup_cluster_components", "count"),
     ("multimodal_image_features", "count"),
+    ("interval_join_purchase_context", "count"),
+    ("incremental_hourly_rollup", "count"),
+    ("stratified_hash_sample", "count"),
 ]
 
 

@@ -205,6 +205,79 @@ def salted_join(
     return out
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str] | str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval (range) join without a cross product: an
+    inner join of ``points`` rows onto every ``intervals`` row with the
+    same key whose ``[start, end]`` (inclusive) contains the point's
+    timestamp.
+
+    Scale shape: a naive non-equi join plans as a per-key cross product
+    (BroadcastNestedLoop at worst).  Instead both sides are mapped onto
+    fixed time buckets — each interval EXPLODES to the buckets it
+    covers, each point to exactly one — turning the range predicate
+    into an equi-join on (keys..., bucket) followed by the exact
+    BETWEEN filter.  Shuffle is a plain hash join; the blow-up factor
+    is ceil(interval_len / bucket_seconds) + 1 copies of the
+    (small) interval side, so pick ``bucket_seconds`` near the typical
+    interval length.  Requires bounded interval lengths (true for
+    session/attribution windows).
+
+    Both inputs must carry the join keys; other column names must not
+    collide (alias beforehand).
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    b = bucket_seconds * 1_000_000  # unix_micros resolution
+    p = points.withColumn("__bucket", F.floor(F.unix_micros(F.col(ts_col)) / b))
+    i = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_col)) / b),
+                F.floor(F.unix_micros(F.col(end_col)) / b),
+            )
+        ),
+    )
+    return (
+        p.join(i, on=on + ["__bucket"], how="inner")
+        .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col)))
+        .drop("__bucket")
+    )
+
+
+def deterministic_stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+) -> DataFrame:
+    """Per-stratum sampling by content-independent key hash: a row of
+    stratum ``s`` survives iff ``md5(key) % 100 < fractions[s]*100``
+    (strata absent from ``fractions`` are dropped).
+
+    Unlike ``sampleBy`` (seeded rand per task), the same row set comes
+    back on ANY engine, cluster size or run — reproducibility training
+    pipelines need for dataset mixes ("50% web, 20% code ...").  Pure
+    codegen'd expressions, zero shuffle; the filter pushes no I/O cost
+    beyond the scan.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast("bigint")
+        % 100
+    )
+    pred = F.lit(False)
+    for stratum, frac in fractions.items():
+        pred = pred | ((F.col(strata_col) == stratum) & (bucket < int(round(frac * 100))))
+    return df.filter(pred)
+
+
 def repartition_even(df: DataFrame, n: int) -> DataFrame:
     """Split into ``n`` parallel parts covering EVERY row — the fixed
     form of the reference's 5-way split whose integer-division slicing

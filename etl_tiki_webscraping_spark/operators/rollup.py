@@ -1,0 +1,75 @@
+"""Incremental rollup maintenance (continuous-aggregate / materialized
+view shape for the training-data pipeline surface).
+
+A 100 TB event stream can't re-aggregate history per batch; the rollup
+table is maintained incrementally: aggregate ONLY the new batch, then
+additively merge the partial aggregates into the stored rollup on the
+bucket key.  Works for any commutative-monoid metric (count, sum, min,
+max — store sum+count for mean); the invariant is
+
+    merge(rollup(A), rollup(B)) == rollup(A ∪ B)
+
+which the catalog query checks against a one-shot GROUP BY oracle.
+
+Scale shape: the batch aggregation is a partial-agg shuffle on the
+batch only; the merge is one outer join on bucket keys against a table
+whose size is the bucket-key cardinality (time × dims), orders of
+magnitude smaller than the raw events.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_additive(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    add_cols: Sequence[str],
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Merge partial aggregates into a rollup: matching keys ADD their
+    ``add_cols`` (and combine ``min_cols``/``max_cols`` accordingly);
+    keys present on only one side pass through.
+
+    One full-outer join on the bucket keys — no window, no second
+    shuffle.  Metric columns must be additive (counts, sums — use
+    decimal sums for exact float-order-independent results).
+    """
+    keys = list(keys)
+    metric_cols = list(add_cols) + list(min_cols) + list(max_cols)
+    t = target.select(*keys, *[F.col(c).alias(f"__t_{c}") for c in metric_cols])
+    u = updates.select(*keys, *[F.col(c).alias(f"__u_{c}") for c in metric_cols])
+    joined = t.join(u, on=keys, how="full_outer")
+
+    def combine(c: str, fn) -> F.Column:
+        tc, uc = F.col(f"__t_{c}"), F.col(f"__u_{c}")
+        return (
+            F.when(tc.isNull(), uc).when(uc.isNull(), tc).otherwise(fn(tc, uc)).alias(c)
+        )
+
+    return joined.select(
+        *keys,
+        *[combine(c, lambda a, b: a + b) for c in add_cols],
+        *[combine(c, F.least) for c in min_cols],
+        *[combine(c, F.greatest) for c in max_cols],
+    )
+
+
+def hourly_event_rollup(events: DataFrame, value_col: str = "value") -> DataFrame:
+    """Per (hour-bucket, event_type) partial aggregate of an events
+    batch: row count + exact decimal sum (float-order-independent so
+    incremental merges reproduce the one-shot aggregation bit-for-bit).
+    """
+    return events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(18,6)")).alias("sum_value"),
+    )

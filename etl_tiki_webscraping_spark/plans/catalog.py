@@ -1915,3 +1915,171 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# ===========================================================================
+# Round-2 extensions: range join, incremental rollup, deterministic
+# stratified sampling, snapshot time travel, embedding dedup clusters
+# ===========================================================================
+
+@register(
+    "interval_join_purchase_context",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id,
+               ts - INTERVAL 1 HOUR AS w_start, ts AS w_end
+        FROM events WHERE event_type = 'purchase'
+    ),
+    x AS (
+        SELECT event_id, user_id, ts, event_type
+        FROM events WHERE event_type <> 'purchase'
+    )
+    SELECT p.purchase_id,
+           CAST(COUNT(*) AS BIGINT) AS n_context,
+           CAST(COUNT(*) FILTER (x.event_type = 'view') AS BIGINT) AS n_views
+    FROM p JOIN x
+      ON x.user_id = p.user_id AND x.ts >= p.w_start AND x.ts <= p.w_end
+    GROUP BY p.purchase_id
+    """,
+    doc="point-in-interval (range) join without a cross product: context events "
+        "in the hour before each purchase, bucketed to an equi-join on "
+        "(user, time-bucket) + exact BETWEEN filter (operators/relational.py:"
+        "interval_join); oracle is DuckDB's native non-equi join",
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.relational import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    points = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    joined = interval_join(
+        points, purchases, on="user_id", ts_col="ts", start_col="w_start", end_col="w_end"
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_context"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n_views"),
+    )
+
+
+@register(
+    "incremental_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="incremental materialized-view maintenance: the events table arrives as "
+        "two disjoint batches, each is partially aggregated alone, and the "
+        "partials are additively merged on the bucket key "
+        "(operators/rollup.py) — the merge invariant "
+        "merge(rollup(A), rollup(B)) == rollup(A ∪ B) is checked against a "
+        "one-shot GROUP BY oracle; decimal sums make the result independent of "
+        "float addition order",
+)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.rollup import (
+        hourly_event_rollup,
+        merge_additive,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    batch1 = ev.filter(F.col("event_id") % 2 == 0)
+    batch2 = ev.filter(F.col("event_id") % 2 == 1)
+    merged = merge_additive(
+        hourly_event_rollup(batch1),
+        hourly_event_rollup(batch2),
+        keys=["bucket_ts", "event_type"],
+        add_cols=["n_events", "sum_value"],
+    )
+    return merged.select(
+        "bucket_ts",
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "stratified_hash_sample",
+    oracle="""
+    SELECT event_id, event_type FROM events
+    WHERE (event_type = 'click'
+           AND CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50)
+       OR (event_type = 'view'
+           AND CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 20)
+       OR (event_type = 'error'
+           AND CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10)
+    """,
+    doc="deterministic per-stratum sampling by key hash (50% clicks, 20% views, "
+        "10% errors): the dataset-mix primitive for training pipelines — "
+        "reproducible across engines/cluster sizes, unlike seeded sampleBy; "
+        "pure codegen'd filter, zero shuffle",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.relational import (
+        deterministic_stratified_sample,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return deterministic_stratified_sample(
+        ev, key_col="event_id", strata_col="event_type",
+        fractions={"click": 0.5, "view": 0.2, "error": 0.1},
+    ).select("event_id", "event_type")
+
+
+@register(
+    "snapshot_time_travel",
+    oracle="""
+    SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal FROM customer
+    """,
+    doc="snapshot time travel on the upsert-managed table layout: version 1 is "
+        "committed, version 2 overwrites a tenth of the rows, then version 1 is "
+        "read back — must equal the original batch exactly (the commit protocol "
+        "from sinks/upsert.py: versioned snapshot dirs + atomic pointer swap)",
+)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from etl_tiki_webscraping_spark.sinks.upsert import (
+        read_parquet_table,
+        upsert_parquet,
+    )
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.col("c_acctbal").cast("double").alias("acctbal")
+    )
+    path = tempfile.mkdtemp(prefix="time-travel-") + "/tbl"
+    upsert_parquet(spark, base, path, ["c_custkey"], keep_snapshots=4)
+    updates = base.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "acctbal", F.col("acctbal") * 2
+    )
+    upsert_parquet(spark, updates, path, ["c_custkey"], keep_snapshots=4)
+    return read_parquet_table(spark, path, version=1)
+
+
+@register(
+    "dedup_embedding_clusters",
+    oracle=None,  # SRP-LSH bucketing — rows-only
+    doc="embedding-cosine near-dup removal in exact-components mode: SRP-bucket "
+        "candidate pairs -> cosine >= 0.95 edges -> connected components -> one "
+        "survivor (min id) per duplicate cluster",
+)
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.dedup import connected_components
+    from etl_tiki_webscraping_spark.operators.similarity import cosine_dedup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = cosine_dedup_pairs(emb, threshold=0.95).select("id_a", "id_b")
+    comps = connected_components(edges)
+    dups = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("vec_id")
+    )
+    return emb.join(dups, on="vec_id", how="left_anti").select("vec_id")

@@ -87,12 +87,32 @@ def _current_snapshot(target_path: str) -> str | None:
     return None
 
 
-def read_parquet_table(spark: SparkSession, target_path: str) -> DataFrame:
+def read_parquet_table(
+    spark: SparkSession, target_path: str, version: int | None = None
+) -> DataFrame:
     """Read an upsert-managed parquet table: follow the ``_LATEST``
     snapshot pointer if present, else read the path as plain parquet
-    (legacy layout / externally-written tables)."""
+    (legacy layout / externally-written tables).
+
+    ``version`` time-travels to a specific retained snapshot (see
+    ``keep_snapshots`` on :func:`upsert_parquet`); raises FileNotFoundError
+    if that snapshot was pruned or never committed at or before the
+    current version.
+    """
     import os
 
+    if version is not None:
+        cur = _current_snapshot(target_path)
+        name = f"v{version:08d}"
+        snap_path = os.path.join(target_path, name)
+        # a dir NEWER than the pointer is an uncommitted crash leftover
+        committed = cur is not None and version <= int(cur.lstrip("v"))
+        if not committed or not os.path.exists(snap_path):
+            raise FileNotFoundError(
+                f"snapshot {name} of {target_path} is not available "
+                f"(pruned, never committed, or ahead of {cur})"
+            )
+        return spark.read.parquet(snap_path)
     snap = _current_snapshot(target_path)
     return spark.read.parquet(os.path.join(target_path, snap) if snap else target_path)
 
@@ -104,6 +124,7 @@ def upsert_parquet(
     keys: Sequence[str],
     order_by: Sequence[Column | str] | None = None,
     partition_by: Sequence[str] | None = None,
+    keep_snapshots: int = 2,
 ) -> None:
     """Upsert into a parquet table path; creates it if absent.
 
@@ -160,8 +181,11 @@ def upsert_parquet(
         fh.write(snap_name)
     os.replace(tmp, pointer)
 
-    # best-effort prune: keep the new snapshot and its predecessor
-    keep = {snap_name, SNAPSHOT_POINTER, f"v{next_version - 1:08d}"}
+    # best-effort prune: retain the newest ``keep_snapshots`` versions
+    # (time-travel window; older ones are gone for good)
+    keep = {SNAPSHOT_POINTER} | {
+        f"v{v:08d}" for v in range(max(1, next_version - keep_snapshots + 1), next_version + 1)
+    }
     for entry in os.listdir(target_path):
         if entry in keep:
             continue
@@ -170,6 +194,64 @@ def upsert_parquet(
             shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
         except OSError:
             pass  # concurrent reader on a slow FS; next run reclaims it
+
+
+def compact_table(
+    spark: SparkSession,
+    target_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: Sequence[str] | None = None,
+    keep_snapshots: int = 2,
+) -> int:
+    """Small-file compaction for an upsert-managed table: rewrite the
+    current snapshot into ~``target_file_bytes`` files and commit it as
+    a new snapshot (same pointer-swap protocol as the upserts).
+
+    Streaming/micro-batch upserts accrete one file set per batch; at
+    100 TB the resulting small-file storm dominates scan time (per-file
+    open + footer read) and planner memory.  Compaction is the standard
+    maintenance op (Delta OPTIMIZE / Iceberg rewrite_data_files).
+    Returns the number of files written.
+    """
+    import os
+    import shutil
+
+    cur = _current_snapshot(target_path)
+    snap_dir = os.path.join(target_path, cur) if cur else target_path
+    size = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(snap_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-size // target_file_bytes))  # ceil
+    df = spark.read.parquet(snap_dir)
+
+    next_version = int(cur.lstrip("v")) + 1 if cur else 1
+    snap_name = f"v{next_version:08d}"
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(os.path.join(target_path, snap_name))
+
+    pointer = os.path.join(target_path, SNAPSHOT_POINTER)
+    tmp = pointer + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(snap_name)
+    os.replace(tmp, pointer)
+
+    keep = {SNAPSHOT_POINTER} | {
+        f"v{v:08d}" for v in range(max(1, next_version - keep_snapshots + 1), next_version + 1)
+    }
+    for entry in os.listdir(target_path):
+        if entry in keep:
+            continue
+        full = os.path.join(target_path, entry)
+        try:
+            shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
+        except OSError:
+            pass
+    return n_files
 
 
 def scd2_apply(

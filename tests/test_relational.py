@@ -128,3 +128,69 @@ def test_salted_join_matches_plain_join(spark):
     plain = fact.join(dim, on="k").select("id", "dim_val")
     salted = salted_join(fact, dim, on="k", salt_buckets=8).select("id", "dim_val")
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_interval_join_inclusive_bounds_and_keys(spark):
+    from etl_tiki_webscraping_spark.operators.relational import interval_join
+
+    points = spark.createDataFrame(
+        [
+            (1, "u1", "2024-01-01 10:00:00"),  # exactly at start -> in
+            (2, "u1", "2024-01-01 11:00:00"),  # exactly at end -> in
+            (3, "u1", "2024-01-01 11:00:01"),  # after end -> out
+            (4, "u2", "2024-01-01 10:30:00"),  # wrong key -> out
+        ],
+        "pid long, user string, ts_s string",
+    ).select("pid", "user", F.col("ts_s").cast("timestamp").alias("ts"))
+    intervals = spark.createDataFrame(
+        [("u1", "2024-01-01 10:00:00", "2024-01-01 11:00:00")],
+        "user string, s string, e string",
+    ).select(
+        "user",
+        F.col("s").cast("timestamp").alias("w_start"),
+        F.col("e").cast("timestamp").alias("w_end"),
+    )
+    out = interval_join(points, intervals, on="user", ts_col="ts",
+                        start_col="w_start", end_col="w_end")
+    assert sorted(r["pid"] for r in out.collect()) == [1, 2]
+
+
+def test_interval_join_spanning_multiple_buckets(spark):
+    from etl_tiki_webscraping_spark.operators.relational import interval_join
+
+    # 3-hour interval with 1-hour buckets: points in every covered bucket
+    # match, the 13:30 point past the end does not
+    points = spark.createDataFrame(
+        [(i, "u", f"2024-01-01 {10 + i}:30:00") for i in range(4)],
+        "pid long, user string, ts_s string",
+    ).select("pid", "user", F.col("ts_s").cast("timestamp").alias("ts"))
+    intervals = spark.createDataFrame(
+        [("u", "2024-01-01 10:00:00", "2024-01-01 13:00:00")],
+        "user string, s string, e string",
+    ).select(
+        "user",
+        F.col("s").cast("timestamp").alias("w_start"),
+        F.col("e").cast("timestamp").alias("w_end"),
+    )
+    out = interval_join(points, intervals, on="user", ts_col="ts",
+                        start_col="w_start", end_col="w_end")
+    assert sorted(r["pid"] for r in out.collect()) == [0, 1, 2]
+
+
+def test_stratified_sample_deterministic_subset(spark):
+    from etl_tiki_webscraping_spark.operators.relational import (
+        deterministic_stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3]) for i in range(300)],
+        "k long, stratum string",
+    )
+    once = deterministic_stratified_sample(df, "k", "stratum", {"a": 0.5, "b": 0.2})
+    twice = deterministic_stratified_sample(df, "k", "stratum", {"a": 0.5, "b": 0.2})
+    rows1 = sorted(map(tuple, once.collect()))
+    assert rows1 == sorted(map(tuple, twice.collect()))  # reproducible
+    assert all(s in ("a", "b") for _, s in rows1)        # unlisted strata dropped
+    n_a = sum(1 for _, s in rows1 if s == "a")
+    n_b = sum(1 for _, s in rows1 if s == "b")
+    assert 30 <= n_a <= 70 and 5 <= n_b <= 35            # ~50% / ~20% of 100 each

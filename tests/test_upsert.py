@@ -305,3 +305,53 @@ def test_scd2_replay_is_idempotent(spark):
     once = scd2_apply(_scd2_target(spark), updates, ["shop_id"])
     twice = scd2_apply(once, updates, ["shop_id"])
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_snapshot_time_travel_and_retention(spark, tmp_parquet_dir):
+    from etl_tiki_webscraping_spark.sinks.upsert import compact_table
+
+    upsert_parquet(spark, _target(spark), tmp_parquet_dir, ["shop_id"], keep_snapshots=3)
+    upsert_parquet(spark, _updates(spark), tmp_parquet_dir, ["shop_id"], keep_snapshots=3)
+
+    v1 = {r["shop_id"]: r["name"] for r in read_parquet_table(spark, tmp_parquet_dir, version=1).collect()}
+    v2 = {r["shop_id"]: r["name"] for r in read_parquet_table(spark, tmp_parquet_dir, version=2).collect()}
+    assert v1 == {"s1": "old-name", "s2": "keep"}
+    assert v2 == {"s1": "new-name", "s2": "keep", "s3": "fresh"}
+
+    # default read = latest
+    assert {r["shop_id"] for r in read_parquet_table(spark, tmp_parquet_dir).collect()} == {"s1", "s2", "s3"}
+
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        read_parquet_table(spark, tmp_parquet_dir, version=9)  # never committed
+
+    # retention: keep_snapshots=1 prunes the older versions on next write
+    upsert_parquet(spark, _updates(spark), tmp_parquet_dir, ["shop_id"], keep_snapshots=1)
+    with pytest.raises(FileNotFoundError):
+        read_parquet_table(spark, tmp_parquet_dir, version=1)
+
+
+def test_compact_table_reduces_files_preserves_rows(spark, tmp_parquet_dir):
+    import glob
+
+    from etl_tiki_webscraping_spark.sinks.upsert import compact_table
+
+    # simulate micro-batch accretion: a committed snapshot of 64 tiny files
+    # (written directly — AQE would coalesce an upsert's shuffle output)
+    df = spark.createDataFrame(
+        [(f"s{i}", f"n{i}", i) for i in range(300)],
+        "shop_id string, name string, product_total int",
+    )
+    df.repartition(64).write.parquet(os.path.join(tmp_parquet_dir, "v00000001"))
+    with open(os.path.join(tmp_parquet_dir, SNAPSHOT_POINTER), "w") as fh:
+        fh.write("v00000001")
+    before = sorted(map(tuple, read_parquet_table(spark, tmp_parquet_dir).collect()))
+    n_before = len(glob.glob(tmp_parquet_dir + "/v*/**/*.parquet", recursive=True))
+
+    n_written = compact_table(spark, tmp_parquet_dir)
+    after = sorted(map(tuple, read_parquet_table(spark, tmp_parquet_dir).collect()))
+    assert after == before
+    assert n_written < n_before
+    with open(os.path.join(tmp_parquet_dir, SNAPSHOT_POINTER)) as fh:
+        assert fh.read().strip() == "v00000002"  # compaction is a commit
