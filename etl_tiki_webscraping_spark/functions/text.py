@@ -123,6 +123,25 @@ def language_id(col: Column | str) -> Column:
     return F.when(best["v"] > 0, best["k"]).otherwise(F.lit("und"))
 
 
+# PII patterns kept to syntax shared by Java regex (Spark) and RE2
+# (DuckDB/Go scrubbers): no lookarounds, no backrefs — so the exact
+# same scrub is reproducible across engines.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+\d{1,3}[ -]\d{3}[ -]\d{3,4}"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Scrub emails and international-format phone numbers to typed
+    placeholder tokens — the pretraining-corpus PII pass (C4-style).
+    Two chained ``regexp_replace`` calls: pure codegen'd JVM regex,
+    no UDF, no shuffle; at 100 TB this is scan-bound, exactly as it
+    should be.
+    """
+    c = _col(col)
+    c = F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(c, PHONE_PATTERN, "<PHONE>")
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """Deterministic 64-bit document fingerprint: rolling hash-chain of
     tokens — acc' = xxhash64(acc, token).  Order-sensitive (unlike a

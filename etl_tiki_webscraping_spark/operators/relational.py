@@ -278,6 +278,86 @@ def deterministic_stratified_sample(
     return df.filter(pred)
 
 
+def bloom_prefilter_semi_join(
+    fact: DataFrame,
+    dim_keys: DataFrame,
+    on: Sequence[str] | str,
+    n_bits: int = 1 << 20,
+) -> DataFrame:
+    """Semi join with a Bloom-style bitmap prefilter — the runtime-filter
+    pattern (Spark's own DPP/bloom runtime filters, Trino dynamic
+    filtering) expressed in plain DataFrame algebra so the pruning is
+    explicit and testable.
+
+    Build side: hash every dim key into an ``n_bits`` bitmap stored as
+    a (word_idx, word) table of at most ``n_bits/64`` longs — built by
+    one partial-aggregated groupBy(bit_or), always tiny, always
+    broadcastable even when the dim itself is not.  Probe side: each
+    fact row equi-joins its word and tests its bit; rows whose bucket
+    is empty drop BEFORE the exact semi join, so the expensive shuffle
+    moves only probable matches.  One hash function: false-positive
+    rate ~= fill ratio, and false positives are removed by the exact
+    semi join that follows — the result is exactly ``fact ⋉ dim_keys``.
+
+    At 100 TB this is the difference between shuffling the whole fact
+    table into the semi join and shuffling only the (say) 3% of rows
+    that can match a selective dimension.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    bucket = F.pmod(F.xxhash64(*on), F.lit(n_bits))
+    bitmap = (
+        dim_keys.select(
+            (bucket / 64).cast("bigint").alias("__word_idx"),
+            F.shiftleft(F.lit(1).cast("bigint"), (bucket % 64).cast("int")).alias("__mask"),
+        )
+        .groupBy("__word_idx")
+        .agg(F.bit_or("__mask").alias("__word"))
+    )
+    probed = (
+        fact.withColumn("__word_idx", (bucket / 64).cast("bigint"))
+        .withColumn("__probe", F.shiftleft(F.lit(1).cast("bigint"), (bucket % 64).cast("int")))
+        .join(F.broadcast(bitmap), on="__word_idx", how="inner")
+        .filter(F.col("__word").bitwiseAND(F.col("__probe")) != 0)
+        .select(*fact.columns)
+    )
+    return fk_semi_join(probed, dim_keys, on, broadcast_keys=False)
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Snapshot diff: classify every key as ``added`` / ``removed`` /
+    ``changed`` between two versions of a table (unchanged keys are not
+    emitted).  The reconciliation primitive for validating incremental
+    loads against a rebuild, or diffing two time-travel snapshots.
+
+    One full-outer shuffle join on the key; attribute comparison is
+    null-safe so NULL -> value and value -> NULL count as changes.
+    Emits only the keys + change_type — at 100 TB you join the output
+    back to whichever side you need rather than carrying both payloads
+    through the shuffle.
+    """
+    keys = list(keys)
+    attrs = list(compare_cols) if compare_cols is not None else [
+        c for c in old.columns if c not in keys
+    ]
+    o = old.select(*keys, *[F.col(c).alias(f"__o_{c}") for c in attrs], F.lit(True).alias("__in_old"))
+    n = new.select(*keys, *[F.col(c).alias(f"__n_{c}") for c in attrs], F.lit(True).alias("__in_new"))
+    j = o.join(n, on=keys, how="full_outer")
+    same = F.lit(True)
+    for c in attrs:
+        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    return j.select(*keys, change.alias("change_type")).filter(F.col("change_type").isNotNull())
+
+
 def repartition_even(df: DataFrame, n: int) -> DataFrame:
     """Split into ``n`` parallel parts covering EVERY row — the fixed
     form of the reference's 5-way split whose integer-division slicing

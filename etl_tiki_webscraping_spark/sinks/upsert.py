@@ -331,6 +331,42 @@ def scd2_apply(
     return hist.unionByName(untouched).unionByName(closing).unionByName(fresh)
 
 
+def apply_changes(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Apply a CDC change feed with inserts/updates/DELETES to a
+    snapshot — the ``MERGE ... WHEN MATCHED AND op='D' THEN DELETE``
+    extension of :func:`upsert_dataframes` (which the reference's
+    ``ON DUPLICATE KEY UPDATE`` load cannot express; deletes are the
+    gap every replication pipeline hits).
+
+    ``changes`` carries the target's columns plus ``op_col``
+    ('I'/'U'/'D') and a monotonic ``seq_col``; for each key only the
+    HIGHEST-seq change is applied (ties broken by op descending so a
+    delete at the same seq wins deterministically): 'D' removes the
+    row, 'I'/'U' replace-or-insert it.  Replaying the same feed is
+    idempotent.
+
+    Plan shape: one dedup-by-key over the (small) change feed + one
+    anti join on the target — identical cost to a plain upsert; the
+    target is never scanned twice.
+    """
+    keys = list(keys)
+    out_cols = [c for c in target.columns]
+    latest = dedup_deterministic(
+        changes, keys, [F.col(seq_col).desc(), F.col(op_col).desc()]
+    )
+    survivors = target.join(
+        latest.select(*keys).distinct(), on=keys, how="left_anti"
+    ).select(*out_cols)
+    upserts = latest.filter(F.col(op_col) != "D").select(*out_cols)
+    return survivors.unionByName(upserts)
+
+
 def merge_sql(target: str, staging: str, keys: Sequence[str], columns: Sequence[str]) -> str:
     """Build the ANSI/Delta ``MERGE INTO`` equivalent of the reference's
     ``INSERT ... ON DUPLICATE KEY UPDATE`` (dags/etl.py:181-199) — W2

@@ -218,6 +218,41 @@ def sessionize_stream(
     )
 
 
+def enriched_windowed_counts(
+    events: DataFrame,
+    dim: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-static join + windowed aggregation: enrich the event
+    stream with a broadcast dimension (nation, keyed by
+    ``user_id % 25``), then tumbling-window counts per nation.
+
+    The stream-static join is stateless — each micro-batch hash-joins
+    against the (re-broadcast-on-update) static side, no join state
+    accumulates — so only the windowed agg holds state, bounded by the
+    watermark.  Works identically on a batch frame (the oracle twin).
+    """
+    enriched = events.withWatermark("ts", watermark_delay).join(
+        F.broadcast(dim.select("n_nationkey", "n_name")),
+        F.pmod(F.col("user_id"), F.lit(25)) == F.col("n_nationkey"),
+        "inner",
+    )
+    return (
+        enriched.groupBy(F.window("ts", window_duration).alias("w"), "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("n_name").alias("nation"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def foreach_batch_upsert(
     stream: DataFrame,
     target_path: str,
