@@ -26,9 +26,14 @@ Three strategies (SURVEY §2.9 W2a-c):
 
 Scale note: (c) is one broadcast-or-shuffled anti join plus a union —
 the same shape Delta's MERGE file-rewrite does under the hood.  For
-100 TB targets you'd partition the target table (e.g. by date) and
-only rewrite the partitions the updates touch; ``upsert_parquet``
-supports that via ``partition_by`` + dynamic partition overwrite.
+100 TB targets, partition the target (``partition_by=...``):
+``upsert_parquet`` then rewrites ONLY the partitions the update batch
+touches.  Each snapshot is a hive-layout directory whose per-partition
+entries are references (symlinks locally; manifest entries in the
+committed ``vN.json``) into an append-only ``data/`` pool, so a 1 GB
+daily batch against a 100 TB table copies ~1 GB, not 100 TB, while
+untouched partitions are carried forward by reference at zero I/O.
+See :func:`upsert_parquet` for the commit protocol.
 """
 
 from __future__ import annotations
@@ -117,6 +122,182 @@ def read_parquet_table(
     return spark.read.parquet(os.path.join(target_path, snap) if snap else target_path)
 
 
+def _leaf_partition_dirs(root: str, depth: int) -> list[str]:
+    """Relative paths of the hive partition leaf dirs exactly ``depth``
+    levels under ``root`` (follows symlinked dirs)."""
+    import os
+
+    out: list[str] = []
+
+    def walk(d: str, rel: str, level: int) -> None:
+        if level == 0:
+            out.append(rel)
+            return
+        if not os.path.isdir(d):
+            return
+        for e in sorted(os.listdir(d)):
+            full = os.path.join(d, e)
+            if e.startswith((".", "_")) or not os.path.isdir(full):
+                continue
+            walk(full, os.path.join(rel, e) if rel else e, level - 1)
+
+    walk(root, "", depth)
+    return out
+
+
+def _farm_entries(snap_dir: str, pcols: Sequence[str]) -> dict[str, str] | None:
+    """If ``snap_dir`` is a hive layout matching ``pcols`` (one
+    ``col=value`` path level per partition column), return
+    {leaf relpath -> fully-resolved data dir}; else None (legacy plain
+    snapshot, or the table was re-partitioned on different columns)."""
+    import os
+
+    leaves = _leaf_partition_dirs(snap_dir, len(pcols))
+    if not leaves:
+        return None
+    for rel in leaves:
+        segs = rel.split(os.sep)
+        if any(not seg.startswith(f"{pc}=") for pc, seg in zip(pcols, segs)):
+            return None
+        # farm leaves are always symlinks into the data/ pool; a real dir
+        # here means a legacy snapshot or a different partitioning depth —
+        # carrying it forward would dangle once the old snapshot is pruned
+        if not os.path.islink(os.path.join(snap_dir, rel)):
+            return None
+    return {rel: os.path.realpath(os.path.join(snap_dir, rel)) for rel in leaves}
+
+
+def _write_pointer(target_path: str, snap_name: str) -> None:
+    """Commit = atomic pointer swap (object-store analog: single PUT,
+    or a conditional PUT for multi-writer safety)."""
+    import os
+
+    pointer = os.path.join(target_path, SNAPSHOT_POINTER)
+    tmp = pointer + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(snap_name)
+    os.replace(tmp, pointer)
+
+
+def _prune_snapshots(target_path: str, next_version: int, keep_snapshots: int) -> None:
+    """Best-effort retention: keep the newest ``keep_snapshots`` snapshot
+    versions (dirs + manifests) plus every ``data/`` pool dir still
+    referenced by a retained snapshot; everything older is reclaimed.
+    Object-store analog: batch delete driven by the retained manifests."""
+    import os
+    import shutil
+
+    keep_versions = {
+        f"v{v:08d}" for v in range(max(1, next_version - keep_snapshots + 1), next_version + 1)
+    }
+    referenced: set[str] = set()
+    for name in keep_versions:
+        snap = os.path.join(target_path, name)
+        if not os.path.isdir(snap):
+            continue
+        for root, dirs, files in os.walk(snap):
+            for e in dirs + files:
+                p = os.path.join(root, e)
+                if os.path.islink(p):
+                    rel = os.path.relpath(os.path.realpath(p), target_path)
+                    parts = rel.split(os.sep)
+                    if parts[0] == "data" and len(parts) > 1:
+                        referenced.add(parts[1])
+    for entry in os.listdir(target_path):
+        if entry == SNAPSHOT_POINTER:
+            continue
+        full = os.path.join(target_path, entry)
+        if entry == "data":
+            for sub in os.listdir(full):
+                if sub in referenced:
+                    continue
+                try:
+                    shutil.rmtree(os.path.join(full, sub))
+                except OSError:
+                    pass
+            continue
+        stem = entry[:-5] if entry.endswith(".json") else entry
+        if stem in keep_versions:
+            continue
+        try:
+            shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
+        except OSError:
+            pass  # concurrent reader on a slow FS; next run reclaims it
+
+
+def _commit_partitioned(
+    merged: DataFrame,
+    target_path: str,
+    next_version: int,
+    pcols: Sequence[str],
+    prior_entries: dict[str, str],
+    keep_snapshots: int,
+) -> None:
+    """Write ``merged`` (the touched partitions only) into a new
+    ``data/`` pool dir, then build snapshot ``vN`` as a hive-layout farm
+    of per-partition references: freshly-written partitions point at the
+    new pool dir, untouched ones at the same pool dirs the previous
+    snapshot referenced (zero copy).  Locally the references are
+    symlinks so Spark's ordinary hive partition discovery — and
+    therefore PartitionFilters pruning — works unchanged; the
+    authoritative commit metadata is ``vN.json`` (partition -> pool
+    path), which is what an object-store port would read instead of
+    symlinks.  Commit order: pool write -> farm build -> rename farm
+    into place -> manifest -> pointer swap; every crash point leaves the
+    previous snapshot fully readable."""
+    import json
+    import os
+    import shutil
+
+    snap_name = f"v{next_version:08d}"
+    pool_dir = os.path.join(target_path, "data", f"{next_version:08d}")
+    # overwrite: a crashed run may have left this (uncommitted) pool dir
+    merged.write.mode("overwrite").partitionBy(*pcols).parquet(pool_dir)
+
+    entries = dict(prior_entries)
+    for rel in _leaf_partition_dirs(pool_dir, len(pcols)):
+        entries[rel] = os.path.realpath(os.path.join(pool_dir, rel))
+
+    farm_tmp = os.path.join(target_path, snap_name + ".build")
+    shutil.rmtree(farm_tmp, ignore_errors=True)
+    os.makedirs(farm_tmp)
+    for rel, data_dir in entries.items():
+        link = os.path.join(farm_tmp, rel)
+        os.makedirs(os.path.dirname(link), exist_ok=True)
+        os.symlink(os.path.relpath(data_dir, os.path.dirname(link)), link)
+    final = os.path.join(target_path, snap_name)
+    shutil.rmtree(final, ignore_errors=True)  # crashed uncommitted leftover
+    os.rename(farm_tmp, final)
+
+    manifest = {
+        "version": next_version,
+        "partition_by": list(pcols),
+        "partitions": {rel: os.path.relpath(d, target_path) for rel, d in entries.items()},
+    }
+    mpath = os.path.join(target_path, snap_name + ".json")
+    with open(mpath + ".tmp", "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.replace(mpath + ".tmp", mpath)
+
+    _write_pointer(target_path, snap_name)
+    _prune_snapshots(target_path, next_version, keep_snapshots)
+
+
+def _touched_partition_filter(updates: DataFrame, pcols: Sequence[str]) -> Column:
+    """Predicate selecting exactly the partitions present in the update
+    batch.  The collect is bounded by the number of TOUCHED partitions
+    (one small row each), not by table or batch size — the same
+    cardinality a Delta/Iceberg writer holds in its commit metadata."""
+    rows = updates.select(*pcols).distinct().collect()
+    cond = F.lit(False)
+    for r in rows:
+        leaf = F.lit(True)
+        for pc in pcols:
+            leaf = leaf & F.col(pc).eqNullSafe(F.lit(r[pc]))
+        cond = cond | leaf
+    return cond
+
+
 def upsert_parquet(
     spark: SparkSession,
     updates: DataFrame,
@@ -128,29 +309,47 @@ def upsert_parquet(
 ) -> None:
     """Upsert into a parquet table path; creates it if absent.
 
-    Commit protocol: versioned snapshot dirs + an atomically-swapped
+    Commit protocol: versioned snapshots + an atomically-swapped
     pointer file (the single-writer core of what Delta/Iceberg do with
     a transaction log):
 
         <target>/_LATEST          -> "v00000007"   (the committed table)
-        <target>/v00000007/...    parquet snapshot
-        <target>/v00000006/...    previous snapshot (kept for readers
-                                   mid-scan + crash forensics; older
-                                   snapshots pruned best-effort)
+        <target>/v00000007/...    snapshot (see below)
+        <target>/v00000006/...    previous snapshot (time-travel window;
+                                   older snapshots pruned best-effort)
 
-    The merged result is fully written into a NEW snapshot dir first;
-    the commit is the pointer swap.  EVERY crash point leaves a
-    complete, committed table: before the swap readers still see the
-    old snapshot, after it the new one — there is no window where the
-    target is missing or half-written (the flaw of delete-then-rename).
-    No POSIX rename of the data is required, so the same protocol works
-    on object stores where a 100 TB table actually lives: the pointer
-    swap maps to a single-object PUT (atomic on S3/GCS) or a
-    conditional put for multi-writer safety; the prune maps to a batch
-    delete.  Read back via :func:`read_parquet_table`.
+    Unpartitioned tables: the merged result is fully written into a NEW
+    snapshot dir first; the commit is the pointer swap.  EVERY crash
+    point leaves a complete, committed table: before the swap readers
+    still see the old snapshot, after it the new one — there is no
+    window where the target is missing or half-written (the flaw of
+    delete-then-rename).  No POSIX rename of the data is required, so
+    the protocol works on object stores: the pointer swap maps to a
+    single-object PUT (atomic on S3/GCS) or a conditional put for
+    multi-writer safety; the prune maps to a batch delete.
+
+    Partitioned tables (``partition_by=...``) avoid the full-table
+    write amplification: only the partitions the update batch touches
+    are read (via a partition-pruned scan of the current snapshot),
+    merged, and rewritten into an append-only ``data/`` pool; the new
+    snapshot is a hive-layout dir of per-partition REFERENCES —
+    symlinks locally, ``vN.json`` manifest entries authoritatively —
+    so untouched partitions carry forward at zero I/O.  A 1 GB daily
+    batch against a 100 TB table therefore writes ~1 GB, not 100 TB,
+    which is the property Delta/Iceberg MERGE gets from file-level
+    rewrite (and the reference's row-level ``ON DUPLICATE KEY UPDATE``,
+    dags/etl.py:181-202, gets from B-tree page writes).  Read back via
+    :func:`read_parquet_table` — partition pruning (PartitionFilters)
+    works unchanged because the snapshot dir is ordinary hive layout.
     """
     import os
-    import shutil
+
+    keys = list(keys)
+    if partition_by:
+        _upsert_parquet_partitioned(
+            spark, updates, target_path, keys, order_by, list(partition_by), keep_snapshots
+        )
+        return
 
     cur = _current_snapshot(target_path)
     if cur is not None:
@@ -165,35 +364,62 @@ def upsert_parquet(
         merged = upsert_dataframes(target, updates, keys, order_by)
         next_version = 1
     else:
-        merged = _dedup_updates(updates, list(keys), order_by)
+        merged = _dedup_updates(updates, keys, order_by)
         next_version = 1
 
     snap_name = f"v{next_version:08d}"
-    writer = merged.write.mode("overwrite")  # overwrite: a crashed run may have left this dir
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(os.path.join(target_path, snap_name))
+    # overwrite: a crashed run may have left this dir
+    merged.write.mode("overwrite").parquet(os.path.join(target_path, snap_name))
+    _write_pointer(target_path, snap_name)
+    _prune_snapshots(target_path, next_version, keep_snapshots)
 
-    # commit = atomic pointer swap (object-store analog: single PUT)
-    pointer = os.path.join(target_path, SNAPSHOT_POINTER)
-    tmp = pointer + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(snap_name)
-    os.replace(tmp, pointer)
 
-    # best-effort prune: retain the newest ``keep_snapshots`` versions
-    # (time-travel window; older ones are gone for good)
-    keep = {SNAPSHOT_POINTER} | {
-        f"v{v:08d}" for v in range(max(1, next_version - keep_snapshots + 1), next_version + 1)
-    }
-    for entry in os.listdir(target_path):
-        if entry in keep:
-            continue
-        full = os.path.join(target_path, entry)
-        try:
-            shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
-        except OSError:
-            pass  # concurrent reader on a slow FS; next run reclaims it
+def _upsert_parquet_partitioned(
+    spark: SparkSession,
+    updates: DataFrame,
+    target_path: str,
+    keys: list[str],
+    order_by: Sequence[Column | str] | None,
+    pcols: list[str],
+    keep_snapshots: int,
+) -> None:
+    """Partition-pruned upsert: merge the update batch against ONLY the
+    partitions it touches; carry every other partition forward by
+    reference (see :func:`_commit_partitioned`)."""
+    import os
+
+    cur = _current_snapshot(target_path)
+    prior_entries: dict[str, str] = {}
+    if cur is not None:
+        cur_dir = os.path.join(target_path, cur)
+        entries = _farm_entries(cur_dir, pcols)
+        next_version = int(cur.lstrip("v")) + 1
+        if entries is None:
+            # legacy unpartitioned / re-partitioned snapshot: one-time full rewrite
+            target = spark.read.parquet(cur_dir)
+            merged = upsert_dataframes(target, updates.select(*target.columns), keys, order_by)
+        else:
+            prior_entries = entries
+            touched = spark.read.parquet(cur_dir).filter(
+                _touched_partition_filter(updates, pcols)
+            )
+            # hive reads append partition cols last and may re-infer their
+            # type; realign to the incoming batch's schema before merging
+            for pc in pcols:
+                touched = touched.withColumn(pc, F.col(pc).cast(updates.schema[pc].dataType))
+            touched = touched.select(*updates.columns)
+            merged = upsert_dataframes(touched, updates, keys, order_by)
+    elif os.path.exists(target_path) and any(
+        not e.startswith((".", "_")) for e in os.listdir(target_path)
+    ):
+        target = spark.read.parquet(target_path)
+        merged = upsert_dataframes(target, updates.select(*target.columns), keys, order_by)
+        next_version = 1
+    else:
+        merged = _dedup_updates(updates, keys, order_by)
+        next_version = 1
+
+    _commit_partitioned(merged, target_path, next_version, pcols, prior_entries, keep_snapshots)
 
 
 def compact_table(
@@ -210,47 +436,43 @@ def compact_table(
     Streaming/micro-batch upserts accrete one file set per batch; at
     100 TB the resulting small-file storm dominates scan time (per-file
     open + footer read) and planner memory.  Compaction is the standard
-    maintenance op (Delta OPTIMIZE / Iceberg rewrite_data_files).
+    maintenance op (Delta OPTIMIZE / Iceberg rewrite_data_files); it is
+    a full rewrite BY DESIGN, unlike the incremental upsert path.
     Returns the number of files written.
     """
     import os
-    import shutil
 
     cur = _current_snapshot(target_path)
     snap_dir = os.path.join(target_path, cur) if cur else target_path
     size = sum(
         os.path.getsize(os.path.join(root, f))
-        for root, _, files in os.walk(snap_dir)
+        for root, _, files in os.walk(snap_dir, followlinks=True)
         for f in files
         if f.endswith(".parquet")
     )
     n_files = max(1, -(-size // target_file_bytes))  # ceil
     df = spark.read.parquet(snap_dir)
-
     next_version = int(cur.lstrip("v")) + 1 if cur else 1
-    snap_name = f"v{next_version:08d}"
-    writer = df.repartition(n_files).write.mode("overwrite")
+
     if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(os.path.join(target_path, snap_name))
+        # stay in the referenced-partition layout: every partition is
+        # freshly written (no carried-forward entries), farm + manifest
+        _commit_partitioned(
+            df.repartition(n_files),
+            target_path,
+            next_version,
+            list(partition_by),
+            {},
+            keep_snapshots,
+        )
+        return n_files
 
-    pointer = os.path.join(target_path, SNAPSHOT_POINTER)
-    tmp = pointer + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(snap_name)
-    os.replace(tmp, pointer)
-
-    keep = {SNAPSHOT_POINTER} | {
-        f"v{v:08d}" for v in range(max(1, next_version - keep_snapshots + 1), next_version + 1)
-    }
-    for entry in os.listdir(target_path):
-        if entry in keep:
-            continue
-        full = os.path.join(target_path, entry)
-        try:
-            shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
-        except OSError:
-            pass
+    snap_name = f"v{next_version:08d}"
+    df.repartition(n_files).write.mode("overwrite").parquet(
+        os.path.join(target_path, snap_name)
+    )
+    _write_pointer(target_path, snap_name)
+    _prune_snapshots(target_path, next_version, keep_snapshots)
     return n_files
 
 
