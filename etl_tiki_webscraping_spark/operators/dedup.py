@@ -20,7 +20,7 @@ does not.
 
 from __future__ import annotations
 
-from collections.abc import Iterable, Iterator
+from collections.abc import Iterable, Iterator, Sequence
 
 import numpy as np
 import pandas as pd
@@ -39,6 +39,52 @@ def normalize_text(col: Column | str) -> Column:
     """Canonical form for exact dedup: lowercase, collapse whitespace."""
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def cap_bucket_membership(
+    buckets: DataFrame, bucket_keys: Sequence[str], cap: int | None
+) -> DataFrame:
+    """Hot-bucket guard for LSH candidate generation: DROP every bucket
+    whose membership exceeds ``cap`` before the bucket self-join.
+
+    A degenerate bucket — millions of empty docs shingling to the
+    sentinel, a dense SRP cell, the all-zero SimHash chunk — produces
+    O(|bucket|^2) candidate pairs in ONE task; at 100 TB a single
+    pathological bucket stalls the whole stage.  Production MinHash
+    pipelines cap or drop such buckets: a bucket bigger than ``cap``
+    carries almost no discriminative signal (it pairs everything with
+    everything), and members keep their recall through the OTHER
+    bands/tables they hash into.  Exactly-identical texts are caught by
+    :func:`exact_dedup` regardless.
+
+    Plan shape: a partial-aggregated count on the bucket key plus a
+    co-partitioned anti join — no extra wide shuffle beyond the one the
+    self-join already pays.  Pass ``cap=None`` to disable.  Use
+    :func:`hot_buckets` to observe what a cap would drop.
+    """
+    if cap is None:
+        return buckets
+    keys = list(bucket_keys)
+    hot = (
+        buckets.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__bucket_n"))
+        .filter(F.col("__bucket_n") > cap)
+        .select(*keys)
+    )
+    return buckets.join(hot, on=keys, how="left_anti")
+
+
+def hot_buckets(
+    buckets: DataFrame, bucket_keys: Sequence[str], cap: int
+) -> DataFrame:
+    """Diagnostic: the (bucket key, membership) rows a ``cap`` would
+    drop — count/log these when tuning ``bucket_cap`` on a new corpus."""
+    keys = list(bucket_keys)
+    return (
+        buckets.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("members"))
+        .filter(F.col("members") > cap)
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -199,13 +245,15 @@ def minhash_candidate_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    bucket_cap: int | None = 1024,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b): docs sharing >=1 band bucket.
 
     Plan shape: narrow signature computation -> explode to (band,
     bucket) -> self-join within buckets.  The self-join shuffles both
     sides on (band, bucket) — small keys — and the pair blow-up is
-    bounded by bucket sizes, not corpus size.
+    bounded by ``bucket_cap`` (oversized buckets dropped, see
+    :func:`cap_bucket_membership`), not corpus size.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     r = num_hashes // bands
@@ -213,6 +261,7 @@ def minhash_candidate_pairs(
     buckets = sig.select("id", F.explode(_band_buckets(F.col("sig"), bands, r)).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    buckets = cap_bucket_membership(buckets, ["band", "bucket"], bucket_cap)
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (
@@ -257,19 +306,23 @@ def minhash_duplicate_edges(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    bucket_cap: int | None = 1024,
 ) -> DataFrame:
     """Verified near-duplicate edges ``(id_a < id_b)``: MinHash-LSH
     candidates filtered by exact n-gram Jaccard >= threshold.
 
     Scale shape: the band explode and bucket self-join shuffle BARE IDS
-    (8-byte hashes + ids, never documents or shingle sets); candidate
-    pairs are DISTINCT'd before verification so a pair sharing k bands
-    is verified once, not k times (a near-dup-heavy corpus shares most
-    bands — worst case is exactly where redundant verification would
-    hurt most); then the shingle-hash sets join back once for the exact
-    Jaccard check.  The analysis is persisted because it feeds three
-    consumers (banding + both verify legs) and Catalyst would otherwise
-    re-execute the scan + Arrow kernel per consumer.
+    (8-byte hashes + ids, never documents or shingle sets); buckets
+    with more than ``bucket_cap`` members are dropped before the
+    self-join (see :func:`cap_bucket_membership` — the O(|bucket|^2)
+    guard); candidate pairs are DISTINCT'd before verification so a
+    pair sharing k bands is verified once, not k times (a
+    near-dup-heavy corpus shares most bands — worst case is exactly
+    where redundant verification would hurt most); then the
+    shingle-hash sets join back once for the exact Jaccard check.  The
+    analysis is persisted because it feeds three consumers (banding +
+    both verify legs) and Catalyst would otherwise re-execute the scan
+    + Arrow kernel per consumer.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     r = num_hashes // bands
@@ -279,6 +332,7 @@ def minhash_duplicate_edges(
     buckets = analysis.select(
         "id", F.explode(_band_buckets(F.col("sig"), bands, r)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets = cap_bucket_membership(buckets, ["band", "bucket"], bucket_cap)
     cand = (
         buckets.alias("l")
         .join(buckets.alias("r"), on=["band", "bucket"])
@@ -308,6 +362,7 @@ def minhash_dedup(
     bands: int = 16,
     shingle_n: int = 3,
     exact_components: bool = False,
+    bucket_cap: int | None = 1024,
 ) -> DataFrame:
     """Near-dup removal over verified MinHash-LSH duplicate edges.
 
@@ -325,7 +380,7 @@ def minhash_dedup(
       O(diameter) extra bare-id shuffles (see connected_components).
     """
     edges = minhash_duplicate_edges(
-        df, text_col, id_col, threshold, num_hashes, bands, shingle_n
+        df, text_col, id_col, threshold, num_hashes, bands, shingle_n, bucket_cap
     )
     if exact_components:
         comps = connected_components(edges)
@@ -523,11 +578,23 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
+def simhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bucket_cap: int | None = 1024,
+) -> DataFrame:
     """Near-dup candidates by SimHash: band the 64-bit hash into 4
     16-bit chunks; by pigeonhole, any pair within hamming distance 3
     shares at least one exact chunk.  Join within chunk buckets, then
     verify the full hamming distance.
+
+    Chunk buckets larger than ``bucket_cap`` are dropped before the
+    self-join (:func:`cap_bucket_membership`): a mass of byte-identical
+    docs all hashes to ONE simhash, putting the whole mass in the same
+    4 buckets and exploding the join quadratically — and exact
+    duplicates are :func:`exact_dedup`'s job, not SimHash's.
     """
     sh = df.select(F.col(id_col).alias("id"), simhash64_udf()(F.col(text_col)).alias("sh"))
     chunks = sh.select(
@@ -545,6 +612,7 @@ def simhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str, max_hammi
             )
         ).alias("c"),
     ).select("id", "sh", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
+    chunks = cap_bucket_membership(chunks, ["chunk", "val"], bucket_cap)
     l, r = chunks.alias("l"), chunks.alias("r")
     return (
         l.join(r, on=["chunk", "val"])

@@ -288,15 +288,22 @@ def cosine_dedup_pairs(
     bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: int | None = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
     threshold) via the same SRP bucketing — self-join within buckets
     only.  Bare-id bucket join + distinct pairs + one vector re-join
-    per side (see lsh_topk's scale notes)."""
+    per side (see lsh_topk's scale notes).  SRP cells denser than
+    ``bucket_cap`` are dropped before the self-join (the O(|cell|^2)
+    hot-bucket guard, see dedup.cap_bucket_membership); members keep
+    recall through the other ``tables`` they hash into."""
+    from etl_tiki_webscraping_spark.operators.dedup import cap_bucket_membership
+
     v = df.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("__vec"))
     b = _with_srp_buckets(v.select("id", F.col("__vec").alias("__v")), "__v", tables, bits).select(
         "id", "table", "bucket"
     )
+    b = cap_bucket_membership(b, ["table", "bucket"], bucket_cap)
     pairs = (
         b.alias("l")
         .join(b.alias("r"), on=["table", "bucket"])

@@ -149,3 +149,60 @@ def test_simhash_pairs_identical_distance_zero(spark):
     assert rows.get((1, 2)) == 0  # identical docs -> identical simhash
     assert all(h <= 3 for h in rows.values())
     assert not any(5 in (a, b) for a, b in rows)
+
+
+def test_hot_bucket_cap_bounds_adversarial_corpus(spark):
+    """10^4 byte-identical docs all hash into the same LSH buckets; the
+    hot-bucket cap must drop those buckets so candidate generation stays
+    bounded instead of producing ~5*10^7 pairs in one task."""
+    from etl_tiki_webscraping_spark.operators.dedup import (
+        cap_bucket_membership,
+        hot_buckets,
+        minhash_analysis,
+        _band_buckets,
+    )
+
+    n = 10_000
+    rows = [(i, "identical adversarial text repeated in every single row") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    capped = minhash_candidate_pairs(df, "text", "doc_id", bucket_cap=256)
+    assert capped.count() == 0  # every bucket oversize -> dropped entirely
+
+    # the diagnostic surface reports exactly what was dropped
+    sig = minhash_analysis(df, "text", "doc_id").select("id", "sig")
+    buckets = sig.select(
+        "id", F.explode(_band_buckets(F.col("sig"), 16, 4)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    dropped = hot_buckets(buckets, ["band", "bucket"], 256).collect()
+    assert len(dropped) == 16  # one hot bucket per band
+    assert all(r["members"] == n for r in dropped)
+    assert cap_bucket_membership(buckets, ["band", "bucket"], 256).count() == 0
+
+    # simhash: the same mass collapses to one 64-bit hash -> 4 hot chunks
+    sh_pairs = simhash_candidate_pairs(df, "text", "doc_id", bucket_cap=256)
+    assert sh_pairs.count() == 0
+
+    # exact dedup still catches the identical mass (the cap's contract)
+    assert exact_dedup(df, "text", "doc_id").count() == 1
+
+
+def test_hot_bucket_cap_leaves_normal_corpus_unchanged(spark):
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(_docs(spark), "text", "doc_id", bucket_cap=None).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(_docs(spark), "text", "doc_id", bucket_cap=1024).collect()
+    }
+    assert uncapped == capped and (1, 2) in capped
+
+
+def test_cosine_dedup_hot_cell_cap_bounds_identical_vectors(spark):
+    from etl_tiki_webscraping_spark.operators.similarity import cosine_dedup_pairs
+
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(2000)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = cosine_dedup_pairs(df, threshold=0.95, bucket_cap=128)
+    assert out.count() == 0  # every SRP cell oversize -> dropped
