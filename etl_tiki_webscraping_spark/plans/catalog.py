@@ -1108,17 +1108,19 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2, 3
     """,
-    doc="§2.10 REAL streaming run: readStream file source, watermark + tumbling "
-        "window agg, Trigger.AvailableNow, memory sink — must equal the batch twin "
-        "(and its oracle) on fully-available input",
+    doc="§2.10 REAL streaming run: readStream file source split into 3 time-range "
+        "micro-batches (maxFilesPerTrigger=1), watermark + tumbling window agg, "
+        "Trigger.AvailableNow, memory sink — cross-batch window state and "
+        "batch-by-batch watermark advancement exercised; must equal the batch twin "
+        "(and its oracle) on fully-available in-order input",
 )
 def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_tiki_webscraping_spark.streaming.events import (
-        read_events_stream,
+        read_events_stream_multibatch,
         run_available_now_to_memory,
     )
 
-    stream = read_events_stream(spark, sf_dir)
+    stream = read_events_stream_multibatch(spark, sf_dir, n_batches=3)
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window(F.col("ts"), "1 hour").alias("w"), F.col("event_type"))
@@ -1141,17 +1143,19 @@ def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_dedup_ids",
     oracle="SELECT event_id, user_id, event_type, value FROM events",
     doc="§2.10 stateful streaming dedup: dropDuplicatesWithinWatermark on event_id "
-        "over a readStream source (ids are unique in the fixture, so the streaming "
-        "result must equal the full table — the dedup is exercised, not lossy)",
+        "over a readStream source split into 3 time-range micro-batches — the dedup "
+        "state store persists across batches and the watermark advances per batch "
+        "(ids are unique in the fixture, so the streaming result must equal the "
+        "full table — the dedup is exercised, not lossy)",
 )
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_tiki_webscraping_spark.streaming.events import (
-        read_events_stream,
+        read_events_stream_multibatch,
         run_available_now_to_memory,
     )
     from etl_tiki_webscraping_spark.streaming.events import streaming_dedup
 
-    stream = read_events_stream(spark, sf_dir)
+    stream = read_events_stream_multibatch(spark, sf_dir, n_batches=3)
     deduped = streaming_dedup(stream, keys=["event_id"]).select(
         "event_id", "user_id", "event_type", "value"
     )

@@ -12,7 +12,21 @@ with watermarks for late data, stateful dropDuplicates on event_id,
 and the foreachBatch-upsert sink.  Each streaming transform has a
 batch twin (same logical plan on a static frame) used by the
 correctness oracle; the streaming path is covered by unit tests with
-file sources + AvailableNow.
+file sources + AvailableNow, run as REAL multi-batch streams
+(maxFilesPerTrigger=1 over time-ordered files) so cross-batch state,
+watermark advancement, and eviction are actually exercised.
+
+WHICH SINK SHIPS: the deployable production path is
+:func:`foreach_batch_upsert` — ``outputMode("update")`` +
+``foreachBatch`` merging each micro-batch into the partitioned
+snapshot table by PK.  Its state is bounded by the watermark and the
+sink table absorbs the history, so it scales to unbounded streams.
+The ``complete``-mode memory sink used by the correctness catalog
+(:func:`run_available_now_to_memory` in ``q_stream_windowed``) is an
+ORACLE HARNESS ONLY: complete mode retains every window's state
+forever and the memory sink collects to the driver — both fine for a
+bounded fixture comparison, both wrong for production.  Do not deploy
+the harness path.
 """
 
 from __future__ import annotations
@@ -46,6 +60,45 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if isinstance(schema["ts"].dataType, T.LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream
+
+
+def read_events_stream_multibatch(
+    spark: SparkSession, sf_dir: str, n_batches: int = 3
+) -> DataFrame:
+    """Stream the ``events`` fixture as ``n_batches`` REAL micro-batches.
+
+    The fixture is one parquet file, which AvailableNow would consume in
+    a single batch — exercising none of the cross-batch machinery.  This
+    helper re-stages it as ``n_batches`` disjoint time-range files
+    (ascending mtimes; the file source processes oldest-first) and
+    limits each trigger to one file, so windows and dedup keys spanning
+    adjacent ranges carry state ACROSS batches and the watermark
+    advances batch-by-batch exactly as in production.  Because arrival
+    order follows event time, no row is ever late — results stay equal
+    to the batch twin / SQL oracle.  (Late-data EVICTION is proven
+    separately in tests/test_streaming.py with out-of-order batches.)
+    """
+    from etl_tiki_webscraping_spark.io import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    staged = tempfile.mkdtemp(prefix="stream-batches-") + "/in"
+    (
+        events.repartitionByRange(n_batches, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(staged)
+    )
+    files = sorted(
+        f for f in os.listdir(staged) if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+    for i, f in enumerate(files):  # part-00000 holds the lowest ts range
+        os.utime(os.path.join(staged, f), (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    schema = events.schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
 
 
 def run_available_now_to_memory(stream: DataFrame, query_name: str, output_mode: str) -> DataFrame:

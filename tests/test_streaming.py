@@ -154,3 +154,113 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     assert got[(1, "2024-01-01 12:00:00")] == (1, 3.0)
     # u3's 14:00 session is still open (timeout 14:30 > final watermark 14:00)
     assert len(got) == 3
+
+
+def _write_batches(tmp_path, name, batches, schema_cols=None):
+    src = tmp_path / name
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        p = src / f"part-{i}.json"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (1700000000 + i * 60, 1700000000 + i * 60))
+    return str(src)
+
+
+def test_windowed_counts_multibatch_watermark_evicts_late_rows(spark, tmp_path):
+    """4 micro-batches in append mode: the 10:00 window's state spans
+    batch 1, the watermark advanced by batch 2 finalizes+emits+evicts it
+    during batch 3, and a batch-4 row arriving BEHIND the watermark is
+    dropped (numRowsDroppedByWatermark) — eviction behavior a
+    single-batch run can never exercise.  (The watermark's drop
+    guarantee is only firm once the state was evicted in an EARLIER
+    batch — Spark documents that data later than the delay 'may or may
+    not' be aggregated if it races the same batch as the eviction —
+    hence the spacer batch.)"""
+    batches = [
+        [
+            {"event_id": "e1", "ts": "2024-01-01 10:05:00", "event_type": "view", "value": 1.0},
+            {"event_id": "e2", "ts": "2024-01-01 10:45:00", "event_type": "view", "value": 2.0},
+        ],
+        [  # moves max event time to 12:00 -> watermark 11:50 next batch
+            {"event_id": "e4", "ts": "2024-01-01 12:00:00", "event_type": "click", "value": 8.0},
+        ],
+        [  # runs WITH watermark 11:50: 10:00-11:00 window finalized + evicted
+            {"event_id": "e6", "ts": "2024-01-01 12:10:00", "event_type": "click", "value": 1.0},
+        ],
+        [  # late row far behind the watermark, state already evicted: dropped
+            {"event_id": "e5", "ts": "2024-01-01 10:30:00", "event_type": "view", "value": 100.0},
+        ],
+    ]
+    src = _write_batches(tmp_path, "wm-in", batches)
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").json(src)
+    )
+    agg = windowed_event_counts(stream)
+    q = (
+        agg.writeStream.outputMode("append")  # append emits only finalized windows
+        .format("memory")
+        .queryName("wm_counts")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt-wm"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from wm_counts").collect()
+    }
+    # exactly the finalized 10:00 view window without the late row; the
+    # 12:00 click window is still open (never finalized, never emitted)
+    assert got == {("2024-01-01 10:00:00", "view"): (2, 3.0)}
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+    )
+    assert dropped == 1  # the late row was evicted by the watermark, not lost
+
+
+def test_streaming_dedup_multibatch_state_spans_and_expires(spark, tmp_path):
+    """5 micro-batches: a duplicate key in a LATER batch is dropped by
+    the cross-batch state store; once the watermark passes the key's
+    horizon its state is evicted (one batch after the watermark
+    advances — hence the spacer batch) and the key may legitimately
+    reappear (dropDuplicatesWithinWatermark's contract)."""
+    batches = [
+        [
+            {"event_id": "e1", "ts": "2024-01-01 10:00:00", "event_type": "view", "value": 1.0},
+            {"event_id": "e2", "ts": "2024-01-01 10:05:00", "event_type": "view", "value": 2.0},
+        ],
+        [  # duplicate of e1 within the watermark horizon -> dropped
+            {"event_id": "e1", "ts": "2024-01-01 10:06:00", "event_type": "view", "value": 1.5},
+        ],
+        [  # advances the watermark to 11:50 for the NEXT batch
+            {"event_id": "e3", "ts": "2024-01-01 12:00:00", "event_type": "click", "value": 3.0},
+        ],
+        [  # spacer: runs with watermark 11:50 -> e1/e2 state evicted here
+            {"event_id": "e7", "ts": "2024-01-01 12:01:00", "event_type": "click", "value": 4.0},
+        ],
+        [  # e1 again, far past its evicted horizon -> re-emitted
+            {"event_id": "e1", "ts": "2024-01-01 12:05:00", "event_type": "view", "value": 9.0},
+        ],
+    ]
+    src = _write_batches(tmp_path, "dedup-in", batches)
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").json(src)
+    )
+    deduped = streaming_dedup(stream, keys=["event_id"])
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_mb")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt-dmb"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select event_id, value from dedup_mb").collect()
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == ["e1", "e1", "e2", "e3", "e7"]  # dup dropped; expired key re-emitted
+    vals = {r["value"] for r in rows if r["event_id"] == "e1"}
+    assert vals == {1.0, 9.0}  # the in-horizon duplicate (1.5) never surfaced
