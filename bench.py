@@ -94,6 +94,49 @@ def main() -> None:
     pass1 = run_pass()
     pass2 = run_pass()
 
+    # Regression gate: diff steady-state (pass 2) timings against the
+    # newest prior round's recorded bench. >1.5x AND >0.25s absolute
+    # (sub-100ms queries jitter well past 1.5x on a busy host) is
+    # flagged; an empty dict is the clean-run signal.  A query whose
+    # cost changed for a KNOWN, deliberate reason is still flagged but
+    # carries the explanation.
+    known_causes = {
+        "streaming_windowed_counts": (
+            "r3: runs as a REAL 3-micro-batch stream (time-range-split files, "
+            "maxFilesPerTrigger=1) instead of one batch — cross-batch state and "
+            "per-batch watermark advancement are now exercised; the extra trigger "
+            "rounds are the cost of that realism, not a plan regression"
+        ),
+    }
+    regressions: dict[str, dict[str, object]] = {}
+    prior_file = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    priors = sorted(
+        f for f in os.listdir(here) if f.startswith("BENCH_r") and f.endswith(".json")
+    )
+    for f in reversed(priors):
+        try:
+            with open(os.path.join(here, f)) as fh:
+                prior = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        prior = prior.get("parsed", prior)  # driver wraps bench stdout
+        prior_q = prior.get("queries_pass2") or prior.get("queries")
+        if prior_q:
+            prior_file = f
+            for name, now in pass2.items():
+                was = prior_q.get(name)
+                if was and now > 1.5 * was and now - was > 0.25:
+                    entry: dict[str, object] = {
+                        "prior": was,
+                        "now": now,
+                        "ratio": round(now / was, 2),
+                    }
+                    if name in known_causes:
+                        entry["note"] = known_causes[name]
+                    regressions[name] = entry
+            break
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -104,6 +147,8 @@ def main() -> None:
                 "queries": pass1,
                 "value_pass2": round(sum(pass2.values()), 3),
                 "queries_pass2": pass2,
+                "regressions": regressions,
+                "regressions_vs": prior_file,
                 "sf": float(sf),
             }
         )
