@@ -1194,23 +1194,28 @@ def q_keyed_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_nationkey", "detail_name", "detail_code")
 
 
-@register(
-    "pipeline_e2e",
-    oracle=None,  # orchestration demo over mocked HTTP — rows-only
-    doc="§2.12 O1-O5 full Sendo-shaped pipeline on injected deterministic fetchers: "
-        "sitemap -> paginated products -> shop lookups -> ratings -> FK-ordered PK "
-        "upserts into a parquet warehouse; returns the loaded product_detail table",
-)
-def q_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+_PIPELINE_WAREHOUSE: list[str] = []  # memoized per process (content is sf-independent)
+
+
+def _pipeline_warehouse(spark: SparkSession) -> str:
+    """Build the e2e warehouse: TWO pipeline runs over injected
+    deterministic fetchers, so the PK upserts actually resolve
+    conflicts (run 2 overwrites a subset and inserts new rows) and the
+    FK gate actually drops a row (run 2 scrapes an orphan product whose
+    shop lookup fails).  Memoized — the three pipeline_e2e* queries
+    share one build."""
+    import os
     import tempfile
     from decimal import Decimal
 
     from etl_tiki_webscraping_spark.plans.pipeline import (
         PipelineFetchers,
         run_pipeline,
-        warehouse_table,
     )
     from etl_tiki_webscraping_spark.sources.http import FetchConfig
+
+    if _PIPELINE_WAREHOUSE and os.path.isdir(_PIPELINE_WAREHOUSE[0]):
+        return _PIPELINE_WAREHOUSE[0]
 
     sitemap = [
         {"url_key": "electronics", "child": [{"url_key": "phones"}, {"url_key": "laptops"}]},
@@ -1274,15 +1279,264 @@ def q_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(3)
         ]
 
-    fetchers = PipelineFetchers(
-        sitemap=lambda: sitemap,
-        product_page=product_page,
-        shop_detail=shop_detail,
-        rating_page=rating_page,
-    )
+    # --- run 2: the NEXT day's scrape (dags/etl.py:296-297 daily rerun):
+    # pages 1-2 re-scraped with new prices/names (upsert UPDATE leg),
+    # page 3 not reached (stays at run-1 values), one orphan product
+    # whose shop lookup fails (FK gate drops it), shops re-scraped with
+    # new scores, ratings 1 updated + 3 newly inserted per shop.
+    def product_page2(row, page, cfg):
+        if page > 2:
+            return None
+        sc = row["sub_category"]
+        rows = [
+            {
+                "product_id": f"p-{sc}-{page}-{j}",
+                "name": f"Product2 {sc} {page} {j}",
+                "category_path": f"{sc}/p-{sc}-{page}-{j}.html",
+                "price": Decimal("11.00"),
+                "price_max": Decimal("20.00"),
+                "final_price": Decimal("10.00"),
+                "final_price_max": Decimal("18.00"),
+                "shop_id": f"shop-{shop_of[sc]}",
+            }
+            for j in range(3)
+        ]
+        if sc == "shoes" and page == 1:
+            rows.append(
+                {
+                    "product_id": "p-orphan-1",
+                    "name": "Orphan product",
+                    "category_path": "shoes/p-orphan-1.html",
+                    "price": Decimal("1.00"),
+                    "price_max": Decimal("1.00"),
+                    "final_price": Decimal("1.00"),
+                    "final_price_max": Decimal("1.00"),
+                    "shop_id": "shop-9",  # lookup fails -> FK gate drops it
+                }
+            )
+        return rows
+
+    def shop_detail2(row, cfg):
+        if row["shop_id"] == "shop-9":
+            return None  # unresolvable shop: key skipped (S3 contract)
+        d = shop_detail(row, cfg)
+        d.update(
+            shop_name=f"Shop {row['shop_id']} v2",
+            score=Decimal("4.70"),
+            rating_count=12,
+            product_total=10,
+        )
+        return d
+
+    def rating_page2(row, page, cfg):
+        if page > 1:
+            return None
+        return [
+            {
+                "rating_id": f"r-{row['shop_id']}-{i}",
+                "shop_id": row["shop_id"],
+                "address": "x",
+                "star": 5,
+                "comment": "updated",
+                "status": "approved",
+                "update_time": "06/03/2024",
+                "customer_id": f"c{i}",
+                "user_name": f"u{i}",
+                "product_name": "p",
+                "product_path": "p.html",
+                "price": Decimal("12.00"),
+            }
+            for i in (1, 3)
+        ]
+
     warehouse = tempfile.mkdtemp(prefix="pipeline-e2e-") + "/wh"
-    run_pipeline(spark, fetchers, warehouse, FetchConfig(max_retries=0, backoff_seconds=0.0))
-    return warehouse_table(spark, warehouse, "product_detail")
+    cfg = FetchConfig(max_retries=0, backoff_seconds=0.0)
+    run_pipeline(
+        spark,
+        PipelineFetchers(
+            sitemap=lambda: sitemap,
+            product_page=product_page,
+            shop_detail=shop_detail,
+            rating_page=rating_page,
+        ),
+        warehouse,
+        cfg,
+    )
+    run_pipeline(
+        spark,
+        PipelineFetchers(
+            sitemap=lambda: sitemap,
+            product_page=product_page2,
+            shop_detail=shop_detail2,
+            rating_page=rating_page2,
+        ),
+        warehouse,
+        cfg,
+    )
+    _PIPELINE_WAREHOUSE[:] = [warehouse]
+    return warehouse
+
+
+@register(
+    "pipeline_e2e",
+    oracle="""
+    WITH sc(category, sub_category, shop_id) AS (
+      VALUES ('electronics','phones','shop-0'),
+             ('electronics','laptops','shop-1'),
+             ('fashion','shoes','shop-0')
+    ),
+    b1 AS (
+      SELECT 'p-'||sub_category||'-'||page||'-'||j AS product_id,
+             'Product '||sub_category||' '||page||' '||j AS name,
+             sub_category||'/p-'||sub_category||'-'||page||'-'||j||'.html' AS category_path,
+             10.00 AS price, 20.00 AS price_max,
+             9.00 AS final_price, 18.00 AS final_price_max,
+             shop_id, category, sub_category, 1 AS batch
+      FROM sc, range(1,4) p(page), range(0,3) jj(j)
+    ),
+    b2 AS (
+      -- run 2 re-scrapes pages 1-2 only; its orphan (shop-9) row is
+      -- dropped by the FK gate before load and never reaches the table
+      SELECT 'p-'||sub_category||'-'||page||'-'||j AS product_id,
+             'Product2 '||sub_category||' '||page||' '||j AS name,
+             sub_category||'/p-'||sub_category||'-'||page||'-'||j||'.html' AS category_path,
+             11.00 AS price, 20.00 AS price_max,
+             10.00 AS final_price, 18.00 AS final_price_max,
+             shop_id, category, sub_category, 2 AS batch
+      FROM sc, range(1,3) p(page), range(0,3) jj(j)
+    ),
+    merged AS (
+      SELECT *, row_number() OVER (PARTITION BY product_id ORDER BY batch DESC) AS rn
+      FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2) u
+    )
+    SELECT product_id, name, category_path,
+           CAST(price AS DOUBLE) AS price,
+           CAST(price_max AS DOUBLE) AS price_max,
+           CAST(final_price AS DOUBLE) AS final_price,
+           CAST(final_price_max AS DOUBLE) AS final_price_max,
+           shop_id, category, sub_category
+    FROM merged WHERE rn = 1
+    """,
+    doc="§2.12 O1-O5 full Sendo-shaped pipeline on injected deterministic "
+        "fetchers, TWO daily runs: sitemap -> paginated products -> shop lookups "
+        "-> ratings -> FK-ordered PK upserts into a parquet warehouse. The oracle "
+        "replays the same scrape data as SQL literals with last-writer-wins per PK "
+        "(the upsert) and omits the FK-dropped orphan — the final product_detail "
+        "table must hash-match",
+)
+def q_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.plans.pipeline import warehouse_table
+
+    t = warehouse_table(spark, _pipeline_warehouse(spark), "product_detail")
+    return t.select(
+        "product_id",
+        "name",
+        "category_path",
+        F.col("price").cast("double").alias("price"),
+        F.col("price_max").cast("double").alias("price_max"),
+        F.col("final_price").cast("double").alias("final_price"),
+        F.col("final_price_max").cast("double").alias("final_price_max"),
+        "shop_id",
+        "category",
+        "sub_category",
+    )
+
+
+@register(
+    "pipeline_e2e_shops",
+    oracle="""
+    WITH shops(shop_id) AS (VALUES ('shop-0'), ('shop-1'))
+    SELECT shop_id,
+           'Shop '||shop_id||' v2' AS shop_name,
+           CAST(99.10 AS DOUBLE) AS good_review_percent,
+           CAST(4.70 AS DOUBLE) AS score,
+           'c1' AS customer_id, '555' AS phone_number,
+           CAST(4.40 AS DOUBLE) AS rating_avg,
+           CAST(12 AS INT) AS rating_count,
+           'fast' AS response_time,
+           CAST(10 AS INT) AS product_total,
+           '5 years' AS sale_on_sendo, '1 day' AS time_prepare_product,
+           'north' AS warehourse_region_name
+    FROM shops
+    """,
+    doc="pipeline_e2e warehouse, shop_info table: run-2 shop re-scrape must have "
+        "overwritten EVERY non-key column (ON DUPLICATE KEY UPDATE semantics, "
+        "dags/etl.py:218-246); the unresolvable shop-9 never entered",
+)
+def q_pipeline_shops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.plans.pipeline import warehouse_table
+
+    t = warehouse_table(spark, _pipeline_warehouse(spark), "shop_info")
+    return t.select(
+        "shop_id",
+        "shop_name",
+        F.col("good_review_percent").cast("double").alias("good_review_percent"),
+        F.col("score").cast("double").alias("score"),
+        "customer_id",
+        "phone_number",
+        F.col("rating_avg").cast("double").alias("rating_avg"),
+        "rating_count",
+        "response_time",
+        "product_total",
+        "sale_on_sendo",
+        "time_prepare_product",
+        "warehourse_region_name",
+    )
+
+
+@register(
+    "pipeline_e2e_ratings",
+    oracle="""
+    WITH shops(shop_id) AS (VALUES ('shop-0'), ('shop-1')),
+    b1 AS (
+      SELECT 'r-'||shop_id||'-'||i AS rating_id, shop_id, 'x' AS address,
+             4 AS star, 'ok' AS comment, 'approved' AS status,
+             DATE '2024-03-05' AS update_time,
+             'c'||i AS customer_id, 'u'||i AS user_name,
+             'p' AS product_name, 'p.html' AS product_path,
+             10.00 AS price, 1 AS batch
+      FROM shops, range(0,3) t(i)
+    ),
+    b2 AS (
+      SELECT 'r-'||shop_id||'-'||i AS rating_id, shop_id, 'x' AS address,
+             5 AS star, 'updated' AS comment, 'approved' AS status,
+             DATE '2024-03-06' AS update_time,
+             'c'||i AS customer_id, 'u'||i AS user_name,
+             'p' AS product_name, 'p.html' AS product_path,
+             12.00 AS price, 2 AS batch
+      FROM shops, (VALUES (1), (3)) v(i)
+    ),
+    merged AS (
+      SELECT *, row_number() OVER (PARTITION BY rating_id ORDER BY batch DESC) AS rn
+      FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2) u
+    )
+    SELECT rating_id, shop_id, address, star, comment, status, update_time,
+           customer_id, user_name, product_name, product_path,
+           CAST(price AS DOUBLE) AS price
+    FROM merged WHERE rn = 1
+    """,
+    doc="pipeline_e2e warehouse, rating table: run 2 updated rating 1 and "
+        "inserted rating 3 per shop; ratings 0/2 keep run-1 values; update_time "
+        "parsed from dd/MM/yyyy strings during load (F3, dags/etl.py:164-166)",
+)
+def q_pipeline_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.plans.pipeline import warehouse_table
+
+    t = warehouse_table(spark, _pipeline_warehouse(spark), "rating")
+    return t.select(
+        "rating_id",
+        "shop_id",
+        "address",
+        "star",
+        "comment",
+        "status",
+        "update_time",
+        "customer_id",
+        "user_name",
+        "product_name",
+        "product_path",
+        F.col("price").cast("double").alias("price"),
+    )
 
 
 # ===========================================================================
