@@ -2375,3 +2375,65 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("vec_id")
     )
     return emb.join(dups, on="vec_id", how="left_anti").select("vec_id")
+
+
+_DBAPI_DBS: dict[str, str] = {}  # sf_dir -> sqlite file (memoized per process)
+
+
+@register(
+    "dbapi_partitioned_read",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey FROM customer
+    """,
+    doc="S5 warehouse read-back EXECUTED (dags/etl.py:247-249): the customer "
+        "table is loaded into a real SQLite database once, then read back "
+        "through sources/records.py::dbapi_read with "
+        "partitionColumn/lowerBound/upperBound/numPartitions=8 range strides — "
+        "the exact spark.read.jdbc partitioned-read contract, each Spark task "
+        "opening its own connection and pushing its stride's WHERE down to the "
+        "database. Bounds are set INSIDE the key range on purpose so the "
+        "unbounded first/last strides prove no row is lost at the edges.",
+)
+def q_dbapi_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import functools
+    import os
+    import sqlite3
+    import tempfile
+
+    from etl_tiki_webscraping_spark.sources.records import dbapi_read
+
+    db = _DBAPI_DBS.get(sf_dir)
+    if db is None or not os.path.exists(db):
+        db = os.path.join(tempfile.mkdtemp(prefix="dbapi-wh-"), "wh.db")
+        rows = (
+            load_table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_name", "c_nationkey")
+            .collect()
+        )
+        con = sqlite3.connect(db)
+        con.execute("CREATE TABLE customer (c_custkey INT PRIMARY KEY, c_name TEXT, c_nationkey INT)")
+        con.executemany("INSERT INTO customer VALUES (?, ?, ?)", [tuple(r) for r in rows])
+        con.commit()
+        con.close()
+        _DBAPI_DBS[sf_dir] = db
+
+    # bounds deliberately inside the true key range (strides 1st/last are
+    # unbounded, so edge rows must still be read exactly once)
+    lo, hi = (
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        .selectExpr(
+            "CAST(min(c_custkey) + (max(c_custkey) - min(c_custkey)) / 10 AS BIGINT)",
+            "CAST(max(c_custkey) - (max(c_custkey) - min(c_custkey)) / 10 AS BIGINT)",
+        )
+        .collect()[0]
+    )
+    return dbapi_read(
+        spark,
+        functools.partial(sqlite3.connect, db),
+        "SELECT c_custkey, c_name, c_nationkey FROM customer",
+        "c_custkey bigint, c_name string, c_nationkey bigint",
+        partition_column="c_custkey",
+        lower_bound=int(lo),
+        upper_bound=int(hi),
+        num_partitions=8,
+    )

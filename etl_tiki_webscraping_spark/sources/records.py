@@ -58,8 +58,105 @@ def jdbc_read(spark: SparkSession, url: str, query: str, properties: dict[str, s
     ``pd.read_sql("SELECT shop_id FROM shop_info", conn)``
     (dags/etl.py:247-249).  Uses the query pushdown form so the
     database, not Spark, evaluates the projection.
+
+    Requires a JDBC driver jar on the Spark classpath; in environments
+    without one (this sandbox), :func:`dbapi_read` is the executable
+    twin with identical partitioned-read semantics.
     """
     reader = spark.read.format("jdbc").option("url", url).option("query", query)
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def dbapi_read(
+    spark: SparkSession,
+    connect: "object",
+    query: str,
+    schema: T.StructType | str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 1,
+    fetch_size: int = 10_000,
+) -> DataFrame:
+    """Partitioned SQL read over any DBAPI-2.0 database (S5, executed).
+
+    The executable counterpart of ``spark.read.jdbc``'s partitioned
+    read, with the same range-partitioning contract
+    (partitionColumn/lowerBound/upperBound/numPartitions): the key
+    range is split into ``num_partitions`` strides; each Spark task
+    opens ITS OWN connection and runs the pushed-down query with its
+    stride's WHERE clause, so the database does the filtering and the
+    read parallelizes across executors.  Boundary semantics match
+    Spark's JDBCRelation: the first stride is unbounded below (and
+    takes NULL keys), the last unbounded above — every row is read
+    exactly once even when the bounds don't cover the key range.
+
+    ``connect`` must be a picklable zero-arg callable returning a new
+    DBAPI connection — e.g. ``functools.partial(sqlite3.connect, path)``
+    or ``functools.partial(duckdb.connect, path)``; executor tasks call
+    it independently (never share a connection across processes).
+
+    100 TB shape: reads fan out N-ways with bounded per-task memory
+    (``fetch_size`` rows per cursor fetch); the collect-free plan makes
+    this usable as the warehouse read-back leg of the FK key-space
+    union (dags/etl.py:247-250) at any scale the database can serve.
+    """
+    names = (
+        [f.name for f in schema.fields]
+        if isinstance(schema, T.StructType)
+        else [c.split()[0] for c in str(schema).split(",")]
+    )
+
+    if partition_column is None or num_partitions <= 1:
+        predicates = ["1=1"]
+    else:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned dbapi_read needs lower_bound and upper_bound")
+        if upper_bound <= lower_bound:  # same requirement spark.read.jdbc enforces
+            raise ValueError(
+                f"upper_bound ({upper_bound}) must be > lower_bound ({lower_bound})"
+            )
+        # JDBCRelation.columnPartition stride arithmetic
+        stride = (upper_bound - lower_bound) // num_partitions or 1
+        predicates = []
+        for i in range(num_partitions):
+            lo = lower_bound + i * stride
+            hi = lower_bound + (i + 1) * stride
+            if i == 0 and i == num_partitions - 1:
+                predicates.append("1=1")
+            elif i == 0:
+                predicates.append(
+                    f"({partition_column} < {hi} OR {partition_column} IS NULL)"
+                )
+            elif i == num_partitions - 1:
+                predicates.append(f"{partition_column} >= {lo}")
+            else:
+                predicates.append(
+                    f"({partition_column} >= {lo} AND {partition_column} < {hi})"
+                )
+
+    import pandas as pd
+
+    def run(batches):
+        for batch in batches:
+            for pred in batch["predicate"]:
+                con = connect()
+                try:
+                    cur = con.cursor()
+                    cur.execute(f"SELECT * FROM ({query}) __q WHERE {pred}")
+                    while True:
+                        rows = cur.fetchmany(fetch_size)
+                        if not rows:
+                            break
+                        yield pd.DataFrame.from_records(list(rows), columns=names)
+                finally:
+                    con.close()
+
+    # round-robin so each task gets exactly one stride (hash-partitioning
+    # on the predicate could collide strides into one task)
+    pred_df = spark.createDataFrame(
+        [(p,) for p in predicates], "predicate string"
+    ).repartition(len(predicates))
+    return pred_df.mapInPandas(run, schema=schema)

@@ -114,3 +114,58 @@ def test_sitemap_flatten(spark):
     pairs = sorted((r["category"], r["sub_category"]) for r in out)
     # childless categories are dropped, matching the reference loop
     assert pairs == [("electronics", "laptops"), ("electronics", "phones")]
+
+
+def test_dbapi_read_partitioned_covers_all_rows_and_nulls(spark, tmp_path):
+    """Range strides must read every row exactly once: boundary rows
+    OUTSIDE [lower_bound, upper_bound] land in the unbounded first/last
+    strides, NULL keys in the first (spark.read.jdbc's contract)."""
+    import functools
+    import sqlite3
+
+    from etl_tiki_webscraping_spark.sources.records import dbapi_read
+
+    db = str(tmp_path / "t.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (k INT, v TEXT)")
+    rows = [(k, f"v{k}") for k in range(0, 100)] + [(None, "vnull"), (-50, "vlow"), (999, "vhigh")]
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    con.commit()
+    con.close()
+
+    out = dbapi_read(
+        spark,
+        functools.partial(sqlite3.connect, db),
+        "SELECT k, v FROM t",
+        "k bigint, v string",
+        partition_column="k",
+        lower_bound=10,
+        upper_bound=90,
+        num_partitions=4,
+    )
+    got = sorted((r["k"], r["v"]) for r in out.collect() if r["k"] is not None)
+    assert got == sorted((k, v) for k, v in rows if k is not None)
+    assert [r["v"] for r in out.collect() if r["k"] is None] == ["vnull"]
+    # each stride became its own task
+    assert out.rdd.getNumPartitions() == 4
+
+
+def test_dbapi_read_single_partition_and_pushdown(spark, tmp_path):
+    import functools
+    import sqlite3
+
+    from etl_tiki_webscraping_spark.sources.records import dbapi_read
+
+    db = str(tmp_path / "s.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (k INT, v TEXT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(1, "a"), (2, "b"), (3, "c")])
+    con.commit()
+    con.close()
+    out = dbapi_read(
+        spark,
+        functools.partial(sqlite3.connect, db),
+        "SELECT k, v FROM t WHERE k >= 2",  # query pushdown: DB filters
+        "k bigint, v string",
+    )
+    assert sorted((r["k"], r["v"]) for r in out.collect()) == [(2, "b"), (3, "c")]
