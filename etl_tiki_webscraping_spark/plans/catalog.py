@@ -2437,3 +2437,37 @@ def q_dbapi_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         upper_bound=int(hi),
         num_partitions=8,
     )
+
+
+@register(
+    "snapshot_partitioned_upsert",
+    oracle="""
+    SELECT event_id, event_type,
+           CASE WHEN event_type = 'click' AND event_id % 10 = 0
+                THEN value * 2 ELSE value END AS value
+    FROM events
+    """,
+    doc="partition-pruned snapshot upsert (the 100 TB write-amplification fix, "
+        "sinks/upsert.py): the events table is committed partitioned by "
+        "event_type, then a batch touching ONLY the click partition is upserted "
+        "— the other partitions carry into snapshot v2 by reference (symlink "
+        "farm + vN.json manifest) with zero rewrite, which "
+        "tests/test_partitioning.py proves file-identically. The read-back of "
+        "v2 must equal base-with-click-updates applied.",
+)
+def q_snapshot_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from etl_tiki_webscraping_spark.sinks.upsert import (
+        read_parquet_table,
+        upsert_parquet,
+    )
+
+    base = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    path = tempfile.mkdtemp(prefix="snap-part-") + "/tbl"
+    upsert_parquet(spark, base, path, ["event_id"], partition_by=["event_type"])
+    updates = base.filter(
+        (F.col("event_type") == "click") & (F.col("event_id") % 10 == 0)
+    ).withColumn("value", F.col("value") * 2)
+    upsert_parquet(spark, updates, path, ["event_id"], partition_by=["event_type"])
+    return read_parquet_table(spark, path).select("event_id", "event_type", "value")
