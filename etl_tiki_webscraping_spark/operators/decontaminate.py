@@ -1,0 +1,92 @@
+"""Benchmark decontamination + intra-document repetition scoring —
+training-data pipeline operators (BASELINE.json north star; the
+reference has no analog, its dedup is PK-level only,
+/root/reference/dags/etl.py:86,181-202).
+
+Decontamination is the standard pre-training hygiene step: any corpus
+document sharing a long-enough word n-gram with a held-out
+benchmark/test set is removed so the model can't be evaluated on data
+it memorized.  Repetition scoring flags boilerplate/spam documents
+whose content is mostly self-repeating n-grams.
+
+Scale shape (100 TB corpus, small benchmark — the realistic case):
+- the benchmark's distinct n-gram set is tiny (test suites are MBs),
+  so the contamination check is a BROADCAST semi join: corpus n-grams
+  are generated inside whole-stage codegen (split/transform/slice —
+  zero Python) and never shuffled; only the contaminated-id set (also
+  small) feeds the final anti join.
+- with ``min_hits > 1`` the colliding (id, gram) pairs — bounded by
+  benchmark size × collision rate, not corpus size — take one
+  aggregate shuffle.
+- repetition scoring is a pure per-row expression: zero shuffle,
+  zero UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_ngrams(col: Column | str, n: int) -> Column:
+    """Array of space-joined word ``n``-grams of the normalized text
+    (lowercase, whitespace-split) — a codegen'd expression, no UDF.
+    Documents with fewer than ``n`` tokens yield an empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    tok = F.split(F.lower(F.trim(c)), r"\s+")
+    return F.when(
+        F.size(tok) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(tok, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_ratio(col: Column | str, n: int = 3) -> Column:
+    """Fraction of repeated ``n``-grams within the document:
+    ``1 - distinct/total`` (0.0 for docs too short to have any).
+    High values mean boilerplate/keyword-stuffed content."""
+    grams = word_ngrams(col, n)
+    return F.when(F.size(grams) <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / F.size(grams).cast("double")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Remove corpus documents sharing at least ``min_hits`` distinct
+    word ``n``-grams with the benchmark set.
+
+    Returns the surviving corpus rows (original schema).  The benchmark
+    gram set is broadcast (it is small by construction); corpus grams
+    are generated and probed map-side, so for the default
+    ``min_hits=1`` the whole check adds NO shuffle beyond the final
+    bare-id anti join.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(text_col, n)).alias("__g")).distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col).alias("__id"), F.explode(word_ngrams(text_col, n)).alias("__g")
+    )
+    hits = corpus_grams.join(F.broadcast(bench_grams), on="__g", how="inner")
+    if min_hits <= 1:
+        contaminated = hits.select("__id").distinct()
+    else:
+        contaminated = (
+            hits.distinct()
+            .groupBy("__id")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") >= min_hits)
+            .select("__id")
+        )
+    return corpus.join(
+        contaminated.withColumnRenamed("__id", id_col), on=id_col, how="left_anti"
+    ).select(*corpus.columns)

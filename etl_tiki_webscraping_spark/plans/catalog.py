@@ -2471,3 +2471,71 @@ def q_snapshot_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("value", F.col("value") * 2)
     upsert_parquet(spark, updates, path, ["event_id"], partition_by=["event_type"])
     return read_parquet_table(spark, path).select("event_id", "event_type", "value")
+
+
+@register(
+    "decontaminate_corpus",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tok
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(tok) - 5 + 2, 1)),
+                                     i -> array_to_string(list_slice(tok, i, i + 4), ' '))) AS g
+        FROM toks
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+    contaminated AS (
+        SELECT DISTINCT doc_id FROM grams
+        WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bench)
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+    doc="benchmark decontamination (training-data hygiene): docs with doc_id%50=0 "
+        "play the held-out benchmark; every other doc sharing any word 5-gram "
+        "with it is removed. Corpus grams are generated in whole-stage codegen "
+        "and probed against the BROADCAST benchmark gram set map-side — zero "
+        "shuffle beyond the final bare-id anti join (operators/decontaminate.py)",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.decontaminate import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(corpus, benchmark, "text", "doc_id", n=5).select("doc_id")
+
+
+@register(
+    "doc_repetition_score",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tok
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(tok) - 3 + 2, 1)),
+                              i -> array_to_string(list_slice(tok, i, i + 2), ' ')) AS gs
+        FROM toks
+    )
+    SELECT doc_id,
+           CASE WHEN len(gs) <= 0 THEN 0.0
+                ELSE round(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs), 6)
+           END AS repetition
+    FROM grams
+    """,
+    doc="intra-document repetition ratio (boilerplate/spam signal): 1 - "
+        "distinct/total word 3-grams per doc — a pure codegen'd expression, "
+        "zero shuffle, zero UDF (operators/decontaminate.py::repetition_ratio)",
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.decontaminate import repetition_ratio
+
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.round(repetition_ratio("text", 3), 6).alias("repetition"))
+    )
