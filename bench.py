@@ -59,6 +59,11 @@ HEADLINE = [
     ("interval_join_purchase_context", "count"),
     ("incremental_hourly_rollup", "count"),
     ("stratified_hash_sample", "count"),
+    # round-3 additions
+    ("snapshot_partitioned_upsert", "count"),
+    ("dbapi_partitioned_read", "count"),
+    ("decontaminate_corpus", "count"),
+    ("doc_repetition_score", "count"),
 ]
 
 
