@@ -28,12 +28,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def word_ngrams(col: Column | str, n: int) -> Column:
-    """Array of space-joined word ``n``-grams of the normalized text
-    (lowercase, whitespace-split) — a codegen'd expression, no UDF.
-    Documents with fewer than ``n`` tokens yield an empty array."""
-    c = F.col(col) if isinstance(col, str) else col
-    tok = F.split(F.lower(F.trim(c)), r"\s+")
+def ngrams_of_tokens(tok: Column, n: int) -> Column:
+    """Space-joined ``n``-grams of an already-tokenized array column.
+    Prefer this over :func:`word_ngrams` when the token array is
+    materialized in a prior projection — referencing a computed array
+    column keeps the tokenization at once-per-row instead of Catalyst
+    re-inlining the split into every gram slice."""
     return F.when(
         F.size(tok) >= n,
         F.transform(
@@ -41,6 +41,14 @@ def word_ngrams(col: Column | str, n: int) -> Column:
             lambda i: F.concat_ws(" ", F.slice(tok, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(col: Column | str, n: int) -> Column:
+    """Array of space-joined word ``n``-grams of the normalized text
+    (lowercase, whitespace-split) — a codegen'd expression, no UDF.
+    Documents with fewer than ``n`` tokens yield an empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    return ngrams_of_tokens(F.split(F.lower(F.trim(c)), r"\s+"), n)
 
 
 def repetition_ratio(col: Column | str, n: int = 3) -> Column:
@@ -70,12 +78,26 @@ def decontaminate(
     ``min_hits=1`` the whole check adds NO shuffle beyond the final
     bare-id anti join.
     """
-    bench_grams = (
-        benchmark.select(F.explode(word_ngrams(text_col, n)).alias("__g")).distinct()
-    )
-    corpus_grams = corpus.select(
-        F.col(id_col).alias("__id"), F.explode(word_ngrams(text_col, n)).alias("__g")
-    )
+    # probe on 64-bit gram hashes, not gram strings: the strings stay
+    # inside whole-stage codegen, the broadcast set is 8 bytes per gram,
+    # and the join compares longs (xxhash64 collisions are 2^-64 per
+    # candidate pair — and a collision only ever OVER-removes, the safe
+    # direction for decontamination)
+    def gram_hashes(df: DataFrame, *keep: Column) -> DataFrame:
+        # tokenize in its own projection so the split runs once per row
+        # (inlined, every gram slice would re-split the text)
+        t = df.select(
+            *keep, F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__tok")
+        )
+        return t.select(
+            *[c for c in t.columns if c != "__tok"],
+            F.explode(
+                F.transform(ngrams_of_tokens(F.col("__tok"), n), lambda g: F.xxhash64(g))
+            ).alias("__g"),
+        )
+
+    bench_grams = gram_hashes(benchmark).distinct()
+    corpus_grams = gram_hashes(corpus, F.col(id_col).alias("__id"))
     hits = corpus_grams.join(F.broadcast(bench_grams), on="__g", how="inner")
     if min_hits <= 1:
         contaminated = hits.select("__id").distinct()

@@ -2509,7 +2509,10 @@ def q_snapshot_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_tiki_webscraping_spark.operators.decontaminate import decontaminate
 
-    docs = load_table(spark, sf_dir, "documents")
+    # the fixture is a single parquet file (1 input split); spread the
+    # gram generation across cores — a real corpus arrives pre-split
+    # into many files and needs no repartition
+    docs = load_table(spark, sf_dir, "documents").repartition(32)
     benchmark = docs.filter(F.col("doc_id") % 50 == 0)
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     return decontaminate(corpus, benchmark, "text", "doc_id", n=5).select("doc_id")
