@@ -225,6 +225,33 @@ def _prune_snapshots(target_path: str, next_version: int, keep_snapshots: int) -
             pass  # concurrent reader on a slow FS; next run reclaims it
 
 
+_HIVE_NULL_DIR = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _dir_to_values(rel: str, pcols: Sequence[str]) -> tuple:
+    """Decode a hive partition dir path back to normalized string
+    values (None for the null sentinel) — percent-unescaping reverses
+    Hive's escapePathName."""
+    from urllib.parse import unquote
+
+    import os
+
+    vals = []
+    for pc, seg in zip(pcols, rel.split(os.sep)):
+        v = seg[len(pc) + 1 :]
+        vals.append(None if v == _HIVE_NULL_DIR else unquote(v))
+    return tuple(vals)
+
+
+def _normalize_value(v: object) -> str | None:
+    """Python value -> the string hive renders into the dir name."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
 def _commit_partitioned(
     merged: DataFrame,
     target_path: str,
@@ -232,6 +259,7 @@ def _commit_partitioned(
     pcols: Sequence[str],
     prior_entries: dict[str, str],
     keep_snapshots: int,
+    drop_values: "set[tuple] | None" = None,
 ) -> None:
     """Write ``merged`` (the touched partitions only) into a new
     ``data/`` pool dir, then build snapshot ``vN`` as a hive-layout farm
@@ -255,6 +283,16 @@ def _commit_partitioned(
     merged.write.mode("overwrite").partitionBy(*pcols).parquet(pool_dir)
 
     entries = dict(prior_entries)
+    if drop_values:
+        # every TOUCHED partition's prior entry is superseded — including
+        # ones the merge left EMPTY (all their rows moved/deleted), which
+        # produce no new dir and must vanish from the manifest rather
+        # than resurrect their stale data by carry-forward
+        entries = {
+            rel: d
+            for rel, d in entries.items()
+            if _dir_to_values(rel, pcols) not in drop_values
+        }
     for rel in _leaf_partition_dirs(pool_dir, len(pcols)):
         entries[rel] = os.path.realpath(os.path.join(pool_dir, rel))
 
@@ -283,19 +321,72 @@ def _commit_partitioned(
     _prune_snapshots(target_path, next_version, keep_snapshots)
 
 
-def _touched_partition_filter(updates: DataFrame, pcols: Sequence[str]) -> Column:
-    """Predicate selecting exactly the partitions present in the update
-    batch.  The collect is bounded by the number of TOUCHED partitions
-    (one small row each), not by table or batch size — the same
-    cardinality a Delta/Iceberg writer holds in its commit metadata."""
-    rows = updates.select(*pcols).distinct().collect()
-    cond = F.lit(False)
-    for r in rows:
-        leaf = F.lit(True)
-        for pc in pcols:
-            leaf = leaf & F.col(pc).eqNullSafe(F.lit(r[pc]))
-        cond = cond | leaf
-    return cond
+_TOUCHED_LITERAL_MAX = 256
+
+
+def _rows_in_partitions(
+    snapshot: DataFrame, touched_rows: list, touched_schema, pcols: Sequence[str]
+) -> DataFrame:
+    """Rows of ``snapshot`` belonging to the (already-collected)
+    touched partition-value rows.
+
+    Few touched partitions (the common case): applied as a literal
+    predicate, which hive partition pruning eliminates statically (the
+    scan never lists untouched dirs).
+
+    Many touched partitions: a literal OR-chain over thousands of
+    values would blow up the expression tree, so fall back to a
+    broadcast semi join on the partition columns; Spark's dynamic
+    partition pruning turns the build side into a runtime scan filter,
+    keeping the read proportional to touched data either way."""
+    if len(touched_rows) <= _TOUCHED_LITERAL_MAX:
+        cond = F.lit(False)
+        for r in touched_rows:
+            leaf = F.lit(True)
+            for pc in pcols:
+                leaf = leaf & F.col(pc).eqNullSafe(F.lit(r[pc]))
+            cond = cond | leaf
+        return snapshot.filter(cond)
+    # null-safe join condition so NULL partition values are matched the
+    # same way the literal path's eqNullSafe matches them
+    touched = snapshot.sparkSession.createDataFrame(touched_rows, touched_schema)
+    t = touched.select(*[F.col(pc).alias(f"__t_{pc}") for pc in pcols])
+    cond = F.lit(True)
+    for pc in pcols:
+        cond = cond & F.col(pc).eqNullSafe(F.col(f"__t_{pc}"))
+    return snapshot.join(F.broadcast(t), on=cond, how="left_semi")
+
+
+def _touched_partitions(
+    snapshot: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    pcols: Sequence[str],
+    stable_partitions: bool,
+) -> DataFrame:
+    """The partition-value set an upsert batch requires rewriting.
+
+    Always includes the partitions the update rows land in.  When
+    ``stable_partitions`` is False (the safe default, matching Delta
+    MERGE's whole-table key matching), it ALSO includes partitions
+    currently holding OLD versions of the updated keys — otherwise a
+    row whose partition value changed would survive as a stale
+    duplicate in its old partition.  Locating those costs one
+    column-pruned scan of (keys, partition cols) over the snapshot —
+    a read-only pass, no write amplification.  Tables whose partition
+    value is functionally dependent on the key (date-partitioned
+    facts, the standard layout) should pass ``stable_partitions=True``
+    to skip that scan entirely."""
+    touched = updates.select(*pcols).distinct()
+    if not stable_partitions:
+        stale = (
+            snapshot.select(*keys, *pcols)  # column-pruned: keys + partition values only
+            .join(updates.select(*keys).distinct(), on=list(keys), how="left_semi")
+            .select(*pcols)
+            .distinct()
+        )
+        touched = touched.union(stale).distinct()
+    return touched
 
 
 def upsert_parquet(
@@ -306,6 +397,7 @@ def upsert_parquet(
     order_by: Sequence[Column | str] | None = None,
     partition_by: Sequence[str] | None = None,
     keep_snapshots: int = 2,
+    stable_partitions: bool = False,
 ) -> None:
     """Upsert into a parquet table path; creates it if absent.
 
@@ -341,13 +433,28 @@ def upsert_parquet(
     dags/etl.py:181-202, gets from B-tree page writes).  Read back via
     :func:`read_parquet_table` — partition pruning (PartitionFilters)
     works unchanged because the snapshot dir is ordinary hive layout.
+
+    A key's partition value may legitimately CHANGE in an update; by
+    default a column-pruned key scan locates the old partitions so the
+    stale version is removed (Delta MERGE's whole-table matching,
+    read-only cost).  Pass ``stable_partitions=True`` when the
+    partition value is functionally dependent on the key — the
+    standard date-partitioned-facts layout — to skip that scan and
+    touch strictly the batch's own partitions.
     """
     import os
 
     keys = list(keys)
     if partition_by:
         _upsert_parquet_partitioned(
-            spark, updates, target_path, keys, order_by, list(partition_by), keep_snapshots
+            spark,
+            updates,
+            target_path,
+            keys,
+            order_by,
+            list(partition_by),
+            keep_snapshots,
+            stable_partitions,
         )
         return
 
@@ -382,6 +489,7 @@ def _upsert_parquet_partitioned(
     order_by: Sequence[Column | str] | None,
     pcols: list[str],
     keep_snapshots: int,
+    stable_partitions: bool,
 ) -> None:
     """Partition-pruned upsert: merge the update batch against ONLY the
     partitions it touches; carry every other partition forward by
@@ -390,6 +498,7 @@ def _upsert_parquet_partitioned(
 
     cur = _current_snapshot(target_path)
     prior_entries: dict[str, str] = {}
+    drop_values: set[tuple] | None = None
     if cur is not None:
         cur_dir = os.path.join(target_path, cur)
         entries = _farm_entries(cur_dir, pcols)
@@ -400,9 +509,17 @@ def _upsert_parquet_partitioned(
             merged = upsert_dataframes(target, updates.select(*target.columns), keys, order_by)
         else:
             prior_entries = entries
-            touched = spark.read.parquet(cur_dir).filter(
-                _touched_partition_filter(updates, pcols)
+            snap = spark.read.parquet(cur_dir)
+            touched_vals = _touched_partitions(
+                snap, updates, keys, pcols, stable_partitions
             )
+            # bounded by the number of touched partitions — the same
+            # cardinality a Delta/Iceberg commit carries as metadata
+            touched_rows = touched_vals.collect()
+            drop_values = {
+                tuple(_normalize_value(r[pc]) for pc in pcols) for r in touched_rows
+            }
+            touched = _rows_in_partitions(snap, touched_rows, touched_vals.schema, pcols)
             # hive reads append partition cols last and may re-infer their
             # type; realign to the incoming batch's schema before merging
             for pc in pcols:
@@ -419,7 +536,9 @@ def _upsert_parquet_partitioned(
         merged = _dedup_updates(updates, keys, order_by)
         next_version = 1
 
-    _commit_partitioned(merged, target_path, next_version, pcols, prior_entries, keep_snapshots)
+    _commit_partitioned(
+        merged, target_path, next_version, pcols, prior_entries, keep_snapshots, drop_values
+    )
 
 
 def compact_table(

@@ -142,3 +142,114 @@ def test_partitioned_upsert_prunes_pool_dirs_past_retention(spark, tmp_path):
     # snapshots outside the retention window are gone
     assert not os.path.exists(os.path.join(target, "v00000001"))
     assert not os.path.exists(os.path.join(target, "v00000001.json"))
+
+
+def test_partitioned_upsert_equals_unpartitioned_reference_merge(spark, tmp_path):
+    """Property: a sequence of partitioned upserts must produce exactly
+    the same table as applying upsert_dataframes unpartitioned — the
+    partition pruning is a physical optimization, never a semantic one.
+    Batches include new partitions, updated rows, and null partition
+    values."""
+    import random
+
+    from etl_tiki_webscraping_spark.sinks.upsert import upsert_dataframes
+
+    rng = random.Random(42)
+    schema = "id long, part string, v double"
+    parts = ["a", "b", "c", "d", None]
+
+    def batch(seed):
+        r = random.Random(seed)
+        rows = [
+            (r.randrange(40), parts[r.randrange(len(parts))], float(r.randrange(1000)))
+            for _ in range(15)
+        ]
+        # dedup ids within the batch (upsert contract: caller resolves dups)
+        seen, out = set(), []
+        for row in rows:
+            if row[0] not in seen:
+                seen.add(row[0])
+                out.append(row)
+        return spark.createDataFrame(out, schema)
+
+    target = str(tmp_path / "prop")
+    reference = None
+    for i in range(4):
+        b = batch(100 + i)
+        upsert_parquet(spark, b, target, keys=["id"], partition_by=["part"])
+        reference = b if reference is None else upsert_dataframes(reference, b, ["id"])
+
+    got = sorted(
+        map(tuple, read_parquet_table(spark, target).select("id", "part", "v").collect()),
+        key=lambda t: t[0],
+    )
+    want = sorted(
+        map(tuple, reference.select("id", "part", "v").collect()), key=lambda t: t[0]
+    )
+    assert got == want
+
+
+def test_partitioned_upsert_many_partitions_join_fallback(spark, tmp_path, monkeypatch):
+    """Force the touched-partition count past the literal-predicate cap
+    so the semi-join (dynamic pruning) path executes, and prove it
+    merges identically."""
+    import etl_tiki_webscraping_spark.sinks.upsert as up
+
+    monkeypatch.setattr(up, "_TOUCHED_LITERAL_MAX", 4)
+    target = str(tmp_path / "manyparts")
+    base = spark.createDataFrame(
+        [(i, f"p{i % 10}", float(i)) for i in range(100)], "id long, part string, v double"
+    )
+    upsert_parquet(spark, base, target, keys=["id"], partition_by=["part"])
+    updates = spark.createDataFrame(
+        [(i, f"p{i % 10}", float(i) + 0.5) for i in range(0, 100, 2)],
+        "id long, part string, v double",
+    )
+    upsert_parquet(spark, updates, target, keys=["id"], partition_by=["part"])
+    out = {r["id"]: r["v"] for r in read_parquet_table(spark, target).collect()}
+    assert len(out) == 100
+    assert out[2] == 2.5 and out[3] == 3.0
+
+
+def test_partitioned_upsert_key_migrating_partitions(spark, tmp_path):
+    """A PK update that MOVES a row to another partition must remove the
+    stale copy from the old partition (Delta MERGE whole-table-match
+    semantics, the safe default); a partition emptied by the migration
+    disappears from the snapshot entirely."""
+    target = str(tmp_path / "migrate")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "id long, part string, v double"
+    )
+    upsert_parquet(spark, base, target, keys=["id"], partition_by=["part"])
+    # id 3 migrates c -> a; partition c becomes empty
+    updates = spark.createDataFrame([(3, "a", 33.0)], "id long, part string, v double")
+    upsert_parquet(spark, updates, target, keys=["id"], partition_by=["part"])
+
+    out = read_parquet_table(spark, target)
+    rows = {r["id"]: (r["part"], r["v"]) for r in out.collect()}
+    assert rows == {1: ("a", 1.0), 2: ("b", 2.0), 3: ("a", 33.0)}
+    assert out.count() == 3  # no stale duplicate of id 3 anywhere
+    # the emptied partition is gone from the committed snapshot
+    assert not os.path.exists(os.path.join(target, "v00000002", "part=c"))
+    with open(os.path.join(target, "v00000002.json")) as fh:
+        manifest = json.load(fh)
+    assert "part=c" not in manifest["partitions"]
+    # untouched partition b still carried forward by reference
+    assert os.path.realpath(
+        os.path.join(target, "v00000002", "part=b")
+    ) == os.path.realpath(os.path.join(target, "v00000001", "part=b"))
+
+
+def test_partitioned_upsert_stable_partitions_skips_key_scan(spark, tmp_path):
+    """stable_partitions=True: strictly the batch's own partitions are
+    touched — the fast path for key-stable (e.g. date-partitioned)
+    layouts."""
+    target = str(tmp_path / "stable")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id long, part string, v double"
+    )
+    upsert_parquet(spark, base, target, keys=["id"], partition_by=["part"], stable_partitions=True)
+    updates = spark.createDataFrame([(1, "a", 11.0)], "id long, part string, v double")
+    upsert_parquet(spark, updates, target, keys=["id"], partition_by=["part"], stable_partitions=True)
+    rows = {r["id"]: r["v"] for r in read_parquet_table(spark, target).collect()}
+    assert rows == {1: 11.0, 2: 2.0}
