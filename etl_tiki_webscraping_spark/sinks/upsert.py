@@ -42,6 +42,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from etl_tiki_webscraping_spark.operators.relational import dedup_deterministic
 
@@ -59,14 +60,28 @@ def upsert_dataframes(
     updates: DataFrame,
     keys: Sequence[str],
     order_by: Sequence[Column | str] | None = None,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """Pure-DataFrame upsert (W2 strategy c).
 
     Result = (target rows whose key is NOT in updates) UNION ALL
     (deduped updates), column-for-column like ``ON DUPLICATE KEY
     UPDATE`` updating every non-key column (dags/etl.py:188-198).
+
+    ``evolve_schema=True`` enables ADDITIVE schema evolution (Delta
+    ``mergeSchema`` semantics): columns new in ``updates`` are appended
+    to the table, existing rows reading NULL for them; columns the
+    batch lacks are null-filled on the update side.  Off by default —
+    a stray column in a feed should be a loud error, not silent DDL.
     """
     keys = list(keys)
+    if evolve_schema:
+        for f in updates.schema.fields:
+            if f.name not in target.columns:
+                target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
+        for f in target.schema.fields:
+            if f.name not in updates.columns:
+                updates = updates.withColumn(f.name, F.lit(None).cast(f.dataType))
     updates = _dedup_updates(updates.select(*target.columns), keys, order_by)
     survivors = (
         target.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
@@ -90,6 +105,27 @@ def _current_snapshot(target_path: str) -> str | None:
         with open(pointer) as fh:
             return fh.read().strip()
     return None
+
+
+def _read_snapshot(spark: SparkSession, target_path: str, snap_name: str) -> DataFrame:
+    """Read one committed snapshot.  If its manifest records a table
+    schema (written by partitioned commits), apply it explicitly: after
+    additive schema evolution the pool holds files written under OLDER
+    schemas, and an explicit read schema makes parquet null-fill their
+    missing columns — the Delta approach, no footer-merging pass."""
+    import json
+    import os
+
+    snap_dir = os.path.join(target_path, snap_name)
+    mpath = snap_dir + ".json"
+    if os.path.exists(mpath):
+        with open(mpath) as fh:
+            manifest = json.load(fh)
+        schema_json = manifest.get("schema")
+        if schema_json:
+            schema = T.StructType.fromJson(json.loads(schema_json))
+            return spark.read.schema(schema).parquet(snap_dir)
+    return spark.read.parquet(snap_dir)
 
 
 def read_parquet_table(
@@ -117,9 +153,11 @@ def read_parquet_table(
                 f"snapshot {name} of {target_path} is not available "
                 f"(pruned, never committed, or ahead of {cur})"
             )
-        return spark.read.parquet(snap_path)
+        return _read_snapshot(spark, target_path, name)
     snap = _current_snapshot(target_path)
-    return spark.read.parquet(os.path.join(target_path, snap) if snap else target_path)
+    if snap is None:
+        return spark.read.parquet(target_path)
+    return _read_snapshot(spark, target_path, snap)
 
 
 def _leaf_partition_dirs(root: str, depth: int) -> list[str]:
@@ -310,6 +348,7 @@ def _commit_partitioned(
     manifest = {
         "version": next_version,
         "partition_by": list(pcols),
+        "schema": merged.schema.json(),  # authoritative table schema (evolution-safe reads)
         "partitions": {rel: os.path.relpath(d, target_path) for rel, d in entries.items()},
     }
     mpath = os.path.join(target_path, snap_name + ".json")
@@ -398,6 +437,7 @@ def upsert_parquet(
     partition_by: Sequence[str] | None = None,
     keep_snapshots: int = 2,
     stable_partitions: bool = False,
+    evolve_schema: bool = False,
 ) -> None:
     """Upsert into a parquet table path; creates it if absent.
 
@@ -455,20 +495,21 @@ def upsert_parquet(
             list(partition_by),
             keep_snapshots,
             stable_partitions,
+            evolve_schema,
         )
         return
 
     cur = _current_snapshot(target_path)
     if cur is not None:
-        target = spark.read.parquet(os.path.join(target_path, cur))
-        merged = upsert_dataframes(target, updates, keys, order_by)
+        target = _read_snapshot(spark, target_path, cur)
+        merged = upsert_dataframes(target, updates, keys, order_by, evolve_schema)
         next_version = int(cur.lstrip("v")) + 1
     elif os.path.exists(target_path) and any(
         not e.startswith((".", "_")) for e in os.listdir(target_path)
     ):
         # legacy plain-parquet dir: upgrade in place to the snapshot layout
         target = spark.read.parquet(target_path)
-        merged = upsert_dataframes(target, updates, keys, order_by)
+        merged = upsert_dataframes(target, updates, keys, order_by, evolve_schema)
         next_version = 1
     else:
         merged = _dedup_updates(updates, keys, order_by)
@@ -490,6 +531,7 @@ def _upsert_parquet_partitioned(
     pcols: list[str],
     keep_snapshots: int,
     stable_partitions: bool,
+    evolve_schema: bool = False,
 ) -> None:
     """Partition-pruned upsert: merge the update batch against ONLY the
     partitions it touches; carry every other partition forward by
@@ -505,11 +547,19 @@ def _upsert_parquet_partitioned(
         next_version = int(cur.lstrip("v")) + 1
         if entries is None:
             # legacy unpartitioned / re-partitioned snapshot: one-time full rewrite
-            target = spark.read.parquet(cur_dir)
-            merged = upsert_dataframes(target, updates.select(*target.columns), keys, order_by)
+            target = _read_snapshot(spark, target_path, cur)
+            merged = upsert_dataframes(
+                target,
+                updates if evolve_schema else updates.select(*target.columns),
+                keys,
+                order_by,
+                evolve_schema,
+            )
         else:
             prior_entries = entries
-            snap = spark.read.parquet(cur_dir)
+            # manifest-schema read: pool files written before an additive
+            # evolution lack the newer columns and must null-fill them
+            snap = _read_snapshot(spark, target_path, cur)
             touched_vals = _touched_partitions(
                 snap, updates, keys, pcols, stable_partitions
             )
@@ -524,13 +574,20 @@ def _upsert_parquet_partitioned(
             # type; realign to the incoming batch's schema before merging
             for pc in pcols:
                 touched = touched.withColumn(pc, F.col(pc).cast(updates.schema[pc].dataType))
-            touched = touched.select(*updates.columns)
-            merged = upsert_dataframes(touched, updates, keys, order_by)
+            if not evolve_schema:
+                touched = touched.select(*updates.columns)
+            merged = upsert_dataframes(touched, updates, keys, order_by, evolve_schema)
     elif os.path.exists(target_path) and any(
         not e.startswith((".", "_")) for e in os.listdir(target_path)
     ):
         target = spark.read.parquet(target_path)
-        merged = upsert_dataframes(target, updates.select(*target.columns), keys, order_by)
+        merged = upsert_dataframes(
+            target,
+            updates if evolve_schema else updates.select(*target.columns),
+            keys,
+            order_by,
+            evolve_schema,
+        )
         next_version = 1
     else:
         merged = _dedup_updates(updates, keys, order_by)

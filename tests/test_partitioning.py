@@ -253,3 +253,62 @@ def test_partitioned_upsert_stable_partitions_skips_key_scan(spark, tmp_path):
     upsert_parquet(spark, updates, target, keys=["id"], partition_by=["part"], stable_partitions=True)
     rows = {r["id"]: r["v"] for r in read_parquet_table(spark, target).collect()}
     assert rows == {1: 11.0, 2: 2.0}
+
+
+def test_compact_table_partitioned_stays_in_referenced_layout(spark, tmp_path):
+    """Compacting a partitioned snapshot table rewrites everything (by
+    design) but stays in the farm+manifest layout, so subsequent
+    partition-pruned upserts keep working incrementally."""
+    from etl_tiki_webscraping_spark.sinks.upsert import compact_table
+
+    target = str(tmp_path / "compact")
+    base = spark.createDataFrame(
+        [(i, ["a", "b"][i % 2], float(i)) for i in range(100)],
+        "id long, part string, v double",
+    )
+    upsert_parquet(spark, base, target, keys=["id"], partition_by=["part"])
+    compact_table(spark, target, partition_by=["part"])
+
+    with open(os.path.join(target, "v00000002.json")) as fh:
+        manifest = json.load(fh)
+    assert set(manifest["partitions"]) == {"part=a", "part=b"}
+    assert all(p.startswith("data/00000002") for p in manifest["partitions"].values())
+    assert read_parquet_table(spark, target).count() == 100
+
+    # incremental upsert after compaction: untouched partition carried by reference
+    updates = spark.createDataFrame([(0, "a", 999.0)], "id long, part string, v double")
+    upsert_parquet(spark, updates, target, keys=["id"], partition_by=["part"])
+    assert os.path.realpath(
+        os.path.join(target, "v00000003", "part=b")
+    ) == os.path.realpath(os.path.join(target, "v00000002", "part=b"))
+    out = read_parquet_table(spark, target)
+    assert out.count() == 100
+    assert out.filter("id = 0").collect()[0]["v"] == 999.0
+
+
+def test_partitioned_upsert_schema_evolution_across_referenced_partitions(spark, tmp_path):
+    """Additive evolution on a partitioned table: the manifest stores
+    the authoritative schema, so untouched partitions — whose pool
+    files were written under the OLD schema and are carried by
+    reference, never rewritten — read back with NULL for the new
+    column; time travel to v1 still shows the old schema."""
+    target = str(tmp_path / "evolve")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id long, part string, v double"
+    )
+    upsert_parquet(spark, base, target, keys=["id"], partition_by=["part"])
+    evolved = spark.createDataFrame(
+        [(1, "a", 10.0, "x")], "id long, part string, v double, tag string"
+    )
+    upsert_parquet(
+        spark, evolved, target, keys=["id"], partition_by=["part"], evolve_schema=True
+    )
+
+    out = {r["id"]: (r["v"], r["tag"]) for r in read_parquet_table(spark, target).collect()}
+    assert out == {1: (10.0, "x"), 2: (2.0, None)}
+    # partition b was NOT rewritten for the evolution (still referenced from v1 pool)
+    assert os.path.realpath(
+        os.path.join(target, "v00000002", "part=b")
+    ) == os.path.realpath(os.path.join(target, "v00000001", "part=b"))
+    # time travel: v1 predates the column
+    assert "tag" not in read_parquet_table(spark, target, version=1).columns

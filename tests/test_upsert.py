@@ -399,3 +399,26 @@ def test_ansi_merge_dialect_executes_when_db_supports_merge(spark):
         for r in upsert_dataframes(_target(spark), _updates(spark), ["shop_id"]).collect()
     }
     assert merged == expect
+
+
+def test_upsert_schema_evolution_adds_columns(spark, tmp_parquet_dir):
+    """evolve_schema=True: a new column in the batch is appended to the
+    table (Delta mergeSchema semantics); pre-existing rows read NULL."""
+    upsert_parquet(spark, _target(spark), tmp_parquet_dir, ["shop_id"])
+    evolved = spark.createDataFrame(
+        [("s1", "new-name", 11, "hanoi")],
+        "shop_id string, name string, product_total int, city string",
+    )
+    upsert_parquet(spark, evolved, tmp_parquet_dir, ["shop_id"], evolve_schema=True)
+    out = {r["shop_id"]: r["city"] for r in read_parquet_table(spark, tmp_parquet_dir).collect()}
+    assert out == {"s1": "hanoi", "s2": None}
+
+
+def test_upsert_without_evolution_rejects_new_columns_loudly(spark, tmp_parquet_dir):
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    upsert_parquet(spark, _target(spark), tmp_parquet_dir, ["shop_id"])
+    bad = spark.createDataFrame([("s9",)], "shop_id string")  # missing table columns
+    with pytest.raises(AnalysisException):
+        upsert_parquet(spark, bad, tmp_parquet_dir, ["shop_id"])
