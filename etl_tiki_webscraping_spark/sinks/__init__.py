@@ -1,9 +1,12 @@
 from etl_tiki_webscraping_spark.sinks.upsert import (
+    apply_changes,
+    compact_table,
+    delete_where,
+    merge_sql,
     read_parquet_table,
     scd2_apply,
     upsert_dataframes,
     upsert_parquet,
-    merge_sql,
 )
 from etl_tiki_webscraping_spark.sinks.staging import (
     write_staging,
@@ -13,11 +16,14 @@ from etl_tiki_webscraping_spark.sinks.staging import (
 )
 
 __all__ = [
+    "apply_changes",
+    "compact_table",
+    "delete_where",
+    "merge_sql",
     "read_parquet_table",
     "scd2_apply",
     "upsert_dataframes",
     "upsert_parquet",
-    "merge_sql",
     "write_staging",
     "jdbc_staged_upsert",
     "upsert_on_conflict_sql",

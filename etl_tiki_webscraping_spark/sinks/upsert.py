@@ -598,6 +598,60 @@ def _upsert_parquet_partitioned(
     )
 
 
+def delete_where(
+    spark: SparkSession,
+    target_path: str,
+    condition: Column,
+    partition_by: Sequence[str] | None = None,
+    keep_snapshots: int = 2,
+) -> None:
+    """Delete rows matching ``condition`` from a snapshot table — the
+    ``MERGE ... WHEN MATCHED THEN DELETE`` / GDPR-erasure leg the
+    reference's insert-only loads lack.
+
+    Partitioned tables rewrite ONLY partitions that contain matching
+    rows (located by a column-pruned scan of the partition columns
+    under the predicate); everything else carries forward by
+    reference, same commit protocol as the upserts.  Unpartitioned
+    tables rewrite the snapshot (inherent).  Deleting is a new commit:
+    time travel still sees the rows in earlier versions until pruned.
+    """
+    import os
+
+    cur = _current_snapshot(target_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed table at {target_path}")
+    next_version = int(cur.lstrip("v")) + 1
+    snap = _read_snapshot(spark, target_path, cur)
+
+    if not partition_by:
+        merged = snap.filter(~F.coalesce(condition, F.lit(False)))
+        snap_name = f"v{next_version:08d}"
+        merged.write.mode("overwrite").parquet(os.path.join(target_path, snap_name))
+        _write_pointer(target_path, snap_name)
+        _prune_snapshots(target_path, next_version, keep_snapshots)
+        return
+
+    pcols = list(partition_by)
+    entries = _farm_entries(os.path.join(target_path, cur), pcols)
+    if entries is None:
+        raise ValueError(
+            f"{target_path} is not a {pcols}-partitioned snapshot table"
+        )
+    touched_vals = (
+        snap.filter(F.coalesce(condition, F.lit(False))).select(*pcols).distinct()
+    )
+    touched_rows = touched_vals.collect()  # bounded by matching partitions
+    drop_values = {
+        tuple(_normalize_value(r[pc]) for pc in pcols) for r in touched_rows
+    }
+    touched = _rows_in_partitions(snap, touched_rows, touched_vals.schema, pcols)
+    merged = touched.filter(~F.coalesce(condition, F.lit(False)))
+    _commit_partitioned(
+        merged, target_path, next_version, pcols, entries, keep_snapshots, drop_values
+    )
+
+
 def compact_table(
     spark: SparkSession,
     target_path: str,

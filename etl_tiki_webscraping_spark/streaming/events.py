@@ -324,18 +324,36 @@ def foreach_batch_upsert(
     keys: Sequence[str],
     checkpoint_dir: str,
     order_by: Sequence[str] | None = None,
+    partition_by: Sequence[str] | None = None,
+    stable_partitions: bool = True,
 ) -> DataStreamWriter:
     """``writeStream.foreachBatch`` sink that merges every micro-batch
     into a parquet target by PK — the reference's daily staging+merge
     (dags/etl.py:173-202) as a streaming sink.  Idempotent per batch:
     re-processing a batch after failure converges to the same table.
+
+    Pass ``partition_by`` (typically the event date) so each
+    micro-batch rewrites ONLY the partitions it touches — at streaming
+    cadence the partition-pruned upsert is what makes a 100 TB sink
+    table sustainable (a full-table rewrite per trigger is not).
+    Streaming event keys don't migrate partitions when partitioned by
+    their own event date, hence ``stable_partitions=True`` here by
+    default (see sinks/upsert.py).
     """
     from etl_tiki_webscraping_spark.sinks.upsert import upsert_parquet
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        upsert_parquet(batch_df.sparkSession, batch_df, target_path, keys, order_by)
+        upsert_parquet(
+            batch_df.sparkSession,
+            batch_df,
+            target_path,
+            keys,
+            order_by,
+            partition_by=partition_by,
+            stable_partitions=stable_partitions,
+        )
 
     return (
         stream.writeStream.outputMode("update")

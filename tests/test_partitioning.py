@@ -312,3 +312,78 @@ def test_partitioned_upsert_schema_evolution_across_referenced_partitions(spark,
     ) == os.path.realpath(os.path.join(target, "v00000001", "part=b"))
     # time travel: v1 predates the column
     assert "tag" not in read_parquet_table(spark, target, version=1).columns
+
+
+def test_delete_where_partitioned_rewrites_only_matching_partitions(spark, tmp_path):
+    from etl_tiki_webscraping_spark.sinks.upsert import delete_where
+
+    target = str(tmp_path / "del")
+    base = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3], float(i)) for i in range(90)],
+        "id long, part string, v double",
+    )
+    upsert_parquet(spark, base, target, keys=["id"], partition_by=["part"])
+    delete_where(
+        spark, target, (F.col("part") == "a") & (F.col("id") < 30), partition_by=["part"]
+    )
+    out = read_parquet_table(spark, target)
+    assert out.count() == 90 - 10  # ids 0,3,...,27 in partition a
+    assert out.filter("part = 'a' and id < 30").count() == 0
+    # partitions b and c carried forward by reference (not rewritten)
+    for p in ("part=b", "part=c"):
+        assert os.path.realpath(os.path.join(target, "v00000002", p)) == os.path.realpath(
+            os.path.join(target, "v00000001", p)
+        )
+    # time travel still sees the deleted rows
+    assert read_parquet_table(spark, target, version=1).count() == 90
+
+
+def test_delete_where_unpartitioned_and_full_partition_drop(spark, tmp_path):
+    from etl_tiki_webscraping_spark.sinks.upsert import delete_where
+
+    target = str(tmp_path / "del2")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id long, part string, v double"
+    )
+    upsert_parquet(spark, base, target, keys=["id"], partition_by=["part"])
+    delete_where(spark, target, F.col("part") == "b", partition_by=["part"])
+    out = read_parquet_table(spark, target)
+    assert {r["id"] for r in out.collect()} == {1}
+    assert not os.path.exists(os.path.join(target, "v00000002", "part=b"))  # emptied partition gone
+
+    target2 = str(tmp_path / "del3")
+    upsert_parquet(spark, base, target2, keys=["id"])
+    delete_where(spark, target2, F.col("id") == 1)
+    assert {r["id"] for r in read_parquet_table(spark, target2).collect()} == {2}
+
+
+def test_foreach_batch_upsert_partitioned_sink(spark, tmp_path):
+    import json as _json
+
+    from etl_tiki_webscraping_spark.streaming.events import foreach_batch_upsert
+
+    src = tmp_path / "fb-in"
+    src.mkdir()
+    rows = [
+        {"event_id": "e1", "ts": "2024-01-01 10:00:00", "event_type": "view", "value": 1.0},
+        {"event_id": "e2", "ts": "2024-01-01 11:00:00", "event_type": "click", "value": 2.0},
+    ]
+    with open(src / "part-0.json", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    stream = spark.readStream.schema(
+        "event_id string, ts timestamp, event_type string, value double"
+    ).json(str(src))
+    target = str(tmp_path / "fb-wh")
+    writer = foreach_batch_upsert(
+        stream,
+        target,
+        keys=["event_id"],
+        checkpoint_dir=str(tmp_path / "fb-ck"),
+        partition_by=["event_type"],
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(60)
+    out = read_parquet_table(spark, target)
+    assert out.count() == 2
+    assert os.path.isdir(os.path.join(target, "data"))  # partitioned snapshot layout
