@@ -658,6 +658,7 @@ def compact_table(
     target_file_bytes: int = 128 * 1024 * 1024,
     partition_by: Sequence[str] | None = None,
     keep_snapshots: int = 2,
+    sort_by: Sequence[str] | None = None,
 ) -> int:
     """Small-file compaction for an upsert-managed table: rewrite the
     current snapshot into ~``target_file_bytes`` files and commit it as
@@ -668,6 +669,13 @@ def compact_table(
     open + footer read) and planner memory.  Compaction is the standard
     maintenance op (Delta OPTIMIZE / Iceberg rewrite_data_files); it is
     a full rewrite BY DESIGN, unlike the incremental upsert path.
+
+    ``sort_by`` additionally CLUSTERS the rewrite (Delta ``OPTIMIZE
+    ZORDER``'s single-dimension analog): rows are range-partitioned and
+    sorted on those columns, so each output file/row-group covers a
+    narrow min/max range and selective scans skip whole row groups via
+    parquet statistics — the data-layout half of pruning that hive
+    partitioning alone can't give for high-cardinality columns.
     Returns the number of files written.
     """
     import os
@@ -681,14 +689,19 @@ def compact_table(
         if f.endswith(".parquet")
     )
     n_files = max(1, -(-size // target_file_bytes))  # ceil
-    df = spark.read.parquet(snap_dir)
+    df = _read_snapshot(spark, target_path, cur) if cur else spark.read.parquet(snap_dir)
     next_version = int(cur.lstrip("v")) + 1 if cur else 1
+
+    if sort_by:
+        df = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        df = df.repartition(n_files)
 
     if partition_by:
         # stay in the referenced-partition layout: every partition is
         # freshly written (no carried-forward entries), farm + manifest
         _commit_partitioned(
-            df.repartition(n_files),
+            df,
             target_path,
             next_version,
             list(partition_by),
@@ -698,9 +711,7 @@ def compact_table(
         return n_files
 
     snap_name = f"v{next_version:08d}"
-    df.repartition(n_files).write.mode("overwrite").parquet(
-        os.path.join(target_path, snap_name)
-    )
+    df.write.mode("overwrite").parquet(os.path.join(target_path, snap_name))
     _write_pointer(target_path, snap_name)
     _prune_snapshots(target_path, next_version, keep_snapshots)
     return n_files

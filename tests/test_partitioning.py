@@ -387,3 +387,60 @@ def test_foreach_batch_upsert_partitioned_sink(spark, tmp_path):
     out = read_parquet_table(spark, target)
     assert out.count() == 2
     assert os.path.isdir(os.path.join(target, "data"))  # partitioned snapshot layout
+
+
+def test_clustered_compaction_narrows_rowgroup_ranges(spark, tmp_path):
+    """sort_by compaction must produce files whose min/max key ranges
+    are disjoint (clustered), so selective scans can skip row groups
+    via parquet statistics."""
+    import pyarrow.parquet as pq
+
+    from etl_tiki_webscraping_spark.sinks.upsert import compact_table
+
+    target = str(tmp_path / "clustered")
+    df = spark.createDataFrame(
+        [(i * 7919 % 10000, float(i)) for i in range(10000)], "k long, v double"
+    )
+    upsert_parquet(spark, df, target, keys=["k"])
+    compact_table(spark, target, target_file_bytes=20_000, sort_by=["k"])
+
+    snap = os.path.join(target, "v00000002")
+    ranges = []
+    for f in sorted(os.listdir(snap)):
+        if f.endswith(".parquet"):
+            md = pq.ParquetFile(os.path.join(snap, f)).metadata
+            col = md.row_group(0).column(0)
+            ranges.append((col.statistics.min, col.statistics.max))
+    assert len(ranges) >= 3  # actually split into multiple files
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint: each file covers a narrow key range
+    assert read_parquet_table(spark, target).count() == 10000
+
+
+def test_partitioned_table_supports_dynamic_partition_pruning(spark, tmp_path):
+    """Joining the farm-layout table on its partition column with a
+    filtered dimension must produce a dynamicpruning subquery on the
+    scan — the runtime analog of static PartitionFilters, and the plan
+    shape a 100 TB star join depends on."""
+    target = str(tmp_path / "dpp")
+    facts = spark.createDataFrame(
+        [(i, f"t{i % 20}", float(i)) for i in range(2000)],
+        "id long, part string, v double",
+    )
+    upsert_parquet(spark, facts, target, keys=["id"], partition_by=["part"])
+    dim = spark.createDataFrame(
+        [(f"t{i}", f"name{i}") for i in range(20)], "part string, name string"
+    ).filter(F.col("name") == "name3")
+
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    try:
+        joined = read_parquet_table(spark, target).join(dim, on="part")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower()
+        assert joined.count() == 100
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", prev
+        )
