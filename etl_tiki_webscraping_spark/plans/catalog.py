@@ -2548,3 +2548,31 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.round(repetition_ratio("text", 3), 6).alias("repetition"))
     )
+
+
+@register(
+    "streaming_enriched_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events JOIN nation ON user_id % 25 = n_nationkey
+    GROUP BY 1, 2
+    """,
+    doc="§2.10 stream-static join: the event stream (REAL 3-micro-batch run) is "
+        "enriched with a broadcast static dimension per micro-batch — stateless, "
+        "no join state accumulates — then windowed-aggregated under the watermark. "
+        "Must hash-match the batch SQL oracle on fully-available in-order input.",
+)
+def q_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.streaming.events import (
+        enriched_windowed_counts,
+        read_events_stream_multibatch,
+        run_available_now_to_memory,
+    )
+
+    stream = read_events_stream_multibatch(spark, sf_dir, n_batches=3)
+    dim = load_table(spark, sf_dir, "nation")
+    agg = enriched_windowed_counts(stream, dim)
+    return run_available_now_to_memory(agg, "stream_enriched_counts", "complete")
