@@ -738,10 +738,45 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _language_id_oracle() -> str:
+    """The stopword-hit classifier replayed in DuckDB SQL, built from
+    the SAME STOPWORDS table the Spark expression uses (single source
+    of truth): per-language occurrence counts, argmax with the
+    max-(score, language-code) tie-break array_max applies, 'und' when
+    nothing hits."""
+    from etl_tiki_webscraping_spark.functions.text import STOPWORDS
+
+    lang_values = ", ".join(
+        "('{}', [{}])".format(lang, ", ".join(f"'{w}'" for w in words))
+        for lang, words in STOPWORDS.items()
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tok
+      FROM documents
+    ),
+    langs(lang, words) AS (VALUES {lang_values}),
+    scores AS (
+      SELECT doc_id, lang, len(list_filter(tok, t -> list_contains(words, t))) AS v
+      FROM toks CROSS JOIN langs
+    ),
+    best AS (
+      SELECT doc_id, lang, v,
+             row_number() OVER (PARTITION BY doc_id ORDER BY v DESC, lang DESC) AS rn
+      FROM scores
+    )
+    SELECT doc_id, CASE WHEN v > 0 THEN lang ELSE 'und' END AS pred_lang
+    FROM best WHERE rn = 1
+    """
+
+
 @register(
     "language_id",
-    oracle=None,  # heuristic classifier — no SQL oracle; rows-only check
-    doc="stopword-hit language ID, pure built-in array expressions (no UDF)",
+    oracle=_language_id_oracle(),
+    doc="stopword-hit language ID, pure built-in array expressions (no UDF); "
+        "oracle replays the classifier in SQL from the same STOPWORDS table "
+        "with the identical argmax tie-break",
 )
 def q_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_tiki_webscraping_spark.functions.text import language_id
