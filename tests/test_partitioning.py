@@ -444,3 +444,36 @@ def test_partitioned_table_supports_dynamic_partition_pruning(spark, tmp_path):
         spark.conf.set(
             "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", prev
         )
+
+
+def test_partitioned_upsert_recovers_from_crash_leftovers(spark, tmp_path):
+    """A run that crashed after writing the pool / building the farm but
+    BEFORE the pointer swap leaves stray uncommitted dirs; readers never
+    see them and the next upsert overwrites and commits cleanly."""
+    target = str(tmp_path / "crashy")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id long, part string, v double"
+    )
+    upsert_parquet(spark, base, target, keys=["id"], partition_by=["part"])
+
+    # simulate the crash: stray pool version, half-built farm, stray farm dir
+    os.makedirs(os.path.join(target, "data", "00000002", "part=z"))
+    with open(os.path.join(target, "data", "00000002", "part=z", "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    os.makedirs(os.path.join(target, "v00000002.build", "part=z"))
+    os.makedirs(os.path.join(target, "v00000002"))
+
+    before = sorted(
+        map(tuple, read_parquet_table(spark, target).select("id", "part", "v").collect())
+    )
+    assert before == [(1, "a", 1.0), (2, "b", 2.0)]  # reader unaffected
+
+    updates = spark.createDataFrame([(1, "a", 11.0)], "id long, part string, v double")
+    upsert_parquet(spark, updates, target, keys=["id"], partition_by=["part"])
+    out = {r["id"]: r["v"] for r in read_parquet_table(spark, target).collect()}
+    assert out == {1: 11.0, 2: 2.0}
+    # the stray junk partition never entered the committed manifest
+    with open(os.path.join(target, "v00000002.json")) as fh:
+        manifest = json.load(fh)
+    assert "part=z" not in manifest["partitions"]
+    assert not os.path.exists(os.path.join(target, "v00000002.build"))
