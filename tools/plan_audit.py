@@ -1,0 +1,113 @@
+"""Physical-plan audit: print `explain`-level evidence for the plan
+properties the 100 TB design depends on, and FAIL (exit 1) if any is
+missing — the executable form of "explain the plan and iterate until
+it's the plan you'd want".
+
+Checks, per query family:
+- scans carry PushedFilters / pruned ReadSchema (projection+predicate
+  reach parquet)
+- dimension joins are broadcast, not sort-merge
+- partitioned-table reads prune via PartitionFilters
+- LSH / dedup stages shuffle bare ids (no document payloads in
+  exchange nodes)
+- top-k plans use TakeOrderedAndProject, not global sorts
+- no CartesianProduct / BroadcastNestedLoopJoin anywhere
+
+Usage: python tools/plan_audit.py [sf_dir]   (default sf0.01)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def main() -> int:
+    from etl_tiki_webscraping_spark.plans.catalog import QUERIES
+    from etl_tiki_webscraping_spark.session import get_spark
+
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def plan_of(name: str) -> str:
+        df = QUERIES[name].fn(spark, SF_DIR)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    failures: list[str] = []
+
+    def check(name: str, cond: bool, what: str) -> None:
+        status = "ok " if cond else "FAIL"
+        print(f"{status} {name}: {what}")
+        if not cond:
+            failures.append(f"{name}: {what}")
+
+    # --- projection/predicate pushdown --------------------------------------
+    p = plan_of("projection_pruning")
+    check("projection_pruning", "ReadSchema" in p and "c_comment" not in p,
+          "pruned ReadSchema (unused columns never read)")
+    p = plan_of("membership_filter")
+    check("membership_filter", "PushedFilters: [In(" in p or "PushedFilters: [I" in p,
+          "membership predicate pushed to the parquet scan")
+
+    # --- join strategies ----------------------------------------------------
+    p = plan_of("flagship")
+    check("flagship", "BroadcastHashJoin" in p, "dimension joins broadcast")
+    check("flagship", "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+          "no nested-loop/cartesian anywhere")
+    p = plan_of("fk_semi_join")
+    check("fk_semi_join", "LeftSemi" in p, "FK gate plans as a semi join")
+
+    # --- top-k --------------------------------------------------------------
+    p = plan_of("tfidf_top_terms")
+    check("tfidf_top_terms", "TakeOrderedAndProject" in p,
+          "global top-k is TakeOrderedAndProject (no full sort)")
+    p = plan_of("sort_limit")
+    check("sort_limit", "TakeOrderedAndProject" in p,
+          "ORDER BY + LIMIT is TakeOrderedAndProject")
+
+    # --- LSH shuffles carry bare ids ----------------------------------------
+    p = plan_of("dedup_minhash_lsh")
+    exchanges = [seg for seg in p.split("\n") if "Exchange hashpartitioning" in seg]
+    check("dedup_minhash_lsh", len(exchanges) > 0 and all("text" not in e for e in exchanges),
+          "band-bucket exchanges shuffle ids/hashes, never document text")
+
+    # --- partitioned snapshot reads prune -----------------------------------
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_tiki_webscraping_spark.io import load_table
+    from etl_tiki_webscraping_spark.sinks.upsert import read_parquet_table, upsert_parquet
+
+    tbl = tempfile.mkdtemp(prefix="plan-audit-") + "/events"
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "event_type", "value")
+    upsert_parquet(spark, ev, tbl, ["event_id"], partition_by=["event_type"])
+    p = (
+        read_parquet_table(spark, tbl)
+        .filter(F.col("event_type") == "click")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    check("partitioned_read", "PartitionFilters" in p and "event_type" in p.split("PartitionFilters:")[1].split("]")[0],
+          "snapshot-table filter lands in PartitionFilters (static pruning)")
+
+    # --- decontamination broadcast ------------------------------------------
+    p = plan_of("decontaminate_corpus")
+    check("decontaminate_corpus", "BroadcastHashJoin" in p,
+          "benchmark gram set probed via broadcast join")
+
+    print()
+    if failures:
+        print(f"{len(failures)} plan check(s) FAILED")
+        return 1
+    print("all plan checks passed")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
