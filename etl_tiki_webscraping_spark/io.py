@@ -39,7 +39,10 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in (names or TESTDATA_TABLES)}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every test table as a temp view for spark.sql queries."""
-    for name in TESTDATA_TABLES:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register fixture tables (all by default) as temp views so
+    ``spark.sql`` is a first-class query surface — the engine ships no
+    parser of its own because Spark SQL IS its SQL surface (SURVEY.md
+    §7 non-goals)."""
+    for n, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(n)

@@ -2611,3 +2611,35 @@ def q_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = load_table(spark, sf_dir, "nation")
     agg = enriched_windowed_counts(stream, dim)
     return run_available_now_to_memory(agg, "stream_enriched_counts", "complete")
+
+
+@register(
+    "sql_surface_revenue",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_buyers,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="the engine's SQL surface IS Spark SQL (SURVEY §7: no parser of our own): "
+        "fixture tables registered as views, the query submitted as SQL TEXT and "
+        "planned by Catalyst — same statement the DuckDB oracle runs modulo casts",
+)
+def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.io import register_views
+
+    register_views(spark, sf_dir, "orders", "customer", "nation")
+    return spark.sql(
+        """
+        SELECT n_name AS nation,
+               COUNT(DISTINCT o_custkey) AS n_buyers,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )

@@ -298,6 +298,7 @@ def _commit_partitioned(
     prior_entries: dict[str, str],
     keep_snapshots: int,
     drop_values: "set[tuple] | None" = None,
+    audit: "object | None" = None,
 ) -> None:
     """Write ``merged`` (the touched partitions only) into a new
     ``data/`` pool dir, then build snapshot ``vN`` as a hive-layout farm
@@ -355,6 +356,13 @@ def _commit_partitioned(
     with open(mpath + ".tmp", "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
     os.replace(mpath + ".tmp", mpath)
+
+    if audit is not None:
+        # write-audit-publish (Iceberg WAP): validate the fully-written,
+        # not-yet-committed snapshot; a raising audit aborts BEFORE the
+        # pointer swap, so readers keep the previous version and the
+        # staged dirs are reclaimed as ordinary crash leftovers
+        audit(_read_snapshot(merged.sparkSession, target_path, snap_name))
 
     _write_pointer(target_path, snap_name)
     _prune_snapshots(target_path, next_version, keep_snapshots)
@@ -438,8 +446,16 @@ def upsert_parquet(
     keep_snapshots: int = 2,
     stable_partitions: bool = False,
     evolve_schema: bool = False,
+    audit: "object | None" = None,
 ) -> None:
     """Upsert into a parquet table path; creates it if absent.
+
+    ``audit`` (write-audit-publish): a callable receiving the fully
+    written, NOT-yet-committed candidate table as a DataFrame; raise to
+    abort the commit — readers keep the previous version and the staged
+    snapshot is reclaimed like any crash leftover.  Use it for quality
+    gates (row counts, null ratios, FK checks) between write and
+    publish.
 
     Commit protocol: versioned snapshots + an atomically-swapped
     pointer file (the single-writer core of what Delta/Iceberg do with
@@ -496,6 +512,7 @@ def upsert_parquet(
             keep_snapshots,
             stable_partitions,
             evolve_schema,
+            audit,
         )
         return
 
@@ -518,6 +535,10 @@ def upsert_parquet(
     snap_name = f"v{next_version:08d}"
     # overwrite: a crashed run may have left this dir
     merged.write.mode("overwrite").parquet(os.path.join(target_path, snap_name))
+    if audit is not None:
+        # write-audit-publish: validate the written-but-uncommitted
+        # snapshot; raising aborts before the pointer swap
+        audit(spark.read.parquet(os.path.join(target_path, snap_name)))
     _write_pointer(target_path, snap_name)
     _prune_snapshots(target_path, next_version, keep_snapshots)
 
@@ -532,6 +553,7 @@ def _upsert_parquet_partitioned(
     keep_snapshots: int,
     stable_partitions: bool,
     evolve_schema: bool = False,
+    audit: "object | None" = None,
 ) -> None:
     """Partition-pruned upsert: merge the update batch against ONLY the
     partitions it touches; carry every other partition forward by
@@ -594,7 +616,14 @@ def _upsert_parquet_partitioned(
         next_version = 1
 
     _commit_partitioned(
-        merged, target_path, next_version, pcols, prior_entries, keep_snapshots, drop_values
+        merged,
+        target_path,
+        next_version,
+        pcols,
+        prior_entries,
+        keep_snapshots,
+        drop_values,
+        audit,
     )
 
 

@@ -477,3 +477,28 @@ def test_partitioned_upsert_recovers_from_crash_leftovers(spark, tmp_path):
         manifest = json.load(fh)
     assert "part=z" not in manifest["partitions"]
     assert not os.path.exists(os.path.join(target, "v00000002.build"))
+
+
+def test_write_audit_publish_gate_partitioned(spark, tmp_path):
+    import pytest
+
+    target = str(tmp_path / "wap")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id long, part string, v double"
+    )
+    upsert_parquet(spark, base, target, keys=["id"], partition_by=["part"])
+
+    def reject(df):
+        # the audit sees the COMPLETE candidate table (touched + referenced)
+        assert df.count() >= 2
+        if df.filter("v < 0").count() > 0:
+            raise ValueError("negative value")
+
+    bad = spark.createDataFrame([(3, "a", -1.0)], "id long, part string, v double")
+    with pytest.raises(ValueError):
+        upsert_parquet(spark, bad, target, keys=["id"], partition_by=["part"], audit=reject)
+    assert read_parquet_table(spark, target).count() == 2  # still v1
+
+    ok = spark.createDataFrame([(3, "a", 3.0)], "id long, part string, v double")
+    upsert_parquet(spark, ok, target, keys=["id"], partition_by=["part"], audit=reject)
+    assert read_parquet_table(spark, target).count() == 3

@@ -422,3 +422,26 @@ def test_upsert_without_evolution_rejects_new_columns_loudly(spark, tmp_parquet_
     bad = spark.createDataFrame([("s9",)], "shop_id string")  # missing table columns
     with pytest.raises(AnalysisException):
         upsert_parquet(spark, bad, tmp_parquet_dir, ["shop_id"])
+
+
+def test_write_audit_publish_gate(spark, tmp_parquet_dir):
+    """audit: a raising validation aborts the commit BEFORE the pointer
+    swap — readers keep the previous version; a passing audit publishes."""
+    import pytest
+
+    upsert_parquet(spark, _target(spark), tmp_parquet_dir, ["shop_id"])
+
+    def reject(df):
+        if df.filter("product_total < 0").count() > 0:
+            raise ValueError("negative product_total")
+
+    bad = spark.createDataFrame(
+        [("s9", "broken", -5)], "shop_id string, name string, product_total int"
+    )
+    with pytest.raises(ValueError):
+        upsert_parquet(spark, bad, tmp_parquet_dir, ["shop_id"], audit=reject)
+    # table unchanged: still version 1, bad row never visible
+    assert {r["shop_id"] for r in read_parquet_table(spark, tmp_parquet_dir).collect()} == {"s1", "s2"}
+
+    upsert_parquet(spark, _updates(spark), tmp_parquet_dir, ["shop_id"], audit=reject)
+    assert {r["shop_id"] for r in read_parquet_table(spark, tmp_parquet_dir).collect()} == {"s1", "s2", "s3"}
