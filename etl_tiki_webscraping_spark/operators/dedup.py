@@ -429,6 +429,12 @@ def _local_union_find(edges: DataFrame) -> DataFrame:
     return edges.mapInPandas(run, "id bigint, root bigint")
 
 
+# below this many edges a single-partition union-find is exact and
+# cheaper than any distributed round (patchable in tests to force the
+# contraction path on small fixtures)
+_CC_LOCAL_THRESHOLD = 100_000
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Connected components over an undirected edge list ``(id_a, id_b)``
     by iterated partition-local contraction: each round runs union-find
@@ -452,8 +458,22 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     an adversarial chain of consecutive near-identical docs stretches
     to hundreds of rounds.  Lineage is truncated per round via
     ``localCheckpoint``.
+
+    Small graphs short-circuit: once the edge list fits one task
+    (<= ``local_threshold``), a single-partition union-find is exact by
+    construction, so the boundary iteration — and its per-round job
+    overhead — is skipped entirely.  This is the local-solve fallback
+    every distributed CC implementation carries; the contraction path
+    is the >threshold scale path.
     """
-    cur = pairs.select("id_a", "id_b")
+    # materialize the edge list once: round 1 otherwise recomputes the
+    # (possibly expensive — LSH) edge lineage for the union-find pass
+    # AND both re-label joins
+    cur = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    if cur.count() <= _CC_LOCAL_THRESHOLD:
+        return _local_union_find(cur.coalesce(1)).select(
+            "id", F.col("root").alias("component")
+        )
     mappings: list[DataFrame] = []
     for _ in range(max_iter):
         # a node seen by several partitions emits one row per partition;

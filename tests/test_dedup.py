@@ -206,3 +206,23 @@ def test_cosine_dedup_hot_cell_cap_bounds_identical_vectors(spark):
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
     out = cosine_dedup_pairs(df, threshold=0.95, bucket_cap=128)
     assert out.count() == 0  # every SRP cell oversize -> dropped
+
+
+def test_connected_components_contraction_path_matches_local(spark, monkeypatch):
+    """Force the multi-round contraction path (threshold 0) and prove it
+    produces exactly the local-solve result on chains, islands, and
+    transitive merges — the >100k-edge scale path stays covered even
+    though small fixtures short-circuit."""
+    import etl_tiki_webscraping_spark.operators.dedup as dd
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (5, 40), (40, 6)],
+        "id_a bigint, id_b bigint",
+    ).repartition(8)
+    local = {(r["id"], r["component"]) for r in connected_components(edges).collect()}
+    monkeypatch.setattr(dd, "_CC_LOCAL_THRESHOLD", 0)
+    contracted = {
+        (r["id"], r["component"]) for r in connected_components(edges).collect()
+    }
+    assert contracted == local
+    assert (4, 1) in contracted and (22, 20) in contracted and (6, 5) in contracted
