@@ -113,21 +113,44 @@ def read_events_stream_multibatch(
 _STAGED_STREAM_DIRS: dict[tuple[str, int], str] = {}
 
 
-def run_available_now_to_memory(stream: DataFrame, query_name: str, output_mode: str) -> DataFrame:
+def run_available_now_to_memory(
+    stream: DataFrame,
+    query_name: str,
+    output_mode: str,
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
     """Execute a streaming plan over all currently-available input
     (``Trigger.AvailableNow`` — the idiomatic form of the reference's
     daily batch re-run, dags/etl.py:296-297) into an in-memory sink and
-    return the result table."""
-    q = (
-        stream.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt-{query_name}-"))
-        .start()
-    )
-    q.awaitTermination()
-    return stream.sparkSession.table(query_name)
+    return the result table.
+
+    ``shuffle_partitions`` sizes the STATE STORE: a streaming query
+    instantiates one state-store partition per shuffle partition per
+    trigger, so the setting is a real knob, not a tuning nicety —
+    oversized on a small stream it pays empty-task overhead every
+    micro-batch; undersized at scale it bounds parallelism (the value
+    is frozen into the checkpoint).  Default 8 suits the fixture
+    streams; production picks per-stream capacity and keeps it fixed
+    for the checkpoint's lifetime.  Restored after the run.
+    """
+    session = stream.sparkSession
+    prev = session.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        session.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt-{query_name}-"))
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            session.conf.set("spark.sql.shuffle.partitions", prev)
+    return session.table(query_name)
 
 
 def windowed_event_counts(
