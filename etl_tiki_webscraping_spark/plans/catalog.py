@@ -2643,3 +2643,32 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name
         """
     )
+
+
+@register(
+    "array_higher_order_funcs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+           round(list_max(embedding), 6) AS vmax,
+           round(list_min(embedding), 6) AS vmin,
+           round(list_max(list_transform(embedding, x -> abs(x))), 6) AS vabsmax
+    FROM embeddings
+    """,
+    doc="§2.6 higher-order array functions (transform/filter/max/min over "
+        "array<double>) — the built-in library surface the reference never "
+        "needed but any consumer query uses; exact (non-accumulating) ops so "
+        "the oracle is float-order-safe",
+)
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    arr = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(arr).alias("dim"),
+        F.size(F.filter(arr, lambda x: x > 0)).alias("n_pos"),
+        F.round(F.array_max(arr), 6).alias("vmax"),
+        F.round(F.array_min(arr), 6).alias("vmin"),
+        F.round(F.array_max(F.transform(arr, lambda x: F.abs(x))), 6).alias("vabsmax"),
+    )
