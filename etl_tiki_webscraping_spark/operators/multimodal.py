@@ -122,6 +122,56 @@ def extract_image_features(df: DataFrame, id_col: str = "media_id", content_col:
     return df.select(id_col, content_col).mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    sample_rate: int = 16_000,
+) -> DataFrame:
+    """Decode + feature-extract audio via mapInPandas: waveform stats
+    (RMS energy, peak amplitude, zero-crossing count, duration) — the
+    audio leg of the multimodal surface, same Arrow-batched 1->1 shape
+    as :func:`extract_image_features`.  The decode is the deterministic
+    fake (``_decode_audio_impl``); a real deployment swaps in
+    soundfile/librosa there and nothing else changes.
+    """
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for mid, content in zip(batch[id_col], batch[content_col]):
+                wave = _decode_audio_impl(
+                    bytes(content) if content is not None else None
+                ).astype(np.float64)
+                n = wave.shape[0]
+                zc = int(np.sum(wave[:-1] * wave[1:] < 0))
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "n_samples": n,
+                        "duration_ms": int(n * 1000 // sample_rate),
+                        "rms": float(np.sqrt(np.mean(wave**2))),
+                        "peak": float(np.max(np.abs(wave))),
+                        "zero_crossings": zc,
+                    }
+                )
+            yield pd.DataFrame.from_records(out)
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_n_bytes: int = 16, id_col: str = "media_id", content_col: str = "content") -> DataFrame:
     """Frame-sampling plumbing for video: emits one row per sampled
     'frame' (here: byte-stride chunks from the fake decoder; real impl

@@ -2672,3 +2672,46 @@ def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_min(arr), 6).alias("vmin"),
         F.round(F.array_max(F.transform(arr, lambda x: F.abs(x))), 6).alias("vabsmax"),
     )
+
+
+@register(
+    "multimodal_audio_features",
+    oracle="""
+    WITH samples AS (
+      SELECT doc_id AS media_id,
+             list_transform(range(1, 257),
+                i -> CASE WHEN i <= strlen(text)
+                          THEN (ascii(substr(text, i, 1)) - 128.0) / 128.0
+                          ELSE -1.0 END) AS s
+      FROM documents
+    )
+    SELECT media_id,
+           CAST(256 AS INT) AS n_samples,
+           CAST(16 AS BIGINT) AS duration_ms,
+           round(sqrt(list_sum(list_transform(s, x -> x * x)) / 256.0), 6) AS rms,
+           round(list_max(list_transform(s, x -> abs(x))), 6) AS peak,
+           CAST(len(list_filter(range(2, 257), i -> s[i - 1] * s[i] < 0)) AS INT)
+               AS zero_crossings
+    FROM samples
+    """,
+    doc="audio leg of the multimodal surface: binary -> waveform stats (RMS, "
+        "peak, zero crossings, duration) via mapInPandas; the deterministic "
+        "fake decoder maps byte k to (k-128)/128 over the first 256 bytes "
+        "(zero-padded -> -1.0), which the oracle replays in SQL from the same "
+        "ascii documents (operators/multimodal.py::extract_audio_features)",
+)
+def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.multimodal import extract_audio_features
+
+    media = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("content")
+    )
+    feats = extract_audio_features(media)
+    return feats.select(
+        "media_id",
+        "n_samples",
+        "duration_ms",
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+        "zero_crossings",
+    )

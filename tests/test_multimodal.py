@@ -68,3 +68,20 @@ def test_sample_frames_one_to_many(media):
         (r["frame_index"], bytes(r["frame"])) for r in out.collect() if r["media_id"] == 1
     )
     assert b"".join(f for _, f in frames) == bytes(range(64))
+
+
+def test_audio_features_deterministic_and_bounded(spark):
+    from etl_tiki_webscraping_spark.operators.multimodal import extract_audio_features
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"\x80" * 256)),   # all samples exactly 0.0
+         (2, bytearray(b"\x00\xff" * 128)),  # alternating -1, ~+0.99 -> max crossings
+         (3, bytearray(b"abc"))],         # short: zero-padded to 256
+        "media_id long, content binary",
+    )
+    out = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    assert out[1]["rms"] == 0.0 and out[1]["zero_crossings"] == 0
+    assert out[2]["zero_crossings"] == 255
+    assert abs(out[2]["peak"] - 1.0) < 0.01
+    assert out[3]["n_samples"] == 256 and out[3]["duration_ms"] == 16
+    assert 0.0 <= out[3]["rms"] <= 1.0
