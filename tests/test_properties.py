@@ -49,3 +49,42 @@ def test_exact_dedup_collapses_formatting_variants(spark, tokens):
     out = exact_dedup(df, "text", "doc_id")
     assert out.count() == 1
     assert out.collect()[0]["doc_id"] == 0
+
+
+@given(
+    lb=st.integers(min_value=-20, max_value=120),
+    span=st.integers(min_value=1, max_value=200),
+    nparts=st.integers(min_value=1, max_value=9),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_dbapi_read_stride_partitioning_is_exact(spark, tmp_path_factory, lb, span, nparts):
+    """Property: for ANY bounds and partition count, the stride union
+    reads every row exactly once — including NULL keys and rows outside
+    [lower_bound, upper_bound] (spark.read.jdbc's contract)."""
+    import functools
+    import sqlite3
+
+    from etl_tiki_webscraping_spark.sources.records import dbapi_read
+
+    db = str(tmp_path_factory.mktemp("dbapi") / "p.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (k INT, v INT)")
+    rows = [(k, k * 10) for k in range(0, 100)] + [(None, -1)]
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    con.commit()
+    con.close()
+
+    out = dbapi_read(
+        spark,
+        functools.partial(sqlite3.connect, db),
+        "SELECT k, v FROM t",
+        "k bigint, v bigint",
+        partition_column="k",
+        lower_bound=lb,
+        upper_bound=lb + span,
+        num_partitions=nparts,
+    ).collect()
+    got = sorted((r["k"], r["v"]) for r in out if r["k"] is not None)
+    assert got == sorted((k, v) for k, v in rows if k is not None)
+    assert sum(1 for r in out if r["k"] is None) == 1
