@@ -205,16 +205,46 @@ def _farm_entries(snap_dir: str, pcols: Sequence[str]) -> dict[str, str] | None:
     return {rel: os.path.realpath(os.path.join(snap_dir, rel)) for rel in leaves}
 
 
-def _write_pointer(target_path: str, snap_name: str) -> None:
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between this writer's snapshot read and
+    its publish attempt; re-run the operation against the new version."""
+
+
+def _write_pointer(target_path: str, snap_name: str, expected_cur: str | None = ...) -> None:
     """Commit = atomic pointer swap (object-store analog: single PUT,
-    or a conditional PUT for multi-writer safety)."""
+    or a conditional PUT for multi-writer safety).
+
+    ``expected_cur`` is optimistic-concurrency detection: if the
+    pointer no longer reads the version this writer based its merge on,
+    a concurrent commit happened and swapping would silently DROP it —
+    raise instead so the caller re-runs on the new version.  On a local
+    FS this check-then-swap has a small race window (documented:
+    single-writer is the supported mode, same as Delta on S3 without a
+    lock service); on object stores it maps to a conditional PUT /
+    put-if-match, which closes the window.
+    """
     import os
 
+    if expected_cur is not ...:
+        now = _current_snapshot(target_path)
+        if now != expected_cur:
+            raise ConcurrentWriteError(
+                f"{target_path}: expected committed version {expected_cur!r} "
+                f"but found {now!r}; a concurrent writer published first"
+            )
     pointer = os.path.join(target_path, SNAPSHOT_POINTER)
     tmp = pointer + ".tmp"
     with open(tmp, "w") as fh:
         fh.write(snap_name)
     os.replace(tmp, pointer)
+
+
+def _publish(target_path: str, next_version: int, keep_snapshots: int) -> None:
+    """Publish snapshot ``next_version``: optimistic-concurrency check
+    against the version the merge was based on, pointer swap, prune."""
+    expected = f"v{next_version - 1:08d}" if next_version > 1 else None
+    _write_pointer(target_path, f"v{next_version:08d}", expected)
+    _prune_snapshots(target_path, next_version, keep_snapshots)
 
 
 def _prune_snapshots(target_path: str, next_version: int, keep_snapshots: int) -> None:
@@ -364,8 +394,7 @@ def _commit_partitioned(
         # staged dirs are reclaimed as ordinary crash leftovers
         audit(_read_snapshot(merged.sparkSession, target_path, snap_name))
 
-    _write_pointer(target_path, snap_name)
-    _prune_snapshots(target_path, next_version, keep_snapshots)
+    _publish(target_path, next_version, keep_snapshots)
 
 
 _TOUCHED_LITERAL_MAX = 256
@@ -539,8 +568,7 @@ def upsert_parquet(
         # write-audit-publish: validate the written-but-uncommitted
         # snapshot; raising aborts before the pointer swap
         audit(spark.read.parquet(os.path.join(target_path, snap_name)))
-    _write_pointer(target_path, snap_name)
-    _prune_snapshots(target_path, next_version, keep_snapshots)
+    _publish(target_path, next_version, keep_snapshots)
 
 
 def _upsert_parquet_partitioned(
@@ -657,8 +685,7 @@ def delete_where(
         merged = snap.filter(~F.coalesce(condition, F.lit(False)))
         snap_name = f"v{next_version:08d}"
         merged.write.mode("overwrite").parquet(os.path.join(target_path, snap_name))
-        _write_pointer(target_path, snap_name)
-        _prune_snapshots(target_path, next_version, keep_snapshots)
+        _publish(target_path, next_version, keep_snapshots)
         return
 
     pcols = list(partition_by)
@@ -741,8 +768,7 @@ def compact_table(
 
     snap_name = f"v{next_version:08d}"
     df.write.mode("overwrite").parquet(os.path.join(target_path, snap_name))
-    _write_pointer(target_path, snap_name)
-    _prune_snapshots(target_path, next_version, keep_snapshots)
+    _publish(target_path, next_version, keep_snapshots)
     return n_files
 
 

@@ -445,3 +445,21 @@ def test_write_audit_publish_gate(spark, tmp_parquet_dir):
 
     upsert_parquet(spark, _updates(spark), tmp_parquet_dir, ["shop_id"], audit=reject)
     assert {r["shop_id"] for r in read_parquet_table(spark, tmp_parquet_dir).collect()} == {"s1", "s2", "s3"}
+
+
+def test_concurrent_writer_detection(spark, tmp_parquet_dir):
+    """Optimistic concurrency: a writer whose base version was
+    superseded by another commit must raise instead of silently
+    dropping the other writer's work."""
+    import pytest
+
+    from etl_tiki_webscraping_spark.sinks.upsert import (
+        ConcurrentWriteError,
+        _write_pointer,
+    )
+
+    upsert_parquet(spark, _target(spark), tmp_parquet_dir, ["shop_id"])  # v1
+    # writer A reads v1 and prepares v2; writer B commits v2 first
+    _write_pointer(tmp_parquet_dir, "v00000002", "v00000001")  # B publishes
+    with pytest.raises(ConcurrentWriteError):
+        _write_pointer(tmp_parquet_dir, "v00000002", "v00000001")  # A: stale base
