@@ -24,7 +24,7 @@ Scale shape (100 TB corpus, small benchmark — the realistic case):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -112,3 +112,47 @@ def decontaminate(
     return corpus.join(
         contaminated.withColumnRenamed("__id", id_col), on=id_col, how="left_anti"
     ).select(*corpus.columns)
+
+
+def pack_by_token_budget(
+    df: DataFrame,
+    token_col: str,
+    id_col: str,
+    budget: int,
+    n_shards: int = 256,
+    shard_expr: Column | None = None,
+) -> DataFrame:
+    """Token-stream chunk assignment: within each shard, documents are
+    (conceptually) concatenated in id order and the stream cut every
+    ``budget`` tokens; each document gets the ``pack_id`` of the chunk
+    its first token lands in — GPT-style concat-then-cut packing, the
+    batch-building pass of a pretraining pipeline (documents may
+    straddle chunk boundaries, exactly as in that scheme; capacity-
+    strict bin packing is a different, order-destroying problem).
+
+    Deterministic: shard = hash(id) % n_shards (override with
+    ``shard_expr`` to pin a custom routing), order by id.
+
+    Scale shape: ONE window per shard partition (running token sum) —
+    no global ordering, no driver state; parallelism = n_shards.  At
+    100 TB, size ``n_shards`` to ~executor-count x 4.
+    """
+    shard = (
+        shard_expr
+        if shard_expr is not None
+        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    ).alias("__shard")
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = F.col(token_col)
+    return (
+        df.select(*df.columns, shard)
+        .withColumn("__cum", F.sum(toks).over(w))
+        .withColumn(
+            "pack_id", F.floor((F.col("__cum") - toks) / F.lit(budget)).cast("bigint")
+        )
+        .select(*df.columns, F.col("__shard").alias("shard"), "pack_id")
+    )

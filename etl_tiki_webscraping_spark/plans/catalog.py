@@ -2715,3 +2715,45 @@ def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("peak", 6).alias("peak"),
         "zero_crossings",
     )
+
+
+@register(
+    "token_budget_packing",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
+                  AS BIGINT) AS n_tokens,
+             doc_id % 16 AS shard
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, n_tokens, shard,
+           CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
+    FROM c
+    """,
+    doc="token-stream chunk assignment (GPT-style concat-then-cut packing): per "
+        "shard, docs concatenated in id order and the stream cut every 512 "
+        "tokens; pack_id = chunk where the doc starts. One running-sum window "
+        "per shard, no global ordering (operators/decontaminate.py). Shard "
+        "routed by doc_id%16 here so the SQL oracle reproduces it exactly.",
+)
+def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.functions.text import token_count
+    from etl_tiki_webscraping_spark.operators.decontaminate import pack_by_token_budget
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    return pack_by_token_budget(
+        docs,
+        "n_tokens",
+        "doc_id",
+        budget=512,
+        shard_expr=F.pmod(F.col("doc_id"), F.lit(16)),
+    )

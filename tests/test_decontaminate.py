@@ -76,3 +76,36 @@ def test_repetition_ratio_bounds(spark):
     assert out[1] == 0.75  # 4 grams, 1 distinct
     assert out[2] == 0.0
     assert out[3] == 0.0
+
+
+def test_pack_by_token_budget_chunk_semantics(spark):
+    from etl_tiki_webscraping_spark.operators.decontaminate import pack_by_token_budget
+
+    docs = spark.createDataFrame(
+        [(1, 60), (2, 60), (3, 100), (4, 300), (5, 10)],
+        "doc_id long, n_tokens long",
+    )
+    out = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_by_token_budget(
+            docs, "n_tokens", "doc_id", budget=100, shard_expr=F.lit(0)
+        ).collect()
+    }
+    # stream offsets: 0, 60, 120, 220, 520 -> chunks 0, 0, 1, 2, 5
+    assert out == {1: 0, 2: 0, 3: 1, 4: 2, 5: 5}
+
+
+def test_pack_by_token_budget_sharded_is_deterministic(spark):
+    from etl_tiki_webscraping_spark.operators.decontaminate import pack_by_token_budget
+
+    docs = spark.createDataFrame(
+        [(i, (i * 37) % 90 + 10) for i in range(200)], "doc_id long, n_tokens long"
+    )
+    a = sorted(map(tuple, pack_by_token_budget(docs, "n_tokens", "doc_id", 256).collect()))
+    b = sorted(map(tuple, pack_by_token_budget(docs, "n_tokens", "doc_id", 256).collect()))
+    assert a == b
+    packs = pack_by_token_budget(docs, "n_tokens", "doc_id", 256)
+    # every doc assigned; pack ids contiguous from 0 within a shard
+    import pyspark.sql.functions as SF
+    per_shard = packs.groupBy("shard").agg(SF.min("pack_id").alias("lo")).collect()
+    assert all(r["lo"] == 0 for r in per_shard)
