@@ -125,7 +125,13 @@ def main() -> None:
                 prior = json.load(fh)
         except (OSError, json.JSONDecodeError):
             continue
-        prior = prior.get("parsed", prior)  # driver wraps bench stdout
+        # The driver wraps bench stdout as {"parsed": <json-or-null>, ...}.
+        # "parsed" can be explicitly null (r03/r04: truncated tail or a
+        # failed run) — fall back to the wrapper, then require a dict
+        # before probing for query timings.
+        prior = prior.get("parsed") or prior
+        if not isinstance(prior, dict):
+            continue
         prior_q = prior.get("queries_pass2") or prior.get("queries")
         if prior_q:
             prior_file = f
@@ -143,20 +149,29 @@ def main() -> None:
             break
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # The driver captures a fixed-size TAIL of stdout; the JSON must be
+    # the final line and short enough to fit entirely inside that tail
+    # (r03 lost its totals when the line head fell outside the window).
+    # Compact separators + console-progress suppression (session.py)
+    # keep it well under budget.  Flush everything else first.
+    sys.stdout.flush()
+    sys.stderr.flush()
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": round(sum(pass1.values()), 3),
                 "unit": "sec",
-                "queries": pass1,
                 "value_pass2": round(sum(pass2.values()), 3),
-                "queries_pass2": pass2,
+                "sf": float(sf),
                 "regressions": regressions,
                 "regressions_vs": prior_file,
-                "sf": float(sf),
-            }
-        )
+                "queries": pass1,
+                "queries_pass2": pass2,
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
     )
 
 

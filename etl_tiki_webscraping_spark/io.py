@@ -20,17 +20,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown test table {name!r}; expected one of {TESTDATA_TABLES}")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by
-        # default; read nanos as long and floor-convert to microseconds
-        # (matching DuckDB's ns->us truncation).  Runtime-settable conf,
-        # so this works in the driver's session too.
+        # events.ts encoding has varied across testdata generations:
+        # TIMESTAMP(NANOS) (Spark rejects by default -> read nanos as
+        # long, floor-convert to micros, matching DuckDB's ns->us
+        # truncation) and TIMESTAMP(MICROS) without UTC adjustment
+        # (Spark reads as TIMESTAMP_NTZ, which rejects bigint casts and
+        # some time arithmetic downstream).  Normalize both to
+        # TimestampType; session tz is pinned UTC so NTZ->LTZ is the
+        # identity on the underlying micros value.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

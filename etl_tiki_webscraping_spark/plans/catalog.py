@@ -53,39 +53,56 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[S
     return deco
 
 
-# Queries already driver-verified green in CORRECTNESS_r02.  The driver
-# records only the FIRST 50 ``queries()`` entries per round, so exports
-# rotate these to the back: the queries the r02 cap left uncovered —
-# plus anything newly registered this round — occupy the first slots
-# and get hard driver evidence; the rotated-out set stays green via
-# tools/verify_local.py (see COVERAGE.md).
-_DRIVER_COVERED_R02 = frozenset({
+# Queries already driver-verified green in CORRECTNESS_r01–r04 AND
+# unchanged since their last driver check.  The driver records only the
+# FIRST 50 ``queries()`` entries per round, so exports rotate these to
+# the back: everything NOT in this set — newly registered round-5
+# queries plus previously-checked queries whose code changed — occupies
+# the first slots and gets hard driver evidence; the rotated-out set
+# stays green via tools/verify_local.py (see COVERAGE.md).
+#
+# Deliberately NOT listed (→ rotated to the front for r05 evidence):
+#  - language_id: oracle upgraded to a hash-matched SQL replay in r3;
+#    its last driver row is the r01 rows-only check (VERDICT r3 ask #2)
+#  - dedup_cluster_components: local-solve short-circuit added in r3;
+#    last driver row is r02 (VERDICT r3 ask #2)
+_DRIVER_SETTLED_R04 = frozenset({
     "flagship", "projection_pruning", "literal_provenance_tag", "membership_filter",
     "fk_semi_join", "anti_join", "key_space_union", "star_join_rollup", "dedup_keys",
     "dedup_deterministic", "distinct_keys", "groupby_agg_metrics", "rollup_agg",
     "count_distinct", "conditional_percent_agg", "union_all_slices", "intersect_except",
     "regexp_suffix_strip", "date_dayfirst_roundtrip", "json_extraction", "array_explode",
     "map_build_explode", "window_topk_per_group", "sort_limit", "upsert_merge",
-    "paginated_source_scan", "text_token_stats", "text_quality_score", "language_id",
+    "paginated_source_scan", "text_token_stats", "text_quality_score",
     "doc_fingerprint", "dedup_exact_text",
-    "ngram_jaccard_pairs", "dedup_cluster_components",
-    "knn_bruteforce", "knn_lsh", "knn_ivf",
+    "ngram_jaccard_pairs",
+    "knn_bruteforce", "knn_lsh", "knn_ivf", "knn_ivf_kmeans",
+    "knn_bruteforce_blocked",
     "windowed_event_counts", "sessionize_events",
     "keyed_lookup_scan",
     "multimodal_image_features", "multimodal_frame_sample", "asof_join_events_orders",
-    "cube_agg",
-    # NOT listed (rotated to the front despite r02 coverage) because they
-    # materially changed in r3 and deserve fresh driver evidence:
-    # pipeline_e2e (new full oracle), streaming_windowed_counts /
-    # streaming_dedup_ids (now real multi-batch), dedup_minhash_lsh /
-    # dedup_simhash / dedup_minhash_clusters / dedup_embedding_cosine
-    # (hot-bucket cap in candidate generation).
+    "cube_agg", "grouping_sets_agg", "exact_percentiles",
+    "running_window_sum", "lag_lead_delta", "skew_salted_join", "url_build",
+    "approx_distinct_users", "tfidf_top_terms", "custom_datasource_scan",
+    "corpus_quality_filter", "deterministic_split", "pivot_event_matrix",
+    "unpivot_stack", "scd2_history_merge", "session_window_agg",
+    "interval_join_purchase_context", "incremental_hourly_rollup",
+    "stratified_hash_sample", "snapshot_time_travel", "dedup_embedding_clusters",
+    "dbapi_partitioned_read", "snapshot_partitioned_upsert",
+    "decontaminate_corpus", "doc_repetition_score",
+    "streaming_windowed_counts", "streaming_dedup_ids", "streaming_enriched_counts",
+    "streaming_stateful_sessions",
+    "pipeline_e2e", "pipeline_e2e_shops", "pipeline_e2e_ratings",
+    "sql_surface_revenue", "array_higher_order_funcs",
+    "multimodal_audio_features", "token_budget_packing",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_minhash_clusters",
+    "dedup_embedding_cosine",
 })
 
 
 def _export_order() -> list[str]:
-    fresh = [n for n in QUERIES if n not in _DRIVER_COVERED_R02]
-    prior = [n for n in QUERIES if n in _DRIVER_COVERED_R02]
+    fresh = [n for n in QUERIES if n not in _DRIVER_SETTLED_R04]
+    prior = [n for n in QUERIES if n in _DRIVER_SETTLED_R04]
     return fresh + prior
 
 
@@ -2756,4 +2773,67 @@ def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         budget=512,
         shard_expr=F.pmod(F.col("doc_id"), F.lit(16)),
+    )
+
+
+# ===========================================================================
+# Quality gates for the approximate tier (VERDICT r3 ask #1): measured
+# recall/precision of every approximate operator against its EXACT,
+# oracle-checked twin.  Rows-only by contract (the LSH side is seeded
+# and not SQL-replayable) — but the VALUES the driver records each
+# round are the evidence the rows-only ops were missing.
+# ===========================================================================
+
+@register(
+    "ann_recall_report",
+    oracle=None,  # measures seeded-LSH/IVF output — not SQL-replayable
+    doc="recall@10 of every approximate ANN path (SRP-LSH, IVF-sampled, "
+        "IVF-kmeans) against oracle-checked brute-force cosine top-10, one row "
+        "per method: (method, n_queries, mean_recall, min_recall).  The gate "
+        "itself is bare-id joins + one agg; tests/test_quality_gates.py asserts "
+        "floors on the same numbers",
+)
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.quality.gates import topk_recall_summary
+
+    exact = q_knn(spark, sf_dir)
+    reports = [
+        topk_recall_summary(q_knn_lsh(spark, sf_dir), exact, "knn_lsh"),
+        topk_recall_summary(q_knn_ivf(spark, sf_dir), exact, "knn_ivf"),
+        topk_recall_summary(q_knn_ivf_kmeans(spark, sf_dir), exact, "knn_ivf_kmeans"),
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+@register(
+    "lsh_pair_quality",
+    oracle=None,  # measures seeded-LSH candidates — not SQL-replayable
+    doc="candidate-pair precision/recall of MinHash-LSH (threshold 0.8, its "
+        "advertised operating point) and SimHash (hamming<=3 band) against "
+        "EXACT all-pairs n-gram Jaccard ground truth on the documents fixture; "
+        "one row per method.  Truth builder is O(n^2) on hashed shingle sets — "
+        "gate-measurement scope (bounded slice), while the generators under "
+        "test are the 100 TB paths",
+)
+def q_lsh_pair_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        simhash_candidate_pairs,
+    )
+    from etl_tiki_webscraping_spark.quality.gates import (
+        exact_jaccard_pairs_all,
+        pair_quality_summary,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth_m = exact_jaccard_pairs_all(docs, "text", "doc_id", threshold=0.8, shingle_n=3)
+    cand_m = minhash_candidate_pairs(docs, "text", "doc_id", shingle_n=3)
+    # SimHash's hamming<=3 band approximates near-identity; measured against
+    # the SAME exact-Jaccard truth so the two generators are comparable
+    cand_s = simhash_candidate_pairs(docs, "text", "doc_id", max_hamming=3)
+    return pair_quality_summary(cand_m, truth_m, "minhash_lsh_t0.8").unionAll(
+        pair_quality_summary(cand_s.select("id_a", "id_b"), truth_m, "simhash_h3")
     )

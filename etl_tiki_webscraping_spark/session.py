@@ -41,6 +41,9 @@ def get_spark(app_name: str = "etl-tiki-webscraping-spark", shuffle_partitions: 
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # stage-progress bars flood stderr; the driver records only a
+        # fixed-size output tail, and bars crowd out the bench JSON line
+        .config("spark.ui.showConsoleProgress", "false")
         # managed-table location for bucketed tables (local mode: keep
         # out of the repo; on a cluster this is the real warehouse path)
         .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"))

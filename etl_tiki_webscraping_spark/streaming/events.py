@@ -46,9 +46,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Streams the parquet directory with a glob pinned to the events
     file (a real deployment would point at an arriving-files dir).
-    Handles the fixture's TIMESTAMP(NANOS) ts the same way the batch
-    loader does (nanos-as-long + floor to micros) so the streaming and
-    batch plans see identical schemas.
+    Normalizes the fixture's ts encoding the same way the batch loader
+    does (nanos-as-long + floor to micros; micros-NTZ cast to session-tz
+    timestamp) so the streaming and batch plans see identical schemas.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
@@ -59,6 +59,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if isinstance(schema["ts"].dataType, T.LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
