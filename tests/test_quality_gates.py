@@ -1,0 +1,200 @@
+"""Quantitative gates for the approximate tier (VERDICT r3 asks #1/#8).
+
+Two kinds of assertion:
+
+- GEOMETRY tests on clustered synthetic vectors: when the data has
+  real neighborhood structure (tight clusters), the approximate paths
+  must hit >= 0.9 recall@10 at their default configs.  This is the
+  "machinery works" proof.
+- FIXTURE floors: the driver's ``embeddings`` fixture is ISOTROPIC
+  random noise (measured: same-label and diff-label mean cosine both
+  ~0.000, top-10 neighbor cosine ~0.30 vs noise sigma 0.125).  On such
+  data LSH selectivity is information-theoretically weak (p1=0.60 vs
+  p2=0.50 per hyperplane bit -> rho~0.75), so the honest measured
+  recall is low — the floors here pin the MEASURED operating point so
+  a silent recall collapse (the r3 verdict's concern) still fails
+  loudly, without pretending noise data clusters.
+
+MinHash/SimHash gates run on the ``documents`` fixture, which has real
+near-duplicates: candidate precision/recall is measured against exact
+all-pairs n-gram Jaccard ground truth.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etl_tiki_webscraping_spark.quality.gates import (
+    exact_jaccard_pairs_all,
+    pair_quality,
+    topk_recall,
+    topk_recall_summary,
+)
+
+
+def _mk_pairs(spark, rows):
+    return spark.createDataFrame(rows, "query_id bigint, neighbor_id bigint")
+
+
+def test_topk_recall_arithmetic(spark):
+    exact = _mk_pairs(spark, [(1, 10), (1, 11), (2, 20), (2, 21)])
+    approx = _mk_pairs(spark, [(1, 10), (1, 99), (2, 20), (2, 21)])
+    got = {r["query_id"]: r for r in topk_recall(approx, exact).collect()}
+    assert got[1]["recall"] == 0.5 and got[1]["truth_k"] == 2 and got[1]["hits"] == 1
+    assert got[2]["recall"] == 1.0
+
+
+def test_topk_recall_missing_query_counts_zero(spark):
+    exact = _mk_pairs(spark, [(1, 10), (2, 20)])
+    approx = _mk_pairs(spark, [(1, 10)])  # query 2 returned nothing
+    got = {r["query_id"]: r["recall"] for r in topk_recall(approx, exact).collect()}
+    assert got[2] == 0.0
+
+
+def test_pair_quality_counts(spark):
+    cand = spark.createDataFrame([(1, 2), (3, 4), (5, 6)], "id_a bigint, id_b bigint")
+    truth = spark.createDataFrame([(2, 1), (3, 4), (7, 8)], "id_a bigint, id_b bigint")
+    q = pair_quality(cand, truth)
+    assert q["n_hit"] == 2  # (1,2) matches despite orientation flip
+    assert q["precision"] == pytest.approx(2 / 3)
+    assert q["recall"] == pytest.approx(2 / 3)
+
+
+# --------------------------------------------------------------------------
+# geometry tests: clustered data -> high recall at default configs
+# --------------------------------------------------------------------------
+
+N_CLUSTERS, PER_CLUSTER, DIM = 10, 50, 32
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """500 vectors in 10 tight clusters (noise sigma 0.04/dim around
+    unit centers -> noise norm ~0.23, within-cluster cosine ~0.95,
+    cross-cluster ~0) — the geometry ANN indexes are built for."""
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((N_CLUSTERS, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(N_CLUSTERS):
+        for _ in range(PER_CLUSTER):
+            v = centers[c] + 0.04 * rng.standard_normal(DIM)
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+
+
+def _queries_of(clustered):
+    return clustered.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def _exact_topk(clustered):
+    from etl_tiki_webscraping_spark.operators.similarity import brute_force_topk
+
+    return brute_force_topk(clustered, _queries_of(clustered), k=10)
+
+
+def test_lsh_recall_on_clustered_data(spark, clustered):
+    from etl_tiki_webscraping_spark.operators.similarity import lsh_topk
+
+    exact = _exact_topk(clustered)
+    approx = lsh_topk(clustered, _queries_of(clustered), k=10, tables=8, bits=8)
+    row = topk_recall_summary(approx, exact, "lsh").collect()[0]
+    assert row["mean_recall"] >= 0.9, row
+    assert row["n_queries"] == 5
+
+
+def test_ivf_kmeans_recall_on_clustered_data(spark, clustered):
+    from etl_tiki_webscraping_spark.operators.similarity import (
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    exact = _exact_topk(clustered)
+    cents = ivf_train_centroids(clustered, n_cells=N_CLUSTERS, max_iter=5)
+    approx = ivf_topk(clustered, _queries_of(clustered), cents, k=10, nprobe=2)
+    row = topk_recall_summary(approx, exact, "ivf").collect()[0]
+    assert row["mean_recall"] >= 0.9, row
+
+
+# --------------------------------------------------------------------------
+# fixture floors: pin the measured operating point on isotropic noise
+# --------------------------------------------------------------------------
+
+def test_fixture_ann_recall_floors(spark, sf_dir):
+    from etl_tiki_webscraping_spark.plans.catalog import QUERIES
+
+    rows = {r["method"]: r for r in QUERIES["ann_recall_report"].fn(spark, sf_dir).collect()}
+    # measured r5 on sf0.001 (isotropic noise, see module docstring):
+    # lsh 0.20, ivf 0.52, ivf_kmeans 0.64.  Floors at ~half the measured
+    # value: they fail on collapse (0 recall, broken banding, empty
+    # candidate sets), not on benign jitter.
+    assert rows["knn_lsh"]["mean_recall"] >= 0.10, rows["knn_lsh"]
+    assert rows["knn_ivf"]["mean_recall"] >= 0.25, rows["knn_ivf"]
+    assert rows["knn_ivf_kmeans"]["mean_recall"] >= 0.30, rows["knn_ivf_kmeans"]
+    assert all(r["n_queries"] == 5 for r in rows.values())
+
+
+# --------------------------------------------------------------------------
+# MinHash / SimHash candidate quality vs exact Jaccard ground truth
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def docs(spark, ):
+    from etl_tiki_webscraping_spark.io import load_table
+
+    return load_table(spark, "/root/testdata/sf0.001", "documents")
+
+
+@pytest.fixture(scope="module")
+def jaccard_truth(docs):
+    return exact_jaccard_pairs_all(docs, "text", "doc_id", threshold=0.8, shingle_n=3)
+
+
+def test_minhash_candidates_quality(docs, jaccard_truth):
+    from etl_tiki_webscraping_spark.operators.dedup import minhash_candidate_pairs
+
+    cand = minhash_candidate_pairs(docs, "text", "doc_id", shingle_n=3)
+    q = pair_quality(cand, jaccard_truth)
+    # banding theory at J=0.8 (16 bands x 4 rows): P(candidate) =
+    # 1-(1-0.8^4)^16 ~ 0.9998; measured r5 on sf0.001: P=1.0, R=1.0
+    assert q["n_truth"] > 0, "fixture has no near-dups; gate is vacuous"
+    assert q["recall"] >= 0.95, q
+    assert q["precision"] >= 0.80, q
+
+
+def test_simhash_candidates_quality(docs, jaccard_truth):
+    from etl_tiki_webscraping_spark.operators.dedup import simhash_candidate_pairs
+
+    cand = simhash_candidate_pairs(docs, "text", "doc_id", max_hamming=3).select(
+        "id_a", "id_b"
+    )
+    q = pair_quality(cand, jaccard_truth)
+    # hamming<=3 on 64-bit simhash is a TIGHTER similarity than J>=0.8,
+    # so recall against the J-truth is structurally below MinHash's;
+    # measured r5 on sf0.001: P=0.909, R=0.714
+    assert q["recall"] >= 0.5, q
+    assert q["precision"] >= 0.7, q
+
+
+def test_bucket_cap_does_not_change_recall_on_normal_corpus(docs, jaccard_truth):
+    """VERDICT r3 ask #8: the hot-bucket cap (default 1024) must be a
+    no-op on a NON-adversarial corpus — identical candidate recall with
+    the cap on vs off, not merely identical row counts."""
+    from etl_tiki_webscraping_spark.operators.dedup import minhash_candidate_pairs
+
+    capped = minhash_candidate_pairs(docs, "text", "doc_id", shingle_n=3, bucket_cap=1024)
+    uncapped = minhash_candidate_pairs(docs, "text", "doc_id", shingle_n=3, bucket_cap=None)
+    q_c = pair_quality(capped, jaccard_truth)
+    q_u = pair_quality(uncapped, jaccard_truth)
+    assert q_c["recall"] == q_u["recall"], (q_c, q_u)
+    # stronger: the candidate SETS are identical, not just their recall
+    assert q_c["n_candidates"] == q_u["n_candidates"]
+    assert capped.exceptAll(uncapped).count() == 0
