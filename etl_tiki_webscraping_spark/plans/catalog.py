@@ -2837,3 +2837,180 @@ def q_lsh_pair_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_quality_summary(cand_m, truth_m, "minhash_lsh_t0.8").unionAll(
         pair_quality_summary(cand_s.select("id_a", "id_b"), truth_m, "simhash_h3")
     )
+
+
+# ===========================================================================
+# Corpus-pipeline capstone (VERDICT r3 ask #7): the LLM-data operators
+# COMPOSED, not just run singly — quality gate -> benchmark
+# decontamination -> dedup -> deterministic split -> token packing, one
+# DataFrame chain.  Mirrors the warehouse pipeline_e2e pattern: the
+# fully deterministic variant carries a complete DuckDB oracle; the
+# near-dup variant swaps in MinHash-LSH dedup (seeded, rows-only).
+# ===========================================================================
+
+_CORPUS_PIPELINE_SQL = r"""
+    WITH quality AS (
+        SELECT doc_id, text
+        FROM documents
+        WHERE text IS NOT NULL
+          AND len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) >= 5
+          AND CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+                  / CAST(greatest(length(text), 1) AS DOUBLE) <= 0.3
+          AND CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                   t -> t IN ('the','and','of','to','in','is','it','that','for','with'))) AS DOUBLE)
+                  / CAST(greatest(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                   t -> t <> '')), 1) AS DOUBLE) >= 0.01
+    ),
+    toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tok FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(tok) - 5 + 2, 1)),
+                                     i -> array_to_string(list_slice(tok, i, i + 4), ' '))) AS g
+        FROM toks
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+    contaminated AS (
+        SELECT DISTINCT doc_id FROM grams
+        WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bench)
+    ),
+    clean AS (
+        SELECT q.doc_id, q.text FROM quality q
+        WHERE q.doc_id % 50 <> 0
+          AND q.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    deduped AS (
+        SELECT doc_id, text FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                ORDER BY doc_id ASC
+            ) AS rn FROM clean
+        ) WHERE rn = 1
+    ),
+    counted AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))
+                    AS BIGINT) AS n_tokens
+        FROM deduped
+    ),
+    c AS (
+        SELECT doc_id, n_tokens, doc_id % 16 AS shard,
+               SUM(n_tokens) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM counted
+    )
+    SELECT doc_id, n_tokens, shard,
+           CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id,
+           CASE
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+               ELSE 'test'
+           END AS split
+    FROM c
+"""
+
+
+def _corpus_pipeline(spark: SparkSession, sf_dir: str, near_dup: bool) -> DataFrame:
+    from etl_tiki_webscraping_spark.functions.text import (
+        punct_ratio,
+        stopword_ratio,
+        token_count,
+    )
+    from etl_tiki_webscraping_spark.operators.decontaminate import (
+        decontaminate,
+        pack_by_token_budget,
+    )
+    from etl_tiki_webscraping_spark.operators.dedup import exact_dedup, minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    quality = docs.filter(
+        (token_count("text") >= 5)
+        & (punct_ratio("text") <= 0.3)
+        & (stopword_ratio("text") >= 0.01)
+    )
+    # the benchmark is EXTERNAL held-out data — it is not quality-gated
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = quality.filter(F.col("doc_id") % 50 != 0)
+    clean = decontaminate(corpus, benchmark, "text", "doc_id", n=5)
+    if near_dup:
+        deduped = minhash_dedup(clean, "text", "doc_id", threshold=0.8)
+    else:
+        deduped = exact_dedup(clean, "text", "doc_id")
+    counted = deduped.select("doc_id", token_count("text").alias("n_tokens"))
+    packed = pack_by_token_budget(
+        counted, "n_tokens", "doc_id", budget=512,
+        shard_expr=F.pmod(F.col("doc_id"), F.lit(16)),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint") % 100
+    )
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "shard",
+        "pack_id",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "corpus_pipeline_e2e",
+    oracle=_CORPUS_PIPELINE_SQL,
+    doc="the corpus capstone: quality gate -> benchmark decontamination (5-gram "
+        "broadcast probe) -> exact content dedup -> deterministic 80/10/10 "
+        "split -> token-budget packing, composed as ONE DataFrame chain with a "
+        "full DuckDB oracle.  Every stage keeps its standalone scale shape "
+        "(codegen filters, broadcast semi-join, bare-id survivor election, one "
+        "window per shard); Catalyst fuses the narrow stages into shared scans",
+)
+def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _corpus_pipeline(spark, sf_dir, near_dup=False)
+
+
+@register(
+    "corpus_pipeline_neardup",
+    oracle=None,  # MinHash-LSH stage is seeded — rows-only
+    doc="the same composed corpus pipeline with MinHash-LSH near-dup removal "
+        "(threshold 0.8) in place of exact dedup — proves the approximate tier "
+        "composes into the chain; correctness of the LSH stage itself is gated "
+        "by lsh_pair_quality + tests/test_quality_gates.py",
+)
+def q_corpus_pipeline_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _corpus_pipeline(spark, sf_dir, near_dup=True)
+
+
+@register(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+           v.ts AS view_ts, p.ts AS purchase_ts
+    FROM events v JOIN events p
+      ON p.user_id = v.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+    doc="§2.10 stream-STREAM inner join (VERDICT r3 ask #4): the view and "
+        "purchase slices of the event stream run as two independent 3-micro-batch "
+        "file sources, each with its own watermark, joined on user with a 1-hour "
+        "range bound — the bound gives Spark a per-side state watermark so "
+        "buffered rows are evicted as the watermarks advance (state bounded by "
+        "horizon+delay of traffic, proven in tests/test_streaming.py). On "
+        "fully-available in-order input the append-mode result must hash-match "
+        "the batch SQL twin",
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.streaming.events import (
+        read_events_stream_multibatch,
+        run_available_now_to_memory,
+        stream_stream_purchase_views,
+    )
+
+    views = read_events_stream_multibatch(spark, sf_dir, n_batches=3).filter(
+        F.col("event_type") == "view"
+    )
+    purchases = read_events_stream_multibatch(spark, sf_dir, n_batches=3).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = stream_stream_purchase_views(views, purchases)
+    return run_available_now_to_memory(joined, "stream_stream_join", "append")

