@@ -3014,3 +3014,42 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = stream_stream_purchase_views(views, purchases)
     return run_available_now_to_memory(joined, "stream_stream_join", "append")
+
+
+@register(
+    "snapshot_file_skipping",
+    oracle="""
+    SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal
+    FROM customer
+    WHERE c_custkey >= 20 AND c_custkey <= 80
+    """,
+    doc="file-level min/max data skipping (VERDICT r3 ask #6): the customer "
+        "table is committed, compacted with sort_by=c_custkey into many small "
+        "files covering disjoint key ranges (manifest records per-file parquet "
+        "footer min/max), then range-read via read_parquet_table(range_filter=) "
+        "— files whose range cannot overlap are never given to the scan "
+        "(asserted scan-count test in tests/test_upsert.py); the oracle proves "
+        "the pruned result equals the plain SQL range filter",
+)
+def q_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from etl_tiki_webscraping_spark.sinks.upsert import (
+        compact_table,
+        read_parquet_table,
+        upsert_parquet,
+    )
+
+    path = _FILE_SKIP_TABLES.get(sf_dir)
+    if path is None:
+        base = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", F.col("c_acctbal").cast("double").alias("acctbal")
+        )
+        path = tempfile.mkdtemp(prefix="file-skip-") + "/tbl"
+        upsert_parquet(spark, base, path, ["c_custkey"])
+        compact_table(spark, path, target_file_bytes=16 * 1024, sort_by=["c_custkey"])
+        _FILE_SKIP_TABLES[sf_dir] = path
+    return read_parquet_table(spark, path, range_filter=("c_custkey", 20, 80))
+
+
+_FILE_SKIP_TABLES: dict[str, str] = {}  # sf_dir -> table path (memoized)

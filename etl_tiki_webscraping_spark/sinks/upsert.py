@@ -129,7 +129,10 @@ def _read_snapshot(spark: SparkSession, target_path: str, snap_name: str) -> Dat
 
 
 def read_parquet_table(
-    spark: SparkSession, target_path: str, version: int | None = None
+    spark: SparkSession,
+    target_path: str,
+    version: int | None = None,
+    range_filter: "tuple | None" = None,
 ) -> DataFrame:
     """Read an upsert-managed parquet table: follow the ``_LATEST``
     snapshot pointer if present, else read the path as plain parquet
@@ -139,6 +142,16 @@ def read_parquet_table(
     ``keep_snapshots`` on :func:`upsert_parquet`); raises FileNotFoundError
     if that snapshot was pruned or never committed at or before the
     current version.
+
+    ``range_filter=(col, lo, hi)`` applies ``lo <= col <= hi`` (either
+    bound may be None) AND file-level data skipping: files whose
+    manifest-recorded min/max range cannot overlap the bound are never
+    handed to the scan — the metadata side of ``compact_table``'s
+    ``sort_by`` clustering (per-file disjoint ranges), and the file-
+    granular complement of hive partition pruning for high-cardinality
+    columns.  Files without recorded stats for ``col`` are scanned
+    conservatively, so the result ALWAYS equals the unpruned
+    read-then-filter.
     """
     import os
 
@@ -153,11 +166,79 @@ def read_parquet_table(
                 f"snapshot {name} of {target_path} is not available "
                 f"(pruned, never committed, or ahead of {cur})"
             )
-        return _read_snapshot(spark, target_path, name)
-    snap = _current_snapshot(target_path)
-    if snap is None:
-        return spark.read.parquet(target_path)
-    return _read_snapshot(spark, target_path, snap)
+    else:
+        name = _current_snapshot(target_path)
+        if name is None:
+            df = spark.read.parquet(target_path)
+            return _apply_range(df, range_filter) if range_filter else df
+    if range_filter is not None:
+        pruned = _stats_pruned_read(spark, target_path, name, range_filter)
+        if pruned is not None:
+            return pruned
+        return _apply_range(_read_snapshot(spark, target_path, name), range_filter)
+    return _read_snapshot(spark, target_path, name)
+
+
+def _apply_range(df: DataFrame, range_filter: tuple) -> DataFrame:
+    col, lo, hi = range_filter
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & (F.col(col) >= F.lit(lo))
+    if hi is not None:
+        pred = pred & (F.col(col) <= F.lit(hi))
+    return df.filter(pred)
+
+
+def _stats_pruned_read(
+    spark: SparkSession, target_path: str, snap_name: str, range_filter: tuple
+) -> "DataFrame | None":
+    """File-skipping read of one snapshot under a range predicate, or
+    None when the manifest offers nothing to skip (caller falls back to
+    the ordinary full read + filter)."""
+    import json
+    import os
+
+    col, lo, hi = range_filter
+    mpath = os.path.join(target_path, snap_name + ".json")
+    if not os.path.exists(mpath):
+        return None
+    with open(mpath) as fh:
+        manifest = json.load(fh)
+    stats = manifest.get("file_stats") or {}
+    if not stats:
+        return None
+    snap_dir = os.path.join(target_path, snap_name)
+    all_files: list[str] = []
+    for root, _, files in os.walk(snap_dir, followlinks=True):
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                all_files.append(os.path.relpath(os.path.join(root, f), snap_dir))
+
+    def survives(rel: str) -> bool:
+        s = stats.get(rel, {}).get(col)
+        if not s:
+            return True  # no recorded range -> must scan
+        mn, mx = s
+        if lo is not None and mx < lo:
+            return False
+        if hi is not None and mn > hi:
+            return False
+        return True
+
+    kept = [f for f in all_files if survives(f)]
+    if len(kept) == len(all_files):
+        return None  # nothing skippable; use the standard read path
+    schema_json = manifest.get("schema")
+    schema = T.StructType.fromJson(json.loads(schema_json)) if schema_json else None
+    if not kept:
+        if schema is None:
+            return None
+        return _apply_range(spark.createDataFrame([], schema), range_filter)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    df = reader.option("basePath", snap_dir).parquet(
+        *[os.path.join(snap_dir, f) for f in kept]
+    )
+    return _apply_range(df, range_filter)
 
 
 def _leaf_partition_dirs(root: str, depth: int) -> list[str]:
@@ -376,11 +457,35 @@ def _commit_partitioned(
     shutil.rmtree(final, ignore_errors=True)  # crashed uncommitted leftover
     os.rename(farm_tmp, final)
 
+    # per-file min/max for data skipping: freshly-written pool files get
+    # their footer stats read now (driver-side, bounded by the batch's
+    # file count — the same metadata a Delta commit collects); files
+    # carried forward by reference keep their PRIOR manifest stats
+    # verbatim (the bytes didn't change, so neither did the ranges)
+    prior_stats: dict[str, dict] = {}
+    prev_mpath = os.path.join(target_path, f"v{next_version - 1:08d}.json")
+    if next_version > 1 and os.path.exists(prev_mpath):
+        with open(prev_mpath) as fh:
+            prior_stats = json.load(fh).get("file_stats", {}) or {}
+    pool_real = os.path.realpath(pool_dir)
+    file_stats: dict[str, dict] = {}
+    for rel, data_dir in entries.items():
+        if os.path.realpath(data_dir).startswith(pool_real + os.sep) or (
+            os.path.realpath(data_dir) == pool_real
+        ):
+            file_stats.update(_dir_file_stats(data_dir, rel))
+        else:
+            pref = rel + os.sep
+            file_stats.update(
+                {k: v for k, v in prior_stats.items() if k.startswith(pref)}
+            )
+
     manifest = {
         "version": next_version,
         "partition_by": list(pcols),
         "schema": merged.schema.json(),  # authoritative table schema (evolution-safe reads)
         "partitions": {rel: os.path.relpath(d, target_path) for rel, d in entries.items()},
+        "file_stats": file_stats,
     }
     mpath = os.path.join(target_path, snap_name + ".json")
     with open(mpath + ".tmp", "w") as fh:
@@ -395,6 +500,86 @@ def _commit_partitioned(
         audit(_read_snapshot(merged.sparkSession, target_path, snap_name))
 
     _publish(target_path, next_version, keep_snapshots)
+
+
+def _parquet_file_stats(path: str) -> dict[str, list]:
+    """Per-file column min/max aggregated from the parquet footer's
+    row-group statistics — the per-file metadata a Delta/Iceberg commit
+    records for data skipping.  Only JSON-safe primitive stats (int /
+    float / str) are kept; a column missing stats in ANY row group is
+    dropped for that file (its range would be a lie)."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.read_metadata(path)
+    except Exception:
+        return {}
+    agg: dict[str, list] = {}
+    bad: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            if "." in name or name in bad:
+                continue
+            try:
+                st = c.statistics
+                ok = (
+                    st is not None
+                    and st.has_min_max
+                    and isinstance(st.min, (int, float, str))
+                    and not isinstance(st.min, bool)
+                )
+            except Exception:
+                # pyarrow can't extract stats for every physical type
+                # (e.g. some logical-type encodings raise NotImplemented)
+                ok = False
+            if not ok:
+                bad.add(name)
+                agg.pop(name, None)
+                continue
+            if name in agg:
+                agg[name] = [min(agg[name][0], st.min), max(agg[name][1], st.max)]
+            else:
+                agg[name] = [st.min, st.max]
+    return agg
+
+
+def _dir_file_stats(data_dir: str, rel_prefix: str) -> dict[str, dict]:
+    """{file rel path -> {col -> [min, max]}} for every parquet file
+    directly inside ``data_dir``."""
+    import os
+
+    out: dict[str, dict] = {}
+    for f in sorted(os.listdir(data_dir)):
+        if not f.endswith(".parquet") or f.startswith((".", "_")):
+            continue
+        s = _parquet_file_stats(os.path.join(data_dir, f))
+        if s:
+            out[os.path.join(rel_prefix, f) if rel_prefix else f] = s
+    return out
+
+
+def _write_snapshot_manifest(target_path: str, snap_name: str, schema_json: str) -> None:
+    """Manifest for an UNPARTITIONED snapshot commit: authoritative
+    schema + per-file min/max stats, so :func:`read_parquet_table` can
+    skip whole files under a range predicate (``compact_table``'s
+    ``sort_by`` clustering produces disjoint per-file ranges — this is
+    the metadata half of that optimization)."""
+    import json
+    import os
+
+    snap_dir = os.path.join(target_path, snap_name)
+    manifest = {
+        "version": int(snap_name.lstrip("v")),
+        "schema": schema_json,
+        "file_stats": _dir_file_stats(snap_dir, ""),
+    }
+    mpath = os.path.join(target_path, snap_name + ".json")
+    with open(mpath + ".tmp", "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.replace(mpath + ".tmp", mpath)
 
 
 _TOUCHED_LITERAL_MAX = 256
@@ -476,8 +661,21 @@ def upsert_parquet(
     stable_partitions: bool = False,
     evolve_schema: bool = False,
     audit: "object | None" = None,
+    retry_conflicts: int = 0,
 ) -> None:
     """Upsert into a parquet table path; creates it if absent.
+
+    ``retry_conflicts``: optimistic-concurrency RETRY budget.  An
+    upsert is commutative at commit granularity (it re-reads the
+    current snapshot and re-merges its batch), so when a concurrent
+    writer publishes first — ``ConcurrentWriteError`` at the pointer
+    swap — the losing writer can REBASE: re-run the merge against the
+    newly committed version and attempt to publish again, exactly the
+    Delta/Iceberg conflict-resolution loop.  0 (default) preserves
+    detect-only behavior; with N retries exhausted the error
+    propagates.  Each retry re-executes the full read-merge-write, so
+    the final table equals SEQUENTIAL application of all writers'
+    batches (per-key last-writer-wins as always).
 
     ``audit`` (write-audit-publish): a callable receiving the fully
     written, NOT-yet-committed candidate table as a DataFrame; raise to
@@ -527,9 +725,44 @@ def upsert_parquet(
     standard date-partitioned-facts layout — to skip that scan and
     touch strictly the batch's own partitions.
     """
+    attempt = 0
+    while True:
+        try:
+            _upsert_parquet_attempt(
+                spark,
+                updates,
+                target_path,
+                list(keys),
+                order_by,
+                partition_by,
+                keep_snapshots,
+                stable_partitions,
+                evolve_schema,
+                audit,
+            )
+            return
+        except ConcurrentWriteError:
+            if attempt >= retry_conflicts:
+                raise
+            attempt += 1
+            # rebase: the next attempt re-reads the just-committed
+            # version and re-merges this batch onto it
+
+
+def _upsert_parquet_attempt(
+    spark: SparkSession,
+    updates: DataFrame,
+    target_path: str,
+    keys: list[str],
+    order_by: Sequence[Column | str] | None,
+    partition_by: Sequence[str] | None,
+    keep_snapshots: int,
+    stable_partitions: bool,
+    evolve_schema: bool,
+    audit: "object | None",
+) -> None:
     import os
 
-    keys = list(keys)
     if partition_by:
         _upsert_parquet_partitioned(
             spark,
@@ -564,6 +797,7 @@ def upsert_parquet(
     snap_name = f"v{next_version:08d}"
     # overwrite: a crashed run may have left this dir
     merged.write.mode("overwrite").parquet(os.path.join(target_path, snap_name))
+    _write_snapshot_manifest(target_path, snap_name, merged.schema.json())
     if audit is not None:
         # write-audit-publish: validate the written-but-uncommitted
         # snapshot; raising aborts before the pointer swap
@@ -685,6 +919,7 @@ def delete_where(
         merged = snap.filter(~F.coalesce(condition, F.lit(False)))
         snap_name = f"v{next_version:08d}"
         merged.write.mode("overwrite").parquet(os.path.join(target_path, snap_name))
+        _write_snapshot_manifest(target_path, snap_name, merged.schema.json())
         _publish(target_path, next_version, keep_snapshots)
         return
 
@@ -768,6 +1003,7 @@ def compact_table(
 
     snap_name = f"v{next_version:08d}"
     df.write.mode("overwrite").parquet(os.path.join(target_path, snap_name))
+    _write_snapshot_manifest(target_path, snap_name, df.schema.json())
     _publish(target_path, next_version, keep_snapshots)
     return n_files
 

@@ -94,8 +94,12 @@ def test_upsert_parquet_snapshot_commit_layout(spark, tmp_parquet_dir):
 
     entries = sorted(os.listdir(tmp_parquet_dir))
     assert SNAPSHOT_POINTER in entries
-    snaps = [e for e in entries if e.startswith("v")]
+    snaps = [e for e in entries if e.startswith("v") and not e.endswith(".json")]
     assert snaps == ["v00000002", "v00000003"]  # current + one predecessor
+    # each retained snapshot carries its manifest (schema + file stats);
+    # pruned snapshots' manifests are reclaimed with them
+    manifests = [e for e in entries if e.endswith(".json")]
+    assert manifests == ["v00000002.json", "v00000003.json"]
     with open(os.path.join(tmp_parquet_dir, SNAPSHOT_POINTER)) as fh:
         assert fh.read().strip() == "v00000003"
 
@@ -463,3 +467,135 @@ def test_concurrent_writer_detection(spark, tmp_parquet_dir):
     _write_pointer(tmp_parquet_dir, "v00000002", "v00000001")  # B publishes
     with pytest.raises(ConcurrentWriteError):
         _write_pointer(tmp_parquet_dir, "v00000002", "v00000001")  # A: stale base
+
+
+def test_concurrent_upsert_rebase_retry_lands_both_writers(spark, tmp_parquet_dir, monkeypatch):
+    """VERDICT r3 ask #5: two interleaved writers both land.  Writer B
+    reads v1, then writer A commits v2 before B's pointer swap; with
+    ``retry_conflicts`` B hits ConcurrentWriteError, REBASES onto v2
+    (full re-read + re-merge of its batch) and publishes v3.  The final
+    table equals applying A then B sequentially."""
+    import etl_tiki_webscraping_spark.sinks.upsert as U
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    U.upsert_parquet(spark, base, tmp_parquet_dir, ["k"])  # v1
+    batch_a = spark.createDataFrame([(2, "A2"), (3, "A3")], "k int, v string")
+    batch_b = spark.createDataFrame([(1, "B1"), (4, "B4")], "k int, v string")
+
+    orig_publish = U._publish
+    raced = {"done": False}
+
+    def racing_publish(target_path, next_version, keep_snapshots):
+        if not raced["done"]:
+            raced["done"] = True
+            # writer A slips in a full commit between B's merge and
+            # B's pointer swap
+            U.upsert_parquet(spark, batch_a, target_path, ["k"])
+        return orig_publish(target_path, next_version, keep_snapshots)
+
+    monkeypatch.setattr(U, "_publish", racing_publish)
+    U.upsert_parquet(spark, batch_b, tmp_parquet_dir, ["k"], retry_conflicts=3)
+
+    got = {r["k"]: r["v"] for r in U.read_parquet_table(spark, tmp_parquet_dir).collect()}
+    assert got == {1: "B1", 2: "A2", 3: "A3", 4: "B4"}  # == sequential A then B
+    assert U._current_snapshot(tmp_parquet_dir) == "v00000003"
+
+
+def test_concurrent_upsert_without_retry_still_raises(spark, tmp_parquet_dir, monkeypatch):
+    import pytest
+
+    import etl_tiki_webscraping_spark.sinks.upsert as U
+
+    U.upsert_parquet(
+        spark, spark.createDataFrame([(1, "a")], "k int, v string"), tmp_parquet_dir, ["k"]
+    )
+    orig_publish = U._publish
+    raced = {"done": False}
+
+    def racing_publish(target_path, next_version, keep_snapshots):
+        if not raced["done"]:
+            raced["done"] = True
+            U.upsert_parquet(
+                spark,
+                spark.createDataFrame([(9, "z")], "k int, v string"),
+                target_path,
+                ["k"],
+            )
+        return orig_publish(target_path, next_version, keep_snapshots)
+
+    monkeypatch.setattr(U, "_publish", racing_publish)
+    with pytest.raises(U.ConcurrentWriteError):
+        U.upsert_parquet(
+            spark,
+            spark.createDataFrame([(2, "b")], "k int, v string"),
+            tmp_parquet_dir,
+            ["k"],
+        )
+
+
+def test_file_skipping_on_sort_clustered_table(spark, tmp_parquet_dir):
+    """VERDICT r3 ask #6: after a ``sort_by`` compaction the manifest
+    carries per-file min/max; a selective range read scans FEWER files
+    and returns exactly the unpruned filtered rows."""
+    from etl_tiki_webscraping_spark.sinks.upsert import (
+        compact_table,
+        read_parquet_table,
+        upsert_parquet,
+    )
+
+    rows = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    upsert_parquet(spark, rows, tmp_parquet_dir, ["k"])  # v1
+    n_files = compact_table(
+        spark, tmp_parquet_dir, target_file_bytes=8 * 1024, sort_by=["k"]
+    )  # v2: several files covering disjoint k ranges
+    assert n_files > 2
+
+    full = read_parquet_table(spark, tmp_parquet_dir)
+    pruned = read_parquet_table(spark, tmp_parquet_dir, range_filter=("k", 100, 200))
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    expect = sorted(
+        (r["k"], r["v"]) for r in full.filter(F.col("k").between(100, 200)).collect()
+    )
+    got = sorted((r["k"], r["v"]) for r in pruned.collect())
+    assert got == expect and len(got) == 101
+
+    # open-ended bound, and a bound selecting nothing
+    top = read_parquet_table(spark, tmp_parquet_dir, range_filter=("k", 9_900, None))
+    assert top.count() == 100
+    assert read_parquet_table(spark, tmp_parquet_dir, range_filter=("k", 20_000, None)).count() == 0
+
+
+def test_file_skipping_partitioned_table_preserves_partition_columns(spark, tmp_parquet_dir):
+    """Partitioned commits record stats for fresh pool files and carry
+    forward prior stats for untouched partitions; the pruned read keeps
+    hive partition columns (basePath) and matches the unpruned filter."""
+    from etl_tiki_webscraping_spark.sinks.upsert import (
+        read_parquet_table,
+        upsert_parquet,
+    )
+
+    rows = spark.range(1_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("p"),
+        (F.col("id") * 3).alias("v"),
+    )
+    upsert_parquet(spark, rows, tmp_parquet_dir, ["k"], partition_by=["p"])  # v1
+    # touch ONE partition so v2 carries three partitions forward by reference
+    upd = spark.createDataFrame([(8, 0, 999)], "k long, p long, v long")
+    upsert_parquet(
+        spark, upd, tmp_parquet_dir, ["k"], partition_by=["p"], stable_partitions=True
+    )  # v2
+
+    full = read_parquet_table(spark, tmp_parquet_dir)
+    pruned = read_parquet_table(spark, tmp_parquet_dir, range_filter=("k", 0, 50))
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert set(pruned.columns) == set(full.columns)  # partition col survives
+    expect = sorted(
+        (r["k"], r["p"], r["v"])
+        for r in full.filter(F.col("k").between(0, 50)).collect()
+    )
+    got = sorted((r["k"], r["p"], r["v"]) for r in pruned.collect())
+    assert got == expect and len(got) == 51
+    assert {r[1] for r in got} == {0, 1, 2, 3}
