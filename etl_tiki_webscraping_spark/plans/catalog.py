@@ -2794,11 +2794,23 @@ def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "floors on the same numbers",
 )
 def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.similarity import lsh_topk
     from etl_tiki_webscraping_spark.quality.gates import topk_recall_summary
 
     exact = q_knn(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # lsh_wide: the HIGH-RECALL operating point for weakly-clustered data
+    # (fewer bits -> bigger buckets -> more candidates scored); on the
+    # isotropic fixture the default 8x8 config measures ~0.2 recall@10
+    # while 16x4 measures ~0.9 at ~2/3 of the corpus scored — the
+    # rho~0.75 trade-off made visible as data, not prose
+    wide = lsh_topk(emb, queries, k=10, tables=16, bits=4)
     reports = [
         topk_recall_summary(q_knn_lsh(spark, sf_dir), exact, "knn_lsh"),
+        topk_recall_summary(wide, exact, "knn_lsh_wide"),
         topk_recall_summary(q_knn_ivf(spark, sf_dir), exact, "knn_ivf"),
         topk_recall_summary(q_knn_ivf_kmeans(spark, sf_dir), exact, "knn_ivf_kmeans"),
     ]
