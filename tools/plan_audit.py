@@ -101,6 +101,43 @@ def main() -> int:
     check("decontaminate_corpus", "BroadcastHashJoin" in p,
           "benchmark gram set probed via broadcast join")
 
+    # --- corpus capstone: composed chain keeps each stage's shape -----------
+    p = plan_of("corpus_pipeline_e2e")
+    check("corpus_pipeline_e2e",
+          "BroadcastHashJoin" in p and "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p,
+          "composed pipeline keeps broadcast probe, no cartesian anywhere")
+
+    # --- stream-stream join plans the symmetric-hash streaming join --------
+    from etl_tiki_webscraping_spark.streaming.events import (
+        read_events_stream,
+        stream_stream_purchase_views,
+    )
+
+    views = read_events_stream(spark, SF_DIR).filter(F.col("event_type") == "view")
+    purchases = read_events_stream(spark, SF_DIR).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = stream_stream_purchase_views(views, purchases)
+    sp = joined._jdf.queryExecution().analyzed().toString()
+    check("stream_stream_join",
+          "EventTimeWatermark" in sp and sp.count("EventTimeWatermark") >= 2,
+          "both join inputs carry their own event-time watermark (bounded state)")
+
+    # --- file-level min/max skipping scans fewer files ----------------------
+    from etl_tiki_webscraping_spark.sinks.upsert import compact_table
+
+    tbl2 = tempfile.mkdtemp(prefix="plan-audit-skip-") + "/cust"
+    cust = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_name")
+    upsert_parquet(spark, cust, tbl2, ["c_custkey"])
+    compact_table(spark, tbl2, target_file_bytes=2 * 1024, sort_by=["c_custkey"])
+    n_all = len(read_parquet_table(spark, tbl2).inputFiles())
+    pruned = read_parquet_table(spark, tbl2, range_filter=("c_custkey", 10, 60))
+    check("snapshot_file_skipping",
+          n_all > 2 and len(pruned.inputFiles()) < n_all,
+          f"range read scans {len(pruned.inputFiles())}/{n_all} files "
+          "(manifest min/max skipping)")
+
     print()
     if failures:
         print(f"{len(failures)} plan check(s) FAILED")
