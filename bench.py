@@ -71,6 +71,26 @@ HEADLINE = [
 ]
 
 
+def _final_line(pass1: dict, pass2: dict, regressions: dict, sf_str: str) -> str:
+    """Totals-only final stdout line.  MUST stay under the driver's
+    2000-char tail window regardless of how many queries run — only
+    the 5 slowest appear by name (full dicts go on the detail line)."""
+    top5 = dict(sorted(pass2.items(), key=lambda kv: -kv[1])[:5])
+    return json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": round(sum(pass1.values()), 3),
+            "unit": "sec",
+            "value_pass2": round(sum(pass2.values()), 3),
+            "sf": float(sf_str),
+            "n_queries": len(pass1),
+            "regressions_count": len(regressions),
+            "queries": top5,
+        },
+        separators=(",", ":"),
+    )
+
+
 def main() -> None:
     from etl_tiki_webscraping_spark.plans.catalog import QUERIES
     from etl_tiki_webscraping_spark.session import get_spark
@@ -127,25 +147,47 @@ def main() -> None:
     regressions: dict[str, dict[str, object]] = {}
     prior_file = None
     here = os.path.dirname(os.path.abspath(__file__))
-    priors = sorted(
-        f for f in os.listdir(here) if f.startswith("BENCH_r") and f.endswith(".json")
-    )
-    for f in reversed(priors):
+    sf_str = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    def _prior_candidates():
+        # Prefer the locally-persisted full history (immune to the
+        # driver's 2000-char stdout-tail truncation that nulled the
+        # parsed BENCH_r03/r04/r05 artifacts), newest entry first at a
+        # matching sf; then fall back to driver BENCH_r*.json.
+        hist_path = os.path.join(here, "bench_history.jsonl")
         try:
-            with open(os.path.join(here, f)) as fh:
-                prior = json.load(fh)
+            with open(hist_path) as fh:
+                entries = [json.loads(line) for line in fh if line.strip()]
         except (OSError, json.JSONDecodeError):
-            continue
-        # The driver wraps bench stdout as {"parsed": <json-or-null>, ...}.
-        # "parsed" can be explicitly null (r03/r04: truncated tail or a
-        # failed run) — fall back to the wrapper, then require a dict
-        # before probing for query timings.
-        prior = prior.get("parsed") or prior
-        if not isinstance(prior, dict):
-            continue
+            entries = []
+        for e in reversed(entries):
+            if isinstance(e, dict) and str(e.get("sf")) == sf_str:
+                yield "bench_history.jsonl", e
+        priors = sorted(
+            f
+            for f in os.listdir(here)
+            if f.startswith("BENCH_r") and f.endswith(".json")
+        )
+        for f in reversed(priors):
+            try:
+                with open(os.path.join(here, f)) as fh:
+                    wrapper = json.load(fh)
+            except (OSError, json.JSONDecodeError):
+                continue
+            # Driver wrapper: {"sf": ..., "parsed": <json-or-null>, ...};
+            # parsed is null when the tail truncated (r03/r05) or the run
+            # failed (r04) — fall back to the wrapper, require a dict.
+            # Only compare same-scale runs (wrapper sf vs this run's sf).
+            if "sf" in wrapper and str(wrapper["sf"]) != sf_str:
+                continue
+            prior = wrapper.get("parsed") or wrapper
+            if isinstance(prior, dict):
+                yield f, prior
+
+    for fname, prior in _prior_candidates():
         prior_q = prior.get("queries_pass2") or prior.get("queries")
         if prior_q:
-            prior_file = f
+            prior_file = fname
             for name, now in pass2.items():
                 was = prior_q.get(name)
                 if was and now > 1.5 * was and now - was > 0.25:
@@ -159,31 +201,44 @@ def main() -> None:
                     regressions[name] = entry
             break
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    # The driver captures a fixed-size TAIL of stdout; the JSON must be
-    # the final line and short enough to fit entirely inside that tail
-    # (r03 lost its totals when the line head fell outside the window).
-    # Compact separators + console-progress suppression (session.py)
-    # keep it well under budget.  Flush everything else first.
+    # Persist the full result locally so future regression gates don't
+    # depend on the driver artifact surviving tail truncation.
+    full = {
+        "sf": sf_str,
+        "cpus": cpus,
+        "value": round(sum(pass1.values()), 3),
+        "value_pass2": round(sum(pass2.values()), 3),
+        "queries": pass1,
+        "queries_pass2": pass2,
+        "regressions": regressions,
+        "regressions_vs": prior_file,
+    }
+    try:
+        with open(os.path.join(here, "bench_history.jsonl"), "a") as fh:
+            fh.write(json.dumps(full, separators=(",", ":")) + "\n")
+    except OSError:
+        pass
+
+    # The driver captures a fixed-size TAIL of stdout; the FINAL line
+    # must fit entirely inside that tail.  r03/r05 lost their totals
+    # because the final line carried the full per-query dicts (~2.8 KB)
+    # and its head fell outside the window.  Fix: emit the detail
+    # payload (per-query timings, regression notes) on its OWN earlier
+    # line, then a totals-only final line — a few hundred bytes that
+    # can never overflow.  ``queries`` on the final line keeps the
+    # driver-contract key but holds only the slowest 5 (for the
+    # at-a-glance view); full dicts are on the detail line above.
     sys.stdout.flush()
     sys.stderr.flush()
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(pass1.values()), 3),
-                "unit": "sec",
-                "value_pass2": round(sum(pass2.values()), 3),
-                "sf": float(sf),
-                "regressions": regressions,
-                "regressions_vs": prior_file,
-                "queries": pass1,
-                "queries_pass2": pass2,
-            },
-            separators=(",", ":"),
-        ),
-        flush=True,
-    )
+    detail = {
+        "detail": "bench_per_query",
+        "queries": pass1,
+        "queries_pass2": pass2,
+        "regressions": regressions,
+        "regressions_vs": prior_file,
+    }
+    print(json.dumps(detail, separators=(",", ":")), flush=True)
+    print(_final_line(pass1, pass2, regressions, sf_str), flush=True)
 
 
 if __name__ == "__main__":

@@ -37,3 +37,20 @@ def test_entry_returns_rows(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert df.columns == ["nation", "n_orders", "total_revenue", "avg_order_value"]
+
+
+def test_bench_final_line_fits_driver_tail_window():
+    """The driver keeps only the last 2000 chars of bench stdout; the
+    final JSON line must fit entirely inside that window even with an
+    absurd number of long-named queries (r03/r05 regression)."""
+    import bench
+
+    p = {f"very_long_benchmark_query_name_{i:03d}": 123.456 for i in range(200)}
+    line = bench._final_line(p, p, {k: {"prior": 1, "now": 2} for k in p}, "0.1")
+    assert len(line) < 1500
+    import json
+
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total_wall"
+    assert parsed["n_queries"] == 200
+    assert len(parsed["queries"]) == 5
