@@ -219,10 +219,16 @@ def _stats_pruned_read(
         if not s:
             return True  # no recorded range -> must scan
         mn, mx = s
-        if lo is not None and mx < lo:
-            return False
-        if hi is not None and mn > hi:
-            return False
+        try:
+            if lo is not None and mx < lo:
+                return False
+            if hi is not None and mn > hi:
+                return False
+        except TypeError:
+            # bound not comparable with the JSON-decoded stat values
+            # (e.g. an int bound against a string column) — keep the
+            # always-equals-unpruned-read contract: must scan
+            return True
         return True
 
     kept = [f for f in all_files if survives(f)]
@@ -328,6 +334,117 @@ def _publish(target_path: str, next_version: int, keep_snapshots: int) -> None:
     _prune_snapshots(target_path, next_version, keep_snapshots)
 
 
+def _stage_base(next_version: int) -> str:
+    """Attempt-scoped staging name for snapshot ``next_version``.  Every
+    write of an attempt (snapshot dir / farm, manifest) happens under
+    this unique name; version-numbered paths are only ever CREATED by
+    :func:`_publish_staged`'s claim — so a concurrent writer that loses
+    the race never overwrites the winner's committed v{N} artifacts
+    (it fails the claim and rebases instead)."""
+    import uuid
+
+    return f"v{next_version:08d}.stage-{uuid.uuid4().hex[:8]}"
+
+
+def _publish_staged(
+    target_path: str, next_version: int, stage_base: str, keep_snapshots: int
+) -> None:
+    """Claim the version-numbered location for an attempt's staged
+    snapshot, then swap the pointer.
+
+    Claim semantics (the fix for the r5 ADVICE hazard: attempts used to
+    ``mode("overwrite")`` straight into ``v{N}``, so a writer with a
+    stale base clobbered the winner's already-committed snapshot before
+    its own pointer swap failed):
+
+    - snapshot dir: ``os.rename(stage, vN)`` — refuses a non-empty
+      existing ``vN`` (POSIX: ENOTEMPTY) instead of replacing it;
+    - manifest: ``os.link`` (exclusive create) instead of ``os.replace``.
+
+    A failed claim means either a concurrent winner already published
+    (pointer moved → ``ConcurrentWriteError``, caller rebases) or a
+    CRASHED attempt left an uncommitted ``vN`` with the base pointer
+    still in place (reclaimed, then claimed again).  On a local FS a
+    small check-then-act window remains between the pointer check and
+    the reclaim — same caveat as the pointer swap itself; on an object
+    store both claims map to if-none-match conditional PUTs, which
+    close it."""
+    import os
+    import shutil
+
+    snap_name = f"v{next_version:08d}"
+    expected = f"v{next_version - 1:08d}" if next_version > 1 else None
+
+    def _assert_base() -> None:
+        now = _current_snapshot(target_path)
+        if now != expected:
+            raise ConcurrentWriteError(
+                f"{target_path}: expected committed version {expected!r} "
+                f"but found {now!r}; a concurrent writer published first"
+            )
+
+    _assert_base()
+    src = os.path.join(target_path, stage_base)
+    dst = os.path.join(target_path, snap_name)
+    try:
+        os.rename(src, dst)
+    except OSError:
+        # dst occupied by a winner (→ raise) or a crash leftover (→
+        # reclaim); src missing means a winner's prune reclaimed our
+        # stage — _assert_base raises in that case too.
+        _assert_base()
+        shutil.rmtree(dst, ignore_errors=True)
+        os.rename(src, dst)
+    src_m = os.path.join(target_path, stage_base + ".json")
+    dst_m = os.path.join(target_path, snap_name + ".json")
+    try:
+        os.link(src_m, dst_m)
+    except OSError:
+        _assert_base()
+        try:
+            os.remove(dst_m)  # crash leftover manifest
+        except OSError:
+            pass
+        os.link(src_m, dst_m)
+    os.remove(src_m)
+    _publish(target_path, next_version, keep_snapshots)
+
+
+def _commit_unpartitioned(
+    df: DataFrame,
+    target_path: str,
+    next_version: int,
+    keep_snapshots: int,
+    audit: "object | None" = None,
+) -> None:
+    """Stage + publish an UNPARTITIONED snapshot: full result written
+    under an attempt-unique name, manifest (schema + per-file min/max),
+    optional write-audit-publish gate, then the claim + pointer swap."""
+    import os
+    import shutil
+
+    stage = _stage_base(next_version)
+    stage_dir = os.path.join(target_path, stage)
+    committed = False
+    try:
+        df.write.mode("overwrite").parquet(stage_dir)
+        _write_snapshot_manifest(target_path, stage, df.schema.json())
+        if audit is not None:
+            # write-audit-publish: validate the written-but-uncommitted
+            # snapshot; raising aborts before the claim
+            audit(df.sparkSession.read.parquet(stage_dir))
+        _publish_staged(target_path, next_version, stage, keep_snapshots)
+        committed = True
+    finally:
+        if not committed:
+            # attempt-scoped staging is exclusively ours — reclaim now
+            shutil.rmtree(stage_dir, ignore_errors=True)
+            try:
+                os.remove(stage_dir + ".json")
+            except OSError:
+                pass
+
+
 def _prune_snapshots(target_path: str, next_version: int, keep_snapshots: int) -> None:
     """Best-effort retention: keep the newest ``keep_snapshots`` snapshot
     versions (dirs + manifests) plus every ``data/`` pool dir still
@@ -411,6 +528,57 @@ def _commit_partitioned(
     drop_values: "set[tuple] | None" = None,
     audit: "object | None" = None,
 ) -> None:
+    """Staging-lifecycle wrapper around :func:`_commit_partitioned_staged`:
+    generates the attempt-unique staging name and, if the commit does
+    not land (audit rejection, concurrent-writer loss, crash-path
+    exception), reclaims this attempt's farm/manifest/pool immediately
+    — they are exclusively ours, so no other writer can be affected."""
+    import os
+    import shutil
+
+    stage = _stage_base(next_version)
+    committed = False
+    try:
+        _commit_partitioned_staged(
+            merged,
+            target_path,
+            next_version,
+            pcols,
+            prior_entries,
+            keep_snapshots,
+            drop_values,
+            audit,
+            stage,
+        )
+        committed = True
+    finally:
+        if not committed:
+            shutil.rmtree(os.path.join(target_path, stage), ignore_errors=True)
+            try:
+                os.remove(os.path.join(target_path, stage + ".json"))
+            except OSError:
+                pass
+            shutil.rmtree(os.path.join(target_path, "data", _pool_name(stage)), ignore_errors=True)
+
+
+def _pool_name(stage: str) -> str:
+    """data/ pool dir name for an attempt's staging name — permanently
+    attempt-unique (the manifest records the mapping, so the name never
+    needs to be the bare version number)."""
+    return stage.lstrip("v").replace(".stage-", "-")
+
+
+def _commit_partitioned_staged(
+    merged: DataFrame,
+    target_path: str,
+    next_version: int,
+    pcols: Sequence[str],
+    prior_entries: dict[str, str],
+    keep_snapshots: int,
+    drop_values: "set[tuple] | None",
+    audit: "object | None",
+    stage: str,
+) -> None:
     """Write ``merged`` (the touched partitions only) into a new
     ``data/`` pool dir, then build snapshot ``vN`` as a hive-layout farm
     of per-partition references: freshly-written partitions point at the
@@ -420,16 +588,20 @@ def _commit_partitioned(
     therefore PartitionFilters pruning — works unchanged; the
     authoritative commit metadata is ``vN.json`` (partition -> pool
     path), which is what an object-store port would read instead of
-    symlinks.  Commit order: pool write -> farm build -> rename farm
-    into place -> manifest -> pointer swap; every crash point leaves the
-    previous snapshot fully readable."""
+    symlinks.  Commit order: pool write -> farm build -> manifest ->
+    audit -> claim (rename farm into the version path) -> pointer swap;
+    every crash point leaves the previous snapshot fully readable, and
+    all pre-claim artifacts live under attempt-unique names so a losing
+    concurrent writer never touches a winner's committed files."""
     import json
     import os
     import shutil
 
-    snap_name = f"v{next_version:08d}"
-    pool_dir = os.path.join(target_path, "data", f"{next_version:08d}")
-    # overwrite: a crashed run may have left this (uncommitted) pool dir
+    # attempt-unique pool name: two writers racing toward the same
+    # next_version cannot overwrite each other's data files; an
+    # abandoned pool dir is never referenced by any manifest and is
+    # reclaimed by the wrapper (or pruning, after a crash)
+    pool_dir = os.path.join(target_path, "data", _pool_name(stage))
     merged.write.mode("overwrite").partitionBy(*pcols).parquet(pool_dir)
 
     entries = dict(prior_entries)
@@ -446,16 +618,13 @@ def _commit_partitioned(
     for rel in _leaf_partition_dirs(pool_dir, len(pcols)):
         entries[rel] = os.path.realpath(os.path.join(pool_dir, rel))
 
-    farm_tmp = os.path.join(target_path, snap_name + ".build")
-    shutil.rmtree(farm_tmp, ignore_errors=True)
-    os.makedirs(farm_tmp)
+    farm_stage = os.path.join(target_path, stage)
+    shutil.rmtree(farm_stage, ignore_errors=True)
+    os.makedirs(farm_stage)
     for rel, data_dir in entries.items():
-        link = os.path.join(farm_tmp, rel)
+        link = os.path.join(farm_stage, rel)
         os.makedirs(os.path.dirname(link), exist_ok=True)
         os.symlink(os.path.relpath(data_dir, os.path.dirname(link)), link)
-    final = os.path.join(target_path, snap_name)
-    shutil.rmtree(final, ignore_errors=True)  # crashed uncommitted leftover
-    os.rename(farm_tmp, final)
 
     # per-file min/max for data skipping: freshly-written pool files get
     # their footer stats read now (driver-side, bounded by the batch's
@@ -487,19 +656,19 @@ def _commit_partitioned(
         "partitions": {rel: os.path.relpath(d, target_path) for rel, d in entries.items()},
         "file_stats": file_stats,
     }
-    mpath = os.path.join(target_path, snap_name + ".json")
+    mpath = os.path.join(target_path, stage + ".json")
     with open(mpath + ".tmp", "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
     os.replace(mpath + ".tmp", mpath)
 
     if audit is not None:
         # write-audit-publish (Iceberg WAP): validate the fully-written,
-        # not-yet-committed snapshot; a raising audit aborts BEFORE the
-        # pointer swap, so readers keep the previous version and the
-        # staged dirs are reclaimed as ordinary crash leftovers
-        audit(_read_snapshot(merged.sparkSession, target_path, snap_name))
+        # not-yet-committed snapshot (read via its STAGED name); a
+        # raising audit aborts BEFORE the claim, so readers keep the
+        # previous version and the staging is reclaimed immediately
+        audit(_read_snapshot(merged.sparkSession, target_path, stage))
 
-    _publish(target_path, next_version, keep_snapshots)
+    _publish_staged(target_path, next_version, stage, keep_snapshots)
 
 
 def _parquet_file_stats(path: str) -> dict[str, list]:
@@ -571,8 +740,10 @@ def _write_snapshot_manifest(target_path: str, snap_name: str, schema_json: str)
     import os
 
     snap_dir = os.path.join(target_path, snap_name)
+    # snap_name may be an attempt-staged name ("vNNNNNNNN.stage-…");
+    # the recorded version is always the numeric prefix
     manifest = {
-        "version": int(snap_name.lstrip("v")),
+        "version": int(snap_name.lstrip("v").split(".", 1)[0]),
         "schema": schema_json,
         "file_stats": _dir_file_stats(snap_dir, ""),
     }
@@ -675,7 +846,13 @@ def upsert_parquet(
     detect-only behavior; with N retries exhausted the error
     propagates.  Each retry re-executes the full read-merge-write, so
     the final table equals SEQUENTIAL application of all writers'
-    batches (per-key last-writer-wins as always).
+    batches (per-key last-writer-wins as always).  Every attempt stages
+    its snapshot/pool/manifest under an attempt-UNIQUE name and only
+    claims the version-numbered location at publish time
+    (:func:`_publish_staged`), so a losing writer never overwrites a
+    winner's committed artifacts; the residual local-FS caveat is the
+    pointer check-then-act window itself (object stores: conditional
+    PUTs close it).
 
     ``audit`` (write-audit-publish): a callable receiving the fully
     written, NOT-yet-committed candidate table as a DataFrame; raise to
@@ -794,15 +971,7 @@ def _upsert_parquet_attempt(
         merged = _dedup_updates(updates, keys, order_by)
         next_version = 1
 
-    snap_name = f"v{next_version:08d}"
-    # overwrite: a crashed run may have left this dir
-    merged.write.mode("overwrite").parquet(os.path.join(target_path, snap_name))
-    _write_snapshot_manifest(target_path, snap_name, merged.schema.json())
-    if audit is not None:
-        # write-audit-publish: validate the written-but-uncommitted
-        # snapshot; raising aborts before the pointer swap
-        audit(spark.read.parquet(os.path.join(target_path, snap_name)))
-    _publish(target_path, next_version, keep_snapshots)
+    _commit_unpartitioned(merged, target_path, next_version, keep_snapshots, audit)
 
 
 def _upsert_parquet_partitioned(
@@ -917,10 +1086,7 @@ def delete_where(
 
     if not partition_by:
         merged = snap.filter(~F.coalesce(condition, F.lit(False)))
-        snap_name = f"v{next_version:08d}"
-        merged.write.mode("overwrite").parquet(os.path.join(target_path, snap_name))
-        _write_snapshot_manifest(target_path, snap_name, merged.schema.json())
-        _publish(target_path, next_version, keep_snapshots)
+        _commit_unpartitioned(merged, target_path, next_version, keep_snapshots)
         return
 
     pcols = list(partition_by)
@@ -1001,10 +1167,7 @@ def compact_table(
         )
         return n_files
 
-    snap_name = f"v{next_version:08d}"
-    df.write.mode("overwrite").parquet(os.path.join(target_path, snap_name))
-    _write_snapshot_manifest(target_path, snap_name, df.schema.json())
-    _publish(target_path, next_version, keep_snapshots)
+    _commit_unpartitioned(df, target_path, next_version, keep_snapshots)
     return n_files
 
 

@@ -150,10 +150,10 @@ def test_fixture_ann_recall_floors(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 @pytest.fixture(scope="module")
-def docs(spark, ):
+def docs(spark, sf_dir):
     from etl_tiki_webscraping_spark.io import load_table
 
-    return load_table(spark, "/root/testdata/sf0.001", "documents")
+    return load_table(spark, sf_dir, "documents")
 
 
 @pytest.fixture(scope="module")
