@@ -53,56 +53,37 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[S
     return deco
 
 
-# Queries already driver-verified green in CORRECTNESS_r01–r04 AND
-# unchanged since their last driver check.  The driver records only the
-# FIRST 50 ``queries()`` entries per round, so exports rotate these to
-# the back: everything NOT in this set — newly registered round-5
-# queries plus previously-checked queries whose code changed — occupies
-# the first slots and gets hard driver evidence; the rotated-out set
-# stays green via tools/verify_local.py (see COVERAGE.md).
+# Queries with a green row in CORRECTNESS_r05 AND unchanged since.  The
+# driver records only the FIRST 50 ``queries()`` entries per round, so
+# exports rotate these to the back: everything NOT in this set — the 40
+# queries whose last driver check predates the r5 fixture ts-encoding
+# change (VERDICT r5 "What's missing" #4), r05-checked queries whose
+# code changed this round, and new r6 registrations — occupies the
+# first slots and gets hard driver evidence; the rotated-out set stays
+# green via tools/verify_local.py (see COVERAGE.md).
 #
-# Deliberately NOT listed (→ rotated to the front for r05 evidence):
-#  - language_id: oracle upgraded to a hash-matched SQL replay in r3;
-#    its last driver row is the r01 rows-only check (VERDICT r3 ask #2)
-#  - dedup_cluster_components: local-solve short-circuit added in r3;
-#    last driver row is r02 (VERDICT r3 ask #2)
-_DRIVER_SETTLED_R04 = frozenset({
-    "flagship", "projection_pruning", "literal_provenance_tag", "membership_filter",
-    "fk_semi_join", "anti_join", "key_space_union", "star_join_rollup", "dedup_keys",
-    "dedup_deterministic", "distinct_keys", "groupby_agg_metrics", "rollup_agg",
-    "count_distinct", "conditional_percent_agg", "union_all_slices", "intersect_except",
-    "regexp_suffix_strip", "date_dayfirst_roundtrip", "json_extraction", "array_explode",
-    "map_build_explode", "window_topk_per_group", "sort_limit", "upsert_merge",
-    "paginated_source_scan", "text_token_stats", "text_quality_score",
-    "doc_fingerprint", "dedup_exact_text",
-    "ngram_jaccard_pairs",
-    "knn_bruteforce", "knn_lsh", "knn_ivf", "knn_ivf_kmeans",
-    "knn_bruteforce_blocked",
-    "windowed_event_counts", "sessionize_events",
-    "keyed_lookup_scan",
-    "multimodal_image_features", "multimodal_frame_sample", "asof_join_events_orders",
-    "cube_agg", "grouping_sets_agg", "exact_percentiles",
-    "running_window_sum", "lag_lead_delta", "skew_salted_join", "url_build",
-    "approx_distinct_users", "tfidf_top_terms", "custom_datasource_scan",
-    "corpus_quality_filter", "deterministic_split", "pivot_event_matrix",
-    "unpivot_stack", "scd2_history_merge", "session_window_agg",
-    "interval_join_purchase_context", "incremental_hourly_rollup",
-    "stratified_hash_sample", "snapshot_time_travel", "dedup_embedding_clusters",
-    "dbapi_partitioned_read", "snapshot_partitioned_upsert",
-    "decontaminate_corpus", "doc_repetition_score",
-    "streaming_windowed_counts", "streaming_dedup_ids", "streaming_enriched_counts",
-    "streaming_stateful_sessions",
-    "pipeline_e2e", "pipeline_e2e_shops", "pipeline_e2e_ratings",
-    "sql_surface_revenue", "array_higher_order_funcs",
-    "multimodal_audio_features", "token_budget_packing",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_minhash_clusters",
-    "dedup_embedding_cosine",
+# Deliberately NOT listed despite an r05 green row (upsert.py commit
+# protocol rewritten r6 → re-verify): upsert_merge,
+# snapshot_partitioned_upsert, snapshot_file_skipping.
+_DRIVER_SETTLED_R05 = frozenset({
+    "ann_recall_report", "anti_join", "array_explode", "conditional_percent_agg",
+    "corpus_pipeline_e2e", "corpus_pipeline_neardup", "count_distinct", "date_dayfirst_roundtrip",
+    "dedup_cluster_components", "dedup_deterministic", "dedup_embedding_cosine", "dedup_exact_text",
+    "dedup_keys", "dedup_minhash_clusters", "dedup_minhash_lsh", "dedup_simhash",
+    "distinct_keys", "doc_fingerprint", "fk_semi_join", "flagship",
+    "groupby_agg_metrics", "intersect_except", "json_extraction", "key_space_union",
+    "knn_bruteforce", "knn_ivf", "knn_lsh", "language_id",
+    "literal_provenance_tag", "lsh_pair_quality", "map_build_explode", "membership_filter",
+    "ngram_jaccard_pairs", "paginated_source_scan", "projection_pruning", "regexp_suffix_strip",
+    "rollup_agg", "sessionize_events", "sort_limit", "star_join_rollup",
+    "streaming_dedup_ids", "streaming_stream_stream_join", "streaming_windowed_counts", "text_quality_score",
+    "text_token_stats", "union_all_slices", "window_topk_per_group", "windowed_event_counts",
 })
 
 
 def _export_order() -> list[str]:
-    fresh = [n for n in QUERIES if n not in _DRIVER_SETTLED_R04]
-    prior = [n for n in QUERIES if n in _DRIVER_SETTLED_R04]
+    fresh = [n for n in QUERIES if n not in _DRIVER_SETTLED_R05]
+    prior = [n for n in QUERIES if n in _DRIVER_SETTLED_R05]
     return fresh + prior
 
 
