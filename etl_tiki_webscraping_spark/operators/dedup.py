@@ -272,6 +272,55 @@ def minhash_candidate_pairs(
     )
 
 
+def minhash_candidate_pairs_cross(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    bucket_cap: int | None = 1024,
+) -> DataFrame:
+    """LSH candidate pairs BETWEEN two corpora: ``(new_id, old_id)``
+    where an incoming document shares >=1 band bucket with an existing
+    one — the incremental-crawl near-dup primitive ("which new docs
+    duplicate something already in the training set"), the cross-corpus
+    analog of :func:`minhash_candidate_pairs`.
+
+    Plan shape: each side computes signatures narrowly and explodes to
+    bare ``(band, bucket, id)`` rows; the inner join shuffles only
+    those small keys (document text never enters an exchange).  The
+    hot-bucket cap is applied on EACH side before the join, so a
+    degenerate bucket (empty docs, boilerplate) bounds the pair
+    blow-up at ``cap`` per side instead of |new| x |old|.  At scale the
+    old corpus's bucket table is computed once per crawl batch and
+    persisted alongside the snapshot, not recomputed — the signature
+    step is embarrassingly parallel either way.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    r = num_hashes // bands
+
+    def buckets_of(df: DataFrame, out_id: str) -> DataFrame:
+        sig = minhash_analysis(df, text_col, id_col, num_hashes, shingle_n).select("id", "sig")
+        b = sig.select(
+            "id", F.explode(_band_buckets(F.col("sig"), bands, r)).alias("bb")
+        ).select(
+            F.col("id").alias(out_id),
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+        return cap_bucket_membership(b, ["band", "bucket"], bucket_cap)
+
+    new_b = buckets_of(new_df, "new_id")
+    old_b = buckets_of(old_df, "old_id")
+    return (
+        new_b.join(old_b, on=["band", "bucket"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+
+
 def jaccard_on_pairs(
     pairs: DataFrame,
     df: DataFrame,

@@ -3046,3 +3046,222 @@ def q_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FILE_SKIP_TABLES: dict[str, str] = {}  # sf_dir -> table path (memoized)
+
+
+# ===========================================================================
+# Round-6 additions: incremental-corpus management + multi-dim layout
+# ===========================================================================
+
+@register(
+    "incremental_dedup_new_docs",
+    oracle=r"""
+    WITH b AS (
+        SELECT *, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bk
+        FROM documents
+    ),
+    old_fp AS (
+        SELECT DISTINCT md5(regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g')) AS fp
+        FROM b WHERE bk < 70
+    ),
+    new_dedup AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY md5(regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g'))
+                ORDER BY doc_id ASC
+            ) AS rn
+            FROM b WHERE bk >= 70
+        ) WHERE rn = 1
+    )
+    SELECT doc_id, lang, source, n_chars FROM new_dedup
+    WHERE md5(regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g'))
+          NOT IN (SELECT fp FROM old_fp)
+    """,
+    doc="incremental-crawl exact dedup: an incoming batch (the md5-split 30%% "
+        "slice standing in for a new crawl) is deduped within itself, then "
+        "anti-joined against the EXISTING corpus's fingerprint store (distinct "
+        "md5 of normalized text, the 70%% slice) — the cross-run dedup a "
+        "training pipeline performs on every ingest.  Scale shape: only "
+        "(fingerprint, id) pairs enter the exchanges; at 100 TB the store is "
+        "a persisted table maintained alongside the corpus snapshot, not "
+        "recomputed",
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.dedup import exact_dedup, normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    bk = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint") % 100
+    )
+    fp = F.md5(normalize_text(F.coalesce(F.col("text"), F.lit(""))))
+    old_store = docs.filter(bk < 70).select(fp.alias("fp")).distinct()
+    new_batch = exact_dedup(docs.filter(bk >= 70), "text", "doc_id")
+    kept = new_batch.join(old_store, on=fp == F.col("fp"), how="left_anti")
+    return kept.select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
+    "crosscorpus_neardup_lsh",
+    oracle=None,  # xxhash64-based LSH signatures — rows-only by contract
+    doc="incremental-crawl NEAR-dup: MinHash-LSH candidates between the new "
+        "slice and the existing corpus (minhash_candidate_pairs_cross — bare "
+        "(band,bucket,id) join, per-side hot-bucket cap), verified by exact "
+        "n-gram Jaccard >= 0.8 on candidates only.  The cross-corpus analog "
+        "of dedup_minhash_lsh: candidate generation never compares new x old "
+        "exhaustively, and document text never enters an exchange",
+)
+def q_crosscorpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.dedup import (
+        jaccard_on_pairs,
+        minhash_candidate_pairs_cross,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bk = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint") % 100
+    )
+    old = docs.filter(bk < 70)
+    new = docs.filter(bk >= 70)
+    pairs = minhash_candidate_pairs_cross(new, old, "text", "doc_id").select(
+        F.col("new_id").alias("id_a"), F.col("old_id").alias("id_b")
+    )
+    verified = jaccard_on_pairs(pairs, docs, "text", "doc_id").filter(F.col("jaccard") >= 0.8)
+    return verified.select(
+        F.col("id_a").alias("new_id"), F.col("id_b").alias("old_id")
+    )
+
+
+@register(
+    "zorder_multidim_skipping",
+    oracle="""
+    SELECT DISTINCT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           CAST(l_quantity AS DOUBLE) AS qty
+    FROM lineitem
+    WHERE l_partkey >= 20 AND l_partkey <= 90
+      AND l_suppkey >= 2 AND l_suppkey <= 5
+    """,
+    doc="multi-dimension file skipping: lineitem committed, compacted with "
+        "zorder_by=(l_partkey, l_suppkey) — Morton bit-interleave of "
+        "equal-width-binned dims, pure codegen bit expressions, no UDF/global "
+        "sort — so EVERY file covers a bounded range in BOTH dims and the "
+        "2-predicate range read skips files via manifest min/max stats "
+        "(per-dimension skipping asserted in tests/test_upsert.py); the "
+        "oracle proves the pruned read equals the plain SQL filter",
+)
+def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from etl_tiki_webscraping_spark.sinks.upsert import (
+        compact_table,
+        read_parquet_table,
+        upsert_parquet,
+    )
+
+    path = _ZORDER_TABLES.get(sf_dir)
+    if path is None:
+        base = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_suppkey",
+            F.col("l_quantity").cast("double").alias("qty"),
+        )
+        path = tempfile.mkdtemp(prefix="zorder-") + "/tbl"
+        # key = the full tuple: the fixture's (orderkey, linenumber) is
+        # not unique, so the upsert is a plain DISTINCT (oracle mirrors)
+        upsert_parquet(spark, base, path, list(base.columns))
+        compact_table(
+            spark, path, target_file_bytes=256 * 1024, zorder_by=["l_partkey", "l_suppkey"]
+        )
+        _ZORDER_TABLES[sf_dir] = path
+    return read_parquet_table(
+        spark, path, range_filter=[("l_partkey", 20, 90), ("l_suppkey", 2, 5)]
+    )
+
+
+_ZORDER_TABLES: dict[str, str] = {}  # sf_dir -> table path (memoized)
+
+
+@register(
+    "quality_decile_binning",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+                 / CAST(greatest(length(text), 1) AS DOUBLE) AS score
+      FROM documents
+    ),
+    b AS (SELECT min(score) AS mn, max(score) AS mx FROM s)
+    SELECT doc_id, score,
+           CAST(CASE WHEN mx > mn
+                     THEN least(9, CAST(floor((score - mn) / (mx - mn) * 10) AS BIGINT))
+                     ELSE 0 END AS BIGINT) AS decile
+    FROM s, b
+    """,
+    doc="quality-mix binning: equal-width deciles of the punctuation-ratio "
+        "quality score, bounds from ONE min/max aggregate broadcast back over "
+        "the corpus — no global sort/window (NTILE's shape collapses to a "
+        "single partition at 100 TB; equal-width binning is one map-side agg "
+        "+ a scalar broadcast), the curation primitive behind quality-tiered "
+        "sampling mixes",
+)
+def q_quality_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.functions.text import punct_ratio
+
+    s = load_table(spark, sf_dir, "documents").select(
+        "doc_id", punct_ratio("text").alias("score")
+    )
+    bounds = s.agg(F.min("score").alias("mn"), F.max("score").alias("mx"))
+    j = s.crossJoin(F.broadcast(bounds))
+    decile = (
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.lit(9).cast("bigint"),
+                F.floor((F.col("score") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 10).cast(
+                    "bigint"
+                ),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+    return j.select("doc_id", "score", decile.alias("decile"))
+
+
+@register(
+    "corpus_mix_allocation",
+    oracle=r"""
+    WITH lang_tok AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split_regex(trim(coalesce(text, '')), '\s+'))) AS BIGINT) AS tok_sum
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(tok_sum) AS DOUBLE) AS t, CAST(COUNT(*) AS BIGINT) AS k FROM lang_tok)
+    SELECT lang, n_docs, tok_sum,
+           CAST(tok_sum AS DOUBLE) / t AS token_share,
+           least(CAST(1.0 AS DOUBLE), (CAST(1.0 AS DOUBLE) / k) / (CAST(tok_sum AS DOUBLE) / t)) AS sample_rate
+    FROM lang_tok, tot
+    """,
+    doc="data-mix allocation: per-language token counts and the capped "
+        "sampling rate that equalizes the mix toward a uniform per-language "
+        "token budget (rate = min(1, target_share / actual_share)) — the "
+        "planning step of corpus mixing.  One partial-aggregated groupBy "
+        "plus a broadcast single-row total; no window, no second scan",
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.size(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")).cast("bigint")
+    lang_tok = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"), F.sum(toks).cast("bigint").alias("tok_sum"))
+    )
+    tot = lang_tok.agg(
+        F.sum("tok_sum").cast("double").alias("t"), F.count("*").cast("bigint").alias("k")
+    )
+    j = lang_tok.crossJoin(F.broadcast(tot))
+    share = F.col("tok_sum").cast("double") / F.col("t")
+    rate = F.least(F.lit(1.0), (F.lit(1.0) / F.col("k")) / share)
+    return j.select(
+        "lang", "n_docs", "tok_sum", share.alias("token_share"), rate.alias("sample_rate")
+    )

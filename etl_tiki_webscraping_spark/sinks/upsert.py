@@ -143,13 +143,15 @@ def read_parquet_table(
     if that snapshot was pruned or never committed at or before the
     current version.
 
-    ``range_filter=(col, lo, hi)`` applies ``lo <= col <= hi`` (either
-    bound may be None) AND file-level data skipping: files whose
-    manifest-recorded min/max range cannot overlap the bound are never
-    handed to the scan — the metadata side of ``compact_table``'s
-    ``sort_by`` clustering (per-file disjoint ranges), and the file-
-    granular complement of hive partition pruning for high-cardinality
-    columns.  Files without recorded stats for ``col`` are scanned
+    ``range_filter=(col, lo, hi)`` — or a LIST of such triples, ANDed —
+    applies ``lo <= col <= hi`` (either bound may be None) AND
+    file-level data skipping: files whose manifest-recorded min/max
+    range cannot overlap ANY conjunct are never handed to the scan —
+    the metadata side of ``compact_table``'s ``sort_by`` clustering
+    (per-file disjoint ranges; multi-column skipping is what
+    ``zorder_by`` clustering exists for), and the file-granular
+    complement of hive partition pruning for high-cardinality columns.
+    Files without recorded stats for a conjunct's column are scanned
     conservatively, so the result ALWAYS equals the unpruned
     read-then-filter.
     """
@@ -179,13 +181,20 @@ def read_parquet_table(
     return _read_snapshot(spark, target_path, name)
 
 
-def _apply_range(df: DataFrame, range_filter: tuple) -> DataFrame:
-    col, lo, hi = range_filter
+def _range_conjuncts(range_filter) -> "list[tuple]":
+    """Normalize ``(col, lo, hi)`` or ``[(col, lo, hi), ...]`` to a list."""
+    if range_filter and isinstance(range_filter[0], (list, tuple)):
+        return [tuple(r) for r in range_filter]
+    return [tuple(range_filter)]
+
+
+def _apply_range(df: DataFrame, range_filter) -> DataFrame:
     pred = F.lit(True)
-    if lo is not None:
-        pred = pred & (F.col(col) >= F.lit(lo))
-    if hi is not None:
-        pred = pred & (F.col(col) <= F.lit(hi))
+    for col, lo, hi in _range_conjuncts(range_filter):
+        if lo is not None:
+            pred = pred & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            pred = pred & (F.col(col) <= F.lit(hi))
     return df.filter(pred)
 
 
@@ -198,7 +207,7 @@ def _stats_pruned_read(
     import json
     import os
 
-    col, lo, hi = range_filter
+    conjuncts = _range_conjuncts(range_filter)
     mpath = os.path.join(target_path, snap_name + ".json")
     if not os.path.exists(mpath):
         return None
@@ -215,20 +224,22 @@ def _stats_pruned_read(
                 all_files.append(os.path.relpath(os.path.join(root, f), snap_dir))
 
     def survives(rel: str) -> bool:
-        s = stats.get(rel, {}).get(col)
-        if not s:
-            return True  # no recorded range -> must scan
-        mn, mx = s
-        try:
-            if lo is not None and mx < lo:
-                return False
-            if hi is not None and mn > hi:
-                return False
-        except TypeError:
-            # bound not comparable with the JSON-decoded stat values
-            # (e.g. an int bound against a string column) — keep the
-            # always-equals-unpruned-read contract: must scan
-            return True
+        # a file is skipped when ANY conjunct proves it can't overlap
+        for col, lo, hi in conjuncts:
+            s = stats.get(rel, {}).get(col)
+            if not s:
+                continue  # no recorded range for this column -> can't prove
+            mn, mx = s
+            try:
+                if lo is not None and mx < lo:
+                    return False
+                if hi is not None and mn > hi:
+                    return False
+            except TypeError:
+                # bound not comparable with the JSON-decoded stat values
+                # (e.g. an int bound against a string column) — keep the
+                # always-equals-unpruned-read contract: must scan
+                continue
         return True
 
     kept = [f for f in all_files if survives(f)]
@@ -1109,6 +1120,46 @@ def delete_where(
     )
 
 
+def _zorder_column(df: DataFrame, cols: Sequence[str], bits: int = 16) -> Column:
+    """Morton (bit-interleaved) clustering key over equal-width-binned
+    numeric columns — the multi-dimension generalization of ``sort_by``
+    clustering (Delta ``OPTIMIZE ZORDER``'s layout).  Built entirely
+    from codegen bit expressions: no UDF, no global sort, no window.
+
+    Binning bounds come from ONE tiny min/max aggregate per column
+    (driver-side, 2 scalars per column — the same bounded metadata a
+    Delta ZORDER collects); equal-width bins keep the build shuffle-free
+    where rank binning would need a global sort.  Heavily skewed
+    dimensions bin poorly under equal width — use hive partitioning or
+    single-column ``sort_by`` for those.  NULLs bin to 0 (cluster
+    first).
+    """
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"mn{i}"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"mx{i}"))
+    bounds = df.agg(*aggs).first()
+    n_bins = 1 << bits
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        lo, hi = bounds[f"mn{i}"], bounds[f"mx{i}"]
+        if lo is None or hi is None or hi <= lo:
+            continue  # constant / all-null dimension contributes nothing
+        frac = (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(float(hi - lo))
+        scaled = F.coalesce(
+            F.least(F.lit(n_bins - 1).cast("long"), F.floor(frac * n_bins).cast("long")),
+            F.lit(0).cast("long"),
+        )
+        for bit in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(scaled, bit).bitwiseAND(F.lit(1)),
+                    bit * len(cols) + i,
+                )
+            )
+    return z
+
+
 def compact_table(
     spark: SparkSession,
     target_path: str,
@@ -1116,6 +1167,7 @@ def compact_table(
     partition_by: Sequence[str] | None = None,
     keep_snapshots: int = 2,
     sort_by: Sequence[str] | None = None,
+    zorder_by: Sequence[str] | None = None,
 ) -> int:
     """Small-file compaction for an upsert-managed table: rewrite the
     current snapshot into ~``target_file_bytes`` files and commit it as
@@ -1133,9 +1185,18 @@ def compact_table(
     narrow min/max range and selective scans skip whole row groups via
     parquet statistics — the data-layout half of pruning that hive
     partitioning alone can't give for high-cardinality columns.
-    Returns the number of files written.
+
+    ``zorder_by`` (mutually exclusive with ``sort_by``) clusters on the
+    Morton interleaving of SEVERAL columns (:func:`_zorder_column`), so
+    every file covers a bounded min/max range in EACH listed dimension
+    and multi-column range predicates skip files via the manifest stats
+    — single-column sort gives perfect ranges in one dimension and
+    useless ones in the rest.  Returns the number of files written.
     """
     import os
+
+    if sort_by and zorder_by:
+        raise ValueError("sort_by and zorder_by are mutually exclusive")
 
     cur = _current_snapshot(target_path)
     snap_dir = os.path.join(target_path, cur) if cur else target_path
@@ -1149,7 +1210,15 @@ def compact_table(
     df = _read_snapshot(spark, target_path, cur) if cur else spark.read.parquet(snap_dir)
     next_version = int(cur.lstrip("v")) + 1 if cur else 1
 
-    if sort_by:
+    if zorder_by:
+        out_cols = df.columns
+        df = (
+            df.withColumn("__zorder", _zorder_column(df, list(zorder_by)))
+            .repartitionByRange(n_files, "__zorder")
+            .sortWithinPartitions("__zorder")
+            .select(*out_cols)  # projection preserves within-partition order
+        )
+    elif sort_by:
         df = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(*sort_by)
     else:
         df = df.repartition(n_files)

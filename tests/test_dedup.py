@@ -226,3 +226,28 @@ def test_connected_components_contraction_path_matches_local(spark, monkeypatch)
     }
     assert contracted == local
     assert (4, 1) in contracted and (22, 20) in contracted and (6, 5) in contracted
+
+
+def test_minhash_cross_corpus_candidates(spark):
+    """Cross-corpus LSH (incremental-crawl dedup): new docs that
+    near-duplicate an existing doc are paired with it; unrelated new
+    docs pair with nothing; old-old and new-new pairs never appear."""
+    from etl_tiki_webscraping_spark.operators.dedup import minhash_candidate_pairs_cross
+
+    old = spark.createDataFrame(
+        [(1, DOCS[0][1]), (2, DOCS[4][1])], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, DOCS[3][1]),  # near dup of old doc 1
+            (11, "entirely novel text on streaming watermarks and state store eviction policies"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = {
+        (r["new_id"], r["old_id"])
+        for r in minhash_candidate_pairs_cross(new, old, "text", "doc_id").collect()
+    }
+    assert (10, 1) in pairs
+    assert not any(n == 11 for n, _ in pairs)
+    assert all(n in (10, 11) and o in (1, 2) for n, o in pairs)

@@ -77,10 +77,15 @@ def test_partitioned_upsert_rewrites_only_touched_partitions(spark, tmp_path):
             os.path.join(v1, p)
         )
         assert _pool_files(v2, p) == before
-    # the new pool version holds ONLY the touched partition
+    # the new pool version holds ONLY the touched partition (pool dir
+    # names are attempt-unique: "<version>-<token>")
+    pools_v2 = [
+        d for d in os.listdir(os.path.join(target, "data")) if d.startswith("00000002-")
+    ]
+    assert len(pools_v2) == 1
     pool2 = [
         e
-        for e in os.listdir(os.path.join(target, "data", "00000002"))
+        for e in os.listdir(os.path.join(target, "data", pools_v2[0]))
         if not e.startswith((".", "_"))
     ]
     assert pool2 == ["event_type=click"]
@@ -135,7 +140,11 @@ def test_partitioned_upsert_prunes_pool_dirs_past_retention(spark, tmp_path):
         batch = spark.createDataFrame([(i, "a", float(i))], "id long, part string, v double")
         upsert_parquet(spark, batch, target, keys=["id"], partition_by=["part"], keep_snapshots=2)
     # partition b was never touched again: its v1 pool dir must survive
-    assert os.path.isdir(os.path.join(target, "data", "00000001", "part=b"))
+    pools_v1 = [
+        d for d in os.listdir(os.path.join(target, "data")) if d.startswith("00000001-")
+    ]
+    assert len(pools_v1) == 1
+    assert os.path.isdir(os.path.join(target, "data", pools_v1[0], "part=b"))
     out = read_parquet_table(spark, target)
     assert out.filter("part = 'b'").count() == 1
     assert out.count() == 6

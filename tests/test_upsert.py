@@ -705,3 +705,48 @@ def test_range_filter_with_incomparable_bound_falls_back_to_full_scan(spark, tmp
     # Spark's ANSI comparison casts the numeric strings and filters fine
     got = read_parquet_table(spark, tmp_parquet_dir, range_filter=("s", 10, 20))
     assert got.count() == 11  # "10".."20" numerically
+
+
+def test_zorder_compaction_skips_files_in_every_listed_dimension(spark, tmp_parquet_dir):
+    """zorder_by clusters the Morton interleaving of several columns, so
+    file-level min/max skipping works for predicates on ANY listed
+    dimension — single-column sort_by gives skipping only on the sort
+    column.  Results always equal the unpruned read + filter."""
+    from etl_tiki_webscraping_spark.sinks.upsert import compact_table
+
+    rows = [(i, i % 64, (i * 37) % 64, float(i)) for i in range(4096)]
+    df = spark.createDataFrame(rows, "id int, x int, y int, v double")
+
+    zpath = tmp_parquet_dir + "-z"
+    upsert_parquet(spark, df, zpath, ["id"])
+    compact_table(spark, zpath, target_file_bytes=8 * 1024, zorder_by=["x", "y"])
+
+    spath = tmp_parquet_dir + "-s"
+    upsert_parquet(spark, df, spath, ["id"])
+    compact_table(spark, spath, target_file_bytes=8 * 1024, sort_by=["x"])
+
+    full = read_parquet_table(spark, zpath)
+    n_all = len(full.inputFiles())
+    assert n_all > 4  # enough files for skipping to be meaningful
+
+    # 2-D predicate: z-order skips
+    pred = [("x", 4, 11), ("y", 4, 11)]
+    pruned = read_parquet_table(spark, zpath, range_filter=pred)
+    assert len(pruned.inputFiles()) < n_all
+    expect = sorted(map(tuple, _apply(full, pred).collect()))
+    assert sorted(map(tuple, pruned.collect())) == expect
+
+    # y-only predicate: the z-ordered table still skips; the x-sorted
+    # table cannot (y ranges are unbounded within every file)
+    z_y = read_parquet_table(spark, zpath, range_filter=("y", 4, 11))
+    assert len(z_y.inputFiles()) < n_all
+    s_full = read_parquet_table(spark, spath)
+    s_y = read_parquet_table(spark, spath, range_filter=("y", 4, 11))
+    assert len(s_y.inputFiles()) == len(s_full.inputFiles())
+    assert sorted(map(tuple, z_y.collect())) == sorted(map(tuple, s_y.collect()))
+
+
+def _apply(df, pred):
+    from etl_tiki_webscraping_spark.sinks.upsert import _apply_range
+
+    return _apply_range(df, pred)

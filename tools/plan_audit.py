@@ -138,6 +138,39 @@ def main() -> int:
           f"range read scans {len(pruned.inputFiles())}/{n_all} files "
           "(manifest min/max skipping)")
 
+    # --- z-order clustering: multi-dimension file skipping ------------------
+    tbl3 = tempfile.mkdtemp(prefix="plan-audit-zorder-") + "/li"
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    upsert_parquet(spark, li, tbl3, list(li.columns))
+    compact_table(spark, tbl3, target_file_bytes=64 * 1024, zorder_by=["l_partkey", "l_suppkey"])
+    zn_all = len(read_parquet_table(spark, tbl3).inputFiles())
+    z_both = read_parquet_table(
+        spark, tbl3, range_filter=[("l_partkey", 20, 90), ("l_suppkey", 2, 5)]
+    )
+    z_second = read_parquet_table(spark, tbl3, range_filter=("l_suppkey", 2, 5))
+    check("zorder_multidim_skipping",
+          zn_all > 2
+          and len(z_both.inputFiles()) < zn_all
+          and len(z_second.inputFiles()) < zn_all,
+          f"z-ordered reads scan {len(z_both.inputFiles())}/{zn_all} (2-dim) and "
+          f"{len(z_second.inputFiles())}/{zn_all} (2nd-dim-only) files")
+
+    # --- cross-corpus LSH: bare-id exchanges, no cartesian ------------------
+    p = plan_of("crosscorpus_neardup_lsh")
+    exchanges = [seg for seg in p.split("\n") if "Exchange hashpartitioning" in seg]
+    check("crosscorpus_neardup_lsh",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+          and len(exchanges) > 0 and all("text" not in e for e in exchanges),
+          "new-vs-old candidate join shuffles bare band/bucket ids, no cartesian")
+
+    # --- mix/binning plans: aggregate + broadcast scalar, no window sort ----
+    p = plan_of("quality_decile_binning")
+    check("quality_decile_binning",
+          "BroadcastExchange" in p and "Window" not in p,
+          "decile binning is agg + broadcast scalar join (no global window)")
+
     print()
     if failures:
         print(f"{len(failures)} plan check(s) FAILED")
