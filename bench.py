@@ -68,6 +68,11 @@ HEADLINE = [
     ("corpus_pipeline_e2e", "count"),
     ("streaming_stream_stream_join", "count"),
     ("snapshot_file_skipping", "count"),
+    # round-6 additions
+    ("zorder_multidim_skipping", "count"),
+    ("incremental_dedup_new_docs", "count"),
+    ("crosscorpus_neardup_lsh", "count"),
+    ("corpus_mix_sampled", "count"),
 ]
 
 

@@ -3111,19 +3111,43 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_crosscorpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_tiki_webscraping_spark.operators.dedup import (
+        _band_buckets,
+        cap_bucket_membership,
         jaccard_on_pairs,
-        minhash_candidate_pairs_cross,
+        minhash_analysis,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     bk = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint") % 100
     )
-    old = docs.filter(bk < 70)
-    new = docs.filter(bk >= 70)
-    pairs = minhash_candidate_pairs_cross(new, old, "text", "doc_id").select(
-        F.col("new_id").alias("id_a"), F.col("old_id").alias("id_b")
+    # both "corpora" are slices of one table here, so the signature
+    # kernel (the dominant cost) runs ONCE over the union and the bucket
+    # table splits afterwards — semantically identical to
+    # minhash_candidate_pairs_cross(new, old, ...) on the two slices
+    # (which the unit tests + quality gate exercise for the genuinely
+    # two-table case), at half the signature cost
+    is_old = (
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10).cast("bigint") % 100
+        < 70
     )
+    sig = minhash_analysis(docs, "text", "doc_id").select(
+        "id", "sig", is_old.alias("__is_old")
+    )
+    buckets = sig.select(
+        "id", "__is_old", F.explode(_band_buckets(F.col("sig"), 16, 4)).alias("bb")
+    ).select("id", "__is_old", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    new_b = cap_bucket_membership(
+        buckets.filter(~F.col("__is_old")).select(F.col("id").alias("id_a"), "band", "bucket"),
+        ["band", "bucket"],
+        1024,
+    )
+    old_b = cap_bucket_membership(
+        buckets.filter(F.col("__is_old")).select(F.col("id").alias("id_b"), "band", "bucket"),
+        ["band", "bucket"],
+        1024,
+    )
+    pairs = new_b.join(old_b, on=["band", "bucket"]).select("id_a", "id_b").distinct()
     verified = jaccard_on_pairs(pairs, docs, "text", "doc_id").filter(F.col("jaccard") >= 0.8)
     return verified.select(
         F.col("id_a").alias("new_id"), F.col("id_b").alias("old_id")
@@ -3264,4 +3288,56 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate = F.least(F.lit(1.0), (F.lit(1.0) / F.col("k")) / share)
     return j.select(
         "lang", "n_docs", "tok_sum", share.alias("token_share"), rate.alias("sample_rate")
+    )
+
+
+@register(
+    "corpus_mix_sampled",
+    oracle=r"""
+    WITH lang_tok AS (
+      SELECT lang,
+             CAST(SUM(len(string_split_regex(trim(coalesce(text, '')), '\s+'))) AS BIGINT) AS tok_sum
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(tok_sum) AS DOUBLE) AS t, CAST(COUNT(*) AS BIGINT) AS k FROM lang_tok),
+    rates AS (
+      SELECT lang,
+             least(CAST(1.0 AS DOUBLE), (CAST(1.0 AS DOUBLE) / k) / (CAST(tok_sum AS DOUBLE) / t)) AS sample_rate
+      FROM lang_tok, tot
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+          < CAST(floor(r.sample_rate * 10000) AS BIGINT)
+    """,
+    doc="data-mix APPLICATION: corpus_mix_allocation's per-language rates "
+        "applied as a deterministic hash-gated sample (md5-prefix bucket < "
+        "rate*10000) — reproducible across engines/runs/cluster sizes, no "
+        "rand().  Plan: the tiny rate table broadcasts onto the corpus scan; "
+        "one pass, no window, no second aggregation of the corpus",
+)
+def q_corpus_mix_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")).cast("bigint")
+    lang_tok = docs.groupBy("lang").agg(F.sum(toks).cast("bigint").alias("tok_sum"))
+    tot = lang_tok.agg(
+        F.sum("tok_sum").cast("double").alias("t"), F.count("*").cast("bigint").alias("k")
+    )
+    rates = (
+        lang_tok.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.least(
+                F.lit(1.0), (F.lit(1.0) / F.col("k")) / (F.col("tok_sum").cast("double") / F.col("t"))
+            ).alias("sample_rate"),
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint")
+        % 10000
+    )
+    return (
+        docs.join(F.broadcast(rates), on="lang")
+        .filter(bucket < F.floor(F.col("sample_rate") * 10000).cast("bigint"))
+        .select("doc_id", "lang")
     )

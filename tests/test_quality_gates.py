@@ -201,3 +201,37 @@ def test_bucket_cap_does_not_change_recall_on_normal_corpus(docs, jaccard_truth)
     # stronger: the candidate SETS are identical, not just their recall
     assert q_c["n_candidates"] == q_u["n_candidates"]
     assert capped.exceptAll(uncapped).count() == 0
+
+
+def test_crosscorpus_candidates_quality(spark, docs, jaccard_truth):
+    """Cross-corpus LSH recall gate: splitting the corpus into old/new
+    (the incremental-crawl shape) must find every true J>=0.8 pair that
+    CROSSES the split — same banding theory as the self-join, so the
+    same ~0.9998 per-pair probability applies."""
+    from pyspark.sql import functions as F
+
+    from etl_tiki_webscraping_spark.operators.dedup import minhash_candidate_pairs_cross
+
+    bk = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint")
+        % 100
+    )
+    old = docs.filter(bk < 70)
+    new = docs.filter(bk >= 70)
+    cand = minhash_candidate_pairs_cross(new, old, "text", "doc_id", shingle_n=3)
+
+    old_ids = {r["doc_id"] for r in old.select("doc_id").collect()}
+    truth_cross = {
+        (a, b)
+        for a, b in (
+            (r["id_a"], r["id_b"]) for r in jaccard_truth.select("id_a", "id_b").collect()
+        )
+        if (a in old_ids) != (b in old_ids)  # pair crosses the split
+    }
+    got = {
+        tuple(sorted((r["new_id"], r["old_id"])))
+        for r in cand.collect()
+    }
+    missed = {tuple(sorted(p)) for p in truth_cross} - got
+    assert truth_cross, "no cross-split near-dups in fixture; gate is vacuous"
+    assert not missed, f"cross-corpus LSH missed true pairs: {missed}"
