@@ -88,3 +88,50 @@ def test_dbapi_read_stride_partitioning_is_exact(spark, tmp_path_factory, lb, sp
     got = sorted((r["k"], r["v"]) for r in out if r["k"] is not None)
     assert got == sorted((k, v) for k, v in rows if k is not None)
     assert sum(1 for r in out if r["k"] is None) == 1
+
+
+# --------------------------------------------------------------------------
+# file-skipping reads: pruned == unpruned for ARBITRARY bounds
+# --------------------------------------------------------------------------
+
+_SKIP_TABLE: dict[str, str] = {}
+
+
+def _skip_table(spark, tmp_path_factory):
+    """One z-ordered committed table shared across examples (building a
+    snapshot per hypothesis example would dominate the test)."""
+    path = _SKIP_TABLE.get("p")
+    if path is None:
+        from etl_tiki_webscraping_spark.sinks.upsert import compact_table, upsert_parquet
+
+        rows = [(i, i % 37, (i * 17) % 29, float(i % 11)) for i in range(2000)]
+        df = spark.createDataFrame(rows, "id int, x int, y int, v double")
+        path = str(tmp_path_factory.mktemp("prop-skip")) + "/tbl"
+        upsert_parquet(spark, df, path, ["id"])
+        compact_table(spark, path, target_file_bytes=8 * 1024, zorder_by=["x", "y"])
+        _SKIP_TABLE["p"] = path
+    return path
+
+
+BOUND = st.one_of(st.none(), st.integers(min_value=-5, max_value=45))
+
+
+@given(xlo=BOUND, xhi=BOUND, ylo=BOUND, yhi=BOUND)
+@SETTINGS
+def test_pruned_read_equals_unpruned_filter_for_any_bounds(
+    spark, tmp_path_factory, xlo, xhi, ylo, yhi
+):
+    """The data-skipping contract: for ANY combination of bounds
+    (inverted, empty-range, unbounded, out-of-range), the stats-pruned
+    read returns exactly the rows of the unpruned read + filter."""
+    from etl_tiki_webscraping_spark.sinks.upsert import _apply_range, read_parquet_table
+
+    path = _skip_table(spark, tmp_path_factory)
+    pred = [("x", xlo, xhi), ("y", ylo, yhi)]
+    pruned = sorted(
+        map(tuple, read_parquet_table(spark, path, range_filter=pred).collect())
+    )
+    full = sorted(
+        map(tuple, _apply_range(read_parquet_table(spark, path), pred).collect())
+    )
+    assert pruned == full
