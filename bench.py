@@ -73,6 +73,7 @@ HEADLINE = [
     ("incremental_dedup_new_docs", "count"),
     ("crosscorpus_neardup_lsh", "count"),
     ("corpus_mix_sampled", "count"),
+    ("cdc_apply_changes", "count"),
 ]
 
 

@@ -3341,3 +3341,74 @@ def q_corpus_mix_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bucket < F.floor(F.col("sample_rate") * 10000).cast("bigint"))
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "cdc_apply_changes",
+    oracle="""
+    WITH cust AS (
+      SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal FROM customer
+    ),
+    changes AS (
+      SELECT c_custkey, c_name, acctbal, 'D' AS op, CAST(1 AS BIGINT) AS seq
+      FROM cust WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, c_name || ' (updated)', acctbal * 2, 'U', CAST(2 AS BIGINT)
+      FROM cust WHERE c_custkey % 10 IN (1, 2, 3)
+      UNION ALL
+      SELECT c_custkey, c_name, acctbal, 'D', CAST(1 AS BIGINT)
+      FROM cust WHERE c_custkey % 10 = 1
+      UNION ALL
+      SELECT c_custkey + 1000000, c_name || ' (new)', acctbal, 'I', CAST(1 AS BIGINT)
+      FROM cust WHERE c_custkey % 10 = 5
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY seq DESC, op DESC) AS rn
+        FROM changes
+      ) WHERE rn = 1
+    )
+    SELECT c.c_custkey, c.c_name, c.acctbal FROM cust c
+    WHERE c.c_custkey NOT IN (SELECT c_custkey FROM latest)
+    UNION ALL
+    SELECT c_custkey, c_name, acctbal FROM latest WHERE op <> 'D'
+    """,
+    doc="CDC change-feed application (sinks/upsert.py::apply_changes): a "
+        "deterministic I/U/D feed derived from the customer table — deletes "
+        "for key%10=0, updates (name suffix + doubled balance) for 1-3, "
+        "inserts under shifted keys for 5, plus a SAME-KEY delete-vs-update "
+        "seq conflict (the seq-2 update must beat the seq-1 delete) — merged "
+        "as MERGE..WHEN MATCHED AND op='D' THEN DELETE semantics the "
+        "reference's ON DUPLICATE KEY UPDATE cannot express.  Plan: one "
+        "dedup over the (small) feed + one anti join; the target scans once",
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.sinks.upsert import apply_changes
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.col("c_acctbal").cast("double").alias("acctbal")
+    )
+    m = F.col("c_custkey") % 10
+    seq1 = F.lit(1).cast("bigint")
+    dels = cust.filter(m == 0).select(
+        "c_custkey", "c_name", "acctbal", F.lit("D").alias("op"), seq1.alias("seq")
+    )
+    upds = cust.filter(m.isin(1, 2, 3)).select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit(" (updated)")).alias("c_name"),
+        (F.col("acctbal") * 2).alias("acctbal"),
+        F.lit("U").alias("op"),
+        F.lit(2).cast("bigint").alias("seq"),
+    )
+    late_dels = cust.filter(m == 1).select(
+        "c_custkey", "c_name", "acctbal", F.lit("D").alias("op"), seq1.alias("seq")
+    )
+    ins = cust.filter(m == 5).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.col("c_name"), F.lit(" (new)")).alias("c_name"),
+        "acctbal",
+        F.lit("I").alias("op"),
+        seq1.alias("seq"),
+    )
+    changes = dels.unionByName(upds).unionByName(late_dels).unionByName(ins)
+    return apply_changes(cust, changes, ["c_custkey"])
