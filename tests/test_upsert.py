@@ -750,3 +750,23 @@ def _apply(df, pred):
     from etl_tiki_webscraping_spark.sinks.upsert import _apply_range
 
     return _apply_range(df, pred)
+
+
+def test_zorder_handles_constant_and_null_dimensions(spark, tmp_parquet_dir):
+    """Degenerate z-order dimensions must not break the rewrite: a
+    constant column contributes nothing to the key (all rows identical
+    in that dim), an all-null column likewise, and rows are preserved
+    bit-exact either way."""
+    from etl_tiki_webscraping_spark.sinks.upsert import compact_table
+
+    rows = [(i, i % 16, 7, None) for i in range(512)]
+    df = spark.createDataFrame(rows, "id int, x int, c int, n int")
+    upsert_parquet(spark, df, tmp_parquet_dir, ["id"])
+    compact_table(spark, tmp_parquet_dir, target_file_bytes=4 * 1024, zorder_by=["x", "c", "n"])
+    got = sorted(map(tuple, read_parquet_table(spark, tmp_parquet_dir).collect()))
+    assert got == sorted((i, i % 16, 7, None) for i in range(512))
+    # the varying dimension still clusters: an x-range read skips files
+    full = read_parquet_table(spark, tmp_parquet_dir)
+    if len(full.inputFiles()) > 2:
+        pruned = read_parquet_table(spark, tmp_parquet_dir, range_filter=("x", 0, 3))
+        assert len(pruned.inputFiles()) < len(full.inputFiles())
