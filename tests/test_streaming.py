@@ -326,3 +326,47 @@ def test_stream_stream_join_multibatch_state_cleanup(spark, tmp_path):
         p["stateOperators"][0].get("numRowsRemoved", 0) for p in q.recentProgress
     )
     assert removed > 0, "join state was never evicted"
+
+
+def test_foreach_batch_upsert_recovers_from_checkpoint_without_replay(spark, tmp_path):
+    """Exactly-once across restarts: a second run on the SAME checkpoint
+    must process only files that arrived after the first run — committed
+    micro-batches are never re-applied.  The probe: run 1 commits
+    (e1, v=0); new files then update e1 to v=1; if recovery replayed the
+    first batch after the update, last-writer-wins would regress e1 to
+    0."""
+    src = tmp_path / "stream-in-rec"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt-rec")
+    target = str(tmp_path / "warehouse-rec")
+
+    def emit(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    emit("f0.json", [
+        {"event_id": "e1", "ts": "2024-01-01 10:00:00", "event_type": "view", "value": 0.0},
+        {"event_id": "e2", "ts": "2024-01-01 10:01:00", "event_type": "view", "value": 9.0},
+    ])
+
+    def run_once():
+        stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(str(src))
+        writer = foreach_batch_upsert(stream, target, keys=["event_id"], checkpoint_dir=ckpt)
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    run_once()  # processes f0, then "crashes" (terminates)
+
+    emit("f1.json", [
+        {"event_id": "e1", "ts": "2024-01-01 10:02:00", "event_type": "view", "value": 1.0},
+    ])
+    emit("f2.json", [
+        {"event_id": "e3", "ts": "2024-01-01 10:03:00", "event_type": "click", "value": 7.0},
+    ])
+    run_once()  # restart on the same checkpoint: must see only f1, f2
+
+    from etl_tiki_webscraping_spark.sinks.upsert import read_parquet_table
+
+    rows = {r["event_id"]: r["value"] for r in read_parquet_table(spark, target).collect()}
+    assert rows == {"e1": 1.0, "e2": 9.0, "e3": 7.0}
