@@ -74,6 +74,7 @@ HEADLINE = [
     ("crosscorpus_neardup_lsh", "count"),
     ("corpus_mix_sampled", "count"),
     ("cdc_apply_changes", "count"),
+    ("bucketed_colocated_join", "count"),
 ]
 
 

@@ -3412,3 +3412,64 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     changes = dels.unionByName(upds).unionByName(late_dels).unionByName(ins)
     return apply_changes(cust, changes, ["c_custkey"])
+
+
+@register(
+    "bucketed_colocated_join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, CAST(o.o_totalprice AS DOUBLE) AS total,
+           CAST(SUM(CAST(l.l_quantity AS DOUBLE)) AS DOUBLE) AS qty_sum
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_custkey, o.o_totalprice
+    """,
+    doc="co-located fact-to-fact join (sinks/bucketed.py): orders and lineitem "
+        "pre-bucketed by the join key into managed tables ONCE, so the "
+        "recurring join is exchange-free — each task zips bucket i with "
+        "bucket i (zero-Exchange plan asserted in tests/test_bucketed.py and "
+        "below in tools/plan_audit.py).  At 100 TB this converts the "
+        "per-run shuffle of both fact tables into a one-time write cost — "
+        "the Spark-native answer to the reference's staging-table layout "
+        "for joins that repeat across daily runs",
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.sinks.bucketed import write_bucketed
+
+    suffix = _BUCKETED_TABLES.get(sf_dir)
+    if suffix is None:
+        # deterministic per sf_dir (Python's str hash is process-salted)
+        suffix = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+        # a previous PROCESS leaves the warehouse dirs on disk but not in
+        # this session's in-memory catalog; saveAsTable refuses to adopt
+        # an existing location, so clear leftovers first
+        import os
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for t in (f"b_orders_{suffix}", f"b_lineitem_{suffix}"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double").alias("total")
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", F.col("l_quantity").cast("double").alias("qty")
+        )
+        write_bucketed(orders, f"b_orders_{suffix}", 8, ["o_orderkey"], ["o_orderkey"])
+        write_bucketed(li, f"b_lineitem_{suffix}", 8, ["l_orderkey"], ["l_orderkey"])
+        _BUCKETED_TABLES[sf_dir] = suffix
+    o = spark.table(f"b_orders_{suffix}")
+    l = spark.table(f"b_lineitem_{suffix}")
+    # hint("merge"): at toy SF Catalyst would broadcast the small side,
+    # which hides the property under test; the sort-merge plan is the
+    # one a 100 TB fact-to-fact join takes, and on bucketed+sorted
+    # tables it runs with ZERO exchanges and zero per-task sorts
+    # (plan-audited)
+    return (
+        o.join(l.hint("merge"), o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey", "total")
+        .agg(F.sum("qty").cast("double").alias("qty_sum"))
+    )
+
+
+_BUCKETED_TABLES: dict[str, str] = {}  # sf_dir -> managed-table suffix (memoized)

@@ -165,6 +165,13 @@ def main() -> int:
           and len(exchanges) > 0 and all("text" not in e for e in exchanges),
           "new-vs-old candidate join shuffles bare band/bucket ids, no cartesian")
 
+    # --- bucketed join: co-located, zero Exchange on the join legs ----------
+    p = plan_of("bucketed_colocated_join")
+    check("bucketed_colocated_join",
+          "Exchange" not in p and "SortMergeJoin" in p,
+          "pre-bucketed fact-to-fact sort-merge join + key-aligned agg runs "
+          "with ZERO exchanges")
+
     # --- mix/binning plans: aggregate + broadcast scalar, no window sort ----
     p = plan_of("quality_decile_binning")
     check("quality_decile_binning",
