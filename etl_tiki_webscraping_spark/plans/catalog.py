@@ -3473,3 +3473,79 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BUCKETED_TABLES: dict[str, str] = {}  # sf_dir -> managed-table suffix (memoized)
+
+
+@register(
+    "streaming_sink_upsert_e2e",
+    oracle="""
+    WITH src AS (
+      SELECT event_id, ts, user_id, event_type, value FROM events
+      UNION ALL
+      SELECT event_id, ts + INTERVAL 60 DAY, user_id, 'restate', value * 2
+      FROM events WHERE event_id % 37 = 0
+    ),
+    final AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts DESC) AS rn
+        FROM src
+      ) WHERE rn = 1
+    )
+    SELECT event_id, user_id, event_type, value, CAST(ts AS DATE) AS event_date
+    FROM final
+    """,
+    doc="streaming -> warehouse capstone: the event stream (original wave + a "
+        "later 'restatement' wave doubling value for event_id%%37=0, shifted "
+        "+60 days so it arrives in LATER micro-batches) runs as a real "
+        "multi-batch AvailableNow stream through the foreachBatch upsert "
+        "sink into a date-partitioned snapshot table; the query returns the "
+        "final COMMITTED table, which must equal the SQL last-writer-wins "
+        "replay.  Proves the deployable path end-to-end: per-batch "
+        "partition-pruned merges, restatements overwriting earlier versions "
+        "across batches (and across partitions: the restated row moves to "
+        "its new event_date), exactly-once sink semantics",
+)
+def q_streaming_sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from etl_tiki_webscraping_spark.sinks.upsert import read_parquet_table
+    from etl_tiki_webscraping_spark.streaming.events import (
+        foreach_batch_upsert,
+        read_events_stream_multibatch,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    restated = events.filter(F.col("event_id") % 37 == 0).select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 60 DAYS")).alias("ts"),
+        "user_id",
+        F.lit("restate").alias("event_type"),
+        (F.col("value") * 2).alias("value"),
+    )
+    stream = read_events_stream_multibatch(
+        spark, sf_dir, n_batches=4,
+        events_df=events.unionByName(restated), cache_tag="restate-v1",
+    ).withColumn("event_date", F.to_date("ts"))
+
+    target = tempfile.mkdtemp(prefix="stream-sink-") + "/tbl"
+    ckpt = tempfile.mkdtemp(prefix="stream-sink-ckpt-")
+    writer = foreach_batch_upsert(
+        stream,
+        target,
+        keys=["event_id"],
+        checkpoint_dir=ckpt,
+        # original + restatement of one key can share a micro-batch at
+        # the range boundary; last-wins under ts keeps the batch-level
+        # merge identical to the global last-writer-wins replay
+        order_by=["ts"],
+        partition_by=["event_date"],
+        # a restated event MOVES partitions (new date): the default
+        # whole-table key scan must remove the stale version
+        stable_partitions=False,
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return read_parquet_table(spark, target).select(
+        "event_id", "user_id", "event_type", "value", "event_date"
+    )

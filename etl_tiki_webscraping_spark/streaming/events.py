@@ -65,7 +65,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def read_events_stream_multibatch(
-    spark: SparkSession, sf_dir: str, n_batches: int = 3
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 3,
+    events_df: "DataFrame | None" = None,
+    cache_tag: str = "",
 ) -> DataFrame:
     """Stream the ``events`` fixture as ``n_batches`` REAL micro-batches.
 
@@ -82,11 +86,13 @@ def read_events_stream_multibatch(
     """
     from etl_tiki_webscraping_spark.io import load_table
 
-    events = load_table(spark, sf_dir, "events")
+    # ``events_df`` substitutes a derived event set (must keep a ``ts``
+    # column); ``cache_tag`` discriminates its staging cache entry
+    events = events_df if events_df is not None else load_table(spark, sf_dir, "events")
     # staging is one-time setup (a deployment streams an already-arriving
     # dir); memoize per (fixture, split) so repeated runs in one session
     # — the bench's steady-state pass — don't re-shuffle and re-write it
-    key = (os.path.abspath(sf_dir), n_batches)
+    key = (os.path.abspath(sf_dir), n_batches, cache_tag)
     staged = _STAGED_STREAM_DIRS.get(key)
     if staged is None or not os.path.isdir(staged):
         staged = tempfile.mkdtemp(prefix="stream-batches-") + "/in"
@@ -112,7 +118,7 @@ def read_events_stream_multibatch(
     )
 
 
-_STAGED_STREAM_DIRS: dict[tuple[str, int], str] = {}
+_STAGED_STREAM_DIRS: dict[tuple[str, int, str], str] = {}
 
 
 def run_available_now_to_memory(
