@@ -3549,3 +3549,75 @@ def q_streaming_sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_parquet_table(spark, target).select(
         "event_id", "user_id", "event_type", "value", "event_date"
     )
+
+
+@register(
+    "constraint_audit",
+    oracle="""
+    WITH cust_aug AS (
+      SELECT c_custkey, c_name FROM customer
+      UNION ALL
+      SELECT (SELECT min(c_custkey) FROM customer), 'injected-dup'
+    ),
+    orders_aug AS (
+      SELECT o_orderkey, o_custkey FROM orders
+      UNION ALL
+      SELECT -1, -999
+    )
+    SELECT 'pk_customer' AS constraint_name,
+           CAST((SELECT COUNT(*) FROM (
+               SELECT c_custkey FROM cust_aug GROUP BY c_custkey HAVING COUNT(*) > 1
+           )) AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'fk_orders_customer',
+           CAST((SELECT COUNT(*) FROM orders_aug o
+                 WHERE o.o_custkey IS NOT NULL
+                   AND o.o_custkey NOT IN (SELECT c_custkey FROM cust_aug)) AS BIGINT)
+    UNION ALL
+    SELECT 'fk_lineitem_orders',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE l.l_orderkey IS NOT NULL
+                   AND l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT)
+    """,
+    doc="engine-level integrity audit (SURVEY §1.4: PK/FK semantics the "
+        "reference gets from MySQL DDL, sql/dwh.sql:2,28,44): PK uniqueness "
+        "via partial-aggregated key groupBy, FK orphans via bare-key anti "
+        "join — run against the fixture star schema with one INJECTED "
+        "duplicate key and one injected orphan so the check proves it "
+        "detects (counts 1/1) while the clean lineitem→orders FK proves it "
+        "passes (0).  The same checks gate commits via "
+        "quality/constraints.py::require_constraints (WAP)",
+)
+def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.quality.constraints import fk_violations, pk_violations
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    min_key = cust.agg(F.min("c_custkey").alias("mn"))
+    cust_aug = cust.unionByName(
+        min_key.select(F.col("mn").alias("c_custkey"), F.lit("injected-dup").alias("c_name"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    orders_aug = orders.unionByName(
+        spark.range(1).select(
+            F.lit(-1).cast("long").alias("o_orderkey"), F.lit(-999).cast("long").alias("o_custkey")
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+
+    def one(name: str, n_df: DataFrame) -> DataFrame:
+        return n_df.select(
+            F.lit(name).alias("constraint_name"), F.col("n").cast("bigint").alias("n_violations")
+        )
+
+    pk_n = pk_violations(cust_aug, ["c_custkey"]).agg(F.count(F.lit(1)).alias("n"))
+    fk1_n = fk_violations(orders_aug, cust_aug, ["o_custkey"], ["c_custkey"]).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    fk2_n = fk_violations(li, orders, ["l_orderkey"], ["o_orderkey"]).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        one("pk_customer", pk_n)
+        .unionByName(one("fk_orders_customer", fk1_n))
+        .unionByName(one("fk_lineitem_orders", fk2_n))
+    )
