@@ -133,6 +133,7 @@ def read_parquet_table(
     target_path: str,
     version: int | None = None,
     range_filter: "tuple | None" = None,
+    as_of: "float | None" = None,
 ) -> DataFrame:
     """Read an upsert-managed parquet table: follow the ``_LATEST``
     snapshot pointer if present, else read the path as plain parquet
@@ -142,6 +143,13 @@ def read_parquet_table(
     ``keep_snapshots`` on :func:`upsert_parquet`); raises FileNotFoundError
     if that snapshot was pruned or never committed at or before the
     current version.
+
+    ``as_of`` (epoch seconds; mutually exclusive with ``version``)
+    time-travels by WALL CLOCK: the newest retained snapshot committed
+    at or before the given instant — Delta's ``timestampAsOf``, resolved
+    the same way (manifest-file timestamps stand in for commit-log file
+    timestamps).  Raises FileNotFoundError when every retained snapshot
+    is newer than ``as_of`` (the table didn't exist / history pruned).
 
     ``range_filter=(col, lo, hi)`` — or a LIST of such triples, ANDed —
     applies ``lo <= col <= hi`` (either bound may be None) AND
@@ -157,6 +165,31 @@ def read_parquet_table(
     """
     import os
 
+    if version is not None and as_of is not None:
+        raise ValueError("version and as_of are mutually exclusive")
+    if as_of is not None:
+        cur = _current_snapshot(target_path)
+        cur_v = int(cur.lstrip("v")) if cur is not None else 0
+        best = None
+        for entry in os.listdir(target_path):
+            if not (entry.startswith("v") and entry.endswith(".json")):
+                continue
+            stem = entry[:-5]
+            try:
+                v = int(stem.lstrip("v").split(".", 1)[0])
+            except ValueError:
+                continue
+            if "." in stem or v > cur_v:  # staged / uncommitted leftovers
+                continue
+            committed_at = os.path.getmtime(os.path.join(target_path, entry))
+            if committed_at <= as_of and (best is None or v > best):
+                best = v
+        if best is None:
+            raise FileNotFoundError(
+                f"{target_path}: no retained snapshot committed at or before "
+                f"as_of={as_of} (table newer than that instant, or history pruned)"
+            )
+        version = best
     if version is not None:
         cur = _current_snapshot(target_path)
         name = f"v{version:08d}"

@@ -770,3 +770,28 @@ def test_zorder_handles_constant_and_null_dimensions(spark, tmp_parquet_dir):
     if len(full.inputFiles()) > 2:
         pruned = read_parquet_table(spark, tmp_parquet_dir, range_filter=("x", 0, 3))
         assert len(pruned.inputFiles()) < len(full.inputFiles())
+
+
+def test_time_travel_as_of_wall_clock(spark, tmp_parquet_dir):
+    """Timestamp time travel (Delta's timestampAsOf): the newest
+    retained snapshot committed at or before the instant; before table
+    creation raises; staged/uncommitted leftovers never resolve."""
+    import time
+
+    import pytest
+
+    upsert_parquet(spark, _target(spark), tmp_parquet_dir, ["shop_id"], keep_snapshots=3)
+    time.sleep(0.05)
+    between = time.time()
+    time.sleep(0.05)
+    upsert_parquet(spark, _updates(spark), tmp_parquet_dir, ["shop_id"], keep_snapshots=3)
+
+    v1 = {r["shop_id"] for r in read_parquet_table(spark, tmp_parquet_dir, as_of=between).collect()}
+    assert v1 == {"s1", "s2"}
+    now = {r["shop_id"] for r in read_parquet_table(spark, tmp_parquet_dir, as_of=time.time()).collect()}
+    assert now == {"s1", "s2", "s3"}
+
+    with pytest.raises(FileNotFoundError):
+        read_parquet_table(spark, tmp_parquet_dir, as_of=0.0)
+    with pytest.raises(ValueError):
+        read_parquet_table(spark, tmp_parquet_dir, version=1, as_of=between)
