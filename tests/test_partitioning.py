@@ -511,3 +511,41 @@ def test_write_audit_publish_gate_partitioned(spark, tmp_path):
     ok = spark.createDataFrame([(3, "a", 3.0)], "id long, part string, v double")
     upsert_parquet(spark, ok, target, keys=["id"], partition_by=["part"], audit=reject)
     assert read_parquet_table(spark, target).count() == 3
+
+
+def test_partition_evolution_via_compaction(spark, tmp_path):
+    """Repartitioning an existing table's LAYOUT (Iceberg partition
+    evolution, done eagerly): compact_table(partition_by=<new cols>)
+    rewrites the current snapshot into the new hive layout under the
+    same commit protocol — subsequent reads prune on the NEW partition
+    column and the rows survive bit-exact."""
+    from pyspark.sql import functions as F
+
+    from etl_tiki_webscraping_spark.sinks.upsert import compact_table
+
+    target = str(tmp_path / "evolving")
+    df = spark.createDataFrame(
+        [(i, "click" if i % 2 else "view", i % 3, float(i)) for i in range(300)],
+        "event_id long, event_type string, day int, value double",
+    )
+    upsert_parquet(spark, df, target, keys=["event_id"], partition_by=["event_type"])
+    cols = ["event_id", "event_type", "day", "value"]  # hive layout reorders
+    before = sorted(map(tuple, read_parquet_table(spark, target).select(*cols).collect()))
+
+    compact_table(spark, target, partition_by=["day"])
+
+    after = sorted(map(tuple, read_parquet_table(spark, target).select(*cols).collect()))
+    assert after == before
+    # pruning now works on the new layout
+    plan = (
+        read_parquet_table(spark, target)
+        .filter(F.col("day") == 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters:")[1].split("]")[0]
+    # and further partition-pruned upserts use the new column
+    upd = spark.createDataFrame([(0, "view", 0, 999.0)], "event_id long, event_type string, day int, value double")
+    upsert_parquet(spark, upd, target, keys=["event_id"], partition_by=["day"])
+    assert read_parquet_table(spark, target).filter("event_id = 0").collect()[0]["value"] == 999.0

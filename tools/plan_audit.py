@@ -172,6 +172,15 @@ def main() -> int:
           "pre-bucketed fact-to-fact sort-merge join + key-aligned agg runs "
           "with ZERO exchanges")
 
+    # --- incremental dedup: fingerprint anti join, no text in exchanges ----
+    p = plan_of("incremental_dedup_new_docs")
+    exchanges = [seg for seg in p.split("\n") if "Exchange hashpartitioning" in seg]
+    check("incremental_dedup_new_docs",
+          ("LeftAnti" in p or "left_anti" in p)
+          and all("text" not in e for e in exchanges),
+          "new-batch fingerprints anti-join the store; exchanges carry "
+          "hashes/ids, never document text")
+
     # --- mix/binning plans: aggregate + broadcast scalar, no window sort ----
     p = plan_of("quality_decile_binning")
     check("quality_decile_binning",
