@@ -3621,3 +3621,43 @@ def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("fk_orders_customer", fk1_n))
         .unionByName(one("fk_lineitem_orders", fk2_n))
     )
+
+
+@register(
+    "snapshot_delete_where",
+    oracle="""
+    SELECT event_id, event_type, CAST(value AS DOUBLE) AS value
+    FROM events WHERE event_type <> 'error' OR event_type IS NULL
+    """,
+    doc="declarative row deletion on a committed snapshot table "
+        "(sinks/upsert.py::delete_where — the GDPR/right-to-be-forgotten "
+        "maintenance op Delta gets from DELETE FROM): events committed "
+        "partitioned by event_type, then delete_where(event_type='error') "
+        "rewrites ONLY the matching partitions (every other partition "
+        "carries forward by reference) and commits a new version; the "
+        "returned table must equal the SQL anti-filter.  Deleting is a "
+        "commit: time travel still sees the rows in earlier versions until "
+        "retention prunes them",
+)
+def q_snapshot_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from etl_tiki_webscraping_spark.sinks.upsert import (
+        delete_where,
+        read_parquet_table,
+        upsert_parquet,
+    )
+
+    path = _DELETE_TABLES.get(sf_dir)
+    if path is None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", F.col("value").cast("double").alias("value")
+        )
+        path = tempfile.mkdtemp(prefix="delete-where-") + "/tbl"
+        upsert_parquet(spark, ev, path, ["event_id"], partition_by=["event_type"])
+        delete_where(spark, path, F.col("event_type") == "error", partition_by=["event_type"])
+        _DELETE_TABLES[sf_dir] = path
+    return read_parquet_table(spark, path).select("event_id", "event_type", "value")
+
+
+_DELETE_TABLES: dict[str, str] = {}  # sf_dir -> table path (memoized)
