@@ -3364,7 +3364,7 @@ def q_corpus_mix_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     latest AS (
       SELECT * FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY seq DESC, op DESC) AS rn
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY seq DESC, op ASC) AS rn
         FROM changes
       ) WHERE rn = 1
     )

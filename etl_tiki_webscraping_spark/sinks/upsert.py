@@ -1376,8 +1376,12 @@ def apply_changes(
     """
     keys = list(keys)
     out_cols = [c for c in target.columns]
+    # survivor = FIRST under the ordering: highest seq; on a same-seq
+    # tie 'D' < 'I' < 'U' ascending puts the delete first, so the
+    # delete wins (the conservative choice the docstring promises —
+    # a same-seq tie is a feed anomaly, and dropping beats resurrecting)
     latest = dedup_deterministic(
-        changes, keys, [F.col(seq_col).desc(), F.col(op_col).desc()]
+        changes, keys, [F.col(seq_col).desc(), F.col(op_col).asc()]
     )
     survivors = target.join(
         latest.select(*keys).distinct(), on=keys, how="left_anti"

@@ -135,3 +135,50 @@ def test_pruned_read_equals_unpruned_filter_for_any_bounds(
         map(tuple, _apply_range(read_parquet_table(spark, path), pred).collect())
     )
     assert pruned == full
+
+
+# --------------------------------------------------------------------------
+# CDC apply_changes == sequential dict replay
+# --------------------------------------------------------------------------
+
+OPS = st.lists(
+    st.tuples(
+        st.text(alphabet="abc", min_size=1, max_size=2),   # key
+        st.sampled_from(["I", "U", "D"]),                  # op
+        st.integers(min_value=0, max_value=9),             # seq
+        st.integers(min_value=-50, max_value=50),          # value
+    ),
+    max_size=10,
+)
+
+
+@given(target=KV, changes=OPS)
+@SETTINGS
+def test_apply_changes_is_sequential_replay(spark, target, changes):
+    """apply_changes == replaying, per key, only the winning change
+    onto the target dict: highest seq, same-seq ties resolved to the
+    DELETE ('D' deletes, 'I'/'U' replace-or-insert)."""
+    from etl_tiki_webscraping_spark.sinks.upsert import apply_changes
+
+    tgt = _df(spark, target)
+    ch_rows = [(k, v, op, seq) for (k, op, seq, v) in changes]
+    ch = (
+        spark.createDataFrame(ch_rows, "k string, v int, op string, seq int")
+        if ch_rows
+        else spark.createDataFrame([], "k string, v int, op string, seq int")
+    )
+    got = {r["k"]: r["v"] for r in apply_changes(tgt, ch, ["k"]).collect()}
+
+    expect = dict(target)
+    latest: dict[str, tuple[int, str, int]] = {}
+    for k, op, seq, v in changes:
+        # higher seq wins; on a seq tie the MIN op wins ('D' < 'I' < 'U')
+        rank = (seq, -ord(op[0]))
+        if k not in latest or rank > (latest[k][0], -ord(latest[k][1][0])):
+            latest[k] = (seq, op, v)
+    for k, (_, op, v) in latest.items():
+        if op == "D":
+            expect.pop(k, None)
+        else:
+            expect[k] = v
+    assert got == expect

@@ -795,3 +795,17 @@ def test_time_travel_as_of_wall_clock(spark, tmp_parquet_dir):
         read_parquet_table(spark, tmp_parquet_dir, as_of=0.0)
     with pytest.raises(ValueError):
         read_parquet_table(spark, tmp_parquet_dir, version=1, as_of=between)
+
+
+def test_apply_changes_same_seq_tie_delete_wins(spark):
+    """A same-seq delete-vs-update conflict (a feed anomaly) resolves to
+    the DELETE — dropping beats resurrecting."""
+    from etl_tiki_webscraping_spark.sinks.upsert import apply_changes
+
+    tgt = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    ch = spark.createDataFrame(
+        [("a", 99, "U", 5), ("a", 0, "D", 5), ("b", 7, "U", 3)],
+        "k string, v int, op string, seq int",
+    )
+    got = {r["k"]: r["v"] for r in apply_changes(tgt, ch, ["k"]).collect()}
+    assert got == {"b": 7}
