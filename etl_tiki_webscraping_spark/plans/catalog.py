@@ -53,38 +53,45 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[S
     return deco
 
 
-# Queries with a green row in CORRECTNESS_r05 AND unchanged since.  The
-# driver records only the FIRST 50 ``queries()`` entries per round, so
-# exports rotate these to the back: everything NOT in this set — the 40
-# queries whose last driver check predates the r5 fixture ts-encoding
-# change (VERDICT r5 "What's missing" #4), r05-checked queries whose
-# code changed this round, and new r6 registrations — occupies the
-# first slots and gets hard driver evidence; the rotated-out set stays
-# green via tools/verify_local.py (see COVERAGE.md).
-#
-# Deliberately NOT listed despite an r05 green row (upsert.py commit
-# protocol rewritten r6 → re-verify): upsert_merge,
-# snapshot_partitioned_upsert, snapshot_file_skipping.
-_DRIVER_SETTLED_R05 = frozenset({
-    "ann_recall_report", "anti_join", "array_explode", "conditional_percent_agg",
-    "corpus_pipeline_e2e", "corpus_pipeline_neardup", "count_distinct", "date_dayfirst_roundtrip",
-    "dedup_cluster_components", "dedup_deterministic", "dedup_embedding_cosine", "dedup_exact_text",
-    "dedup_keys", "dedup_minhash_clusters", "dedup_minhash_lsh", "dedup_simhash",
-    "distinct_keys", "doc_fingerprint", "fk_semi_join", "flagship",
-    "groupby_agg_metrics", "intersect_except", "json_extraction", "key_space_union",
-    "knn_bruteforce", "knn_ivf", "knn_lsh", "language_id",
-    "literal_provenance_tag", "lsh_pair_quality", "map_build_explode", "membership_filter",
-    "ngram_jaccard_pairs", "paginated_source_scan", "projection_pruning", "regexp_suffix_strip",
-    "rollup_agg", "sessionize_events", "sort_limit", "star_join_rollup",
-    "streaming_dedup_ids", "streaming_stream_stream_join", "streaming_windowed_counts", "text_quality_score",
-    "text_token_stats", "union_all_slices", "window_topk_per_group", "windowed_event_counts",
+# Round-7 driver-window rotation.  The driver records only the FIRST 50
+# ``queries()`` entries per round, so exports order:
+#   1. _DRIVER_PRIORITY_R07 — the only 3 catalog queries with NO driver
+#      row in any round (the r5/r6 windows rotated past them); they
+#      must land in CORRECTNESS_r07 so r5∪r6∪r7 covers 101/101.
+#   2. other fresh queries — r7 code changes touch their dependencies
+#      (upsert.py commit/z-order path, streaming/events.py staging
+#      cache, dedup embedding-cluster oracle, approx-distinct
+#      tolerance), so their prior green rows predate the code.
+#   3. settled — green in CORRECTNESS_r05 or _r06 and untouched since;
+#      they stay green via tools/verify_local.py (see COVERAGE.md) and
+#      pad the remainder of the 50-slot window in registration order.
+_DRIVER_PRIORITY_R07 = (
+    "streaming_sink_upsert_e2e",
+    "constraint_audit",
+    "snapshot_delete_where",
+)
+
+# Green in r5 or r6 but re-verify in r7 because this round's code
+# changes touch their execution path.
+_DRIVER_FRESH_R07 = frozenset({
+    # sinks/upsert.py: publish-claim race fix + z-order null/bit fixes
+    "upsert_merge", "snapshot_time_travel", "snapshot_partitioned_upsert",
+    "snapshot_file_skipping", "cdc_apply_changes",
+    # streaming/events.py: staging-cache key fix
+    "streaming_windowed_counts", "streaming_dedup_ids", "streaming_stateful_sessions",
+    "streaming_enriched_counts", "streaming_stream_stream_join",
+    # oracle upgraded r7
+    "dedup_embedding_clusters",
+    # tolerance gate added r7
+    "approx_distinct_users",
 })
 
 
 def _export_order() -> list[str]:
-    fresh = [n for n in QUERIES if n not in _DRIVER_SETTLED_R05]
-    prior = [n for n in QUERIES if n in _DRIVER_SETTLED_R05]
-    return fresh + prior
+    prio = list(_DRIVER_PRIORITY_R07)
+    fresh = [n for n in QUERIES if n in _DRIVER_FRESH_R07]
+    settled = [n for n in QUERIES if n not in _DRIVER_FRESH_R07 and n not in prio]
+    return prio + fresh + settled
 
 
 def get_queries() -> dict[str, SparkQuery]:
