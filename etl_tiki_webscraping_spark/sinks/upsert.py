@@ -390,29 +390,97 @@ def _stage_base(next_version: int) -> str:
     return f"v{next_version:08d}.stage-{uuid.uuid4().hex[:8]}"
 
 
+# How long an existing v{N}.claim token (or an unreferenced .stage-
+# dir / data-pool dir) is presumed to belong to a LIVE concurrent
+# attempt.  The claim critical section is driver-side metadata ops
+# only (rename + hardlink + pointer write — the data was already
+# written under the attempt-unique staging name), so anything older
+# than this is a crash leftover.  Tests shrink it to exercise the
+# reclaim path.
+_CLAIM_GRACE_SECONDS = 60.0
+
+
+def _acquire_claim(target_path: str, snap_name: str, stage_base: str, assert_base) -> str:
+    """Exclusively claim version ``snap_name`` for this attempt by
+    O_EXCL-creating ``v{N}.claim`` (object-store analog: if-none-match
+    conditional PUT).  A token that already exists means either a
+    published winner (pointer moved → ``assert_base`` raises), a LIVE
+    concurrent attempt (token younger than the grace window →
+    ``ConcurrentWriteError``, the caller's retry loop rebases — by
+    then the holder has published, moving the pointer, or crashed,
+    letting a post-grace retry reclaim), or a crash leftover (stale
+    token → reclaimed along with any orphaned ``v{N}`` artifacts, then
+    claimed again)."""
+    import os
+    import shutil
+    import time
+
+    claim = os.path.join(target_path, snap_name + ".claim")
+    for final_try in (False, True):
+        try:
+            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            try:
+                os.write(fd, stage_base.encode())
+            finally:
+                os.close(fd)
+            return claim
+        except FileExistsError:
+            assert_base()  # published winner → rebase
+            try:
+                age = time.time() - os.stat(claim).st_mtime
+            except OSError:
+                continue  # token vanished between create and stat; retry
+            if age < _CLAIM_GRACE_SECONDS or final_try:
+                raise ConcurrentWriteError(
+                    f"{target_path}: {snap_name} is claimed by a concurrent "
+                    f"attempt (token age {age:.1f}s); rebase and retry"
+                )
+            # stale leftover of a crashed attempt: reclaim its token and
+            # any orphaned version-numbered artifacts, then claim again
+            for leftover in (snap_name, snap_name + ".json", claim):
+                full = os.path.join(target_path, leftover)
+                try:
+                    shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
+                except OSError:
+                    pass
+    raise ConcurrentWriteError(f"{target_path}: could not claim {snap_name}")
+
+
 def _publish_staged(
     target_path: str, next_version: int, stage_base: str, keep_snapshots: int
 ) -> None:
     """Claim the version-numbered location for an attempt's staged
     snapshot, then swap the pointer.
 
-    Claim semantics (the fix for the r5 ADVICE hazard: attempts used to
-    ``mode("overwrite")`` straight into ``v{N}``, so a writer with a
-    stale base clobbered the winner's already-committed snapshot before
-    its own pointer swap failed):
+    Claim semantics (the fix for the r5 ADVICE hazard — attempts used
+    to ``mode("overwrite")`` straight into ``v{N}`` — hardened per the
+    r6 ADVICE against the loser-reclaims-live-winner race):
 
+    - the version number itself is claimed via an O_EXCL token file
+      (:func:`_acquire_claim`) HELD through the pointer swap, so two
+      live attempts can never both operate on ``v{N}``: a fresh
+      foreign token means a live concurrent attempt →
+      ``ConcurrentWriteError`` (rebase), never a reclaim;
+    - with the token held, an occupied ``v{N}`` dir/manifest IS a
+      genuine crash leftover (a live owner would hold the token), so
+      reclaiming it is safe;
     - snapshot dir: ``os.rename(stage, vN)`` — refuses a non-empty
       existing ``vN`` (POSIX: ENOTEMPTY) instead of replacing it;
-    - manifest: ``os.link`` (exclusive create) instead of ``os.replace``.
+    - manifest: ``os.link`` (exclusive create) instead of ``os.replace``;
+    - immediately before the pointer swap the committed manifest's
+      ``attempt`` field is re-read and must equal this attempt's
+      staging name — if a >grace-stalled process's artifacts were
+      reclaimed out from under it, it discovers that here and rebases
+      instead of publishing another attempt's data;
+    - residual IO failures inside the claim (e.g. our staging vanished
+      because a stale-leftover reclaim took it) surface as
+      ``ConcurrentWriteError`` so ``retry_conflicts`` rebases instead
+      of bubbling a generic ``OSError``.
 
-    A failed claim means either a concurrent winner already published
-    (pointer moved → ``ConcurrentWriteError``, caller rebases) or a
-    CRASHED attempt left an uncommitted ``vN`` with the base pointer
-    still in place (reclaimed, then claimed again).  On a local FS a
-    small check-then-act window remains between the pointer check and
-    the reclaim — same caveat as the pointer swap itself; on an object
-    store both claims map to if-none-match conditional PUTs, which
-    close it."""
+    On an object store every claim step maps to an if-none-match /
+    if-match conditional PUT, which closes the remaining local-FS
+    check-then-act windows."""
+    import json
     import os
     import shutil
 
@@ -428,30 +496,64 @@ def _publish_staged(
             )
 
     _assert_base()
-    src = os.path.join(target_path, stage_base)
-    dst = os.path.join(target_path, snap_name)
+    claim = _acquire_claim(target_path, snap_name, stage_base, _assert_base)
     try:
-        os.rename(src, dst)
-    except OSError:
-        # dst occupied by a winner (→ raise) or a crash leftover (→
-        # reclaim); src missing means a winner's prune reclaimed our
-        # stage — _assert_base raises in that case too.
-        _assert_base()
-        shutil.rmtree(dst, ignore_errors=True)
-        os.rename(src, dst)
-    src_m = os.path.join(target_path, stage_base + ".json")
-    dst_m = os.path.join(target_path, snap_name + ".json")
-    try:
-        os.link(src_m, dst_m)
-    except OSError:
-        _assert_base()
+        src = os.path.join(target_path, stage_base)
+        dst = os.path.join(target_path, snap_name)
         try:
-            os.remove(dst_m)  # crash leftover manifest
+            os.rename(src, dst)
+        except OSError:
+            # we hold the claim, so an occupied dst is a crash leftover
+            # (a live owner would hold the token); src missing means a
+            # winner's prune reclaimed our stage as a stale leftover —
+            # _assert_base catches the published winner, and any other
+            # IO failure is claim-time interference → rebase.
+            _assert_base()
+            shutil.rmtree(dst, ignore_errors=True)
+            try:
+                os.rename(src, dst)
+            except OSError as exc:
+                raise ConcurrentWriteError(
+                    f"{target_path}: staged snapshot {stage_base!r} was "
+                    f"reclaimed during the claim ({exc}); rebase and retry"
+                ) from exc
+        src_m = os.path.join(target_path, stage_base + ".json")
+        dst_m = os.path.join(target_path, snap_name + ".json")
+        try:
+            os.link(src_m, dst_m)
+        except OSError:
+            _assert_base()
+            try:
+                os.remove(dst_m)  # crash leftover manifest
+            except OSError:
+                pass
+            try:
+                os.link(src_m, dst_m)
+            except OSError as exc:
+                raise ConcurrentWriteError(
+                    f"{target_path}: staged manifest {stage_base!r}.json was "
+                    f"reclaimed during the claim ({exc}); rebase and retry"
+                ) from exc
+        os.remove(src_m)
+        # ownership re-check: the artifacts about to be committed must be
+        # THIS attempt's (defends a >grace-stalled process whose claim was
+        # reclaimed mid-section and replaced by another attempt's work)
+        try:
+            with open(dst_m) as fh:
+                owner = json.load(fh).get("attempt")
+        except (OSError, ValueError):
+            owner = None
+        if owner != stage_base:
+            raise ConcurrentWriteError(
+                f"{target_path}: {snap_name} manifest belongs to attempt "
+                f"{owner!r}, not {stage_base!r}; claim was reclaimed — rebase"
+            )
+        _publish(target_path, next_version, keep_snapshots)
+    finally:
+        try:
+            os.remove(claim)
         except OSError:
             pass
-        os.link(src_m, dst_m)
-    os.remove(src_m)
-    _publish(target_path, next_version, keep_snapshots)
 
 
 def _commit_unpartitioned(
@@ -493,9 +595,34 @@ def _prune_snapshots(target_path: str, next_version: int, keep_snapshots: int) -
     """Best-effort retention: keep the newest ``keep_snapshots`` snapshot
     versions (dirs + manifests) plus every ``data/`` pool dir still
     referenced by a retained snapshot; everything older is reclaimed.
-    Object-store analog: batch delete driven by the retained manifests."""
+    Attempt-scoped artifacts (``.stage-`` dirs/manifests, ``.claim``
+    tokens, unreferenced pool dirs) are SKIPPED when they may belong to
+    a LIVE concurrent attempt — deleting a live attempt's staging
+    mid-write would surface there as a generic IO error the
+    conflict-retry loop can't rebase (r6 ADVICE).  "May be live" =
+    targets the version being committed or newer (a live attempt's
+    next_version is never below the winner's: both read the same base
+    pointer) AND is younger than the claim grace window; superseded
+    versions' leftovers reclaim immediately as before, and stale
+    current-version leftovers reclaim once they age out.  Object-store
+    analog: batch delete driven by the retained manifests."""
     import os
     import shutil
+    import time
+
+    now = time.time()
+
+    def _maybe_live(path: str, artifact_version: int | None) -> bool:
+        if artifact_version is not None and artifact_version < next_version:
+            return False  # superseded: no live attempt targets old versions
+        try:
+            return now - os.stat(path).st_mtime < _CLAIM_GRACE_SECONDS
+        except OSError:
+            return True  # vanished mid-check: someone owns it, leave it
+
+    def _version_prefix(name: str) -> int | None:
+        head = name.lstrip("v").split(".", 1)[0].split("-", 1)[0]
+        return int(head) if head.isdigit() else None
 
     keep_versions = {
         f"v{v:08d}" for v in range(max(1, next_version - keep_snapshots + 1), next_version + 1)
@@ -519,13 +646,18 @@ def _prune_snapshots(target_path: str, next_version: int, keep_snapshots: int) -
         full = os.path.join(target_path, entry)
         if entry == "data":
             for sub in os.listdir(full):
-                if sub in referenced:
+                pool = os.path.join(full, sub)
+                if sub in referenced or _maybe_live(pool, _version_prefix(sub)):
                     continue
                 try:
-                    shutil.rmtree(os.path.join(full, sub))
+                    shutil.rmtree(pool)
                 except OSError:
                     pass
             continue
+        if (".stage-" in entry or entry.endswith(".claim")) and _maybe_live(
+            full, _version_prefix(entry)
+        ):
+            continue  # live concurrent attempt's staging/claim
         stem = entry[:-5] if entry.endswith(".json") else entry
         if stem in keep_versions:
             continue
@@ -695,6 +827,7 @@ def _commit_partitioned_staged(
 
     manifest = {
         "version": next_version,
+        "attempt": stage,  # ownership check at publish (_publish_staged)
         "partition_by": list(pcols),
         "schema": merged.schema.json(),  # authoritative table schema (evolution-safe reads)
         "partitions": {rel: os.path.relpath(d, target_path) for rel, d in entries.items()},
@@ -788,6 +921,7 @@ def _write_snapshot_manifest(target_path: str, snap_name: str, schema_json: str)
     # the recorded version is always the numeric prefix
     manifest = {
         "version": int(snap_name.lstrip("v").split(".", 1)[0]),
+        "attempt": snap_name,  # ownership check at publish (_publish_staged)
         "schema": schema_json,
         "file_stats": _dir_file_stats(snap_dir, ""),
     }

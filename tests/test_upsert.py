@@ -482,18 +482,18 @@ def test_concurrent_upsert_rebase_retry_lands_both_writers(spark, tmp_parquet_di
     batch_a = spark.createDataFrame([(2, "A2"), (3, "A3")], "k int, v string")
     batch_b = spark.createDataFrame([(1, "B1"), (4, "B4")], "k int, v string")
 
-    orig_publish = U._publish
+    orig_publish = U._publish_staged
     raced = {"done": False}
 
-    def racing_publish(target_path, next_version, keep_snapshots):
+    def racing_publish(target_path, next_version, stage_base, keep_snapshots):
         if not raced["done"]:
             raced["done"] = True
             # writer A slips in a full commit between B's merge and
-            # B's pointer swap
+            # B's version claim
             U.upsert_parquet(spark, batch_a, target_path, ["k"])
-        return orig_publish(target_path, next_version, keep_snapshots)
+        return orig_publish(target_path, next_version, stage_base, keep_snapshots)
 
-    monkeypatch.setattr(U, "_publish", racing_publish)
+    monkeypatch.setattr(U, "_publish_staged", racing_publish)
     U.upsert_parquet(spark, batch_b, tmp_parquet_dir, ["k"], retry_conflicts=3)
 
     got = {r["k"]: r["v"] for r in U.read_parquet_table(spark, tmp_parquet_dir).collect()}
@@ -509,10 +509,10 @@ def test_concurrent_upsert_without_retry_still_raises(spark, tmp_parquet_dir, mo
     U.upsert_parquet(
         spark, spark.createDataFrame([(1, "a")], "k int, v string"), tmp_parquet_dir, ["k"]
     )
-    orig_publish = U._publish
+    orig_publish = U._publish_staged
     raced = {"done": False}
 
-    def racing_publish(target_path, next_version, keep_snapshots):
+    def racing_publish(target_path, next_version, stage_base, keep_snapshots):
         if not raced["done"]:
             raced["done"] = True
             U.upsert_parquet(
@@ -521,9 +521,9 @@ def test_concurrent_upsert_without_retry_still_raises(spark, tmp_parquet_dir, mo
                 target_path,
                 ["k"],
             )
-        return orig_publish(target_path, next_version, keep_snapshots)
+        return orig_publish(target_path, next_version, stage_base, keep_snapshots)
 
-    monkeypatch.setattr(U, "_publish", racing_publish)
+    monkeypatch.setattr(U, "_publish_staged", racing_publish)
     with pytest.raises(U.ConcurrentWriteError):
         U.upsert_parquet(
             spark,
@@ -641,6 +641,123 @@ def test_stale_writer_cannot_clobber_committed_snapshot(spark, tmp_parquet_dir, 
     assert real(tmp_parquet_dir) == "v00000002"
     # the failed attempt's staging was reclaimed
     assert not [e for e in os.listdir(tmp_parquet_dir) if ".stage-" in e]
+
+
+def test_live_foreign_claim_blocks_reclaim(spark, tmp_parquet_dir):
+    """ADVICE r6: a FRESH claim token on v{N} means a live concurrent
+    attempt mid-publish — the loser must raise ConcurrentWriteError (so
+    ``retry_conflicts`` rebases) and must NOT reclaim the claimed
+    snapshot dir out from under its owner."""
+    import pytest
+
+    import etl_tiki_webscraping_spark.sinks.upsert as U
+
+    U.upsert_parquet(
+        spark, spark.createDataFrame([(1, "a")], "k int, v string"), tmp_parquet_dir, ["k"]
+    )  # v1
+    # simulate another process's in-flight publish of v2: claim token +
+    # claimed (renamed) snapshot dir, pointer still at v1
+    os.makedirs(os.path.join(tmp_parquet_dir, "v00000002"))
+    with open(os.path.join(tmp_parquet_dir, "v00000002", "part-w.parquet"), "w") as fh:
+        fh.write("winner-data")
+    with open(os.path.join(tmp_parquet_dir, "v00000002.claim"), "w") as fh:
+        fh.write("v00000002.stage-deadbeef")
+
+    with pytest.raises(U.ConcurrentWriteError):
+        U.upsert_parquet(
+            spark, spark.createDataFrame([(2, "b")], "k int, v string"),
+            tmp_parquet_dir, ["k"],
+        )
+    # the live owner's claimed artifacts were left untouched
+    with open(os.path.join(tmp_parquet_dir, "v00000002", "part-w.parquet")) as fh:
+        assert fh.read() == "winner-data"
+    assert os.path.exists(os.path.join(tmp_parquet_dir, "v00000002.claim"))
+
+
+def test_stale_claim_leftover_is_reclaimed(spark, tmp_parquet_dir, monkeypatch):
+    """A claim token (plus orphaned v{N} artifacts) older than the
+    grace window is a crash leftover: the next writer reclaims it and
+    commits normally."""
+    import etl_tiki_webscraping_spark.sinks.upsert as U
+
+    U.upsert_parquet(
+        spark, spark.createDataFrame([(1, "a")], "k int, v string"), tmp_parquet_dir, ["k"]
+    )  # v1
+    os.makedirs(os.path.join(tmp_parquet_dir, "v00000002"))
+    with open(os.path.join(tmp_parquet_dir, "v00000002.claim"), "w") as fh:
+        fh.write("v00000002.stage-deadbeef")
+    # age the leftovers past the grace window
+    monkeypatch.setattr(U, "_CLAIM_GRACE_SECONDS", 0.0)
+
+    U.upsert_parquet(
+        spark, spark.createDataFrame([(2, "b")], "k int, v string"), tmp_parquet_dir, ["k"]
+    )
+    got = {r["k"]: r["v"] for r in U.read_parquet_table(spark, tmp_parquet_dir).collect()}
+    assert got == {1: "a", 2: "b"}
+    assert U._current_snapshot(tmp_parquet_dir) == "v00000002"
+    assert not os.path.exists(os.path.join(tmp_parquet_dir, "v00000002.claim"))
+
+
+def test_publish_refuses_foreign_manifest(spark, tmp_parquet_dir):
+    """Ownership re-check at the pointer swap: if v{N}'s manifest does
+    not record THIS attempt's staging name (claim was reclaimed by a
+    faster writer while this one stalled), publishing raises instead of
+    committing another attempt's data under our batch's identity."""
+    import json
+
+    import pytest
+
+    import etl_tiki_webscraping_spark.sinks.upsert as U
+
+    U.upsert_parquet(
+        spark, spark.createDataFrame([(1, "a")], "k int, v string"), tmp_parquet_dir, ["k"]
+    )  # v1
+    # stage an attempt by hand, then corrupt its manifest's attempt field
+    # to simulate another writer's artifacts sitting at the claim point
+    stage = "v00000002.stage-cafe0001"
+    os.makedirs(os.path.join(tmp_parquet_dir, stage))
+    with open(os.path.join(tmp_parquet_dir, stage + ".json"), "w") as fh:
+        json.dump({"version": 2, "attempt": "v00000002.stage-other"}, fh)
+    with pytest.raises(U.ConcurrentWriteError):
+        U._publish_staged(tmp_parquet_dir, 2, stage, keep_snapshots=2)
+    assert U._current_snapshot(tmp_parquet_dir) == "v00000001"
+
+
+def test_prune_spares_live_staging_and_pool(spark, tmp_parquet_dir):
+    """ADVICE r6: pruning must not delete a live concurrent attempt's
+    fresh .stage- dir, stage manifest, claim token, or unreferenced
+    data/ pool dir targeting the committing version — while still
+    reclaiming superseded-version leftovers immediately."""
+    import etl_tiki_webscraping_spark.sinks.upsert as U
+
+    schema = "k int, p string, v string"
+    for i in range(3):  # v1..v3 so prune (keep 2) has something to drop
+        U.upsert_parquet(
+            spark, spark.createDataFrame([(i, "p0", f"v{i}")], schema),
+            tmp_parquet_dir, ["k"], partition_by=["p"], keep_snapshots=2,
+        )
+
+    # live concurrent attempt targeting v4: fresh stage farm + manifest +
+    # claim + pool dir, none referenced by any committed manifest
+    live = "v00000004.stage-feed0001"
+    os.makedirs(os.path.join(tmp_parquet_dir, live))
+    with open(os.path.join(tmp_parquet_dir, live + ".json"), "w") as fh:
+        fh.write("{}")
+    with open(os.path.join(tmp_parquet_dir, "v00000004.claim"), "w") as fh:
+        fh.write(live)
+    live_pool = os.path.join(tmp_parquet_dir, "data", U._pool_name(live))
+    os.makedirs(live_pool)
+    # superseded-version leftover: stage dir for long-gone v2
+    old = "v00000002.stage-dead0001"
+    os.makedirs(os.path.join(tmp_parquet_dir, old))
+
+    U._prune_snapshots(tmp_parquet_dir, 4, keep_snapshots=2)
+
+    assert os.path.isdir(os.path.join(tmp_parquet_dir, live))
+    assert os.path.exists(os.path.join(tmp_parquet_dir, live + ".json"))
+    assert os.path.exists(os.path.join(tmp_parquet_dir, "v00000004.claim"))
+    assert os.path.isdir(live_pool)
+    assert not os.path.isdir(os.path.join(tmp_parquet_dir, old))
 
 
 def test_stale_writer_cannot_clobber_committed_partitioned_pool(spark, tmp_parquet_dir, monkeypatch):
