@@ -76,7 +76,7 @@ _DRIVER_PRIORITY_R07 = (
 _DRIVER_FRESH_R07 = frozenset({
     # sinks/upsert.py: publish-claim race fix + z-order null/bit fixes
     "upsert_merge", "snapshot_time_travel", "snapshot_partitioned_upsert",
-    "snapshot_file_skipping", "cdc_apply_changes",
+    "snapshot_file_skipping", "cdc_apply_changes", "zorder_multidim_skipping",
     # streaming/events.py: staging-cache key fix
     "streaming_windowed_counts", "streaming_dedup_ids", "streaming_stateful_sessions",
     "streaming_enriched_counts", "streaming_stream_stream_join",

@@ -1299,8 +1299,12 @@ def _zorder_column(df: DataFrame, cols: Sequence[str], bits: int = 16) -> Column
     where rank binning would need a global sort.  Heavily skewed
     dimensions bin poorly under equal width — use hive partitioning or
     single-column ``sort_by`` for those.  NULLs bin to 0 (cluster
-    first).
+    first).  ``bits`` is auto-scaled down so the interleaved key fits a
+    64-bit long (bits × len(cols) ≤ 64) — JVM long shifts mask the
+    shift count to 6 bits, so without the cap high-dimension bits would
+    silently wrap onto low positions and corrupt the clustering key.
     """
+    bits = min(bits, 64 // max(1, len(cols)))
     aggs = []
     for i, c in enumerate(cols):
         aggs.append(F.min(F.col(c).cast("double")).alias(f"mn{i}"))
@@ -1313,9 +1317,11 @@ def _zorder_column(df: DataFrame, cols: Sequence[str], bits: int = 16) -> Column
         if lo is None or hi is None or hi <= lo:
             continue  # constant / all-null dimension contributes nothing
         frac = (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(float(hi - lo))
-        scaled = F.coalesce(
-            F.least(F.lit(n_bins - 1).cast("long"), F.floor(frac * n_bins).cast("long")),
-            F.lit(0).cast("long"),
+        # NULL dimension values must land in bin 0, not fall through:
+        # least() SKIPS null arguments, so least(n_bins-1, NULL) would
+        # otherwise yield n_bins-1 and cluster nulls LAST
+        scaled = F.when(F.col(c).isNull(), F.lit(0).cast("long")).otherwise(
+            F.least(F.lit(n_bins - 1).cast("long"), F.floor(frac * n_bins).cast("long"))
         )
         for bit in range(bits):
             z = z.bitwiseOR(

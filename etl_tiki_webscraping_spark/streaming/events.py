@@ -87,7 +87,15 @@ def read_events_stream_multibatch(
     from etl_tiki_webscraping_spark.io import load_table
 
     # ``events_df`` substitutes a derived event set (must keep a ``ts``
-    # column); ``cache_tag`` discriminates its staging cache entry
+    # column); ``cache_tag`` discriminates its staging cache entry — the
+    # cache key cannot see the DataFrame's contents, so a custom
+    # events_df with the default tag would silently reuse a previously
+    # staged dir for DIFFERENT rows (r6 ADVICE)
+    if events_df is not None and not cache_tag:
+        raise ValueError(
+            "read_events_stream_multibatch: a custom events_df needs a "
+            "non-empty cache_tag to key its staging cache entry"
+        )
     events = events_df if events_df is not None else load_table(spark, sf_dir, "events")
     # staging is one-time setup (a deployment streams an already-arriving
     # dir); memoize per (fixture, split) so repeated runs in one session

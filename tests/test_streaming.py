@@ -168,6 +168,24 @@ def _write_batches(tmp_path, name, batches, schema_cols=None):
     return str(src)
 
 
+def test_multibatch_custom_events_df_requires_cache_tag(spark):
+    """ADVICE r6: the staging cache key cannot see a custom events_df's
+    contents, so passing one with the default cache_tag would silently
+    stream a previously staged dir's rows — it must raise instead."""
+    import pytest
+
+    from etl_tiki_webscraping_spark.streaming.events import (
+        read_events_stream_multibatch,
+    )
+
+    df = spark.createDataFrame(
+        [("e1", "2024-01-01 10:00:00", "view", 1.0)],
+        "event_id string, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="cache_tag"):
+        read_events_stream_multibatch(spark, "/root/testdata/sf0.001", events_df=df)
+
+
 def test_windowed_counts_multibatch_watermark_evicts_late_rows(spark, tmp_path):
     """4 micro-batches in append mode: the 10:00 window's state spans
     batch 1, the watermark advanced by batch 2 finalizes+emits+evicts it

@@ -889,6 +889,39 @@ def test_zorder_handles_constant_and_null_dimensions(spark, tmp_parquet_dir):
         assert len(pruned.inputFiles()) < len(full.inputFiles())
 
 
+def test_zorder_nulls_cluster_first_and_key_fits_long(spark):
+    """ADVICE r6 nits: (1) a NULL dimension value bins to 0 (cluster
+    first, as documented) — Spark's least() skips NULL arguments, so
+    without the explicit null branch nulls landed in the LAST bucket;
+    (2) bits auto-scales so bits × len(cols) ≤ 64 — JVM long shifts
+    mask the count to 6 bits, so oversize shifts silently wrap and
+    corrupt the clustering key."""
+    from etl_tiki_webscraping_spark.sinks.upsert import _zorder_column
+
+    df = spark.createDataFrame(
+        [(0.0, None), (0.0, 0.0), (0.0, 100.0)], "a double, b double"
+    )
+    keys = [
+        r["z"] for r in df.select(_zorder_column(df, ["a", "b"]).alias("z")).collect()
+    ]
+    assert keys[0] == keys[1] == 0  # null bins with the minimum, not the max
+    assert keys[2] > 0
+
+    # 5 dimensions at the default bits=16 would shift up to 79 without
+    # the cap; capped (12 bits/dim) every key fits in 60 bits and a
+    # change in the 5th dimension still produces a distinct, larger key
+    wide = spark.createDataFrame(
+        [(0, 0, 0, 0, 0), (0, 0, 0, 0, 100), (100, 100, 100, 100, 100)],
+        "c0 int, c1 int, c2 int, c3 int, c4 int",
+    )
+    cols = ["c0", "c1", "c2", "c3", "c4"]
+    wkeys = [
+        r["z"] for r in wide.select(_zorder_column(wide, cols).alias("z")).collect()
+    ]
+    assert wkeys[0] == 0 and 0 < wkeys[1] < wkeys[2]
+    assert all(k < (1 << 60) for k in wkeys)
+
+
 def test_time_travel_as_of_wall_clock(spark, tmp_parquet_dir):
     """Timestamp time travel (Delta's timestampAsOf): the newest
     retained snapshot committed at or before the instant; before table
