@@ -319,6 +319,36 @@ def cosine_dedup_pairs(
     )
 
 
+def cosine_threshold_pairs_exact(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """EXACT cosine-threshold pairs (id_a < id_b, rounded cosine >=
+    threshold): broadcast one full side and score every pair with the
+    JVM-side codegen cosine — the oracle-checkable verification twin of
+    :func:`cosine_dedup_pairs` (whose SRP buckets only SEE pairs that
+    co-hash).  O(n^2) by construction: use it to verify, and the
+    LSH-bucketed variant to scale — the same split as brute_force_topk
+    vs lsh_topk.  The comparison happens on the ROUNDED score so a
+    DuckDB replay of the same arithmetic lands on identical edges."""
+    v = df.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("__vec"))
+    a = v.select(F.col("id").alias("id_a"), F.col("__vec").alias("__va"))
+    b = v.select(F.col("id").alias("id_b"), F.col("__vec").alias("__vb"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), round_to).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ivf_train_centroids(
     corpus: DataFrame,
     n_cells: int = 64,
