@@ -79,3 +79,30 @@ def test_asof_join_is_single_shuffle(spark, sf_dir):
     plan = _plan(q)
     # union of both sides + ONE hash exchange on the key for the window
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_approx_distinct_users_within_hll_tolerance(spark, sf_dir):
+    """VERDICT r6 ask #4: the HLL query is rows-only at the driver (no
+    SQL-expressible oracle), so the accuracy contract lives HERE — every
+    per-group approx_count_distinct must sit within a 5% relative error
+    of the exact distinct count (rsd=0.02 => ~2sigma headroom)."""
+    from etl_tiki_webscraping_spark.io import load_table
+    from etl_tiki_webscraping_spark.plans.catalog import QUERIES
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["approx_distinct_users"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["exact_users"]
+        for r in (
+            load_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("exact_users"))
+            .collect()
+        )
+    }
+    assert set(approx) == set(exact) and exact
+    for etype, n_exact in exact.items():
+        rel_err = abs(approx[etype] - n_exact) / max(1, n_exact)
+        assert rel_err <= 0.05, (etype, approx[etype], n_exact, rel_err)
