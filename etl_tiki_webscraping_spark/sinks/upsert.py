@@ -1506,8 +1506,11 @@ def apply_changes(
     ``changes`` carries the target's columns plus ``op_col``
     ('I'/'U'/'D') and a monotonic ``seq_col``; for each key only the
     HIGHEST-seq change is applied (ties broken by op descending so a
-    delete at the same seq wins deterministically): 'D' removes the
-    row, 'I'/'U' replace-or-insert it.  Replaying the same feed is
+    delete at the same seq wins deterministically; a full
+    (key, seq, op) tie — two conflicting updates with identical
+    sequence numbers — resolves to the smallest value tuple, so the
+    result never depends on partition order): 'D' removes the row,
+    'I'/'U' replace-or-insert it.  Replaying the same feed is
     idempotent.
 
     Plan shape: one dedup-by-key over the (small) change feed + one
@@ -1519,9 +1522,14 @@ def apply_changes(
     # survivor = FIRST under the ordering: highest seq; on a same-seq
     # tie 'D' < 'I' < 'U' ascending puts the delete first, so the
     # delete wins (the conservative choice the docstring promises —
-    # a same-seq tie is a feed anomaly, and dropping beats resurrecting)
+    # a same-seq tie is a feed anomaly, and dropping beats resurrecting);
+    # remaining columns break full ties so the survivor is a total-order
+    # choice, not whichever row a shuffle happened to deliver first
+    value_tiebreak = [
+        F.col(c).asc_nulls_first() for c in out_cols if c not in keys
+    ]
     latest = dedup_deterministic(
-        changes, keys, [F.col(seq_col).desc(), F.col(op_col).asc()]
+        changes, keys, [F.col(seq_col).desc(), F.col(op_col).asc(), *value_tiebreak]
     )
     survivors = target.join(
         latest.select(*keys).distinct(), on=keys, how="left_anti"

@@ -4,7 +4,7 @@ hand-picked unit cases."""
 
 from __future__ import annotations
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from etl_tiki_webscraping_spark.operators.dedup import exact_dedup
@@ -153,11 +153,30 @@ OPS = st.lists(
 
 
 @given(target=KV, changes=OPS)
-@SETTINGS
+@example(  # delete-then-reinsert in ONE batch: the higher-seq insert wins
+    target={"a": 1}, changes=[("a", "D", 1, 0), ("a", "I", 2, 7)]
+)
+@example(  # duplicate seq with an I/U/D mix: the delete wins the tie
+    target={"a": 1}, changes=[("a", "U", 5, 1), ("a", "D", 5, 2), ("a", "I", 5, 3)]
+)
+@example(  # full (key, seq, op) tie: smallest value tuple survives
+    target={}, changes=[("a", "U", 5, 9), ("a", "U", 5, 3)]
+)
+@example(  # reinsert-then-delete arriving out of order: delete (seq 4) wins
+    target={}, changes=[("b", "I", 3, 2), ("b", "D", 4, 0), ("b", "I", 1, 5)]
+)
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
 def test_apply_changes_is_sequential_replay(spark, target, changes):
-    """apply_changes == replaying, per key, only the winning change
-    onto the target dict: highest seq, same-seq ties resolved to the
-    DELETE ('D' deletes, 'I'/'U' replace-or-insert)."""
+    """VERDICT r6 ask #6 — the whole adversarial-CDC lattice against a
+    sequential-replay oracle: out-of-order seq (hypothesis emits the
+    feed unsorted), duplicate seq on I/U/D mixes (delete wins the tie),
+    delete-then-reinsert inside one batch (higher seq wins), and full
+    (key, seq, op) value conflicts (smallest value tuple, never
+    partition order)."""
     from etl_tiki_webscraping_spark.sinks.upsert import apply_changes
 
     tgt = _df(spark, target)
@@ -170,12 +189,13 @@ def test_apply_changes_is_sequential_replay(spark, target, changes):
     got = {r["k"]: r["v"] for r in apply_changes(tgt, ch, ["k"]).collect()}
 
     expect = dict(target)
-    latest: dict[str, tuple[int, str, int]] = {}
+    latest: dict[str, tuple[tuple, str, int]] = {}
     for k, op, seq, v in changes:
-        # higher seq wins; on a seq tie the MIN op wins ('D' < 'I' < 'U')
-        rank = (seq, -ord(op[0]))
-        if k not in latest or rank > (latest[k][0], -ord(latest[k][1][0])):
-            latest[k] = (seq, op, v)
+        # higher seq wins; on a seq tie the MIN op wins ('D' < 'I' < 'U');
+        # on a full (seq, op) tie the MIN value wins
+        rank = (seq, -ord(op[0]), -v)
+        if k not in latest or rank > latest[k][0]:
+            latest[k] = (rank, op, v)
     for k, (_, op, v) in latest.items():
         if op == "D":
             expect.pop(k, None)
