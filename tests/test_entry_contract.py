@@ -54,3 +54,21 @@ def test_bench_final_line_fits_driver_tail_window():
     assert parsed["metric"] == "headline_queries_total_wall"
     assert parsed["n_queries"] == 200
     assert len(parsed["queries"]) == 5
+
+
+def test_docs_query_count_matches_catalog():
+    """README's catalog count must track the registry (ADVICE r6: the
+    docs said 96 while the registry held 101)."""
+    import os
+    import re
+
+    from etl_tiki_webscraping_spark.plans.catalog import QUERIES
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "README.md")) as fh:
+        readme = fh.read()
+    m = re.search(r"the (\d+)-query catalog", readme)
+    assert m, "README no longer names the catalog size"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"README says {m.group(1)} queries, registry has {len(QUERIES)}"
+    )
