@@ -13,7 +13,11 @@ fault (parquet footer reads, first broadcast build, shuffle-service
 warm-up), pass 2 is the steady-state plan cost.  ``value``/``queries``
 report pass 1 (comparable to BENCH_r01, which was single-pass);
 ``queries_pass2``/``value_pass2`` separate position cost from plan
-cost.
+cost.  One-time fixture STAGING (snapshot/bucketed/SQLite/stream-input
+builds — a deployed warehouse already exists when a query runs) and
+OS page-cache/Python-worker warm-up run BEFORE pass 1, untimed
+(r6 VERDICT ask #3), so pass 1 reflects first-touch engine cost, not
+warehouse construction.
 """
 
 from __future__ import annotations
@@ -106,13 +110,66 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm-up: JVM + codegen, and fork the per-core Python workers so
-    # the first Arrow-UDF query isn't billed worker startup
+    # the first Arrow-UDF query isn't billed worker startup (numpy
+    # imported inside the kernel: the dedup/similarity kernels use it,
+    # and a worker's first numpy import is the slow part)
     spark.range(1000).selectExpr("sum(id)").collect()
     from pyspark.sql import functions as F
 
-    _warm = F.pandas_udf(lambda s: s, "long")
+    def _warm_kernel(s):
+        import numpy as np  # noqa: F401  (warms the worker's import cache)
+
+        return s
+
+    _warm = F.pandas_udf(_warm_kernel, "long")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark.range(10_000).repartition(cpus).select(_warm("id")).count()
+
+    # OS page-cache warm of the input parquet: timings should measure
+    # the engine, not whether this run's first scan found cold disk
+    for fname in sorted(os.listdir(SF_DIR)):
+        if fname.endswith(".parquet"):
+            with open(os.path.join(SF_DIR, fname), "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+
+    # warm the streaming engine once (micro-batch executor, state-store
+    # provider, memory-sink plumbing): the first streaming query of a
+    # session otherwise pays ~2s of engine init that isn't its plan's
+    import tempfile
+
+    _warm_dir = tempfile.mkdtemp(prefix="bench-stream-warm-")
+    spark.createDataFrame([("w", 1)], "k string, v int").write.parquet(
+        _warm_dir + "/in"
+    )
+    (
+        spark.readStream.schema("k string, v int")
+        .parquet(_warm_dir + "/in")
+        .groupBy("k")
+        .count()
+        .writeStream.format("memory")
+        .queryName("bench_warm_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(60)
+    )
+
+    # one-time per-process fixture staging (snapshot/bucketed/SQLite/
+    # stream-input builds) hoisted out of the timed region — a deployed
+    # warehouse already exists when a query runs (VERDICT r6 ask #3)
+    from etl_tiki_webscraping_spark.plans.catalog import prepare_fixtures
+
+    prepare_fixtures(
+        spark,
+        SF_DIR,
+        names=[
+            "dbapi_partitioned_read",
+            "snapshot_file_skipping",
+            "zorder_multidim_skipping",
+            "bucketed_colocated_join",
+        ],
+    )
 
     def run_pass() -> dict[str, float]:
         timings: dict[str, float] = {}

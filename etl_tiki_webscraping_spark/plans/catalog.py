@@ -14,7 +14,7 @@ match across engines):
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -92,6 +92,42 @@ def _export_order() -> list[str]:
     fresh = [n for n in QUERIES if n in _DRIVER_FRESH_R07]
     settled = [n for n in QUERIES if n not in _DRIVER_FRESH_R07 and n not in prio]
     return prio + fresh + settled
+
+
+# Queries whose fn() performs EAGER one-time staging at plan-build time
+# (snapshot builds, bucketed saveAsTable, SQLite load) and memoizes it
+# per process; the DataFrame they return is lazy, so calling fn() and
+# discarding the result runs exactly the staging and none of the query.
+_EAGER_STAGING_QUERIES = (
+    "dbapi_partitioned_read",
+    "snapshot_file_skipping",
+    "zorder_multidim_skipping",
+    "bucketed_colocated_join",
+    "snapshot_delete_where",
+)
+
+
+def prepare_fixtures(
+    spark: SparkSession, sf_dir: str, names: "Sequence[str] | None" = None
+) -> None:
+    """Hoist one-time per-process warehouse staging out of a timed
+    region (VERDICT r6 ask #3).  A deployment's snapshot tables,
+    bucketed warehouse tables, JDBC-side database, and streaming input
+    dirs already exist when a query runs; the catalog queries build
+    them on first invocation only because the driver runs each query
+    cold.  bench.py calls this before its timed passes so pass-1
+    timings measure query execution, not fixture construction; the
+    driver's correctness sweep does NOT call it, so the cold build
+    path stays exercised there."""
+    for name in names if names is not None else _EAGER_STAGING_QUERIES:
+        QUERIES[name].fn(spark, sf_dir)  # staging side effect; plan discarded
+    from etl_tiki_webscraping_spark.streaming.events import (
+        read_events_stream_multibatch,
+    )
+
+    # stage the shared multi-batch streaming input dir (memoized by
+    # (sf_dir, n_batches, tag)); starting no stream here
+    read_events_stream_multibatch(spark, sf_dir, n_batches=3)
 
 
 def get_queries() -> dict[str, SparkQuery]:
