@@ -1,0 +1,153 @@
+"""One-off sf1 scaling evidence (VERDICT r6 ask #5): run the five
+headline scale queries — LSH dedup, cross-corpus dedup, corpus
+capstone, partitioned snapshot upsert, stream-stream join — against a
+10x scale-up of the sf0.1 fixtures and append one entry to
+bench_history.jsonl.
+
+There is no driver-generated sf1 dataset, so the input is synthesized
+from sf0.1 (never touching /root/testdata): each table is a union of
+10 replicas with ids offset by a replica stride.  Document text is
+token-SALTED per replica (every word gets the replica digit appended),
+so cross-replica copies of one document share NO shingles — duplicate
+density per replica stays exactly the fixture's, and total work scales
+10x instead of degenerating into 10-way exact-duplicate clusters that
+no real corpus exhibits.  Event user ids are offset per replica for
+the same reason: join/watermark density per user is preserved while
+the event RATE per hour grows 10x (the scale axis a busier deployment
+actually sees).  Other tables are symlinked from sf0.1 unchanged.
+
+Run it ALONE (bench discipline: no concurrent Spark jobs):
+
+    python tools/bench_sf1.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+SRC_SF = "/root/testdata/sf0.1"
+SCALED_DIR = "/tmp/spark-graft-sf1"
+REPLICAS = 10
+DOC_STRIDE = 1_000_000
+EVENT_STRIDE = 10_000_000
+USER_STRIDE = 100_000
+
+FIVE = [
+    "dedup_minhash_lsh",
+    "crosscorpus_neardup_lsh",
+    "corpus_pipeline_e2e",
+    "snapshot_partitioned_upsert",
+    "streaming_stream_stream_join",
+]
+
+
+def build_scaled(spark) -> str:
+    from pyspark.sql import functions as F
+
+    done_marker = os.path.join(SCALED_DIR, "_SCALED_OK")
+    if os.path.exists(done_marker):
+        return SCALED_DIR
+    os.makedirs(SCALED_DIR, exist_ok=True)
+
+    docs = spark.read.parquet(os.path.join(SRC_SF, "documents.parquet"))
+    doc_parts = []
+    for i in range(REPLICAS):
+        salted = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "), lambda w: F.concat(w, F.lit(str(i)))
+            ),
+            " ",
+        )
+        doc_parts.append(
+            docs.select(
+                (F.col("doc_id") + i * DOC_STRIDE).alias("doc_id"),
+                F.when(F.col("text").isNotNull(), salted).alias("text"),
+                "lang",
+                "source",
+            ).withColumn("n_chars", F.length(F.coalesce("text", F.lit(""))))
+        )
+    scaled_docs = doc_parts[0]
+    for p in doc_parts[1:]:
+        scaled_docs = scaled_docs.unionByName(p)
+    scaled_docs.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SCALED_DIR, "documents.parquet")
+    )
+
+    events = spark.read.parquet(os.path.join(SRC_SF, "events.parquet"))
+    ev_parts = [
+        events.select(
+            (F.col("event_id") + i * EVENT_STRIDE).alias("event_id"),
+            "ts",
+            (F.col("user_id") + i * USER_STRIDE).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for i in range(REPLICAS)
+    ]
+    scaled_ev = ev_parts[0]
+    for p in ev_parts[1:]:
+        scaled_ev = scaled_ev.unionByName(p)
+    scaled_ev.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SCALED_DIR, "events.parquet")
+    )
+
+    for fname in os.listdir(SRC_SF):
+        if fname.endswith(".parquet") and fname not in (
+            "documents.parquet",
+            "events.parquet",
+        ):
+            dst = os.path.join(SCALED_DIR, fname)
+            if not os.path.exists(dst):
+                os.symlink(os.path.join(SRC_SF, fname), dst)
+
+    with open(done_marker, "w") as fh:
+        fh.write("ok")
+    return SCALED_DIR
+
+
+def main() -> None:
+    from etl_tiki_webscraping_spark.plans.catalog import QUERIES
+    from etl_tiki_webscraping_spark.session import get_spark
+    from etl_tiki_webscraping_spark.streaming.events import (
+        read_events_stream_multibatch,
+    )
+
+    spark = get_spark("bench-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    sf_dir = build_scaled(spark)
+    print(f"scaled input ready in {time.perf_counter() - t0:.1f}s", flush=True)
+
+    # untimed warm-up + stream-input staging, mirroring bench.py
+    spark.range(1000).selectExpr("sum(id)").collect()
+    read_events_stream_multibatch(spark, sf_dir, n_batches=3)
+
+    timings: dict[str, float] = {}
+    for name in FIVE:
+        t0 = time.perf_counter()
+        QUERIES[name].fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"{name}: {timings[name]}s", flush=True)
+
+    entry = {
+        "sf": "1",
+        "synthetic_scale": f"{REPLICAS}x sf0.1, replica-salted (tools/bench_sf1.py)",
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+    }
+    with open(os.path.join(HERE, "bench_history.jsonl"), "a") as fh:
+        fh.write(json.dumps(entry, separators=(",", ":")) + "\n")
+    print(json.dumps(entry, separators=(",", ":")))
+
+
+if __name__ == "__main__":
+    main()
