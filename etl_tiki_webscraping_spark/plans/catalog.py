@@ -84,6 +84,8 @@ _DRIVER_FRESH_R07 = frozenset({
     "dedup_embedding_clusters",
     # tolerance gate added r7
     "approx_distinct_users",
+    # NEW r7 queries (must land in the r7 driver window)
+    "snapshot_change_feed",
 })
 
 
@@ -3735,3 +3737,87 @@ def q_snapshot_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DELETE_TABLES: dict[str, str] = {}  # sf_dir -> table path (memoized)
+
+
+@register(
+    "snapshot_change_feed",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DOUBLE) AS price,
+               o_orderpriority AS prio
+        FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    b AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DOUBLE) + 1000.0 AS price,
+               o_orderpriority AS prio
+        FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    v2 AS (
+        SELECT * FROM v1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b)
+        UNION ALL SELECT * FROM b
+    ),
+    changes AS (
+        SELECT 1 AS _commit_version, 'insert' AS _change_type, * FROM v1
+        UNION ALL
+        SELECT 2, 'insert', * FROM b
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v1)
+        UNION ALL
+        SELECT 2, 'update_preimage', * FROM v1
+        WHERE o_orderkey IN (SELECT o_orderkey FROM b)
+        UNION ALL
+        SELECT 2, 'update_postimage', * FROM b
+        WHERE o_orderkey IN (SELECT o_orderkey FROM v1)
+        UNION ALL
+        SELECT 3, 'delete', * FROM v2 WHERE prio = '1-URGENT'
+    )
+    SELECT _commit_version, _change_type, o_orderkey, o_custkey, price
+    FROM changes
+    """,
+    doc="change data feed over the snapshot table (sinks/upsert.py::"
+        "read_change_feed — Delta CDF semantics, no reference analog: the "
+        "reference's warehouse keeps only current state, dags/etl.py:181-202): "
+        "three commits with change_feed=True (create, overlapping upsert, "
+        "predicate delete) record per-commit change files inside their "
+        "snapshots; the read-back feed must equal the SQL replay of "
+        "insert/update_preimage/update_postimage/delete rows.  Changes are "
+        "derived at commit time from the touched rows the merge already "
+        "reads — never an O(table) version diff — which is what lets CDC "
+        "consumers follow a 100 TB table batch-by-batch",
+)
+def q_snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from etl_tiki_webscraping_spark.sinks.upsert import (
+        delete_where,
+        read_change_feed,
+        upsert_parquet,
+    )
+
+    path = _CHANGE_FEED_TABLES.get(sf_dir)
+    if path is None:
+        orders = load_table(spark, sf_dir, "orders")
+        base = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        batch = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice").cast("double") + F.lit(1000.0)).alias("price"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        path = tempfile.mkdtemp(prefix="change-feed-") + "/tbl"
+        upsert_parquet(spark, base, path, ["o_orderkey"], keep_snapshots=5, change_feed=True)
+        upsert_parquet(spark, batch, path, ["o_orderkey"], keep_snapshots=5, change_feed=True)
+        delete_where(spark, path, F.col("prio") == "1-URGENT", change_feed=True, keep_snapshots=5)
+        _CHANGE_FEED_TABLES[sf_dir] = path
+    return read_change_feed(spark, path).select(
+        "_commit_version", "_change_type", "o_orderkey", "o_custkey", "price"
+    )
+
+
+_CHANGE_FEED_TABLES: dict[str, str] = {}  # sf_dir -> table path (memoized)

@@ -3,6 +3,7 @@ from etl_tiki_webscraping_spark.sinks.upsert import (
     compact_table,
     delete_where,
     merge_sql,
+    read_change_feed,
     read_parquet_table,
     scd2_apply,
     upsert_dataframes,
@@ -20,6 +21,7 @@ __all__ = [
     "compact_table",
     "delete_where",
     "merge_sql",
+    "read_change_feed",
     "read_parquet_table",
     "scd2_apply",
     "upsert_dataframes",

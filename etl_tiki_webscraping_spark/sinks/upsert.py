@@ -94,6 +94,106 @@ def upsert_dataframes(
 
 SNAPSHOT_POINTER = "_LATEST"
 
+# Change-data-feed metadata columns (Delta CDF column names, so a
+# downstream consumer written against Delta's feed reads ours unchanged).
+CHANGE_TYPE_COL = "_change_type"
+CHANGE_VERSION_COL = "_commit_version"
+
+
+def _tag_changes(df: DataFrame, ctype: str, version: int) -> DataFrame:
+    return df.select(
+        *df.columns,
+        F.lit(ctype).alias(CHANGE_TYPE_COL),
+        F.lit(int(version)).cast("int").alias(CHANGE_VERSION_COL),
+    )
+
+
+def _change_rows(
+    prior: "DataFrame | None",
+    merged: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    next_version: int,
+) -> DataFrame:
+    """Row-level change feed for ONE upsert commit (Delta CDF shape):
+    ``insert`` rows for batch keys absent from the prior snapshot, an
+    ``update_preimage``/``update_postimage`` pair for every matched key
+    (an upsert rewrites every matched row — same contract as Delta's
+    ``MERGE WHEN MATCHED THEN UPDATE SET *`` feed, which emits the pair
+    even when the incoming values happen to equal the old ones).
+
+    Derived from data the commit already has in hand: ``prior`` is the
+    pre-merge state of the TOUCHED partitions only (never the whole
+    table) and ``merged`` is the post-merge result, so the extra cost is
+    two bare-key semi/anti joins over already-pruned rows — not an
+    O(table) snapshot diff.  That is what makes the feed viable at
+    100 TB: CDC readers consume the per-commit change files instead of
+    joining two full versions.
+    """
+    keys = list(keys)
+    batch_keys = updates.select(*keys).distinct()
+    # post-merge rows for the batch's keys == the deduped batch as landed
+    post = merged.join(batch_keys, on=keys, how="left_semi")
+    if prior is None:
+        return _tag_changes(post, "insert", next_version)
+    for c in merged.columns:  # align preimages to the (possibly evolved) schema
+        if c not in prior.columns:
+            prior = prior.withColumn(c, F.lit(None).cast(merged.schema[c].dataType))
+    prior = prior.select(*merged.columns)
+    pre = prior.join(batch_keys, on=keys, how="left_semi")
+    matched_keys = pre.select(*keys).distinct()
+    inserts = post.join(matched_keys, on=keys, how="left_anti")
+    upd_post = post.join(matched_keys, on=keys, how="left_semi")
+    return (
+        _tag_changes(inserts, "insert", next_version)
+        .unionByName(_tag_changes(pre, "update_preimage", next_version))
+        .unionByName(_tag_changes(upd_post, "update_postimage", next_version))
+    )
+
+
+def read_change_feed(
+    spark: SparkSession,
+    target_path: str,
+    from_version: int = 1,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Read the row-level change feed of a snapshot table for a version
+    range (inclusive) — the ``table_changes()`` surface over commits made
+    with ``change_feed=True`` (:func:`upsert_parquet`,
+    :func:`delete_where`).  Each row carries ``_change_type``
+    (``insert`` / ``update_preimage`` / ``update_postimage`` /
+    ``delete``) and ``_commit_version``.
+
+    Change files live INSIDE each version's snapshot dir (``_changes/``,
+    hidden from ordinary table reads by the parquet reader's
+    underscore-prefix filter) so they commit and prune atomically with
+    their snapshot.  A version in range whose commit did not record
+    changes — written without ``change_feed=True``, or already reclaimed
+    by retention — raises, like Delta's feed does, instead of silently
+    returning a gap.
+    """
+    import os
+    from functools import reduce
+
+    cur = _current_snapshot(target_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed table at {target_path}")
+    if to_version is None:
+        to_version = int(cur.lstrip("v"))
+    if from_version < 1 or from_version > to_version:
+        raise ValueError(f"bad change-feed range [{from_version}, {to_version}]")
+    parts = []
+    for v in range(from_version, to_version + 1):
+        d = os.path.join(target_path, f"v{v:08d}", "_changes")
+        if not os.path.isdir(d):
+            raise ValueError(
+                f"no change feed for version {v} of {target_path}: commit ran "
+                "without change_feed=True, or the snapshot was pruned by retention"
+            )
+        parts.append(spark.read.parquet(d))
+    # additive schema evolution may widen later versions; null-fill older ones
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+
 
 def _current_snapshot(target_path: str) -> str | None:
     """Snapshot dir name the table pointer currently commits to, or
@@ -562,6 +662,7 @@ def _commit_unpartitioned(
     next_version: int,
     keep_snapshots: int,
     audit: "object | None" = None,
+    changes: "DataFrame | None" = None,
 ) -> None:
     """Stage + publish an UNPARTITIONED snapshot: full result written
     under an attempt-unique name, manifest (schema + per-file min/max),
@@ -575,6 +676,10 @@ def _commit_unpartitioned(
     try:
         df.write.mode("overwrite").parquet(stage_dir)
         _write_snapshot_manifest(target_path, stage, df.schema.json())
+        if changes is not None:
+            # inside the staged snapshot dir: rides the same claim +
+            # pointer swap; '_' prefix hides it from ordinary table reads
+            changes.write.mode("overwrite").parquet(os.path.join(stage_dir, "_changes"))
         if audit is not None:
             # write-audit-publish: validate the written-but-uncommitted
             # snapshot; raising aborts before the claim
@@ -703,6 +808,7 @@ def _commit_partitioned(
     keep_snapshots: int,
     drop_values: "set[tuple] | None" = None,
     audit: "object | None" = None,
+    changes: "DataFrame | None" = None,
 ) -> None:
     """Staging-lifecycle wrapper around :func:`_commit_partitioned_staged`:
     generates the attempt-unique staging name and, if the commit does
@@ -725,6 +831,7 @@ def _commit_partitioned(
             drop_values,
             audit,
             stage,
+            changes,
         )
         committed = True
     finally:
@@ -754,6 +861,7 @@ def _commit_partitioned_staged(
     drop_values: "set[tuple] | None",
     audit: "object | None",
     stage: str,
+    changes: "DataFrame | None" = None,
 ) -> None:
     """Write ``merged`` (the touched partitions only) into a new
     ``data/`` pool dir, then build snapshot ``vN`` as a hive-layout farm
@@ -801,6 +909,12 @@ def _commit_partitioned_staged(
         link = os.path.join(farm_stage, rel)
         os.makedirs(os.path.dirname(link), exist_ok=True)
         os.symlink(os.path.relpath(data_dir, os.path.dirname(link)), link)
+
+    if changes is not None:
+        # real dir among the symlinked partition dirs: '_' prefix keeps it
+        # out of partition discovery, farm scans, and manifest file stats;
+        # it renames into the version path with the farm at claim time
+        changes.write.mode("overwrite").parquet(os.path.join(farm_stage, "_changes"))
 
     # per-file min/max for data skipping: freshly-written pool files get
     # their footer stats read now (driver-side, bounded by the batch's
@@ -1011,8 +1125,17 @@ def upsert_parquet(
     evolve_schema: bool = False,
     audit: "object | None" = None,
     retry_conflicts: int = 0,
+    change_feed: bool = False,
 ) -> None:
     """Upsert into a parquet table path; creates it if absent.
+
+    ``change_feed=True`` records this commit's row-level changes
+    (``insert`` / ``update_preimage`` / ``update_postimage``) into the
+    snapshot's ``_changes/`` dir — Delta CDF semantics, read back with
+    :func:`read_change_feed`.  Computed from the touched rows the merge
+    already reads (two extra bare-key semi/anti joins), never an
+    O(table) version diff; off by default so the standard path pays
+    nothing.
 
     ``retry_conflicts``: optimistic-concurrency RETRY budget.  An
     upsert is commutative at commit granularity (it re-reads the
@@ -1094,6 +1217,7 @@ def upsert_parquet(
                 stable_partitions,
                 evolve_schema,
                 audit,
+                change_feed,
             )
             return
         except ConcurrentWriteError:
@@ -1115,6 +1239,7 @@ def _upsert_parquet_attempt(
     stable_partitions: bool,
     evolve_schema: bool,
     audit: "object | None",
+    change_feed: bool = False,
 ) -> None:
     import os
 
@@ -1130,10 +1255,12 @@ def _upsert_parquet_attempt(
             stable_partitions,
             evolve_schema,
             audit,
+            change_feed,
         )
         return
 
     cur = _current_snapshot(target_path)
+    target: "DataFrame | None" = None
     if cur is not None:
         target = _read_snapshot(spark, target_path, cur)
         merged = upsert_dataframes(target, updates, keys, order_by, evolve_schema)
@@ -1149,7 +1276,12 @@ def _upsert_parquet_attempt(
         merged = _dedup_updates(updates, keys, order_by)
         next_version = 1
 
-    _commit_unpartitioned(merged, target_path, next_version, keep_snapshots, audit)
+    changes = (
+        _change_rows(target, merged, updates, keys, next_version)
+        if change_feed
+        else None
+    )
+    _commit_unpartitioned(merged, target_path, next_version, keep_snapshots, audit, changes)
 
 
 def _upsert_parquet_partitioned(
@@ -1163,6 +1295,7 @@ def _upsert_parquet_partitioned(
     stable_partitions: bool,
     evolve_schema: bool = False,
     audit: "object | None" = None,
+    change_feed: bool = False,
 ) -> None:
     """Partition-pruned upsert: merge the update batch against ONLY the
     partitions it touches; carry every other partition forward by
@@ -1172,6 +1305,7 @@ def _upsert_parquet_partitioned(
     cur = _current_snapshot(target_path)
     prior_entries: dict[str, str] = {}
     drop_values: set[tuple] | None = None
+    prior: "DataFrame | None" = None  # pre-merge touched rows, for change_feed
     if cur is not None:
         cur_dir = os.path.join(target_path, cur)
         entries = _farm_entries(cur_dir, pcols)
@@ -1179,6 +1313,7 @@ def _upsert_parquet_partitioned(
         if entries is None:
             # legacy unpartitioned / re-partitioned snapshot: one-time full rewrite
             target = _read_snapshot(spark, target_path, cur)
+            prior = target
             merged = upsert_dataframes(
                 target,
                 updates if evolve_schema else updates.select(*target.columns),
@@ -1207,11 +1342,13 @@ def _upsert_parquet_partitioned(
                 touched = touched.withColumn(pc, F.col(pc).cast(updates.schema[pc].dataType))
             if not evolve_schema:
                 touched = touched.select(*updates.columns)
+            prior = touched
             merged = upsert_dataframes(touched, updates, keys, order_by, evolve_schema)
     elif os.path.exists(target_path) and any(
         not e.startswith((".", "_")) for e in os.listdir(target_path)
     ):
         target = spark.read.parquet(target_path)
+        prior = target
         merged = upsert_dataframes(
             target,
             updates if evolve_schema else updates.select(*target.columns),
@@ -1224,6 +1361,11 @@ def _upsert_parquet_partitioned(
         merged = _dedup_updates(updates, keys, order_by)
         next_version = 1
 
+    changes = (
+        _change_rows(prior, merged, updates, keys, next_version)
+        if change_feed
+        else None
+    )
     _commit_partitioned(
         merged,
         target_path,
@@ -1233,6 +1375,7 @@ def _upsert_parquet_partitioned(
         keep_snapshots,
         drop_values,
         audit,
+        changes,
     )
 
 
@@ -1242,6 +1385,7 @@ def delete_where(
     condition: Column,
     partition_by: Sequence[str] | None = None,
     keep_snapshots: int = 2,
+    change_feed: bool = False,
 ) -> None:
     """Delete rows matching ``condition`` from a snapshot table — the
     ``MERGE ... WHEN MATCHED THEN DELETE`` / GDPR-erasure leg the
@@ -1264,7 +1408,16 @@ def delete_where(
 
     if not partition_by:
         merged = snap.filter(~F.coalesce(condition, F.lit(False)))
-        _commit_unpartitioned(merged, target_path, next_version, keep_snapshots)
+        changes = (
+            _tag_changes(
+                snap.filter(F.coalesce(condition, F.lit(False))), "delete", next_version
+            )
+            if change_feed
+            else None
+        )
+        _commit_unpartitioned(
+            merged, target_path, next_version, keep_snapshots, changes=changes
+        )
         return
 
     pcols = list(partition_by)
@@ -1282,8 +1435,22 @@ def delete_where(
     }
     touched = _rows_in_partitions(snap, touched_rows, touched_vals.schema, pcols)
     merged = touched.filter(~F.coalesce(condition, F.lit(False)))
+    changes = (
+        _tag_changes(
+            touched.filter(F.coalesce(condition, F.lit(False))), "delete", next_version
+        )
+        if change_feed
+        else None
+    )
     _commit_partitioned(
-        merged, target_path, next_version, pcols, entries, keep_snapshots, drop_values
+        merged,
+        target_path,
+        next_version,
+        pcols,
+        entries,
+        keep_snapshots,
+        drop_values,
+        changes=changes,
     )
 
 

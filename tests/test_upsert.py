@@ -959,3 +959,119 @@ def test_apply_changes_same_seq_tie_delete_wins(spark):
     )
     got = {r["k"]: r["v"] for r in apply_changes(tgt, ch, ["k"]).collect()}
     assert got == {"b": 7}
+
+
+# ---------------------------------------------------------------------------
+# Change data feed (Delta CDF analog): commit-time change files
+
+
+def _feed_rows(spark, path, **kw):
+    from etl_tiki_webscraping_spark.sinks.upsert import read_change_feed
+
+    return sorted(
+        (r["_commit_version"], r["_change_type"], r["k"])
+        for r in read_change_feed(spark, path, **kw).collect()
+    )
+
+
+def test_change_feed_insert_update_delete_roundtrip(spark, tmp_parquet_dir):
+    """Unpartitioned CDF: first commit emits inserts, a matched upsert
+    emits a pre/post image pair plus inserts for new keys, delete_where
+    emits deletes; read_change_feed filters by version range."""
+    from pyspark.sql import functions as F
+
+    from etl_tiki_webscraping_spark.sinks.upsert import (
+        delete_where,
+        read_change_feed,
+        upsert_parquet,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, name string, val double"
+    )
+    upsert_parquet(spark, base, tmp_parquet_dir, ["k"], change_feed=True, keep_snapshots=5)
+    batch = spark.createDataFrame([(2, "b2", 25.0), (4, "d", 40.0)], "k int, name string, val double")
+    upsert_parquet(spark, batch, tmp_parquet_dir, ["k"], change_feed=True, keep_snapshots=5)
+    delete_where(spark, tmp_parquet_dir, F.col("k") == 1, change_feed=True, keep_snapshots=5)
+
+    assert _feed_rows(spark, tmp_parquet_dir) == [
+        (1, "insert", 1),
+        (1, "insert", 2),
+        (1, "insert", 3),
+        (2, "insert", 4),
+        (2, "update_postimage", 2),
+        (2, "update_preimage", 2),
+        (3, "delete", 1),
+    ]
+    # pre/post images carry the old and new values respectively
+    v2 = {
+        (r["_change_type"], r["name"], r["val"])
+        for r in read_change_feed(spark, tmp_parquet_dir, 2, 2).collect()
+        if r["k"] == 2
+    }
+    assert v2 == {("update_preimage", "b", 20.0), ("update_postimage", "b2", 25.0)}
+    assert _feed_rows(spark, tmp_parquet_dir, from_version=3) == [(3, "delete", 1)]
+
+
+def test_change_feed_partitioned_tracks_partition_migration(spark, tmp_parquet_dir):
+    """Partitioned CDF: a key whose partition value changes emits its
+    preimage from the OLD partition and postimage in the new one —
+    computed from the touched partitions only, not a table diff."""
+    from etl_tiki_webscraping_spark.sinks.upsert import read_change_feed, upsert_parquet
+
+    b1 = spark.createDataFrame(
+        [(1, "x", "p1"), (2, "y", "p1"), (3, "z", "p2")], "k int, v string, pt string"
+    )
+    upsert_parquet(
+        spark, b1, tmp_parquet_dir, ["k"], partition_by=["pt"], change_feed=True, keep_snapshots=5
+    )
+    b2 = spark.createDataFrame([(2, "y2", "p2"), (5, "w", "p2")], "k int, v string, pt string")
+    upsert_parquet(
+        spark, b2, tmp_parquet_dir, ["k"], partition_by=["pt"], change_feed=True, keep_snapshots=5
+    )
+
+    rows = {
+        (r["_commit_version"], r["_change_type"], r["k"], r["pt"])
+        for r in read_change_feed(spark, tmp_parquet_dir).collect()
+    }
+    assert (2, "update_preimage", 2, "p1") in rows
+    assert (2, "update_postimage", 2, "p2") in rows
+    assert (2, "insert", 5, "p2") in rows
+    assert len([r for r in rows if r[0] == 2]) == 3
+
+
+def test_change_feed_missing_version_raises(spark, tmp_parquet_dir):
+    """A commit made without change_feed=True leaves a gap the reader
+    refuses to skip silently (Delta CDF contract)."""
+    import pytest
+
+    from etl_tiki_webscraping_spark.sinks.upsert import read_change_feed, upsert_parquet
+
+    base = spark.createDataFrame([(1, "a")], "k int, v string")
+    upsert_parquet(spark, base, tmp_parquet_dir, ["k"], keep_snapshots=5)  # no feed
+    with pytest.raises(ValueError, match="no change feed for version 1"):
+        read_change_feed(spark, tmp_parquet_dir)
+
+
+def test_change_feed_spans_additive_schema_evolution(spark, tmp_parquet_dir):
+    """Feed rows written before an additive evolution null-fill the new
+    column when read across the evolution boundary; post-evolution
+    preimages null-fill it too (the old row never had the column)."""
+    from etl_tiki_webscraping_spark.sinks.upsert import read_change_feed, upsert_parquet
+
+    b1 = spark.createDataFrame([(1, "a")], "k int, v string")
+    upsert_parquet(spark, b1, tmp_parquet_dir, ["k"], change_feed=True, keep_snapshots=5)
+    b2 = spark.createDataFrame([(1, "a2", 7)], "k int, v string, extra int")
+    upsert_parquet(
+        spark, b2, tmp_parquet_dir, ["k"], change_feed=True, evolve_schema=True, keep_snapshots=5
+    )
+
+    rows = {
+        (r["_commit_version"], r["_change_type"], r["extra"])
+        for r in read_change_feed(spark, tmp_parquet_dir).collect()
+    }
+    assert rows == {
+        (1, "insert", None),
+        (2, "update_preimage", None),
+        (2, "update_postimage", 7),
+    }
