@@ -86,6 +86,7 @@ _DRIVER_FRESH_R07 = frozenset({
     "approx_distinct_users",
     # NEW r7 queries (must land in the r7 driver window)
     "snapshot_change_feed",
+    "bloom_pruned_semi_join",
 })
 
 
@@ -3821,3 +3822,31 @@ def q_snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CHANGE_FEED_TABLES: dict[str, str] = {}  # sf_dir -> table path (memoized)
+
+
+@register(
+    "bloom_pruned_semi_join",
+    oracle="""
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'MACHINERY')
+    """,
+    doc="Bloom-filter join pruning (operators/bloom.py): the reference's "
+        "driver-side isin key-set filter (dags/etl.py:250-251) re-expressed "
+        "for 100 TB — the build side's keys fold into a 16 KiB bitmap "
+        "(map-side bit_or partials), the probe side tests k codegen'd bits "
+        "IN THE SCAN STAGE so non-matching rows die before the shuffle, and "
+        "a closing exact semi join removes the bounded false positives. "
+        "Result must be bit-identical to the plain semi join (the oracle).",
+)
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.bloom import bloom_pruned_semi_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    build = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "MACHINERY"
+    )
+    return bloom_pruned_semi_join(orders, build, "o_custkey", "c_custkey")
