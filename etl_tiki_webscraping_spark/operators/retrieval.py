@@ -1,0 +1,115 @@
+"""BM25 ranked text retrieval over a document corpus.
+
+Extension surface (no reference analog — the reference stores scraped
+text but cannot query it, sql/dwh.sql:31-45): keyword search is the
+third leg of the training-data stack next to dedup and embedding
+ANN — used for targeted corpus slicing ("all docs about X"), eval-set
+mining, and retrieval baselines.  Spark-first shape:
+
+- posting-list build: tokenize with one codegen'd regexp split,
+  ``explode`` → ``groupBy(doc, term)`` — a single shuffle keyed on the
+  term, exactly how a distributed inverted index partitions.  Corpus
+  statistics (N, avgdl) reduce to ONE row and ride a broadcast.
+- scoring: the query term set is tiny and broadcasts onto the postings
+  (map-side hash join); each (query, doc, term) contribution is a pure
+  JVM expression; per-term contributions are cast to DECIMAL(18, 8)
+  before the sum so the score is accumulation-order-independent —
+  rank ties then resolve identically on any cluster size.
+- top-k: ``row_number`` window per query over the ROUNDED score with a
+  doc-id tie-break (total order ⇒ deterministic result set).
+
+At 100 TB the postings build is scan + one shuffle; only terms that
+appear in some query survive the broadcast join, so the scored
+intermediate is |query terms| × postings, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def tokenize(col) -> "F.Column":
+    """Lowercased alnum tokens; the same split the DuckDB oracle runs
+    (``regexp_split_to_array(lower(text), '[^a-z0-9]+')``)."""
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT), lambda t: t != F.lit(""))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    query_id: str = "query_id",
+    term: str = "term",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """Top-``top_k`` documents per query under BM25.
+
+    ``queries`` is a (query_id, term) DataFrame — one row per query
+    term, already tokenized the same way as the corpus.  IDF uses the
+    BM25+ form ``ln(1 + (N - df + 0.5) / (df + 0.5))`` (never
+    negative).  Returns (query_id, doc_id, rank, score).
+    """
+    toks = docs.select(
+        F.col(doc_id).alias("doc_id"), tokenize(F.col(text)).alias("toks")
+    ).withColumn("dl", F.size("toks"))
+
+    # corpus stats: one row, broadcast onto every posting
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+    )
+
+    postings = (
+        toks.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = postings.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(term).alias("term")
+    ).distinct()
+    # queries are tiny: broadcast them so only searched terms' postings
+    # survive — the scored intermediate never approaches corpus size
+    scored_terms = (
+        postings.join(F.broadcast(q), on="term")
+        .join(dft, on="term")
+        .join(F.broadcast(stats))
+    )
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dft") + F.lit(0.5)) / (F.col("dft") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    # order-independent accumulation: per-term contribution rounds to a
+    # fixed decimal before the sum, so ranking is engine/cluster-stable
+    contrib = (idf * tf_part).cast("decimal(18,8)")
+
+    doc_scores = (
+        scored_terms.groupBy("query_id", "doc_id")
+        .agg(F.sum(contrib).alias("score_dec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_dec").desc(), F.col("doc_id").asc()
+    )
+    return (
+        doc_scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "query_id",
+            "doc_id",
+            "rank",
+            F.col("score_dec").cast("double").alias("score"),
+        )
+    )

@@ -87,6 +87,7 @@ _DRIVER_FRESH_R07 = frozenset({
     # NEW r7 queries (must land in the r7 driver window)
     "snapshot_change_feed",
     "bloom_pruned_semi_join",
+    "bm25_search",
 })
 
 
@@ -3850,3 +3851,64 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment") == "MACHINERY"
     )
     return bloom_pruned_semi_join(orders, build, "o_custkey", "c_custkey")
+
+
+@register(
+    "bm25_search",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ),
+    dd AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM dd),
+    postings AS (
+        SELECT doc_id, dl, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dd)
+        GROUP BY doc_id, dl, term
+    ),
+    dft AS (SELECT term, COUNT(*) AS dft FROM postings GROUP BY term),
+    q(query_id, term) AS (VALUES
+        ('q1','spark'),('q1','join'),('q2','window'),('q2','merge'),
+        ('q3','hash'),('q3','scan'),('q3','table'),
+        ('q4','vector'),('q4','stream')),
+    scored AS (
+        SELECT q.query_id, p.doc_id,
+               SUM(CAST(ln(1 + (s.n_docs - f.dft + 0.5)/(f.dft + 0.5))
+                   * (p.tf * 2.2) / (p.tf + 1.2*(0.25 + 0.75*p.dl/s.avgdl))
+                   AS DECIMAL(18,8))) AS score_dec
+        FROM postings p JOIN q ON p.term = q.term
+        JOIN dft f ON f.term = p.term CROSS JOIN stats s
+        GROUP BY q.query_id, p.doc_id
+    )
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score_dec DESC, doc_id) AS rank,
+           CAST(score_dec AS DOUBLE) AS score
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+    doc="BM25 ranked retrieval (operators/retrieval.py): inverted postings "
+        "via one explode+groupBy shuffle, corpus stats as a one-row "
+        "broadcast, the query term set broadcast onto the postings so the "
+        "scored intermediate is |terms|-bounded, per-term contributions "
+        "rounded to DECIMAL(18,8) before summation for order-independent "
+        "ranking, row_number top-10 per query with a doc-id tie-break. "
+        "Keyword corpus slicing / eval-mining leg of the LLM-data surface.",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [
+            ("q1", "spark"), ("q1", "join"), ("q2", "window"), ("q2", "merge"),
+            ("q3", "hash"), ("q3", "scan"), ("q3", "table"),
+            ("q4", "vector"), ("q4", "stream"),
+        ],
+        "query_id string, term string",
+    )
+    return bm25_topk(docs, queries, top_k=10)
