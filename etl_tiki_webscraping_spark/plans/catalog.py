@@ -88,6 +88,9 @@ _DRIVER_FRESH_R07 = frozenset({
     "snapshot_change_feed",
     "bloom_pruned_semi_join",
     "bm25_search",
+    "pii_redact",
+    "exists_subquery_agg",
+    "correlated_scalar_subquery",
 })
 
 
@@ -3912,3 +3915,125 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id string, term string",
     )
     return bm25_topk(docs, queries, top_k=10)
+
+
+@register(
+    "pii_redact",
+    oracle="""
+    WITH salted AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com or call +84 123 4567' AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(raw,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+               '\+\d{1,3}[ -]\d{3}[ -]\d{3,4}', '<PHONE>', 'g') AS clean_text,
+           TRUE AS redacted
+    FROM salted
+    """,
+    doc="PII scrubbing pass (functions/text.py::redact_pii — the C4-style "
+        "pretraining-corpus email/phone redaction): deterministic synthetic "
+        "PII is appended per doc (the fixture corpus carries none), then "
+        "scrubbed to typed placeholders by two chained codegen'd "
+        "regexp_replace calls — scan-bound at 100 TB, zero shuffle, zero "
+        "UDF.  Patterns are the Java-regex/RE2 shared subset so the DuckDB "
+        "oracle replays the exact same scrub.",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.functions.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call +84 123 4567"),
+    )
+    clean = redact_pii(raw)
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        (clean != raw).alias("redacted"),
+    )
+
+
+@register(
+    "exists_subquery_agg",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-06-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+    doc="correlated EXISTS subquery (TPC-H Q4 shape) submitted as SQL TEXT: "
+        "Catalyst's RewritePredicateSubquery turns the EXISTS into a "
+        "left-semi join — the declarative form of the reference's "
+        "application-side FK gate (dags/etl.py:251).  The engine's SQL "
+        "surface must accept the subquery form a warehouse user writes, "
+        "not only the pre-joined DataFrame form.",
+)
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.io import register_views
+
+    register_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-06-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "correlated_scalar_subquery",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS small_qty_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_small
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < (
+        SELECT 0.5 * CAST(SUM(l2.l_quantity) AS DOUBLE) / COUNT(*)
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+    )
+    GROUP BY p.p_brand
+    """,
+    doc="correlated SCALAR subquery (TPC-H Q17 shape) as SQL TEXT: "
+        "Catalyst de-correlates the per-part average into an aggregate + "
+        "join (RewriteCorrelatedScalarSubquery) instead of re-running it "
+        "per row.  The threshold average is computed as exact-integer "
+        "SUM/COUNT in double division on both engines, so the comparison "
+        "is bit-deterministic.",
+)
+def q_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.io import register_views
+
+    register_views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT p.p_brand,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS small_qty_revenue,
+               COUNT(*) AS n_small
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity < (
+            SELECT 0.5 * CAST(SUM(l2.l_quantity) AS DOUBLE) / COUNT(*)
+            FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+        )
+        GROUP BY p.p_brand
+        """
+    )

@@ -98,3 +98,21 @@ def test_build_url(spark):
     df = spark.createDataFrame([("phones", 3)], "cat string, page int")
     out = df.select(build_url("https://x/api?c=%s&p=%d", F.col("cat"), F.col("page")).alias("u")).collect()
     assert out[0]["u"] == "https://x/api?c=phones&p=3"
+
+
+def test_redact_pii_scrubs_emails_and_phones(spark):
+    from etl_tiki_webscraping_spark.functions.text import redact_pii
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("mail bob.smith+x@corp.example.co.uk now",),
+            ("call +84 123 4567 or +1 555-0100 today",),
+            ("no pii here at all",),
+        ],
+        "text string",
+    )
+    got = [r.c for r in df.select(redact_pii("text").alias("c")).collect()]
+    assert got[0] == "mail <EMAIL> now"
+    assert got[1] == "call <PHONE> or <PHONE> today"
+    assert got[2] == "no pii here at all"
