@@ -91,6 +91,8 @@ _DRIVER_FRESH_R07 = frozenset({
     "pii_redact",
     "exists_subquery_agg",
     "correlated_scalar_subquery",
+    "snapshot_history",
+    "hll_sketch_rollup",
 })
 
 
@@ -3792,13 +3794,25 @@ _DELETE_TABLES: dict[str, str] = {}  # sf_dir -> table path (memoized)
         "consumers follow a 100 TB table batch-by-batch",
 )
 def q_snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.sinks.upsert import read_change_feed
+
+    path = _change_feed_table(spark, sf_dir)
+    return read_change_feed(spark, path).select(
+        "_commit_version", "_change_type", "o_orderkey", "o_custkey", "price"
+    )
+
+
+_CHANGE_FEED_TABLES: dict[str, str] = {}  # sf_dir -> table path (memoized)
+
+
+def _change_feed_table(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per process) the three-commit CDF fixture table:
+    v1 = orders keys %3, v2 = overlapping %5 batch at price+1000,
+    v3 = delete of 1-URGENT rows.  Shared by snapshot_change_feed and
+    snapshot_history."""
     import tempfile
 
-    from etl_tiki_webscraping_spark.sinks.upsert import (
-        delete_where,
-        read_change_feed,
-        upsert_parquet,
-    )
+    from etl_tiki_webscraping_spark.sinks.upsert import delete_where, upsert_parquet
 
     path = _CHANGE_FEED_TABLES.get(sf_dir)
     if path is None:
@@ -3820,12 +3834,66 @@ def q_snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         upsert_parquet(spark, batch, path, ["o_orderkey"], keep_snapshots=5, change_feed=True)
         delete_where(spark, path, F.col("prio") == "1-URGENT", change_feed=True, keep_snapshots=5)
         _CHANGE_FEED_TABLES[sf_dir] = path
-    return read_change_feed(spark, path).select(
-        "_commit_version", "_change_type", "o_orderkey", "o_custkey", "price"
+    return path
+
+
+@register(
+    "snapshot_history",
+    oracle="""
+    WITH v1 AS (SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 3 = 0),
+    b AS (SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 5 = 0),
+    v2 AS (
+        SELECT * FROM v1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b)
+        UNION ALL SELECT * FROM b
     )
+    SELECT 1 AS version, (SELECT COUNT(*) FROM v1) AS n_rows, TRUE AS has_change_feed
+    UNION ALL
+    SELECT 2, (SELECT COUNT(*) FROM v2), TRUE
+    UNION ALL
+    SELECT 3, (SELECT COUNT(*) FROM v2 WHERE o_orderpriority <> '1-URGENT'), TRUE
+    """,
+    doc="DESCRIBE HISTORY analog (sinks/upsert.py::table_history): one row "
+        "per retained snapshot version with exact row counts taken from "
+        "parquet FOOTER metadata (never a data scan — Delta-log-class "
+        "I/O, bounded by retained versions x files).  The oracle "
+        "recomputes what each commit's row count must have been from the "
+        "same base slices, so the history's counts are verified against "
+        "first principles, not against the engine's own reads.",
+)
+def q_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.sinks.upsert import table_history
+
+    path = _change_feed_table(spark, sf_dir)
+    return table_history(spark, path).select("version", "n_rows", "has_change_feed")
 
 
-_CHANGE_FEED_TABLES: dict[str, str] = {}  # sf_dir -> table path (memoized)
+@register(
+    "hll_sketch_rollup",
+    oracle=None,  # approximate by design; tolerance-gated in unit tests
+    doc="mergeable distinct-count sketches (Apache DataSketches HLL via "
+        "hll_sketch_agg/hll_union_agg): per-day user sketches roll up to "
+        "per-event-type totals WITHOUT rescanning raw events — the "
+        "re-aggregatable form a 100 TB metrics table needs (store the "
+        "daily sketch column once; any coarser grain is a sketch merge, "
+        "exact-distinct would need the raw data again).  Rows-only driver "
+        "check by contract; relative error vs exact count_distinct is "
+        "asserted <=5% in tests/test_plans.py.",
+)
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    # the rollup re-aggregates SKETCHES, not events: this stage's input
+    # is |days x types| rows regardless of raw volume
+    return (
+        daily.groupBy("event_type")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .select(
+            "event_type",
+            F.hll_sketch_estimate("sk").alias("approx_users"),
+        )
+    )
 
 
 @register(

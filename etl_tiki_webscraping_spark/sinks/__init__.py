@@ -6,6 +6,7 @@ from etl_tiki_webscraping_spark.sinks.upsert import (
     read_change_feed,
     read_parquet_table,
     scd2_apply,
+    table_history,
     upsert_dataframes,
     upsert_parquet,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "read_change_feed",
     "read_parquet_table",
     "scd2_apply",
+    "table_history",
     "upsert_dataframes",
     "upsert_parquet",
     "write_staging",

@@ -228,6 +228,67 @@ def _read_snapshot(spark: SparkSession, target_path: str, snap_name: str) -> Dat
     return spark.read.parquet(snap_dir)
 
 
+def table_history(spark: SparkSession, target_path: str) -> DataFrame:
+    """DESCRIBE HISTORY analog for the snapshot table layout: one row
+    per RETAINED version with its file count, exact row count, layout,
+    and change-feed availability.
+
+    Pure metadata: row counts come from the parquet FOOTERS of each
+    snapshot's files (following partition references into the pool),
+    never from scanning data pages — the same class of I/O a Delta
+    ``DESCRIBE HISTORY`` does against its log.  Cost is bounded by
+    (retained versions × files), i.e. object-store metadata requests;
+    a production port would additionally denormalize the counts into
+    the commit manifest to make this a single small-file read.
+    """
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    cur = _current_snapshot(target_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed table at {target_path}")
+    rows = []
+    for entry in sorted(os.listdir(target_path)):
+        snap_dir = os.path.join(target_path, entry)
+        if (
+            not entry.startswith("v")
+            or not entry.lstrip("v").isdigit()
+            or not os.path.isdir(snap_dir)
+        ):
+            continue
+        files: list[str] = []
+        for root, dirs, fs in os.walk(snap_dir, followlinks=True):
+            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+            files += [
+                os.path.join(root, f)
+                for f in fs
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            ]
+        n_rows = sum(pq.read_metadata(f).num_rows for f in files)
+        partition_by: list[str] = []
+        mpath = snap_dir + ".json"
+        if os.path.exists(mpath):
+            with open(mpath) as fh:
+                partition_by = json.load(fh).get("partition_by") or []
+        rows.append(
+            (
+                int(entry.lstrip("v")),
+                len(files),
+                n_rows,
+                ",".join(partition_by) or None,
+                os.path.isdir(os.path.join(snap_dir, "_changes")),
+                entry == cur,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, n_files int, n_rows bigint, partition_by string, "
+        "has_change_feed boolean, is_current boolean",
+    )
+
+
 def read_parquet_table(
     spark: SparkSession,
     target_path: str,

@@ -106,3 +106,28 @@ def test_approx_distinct_users_within_hll_tolerance(spark, sf_dir):
     for etype, n_exact in exact.items():
         rel_err = abs(approx[etype] - n_exact) / max(1, n_exact)
         assert rel_err <= 0.05, (etype, approx[etype], n_exact, rel_err)
+
+
+def test_hll_sketch_rollup_merge_matches_exact_within_tolerance(spark, sf_dir):
+    """The sketch ROLLUP (daily sketches -> hll_union_agg per type) must
+    agree with exact distinct counts within 5% relative error — i.e.
+    merging partial sketches loses no more accuracy than one-shot HLL."""
+    from etl_tiki_webscraping_spark.io import load_table
+    from etl_tiki_webscraping_spark.plans.catalog import QUERIES
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["hll_sketch_rollup"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["exact_users"]
+        for r in (
+            load_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("exact_users"))
+            .collect()
+        )
+    }
+    assert set(approx) == set(exact) and exact
+    for t, e in exact.items():
+        assert abs(approx[t] - e) <= max(2, 0.05 * e), (t, approx[t], e)

@@ -1075,3 +1075,30 @@ def test_change_feed_spans_additive_schema_evolution(spark, tmp_parquet_dir):
         (2, "update_preimage", None),
         (2, "update_postimage", 7),
     }
+
+
+def test_table_history_counts_files_rows_and_feed_presence(spark, tmp_parquet_dir):
+    """table_history reports per-version footer-exact row counts, the
+    partition layout, change-feed availability, and the current marker."""
+    from etl_tiki_webscraping_spark.sinks.upsert import table_history, upsert_parquet
+
+    b1 = spark.createDataFrame(
+        [(i, f"u{i}", "p1" if i % 2 else "p2") for i in range(10)],
+        "k int, v string, pt string",
+    )
+    upsert_parquet(
+        spark, b1, tmp_parquet_dir, ["k"], partition_by=["pt"], keep_snapshots=5
+    )
+    b2 = spark.createDataFrame([(10, "new", "p1")], "k int, v string, pt string")
+    upsert_parquet(
+        spark, b2, tmp_parquet_dir, ["k"], partition_by=["pt"],
+        keep_snapshots=5, change_feed=True,
+    )
+
+    hist = {r["version"]: r for r in table_history(spark, tmp_parquet_dir).collect()}
+    assert set(hist) == {1, 2}
+    assert hist[1]["n_rows"] == 10 and hist[2]["n_rows"] == 11
+    assert hist[1]["partition_by"] == "pt"
+    assert not hist[1]["has_change_feed"] and hist[2]["has_change_feed"]
+    assert not hist[1]["is_current"] and hist[2]["is_current"]
+    assert all(r["n_files"] > 0 for r in hist.values())
