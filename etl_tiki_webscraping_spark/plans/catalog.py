@@ -93,6 +93,7 @@ _DRIVER_FRESH_R07 = frozenset({
     "correlated_scalar_subquery",
     "snapshot_history",
     "hll_sketch_rollup",
+    "cdc_replication_from_feed",
 })
 
 
@@ -4105,3 +4106,57 @@ def q_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p.p_brand
         """
     )
+
+
+@register(
+    "cdc_replication_from_feed",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DOUBLE) AS price, o_orderpriority AS prio
+        FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    b AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DOUBLE) + 1000.0 AS price, o_orderpriority AS prio
+        FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    v2 AS (
+        SELECT * FROM v1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b)
+        UNION ALL SELECT * FROM b
+    )
+    SELECT o_orderkey, o_custkey, price FROM v2 WHERE prio <> '1-URGENT'
+    """,
+    doc="CDC replication closed loop: a downstream replica is rebuilt "
+        "PURELY from the upstream table's change feed — "
+        "read_change_feed rows map to I/U/D ops (preimages dropped, "
+        "_commit_version as the sequence) and apply_changes folds them "
+        "into the replica, which must equal the upstream table's current "
+        "state (the oracle recomputes it from first principles).  This is "
+        "the consumer half of the CDF story: a 100 TB replica follows "
+        "per-commit change files, never re-reading the source table.",
+)
+def q_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.sinks.upsert import (
+        apply_changes,
+        read_change_feed,
+    )
+
+    path = _change_feed_table(spark, sf_dir)
+    feed = read_change_feed(spark, path)
+    mapped = feed.filter(F.col("_change_type") != "update_preimage").select(
+        "o_orderkey",
+        "o_custkey",
+        "price",
+        "prio",
+        F.when(F.col("_change_type") == "insert", "I")
+        .when(F.col("_change_type") == "delete", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.col("_commit_version").alias("seq"),
+    )
+    empty = spark.createDataFrame(
+        [], "o_orderkey bigint, o_custkey bigint, price double, prio string"
+    )
+    replica = apply_changes(empty, mapped, ["o_orderkey"])
+    return replica.select("o_orderkey", "o_custkey", "price")

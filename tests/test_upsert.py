@@ -1102,3 +1102,42 @@ def test_table_history_counts_files_rows_and_feed_presence(spark, tmp_parquet_di
     assert not hist[1]["has_change_feed"] and hist[2]["has_change_feed"]
     assert not hist[1]["is_current"] and hist[2]["is_current"]
     assert all(r["n_files"] > 0 for r in hist.values())
+
+
+def test_replica_rebuilt_from_change_feed_equals_source_table(spark, tmp_parquet_dir):
+    """Consumer half of CDF: folding a table's change feed through
+    apply_changes reproduces the table's current state exactly."""
+    from pyspark.sql import functions as F
+
+    from etl_tiki_webscraping_spark.sinks.upsert import (
+        apply_changes,
+        delete_where,
+        read_change_feed,
+        read_parquet_table,
+        upsert_parquet,
+    )
+
+    b1 = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(8)], "k int, val string"
+    )
+    upsert_parquet(spark, b1, tmp_parquet_dir, ["k"], change_feed=True, keep_snapshots=6)
+    b2 = spark.createDataFrame([(2, "x2"), (9, "x9")], "k int, val string")
+    upsert_parquet(spark, b2, tmp_parquet_dir, ["k"], change_feed=True, keep_snapshots=6)
+    delete_where(spark, tmp_parquet_dir, F.col("k") % 3 == 0, change_feed=True, keep_snapshots=6)
+
+    feed = read_change_feed(spark, tmp_parquet_dir)
+    mapped = feed.filter(F.col("_change_type") != "update_preimage").select(
+        "k",
+        "val",
+        F.when(F.col("_change_type") == "insert", "I")
+        .when(F.col("_change_type") == "delete", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.col("_commit_version").alias("seq"),
+    )
+    empty = spark.createDataFrame([], "k int, val string")
+    replica = {(r.k, r.val) for r in apply_changes(empty, mapped, ["k"]).collect()}
+    current = {
+        (r.k, r.val) for r in read_parquet_table(spark, tmp_parquet_dir).collect()
+    }
+    assert replica == current and current
