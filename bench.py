@@ -79,6 +79,13 @@ HEADLINE = [
     ("corpus_mix_sampled", "count"),
     ("cdc_apply_changes", "count"),
     ("bucketed_colocated_join", "count"),
+    # round-7 additions
+    ("bloom_pruned_semi_join", "count"),
+    ("bm25_search", "collect"),
+    ("snapshot_change_feed", "count"),
+    ("cdc_replication_from_feed", "count"),
+    ("pii_redact", "count"),
+    ("hll_sketch_rollup", "collect"),
 ]
 
 

@@ -73,3 +73,47 @@ def hourly_event_rollup(events: DataFrame, value_col: str = "value") -> DataFram
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col(value_col).cast("decimal(18,6)")).alias("sum_value"),
     )
+
+
+def rollup_deltas_from_change_feed(
+    feed: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    *,
+    change_type_col: str = "_change_type",
+    sum_col: str = "sum_value",
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Signed partial aggregates from a change-data-feed slice — the
+    incremental-view-maintenance delta: inserts/update postimages
+    contribute +1/+value, deletes/update preimages contribute
+    -1/-value, so
+
+        merge_additive(rollup(v_a), deltas(feed a+1..b)) == rollup(v_b)
+
+    A 100 TB table's rollup is then maintained from each commit's
+    change files (batch-sized) instead of re-aggregating the table;
+    an update's net effect is post - pre, and a fully-deleted group
+    cancels to count 0 (drop those rows to match a direct aggregate).
+    Sums are exact decimal so additions and cancellations are
+    order-independent.  Unknown change types raise instead of silently
+    skewing the rollup.
+    """
+    ct = F.col(change_type_col)
+    sign = (
+        F.when(ct.isin("insert", "update_postimage"), F.lit(1))
+        .when(ct.isin("delete", "update_preimage"), F.lit(-1))
+        .otherwise(F.raise_error(F.concat(F.lit("unknown change type: "), ct)).cast("int"))
+    )
+    return (
+        feed.select(
+            *group_cols,
+            (sign.cast("decimal(2,0)") * F.col(value_col).cast("decimal(18,6)")).alias("__sv"),
+            sign.alias("__sn"),
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("__sv").cast("decimal(18,6)").alias(sum_col),
+            F.sum("__sn").cast("bigint").alias(count_col),
+        )
+    )

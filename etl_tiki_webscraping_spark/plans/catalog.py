@@ -94,6 +94,7 @@ _DRIVER_FRESH_R07 = frozenset({
     "snapshot_history",
     "hll_sketch_rollup",
     "cdc_replication_from_feed",
+    "ivm_rollup_from_feed",
 })
 
 
@@ -114,6 +115,7 @@ _EAGER_STAGING_QUERIES = (
     "zorder_multidim_skipping",
     "bucketed_colocated_join",
     "snapshot_delete_where",
+    "snapshot_change_feed",  # stages the shared 3-commit CDF table
 )
 
 
@@ -4160,3 +4162,67 @@ def q_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     replica = apply_changes(empty, mapped, ["o_orderkey"])
     return replica.select("o_orderkey", "o_custkey", "price")
+
+
+@register(
+    "ivm_rollup_from_feed",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+               o_orderpriority AS prio
+        FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    b AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) + 1000.0 AS price,
+               o_orderpriority AS prio
+        FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    v2 AS (
+        SELECT * FROM v1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b)
+        UNION ALL SELECT * FROM b
+    ),
+    final AS (SELECT * FROM v2 WHERE prio <> '1-URGENT')
+    SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM final GROUP BY prio
+    """,
+    doc="incremental view maintenance from the change feed "
+        "(operators/rollup.py::rollup_deltas_from_change_feed): the "
+        "per-priority revenue rollup of version 1 is merged with SIGNED "
+        "deltas derived from the v2..v3 change feed (+post/-pre, "
+        "-delete) and must equal a direct aggregate over the final "
+        "table — including the 1-URGENT group cancelling to zero and "
+        "dropping out.  At 100 TB the rollup follows batch-sized change "
+        "files; the table is never re-aggregated.",
+)
+def q_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.rollup import (
+        merge_additive,
+        rollup_deltas_from_change_feed,
+    )
+    from etl_tiki_webscraping_spark.sinks.upsert import (
+        read_change_feed,
+        read_parquet_table,
+    )
+
+    path = _change_feed_table(spark, sf_dir)
+    base = read_parquet_table(spark, path, version=1)
+    base_rollup = base.groupBy("prio").agg(
+        F.sum(F.col("price").cast("decimal(18,6)")).alias("sum_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    deltas = rollup_deltas_from_change_feed(
+        read_change_feed(spark, path, from_version=2, to_version=3),
+        ["prio"],
+        "price",
+        sum_col="sum_price",
+        count_col="n_rows",
+    )
+    maintained = merge_additive(
+        base_rollup, deltas, ["prio"], add_cols=["sum_price", "n_rows"]
+    )
+    return maintained.filter(F.col("n_rows") > 0).select(
+        "prio",
+        "n_rows",
+        F.col("sum_price").cast("double").alias("sum_price"),
+    )

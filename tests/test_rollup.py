@@ -63,3 +63,70 @@ def test_merge_additive_min_max_combiners(spark):
         "k2": (1, 0, 3),   # target-only passthrough
         "k3": (7, 4, 4),   # update-only insert
     }
+
+
+def test_rollup_deltas_from_change_feed_maintains_aggregate(spark, tmp_parquet_dir):
+    """merge_additive(rollup(v1), deltas(feed v2..v3)) == rollup(v3),
+    including a group that cancels to zero when all its rows delete."""
+    from pyspark.sql import functions as F
+
+    from etl_tiki_webscraping_spark.operators.rollup import (
+        merge_additive,
+        rollup_deltas_from_change_feed,
+    )
+    from etl_tiki_webscraping_spark.sinks.upsert import (
+        delete_where,
+        read_change_feed,
+        read_parquet_table,
+        upsert_parquet,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "c", 40.0)],
+        "k int, g string, v double",
+    )
+    upsert_parquet(spark, b1, tmp_parquet_dir, ["k"], change_feed=True, keep_snapshots=6)
+    b2 = spark.createDataFrame([(2, "a", 25.0), (5, "b", 5.0)], "k int, g string, v double")
+    upsert_parquet(spark, b2, tmp_parquet_dir, ["k"], change_feed=True, keep_snapshots=6)
+    delete_where(spark, tmp_parquet_dir, F.col("g") == "c", change_feed=True, keep_snapshots=6)
+
+    def rollup(df):
+        return df.groupBy("g").agg(
+            F.sum(F.col("v").cast("decimal(18,6)")).alias("sum_v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    base = rollup(read_parquet_table(spark, tmp_parquet_dir, version=1))
+    deltas = rollup_deltas_from_change_feed(
+        read_change_feed(spark, tmp_parquet_dir, 2, 3), ["g"], "v",
+        sum_col="sum_v", count_col="n",
+    )
+    maintained = merge_additive(base, deltas, ["g"], add_cols=["sum_v", "n"])
+    got = {
+        r.g: (float(r.sum_v), r.n)
+        for r in maintained.filter(F.col("n") > 0).collect()
+    }
+    want = {
+        r.g: (float(r.sum_v), r.n)
+        for r in rollup(read_parquet_table(spark, tmp_parquet_dir)).collect()
+    }
+    assert got == want == {"a": (35.0, 2), "b": (35.0, 2)}
+    # the fully-deleted group cancelled to exactly zero before the filter
+    zeroed = {r.g: r.n for r in maintained.collect()}
+    assert zeroed["c"] == 0
+
+
+def test_rollup_deltas_unknown_change_type_raises(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from etl_tiki_webscraping_spark.operators.rollup import (
+        rollup_deltas_from_change_feed,
+    )
+
+    feed = spark.createDataFrame(
+        [("a", 1.0, "upsert")], "g string, v double, _change_type string"
+    )
+    with pytest.raises(Exception) as ei:
+        rollup_deltas_from_change_feed(feed, ["g"], "v").collect()
+    assert "unknown change type" in str(ei.value)

@@ -187,6 +187,30 @@ def main() -> int:
           "BroadcastExchange" in p and "Window" not in p,
           "decile binning is agg + broadcast scalar join (no global window)")
 
+    # --- bloom pruning: bit tests inline, probe side never hash-shuffles ----
+    from etl_tiki_webscraping_spark.operators.bloom import bloom_build, bloom_probe
+    orders_df = load_table(spark, SF_DIR, "orders")
+    bloom_keys = load_table(spark, SF_DIR, "customer").select("c_custkey").distinct()
+    probe_plan = (
+        bloom_probe(orders_df, "o_custkey", bloom_build(bloom_keys, "c_custkey"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    check("bloom_pruned_semi_join",
+          "shiftleft" in probe_plan
+          and "BroadcastNestedLoopJoin" in probe_plan
+          and "hashpartitioning(o_custkey" not in probe_plan,
+          "bitmap arrives by broadcast; k bit tests codegen into the probe "
+          "scan stage — probe rows die before any shuffle")
+
+    # --- BM25: tiny sides broadcast; postings shuffle carries no text -------
+    p = plan_of("bm25_search")
+    exchanges = [seg for seg in p.split("\n") if "Exchange hashpartitioning" in seg]
+    check("bm25_search",
+          p.count("BroadcastExchange") >= 2  # query terms + corpus stats
+          and all("text" not in e for e in exchanges),
+          "query terms and corpus stats broadcast; posting exchanges carry "
+          "tokens/ids, never document text")
+
     print()
     if failures:
         print(f"{len(failures)} plan check(s) FAILED")
