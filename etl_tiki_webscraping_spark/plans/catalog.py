@@ -95,6 +95,7 @@ _DRIVER_FRESH_R07 = frozenset({
     "hll_sketch_rollup",
     "cdc_replication_from_feed",
     "ivm_rollup_from_feed",
+    "distribution_drift_psi",
 })
 
 
@@ -4225,4 +4226,62 @@ def q_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prio",
         "n_rows",
         F.col("sum_price").cast("double").alias("sum_price"),
+    )
+
+
+@register(
+    "distribution_drift_psi",
+    oracle="""
+    WITH binned AS (
+        SELECT event_type,
+               CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b' END AS period,
+               LEAST(19, GREATEST(0, CAST(FLOOR(value / 25.0) AS INT))) AS bin
+        FROM events WHERE value IS NOT NULL
+    ),
+    ca AS (SELECT event_type, bin, COUNT(*) AS na FROM binned WHERE period = 'a' GROUP BY 1, 2),
+    cb AS (SELECT event_type, bin, COUNT(*) AS nb FROM binned WHERE period = 'b' GROUP BY 1, 2),
+    grid AS (
+        SELECT COALESCE(ca.event_type, cb.event_type) AS event_type,
+               COALESCE(ca.bin, cb.bin) AS bin,
+               COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+        FROM ca FULL OUTER JOIN cb
+          ON ca.event_type = cb.event_type AND ca.bin = cb.bin
+    ),
+    tot AS (SELECT event_type, SUM(na) AS na_tot, SUM(nb) AS nb_tot
+            FROM grid GROUP BY 1),
+    terms AS (
+        SELECT g.event_type,
+               CAST(((na + 0.5) / (na_tot + 10.0) - (nb + 0.5) / (nb_tot + 10.0))
+                    * ln(((na + 0.5) / (na_tot + 10.0))
+                         / ((nb + 0.5) / (nb_tot + 10.0)))
+                    AS DECIMAL(18,8)) AS term,
+               na_tot, nb_tot
+        FROM grid g JOIN tot USING (event_type)
+    )
+    SELECT event_type,
+           CAST(SUM(term) AS DOUBLE) AS psi,
+           CAST(MAX(na_tot) AS BIGINT) AS n_baseline,
+           CAST(MAX(nb_tot) AS BIGINT) AS n_current
+    FROM terms GROUP BY event_type
+    """,
+    doc="distribution-drift monitor (quality/drift.py::psi_drift): per-"
+        "event-type Population Stability Index of second-half-of-January "
+        "values against the first half — fixed-width bins with Laplace "
+        "smoothing, per-bin terms rounded to DECIMAL(18,8) before the sum "
+        "so the index is accumulation-order independent.  Nothing past "
+        "the scan scales with row count (bounded group x bin grid), so "
+        "the monitor is a cheap tail stage of any ingest job.",
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.quality.drift import psi_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    return psi_drift(
+        ev.filter(F.col("ts") < cut),
+        ev.filter(F.col("ts") >= cut),
+        ["event_type"],
+        "value",
+        bin_width=25.0,
+        n_bins=20,
     )
