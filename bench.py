@@ -86,6 +86,8 @@ HEADLINE = [
     ("cdc_replication_from_feed", "count"),
     ("pii_redact", "count"),
     ("hll_sketch_rollup", "collect"),
+    ("ivm_rollup_from_feed", "collect"),
+    ("distribution_drift_psi", "collect"),
 ]
 
 

@@ -46,14 +46,66 @@ FIVE = [
     "streaming_stream_stream_join",
 ]
 
+# round-7 scale headliners: bloom pruning + BM25 + the CDF family.
+# orders/customer are synthesized with key offsets divisible by 15 so
+# the %3/%5 commit slices of the CDF fixture keep their per-replica
+# density (total change volume scales exactly 10x).
+NEW_R7 = [
+    "bloom_pruned_semi_join",
+    "bm25_search",
+    "snapshot_change_feed",
+    "cdc_replication_from_feed",
+    "ivm_rollup_from_feed",
+    "distribution_drift_psi",
+]
+
+ORDER_STRIDE = 1_500_000  # % 15 == 0
+CUST_STRIDE = 150_000
+
 
 def build_scaled(spark) -> str:
     from pyspark.sql import functions as F
 
-    done_marker = os.path.join(SCALED_DIR, "_SCALED_OK")
+    done_marker = os.path.join(SCALED_DIR, "_SCALED_OK_V2")
     if os.path.exists(done_marker):
         return SCALED_DIR
     os.makedirs(SCALED_DIR, exist_ok=True)
+
+    orders = spark.read.parquet(os.path.join(SRC_SF, "orders.parquet"))
+    ord_parts = [
+        orders.select(
+            (F.col("o_orderkey") + i * ORDER_STRIDE).alias("o_orderkey"),
+            (F.col("o_custkey") + i * CUST_STRIDE).alias("o_custkey"),
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        for i in range(REPLICAS)
+    ]
+    scaled_orders = ord_parts[0]
+    for p in ord_parts[1:]:
+        scaled_orders = scaled_orders.unionByName(p)
+    tgt = os.path.join(SCALED_DIR, "orders.parquet")
+    if os.path.islink(tgt):
+        os.remove(tgt)  # pre-V2 layout symlinked orders
+    scaled_orders.repartition(32).write.mode("overwrite").parquet(tgt)
+
+    cust = spark.read.parquet(os.path.join(SRC_SF, "customer.parquet"))
+    cust_parts = [
+        cust.select(
+            (F.col("c_custkey") + i * CUST_STRIDE).alias("c_custkey"),
+            *[c for c in cust.columns if c != "c_custkey"],
+        )
+        for i in range(REPLICAS)
+    ]
+    scaled_cust = cust_parts[0]
+    for p in cust_parts[1:]:
+        scaled_cust = scaled_cust.unionByName(p)
+    tgt = os.path.join(SCALED_DIR, "customer.parquet")
+    if os.path.islink(tgt):
+        os.remove(tgt)
+    scaled_cust.repartition(32).write.mode("overwrite").parquet(tgt)
 
     docs = spark.read.parquet(os.path.join(SRC_SF, "documents.parquet"))
     doc_parts = []
@@ -102,6 +154,8 @@ def build_scaled(spark) -> str:
         if fname.endswith(".parquet") and fname not in (
             "documents.parquet",
             "events.parquet",
+            "orders.parquet",
+            "customer.parquet",
         ):
             dst = os.path.join(SCALED_DIR, fname)
             if not os.path.exists(dst):
@@ -129,8 +183,9 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
     read_events_stream_multibatch(spark, sf_dir, n_batches=3)
 
+    names = NEW_R7 if (len(sys.argv) > 1 and sys.argv[1] == "r7") else FIVE
     timings: dict[str, float] = {}
-    for name in FIVE:
+    for name in names:
         t0 = time.perf_counter()
         QUERIES[name].fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
