@@ -37,39 +37,60 @@ def tokenize(col) -> "F.Column":
     return F.filter(F.split(F.lower(col), TOKEN_SPLIT), lambda t: t != F.lit(""))
 
 
-def bm25_topk(
-    docs: DataFrame,
+def build_index(
+    docs: DataFrame, *, doc_id: str = "doc_id", text: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Inverted index of a corpus (or corpus BATCH): returns
+    ``(postings, doclens)`` where postings = (doc_id, dl, term, tf) and
+    doclens = (doc_id, dl) — doclens keeps zero-token docs visible to
+    the corpus stats, which postings alone would lose.
+
+    The index of a corpus is the UNION of its batches' indexes (new
+    docs have disjoint ids), so index maintenance under ingest is an
+    append of the new batch's partitions — no rebuild; see
+    :func:`merge_index`.
+    """
+    toks = docs.select(
+        F.col(doc_id).alias("doc_id"), tokenize(F.col(text)).alias("toks")
+    ).withColumn("dl", F.size("toks"))
+    doclens = toks.select("doc_id", "dl")
+    postings = (
+        toks.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return postings, doclens
+
+
+def merge_index(
+    a: tuple[DataFrame, DataFrame], b: tuple[DataFrame, DataFrame]
+) -> tuple[DataFrame, DataFrame]:
+    """Merge the indexes of two DISJOINT document batches: postings and
+    doclens simply append (a new crawl batch never rewrites existing
+    docs' rows).  Corpus-level statistics (df_t, N, avgdl) are
+    aggregates over the merged index and stay correct automatically —
+    or can be maintained additively via ``rollup.merge_additive`` when
+    even the term-level aggregation pass is too much."""
+    return a[0].unionByName(b[0]), a[1].unionByName(b[1])
+
+
+def bm25_from_index(
+    postings: DataFrame,
+    doclens: DataFrame,
     queries: DataFrame,
     *,
-    doc_id: str = "doc_id",
-    text: str = "text",
     query_id: str = "query_id",
     term: str = "term",
     k1: float = 1.2,
     b: float = 0.75,
     top_k: int = 10,
 ) -> DataFrame:
-    """Top-``top_k`` documents per query under BM25.
-
-    ``queries`` is a (query_id, term) DataFrame — one row per query
-    term, already tokenized the same way as the corpus.  IDF uses the
-    BM25+ form ``ln(1 + (N - df + 0.5) / (df + 0.5))`` (never
-    negative).  Returns (query_id, doc_id, rank, score).
-    """
-    toks = docs.select(
-        F.col(doc_id).alias("doc_id"), tokenize(F.col(text)).alias("toks")
-    ).withColumn("dl", F.size("toks"))
-
+    """Top-``top_k`` docs per query scored from a prebuilt index —
+    see :func:`bm25_topk` for the scoring contract."""
     # corpus stats: one row, broadcast onto every posting
-    stats = toks.agg(
+    stats = doclens.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
-    )
-
-    postings = (
-        toks.select("doc_id", "dl", F.explode("toks").alias("term"))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
     )
     dft = postings.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
 
@@ -112,4 +133,33 @@ def bm25_topk(
             "rank",
             F.col("score_dec").cast("double").alias("score"),
         )
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    query_id: str = "query_id",
+    term: str = "term",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """Top-``top_k`` documents per query under BM25.
+
+    ``queries`` is a (query_id, term) DataFrame — one row per query
+    term, already tokenized the same way as the corpus.  IDF uses the
+    BM25+ form ``ln(1 + (N - df + 0.5) / (df + 0.5))`` (never
+    negative).  Returns (query_id, doc_id, rank, score).  Composition
+    of :func:`build_index` + :func:`bm25_from_index`; keep the index
+    halves separate when the corpus is ingested in batches
+    (:func:`merge_index`).
+    """
+    postings, doclens = build_index(docs, doc_id=doc_id, text=text)
+    return bm25_from_index(
+        postings, doclens, queries,
+        query_id=query_id, term=term, k1=k1, b=b, top_k=top_k,
     )

@@ -96,6 +96,7 @@ _DRIVER_FRESH_R07 = frozenset({
     "cdc_replication_from_feed",
     "ivm_rollup_from_feed",
     "distribution_drift_psi",
+    "incremental_postings_bm25",
 })
 
 
@@ -4285,3 +4286,71 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         bin_width=25.0,
         n_bins=20,
     )
+
+
+@register(
+    "incremental_postings_bm25",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ),
+    dd AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM dd),
+    postings AS (
+        SELECT doc_id, dl, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dd)
+        GROUP BY doc_id, dl, term
+    ),
+    dft AS (SELECT term, COUNT(*) AS dft FROM postings GROUP BY term),
+    q(query_id, term) AS (VALUES
+        ('p1','merge'),('p1','filter'),('p2','customer'),('p2','order'),
+        ('p3','batch'),('p3','stream'),('p3','query')),
+    scored AS (
+        SELECT q.query_id, p.doc_id,
+               SUM(CAST(ln(1 + (s.n_docs - f.dft + 0.5)/(f.dft + 0.5))
+                   * (p.tf * 2.2) / (p.tf + 1.2*(0.25 + 0.75*p.dl/s.avgdl))
+                   AS DECIMAL(18,8))) AS score_dec
+        FROM postings p JOIN q ON p.term = q.term
+        JOIN dft f ON f.term = p.term CROSS JOIN stats s
+        GROUP BY q.query_id, p.doc_id
+    )
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score_dec DESC, doc_id) AS rank,
+           CAST(score_dec AS DOUBLE) AS score
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+    doc="incremental inverted-index maintenance (operators/retrieval.py::"
+        "build_index/merge_index/bm25_from_index): the index is built from "
+        "TWO disjoint ingest batches (even/odd doc ids) and merged by "
+        "append — postings and doclens union, no rebuild — then BM25 over "
+        "the merged index must rank identically to a one-shot index of the "
+        "full corpus (the oracle).  Corpus stats and df_t are aggregates "
+        "over the merged index, so they stay correct by construction; at "
+        "100 TB a crawl batch appends its posting partitions and the "
+        "search side never re-tokenizes history.",
+)
+def q_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.retrieval import (
+        bm25_from_index,
+        build_index,
+        merge_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch_a = docs.filter(F.col("doc_id") % 2 == 0)
+    batch_b = docs.filter(F.col("doc_id") % 2 == 1)
+    postings, doclens = merge_index(build_index(batch_a), build_index(batch_b))
+    queries = spark.createDataFrame(
+        [
+            ("p1", "merge"), ("p1", "filter"), ("p2", "customer"), ("p2", "order"),
+            ("p3", "batch"), ("p3", "stream"), ("p3", "query"),
+        ],
+        "query_id string, term string",
+    )
+    return bm25_from_index(postings, doclens, queries, top_k=10)

@@ -64,3 +64,25 @@ def test_tokenize_matches_oracle_contract(spark):
     df = spark.createDataFrame([("Hello, World! x2 --",)], "text string")
     got = df.select(tokenize("text").alias("t")).collect()[0].t
     assert got == ["hello", "world", "x2"]
+
+
+def test_merged_batch_index_equals_one_shot_index(spark):
+    from etl_tiki_webscraping_spark.operators.retrieval import (
+        bm25_from_index,
+        build_index,
+        bm25_topk,
+        merge_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i} gamma" + (" alpha" if i % 3 == 0 else "")) for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    q = spark.createDataFrame([("q", "alpha"), ("q", "gamma")], "query_id string, term string")
+    merged = merge_index(
+        build_index(docs.filter("doc_id % 2 = 0")),
+        build_index(docs.filter("doc_id % 2 = 1")),
+    )
+    got = [(r.doc_id, r.rank, r.score) for r in bm25_from_index(*merged, q, top_k=30).collect()]
+    want = [(r.doc_id, r.rank, r.score) for r in bm25_topk(docs, q, top_k=30).collect()]
+    assert sorted(got) == sorted(want) and len(want) == 30
