@@ -202,3 +202,73 @@ def test_apply_changes_is_sequential_replay(spark, target, changes):
         else:
             expect[k] = v
     assert got == expect
+
+
+# --- change-data-feed invariants ------------------------------------------
+
+# a commit: either an upsert batch (dict) or a predicate delete (key set)
+COMMIT = st.one_of(
+    st.tuples(st.just("upsert"), KV.filter(bool)),
+    st.tuples(
+        st.just("delete"),
+        st.sets(st.text(alphabet="abcdef", min_size=1, max_size=3), min_size=1, max_size=4),
+    ),
+)
+
+
+@given(first=KV.filter(bool), commits=st.lists(COMMIT, min_size=1, max_size=3))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_change_feed_replay_reconstructs_table(spark, tmp_path_factory, first, commits):
+    """For ANY commit sequence (upserts + predicate deletes), folding
+    the change feed through apply_changes equals the table's final
+    state, and the sequential dict/set model agrees with both."""
+    from pyspark.sql import functions as F
+
+    from etl_tiki_webscraping_spark.sinks.upsert import (
+        apply_changes,
+        delete_where,
+        read_change_feed,
+        read_parquet_table,
+        upsert_parquet,
+    )
+
+    path = str(tmp_path_factory.mktemp("cdfprop")) + "/tbl"
+    keep = len(commits) + 3
+
+    model: dict = dict(first)
+    upsert_parquet(spark, _df(spark, first), path, ["k"], change_feed=True, keep_snapshots=keep)
+    for kind, payload in commits:
+        if kind == "upsert":
+            model.update(payload)
+            upsert_parquet(
+                spark, _df(spark, payload), path, ["k"], change_feed=True, keep_snapshots=keep
+            )
+        else:
+            for k in payload:
+                model.pop(k, None)
+            delete_where(
+                spark,
+                path,
+                F.col("k").isin(*payload),
+                change_feed=True,
+                keep_snapshots=keep,
+            )
+
+    table = {r["k"]: r["v"] for r in read_parquet_table(spark, path).collect()}
+    assert table == model
+
+    feed = read_change_feed(spark, path)
+    mapped = feed.filter(F.col("_change_type") != "update_preimage").select(
+        "k",
+        "v",
+        F.when(F.col("_change_type") == "delete", "D").otherwise("U").alias("op"),
+        F.col("_commit_version").alias("seq"),
+    )
+    replica = apply_changes(
+        spark.createDataFrame([], "k string, v int"), mapped, ["k"]
+    )
+    assert {r["k"]: r["v"] for r in replica.collect()} == model
