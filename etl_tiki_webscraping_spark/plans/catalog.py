@@ -97,6 +97,7 @@ _DRIVER_FRESH_R07 = frozenset({
     "ivm_rollup_from_feed",
     "distribution_drift_psi",
     "incremental_postings_bm25",
+    "streaming_cdc_replication",
 })
 
 
@@ -4354,3 +4355,101 @@ def q_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id string, term string",
     )
     return bm25_from_index(postings, doclens, queries, top_k=10)
+
+
+@register(
+    "streaming_cdc_replication",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DOUBLE) AS price, o_orderpriority AS prio
+        FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    b AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DOUBLE) + 1000.0 AS price, o_orderpriority AS prio
+        FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    v2 AS (
+        SELECT * FROM v1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b)
+        UNION ALL SELECT * FROM b
+    )
+    SELECT o_orderkey, o_custkey, price FROM v2 WHERE prio <> '1-URGENT'
+    """,
+    doc="STREAMING CDC replication (streaming/events.py::"
+        "foreach_batch_apply_changes + sinks/upsert.py::"
+        "apply_changes_parquet — APPLY CHANGES INTO as a streaming "
+        "sink): the upstream table's three change-feed commits stream "
+        "as REAL micro-batches (file source, maxFilesPerTrigger=1, "
+        "AvailableNow) and each batch folds I/U/D rows into a committed "
+        "snapshot replica; the final replica must equal the upstream "
+        "state recomputed from first principles.  The replica never "
+        "scans the upstream table — at 100 TB it follows batch-sized "
+        "change files at streaming cadence.",
+)
+def q_streaming_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from etl_tiki_webscraping_spark.sinks.upsert import (
+        read_change_feed,
+        read_parquet_table,
+    )
+    from etl_tiki_webscraping_spark.streaming.events import (
+        foreach_batch_apply_changes,
+    )
+
+    replica = _STREAM_CDC_REPLICAS.get(sf_dir)
+    if replica is None:
+        src = _change_feed_table(spark, sf_dir)
+        root = tempfile.mkdtemp(prefix="stream-cdc-")
+        in_dir = os.path.join(root, "in")
+        os.makedirs(in_dir)
+        for v in (1, 2, 3):
+            mapped = (
+                read_change_feed(spark, src, v, v)
+                .filter(F.col("_change_type") != "update_preimage")
+                .select(
+                    "o_orderkey",
+                    "o_custkey",
+                    "price",
+                    "prio",
+                    F.when(F.col("_change_type") == "delete", "D")
+                    .otherwise("U")
+                    .alias("op"),
+                    F.col("_commit_version").alias("seq"),
+                )
+            )
+            tmp = os.path.join(root, f"stage{v}")
+            mapped.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(in_dir, f"{v:04d}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (v * 1000, v * 1000))  # strictly increasing mtimes
+        replica = os.path.join(root, "replica")
+        stream = (
+            spark.readStream.schema(
+                "o_orderkey bigint, o_custkey bigint, price double, "
+                "prio string, op string, seq int"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        (
+            foreach_batch_apply_changes(
+                stream,
+                replica,
+                ["o_orderkey"],
+                os.path.join(root, "ckpt"),
+            )
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(180)
+        )
+        _STREAM_CDC_REPLICAS[sf_dir] = replica
+    return read_parquet_table(spark, replica).select("o_orderkey", "o_custkey", "price")
+
+
+_STREAM_CDC_REPLICAS: dict[str, str] = {}  # sf_dir -> replica path (memoized)

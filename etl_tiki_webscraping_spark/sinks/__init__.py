@@ -1,5 +1,6 @@
 from etl_tiki_webscraping_spark.sinks.upsert import (
     apply_changes,
+    apply_changes_parquet,
     compact_table,
     delete_where,
     merge_sql,
@@ -19,6 +20,7 @@ from etl_tiki_webscraping_spark.sinks.staging import (
 
 __all__ = [
     "apply_changes",
+    "apply_changes_parquet",
     "compact_table",
     "delete_where",
     "merge_sql",

@@ -1766,6 +1766,74 @@ def apply_changes(
     return survivors.unionByName(upserts)
 
 
+def apply_changes_parquet(
+    spark: SparkSession,
+    changes: DataFrame,
+    target_path: str,
+    keys: Sequence[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+    partition_by: Sequence[str] | None = None,
+    keep_snapshots: int = 2,
+) -> None:
+    """``APPLY CHANGES INTO`` for the snapshot table layout: fold one
+    CDC batch (:func:`apply_changes` semantics — 'I'/'U' upsert, 'D'
+    delete, highest ``seq`` per key wins) into the committed table and
+    publish a new version.  Creates the table on first batch.
+
+    This is the sink half of a replication pipeline: point a streaming
+    ``foreachBatch`` at it and a downstream replica follows an upstream
+    change feed batch-by-batch.  Partitioned targets merge only the
+    partitions the batch's keys touch (same pruning as
+    :func:`upsert_parquet`); deletes are keys the merged result no
+    longer contains, so no separate delete pass or driver-side key
+    collection happens.  Idempotent per batch: replaying a batch
+    converges (apply_changes is last-writer-wins on (seq, op)).
+    """
+    import os
+
+    keys = list(keys)
+    data_cols = [c for c in changes.columns if c not in (op_col, seq_col)]
+    cur = _current_snapshot(target_path)
+    if cur is None:
+        merged = apply_changes(
+            changes.select(*data_cols).limit(0), changes, keys, op_col, seq_col
+        )
+        if partition_by:
+            _commit_partitioned(merged, target_path, 1, list(partition_by), {}, keep_snapshots)
+        else:
+            _commit_unpartitioned(merged, target_path, 1, keep_snapshots)
+        return
+    next_version = int(cur.lstrip("v")) + 1
+    snap = _read_snapshot(spark, target_path, cur)
+    if not partition_by:
+        merged = apply_changes(snap.select(*data_cols), changes, keys, op_col, seq_col)
+        _commit_unpartitioned(merged, target_path, next_version, keep_snapshots)
+        return
+    pcols = list(partition_by)
+    entries = _farm_entries(os.path.join(target_path, cur), pcols)
+    if entries is None:
+        raise ValueError(f"{target_path} is not a {pcols}-partitioned snapshot table")
+    batch_rows = changes.select(*data_cols)
+    touched_vals = _touched_partitions(snap, batch_rows, keys, pcols, False)
+    touched_rows = touched_vals.collect()  # bounded by touched partitions
+    drop_values = {tuple(_normalize_value(r[pc]) for pc in pcols) for r in touched_rows}
+    touched = _rows_in_partitions(snap, touched_rows, touched_vals.schema, pcols)
+    for pc in pcols:
+        touched = touched.withColumn(pc, F.col(pc).cast(batch_rows.schema[pc].dataType))
+    touched = touched.select(*data_cols)
+    merged = apply_changes(touched, changes, keys, op_col, seq_col)
+    _commit_partitioned(
+        merged,
+        target_path,
+        next_version,
+        pcols,
+        entries,
+        keep_snapshots,
+        drop_values,
+    )
+
+
 def merge_sql(target: str, staging: str, keys: Sequence[str], columns: Sequence[str]) -> str:
     """Build the ANSI/Delta ``MERGE INTO`` equivalent of the reference's
     ``INSERT ... ON DUPLICATE KEY UPDATE`` (dags/etl.py:181-199) — W2

@@ -457,3 +457,43 @@ def stream_stream_purchase_views(
         "view_ts",
         "purchase_ts",
     )
+
+
+def foreach_batch_apply_changes(
+    stream: DataFrame,
+    target_path: str,
+    keys: Sequence[str],
+    checkpoint_dir: str,
+    op_col: str = "op",
+    seq_col: str = "seq",
+    partition_by: Sequence[str] | None = None,
+) -> DataStreamWriter:
+    """``writeStream.foreachBatch`` sink folding a CDC stream into a
+    snapshot replica — the streaming form of ``APPLY CHANGES INTO``
+    (sinks/upsert.py::apply_changes_parquet): each micro-batch's
+    I/U/D rows merge by key with highest-``seq``-wins and deletes
+    removing rows; the replica follows the upstream change feed
+    batch-by-batch without ever scanning the upstream table.
+    Idempotent per batch (a replayed batch converges), which is what
+    foreachBatch's at-least-once delivery requires.
+    """
+    from etl_tiki_webscraping_spark.sinks.upsert import apply_changes_parquet
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_changes_parquet(
+            batch_df.sparkSession,
+            batch_df,
+            target_path,
+            keys,
+            op_col,
+            seq_col,
+            partition_by=partition_by,
+        )
+
+    return (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(fold)
+    )

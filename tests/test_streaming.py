@@ -447,3 +447,57 @@ def test_foreach_batch_upsert_recovers_from_checkpoint_without_replay(spark, tmp
 
     rows = {r["event_id"]: r["value"] for r in read_parquet_table(spark, target).collect()}
     assert rows == {"e1": 1.0, "e2": 9.0, "e3": 7.0}
+
+
+def test_foreach_batch_apply_changes_folds_cdc_stream(spark, tmp_path):
+    """Three CDC micro-batches (insert wave, update+insert, delete)
+    stream through foreach_batch_apply_changes; the replica commits one
+    version per non-empty batch and ends at the sequential fold."""
+    import glob
+    import os
+    import shutil
+
+    from etl_tiki_webscraping_spark.sinks.upsert import read_parquet_table
+    from etl_tiki_webscraping_spark.streaming.events import (
+        foreach_batch_apply_changes,
+    )
+
+    batches = [
+        [(1, "a", "U", 1), (2, "b", "U", 1), (3, "c", "U", 1)],
+        [(2, "b2", "U", 2), (4, "d", "U", 2)],
+        [(1, None, "D", 3), (3, None, "D", 3)],
+    ]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for i, rows in enumerate(batches, start=1):
+        df = spark.createDataFrame(rows, "k int, v string, op string, seq int")
+        stage = str(tmp_path / f"stage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        dst = os.path.join(in_dir, f"{i:04d}.parquet")
+        shutil.move(glob.glob(os.path.join(stage, "part-*.parquet"))[0], dst)
+        os.utime(dst, (i * 1000, i * 1000))
+
+    replica = str(tmp_path / "replica")
+    stream = (
+        spark.readStream.schema("k int, v string, op string, seq int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    (
+        foreach_batch_apply_changes(stream, replica, ["k"], str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+
+    got = {(r.k, r.v) for r in read_parquet_table(spark, replica).collect()}
+    assert got == {(2, "b2"), (4, "d")}
+    # one committed version per micro-batch
+    versions = sorted(
+        e for e in os.listdir(replica) if e.startswith("v") and e[1:].isdigit()
+    )
+    assert versions == ["v00000002", "v00000003"] or versions == [
+        "v00000001",
+        "v00000002",
+        "v00000003",
+    ]  # v1 may be pruned by default retention
