@@ -58,23 +58,88 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _decode_image_impl(content: bytes) -> np.ndarray:
-    """DETERMINISTIC FAKE decoder (no codec libs in this container).
+def _decode_bmp(content: bytes) -> "np.ndarray | None":
+    """REAL decoder for uncompressed 24-bit BMP (pure struct + numpy,
+    no codec libraries): returns the luma plane as float32 (h, w), or
+    None when the bytes are not such a BMP.  Sniffing is strict — magic,
+    header sizes, bpp/compression fields, and exact pixel-array length
+    must all agree — so arbitrary binary never mis-routes here."""
+    import struct
 
-    Real implementation: ``PIL.Image.open(io.BytesIO(content))``.
-    The fake derives a stable 8x8 grayscale 'image' from the bytes so
-    every downstream kernel (resize, luma, feature) is testable.
+    if content is None or len(content) < 54 or content[:2] != b"BM":
+        return None
+    try:
+        pixel_off = struct.unpack_from("<I", content, 10)[0]
+        hdr_size, w, h = struct.unpack_from("<Iii", content, 14)
+        planes, bpp = struct.unpack_from("<HH", content, 26)
+        comp = struct.unpack_from("<I", content, 30)[0]
+    except struct.error:
+        return None
+    if hdr_size < 40 or planes != 1 or bpp != 24 or comp != 0:
+        return None
+    flip, h = h > 0, abs(h)
+    if w <= 0 or h == 0 or w > 1 << 16 or h > 1 << 16:
+        return None
+    stride = (w * 3 + 3) & ~3
+    if pixel_off < 54 or len(content) < pixel_off + stride * h:
+        return None
+    rows = np.frombuffer(content, dtype=np.uint8, count=stride * h, offset=pixel_off)
+    bgr = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3).astype(np.float32)
+    if flip:
+        bgr = bgr[::-1]
+    return 0.114 * bgr[..., 0] + 0.587 * bgr[..., 1] + 0.299 * bgr[..., 2]
+
+
+def _decode_wav(content: bytes) -> "np.ndarray | None":
+    """REAL decoder for 16-bit PCM WAV (stdlib ``wave`` + numpy):
+    returns the first channel as float32 in [-1, 1), or None when the
+    bytes are not such a WAV."""
+    import io
+    import wave as _wave
+
+    if content is None or len(content) < 44 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    try:
+        with _wave.open(io.BytesIO(content), "rb") as wf:
+            if wf.getsampwidth() != 2:
+                return None
+            n, ch = wf.getnframes(), wf.getnchannels()
+            pcm = np.frombuffer(wf.readframes(n), dtype="<i2")
+    except Exception:
+        return None
+    if ch > 1:
+        pcm = pcm[::ch]
+    return pcm.astype(np.float32) / 32768.0
+
+
+def _decode_image_impl(content: bytes) -> np.ndarray:
+    """Image decode: REAL for uncompressed 24-bit BMP (pure numpy, see
+    :func:`_decode_bmp`); other formats fall back to the DETERMINISTIC
+    FAKE (a stable 8x8 grayscale derived from the bytes) because no
+    compressed-codec library ships in this container — swapping in
+    ``PIL.Image.open(io.BytesIO(content))`` changes only this function.
+    The fixture blobs are arbitrary binary, so the catalog oracles
+    exercise the fake branch; the BMP branch is pinned by unit tests
+    decoding real files end to end through mapInPandas.
     """
     if content is None:
-        raise NotImplementedError("real image decode requires Pillow; null content not decodable")
+        raise NotImplementedError("null content not decodable")
+    bmp = _decode_bmp(content)
+    if bmp is not None:
+        return bmp
     arr = np.frombuffer(content[:64].ljust(64, b"\0"), dtype=np.uint8)
     return arr.reshape(8, 8).astype(np.float32)
 
 
 def _decode_audio_impl(content: bytes, sample_rate: int = 16_000) -> np.ndarray:
-    """DETERMINISTIC FAKE audio decoder (real: soundfile/librosa)."""
+    """Audio decode: REAL for 16-bit PCM WAV (stdlib ``wave``); other
+    formats fall back to the DETERMINISTIC FAKE (swap point for
+    soundfile/librosa — same contract as :func:`_decode_image_impl`)."""
     if content is None:
-        raise NotImplementedError("real audio decode requires soundfile; null content not decodable")
+        raise NotImplementedError("null content not decodable")
+    wav = _decode_wav(content)
+    if wav is not None:
+        return wav
     arr = np.frombuffer(content[:256].ljust(256, b"\0"), dtype=np.uint8)
     return (arr.astype(np.float32) - 128.0) / 128.0
 

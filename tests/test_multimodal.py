@@ -85,3 +85,91 @@ def test_audio_features_deterministic_and_bounded(spark):
     assert abs(out[2]["peak"] - 1.0) < 0.01
     assert out[3]["n_samples"] == 256 and out[3]["duration_ms"] == 16
     assert 0.0 <= out[3]["rms"] <= 1.0
+
+
+# --- REAL decode paths (pure stdlib/numpy; no codec libs needed) ----------
+
+
+def _make_bmp(w, h, rgb_rows):
+    """Minimal uncompressed 24-bit BMP (bottom-up)."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    pixel = bytearray()
+    for row in reversed(rgb_rows):  # bottom-up storage
+        for (r, g, b) in row:
+            pixel += bytes((b, g, r))
+        pixel += b"\0" * (stride - w * 3)
+    off = 14 + 40
+    size = off + len(pixel)
+    hdr = b"BM" + struct.pack("<IHHI", size, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel), 2835, 2835, 0, 0)
+    return bytes(hdr + info + pixel)
+
+
+def _make_wav(samples, rate=16_000):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        import numpy as np
+
+        wf.writeframes((np.asarray(samples) * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_real_bmp_decode_through_mapinpandas(spark):
+    """A genuine 24-bit BMP decodes to its true dimensions and luma —
+    the REAL image path, end to end through extract_image_features."""
+    from etl_tiki_webscraping_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    white_black = _make_bmp(2, 1, [[(255, 255, 255), (0, 0, 0)]])
+    df = spark.createDataFrame([(1, bytearray(white_black))], "media_id long, content binary")
+    row = extract_image_features(df).collect()[0]
+    assert (row.width, row.height) == (2, 1)
+    # luma of pure white ~255, black = 0 -> mean ~127.5
+    assert abs(row.mean_luma - 127.5) < 0.5
+    assert len(row.feature) == 2
+
+
+def test_real_wav_decode_through_mapinpandas(spark):
+    """A genuine 16-bit PCM WAV of a known sine yields the true sample
+    count, duration, RMS and zero-crossing count — the REAL audio path."""
+    import numpy as np
+
+    from etl_tiki_webscraping_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    t = np.arange(1600) / 16_000.0
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    wav = _make_wav(sine)
+    df = spark.createDataFrame([(7, bytearray(wav))], "media_id long, content binary")
+    row = extract_audio_features(df).collect()[0]
+    assert row.n_samples == 1600
+    assert row.duration_ms == 100
+    assert abs(row.rms - 0.5 / np.sqrt(2)) < 0.01
+    # 440 Hz over 0.1 s: ~88 zero crossings
+    assert 80 <= row.zero_crossings <= 92
+
+
+def test_arbitrary_bytes_still_route_to_the_deterministic_fake(spark):
+    """Strict sniffing: non-BMP/WAV binary keeps the fake-decoder
+    contract the catalog oracles replay."""
+    from etl_tiki_webscraping_spark.operators.multimodal import (
+        _decode_audio_impl,
+        _decode_image_impl,
+    )
+    import numpy as np
+
+    blob = bytes(range(256))
+    img = _decode_image_impl(blob)
+    assert img.shape == (8, 8) and img.dtype == np.float32
+    wave = _decode_audio_impl(blob)
+    assert wave.shape == (256,)
