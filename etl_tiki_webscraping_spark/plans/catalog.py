@@ -1969,11 +1969,42 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_stateful_sessions",
-    oracle=None,  # single-batch stream holds trailing per-user sessions in state
+    oracle="""
+    WITH e AS (SELECT user_id, ts, epoch_ms(ts) AS ms, value FROM events),
+    flagged AS (
+        SELECT *, CASE WHEN ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms)
+                            > 1800000
+                       OR LAG(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+        FROM e
+    ),
+    sess AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    ),
+    agg AS (
+        SELECT user_id,
+               MIN(date_trunc('milliseconds', ts)) AS session_start,
+               MAX(date_trunc('milliseconds', ts)) AS session_end,
+               MAX(ms) AS last_ms,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               SUM(value) AS sum_value
+        FROM sess GROUP BY user_id, sid
+    ),
+    wm AS (SELECT MAX(ms) AS wm FROM e)
+    SELECT user_id, session_start, session_end, n_events, sum_value
+    FROM agg, wm
+    WHERE last_ms + 1800000 <= wm
+    """,
     doc="custom stateful streaming operator via applyInPandasWithState: per-user "
-        "gap sessionization with event-time timeouts; sessions closed within the "
-        "batch emit, trailing open sessions stay in state (batch twin: "
-        "sessionize_events)",
+        "gap sessionization with event-time timeouts.  FULL oracle (upgraded "
+        "r7 from rows-only): the SQL replays ms-resolution gap splitting and "
+        "the EMISSION RULE — a session emits iff its timeout (last event + "
+        "gap) is at or before the final watermark (max event time, 0s delay); "
+        "each user's trailing open session stays in state and must NOT "
+        "appear.  Timestamps truncate to ms exactly as the state kernel "
+        "stores them (batch twin at second resolution: sessionize_events)",
 )
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_tiki_webscraping_spark.streaming.events import (
