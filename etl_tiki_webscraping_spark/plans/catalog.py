@@ -98,6 +98,7 @@ _DRIVER_FRESH_R07 = frozenset({
     "distribution_drift_psi",
     "incremental_postings_bm25",
     "streaming_cdc_replication",
+    "sequence_assembly",
 })
 
 
@@ -4484,3 +4485,54 @@ def q_streaming_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STREAM_CDC_REPLICAS: dict[str, str] = {}  # sf_dir -> replica path (memoized)
+
+
+@register(
+    "sequence_assembly",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           string_agg(event_type || '@' || CAST(epoch_ms(ts) AS VARCHAR),
+                      '|' ORDER BY epoch_ms(ts), event_id) AS seq
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="training-sequence assembly: each user's event history collected "
+        "into ONE ordered serialized sequence (the example-construction "
+        "primitive an LLM-behavioral/RL pipeline runs before tokenization). "
+        "Spark: collect_list of (ms, event_id, type) structs, array_sort "
+        "for a TOTAL order (ms then event_id — no partition-order "
+        "dependence), transform+array_join for the serialization; one "
+        "shuffle keyed on the user.  The oracle replays it with DuckDB's "
+        "ordered string_agg.  Per-user state is one array — the same "
+        "bound a 100 TB run needs (skewed users cap at their own history, "
+        "not corpus size).",
+)
+def q_sequence_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    item = F.struct(
+        (F.col("ts").cast("double") * 1000).cast("bigint").alias("ms"),
+        F.col("event_id").alias("event_id"),
+        F.col("event_type").alias("event_type"),
+    )
+    assembled = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_sort(F.collect_list(item)).alias("items"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.array_join(
+                F.transform(
+                    F.col("items"),
+                    lambda e: F.concat(
+                        e["event_type"], F.lit("@"), e["ms"].cast("string")
+                    ),
+                ),
+                "|",
+            ).alias("seq"),
+        )
+    )
+    return assembled
