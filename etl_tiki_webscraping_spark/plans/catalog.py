@@ -99,6 +99,7 @@ _DRIVER_FRESH_R07 = frozenset({
     "incremental_postings_bm25",
     "streaming_cdc_replication",
     "sequence_assembly",
+    "hybrid_search_rrf",
 })
 
 
@@ -4536,3 +4537,136 @@ def q_sequence_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return assembled
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ),
+    dd AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM dd),
+    postings AS (
+        SELECT doc_id, dl, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dd)
+        GROUP BY doc_id, dl, term
+    ),
+    dft AS (SELECT term, COUNT(*) AS dft FROM postings GROUP BY term),
+    q(query_id, term) AS (VALUES
+        ('h1','spark'),('h1','join'),('h2','window'),('h2','merge')),
+    bm AS (
+        SELECT q.query_id, p.doc_id,
+               SUM(CAST(ln(1 + (s.n_docs - f.dft + 0.5)/(f.dft + 0.5))
+                   * (p.tf * 2.2) / (p.tf + 1.2*(0.25 + 0.75*p.dl/s.avgdl))
+                   AS DECIMAL(18,8))) AS score_dec
+        FROM postings p JOIN q ON p.term = q.term
+        JOIN dft f ON f.term = p.term CROSS JOIN stats s
+        GROUP BY q.query_id, p.doc_id
+    ),
+    bm_rank AS (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score_dec DESC, doc_id) AS r
+        FROM bm QUALIFY r <= 50
+    ),
+    qv AS (
+        SELECT CASE vec_id WHEN 0 THEN 'h1' ELSE 'h2' END AS query_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+        FROM embeddings WHERE vec_id IN (0, 100)
+    ),
+    cos AS (
+        SELECT qv.query_id, e.vec_id AS doc_id,
+               round(list_dot_product(qv.qvec,
+                         list_transform(e.embedding, x -> CAST(x AS DOUBLE)))
+                     / (sqrt(list_dot_product(qv.qvec, qv.qvec))
+                        * sqrt(list_dot_product(
+                              list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                              list_transform(e.embedding, x -> CAST(x AS DOUBLE))))),
+                     6) AS cosine
+        FROM qv, embeddings e
+    ),
+    cos_rank AS (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, doc_id) AS r
+        FROM cos QUALIFY r <= 50
+    ),
+    fused AS (
+        SELECT COALESCE(b.query_id, c.query_id) AS query_id,
+               COALESCE(b.doc_id, c.doc_id) AS doc_id,
+               COALESCE(1.0/(60 + b.r), 0) + COALESCE(1.0/(60 + c.r), 0) AS rrf
+        FROM bm_rank b FULL OUTER JOIN cos_rank c
+          ON b.query_id = c.query_id AND b.doc_id = c.doc_id
+    )
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY rrf DESC, doc_id) AS rank,
+           rrf AS score
+    FROM fused
+    QUALIFY rank <= 15
+    """,
+    doc="hybrid retrieval via Reciprocal Rank Fusion: BM25 keyword ranks "
+        "and exact-cosine embedding ranks (both top-50, both totally "
+        "ordered on rounded scores + id) fuse as sum of 1/(60+rank) — "
+        "the standard lexical+vector ensemble a retrieval/eval-mining "
+        "pipeline runs.  Rank-based fusion sidesteps score-scale "
+        "mismatch between the two modalities, and every arithmetic step "
+        "(integer ranks, two-term IEEE sums) is engine-exact, so the "
+        "whole ensemble hash-matches the SQL replay.",
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.retrieval import bm25_topk
+    from etl_tiki_webscraping_spark.operators.similarity import as_double_vec, cosine
+
+    docs = load_table(spark, sf_dir, "documents")
+    text_queries = spark.createDataFrame(
+        [("h1", "spark"), ("h1", "join"), ("h2", "window"), ("h2", "merge")],
+        "query_id string, term string",
+    )
+    bm = bm25_topk(docs, text_queries, top_k=50).select(
+        "query_id", "doc_id", F.col("rank").alias("r_bm")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id").isin(0, 100)).select(
+        F.when(F.col("vec_id") == 0, "h1").otherwise("h2").alias("query_id"),
+        as_double_vec("embedding").alias("qvec"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("doc_id"), as_double_vec("embedding").alias("cvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(qv)).select(
+        "query_id",
+        "doc_id",
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
+    )
+    from pyspark.sql import Window as _W
+
+    w_cos = _W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("doc_id").asc()
+    )
+    cos_rank = (
+        scored.withColumn("r_cos", F.row_number().over(w_cos))
+        .filter(F.col("r_cos") <= 50)
+        .select("query_id", "doc_id", "r_cos")
+    )
+
+    fused = bm.join(cos_rank, on=["query_id", "doc_id"], how="full_outer").select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(F.lit(1.0) / (F.col("r_bm") + 60), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.col("r_cos") + 60), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    w = _W.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 15)
+        .select("query_id", "doc_id", "rank", F.col("rrf").alias("score"))
+    )
