@@ -84,6 +84,9 @@ _DRIVER_FRESH_R07 = frozenset({
     "dedup_embedding_clusters",
     # tolerance gate added r7
     "approx_distinct_users",
+    # decode swap points gained real BMP/WAV branches r7
+    "multimodal_image_features", "multimodal_audio_features",
+    "multimodal_frame_sample",
     # NEW r7 queries (must land in the r7 driver window)
     "snapshot_change_feed",
     "bloom_pruned_semi_join",
