@@ -98,10 +98,15 @@ def bm25_from_index(
         F.col(query_id).alias("query_id"), F.col(term).alias("term")
     ).distinct()
     # queries are tiny: broadcast them so only searched terms' postings
-    # survive — the scored intermediate never approaches corpus size
+    # survive — the scored intermediate never approaches corpus size.
+    # dft gets the same broadcast pre-filter: without it the term-keyed
+    # join would shuffle the FULL vocabulary for a handful of terms
+    dft_searched = dft.join(
+        F.broadcast(q.select("term").distinct()), on="term", how="left_semi"
+    )
     scored_terms = (
         postings.join(F.broadcast(q), on="term")
-        .join(dft, on="term")
+        .join(F.broadcast(dft_searched), on="term")
         .join(F.broadcast(stats))
     )
 

@@ -4514,8 +4514,10 @@ _STREAM_CDC_REPLICAS: dict[str, str] = {}  # sf_dir -> replica path (memoized)
 )
 def q_sequence_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # exact integer epoch-ms (micros div 1000) — a double*1000 detour can
+    # flip the truncated ms at representation boundaries
     item = F.struct(
-        (F.col("ts").cast("double") * 1000).cast("bigint").alias("ms"),
+        F.expr("unix_micros(ts) div 1000").alias("ms"),
         F.col("event_id").alias("event_id"),
         F.col("event_type").alias("event_type"),
     )
