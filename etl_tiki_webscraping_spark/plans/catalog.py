@@ -103,6 +103,7 @@ _DRIVER_FRESH_R07 = frozenset({
     "streaming_cdc_replication",
     "sequence_assembly",
     "hybrid_search_rrf",
+    "bloom_index_point_lookup",
 })
 
 
@@ -4675,3 +4676,50 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 15)
         .select("query_id", "doc_id", "rank", F.col("rrf").alias("score"))
     )
+
+
+@register(
+    "bloom_index_point_lookup",
+    oracle="""
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders WHERE o_orderkey IN (11, 502, 1203)
+    """,
+    doc="file-level Bloom index point lookup (sinks/upsert.py::"
+        "build_bloom_index + read_parquet_table(eq_filter=...)): the "
+        "snapshot is compacted CLUSTERED BY o_custkey, so every file's "
+        "o_orderkey [min,max] spans the whole key space and min/max "
+        "skipping is useless — exactly the case Delta's bloom index "
+        "exists for.  The distributed index build folds each file's "
+        "keys into a per-file bitmap (map-side bit_or, basename-keyed, "
+        "stored inside the snapshot dir); the lookup probes k engine-"
+        "exact xxhash64 bits per file and scans only possible files, "
+        "with unindexed files kept conservatively so results always "
+        "equal the unpruned read.",
+)
+def q_bloom_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from etl_tiki_webscraping_spark.sinks.upsert import (
+        build_bloom_index,
+        compact_table,
+        read_parquet_table,
+        upsert_parquet,
+    )
+
+    path = _BLOOM_INDEX_TABLES.get(sf_dir)
+    if path is None:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+        )
+        path = tempfile.mkdtemp(prefix="bloom-index-") + "/tbl"
+        upsert_parquet(spark, orders, path, ["o_orderkey"])
+        # cluster by the OTHER key: o_orderkey scatters across every file
+        compact_table(spark, path, target_file_bytes=48 * 1024, sort_by=["o_custkey"])
+        build_bloom_index(spark, path, ["o_orderkey"])
+        _BLOOM_INDEX_TABLES[sf_dir] = path
+    return read_parquet_table(spark, path, eq_filter=("o_orderkey", [11, 502, 1203]))
+
+
+_BLOOM_INDEX_TABLES: dict[str, str] = {}  # sf_dir -> table path (memoized)

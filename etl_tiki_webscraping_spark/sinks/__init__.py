@@ -1,6 +1,7 @@
 from etl_tiki_webscraping_spark.sinks.upsert import (
     apply_changes,
     apply_changes_parquet,
+    build_bloom_index,
     compact_table,
     delete_where,
     merge_sql,
@@ -21,6 +22,7 @@ from etl_tiki_webscraping_spark.sinks.staging import (
 __all__ = [
     "apply_changes",
     "apply_changes_parquet",
+    "build_bloom_index",
     "compact_table",
     "delete_where",
     "merge_sql",

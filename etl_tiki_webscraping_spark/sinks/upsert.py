@@ -289,12 +289,159 @@ def table_history(spark: SparkSession, target_path: str) -> DataFrame:
     )
 
 
+def build_bloom_index(
+    spark: SparkSession,
+    target_path: str,
+    cols: Sequence[str],
+    num_bits: int = 1 << 16,
+    num_hashes: int = 5,
+) -> None:
+    """File-level Bloom index for point lookups on the CURRENT snapshot
+    — the skipping tool for the case min/max stats can't help: a
+    high-cardinality column on a table clustered by something else
+    (every file's [min, max] spans the whole key space, but each file
+    holds only its own values).  Delta's bloom filter index / parquet
+    column bloom, as an explicit indexing action.
+
+    Build is DISTRIBUTED: one scan of the snapshot per indexed column,
+    k seeded-xxhash64 bit positions per value, map-side ``bit_or``
+    partials folding into one ``num_bits``-bitmap per FILE (the same
+    math as operators/bloom — the probe side reuses it so hashes
+    always agree).  The index lands in ``<snapshot>/_bloom/<col>.json``
+    keyed by part-file BASENAME (globally unique, symlink-proof),
+    hidden from table reads by the underscore prefix, pruned with its
+    snapshot.  It indexes exactly one version; re-run after new commits
+    (files carried forward keep stale entries only if you don't —
+    readers treat unindexed files conservatively, so results stay
+    exact either way).
+    """
+    import json
+    import os
+
+    from etl_tiki_webscraping_spark.operators.bloom import _positions
+
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64")
+    cur = _current_snapshot(target_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed table at {target_path}")
+    snap_dir = os.path.join(target_path, cur)
+    df = _read_snapshot(spark, target_path, cur)
+    bloom_dir = os.path.join(snap_dir, "_bloom")
+    os.makedirs(bloom_dir, exist_ok=True)
+    for col in cols:
+        words = (
+            df.select(
+                F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__file"),
+                F.explode(
+                    F.array(*_positions(F.col(col), num_bits, num_hashes))
+                ).alias("pos"),
+            )
+            .select(
+                "__file",
+                (F.col("pos") / 64).cast("int").alias("w"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("m"),
+            )
+            .groupBy("__file", "w")
+            .agg(F.bit_or("m").alias("bits"))
+            .collect()
+        )
+        per_file: dict[str, dict[int, int]] = {}
+        for r in words:
+            per_file.setdefault(r["__file"], {})[int(r["w"])] = int(r["bits"])
+        index = {
+            "num_bits": num_bits,
+            "num_hashes": num_hashes,
+            # xxhash64 is TYPE-sensitive: probe literals must be cast to
+            # the indexed column's exact type or every lookup misses
+            "dtype": df.schema[col].dataType.simpleString(),
+            "files": {
+                fname: [wm.get(i, 0) for i in range(num_bits // 64)]
+                for fname, wm in per_file.items()
+            },
+        }
+        with open(os.path.join(bloom_dir, f"{col}.json.tmp"), "w") as fh:
+            json.dump(index, fh, separators=(",", ":"))
+        os.replace(
+            os.path.join(bloom_dir, f"{col}.json.tmp"),
+            os.path.join(bloom_dir, f"{col}.json"),
+        )
+
+
+def _bloom_pruned_read(
+    spark: SparkSession, target_path: str, snap_name: str, eq_filter: tuple
+) -> "DataFrame | None":
+    """Point-lookup read consulting the snapshot's file-level Bloom
+    index; None when no index exists for the column (caller falls back
+    to read + filter).  Files missing from the index are scanned
+    conservatively, so the result ALWAYS equals the unpruned path."""
+    import json
+    import os
+
+    from etl_tiki_webscraping_spark.operators.bloom import _positions
+
+    col, values = eq_filter[0], eq_filter[1]
+    if not isinstance(values, (list, tuple)):
+        values = [values]
+    ipath = os.path.join(target_path, snap_name, "_bloom", f"{col}.json")
+    if not os.path.exists(ipath):
+        return None
+    with open(ipath) as fh:
+        index = json.load(fh)
+    num_bits, k = index["num_bits"], index["num_hashes"]
+    dtype = index["dtype"]
+    # the literal's bit positions come from a one-row Spark job so the
+    # hash is EXACTLY the engine's xxhash64 — never a reimplementation;
+    # literals cast to the indexed column's type (xxhash64 is type-aware)
+    pos_rows = spark.range(1).select(
+        *[
+            F.array(*_positions(F.lit(v).cast(dtype), num_bits, k)).alias(f"p{i}")
+            for i, v in enumerate(values)
+        ]
+    ).collect()[0]
+    value_positions = [list(pos_rows[f"p{i}"]) for i in range(len(values))]
+
+    def may_contain(words: list, positions: list) -> bool:
+        return all(words[p // 64] & (1 << (p % 64)) != 0 for p in positions)
+
+    snap_dir = os.path.join(target_path, snap_name)
+    all_files: list[str] = []
+    for root, dirs, files in os.walk(snap_dir, followlinks=True):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        all_files += [
+            os.path.join(root, f)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+    findex = index["files"]
+    kept = []
+    for path in all_files:
+        words = findex.get(os.path.basename(path))
+        if words is None or any(may_contain(words, ps) for ps in value_positions):
+            kept.append(path)
+    pred = F.col(col).isin(*[F.lit(v) for v in values])
+    manifest_path = os.path.join(target_path, snap_name + ".json")
+    schema = None
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            sj = json.load(fh).get("schema")
+        if sj:
+            schema = T.StructType.fromJson(json.loads(sj))
+    if not kept:
+        if schema is None:
+            return None
+        return spark.createDataFrame([], schema).filter(pred)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    return reader.option("basePath", snap_dir).parquet(*kept).filter(pred)
+
+
 def read_parquet_table(
     spark: SparkSession,
     target_path: str,
     version: int | None = None,
     range_filter: "tuple | None" = None,
     as_of: "float | None" = None,
+    eq_filter: "tuple | None" = None,
 ) -> DataFrame:
     """Read an upsert-managed parquet table: follow the ``_LATEST``
     snapshot pointer if present, else read the path as plain parquet
@@ -323,11 +470,21 @@ def read_parquet_table(
     Files without recorded stats for a conjunct's column are scanned
     conservatively, so the result ALWAYS equals the unpruned
     read-then-filter.
+
+    ``eq_filter=(col, value)`` — or ``(col, [values...])`` — applies a
+    point-lookup filter AND file-level Bloom skipping when
+    :func:`build_bloom_index` indexed the column on this snapshot: only
+    files whose bitmap may contain some requested value are scanned
+    (unindexed files conservatively kept).  This skips where min/max
+    cannot — a high-cardinality key on a table clustered by a different
+    column.  Mutually exclusive with ``range_filter``.
     """
     import os
 
     if version is not None and as_of is not None:
         raise ValueError("version and as_of are mutually exclusive")
+    if eq_filter is not None and range_filter is not None:
+        raise ValueError("eq_filter and range_filter are mutually exclusive")
     if as_of is not None:
         cur = _current_snapshot(target_path)
         cur_v = int(cur.lstrip("v")) if cur is not None else 0
@@ -366,12 +523,24 @@ def read_parquet_table(
         name = _current_snapshot(target_path)
         if name is None:
             df = spark.read.parquet(target_path)
-            return _apply_range(df, range_filter) if range_filter else df
+            if range_filter:
+                return _apply_range(df, range_filter)
+            if eq_filter:
+                return df.filter(F.col(eq_filter[0]).isin(eq_filter[1]))
+            return df
     if range_filter is not None:
         pruned = _stats_pruned_read(spark, target_path, name, range_filter)
         if pruned is not None:
             return pruned
         return _apply_range(_read_snapshot(spark, target_path, name), range_filter)
+    if eq_filter is not None:
+        pruned = _bloom_pruned_read(spark, target_path, name, eq_filter)
+        if pruned is not None:
+            return pruned
+        values = eq_filter[1] if isinstance(eq_filter[1], (list, tuple)) else [eq_filter[1]]
+        return _read_snapshot(spark, target_path, name).filter(
+            F.col(eq_filter[0]).isin(*[F.lit(v) for v in values])
+        )
     return _read_snapshot(spark, target_path, name)
 
 

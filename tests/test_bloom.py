@@ -85,3 +85,81 @@ def test_bloom_probe_plan_is_broadcast_no_probe_shuffle(spark, sf_dir):
     assert "shiftleft" in plan
     # only the one-row bitmap is exchanged; the orders side never hash-shuffles
     assert "hashpartitioning(o_custkey" not in plan
+
+
+# --- file-level Bloom index on snapshot tables ----------------------------
+
+
+def _indexed_table(spark, tmp_path, n=8000):
+    from etl_tiki_webscraping_spark.sinks.upsert import (
+        build_bloom_index,
+        compact_table,
+        upsert_parquet,
+    )
+
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 37 % 100).alias("grp"),
+        F.concat(F.lit("name-"), F.col("id")).alias("name"),
+    )
+    path = str(tmp_path / "tbl")
+    upsert_parquet(spark, df, path, ["k"])
+    compact_table(spark, path, target_file_bytes=10 * 1024, sort_by=["grp"])
+    build_bloom_index(spark, path, ["k", "name"])
+    return path
+
+
+def test_bloom_index_skips_files_and_stays_exact(spark, tmp_path):
+    from etl_tiki_webscraping_spark.sinks.upsert import read_parquet_table
+
+    path = _indexed_table(spark, tmp_path)
+    full = read_parquet_table(spark, path)
+    total = len(full.inputFiles())
+    assert total > 2
+    hit = read_parquet_table(spark, path, eq_filter=("k", [7, 1234, 3999]))
+    assert len(hit.inputFiles()) < total
+    got = sorted(r.k for r in hit.collect())
+    assert got == [7, 1234, 3999]
+    # grp-clustering scatters k, so min/max barely skips; the bloom
+    # index must skip STRICTLY more files than range stats can
+    stats_only = read_parquet_table(spark, path, range_filter=("k", 7, 7))
+    single = read_parquet_table(spark, path, eq_filter=("k", 7))
+    assert len(single.inputFiles()) < len(stats_only.inputFiles())
+
+
+def test_bloom_index_string_column_and_absent_key(spark, tmp_path):
+    from etl_tiki_webscraping_spark.sinks.upsert import read_parquet_table
+
+    path = _indexed_table(spark, tmp_path)
+    hit = read_parquet_table(spark, path, eq_filter=("name", "name-77"))
+    assert [r.k for r in hit.collect()] == [77]
+    missing = read_parquet_table(spark, path, eq_filter=("k", 10_000_000))
+    assert missing.count() == 0
+
+
+def test_unindexed_snapshot_falls_back_conservatively(spark, tmp_path):
+    from etl_tiki_webscraping_spark.sinks.upsert import (
+        read_parquet_table,
+        upsert_parquet,
+    )
+
+    path = _indexed_table(spark, tmp_path)
+    extra = spark.createDataFrame(
+        [(99_999, 1, "name-99999")], "k long, grp long, name string"
+    )
+    upsert_parquet(spark, extra, path, ["k"])  # new snapshot, no index
+    hit = read_parquet_table(spark, path, eq_filter=("k", [77, 99_999]))
+    got = sorted(r.k for r in hit.collect())
+    assert got == [77, 99_999]
+
+
+def test_eq_and_range_filters_are_mutually_exclusive(spark, tmp_path):
+    import pytest
+
+    from etl_tiki_webscraping_spark.sinks.upsert import read_parquet_table
+
+    path = _indexed_table(spark, tmp_path, n=100)
+    with pytest.raises(ValueError):
+        read_parquet_table(
+            spark, path, eq_filter=("k", 1), range_filter=("k", 0, 10)
+        )
