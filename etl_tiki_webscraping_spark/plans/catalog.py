@@ -125,6 +125,8 @@ _EAGER_STAGING_QUERIES = (
     "bucketed_colocated_join",
     "snapshot_delete_where",
     "snapshot_change_feed",  # stages the shared 3-commit CDF table
+    "streaming_cdc_replication",  # runs the CDC stream into the replica
+    "bloom_index_point_lookup",  # compaction + bloom index build
 )
 
 
@@ -4033,7 +4035,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH salted AS (
         SELECT doc_id,
-               text || ' contact user' || CAST(doc_id AS VARCHAR)
+               COALESCE(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
                     || '@mail.example.com or call +84 123 4567' AS raw
         FROM documents
     )
@@ -4058,8 +4060,10 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_tiki_webscraping_spark.functions.text import redact_pii
 
     docs = load_table(spark, sf_dir, "documents")
+    # coalesce NULL text: concat would null the whole row and make
+    # `redacted` NULL while the oracle emits constant TRUE
     raw = F.concat(
-        F.col("text"),
+        F.coalesce(F.col("text"), F.lit("")),
         F.lit(" contact user"),
         F.col("doc_id").cast("string"),
         F.lit("@mail.example.com or call +84 123 4567"),
@@ -4279,12 +4283,17 @@ def q_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ca AS (SELECT event_type, bin, COUNT(*) AS na FROM binned WHERE period = 'a' GROUP BY 1, 2),
     cb AS (SELECT event_type, bin, COUNT(*) AS nb FROM binned WHERE period = 'b' GROUP BY 1, 2),
+    allbins AS (
+        SELECT g.event_type, gs.generate_series AS bin
+        FROM (SELECT DISTINCT event_type FROM binned) g,
+             generate_series(0, 19) gs
+    ),
     grid AS (
-        SELECT COALESCE(ca.event_type, cb.event_type) AS event_type,
-               COALESCE(ca.bin, cb.bin) AS bin,
+        SELECT ab.event_type, ab.bin,
                COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
-        FROM ca FULL OUTER JOIN cb
-          ON ca.event_type = cb.event_type AND ca.bin = cb.bin
+        FROM allbins ab
+        LEFT JOIN ca ON ca.event_type = ab.event_type AND ca.bin = ab.bin
+        LEFT JOIN cb ON cb.event_type = ab.event_type AND cb.bin = ab.bin
     ),
     tot AS (SELECT event_type, SUM(na) AS na_tot, SUM(nb) AS nb_tot
             FROM grid GROUP BY 1),
@@ -4474,7 +4483,7 @@ def q_streaming_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(in_dir)
         )
-        (
+        q = (
             foreach_batch_apply_changes(
                 stream,
                 replica,
@@ -4483,8 +4492,12 @@ def q_streaming_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .trigger(availableNow=True)
             .start()
-            .awaitTermination(180)
         )
+        if not q.awaitTermination(300):
+            # timed out: stop and FAIL rather than memoize a replica
+            # missing later micro-batches (silent wrong answers)
+            q.stop()
+            raise RuntimeError("streaming CDC replication did not finish in 300s")
         _STREAM_CDC_REPLICAS[sf_dir] = replica
     return read_parquet_table(spark, replica).select("o_orderkey", "o_custkey", "price")
 

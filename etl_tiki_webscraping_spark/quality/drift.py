@@ -62,12 +62,33 @@ def psi_drift(
     """Per-group PSI of ``current`` against ``baseline``.
 
     Returns (group_cols..., psi double, n_baseline, n_current).
-    Identical distributions give PSI = 0 exactly (p_a == p_b per bin).
+    The smoothed estimator runs over the FULL n_bins grid (bins empty
+    on both sides still contribute their smoothing mass, so the
+    normalizer is consistent).  Identical distributions with EQUAL
+    sample counts give PSI = 0 exactly (p_a == p_b per bin); with very
+    unequal window sizes the smoothing itself contributes a small
+    positive bias — compare like-sized windows, or raise ``smoothing``
+    consciously, before alerting near the 0.1 threshold.
     """
     group_cols = list(group_cols)
     ca = _binned(baseline, group_cols, value_col, bin_width, n_bins, "na")
     cb = _binned(current, group_cols, value_col, bin_width, n_bins, "nb")
-    grid = ca.join(cb, on=[*group_cols, "bin"], how="full_outer").select(
+    counts = ca.join(cb, on=[*group_cols, "bin"], how="full_outer").select(
+        *group_cols,
+        "bin",
+        F.coalesce("na", F.lit(0)).alias("na"),
+        F.coalesce("nb", F.lit(0)).alias("nb"),
+    )
+    # densify to the full grid: every group x every bin
+    all_bins = (
+        counts.select(*group_cols)
+        .distinct()
+        .select(
+            *group_cols,
+            F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+        )
+    )
+    grid = all_bins.join(counts, on=[*group_cols, "bin"], how="left").select(
         *group_cols,
         "bin",
         F.coalesce("na", F.lit(0)).alias("na"),

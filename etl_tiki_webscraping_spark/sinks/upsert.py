@@ -124,11 +124,13 @@ def _change_rows(
 
     Derived from data the commit already has in hand: ``prior`` is the
     pre-merge state of the TOUCHED partitions only (never the whole
-    table) and ``merged`` is the post-merge result, so the extra cost is
-    two bare-key semi/anti joins over already-pruned rows — not an
-    O(table) snapshot diff.  That is what makes the feed viable at
-    100 TB: CDC readers consume the per-commit change files instead of
-    joining two full versions.
+    table) and ``merged`` is the post-merge result — commit paths pass
+    the JUST-STAGED read here so the merge lineage is never executed a
+    second time.  The extra cost is one read of the staged bytes, one
+    pruned prior read, and bare-key semi/anti joins — not an O(table)
+    snapshot diff.  That is what makes the feed viable at 100 TB: CDC
+    readers consume the per-commit change files instead of joining two
+    full versions.
     """
     keys = list(keys)
     batch_keys = updates.select(*keys).distinct()
@@ -892,11 +894,18 @@ def _commit_unpartitioned(
     next_version: int,
     keep_snapshots: int,
     audit: "object | None" = None,
-    changes: "DataFrame | None" = None,
+    changes_builder: "object | None" = None,
 ) -> None:
     """Stage + publish an UNPARTITIONED snapshot: full result written
     under an attempt-unique name, manifest (schema + per-file min/max),
-    optional write-audit-publish gate, then the claim + pointer swap."""
+    optional write-audit-publish gate, then the claim + pointer swap.
+
+    ``changes_builder`` (change data feed): a callable receiving the
+    JUST-STAGED snapshot as a DataFrame and returning the commit's
+    change rows.  Building from the staged files means the merge
+    lineage is never executed twice — the feed costs one read of the
+    bytes this commit just wrote (plus the builder's own pruned reads),
+    not a second full merge."""
     import os
     import shutil
 
@@ -906,10 +915,13 @@ def _commit_unpartitioned(
     try:
         df.write.mode("overwrite").parquet(stage_dir)
         _write_snapshot_manifest(target_path, stage, df.schema.json())
-        if changes is not None:
+        if changes_builder is not None:
+            staged = df.sparkSession.read.schema(df.schema).parquet(stage_dir)
             # inside the staged snapshot dir: rides the same claim +
             # pointer swap; '_' prefix hides it from ordinary table reads
-            changes.write.mode("overwrite").parquet(os.path.join(stage_dir, "_changes"))
+            changes_builder(staged).write.mode("overwrite").parquet(
+                os.path.join(stage_dir, "_changes")
+            )
         if audit is not None:
             # write-audit-publish: validate the written-but-uncommitted
             # snapshot; raising aborts before the claim
@@ -934,12 +946,13 @@ def _prune_snapshots(target_path: str, next_version: int, keep_snapshots: int) -
     tokens, unreferenced pool dirs) are SKIPPED when they may belong to
     a LIVE concurrent attempt — deleting a live attempt's staging
     mid-write would surface there as a generic IO error the
-    conflict-retry loop can't rebase (r6 ADVICE).  "May be live" =
-    targets the version being committed or newer (a live attempt's
-    next_version is never below the winner's: both read the same base
-    pointer) AND is younger than the claim grace window; superseded
-    versions' leftovers reclaim immediately as before, and stale
-    current-version leftovers reclaim once they age out.  Object-store
+    conflict-retry loop can't rebase (r6 ADVICE).  "May be live" is
+    RECENCY-ONLY: younger than the claim grace window.  The artifact's
+    target version proves nothing — a slow loser that read an old base
+    can still be staging toward a long-superseded version while winners
+    commit past it (r7 review) — and an active writer keeps refreshing
+    its staging dir's mtime as files land, so fresh means possibly
+    live.  Aged leftovers reclaim on a later prune.  Object-store
     analog: batch delete driven by the retained manifests."""
     import os
     import shutil
@@ -948,8 +961,14 @@ def _prune_snapshots(target_path: str, next_version: int, keep_snapshots: int) -
     now = time.time()
 
     def _maybe_live(path: str, artifact_version: int | None) -> bool:
-        if artifact_version is not None and artifact_version < next_version:
-            return False  # superseded: no live attempt targets old versions
+        # NO version-based shortcut: a slow loser that read base vN-2 can
+        # still be staging toward a long-superseded version while winners
+        # commit past it — reclaiming its dir mid-write surfaces as a
+        # generic IO error retry_conflicts can't rebase.  Recency is the
+        # only safe liveness signal: an active writer keeps refreshing its
+        # staging dir's mtime as files land; superseded leftovers age out
+        # of the grace window and reclaim on a later prune.
+        del artifact_version
         try:
             return now - os.stat(path).st_mtime < _CLAIM_GRACE_SECONDS
         except OSError:
@@ -1038,7 +1057,7 @@ def _commit_partitioned(
     keep_snapshots: int,
     drop_values: "set[tuple] | None" = None,
     audit: "object | None" = None,
-    changes: "DataFrame | None" = None,
+    changes_builder: "object | None" = None,
 ) -> None:
     """Staging-lifecycle wrapper around :func:`_commit_partitioned_staged`:
     generates the attempt-unique staging name and, if the commit does
@@ -1061,7 +1080,7 @@ def _commit_partitioned(
             drop_values,
             audit,
             stage,
-            changes,
+            changes_builder,
         )
         committed = True
     finally:
@@ -1091,7 +1110,7 @@ def _commit_partitioned_staged(
     drop_values: "set[tuple] | None",
     audit: "object | None",
     stage: str,
-    changes: "DataFrame | None" = None,
+    changes_builder: "object | None" = None,
 ) -> None:
     """Write ``merged`` (the touched partitions only) into a new
     ``data/`` pool dir, then build snapshot ``vN`` as a hive-layout farm
@@ -1140,11 +1159,17 @@ def _commit_partitioned_staged(
         os.makedirs(os.path.dirname(link), exist_ok=True)
         os.symlink(os.path.relpath(data_dir, os.path.dirname(link)), link)
 
-    if changes is not None:
-        # real dir among the symlinked partition dirs: '_' prefix keeps it
+    if changes_builder is not None:
+        # feed rows derive from the JUST-WRITTEN pool files (the merged
+        # touched partitions) — the merge lineage never runs twice; the
+        # explicit schema stops hive re-inference of partition columns.
+        # Real dir among the symlinked partition dirs: '_' prefix keeps it
         # out of partition discovery, farm scans, and manifest file stats;
         # it renames into the version path with the farm at claim time
-        changes.write.mode("overwrite").parquet(os.path.join(farm_stage, "_changes"))
+        staged = merged.sparkSession.read.schema(merged.schema).parquet(pool_dir)
+        changes_builder(staged).write.mode("overwrite").parquet(
+            os.path.join(farm_stage, "_changes")
+        )
 
     # per-file min/max for data skipping: freshly-written pool files get
     # their footer stats read now (driver-side, bounded by the batch's
@@ -1362,10 +1387,11 @@ def upsert_parquet(
     ``change_feed=True`` records this commit's row-level changes
     (``insert`` / ``update_preimage`` / ``update_postimage``) into the
     snapshot's ``_changes/`` dir — Delta CDF semantics, read back with
-    :func:`read_change_feed`.  Computed from the touched rows the merge
-    already reads (two extra bare-key semi/anti joins), never an
-    O(table) version diff; off by default so the standard path pays
-    nothing.
+    :func:`read_change_feed`.  Postimages derive from the JUST-STAGED
+    files (the merge lineage never executes twice) and preimages from
+    one more partition-pruned read of the prior snapshot's touched
+    rows, joined on bare keys — never an O(table) version diff; off by
+    default so the standard path pays nothing.
 
     ``retry_conflicts``: optimistic-concurrency RETRY budget.  An
     upsert is commutative at commit granularity (it re-reads the
@@ -1506,12 +1532,12 @@ def _upsert_parquet_attempt(
         merged = _dedup_updates(updates, keys, order_by)
         next_version = 1
 
-    changes = (
-        _change_rows(target, merged, updates, keys, next_version)
+    builder = (
+        (lambda staged: _change_rows(target, staged, updates, keys, next_version))
         if change_feed
         else None
     )
-    _commit_unpartitioned(merged, target_path, next_version, keep_snapshots, audit, changes)
+    _commit_unpartitioned(merged, target_path, next_version, keep_snapshots, audit, builder)
 
 
 def _upsert_parquet_partitioned(
@@ -1591,8 +1617,8 @@ def _upsert_parquet_partitioned(
         merged = _dedup_updates(updates, keys, order_by)
         next_version = 1
 
-    changes = (
-        _change_rows(prior, merged, updates, keys, next_version)
+    builder = (
+        (lambda staged: _change_rows(prior, staged, updates, keys, next_version))
         if change_feed
         else None
     )
@@ -1605,7 +1631,7 @@ def _upsert_parquet_partitioned(
         keep_snapshots,
         drop_values,
         audit,
-        changes,
+        builder,
     )
 
 
@@ -1638,15 +1664,17 @@ def delete_where(
 
     if not partition_by:
         merged = snap.filter(~F.coalesce(condition, F.lit(False)))
-        changes = (
-            _tag_changes(
-                snap.filter(F.coalesce(condition, F.lit(False))), "delete", next_version
-            )
-            if change_feed
-            else None
+        # delete feed rows are by definition NOT in the staged result;
+        # deriving them is one more filtered scan of the prior snapshot
+        deletes = _tag_changes(
+            snap.filter(F.coalesce(condition, F.lit(False))), "delete", next_version
         )
         _commit_unpartitioned(
-            merged, target_path, next_version, keep_snapshots, changes=changes
+            merged,
+            target_path,
+            next_version,
+            keep_snapshots,
+            changes_builder=(lambda staged: deletes) if change_feed else None,
         )
         return
 
@@ -1665,12 +1693,8 @@ def delete_where(
     }
     touched = _rows_in_partitions(snap, touched_rows, touched_vals.schema, pcols)
     merged = touched.filter(~F.coalesce(condition, F.lit(False)))
-    changes = (
-        _tag_changes(
-            touched.filter(F.coalesce(condition, F.lit(False))), "delete", next_version
-        )
-        if change_feed
-        else None
+    deletes = _tag_changes(
+        touched.filter(F.coalesce(condition, F.lit(False))), "delete", next_version
     )
     _commit_partitioned(
         merged,
@@ -1680,7 +1704,7 @@ def delete_where(
         entries,
         keep_snapshots,
         drop_values,
-        changes=changes,
+        changes_builder=(lambda staged: deletes) if change_feed else None,
     )
 
 
@@ -1902,8 +1926,8 @@ def apply_changes(
 
     ``changes`` carries the target's columns plus ``op_col``
     ('I'/'U'/'D') and a monotonic ``seq_col``; for each key only the
-    HIGHEST-seq change is applied (ties broken by op descending so a
-    delete at the same seq wins deterministically; a full
+    HIGHEST-seq change is applied (same-seq ties order 'D' < 'I' < 'U'
+    ASCENDING so the delete wins deterministically; a full
     (key, seq, op) tie — two conflicting updates with identical
     sequence numbers — resolves to the smallest value tuple, so the
     result never depends on partition order): 'D' removes the row,

@@ -724,10 +724,13 @@ def test_publish_refuses_foreign_manifest(spark, tmp_parquet_dir):
 
 
 def test_prune_spares_live_staging_and_pool(spark, tmp_parquet_dir):
-    """ADVICE r6: pruning must not delete a live concurrent attempt's
-    fresh .stage- dir, stage manifest, claim token, or unreferenced
-    data/ pool dir targeting the committing version — while still
-    reclaiming superseded-version leftovers immediately."""
+    """ADVICE r6 + r7 review: pruning must not delete ANY fresh .stage-
+    dir / stage manifest / claim token / unreferenced pool dir — even
+    one targeting a SUPERSEDED version, because a slow loser that read
+    an old base can still be mid-write while winners commit past it.
+    Liveness is recency-only; aged leftovers reclaim."""
+    import time
+
     import etl_tiki_webscraping_spark.sinks.upsert as U
 
     schema = "k int, p string, v string"
@@ -747,9 +750,15 @@ def test_prune_spares_live_staging_and_pool(spark, tmp_parquet_dir):
         fh.write(live)
     live_pool = os.path.join(tmp_parquet_dir, "data", U._pool_name(live))
     os.makedirs(live_pool)
-    # superseded-version leftover: stage dir for long-gone v2
+    # slow loser still staging toward long-superseded v2 (fresh mtime)
+    slow = "v00000002.stage-feed0002"
+    os.makedirs(os.path.join(tmp_parquet_dir, slow))
+    # aged superseded leftover: a genuine crash artifact past the grace
     old = "v00000002.stage-dead0001"
-    os.makedirs(os.path.join(tmp_parquet_dir, old))
+    old_path = os.path.join(tmp_parquet_dir, old)
+    os.makedirs(old_path)
+    aged = time.time() - U._CLAIM_GRACE_SECONDS - 5
+    os.utime(old_path, (aged, aged))
 
     U._prune_snapshots(tmp_parquet_dir, 4, keep_snapshots=2)
 
@@ -757,7 +766,8 @@ def test_prune_spares_live_staging_and_pool(spark, tmp_parquet_dir):
     assert os.path.exists(os.path.join(tmp_parquet_dir, live + ".json"))
     assert os.path.exists(os.path.join(tmp_parquet_dir, "v00000004.claim"))
     assert os.path.isdir(live_pool)
-    assert not os.path.isdir(os.path.join(tmp_parquet_dir, old))
+    assert os.path.isdir(os.path.join(tmp_parquet_dir, slow))  # spared: fresh
+    assert not os.path.isdir(old_path)  # reclaimed: aged out
 
 
 def test_stale_writer_cannot_clobber_committed_partitioned_pool(spark, tmp_parquet_dir, monkeypatch):
