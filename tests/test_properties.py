@@ -272,3 +272,31 @@ def test_change_feed_replay_reconstructs_table(spark, tmp_path_factory, first, c
         spark.createDataFrame([], "k string, v int"), mapped, ["k"]
     )
     assert {r["k"]: r["v"] for r in replica.collect()} == model
+
+
+# --- file-level / join-pruning bloom: no false negatives, ever ------------
+
+
+@given(
+    keys=st.sets(st.integers(min_value=-(10**9), max_value=10**9), min_size=1, max_size=80),
+    probes=st.lists(st.integers(min_value=-(10**9), max_value=10**9), min_size=1, max_size=40),
+    num_bits=st.sampled_from([64, 256, 4096]),
+    k=st.integers(min_value=1, max_value=6),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_bloom_probe_never_drops_a_true_match(spark, keys, probes, num_bits, k):
+    """For arbitrary key sets, probe values, bitmap sizes (down to a
+    single word), and hash counts: every probe value that IS in the key
+    set survives bloom_probe — false negatives are impossible."""
+    from etl_tiki_webscraping_spark.operators.bloom import bloom_build, bloom_probe
+
+    keys_df = spark.createDataFrame([(v,) for v in sorted(keys)], "k long")
+    probe_df = spark.createDataFrame([(v,) for v in probes], "k long")
+    bloom = bloom_build(keys_df, "k", num_bits=num_bits, num_hashes=k)
+    passed = {r.k for r in bloom_probe(probe_df, "k", bloom, num_bits=num_bits, num_hashes=k).collect()}
+    true_matches = set(probes) & keys
+    assert true_matches <= passed

@@ -1151,3 +1151,47 @@ def test_replica_rebuilt_from_change_feed_equals_source_table(spark, tmp_parquet
         (r.k, r.val) for r in read_parquet_table(spark, tmp_parquet_dir).collect()
     }
     assert replica == current and current
+
+
+def test_apply_changes_parquet_partitioned_prunes_and_migrates(spark, tmp_parquet_dir):
+    """Partitioned APPLY CHANGES INTO: I/U/D fold rewrites only touched
+    partitions, a key's partition migration leaves no stale twin, and
+    deletes empty their partition out of the manifest."""
+    from pyspark.sql import functions as F
+
+    from etl_tiki_webscraping_spark.sinks.upsert import (
+        apply_changes_parquet,
+        read_parquet_table,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "a", "p1", "U", 1), (2, "b", "p1", "U", 1), (3, "c", "p2", "U", 1),
+         (4, "d", "p3", "U", 1)],
+        "k int, v string, pt string, op string, seq int",
+    )
+    apply_changes_parquet(
+        spark, b1, tmp_parquet_dir, ["k"], partition_by=["pt"], keep_snapshots=5
+    )
+    v1_files = set(read_parquet_table(spark, tmp_parquet_dir).inputFiles())
+
+    # batch 2: update k=2 migrating p1->p2, insert k=5 in p2, delete all of p3
+    b2 = spark.createDataFrame(
+        [(2, "b2", "p2", "U", 2), (5, "e", "p2", "U", 2), (4, None, "p3", "D", 2)],
+        "k int, v string, pt string, op string, seq int",
+    )
+    apply_changes_parquet(
+        spark, b2, tmp_parquet_dir, ["k"], partition_by=["pt"], keep_snapshots=5
+    )
+
+    got = {(r.k, r.v, r.pt) for r in read_parquet_table(spark, tmp_parquet_dir).collect()}
+    assert got == {(1, "a", "p1"), (2, "b2", "p2"), (3, "c", "p2"), (5, "e", "p2")}
+    # partition pruning: p1 was touched only because k=2 migrated out;
+    # p3 vanished entirely; untouched files carry forward by reference
+    v2_files = set(read_parquet_table(spark, tmp_parquet_dir).inputFiles())
+    assert not any("pt=p3" in f for f in v2_files)
+    # replay of batch 2 converges (foreachBatch at-least-once contract)
+    apply_changes_parquet(
+        spark, b2, tmp_parquet_dir, ["k"], partition_by=["pt"], keep_snapshots=5
+    )
+    again = {(r.k, r.v, r.pt) for r in read_parquet_table(spark, tmp_parquet_dir).collect()}
+    assert again == got
