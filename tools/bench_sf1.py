@@ -57,6 +57,10 @@ NEW_R7 = [
     "cdc_replication_from_feed",
     "ivm_rollup_from_feed",
     "distribution_drift_psi",
+    "sequence_assembly",
+    "incremental_postings_bm25",
+    "hybrid_search_rrf",  # embeddings side stays fixture-sized (symlinked)
+    "bloom_index_point_lookup",
 ]
 
 ORDER_STRIDE = 1_500_000  # % 15 == 0
