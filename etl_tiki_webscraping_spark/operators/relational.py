@@ -328,6 +328,7 @@ def table_diff(
     new: DataFrame,
     keys: Sequence[str],
     compare_cols: Sequence[str] | None = None,
+    hash_compare: bool = False,
 ) -> DataFrame:
     """Snapshot diff: classify every key as ``added`` / ``removed`` /
     ``changed`` between two versions of a table (unchanged keys are not
@@ -339,17 +340,41 @@ def table_diff(
     Emits only the keys + change_type — at 100 TB you join the output
     back to whichever side you need rather than carrying both payloads
     through the shuffle.
+
+    ``hash_compare=True`` is the WIDE-TABLE scale path: each side
+    collapses its compared attributes to one ``xxhash64`` fingerprint
+    IN THE SCAN STAGE, so the full-outer exchange carries bare
+    ``(key, 8-byte hash)`` rows instead of both payloads — a 100-column
+    diff shuffles two long columns.  Position markers are interleaved
+    between attributes so NULLs cannot alias across columns (Spark's
+    hash skips NULL inputs; ``(NULL, x)`` vs ``(x, NULL)`` must differ),
+    and attributes are string-normalized first so the fingerprint is
+    layout-stable.  Equal-hash keys are reported unchanged — a 2^-64
+    per-key false-negative the exact path doesn't have.
     """
     keys = list(keys)
     attrs = list(compare_cols) if compare_cols is not None else [
         c for c in old.columns if c not in keys
     ]
-    o = old.select(*keys, *[F.col(c).alias(f"__o_{c}") for c in attrs], F.lit(True).alias("__in_old"))
-    n = new.select(*keys, *[F.col(c).alias(f"__n_{c}") for c in attrs], F.lit(True).alias("__in_new"))
-    j = o.join(n, on=keys, how="full_outer")
-    same = F.lit(True)
-    for c in attrs:
-        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    if hash_compare:
+
+        def fingerprint(alias: str) -> Column:
+            parts: list[Column] = []
+            for i, c in enumerate(attrs):
+                parts += [F.lit(i), F.col(c).cast("string")]
+            return F.xxhash64(*parts).alias(alias)
+
+        o = old.select(*keys, fingerprint("__o_fp"), F.lit(True).alias("__in_old"))
+        n = new.select(*keys, fingerprint("__n_fp"), F.lit(True).alias("__in_new"))
+        j = o.join(n, on=keys, how="full_outer")
+        same = F.col("__o_fp").eqNullSafe(F.col("__n_fp"))
+    else:
+        o = old.select(*keys, *[F.col(c).alias(f"__o_{c}") for c in attrs], F.lit(True).alias("__in_old"))
+        n = new.select(*keys, *[F.col(c).alias(f"__n_{c}") for c in attrs], F.lit(True).alias("__in_new"))
+        j = o.join(n, on=keys, how="full_outer")
+        same = F.lit(True)
+        for c in attrs:
+            same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
     change = (
         F.when(F.col("__in_old").isNull(), F.lit("added"))
         .when(F.col("__in_new").isNull(), F.lit("removed"))

@@ -104,6 +104,8 @@ _DRIVER_FRESH_R07 = frozenset({
     "sequence_assembly",
     "hybrid_search_rrf",
     "bloom_index_point_lookup",
+    "snapshot_restore",
+    "snapshot_table_diff",
 })
 
 
@@ -127,6 +129,7 @@ _EAGER_STAGING_QUERIES = (
     "snapshot_change_feed",  # stages the shared 3-commit CDF table
     "streaming_cdc_replication",  # runs the CDC stream into the replica
     "bloom_index_point_lookup",  # compaction + bloom index build
+    "snapshot_restore",  # stages the 3-commit restore fixture table
 )
 
 
@@ -4736,3 +4739,123 @@ def q_bloom_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BLOOM_INDEX_TABLES: dict[str, str] = {}  # sf_dir -> table path (memoized)
+
+
+# ===========================================================================
+# Round 7 (cont.): table maintenance — RESTORE / shallow clone / vacuum
+# and snapshot reconciliation diff.
+# ===========================================================================
+
+@register(
+    "snapshot_restore",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           o_orderpriority AS prio
+    FROM orders WHERE o_orderkey % 3 = 0
+    """,
+    doc="RESTORE TABLE ... TO VERSION AS OF (sinks/upsert.py::"
+        "restore_table — Delta RESTORE semantics; the reference's "
+        "warehouse has no history to roll back to, dags/etl.py:181-202): "
+        "a PARTITIONED table takes a bad overlapping batch (v2), then "
+        "restores to v1 as a NEW commit v3 — metadata-only (the v1 "
+        "farm's pool references are recreated; zero data bytes rewritten, "
+        "so rolling back a 100 TB table costs file-count metadata ops). "
+        "The current read must equal first-principles v1, proving the "
+        "rollback through the ordinary claim + pointer-swap commit.",
+)
+def q_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.sinks.upsert import (
+        read_parquet_table,
+        restore_table,
+        upsert_parquet,
+    )
+
+    path = _RESTORE_TABLES.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        orders = load_table(spark, sf_dir, "orders")
+        base = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        bad = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice").cast("double") + F.lit(1000.0)).alias("price"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        path = tempfile.mkdtemp(prefix="restore-") + "/tbl"
+        upsert_parquet(
+            spark, base, path, ["o_orderkey"], partition_by=["prio"], keep_snapshots=5
+        )
+        upsert_parquet(
+            spark, bad, path, ["o_orderkey"], partition_by=["prio"], keep_snapshots=5
+        )
+        restore_table(spark, path, version=1, keep_snapshots=5)
+        _RESTORE_TABLES[sf_dir] = path
+    return read_parquet_table(spark, path).select(
+        "o_orderkey", "o_custkey", "price", "prio"
+    )
+
+
+_RESTORE_TABLES: dict[str, str] = {}  # sf_dir -> table path (memoized)
+
+
+@register(
+    "snapshot_table_diff",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DOUBLE) AS price,
+               o_orderpriority AS prio
+        FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    b AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DOUBLE) + 1000.0 AS price,
+               o_orderpriority AS prio
+        FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    v2 AS (
+        SELECT * FROM v1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b)
+        UNION ALL SELECT * FROM b
+    ),
+    v3 AS (SELECT * FROM v2 WHERE prio <> '1-URGENT')
+    SELECT COALESCE(v1.o_orderkey, v3.o_orderkey) AS o_orderkey,
+           CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                WHEN v3.o_orderkey IS NULL THEN 'removed'
+                WHEN v1.o_custkey IS DISTINCT FROM v3.o_custkey
+                  OR v1.price     IS DISTINCT FROM v3.price
+                  OR v1.prio      IS DISTINCT FROM v3.prio THEN 'changed'
+           END AS change_type
+    FROM v1 FULL OUTER JOIN v3 ON v1.o_orderkey = v3.o_orderkey
+    WHERE (CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                WHEN v3.o_orderkey IS NULL THEN 'removed'
+                WHEN v1.o_custkey IS DISTINCT FROM v3.o_custkey
+                  OR v1.price     IS DISTINCT FROM v3.price
+                  OR v1.prio      IS DISTINCT FROM v3.prio THEN 'changed'
+           END) IS NOT NULL
+    """,
+    doc="snapshot reconciliation diff (operators/relational.py::"
+        "table_diff, hash_compare scale path): time-travel v1 vs the "
+        "current v3 of the shared 3-commit CDF table, classifying every "
+        "key as added/removed/changed.  Each side collapses its compared "
+        "attributes to one position-marked xxhash64 fingerprint IN THE "
+        "SCAN STAGE, so the full-outer exchange carries bare (key, 8-byte "
+        "hash) rows — a 100-column 100 TB reconciliation shuffles two "
+        "long columns.  The oracle recomputes the diff from first "
+        "principles with exact IS DISTINCT FROM comparison, so the "
+        "fingerprint path is verified against exact semantics.",
+)
+def q_snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.relational import table_diff
+    from etl_tiki_webscraping_spark.sinks.upsert import read_parquet_table
+
+    path = _change_feed_table(spark, sf_dir)
+    v1 = read_parquet_table(spark, path, version=1)
+    cur = read_parquet_table(spark, path)
+    return table_diff(v1, cur, keys=["o_orderkey"], hash_compare=True)

@@ -291,6 +291,238 @@ def table_history(spark: SparkSession, target_path: str) -> DataFrame:
     )
 
 
+def _link_snapshot_tree(src: str, dst: str, resolve_links: bool) -> None:
+    """Recreate snapshot dir ``src`` under ``dst`` at ZERO data copy:
+    regular files are HARDLINKED (same bytes, new name — the
+    object-store analog is a manifest entry referencing the same
+    object), symlinks (a partitioned snapshot's farm references into
+    the ``data/`` pool) are recreated verbatim (``resolve_links=False``,
+    same-table restore: relative targets resolve identically from the
+    sibling staging dir) or resolved to absolute targets
+    (``resolve_links=True``, cross-table shallow clone).  ``_``/``.``
+    entries at the snapshot root (``_changes``, bloom indexes) are
+    commit-specific and skipped; hive null-partition dirs are named
+    ``col=__HIVE_DEFAULT_PARTITION__`` so they never match that prefix."""
+    import os
+    import shutil
+
+    os.makedirs(dst)
+    for entry in sorted(os.listdir(src)):
+        if entry.startswith(("_", ".")):
+            continue
+        s, d = os.path.join(src, entry), os.path.join(dst, entry)
+        if os.path.islink(s):
+            os.symlink(
+                os.path.realpath(s) if resolve_links else os.readlink(s), d
+            )
+        elif os.path.isdir(s):
+            _link_snapshot_tree(s, d, resolve_links)
+        else:
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)  # cross-device fallback
+
+
+def restore_table(
+    spark: SparkSession,
+    target_path: str,
+    version: int | None = None,
+    as_of: "float | None" = None,
+    keep_snapshots: int = 2,
+    change_feed: bool = False,
+) -> int:
+    """``RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF`` (Delta RESTORE
+    semantics): commit a NEW version whose content is a retained older
+    snapshot's — roll back bad writes without losing the history that
+    followed them (the bad versions stay readable until pruned).
+
+    METADATA-ONLY: the restored snapshot's files are hardlinked and its
+    partition references (symlink farm) recreated — no data bytes are
+    rewritten, so restoring a 100 TB table costs file-count metadata
+    ops, exactly like Delta's RESTORE (which re-adds the old version's
+    file entries to the log).  The commit rides the same claim +
+    pointer-swap protocol as any upsert, so concurrent writers see a
+    plain ``ConcurrentWriteError``/rebase.
+
+    ``change_feed=True`` additionally records the restore's row-level
+    effect (rows re-appearing = ``insert``, rows vanishing = ``delete``,
+    computed as full-row ``exceptAll`` diffs against the pre-restore
+    current state in the restored schema) so CDC consumers following
+    :func:`read_change_feed` survive the rollback; it costs one read of
+    both versions.  Without it the restored commit has no ``_changes``
+    entry and feed reads spanning it refuse (the documented gap
+    behavior).  Returns the new version number."""
+    import json
+    import os
+    import shutil
+
+    if version is None and as_of is None:
+        raise ValueError("restore_table requires version or as_of")
+    cur = _current_snapshot(target_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot table at {target_path}")
+    src_name = _resolve_snapshot_name(target_path, version, as_of)
+    next_version = int(cur.lstrip("v")) + 1
+    stage = _stage_base(next_version)
+    stage_dir = os.path.join(target_path, stage)
+    committed = False
+    try:
+        _link_snapshot_tree(
+            os.path.join(target_path, src_name), stage_dir, resolve_links=False
+        )
+        with open(os.path.join(target_path, src_name + ".json")) as fh:
+            manifest = json.load(fh)
+        manifest["version"] = next_version
+        manifest["attempt"] = stage  # ownership check at publish
+        manifest["restored_from"] = int(src_name.lstrip("v"))
+        mpath = os.path.join(target_path, stage + ".json")
+        with open(mpath + ".tmp", "w") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        os.replace(mpath + ".tmp", mpath)
+        if change_feed:
+            restored = _read_snapshot(spark, target_path, stage)
+            current = _read_snapshot(spark, target_path, cur)
+            # align the pre-restore state to the restored (= post-commit
+            # table) schema; columns added after the restore point
+            # vanish with the restore, columns it lacks null-fill
+            aligned = current.select(
+                [
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in current.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in restored.schema.fields
+                ]
+            )
+            feed = _tag_changes(
+                restored.exceptAll(aligned), "insert", next_version
+            ).unionByName(_tag_changes(aligned.exceptAll(restored), "delete", next_version))
+            feed.write.mode("overwrite").parquet(os.path.join(stage_dir, "_changes"))
+        _publish_staged(target_path, next_version, stage, keep_snapshots)
+        committed = True
+        return next_version
+    finally:
+        if not committed:
+            shutil.rmtree(stage_dir, ignore_errors=True)
+            try:
+                os.remove(os.path.join(target_path, stage + ".json"))
+            except OSError:
+                pass
+
+
+def vacuum_table(target_path: str, keep_snapshots: int = 2) -> list[str]:
+    """``VACUUM`` analog: reclaim snapshot versions older than the
+    newest ``keep_snapshots`` plus every ``data/`` pool dir no retained
+    snapshot references — the standalone form of the best-effort prune
+    each commit already runs, for shrinking the time-travel window
+    without writing anything.  Attempt-scoped artifacts younger than
+    the claim grace window are spared (they may belong to a live
+    concurrent writer — same liveness rule as the commit-path prune).
+    Returns the reclaimed top-level entry names (snapshot dirs,
+    manifests, pool dirs as ``data/<pool>``).  Reads of pruned versions
+    raise ``FileNotFoundError`` afterwards; the current version is
+    always retained.
+
+    NOTE the shallow-clone hazard (same as Delta): a clone of a
+    PARTITIONED table references this table's pool dirs by path, and
+    vacuum here cannot see those external references — vacuum a cloned
+    source only after re-materializing or dropping its clones
+    (unpartitioned clones hardlink, so their bytes survive any source
+    vacuum)."""
+    import os
+
+    cur = _current_snapshot(target_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot table at {target_path}")
+
+    def _inventory() -> set[str]:
+        entries = set()
+        for e in os.listdir(target_path):
+            if e == "data":
+                pool_root = os.path.join(target_path, "data")
+                entries |= {os.path.join("data", p) for p in os.listdir(pool_root)}
+            else:
+                entries.add(e)
+        return entries
+
+    before = _inventory()
+    _prune_snapshots(target_path, int(cur.lstrip("v")), keep_snapshots)
+    return sorted(before - _inventory())
+
+
+def clone_table(
+    spark: SparkSession,
+    source_path: str,
+    dest_path: str,
+    version: int | None = None,
+    as_of: "float | None" = None,
+    keep_snapshots: int = 2,
+) -> None:
+    """SHALLOW CLONE (Delta ``CREATE TABLE ... SHALLOW CLONE``): commit
+    ``dest_path`` v1 referencing the source snapshot's bytes with ZERO
+    data copy — unpartitioned files hardlink, a partitioned farm's pool
+    references are recreated as absolute links into the SOURCE's pool
+    (the object-store port records absolute object URIs in the clone's
+    manifest).  Writes to either table after the clone are invisible to
+    the other: the clone's upserts pool under its own ``data/`` and its
+    snapshots carry forward only references, never bytes — copy-on-write
+    at partition granularity.
+
+    Hazard (inherent to shallow clones, documented by Delta the same
+    way): VACUUM on a partitioned SOURCE can reclaim pool dirs a clone
+    still references — see :func:`vacuum_table`.  ``version``/``as_of``
+    clone a retained older snapshot instead of the current one."""
+    import json
+    import os
+    import shutil
+
+    if os.path.isdir(dest_path) and os.listdir(dest_path):
+        raise FileExistsError(f"clone destination {dest_path} is not empty")
+    cur = _current_snapshot(source_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot table at {source_path}")
+    src_name = (
+        _resolve_snapshot_name(source_path, version, as_of)
+        if version is not None or as_of is not None
+        else cur
+    )
+    os.makedirs(dest_path, exist_ok=True)
+    stage = _stage_base(1)
+    stage_dir = os.path.join(dest_path, stage)
+    committed = False
+    try:
+        _link_snapshot_tree(
+            os.path.join(source_path, src_name), stage_dir, resolve_links=True
+        )
+        with open(os.path.join(source_path, src_name + ".json")) as fh:
+            manifest = json.load(fh)
+        manifest["version"] = 1
+        manifest["attempt"] = stage
+        manifest["cloned_from"] = {
+            "path": os.path.realpath(source_path),
+            "version": int(src_name.lstrip("v")),
+        }
+        if manifest.get("partitions"):
+            # authoritative references now live outside this table dir
+            manifest["partitions"] = {
+                rel: os.path.realpath(os.path.join(source_path, d))
+                for rel, d in manifest["partitions"].items()
+            }
+        mpath = os.path.join(dest_path, stage + ".json")
+        with open(mpath + ".tmp", "w") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        os.replace(mpath + ".tmp", mpath)
+        _publish_staged(dest_path, 1, stage, keep_snapshots)
+        committed = True
+    finally:
+        if not committed:
+            shutil.rmtree(stage_dir, ignore_errors=True)
+            try:
+                os.remove(os.path.join(dest_path, stage + ".json"))
+            except OSError:
+                pass
+
+
 def build_bloom_index(
     spark: SparkSession,
     target_path: str,
@@ -437,6 +669,55 @@ def _bloom_pruned_read(
     return reader.option("basePath", snap_dir).parquet(*kept).filter(pred)
 
 
+def _resolve_snapshot_name(
+    target_path: str, version: int | None = None, as_of: "float | None" = None
+) -> str:
+    """Resolve a time-travel request to a RETAINED, COMMITTED snapshot
+    dir name.  ``version`` must be committed (at or before the current
+    pointer) and not yet pruned; ``as_of`` (epoch seconds) resolves to
+    the newest retained snapshot whose manifest was committed at or
+    before that instant — Delta's ``timestampAsOf`` resolution.  Raises
+    ``FileNotFoundError`` when no retained snapshot satisfies the
+    request."""
+    import os
+
+    if as_of is not None:
+        cur = _current_snapshot(target_path)
+        cur_v = int(cur.lstrip("v")) if cur is not None else 0
+        best = None
+        for entry in os.listdir(target_path):
+            if not (entry.startswith("v") and entry.endswith(".json")):
+                continue
+            stem = entry[:-5]
+            try:
+                v = int(stem.lstrip("v").split(".", 1)[0])
+            except ValueError:
+                continue
+            if "." in stem or v > cur_v:  # staged / uncommitted leftovers
+                continue
+            committed_at = os.path.getmtime(os.path.join(target_path, entry))
+            if committed_at <= as_of and (best is None or v > best):
+                best = v
+        if best is None:
+            raise FileNotFoundError(
+                f"{target_path}: no retained snapshot committed at or before "
+                f"as_of={as_of} (table newer than that instant, or history pruned)"
+            )
+        version = best
+    assert version is not None
+    cur = _current_snapshot(target_path)
+    name = f"v{version:08d}"
+    snap_path = os.path.join(target_path, name)
+    # a dir NEWER than the pointer is an uncommitted crash leftover
+    committed = cur is not None and version <= int(cur.lstrip("v"))
+    if not committed or not os.path.exists(snap_path):
+        raise FileNotFoundError(
+            f"snapshot {name} of {target_path} is not available "
+            f"(pruned, never committed, or ahead of {cur})"
+        )
+    return name
+
+
 def read_parquet_table(
     spark: SparkSession,
     target_path: str,
@@ -487,40 +768,8 @@ def read_parquet_table(
         raise ValueError("version and as_of are mutually exclusive")
     if eq_filter is not None and range_filter is not None:
         raise ValueError("eq_filter and range_filter are mutually exclusive")
-    if as_of is not None:
-        cur = _current_snapshot(target_path)
-        cur_v = int(cur.lstrip("v")) if cur is not None else 0
-        best = None
-        for entry in os.listdir(target_path):
-            if not (entry.startswith("v") and entry.endswith(".json")):
-                continue
-            stem = entry[:-5]
-            try:
-                v = int(stem.lstrip("v").split(".", 1)[0])
-            except ValueError:
-                continue
-            if "." in stem or v > cur_v:  # staged / uncommitted leftovers
-                continue
-            committed_at = os.path.getmtime(os.path.join(target_path, entry))
-            if committed_at <= as_of and (best is None or v > best):
-                best = v
-        if best is None:
-            raise FileNotFoundError(
-                f"{target_path}: no retained snapshot committed at or before "
-                f"as_of={as_of} (table newer than that instant, or history pruned)"
-            )
-        version = best
-    if version is not None:
-        cur = _current_snapshot(target_path)
-        name = f"v{version:08d}"
-        snap_path = os.path.join(target_path, name)
-        # a dir NEWER than the pointer is an uncommitted crash leftover
-        committed = cur is not None and version <= int(cur.lstrip("v"))
-        if not committed or not os.path.exists(snap_path):
-            raise FileNotFoundError(
-                f"snapshot {name} of {target_path} is not available "
-                f"(pruned, never committed, or ahead of {cur})"
-            )
+    if version is not None or as_of is not None:
+        name = _resolve_snapshot_name(target_path, version, as_of)
     else:
         name = _current_snapshot(target_path)
         if name is None:

@@ -1,0 +1,283 @@
+"""Table maintenance: RESTORE / VACUUM / shallow CLONE on the snapshot
+table layout (sinks/upsert.py), plus the table_diff reconciliation
+operator (operators/relational.py).  The reference's warehouse keeps
+only current state (dags/etl.py:181-202); these are the history-
+management operations a 100 TB snapshot table needs."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_tiki_webscraping_spark.operators.relational import table_diff
+from etl_tiki_webscraping_spark.sinks.upsert import (
+    clone_table,
+    read_change_feed,
+    read_parquet_table,
+    restore_table,
+    table_history,
+    upsert_parquet,
+    vacuum_table,
+)
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def _orders(spark, sf_dir, mod, price_bump=0.0):
+    return (
+        read_parquet_table(spark, os.path.join(sf_dir, "orders.parquet"))
+        .filter(F.col("o_orderkey") % mod == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice").cast("double") + F.lit(price_bump)).alias("price"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+    )
+
+
+COLS = ("o_orderkey", "o_custkey", "price", "prio")
+
+
+class TestRestore:
+    def test_unpartitioned_roundtrip_metadata_only(self, spark, sf_dir, tmp_path):
+        path = str(tmp_path / "t")
+        upsert_parquet(spark, _orders(spark, sf_dir, 3), path, ["o_orderkey"], keep_snapshots=9)
+        v1 = _rows(read_parquet_table(spark, path), *COLS)
+        upsert_parquet(
+            spark, _orders(spark, sf_dir, 5, 1000.0), path, ["o_orderkey"], keep_snapshots=9
+        )
+        assert _rows(read_parquet_table(spark, path), *COLS) != v1
+        new_v = restore_table(spark, path, version=1, keep_snapshots=9)
+        assert new_v == 3
+        assert _rows(read_parquet_table(spark, path), *COLS) == v1
+        # the bad version stays time-travelable until pruned
+        assert _rows(read_parquet_table(spark, path, version=2), *COLS) != v1
+        # metadata-only: every restored parquet file is a HARDLINK of a
+        # v1 file (same inode), no data bytes were rewritten
+        v3_dir = os.path.join(path, "v00000003")
+        files = [f for f in os.listdir(v3_dir) if f.endswith(".parquet")]
+        assert files and all(
+            os.stat(os.path.join(v3_dir, f)).st_nlink >= 2 for f in files
+        )
+        hist = {r["version"]: r["n_rows"] for r in table_history(spark, path).collect()}
+        assert hist[3] == hist[1] == len(v1)
+
+    def test_partitioned_farm_restore(self, spark, sf_dir, tmp_path):
+        path = str(tmp_path / "t")
+        upsert_parquet(
+            spark, _orders(spark, sf_dir, 3), path, ["o_orderkey"],
+            partition_by=["prio"], keep_snapshots=9,
+        )
+        v1 = _rows(read_parquet_table(spark, path), *COLS)
+        upsert_parquet(
+            spark, _orders(spark, sf_dir, 5, 1000.0), path, ["o_orderkey"],
+            partition_by=["prio"], keep_snapshots=9,
+        )
+        restore_table(spark, path, version=1, keep_snapshots=9)
+        assert _rows(read_parquet_table(spark, path), *COLS) == v1
+        # the restored farm references the SAME pool dirs v1 did
+        def leaf_targets(snap):
+            d = os.path.join(path, snap)
+            return {
+                e: os.path.realpath(os.path.join(d, e))
+                for e in os.listdir(d)
+                if not e.startswith(("_", "."))
+            }
+        assert leaf_targets("v00000003") == leaf_targets("v00000001")
+
+    def test_restore_records_change_feed_diff(self, spark, sf_dir, tmp_path):
+        path = str(tmp_path / "t")
+        upsert_parquet(
+            spark, _orders(spark, sf_dir, 3), path, ["o_orderkey"],
+            keep_snapshots=9, change_feed=True,
+        )
+        upsert_parquet(
+            spark, _orders(spark, sf_dir, 5, 1000.0), path, ["o_orderkey"],
+            keep_snapshots=9, change_feed=True,
+        )
+        v1 = read_parquet_table(spark, path, version=1)
+        v2 = read_parquet_table(spark, path, version=2)
+        restore_table(spark, path, version=1, keep_snapshots=9, change_feed=True)
+        feed = read_change_feed(spark, path, from_version=3).filter(
+            F.col("_commit_version") == 3
+        )
+        inserts = feed.filter(F.col("_change_type") == "insert").select(*COLS)
+        deletes = feed.filter(F.col("_change_type") == "delete").select(*COLS)
+        assert _rows(inserts, *COLS) == _rows(v1.exceptAll(v2), *COLS)
+        assert _rows(deletes, *COLS) == _rows(v2.exceptAll(v1), *COLS)
+        # and the feed REPLAYS: v2 + restore changes == v1
+        replayed = (
+            v2.exceptAll(deletes).unionByName(inserts)
+        )
+        assert _rows(replayed, *COLS) == _rows(v1, *COLS)
+
+    def test_restore_missing_version_raises(self, spark, sf_dir, tmp_path):
+        path = str(tmp_path / "t")
+        upsert_parquet(spark, _orders(spark, sf_dir, 3), path, ["o_orderkey"])
+        with pytest.raises(FileNotFoundError):
+            restore_table(spark, path, version=7)
+        with pytest.raises(ValueError):
+            restore_table(spark, path)
+
+
+class TestVacuum:
+    def test_vacuum_shrinks_history_and_reclaims_pools(self, spark, sf_dir, tmp_path):
+        path = str(tmp_path / "t")
+        for mod in (3, 5, 7):
+            upsert_parquet(
+                spark, _orders(spark, sf_dir, mod), path, ["o_orderkey"],
+                partition_by=["prio"], keep_snapshots=9,
+            )
+        assert os.path.isdir(os.path.join(path, "v00000001"))
+        current = _rows(read_parquet_table(spark, path), *COLS)
+        # age every pool dir past the claim grace window: vacuum spares
+        # RECENT unreferenced pools (they may belong to a live concurrent
+        # attempt — same liveness rule as the commit-path prune), so a
+        # just-written test table must simulate age to see full reclaim
+        from etl_tiki_webscraping_spark.sinks import upsert as upsert_mod
+
+        old = os.stat(path).st_mtime - upsert_mod._CLAIM_GRACE_SECONDS - 10
+        for p in os.listdir(os.path.join(path, "data")):
+            os.utime(os.path.join(path, "data", p), (old, old))
+        removed = vacuum_table(path, keep_snapshots=2)
+        assert "v00000001" in removed and "v00000001.json" in removed
+        # retained versions still read; pruned version refuses
+        assert _rows(read_parquet_table(spark, path), *COLS) == current
+        assert read_parquet_table(spark, path, version=2).count() > 0
+        with pytest.raises(FileNotFoundError):
+            read_parquet_table(spark, path, version=1)
+        # every surviving pool dir is referenced by a retained snapshot
+        referenced = set()
+        for snap in ("v00000002", "v00000003"):
+            d = os.path.join(path, snap)
+            for root, dirs, files in os.walk(d):
+                for e in dirs + files:
+                    p = os.path.join(root, e)
+                    if os.path.islink(p):
+                        referenced.add(os.path.realpath(p))
+        pools = {
+            os.path.realpath(os.path.join(path, "data", p, leaf))
+            for p in os.listdir(os.path.join(path, "data"))
+            for leaf in os.listdir(os.path.join(path, "data", p))
+            if not leaf.startswith(("_", "."))
+        }
+        assert pools <= referenced
+
+    def test_vacuum_on_missing_table_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            vacuum_table(str(tmp_path / "nope"))
+
+
+class TestClone:
+    def test_unpartitioned_clone_is_isolated(self, spark, sf_dir, tmp_path):
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        upsert_parquet(spark, _orders(spark, sf_dir, 3), src, ["o_orderkey"])
+        clone_table(spark, src, dst)
+        base = _rows(read_parquet_table(spark, src), *COLS)
+        assert _rows(read_parquet_table(spark, dst), *COLS) == base
+        # zero copy: clone's files hardlink the source bytes
+        d1 = os.path.join(dst, "v00000001")
+        assert all(
+            os.stat(os.path.join(d1, f)).st_nlink >= 2
+            for f in os.listdir(d1)
+            if f.endswith(".parquet")
+        )
+        # writes diverge, in both directions
+        upsert_parquet(spark, _orders(spark, sf_dir, 5, 1000.0), dst, ["o_orderkey"])
+        assert _rows(read_parquet_table(spark, src), *COLS) == base
+        upsert_parquet(spark, _orders(spark, sf_dir, 7, -5.0), src, ["o_orderkey"])
+        assert _rows(read_parquet_table(spark, dst), *COLS) != base
+        assert read_parquet_table(spark, dst, version=1).count() == len(base)
+
+    def test_partitioned_clone_references_source_pool(self, spark, sf_dir, tmp_path):
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        upsert_parquet(
+            spark, _orders(spark, sf_dir, 3), src, ["o_orderkey"], partition_by=["prio"]
+        )
+        clone_table(spark, src, dst)
+        assert _rows(read_parquet_table(spark, dst), *COLS) == _rows(
+            read_parquet_table(spark, src), *COLS
+        )
+        # the clone's farm resolves into the SOURCE's data pool: no bytes copied
+        d1 = os.path.join(dst, "v00000001")
+        src_data = os.path.realpath(os.path.join(src, "data"))
+        links = [e for e in os.listdir(d1) if os.path.islink(os.path.join(d1, e))]
+        assert links and all(
+            os.path.realpath(os.path.join(d1, e)).startswith(src_data + os.sep)
+            for e in links
+        )
+        # copy-on-write: an upsert into the clone pools under the CLONE
+        upsert_parquet(
+            spark, _orders(spark, sf_dir, 5, 1000.0), dst, ["o_orderkey"],
+            partition_by=["prio"],
+        )
+        assert os.path.isdir(os.path.join(dst, "data"))
+        assert _rows(read_parquet_table(spark, src), *COLS) == _rows(
+            read_parquet_table(spark, dst, version=1), *COLS
+        )
+
+    def test_clone_of_older_version_and_nonempty_dest(self, spark, sf_dir, tmp_path):
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        upsert_parquet(spark, _orders(spark, sf_dir, 3), src, ["o_orderkey"], keep_snapshots=9)
+        upsert_parquet(
+            spark, _orders(spark, sf_dir, 5, 1000.0), src, ["o_orderkey"], keep_snapshots=9
+        )
+        clone_table(spark, src, dst, version=1)
+        assert _rows(read_parquet_table(spark, dst), *COLS) == _rows(
+            read_parquet_table(spark, src, version=1), *COLS
+        )
+        with pytest.raises(FileExistsError):
+            clone_table(spark, src, dst)
+
+
+class TestTableDiff:
+    def _frames(self, spark):
+        old = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", None), (3, None, 3.0), (4, "d", 4.0)],
+            "k int, s string, x double",
+        )
+        new = spark.createDataFrame(
+            [(1, "a", 1.0), (2, None, 2.0), (3, None, 3.0), (5, "e", 5.0)],
+            "k int, s string, x double",
+        )
+        return old, new
+
+    EXPECTED = [(2, "changed"), (4, "removed"), (5, "added")]
+
+    def test_exact_and_hash_paths_agree(self, spark):
+        old, new = self._frames(spark)
+        for hash_compare in (False, True):
+            got = sorted(
+                tuple(r)
+                for r in table_diff(
+                    old, new, ["k"], hash_compare=hash_compare
+                ).collect()
+            )
+            assert got == self.EXPECTED, hash_compare
+
+    def test_hash_path_distinguishes_null_position_swap(self, spark):
+        # (NULL, 'a') vs ('a', NULL): Spark's hash skips NULL inputs, so
+        # without position markers these would collide
+        old = spark.createDataFrame([(1, None, "a")], "k int, u string, v string")
+        new = spark.createDataFrame([(1, "a", None)], "k int, u string, v string")
+        got = table_diff(old, new, ["k"], hash_compare=True).collect()
+        assert [(r["k"], r["change_type"]) for r in got] == [(1, "changed")]
+
+    def test_compare_cols_subset(self, spark):
+        old, new = self._frames(spark)
+        got = sorted(
+            tuple(r)
+            for r in table_diff(old, new, ["k"], compare_cols=["s"], hash_compare=True).collect()
+        )
+        assert got == [(2, "changed"), (4, "removed"), (5, "added")]
+        # x-only comparison: key 2 changed (NULL -> 2.0), key 3 unchanged
+        got_x = sorted(
+            tuple(r)
+            for r in table_diff(old, new, ["k"], compare_cols=["x"]).collect()
+        )
+        assert got_x == [(2, "changed"), (4, "removed"), (5, "added")]
