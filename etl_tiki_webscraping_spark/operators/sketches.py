@@ -1,0 +1,174 @@
+"""Frequency-sketch operators: exact heavy hitters at scale via a
+Misra-Gries candidate pass, and DataFrame-native mergeable Count-Min
+sketches.
+
+The reference's warehouse answers "top sellers" with a full GROUP BY
+over current state (sql/dwh.sql aggregates); at 100 TB a groupBy over
+a high-cardinality column shuffles every distinct key.  The operators
+here bound that:
+
+- :func:`heavy_hitters` — two passes, both bounded: a per-partition
+  Misra-Gries summary (at most ``capacity`` counters in memory,
+  candidates only — never full counts — cross the wire), then an
+  EXACT count restricted to the broadcast candidate set.  The output
+  is exactly the values with count >= threshold: the MG guarantee
+  makes false negatives impossible when ``capacity + 1 > 2n/threshold``
+  (auto-sized), and the exact pass kills false positives — the same
+  approximate-prune + exact-close design as
+  ``operators/bloom.py::bloom_pruned_semi_join``.
+
+- :func:`cms_build` / :func:`cms_merge` / :func:`cms_estimate` — a
+  Count-Min sketch held as ordinary DataFrame rows ``(depth, bucket,
+  cnt)`` with seeded ``xxhash64`` bucket hashing: build is one
+  map-side-combined groupBy bounded by depth x width cells per task,
+  merging sketches of different batches is a plain additive groupBy
+  (the re-aggregatable form rollups need), and estimates join probes
+  against the bounded cell grid.  Estimates only ever OVER-count
+  (eps = e/width relative mass, delta = e^-depth), the classic CMS
+  bound.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    threshold_count: int,
+    capacity: int | None = None,
+) -> DataFrame:
+    """EXACT frequent-value mining: all values of ``col`` occurring at
+    least ``threshold_count`` times, with their exact counts — without
+    a full-cardinality groupBy shuffle.
+
+    Pass 1 (candidates): each partition runs batch Misra-Gries over its
+    Arrow batches — at most ``capacity`` counters; when the table
+    overflows, the (capacity+1)-th largest count is subtracted from
+    every counter and non-positive ones drop, which removes at least
+    ``(capacity+1) * delta`` mass per step, so a partition's total
+    undercount is bounded by ``n_p / (capacity + 1)``.  Any value with
+    global count >= threshold therefore survives in at least one
+    partition whenever ``capacity + 1 > 2n/threshold`` — the default
+    sizing (one ``df.count()``; pass ``capacity`` explicitly to skip
+    it, e.g. from a snapshot manifest's free row count).  Only
+    candidate VALUES leave the executors.
+
+    Pass 2 (exact close): count only rows matching the broadcast
+    candidate set — the aggregation's key space is the candidate list,
+    not the column's cardinality — and apply the threshold exactly.
+    False positives die here; false negatives cannot exist by the MG
+    guarantee, so the result is identical to the full GROUP BY +
+    HAVING.  NULLs are not counted (SQL COUNT semantics).
+    """
+    import pandas as pd
+
+    if threshold_count < 1:
+        raise ValueError(f"threshold_count must be >= 1, got {threshold_count}")
+    if capacity is None:
+        n = df.count()
+        capacity = max(64, math.ceil(2.0 * n / threshold_count))
+    cap = int(capacity)
+    vals = df.select(F.col(col).alias("value")).where(F.col(col).isNotNull())
+    out_type = vals.schema["value"].dataType.simpleString()
+
+    def mg(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        counters = None  # pd.Series: value -> (possibly decremented) count
+        for pdf in batches:
+            vc = pdf["value"].value_counts()
+            counters = vc if counters is None else counters.add(vc, fill_value=0)
+            if len(counters) > cap:
+                delta = counters.nlargest(cap + 1).iloc[-1]
+                counters = counters - delta
+                counters = counters[counters > 0]
+        if counters is not None and len(counters):
+            yield pd.DataFrame({"value": counters.index})
+
+    candidates = vals.mapInPandas(mg, schema=f"value {out_type}").distinct()
+    return (
+        vals.join(F.broadcast(candidates), "value")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= int(threshold_count))
+        .withColumnRenamed("value", col)
+    )
+
+
+def _cms_bucket(col: str, depth_col, width: int):
+    """Seeded bucket id: each depth row d hashes with a distinct seed
+    position so the d rows are pairwise-independent-ish, the classic
+    CMS construction with xxhash64 standing in for the hash family."""
+    return F.pmod(F.xxhash64(depth_col, F.col(col)), F.lit(width))
+
+
+def cms_build(
+    df: DataFrame,
+    col: str,
+    group_cols: Sequence[str] = (),
+    depth: int = 5,
+    width: int = 2048,
+) -> DataFrame:
+    """Build a Count-Min sketch of ``col``'s value frequencies as
+    DataFrame rows ``(*group_cols, depth, bucket, cnt)`` — one sketch
+    per group (e.g. per day).  One exploded projection then one
+    groupBy whose key space is bounded by ``|groups| x depth x width``
+    cells — partial aggregation collapses each task's contribution to
+    at most that many rows before the exchange, regardless of input
+    row count or column cardinality."""
+    gcols = list(group_cols)
+    rows = df.where(F.col(col).isNotNull()).select(
+        *gcols,
+        F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("depth"),
+        F.col(col),
+    )
+    return (
+        rows.select(
+            *gcols, "depth", _cms_bucket(col, F.col("depth"), width).alias("bucket")
+        )
+        .groupBy(*gcols, "depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(sketch: DataFrame, drop_cols: Sequence[str] = ()) -> DataFrame:
+    """Merge per-group sketches by summing matching cells — dropping
+    ``drop_cols`` from the grouping coarsens the rollup (per-day ->
+    global), the same re-aggregation contract as ``hll_union_agg``.
+    Input and output are both bounded by the cell grid, so rollups
+    never rescan raw data."""
+    keep = [c for c in sketch.columns if c not in ("cnt", *drop_cols)]
+    return sketch.groupBy(*keep).agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    col: str,
+    depth: int = 5,
+    width: int = 2048,
+) -> DataFrame:
+    """Estimated frequency of each value in ``items[col]``: probe every
+    depth row's bucket and take the MIN across depths — the Count-Min
+    estimate, which can only OVER-count (collisions add, never
+    subtract).  ``depth``/``width`` MUST match the build's (they define
+    the hash family; the sketch rows don't carry them).  The probe side
+    explodes to ``|items| x depth`` rows and joins the bounded cell
+    grid; missing cells count 0."""
+    probes = (
+        items.select(F.col(col))
+        .distinct()
+        .select(
+            col,
+            F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("depth"),
+        )
+        .withColumn("bucket", _cms_bucket(col, F.col("depth"), width))
+    )
+    joined = probes.join(
+        sketch.select("depth", "bucket", "cnt"), ["depth", "bucket"], "left"
+    ).fillna({"cnt": 0})
+    return joined.groupBy(col).agg(F.min("cnt").alias("est_count"))

@@ -106,6 +106,10 @@ _DRIVER_FRESH_R07 = frozenset({
     "bloom_index_point_lookup",
     "snapshot_restore",
     "snapshot_table_diff",
+    "heavy_hitters_exact",
+    "table_profile",
+    "kll_quantile_rollup",
+    "cms_frequency_rollup",
 })
 
 
@@ -4035,7 +4039,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pii_redact",
-    oracle="""
+    oracle=r"""
     WITH salted AS (
         SELECT doc_id,
                COALESCE(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
@@ -4859,3 +4863,153 @@ def q_snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = read_parquet_table(spark, path, version=1)
     cur = read_parquet_table(spark, path)
     return table_diff(v1, cur, keys=["o_orderkey"], hash_compare=True)
+
+
+@register(
+    "heavy_hitters_exact",
+    oracle="""
+    SELECT l_partkey, COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING COUNT(*) >= 40
+    """,
+    doc="exact heavy hitters WITHOUT a full-cardinality groupBy "
+        "(operators/sketches.py::heavy_hitters — the scale form of the "
+        "reference's top-seller aggregates, sql/dwh.sql): pass 1 runs "
+        "bounded-memory Misra-Gries per partition (capacity auto-sized "
+        "to 2n/threshold, so the MG undercount bound makes false "
+        "negatives impossible); only candidate VALUES cross the wire. "
+        "Pass 2 exact-counts the broadcast candidate set and applies the "
+        "threshold — the approximate-prune + exact-close design of the "
+        "bloom semi join, so the result is bit-identical to the full "
+        "GROUP BY ... HAVING the oracle runs.",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.sketches import heavy_hitters
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    return heavy_hitters(li, "l_partkey", threshold_count=40)
+
+
+@register(
+    "table_profile",
+    oracle="""
+    SELECT 'l_quantity' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(l_quantity) AS n_nulls,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_value,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_value,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(l_quantity) AS mean_value
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
+           COUNT(DISTINCT l_extendedprice),
+           CAST(MIN(l_extendedprice) AS DOUBLE),
+           CAST(MAX(l_extendedprice) AS DOUBLE),
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(l_extendedprice)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(l_discount),
+           COUNT(DISTINCT l_discount),
+           CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE),
+           CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(l_discount)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+           COUNT(DISTINCT l_returnflag),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM lineitem
+    """,
+    doc="one-pass table profiling (quality/profile.py::profile_table — "
+        "the ANALYZE TABLE / data-quality-report primitive): per-column "
+        "completeness, exact cardinality, and numeric min/max/mean from "
+        "ONE aggregate over ONE scan, unpivoted executor-side into a row "
+        "per column.  The mean accumulates in exact decimal before the "
+        "double division, so it is accumulation-order independent; "
+        "approx_distinct=True is the 100 TB path (HLL++ instead of "
+        "per-column distinct Expand).  The oracle recomputes each "
+        "column's stats independently.",
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.quality.profile import profile_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_table(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_returnflag"]
+    )
+
+
+@register(
+    "kll_quantile_rollup",
+    oracle=None,  # approximate by design; rank-tolerance gated in unit tests
+    doc="mergeable quantile sketches (Apache DataSketches KLL via "
+        "kll_sketch_agg_double / kll_sketch_merge_double): per-day value "
+        "sketches roll up to per-event-type p50/p95/p99 WITHOUT "
+        "rescanning raw events — the re-aggregatable percentile form a "
+        "100 TB metrics store needs (exact percentiles cannot merge; "
+        "store the daily sketch column once and any coarser grain is a "
+        "sketch merge).  Rows-only driver check by contract; the "
+        "estimates are rank-tolerance gated against exact percentiles "
+        "in tests/test_sketches.py.",
+)
+def q_kll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type")
+    ).agg(F.kll_sketch_agg_double("value").alias("sk"))
+    # the rollup merges SKETCHES: this stage's input is |days x types|
+    # rows regardless of raw event volume.  kll_sketch_merge_double is
+    # a pairwise scalar merge, so the per-type fold collects the (few)
+    # daily sketches and reduces them with F.aggregate — still bounded
+    # by |days| compact sketches per group, never raw values
+    per_type = daily.groupBy("event_type").agg(
+        F.collect_list("sk").alias("sks")
+    ).select(
+        "event_type",
+        F.aggregate(
+            F.slice("sks", F.lit(2), F.greatest(F.size("sks") - 1, F.lit(0))),
+            F.element_at("sks", F.lit(1)),
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        ).alias("sk"),
+    )
+    return per_type.select(
+        "event_type",
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.95)).alias("p95"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.99)).alias("p99"),
+    )
+
+
+@register(
+    "cms_frequency_rollup",
+    oracle=None,  # one-sided estimate by design; over-count-only + error
+                  # bound gated in unit tests
+    doc="DataFrame-native mergeable Count-Min sketch (operators/"
+        "sketches.py::cms_build/cms_merge/cms_estimate): per-day "
+        "frequency sketches of user activity held as (day, depth, "
+        "bucket, cnt) rows — build is one map-side-combined groupBy "
+        "bounded by depth x width cells per task, the day->global "
+        "rollup is a plain additive groupBy over the bounded grid "
+        "(never rescans events), and point estimates probe k seeded "
+        "xxhash64 buckets taking the min.  Estimates can only "
+        "OVER-count (CMS guarantee) — asserted with the eps-bound in "
+        "tests/test_sketches.py; rows-only driver check by contract.",
+)
+def q_cms_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = cms_build(
+        ev.withColumn("day", F.to_date("ts")), "user_id",
+        group_cols=["day"], depth=5, width=2048,
+    )
+    merged = cms_merge(daily, drop_cols=["day"])
+    probes = ev.select("user_id").distinct().filter(F.col("user_id") < 50)
+    return cms_estimate(merged, probes, "user_id", depth=5, width=2048)

@@ -1,0 +1,139 @@
+"""Frequency/quantile sketch operators (operators/sketches.py,
+catalog kll_quantile_rollup): exactness of the Misra-Gries + exact-
+close heavy hitters, the Count-Min over-count-only + error-bound
+guarantees and merge identity, and KLL rank-tolerance vs exact
+percentiles."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_tiki_webscraping_spark.operators.sketches import (
+    cms_build,
+    cms_estimate,
+    cms_merge,
+    heavy_hitters,
+)
+
+
+def _skewed_df(spark, n_hot=8, hot_count=500, n_cold=5000, cold_count=3):
+    """A few hot values over a wide cold tail — distinct count far above
+    any reasonable candidate capacity, so MG pruning really prunes."""
+    rows = []
+    for h in range(n_hot):
+        rows += [(f"hot-{h}",)] * hot_count
+    for c in range(n_cold):
+        rows += [(f"cold-{c}",)] * cold_count
+    return spark.createDataFrame(rows, "v string").repartition(8)
+
+
+class TestHeavyHitters:
+    def test_matches_exact_group_by_under_real_pruning(self, spark):
+        df = _skewed_df(spark)
+        n = df.count()  # 19000
+        threshold = 400
+        # capacity 2n/threshold = 95 << 5008 distinct values: the MG
+        # pass cannot hold the cold tail, yet hot values must all survive
+        got = sorted(
+            tuple(r) for r in heavy_hitters(df, "v", threshold).collect()
+        )
+        exact = sorted(
+            tuple(r)
+            for r in df.groupBy("v")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") >= threshold)
+            .collect()
+        )
+        assert got == exact and len(got) == 8
+
+    def test_explicit_capacity_and_int_column(self, spark):
+        df = spark.createDataFrame(
+            [(i % 7,) for i in range(700)] + [(99,)] * 300, "v int"
+        ).repartition(4)
+        got = sorted(
+            tuple(r)
+            for r in heavy_hitters(df, "v", 100, capacity=512).collect()
+        )
+        exact = [(i, 100) for i in range(7)] + [(99, 300)]
+        assert got == sorted(exact)
+
+    def test_nulls_not_counted_and_bad_threshold(self, spark):
+        df = spark.createDataFrame([(None,)] * 50 + [("a",)] * 5, "v string")
+        assert heavy_hitters(df, "v", 5).collect()[0]["v"] == "a"
+        with pytest.raises(ValueError):
+            heavy_hitters(df, "v", 0)
+
+
+class TestCountMin:
+    DEPTH, WIDTH = 5, 256
+
+    def test_merged_rollup_equals_oneshot_build(self, spark):
+        df = spark.createDataFrame(
+            [(f"d{i % 3}", f"u{i % 37}") for i in range(600)], "day string, u string"
+        )
+        daily = cms_build(df, "u", group_cols=["day"], depth=self.DEPTH, width=self.WIDTH)
+        merged = cms_merge(daily, drop_cols=["day"])
+        oneshot = cms_build(df, "u", depth=self.DEPTH, width=self.WIDTH)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, oneshot.collect())
+        )
+
+    def test_estimates_overcount_only_within_eps_bound(self, spark):
+        df = spark.createDataFrame(
+            [(f"u{i % 100}",) for i in range(5000)], "u string"
+        )
+        sk = cms_build(df, "u", depth=self.DEPTH, width=self.WIDTH)
+        items = df.distinct()
+        est = {
+            r["u"]: r["est_count"]
+            for r in cms_estimate(sk, items, "u", depth=self.DEPTH, width=self.WIDTH).collect()
+        }
+        true = {r["u"]: r["cnt"] for r in df.groupBy("u").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        n = 5000
+        eps_bound = math.e / self.WIDTH * n  # classic CMS additive bound
+        assert set(est) == set(true)
+        for u, t in true.items():
+            assert est[u] >= t, f"{u}: CMS must never under-count"
+            assert est[u] <= t + eps_bound, f"{u}: overshoot beyond eps bound"
+
+    def test_absent_item_estimates_bounded(self, spark):
+        df = spark.createDataFrame([(f"u{i}",) for i in range(200)], "u string")
+        sk = cms_build(df, "u", depth=self.DEPTH, width=self.WIDTH)
+        ghost = spark.createDataFrame([("nope",)], "u string")
+        est = cms_estimate(sk, ghost, "u", depth=self.DEPTH, width=self.WIDTH).collect()
+        assert est[0]["est_count"] >= 0
+        assert est[0]["est_count"] <= math.e / self.WIDTH * 200 + 1
+
+
+class TestKllRollup:
+    def test_rollup_quantiles_within_rank_tolerance(self, spark, sf_dir):
+        from etl_tiki_webscraping_spark.plans.catalog import QUERIES
+
+        est = {
+            r["event_type"]: r
+            for r in QUERIES["kll_quantile_rollup"].fn(spark, sf_dir).collect()
+        }
+        from etl_tiki_webscraping_spark.io import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        # rank tolerance: KLL k=200 normalized rank error ~1.65%; the
+        # estimate at rank q must lie between exact quantiles q -/+ 4%
+        for q, name in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            lo_q, hi_q = max(0.0, q - 0.04), min(1.0, q + 0.04)
+            bounds = (
+                ev.groupBy("event_type")
+                .agg(
+                    F.expr(f"percentile(value, {lo_q})").alias("lo"),
+                    F.expr(f"percentile(value, {hi_q})").alias("hi"),
+                )
+                .collect()
+            )
+            for r in bounds:
+                got = est[r["event_type"]][name]
+                assert r["lo"] <= got <= r["hi"], (
+                    f"{r['event_type']} {name}: {got} outside "
+                    f"[{r['lo']}, {r['hi']}]"
+                )
