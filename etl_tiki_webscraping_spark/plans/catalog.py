@@ -110,6 +110,12 @@ _DRIVER_FRESH_R07 = frozenset({
     "table_profile",
     "kll_quantile_rollup",
     "cms_frequency_rollup",
+    "csv_ingest_quarantine",
+    "jsonl_ingest_quarantine",
+    "partition_evolution",
+    "range_frame_moving_avg",
+    "event_funnel_stages",
+    "theta_sketch_set_ops",
 })
 
 
@@ -134,6 +140,9 @@ _EAGER_STAGING_QUERIES = (
     "streaming_cdc_replication",  # runs the CDC stream into the replica
     "bloom_index_point_lookup",  # compaction + bloom index build
     "snapshot_restore",  # stages the 3-commit restore fixture table
+    "csv_ingest_quarantine",  # stages the CSV + corrupt-lines dir
+    "jsonl_ingest_quarantine",  # stages the JSONL + corrupt-lines dir
+    "partition_evolution",  # stages + evolves the layout fixture table
 )
 
 
@@ -5013,3 +5022,314 @@ def q_cms_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = cms_merge(daily, drop_cols=["day"])
     probes = ev.select("user_id").distinct().filter(F.col("user_id") < 50)
     return cms_estimate(merged, probes, "user_id", depth=5, width=2048)
+
+
+# ===========================================================================
+# Round 7 (cont.): ingest quarantine, partition evolution, time-range
+# windows, funnel analysis, theta set algebra.
+# ===========================================================================
+
+_INGEST_FIXTURES: dict[tuple, str] = {}  # (sf_dir, fmt) -> staged dir
+
+
+def _ingest_fixture(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """Stage (once per process) a headerless CSV / JSONL dir derived
+    from orders, plus an extra file of deliberately corrupt lines that
+    quarantine must absorb without disturbing the good rows."""
+    import os
+    import tempfile
+
+    key = (sf_dir, fmt)
+    path = _INGEST_FIXTURES.get(key)
+    if path is None:
+        mod = 7 if fmt == "csv" else 11
+        rows = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderkey") % mod == 0
+        ).select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        path = tempfile.mkdtemp(prefix=f"ingest-{fmt}-")
+        if fmt == "csv":
+            rows.write.mode("overwrite").option("header", "false").csv(path)
+        else:
+            rows.write.mode("overwrite").json(path)
+        with open(os.path.join(path, "part-corrupt.txt"), "w") as fh:
+            if fmt == "csv":
+                fh.write("THIS IS NOT A ROW\n")
+                fh.write("garbage,notanint,zz,1-URGENT\n")  # type mismatch
+                fh.write("1,2\n")  # short row
+            else:
+                fh.write("{truncated json\n")
+                fh.write('{"o_orderkey": "notanint", "o_custkey": 1}\n')
+                fh.write("plain text line\n")
+        _INGEST_FIXTURES[key] = path
+    return path
+
+
+_INGEST_SCHEMA = "o_orderkey bigint, o_custkey bigint, price double, prio string"
+
+
+@register(
+    "csv_ingest_quarantine",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           o_orderpriority AS prio
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+    doc="CSV ingest with corrupt-record quarantine (sources/files.py::"
+        "read_csv_quarantine — the split the reference's pandas ingest "
+        "lacks, dags/etl.py:69-113, where one malformed record aborts the "
+        "batch): files read as raw text lines, parsed per-line with "
+        "codegen'd from_csv in PERMISSIVE mode; short rows, type "
+        "mismatches and garbage lines route their RAW bytes to the "
+        "quarantine side for replay while every clean line lands typed.  "
+        "Expression-layer parsing dodges SPARK-38523's cache requirement "
+        "and works unchanged on a streaming text source.  The oracle is "
+        "the uncorrupted slice read straight from parquet — the 3 "
+        "injected corrupt lines must vanish into quarantine, nothing "
+        "else.",
+)
+def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.sources.files import read_csv_quarantine
+
+    good, _bad = read_csv_quarantine(
+        spark, _ingest_fixture(spark, sf_dir, "csv"), _INGEST_SCHEMA
+    )
+    return good
+
+
+@register(
+    "jsonl_ingest_quarantine",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           o_orderpriority AS prio
+    FROM orders WHERE o_orderkey % 11 = 0
+    """,
+    doc="JSON-lines ingest with corrupt-record quarantine (sources/"
+        "files.py::read_jsonl_quarantine): per-line from_json carrying a "
+        "corrupt-record column; truncated JSON, type mismatches, and "
+        "non-JSON lines quarantine as raw bytes (from_json's null-struct "
+        "case is folded into the same predicate).  Closest to the "
+        "reference's actual input (scraped JSON records, "
+        "dags/etl.py:69-113), re-expressed as a fault-isolating scan.",
+)
+def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.sources.files import read_jsonl_quarantine
+
+    good, _bad = read_jsonl_quarantine(
+        spark, _ingest_fixture(spark, sf_dir, "json"), _INGEST_SCHEMA
+    )
+    return good
+
+
+_EVOLVED_TABLES: dict[str, str] = {}  # sf_dir -> table path (memoized)
+
+
+@register(
+    "partition_evolution",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           o_orderpriority AS prio
+    FROM orders WHERE o_orderkey % 3 = 0
+    """,
+    doc="partition evolution (sinks/upsert.py::repartition_table — "
+        "ALTER TABLE ... PARTITIONED BY): an unpartitioned table is "
+        "rewritten under a prio-partitioned layout as ONE ordinary "
+        "claim+pointer commit; content must be byte-identical (the "
+        "oracle), the old layout stays time-travelable, and subsequent "
+        "upserts prune on the new partition columns (unit-tested).  The "
+        "rewrite is O(table) by necessity — the payoff is every later "
+        "1 GB batch touching only its partitions instead of 100 TB.",
+)
+def q_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.sinks.upsert import (
+        read_parquet_table,
+        repartition_table,
+        upsert_parquet,
+    )
+
+    path = _EVOLVED_TABLES.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        base = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderkey") % 3 == 0
+        ).select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        path = tempfile.mkdtemp(prefix="evolve-") + "/tbl"
+        upsert_parquet(spark, base, path, ["o_orderkey"], keep_snapshots=5)
+        repartition_table(spark, path, partition_by=["prio"], keep_snapshots=5)
+        _EVOLVED_TABLES[sf_dir] = path
+    return read_parquet_table(spark, path).select(
+        "o_orderkey", "o_custkey", "price", "prio"
+    )
+
+
+@register(
+    "range_frame_moving_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                    OVER w AS DOUBLE) / COUNT(value) OVER w AS avg_7d
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY epoch(ts)
+        RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW
+    )
+    """,
+    doc="time-RANGE window frame (Window.orderBy(epoch).rangeBetween): "
+        "per-user trailing 7-day moving average of event values — the "
+        "frame is bounded by TIME, not row count, so sparse and dense "
+        "users get the same semantics.  One user-keyed shuffle; the "
+        "frame scan is linear per partition.  Sums accumulate in exact "
+        "decimal before the double division, so the average is "
+        "evaluation-order independent and the DuckDB window replay "
+        "hash-matches exactly.",
+)
+def q_range_frame_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value",
+        F.col("ts").cast("long").alias("epoch_s"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-6 * 86400, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+            / F.count("value").over(w)
+        ).alias("avg_7d"),
+    )
+
+
+@register(
+    "event_funnel_stages",
+    oracle="""
+    WITH v AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS tv
+        FROM events GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, v.tv,
+               MIN(CASE WHEN e.event_type = 'click' AND e.ts >= v.tv
+                        THEN e.ts END) AS tc
+        FROM events e JOIN v USING (user_id)
+        GROUP BY e.user_id, v.tv
+    ),
+    p AS (
+        SELECT e.user_id, c.tv, c.tc,
+               MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= c.tc
+                        THEN e.ts END) AS tp
+        FROM events e JOIN c USING (user_id)
+        GROUP BY e.user_id, c.tv, c.tc
+    )
+    SELECT CASE WHEN tp IS NOT NULL THEN 'purchase'
+                WHEN tc IS NOT NULL THEN 'click'
+                WHEN tv IS NOT NULL THEN 'view'
+                ELSE 'none' END AS stage,
+           COUNT(*) AS n_users
+    FROM p GROUP BY 1
+    """,
+    doc="ordered funnel analysis (view -> click-after-view -> "
+        "purchase-after-click): the furthest stage each user reached "
+        "respecting event ORDER, then stage population counts — the "
+        "conversion query every event warehouse runs, and a shape plain "
+        "aggregation can't express (each stage's threshold depends on "
+        "the previous stage's timestamp).  Spark: three chained MIN "
+        "windows over the SAME user partitioning — Catalyst reuses one "
+        "exchange for all three Window operators (single user-keyed "
+        "shuffle), then a bounded groupBy on the stage label.",
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    staged = (
+        ev.withColumn(
+            "tv", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "tc",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("tv")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "tp",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("tc")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.select("user_id", "tv", "tc", "tp").distinct()
+    stage = (
+        F.when(F.col("tp").isNotNull(), "purchase")
+        .when(F.col("tc").isNotNull(), "click")
+        .when(F.col("tv").isNotNull(), "view")
+        .otherwise("none")
+    )
+    return per_user.select(stage.alias("stage")).groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@register(
+    "theta_sketch_set_ops",
+    oracle=None,  # approximate by design; tolerance-gated in unit tests
+    doc="distinct-set ALGEBRA via mergeable theta sketches "
+        "(theta_sketch_agg / theta_union / theta_intersection / "
+        "theta_difference): per-event-type distinct-user sketches "
+        "combine into |view ∪ purchase|, |view ∩ purchase| and "
+        "|view \\ purchase| estimates — set operations HLL cannot "
+        "express (HLL only unions).  Audience-overlap arithmetic over a "
+        "100 TB event log becomes algebra over KB-sized sketches stored "
+        "per segment; rows-only driver check, <=5% relative error vs "
+        "exact distinct counts asserted in tests/test_sketches.py.",
+)
+def q_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sks = ev.groupBy("event_type").agg(F.theta_sketch_agg("user_id").alias("sk"))
+    view = sks.filter(F.col("event_type") == "view").select(
+        F.col("sk").alias("sk_view")
+    )
+    buy = sks.filter(F.col("event_type") == "purchase").select(
+        F.col("sk").alias("sk_buy")
+    )
+    pair = view.crossJoin(buy)  # two single-row sides
+    return pair.select(
+        F.theta_sketch_estimate(F.col("sk_view")).alias("n_view"),
+        F.theta_sketch_estimate(F.col("sk_buy")).alias("n_buy"),
+        F.theta_sketch_estimate(
+            F.theta_union(F.col("sk_view"), F.col("sk_buy"))
+        ).alias("n_union"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("sk_view"), F.col("sk_buy"))
+        ).alias("n_intersect"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("sk_view"), F.col("sk_buy"))
+        ).alias("n_view_only"),
+    )

@@ -523,6 +523,42 @@ def clone_table(
                 pass
 
 
+def repartition_table(
+    spark: SparkSession,
+    target_path: str,
+    partition_by: Sequence[str] | None = None,
+    keep_snapshots: int = 2,
+) -> int:
+    """PARTITION EVOLUTION: commit the current snapshot rewritten under
+    a new partition layout (``partition_by=None`` -> unpartitioned) —
+    the ``ALTER TABLE ... PARTITIONED BY`` migration a table needs when
+    its query pattern changes (e.g. date-partitioned facts that are now
+    filtered by region).  Necessarily an O(table) rewrite — the bytes
+    must physically regroup — but it is ONE commit riding the ordinary
+    claim + pointer-swap protocol: readers see the old layout until the
+    atomic swap, concurrent writers rebase on ``ConcurrentWriteError``,
+    and the previous layout stays time-travelable until pruned.
+    Subsequent upserts against the new layout prune on the new columns
+    and rewrite only touched partitions, which is the payoff.  Returns
+    the new version number."""
+    cur = _current_snapshot(target_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot table at {target_path}")
+    df = _read_snapshot(spark, target_path, cur)
+    next_version = int(cur.lstrip("v")) + 1
+    if partition_by:
+        pcols = list(partition_by)
+        missing = [c for c in pcols if c not in df.columns]
+        if missing:
+            raise ValueError(f"partition columns {missing} not in table schema")
+        # prior_entries={}: every partition of the new layout is freshly
+        # written — nothing carries forward across a layout change
+        _commit_partitioned(df, target_path, next_version, pcols, {}, keep_snapshots)
+    else:
+        _commit_unpartitioned(df, target_path, next_version, keep_snapshots)
+    return next_version
+
+
 def build_bloom_index(
     spark: SparkSession,
     target_path: str,

@@ -108,6 +108,30 @@ class TestCountMin:
         assert est[0]["est_count"] <= math.e / self.WIDTH * 200 + 1
 
 
+class TestThetaSetOps:
+    def test_estimates_within_tolerance_of_exact(self, spark, sf_dir):
+        from etl_tiki_webscraping_spark.io import load_table
+        from etl_tiki_webscraping_spark.plans.catalog import QUERIES
+
+        est = QUERIES["theta_sketch_set_ops"].fn(spark, sf_dir).collect()[0]
+        ev = load_table(spark, sf_dir, "events")
+        view = {r["user_id"] for r in ev.filter(F.col("event_type") == "view").select("user_id").distinct().collect()}
+        buy = {r["user_id"] for r in ev.filter(F.col("event_type") == "purchase").select("user_id").distinct().collect()}
+        exact = {
+            "n_view": len(view),
+            "n_buy": len(buy),
+            "n_union": len(view | buy),
+            "n_intersect": len(view & buy),
+            "n_view_only": len(view - buy),
+        }
+        for k, t in exact.items():
+            got = est[k]
+            # theta default sketches are EXACT below ~4096 retained
+            # hashes and <=5% beyond; intersections compound error, so
+            # gate at 5% + small absolute slack for tiny true values
+            assert abs(got - t) <= max(2.0, 0.05 * t), (k, got, t)
+
+
 class TestKllRollup:
     def test_rollup_quantiles_within_rank_tolerance(self, spark, sf_dir):
         from etl_tiki_webscraping_spark.plans.catalog import QUERIES
