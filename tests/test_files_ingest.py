@@ -163,3 +163,21 @@ class TestPartitionEvolution:
         assert not any(e.startswith("prio=") for e in os.listdir(snap))
         with pytest.raises(ValueError):
             repartition_table(spark, path, partition_by=["nope"])
+
+
+class TestStreamingQuarantine:
+    def test_stream_splits_good_and_quarantine(self, spark, sf_dir):
+        from etl_tiki_webscraping_spark.plans.catalog import (
+            QUERIES,
+            _STREAM_QUARANTINE,
+        )
+
+        good = QUERIES["streaming_quarantine_ingest"].fn(spark, sf_dir)
+        root = _STREAM_QUARANTINE[sf_dir]
+        bad = spark.read.parquet(root + "/bad")
+        assert sorted(r["_raw"] for r in bad.collect()) == [
+            "1,2",
+            "THIS IS NOT A ROW",
+            "garbage,notanint,zz,1-URGENT",
+        ]
+        assert good.filter(F.col("o_orderkey") % 7 != 0).count() == 0

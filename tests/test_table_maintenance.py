@@ -281,3 +281,60 @@ class TestTableDiff:
             for r in table_diff(old, new, ["k"], compare_cols=["x"]).collect()
         )
         assert got_x == [(2, "changed"), (4, "removed"), (5, "added")]
+
+
+class TestScd2FromFeed:
+    def test_fold_insert_update_delete_reinsert(self, spark, tmp_path):
+        from etl_tiki_webscraping_spark.sinks.upsert import (
+            delete_where,
+            scd2_from_change_feed,
+            upsert_parquet,
+        )
+
+        path = str(tmp_path / "t")
+        mk = lambda rows: spark.createDataFrame(rows, "k int, attr string")
+        upsert_parquet(
+            spark, mk([(1, "a"), (2, "b")]), path, ["k"],
+            keep_snapshots=9, change_feed=True,
+        )
+        # k1 unchanged (update postimage == preimage -> SCD2 no-op),
+        # k2 changed, k3 new
+        upsert_parquet(
+            spark, mk([(1, "a"), (2, "c"), (3, "d")]), path, ["k"],
+            keep_snapshots=9, change_feed=True,
+        )
+        delete_where(
+            spark, path, F.col("k") == 3, keep_snapshots=9, change_feed=True
+        )
+        upsert_parquet(
+            spark, mk([(3, "e")]), path, ["k"], keep_snapshots=9, change_feed=True
+        )
+        dim = sorted(
+            tuple(r)
+            for r in scd2_from_change_feed(spark, path, ["k"])
+            .select("k", "attr", "valid_from", "valid_to", "is_current")
+            .collect()
+        )
+        assert dim == sorted(
+            [
+                (1, "a", 1, None, True),
+                (2, "b", 1, 2, False),
+                (2, "c", 2, None, True),
+                (3, "d", 2, 3, False),
+                (3, "e", 4, None, True),
+            ]
+        )
+
+    def test_replay_is_idempotent_per_range(self, spark, tmp_path):
+        from etl_tiki_webscraping_spark.sinks.upsert import (
+            scd2_from_change_feed,
+            upsert_parquet,
+        )
+
+        path = str(tmp_path / "t")
+        mk = lambda rows: spark.createDataFrame(rows, "k int, attr string")
+        upsert_parquet(spark, mk([(1, "a")]), path, ["k"], keep_snapshots=9, change_feed=True)
+        upsert_parquet(spark, mk([(1, "z")]), path, ["k"], keep_snapshots=9, change_feed=True)
+        a = sorted(map(tuple, scd2_from_change_feed(spark, path, ["k"]).collect()))
+        b = sorted(map(tuple, scd2_from_change_feed(spark, path, ["k"]).collect()))
+        assert a == b and len(a) == 2
