@@ -93,6 +93,20 @@ HEADLINE = [
     ("incremental_postings_bm25", "collect"),
     ("streaming_cdc_replication", "count"),
     ("bloom_index_point_lookup", "collect"),
+    # round-7 continuation (table maintenance / sketches / ingest / SQL)
+    ("snapshot_restore", "count"),
+    ("snapshot_table_diff", "count"),
+    ("heavy_hitters_exact", "count"),
+    ("table_profile", "collect"),
+    ("kll_quantile_rollup", "collect"),
+    ("cms_frequency_rollup", "collect"),
+    ("theta_sketch_set_ops", "collect"),
+    ("csv_ingest_quarantine", "count"),
+    ("range_frame_moving_avg", "count"),
+    ("event_funnel_stages", "collect"),
+    ("scd2_dim_from_feed", "count"),
+    ("multi_exists_anti", "collect"),
+    ("window_rank_functions", "count"),
 ]
 
 
