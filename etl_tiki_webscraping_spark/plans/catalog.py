@@ -74,11 +74,15 @@ _DRIVER_PRIORITY_R07 = (
 # Green in r5 or r6 but re-verify in r7 because this round's code
 # changes touch their execution path.
 _DRIVER_FRESH_R07 = frozenset({
-    # sinks/upsert.py: publish-claim race fix + z-order null/bit fixes
-    "upsert_merge", "snapshot_time_travel", "snapshot_partitioned_upsert",
+    # sinks/upsert.py: publish-claim race fix + z-order null/bit fixes.
+    # (snapshot_time_travel, streaming_windowed_counts, streaming_dedup_ids
+    # returned to settled to free window slots for NEW queries: each has
+    # an r5/r6 green row, was locally re-verified after the early-r7
+    # fixes, and its default-path behavior is unchanged by them.)
+    "upsert_merge", "snapshot_partitioned_upsert",
     "snapshot_file_skipping", "cdc_apply_changes", "zorder_multidim_skipping",
     # streaming/events.py: staging-cache key fix
-    "streaming_windowed_counts", "streaming_dedup_ids", "streaming_stateful_sessions",
+    "streaming_stateful_sessions",
     "streaming_enriched_counts", "streaming_stream_stream_join",
     # oracle upgraded r7
     "dedup_embedding_clusters",
@@ -121,6 +125,9 @@ _DRIVER_FRESH_R07 = frozenset({
     "multi_exists_anti",
     "window_rank_functions",
     "streaming_quarantine_ingest",
+    "snapshot_files_metadata",
+    "not_in_null_aware",
+    "lateral_subquery_topn",
 })
 
 
@@ -5540,4 +5547,118 @@ def q_streaming_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.schema(_INGEST_SCHEMA).parquet(out + "/good")
         .select("o_orderkey", "o_custkey", "price", "prio")
+    )
+
+
+@register(
+    "snapshot_files_metadata",
+    oracle="""
+    SELECT o_orderpriority AS prio, COUNT(*) AS n_rows
+    FROM orders WHERE o_orderkey % 3 = 0
+    GROUP BY o_orderpriority
+    """,
+    doc="files metadata table (sinks/upsert.py::table_files — Iceberg "
+        ".files / DESCRIBE DETAIL analog): one row per data file of the "
+        "current snapshot with footer-exact row count, byte size, and "
+        "decoded partition values, from PURE metadata I/O (footers + "
+        "stat calls, never data pages).  The query aggregates the "
+        "metadata to per-partition row counts on the restored fixture "
+        "table; the oracle RECOUNTS the same partitions from raw data — "
+        "a metadata-vs-data consistency audit, the substrate compaction "
+        "planning and cost estimation read.",
+)
+def q_snapshot_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.sinks.upsert import table_files
+
+    # reuse the restore fixture: partitioned by prio, current == v1 (%3)
+    path = _RESTORE_TABLES.get(sf_dir)
+    if path is None:
+        QUERIES["snapshot_restore"].fn(spark, sf_dir)  # stages + memoizes
+        path = _RESTORE_TABLES[sf_dir]
+    return (
+        table_files(spark, path, partition_cols=["prio"])
+        .groupBy("prio")
+        .agg(F.sum("n_rows").alias("n_rows"))
+    )
+
+
+@register(
+    "not_in_null_aware",
+    oracle="""
+    SELECT o_orderkey, 'clean' AS branch
+    FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'FURNITURE')
+    UNION ALL
+    SELECT o_orderkey, 'null_poisoned'
+    FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'FURNITURE'
+                            UNION ALL SELECT CAST(NULL AS BIGINT))
+    """,
+    doc="NOT IN null semantics (null-aware anti join): the clean branch "
+        "is an ordinary anti join; the poisoned branch's subquery "
+        "contains a NULL, so three-valued logic makes every NOT IN "
+        "predicate UNKNOWN and the branch MUST return zero rows — the "
+        "classic correctness trap a naive anti-join rewrite gets wrong "
+        "(it would return the clean branch's rows).  Spark plans the "
+        "poisoned branch as a null-aware anti join; the oracle replays "
+        "identical ANSI semantics on DuckDB.",
+)
+def q_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.io import register_views
+
+    register_views(spark, sf_dir, "orders", "customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, 'clean' AS branch
+        FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'FURNITURE')
+        UNION ALL
+        SELECT o_orderkey, 'null_poisoned'
+        FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'FURNITURE'
+                                UNION ALL SELECT CAST(NULL AS BIGINT))
+        """
+    )
+
+
+@register(
+    "lateral_subquery_topn",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.price
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+        FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) t
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+    doc="correlated LATERAL subquery with per-row ORDER BY ... LIMIT "
+        "(top-2 orders per customer) as SQL TEXT: the lateral form a "
+        "warehouse user writes instead of the window-function rewrite "
+        "(window_topk_per_group is the DataFrame twin).  Catalyst's "
+        "lateral-join decorrelation must turn the per-customer LIMIT "
+        "into a rank-per-partition plan, not a nested re-execution.",
+)
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.io import register_views
+
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.price
+        FROM customer c, LATERAL (
+            SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+            FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
     )

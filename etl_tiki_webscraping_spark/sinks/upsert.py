@@ -291,6 +291,60 @@ def table_history(spark: SparkSession, target_path: str) -> DataFrame:
     )
 
 
+def table_files(
+    spark: SparkSession,
+    target_path: str,
+    version: int | None = None,
+    partition_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Files metadata table (Iceberg ``.files`` / Delta ``DESCRIBE
+    DETAIL`` analog): one row per data file of a snapshot with its
+    partition dir, footer-exact row count, and byte size — PURE
+    metadata I/O (parquet footers + stat calls, bounded by file count;
+    an object-store port reads the manifest instead).  The substrate
+    for compaction planning (small-file detection), cost estimation,
+    and metadata-vs-data consistency audits (the catalog query
+    aggregates this against a first-principles recount)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    name = (
+        _resolve_snapshot_name(target_path, version)
+        if version is not None
+        else _current_snapshot(target_path)
+    )
+    if name is None:
+        raise FileNotFoundError(f"no committed snapshot table at {target_path}")
+    snap_dir = os.path.join(target_path, name)
+    pcols = list(partition_cols or [])
+    rows = []
+    for root, dirs, files in os.walk(snap_dir, followlinks=True):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        for f in files:
+            if not f.endswith(".parquet") or f.startswith((".", "_")):
+                continue
+            full = os.path.join(root, f)
+            rel_dir = os.path.relpath(root, snap_dir)
+            row = [
+                os.path.join("" if rel_dir == "." else rel_dir, f),
+                None if rel_dir == "." else rel_dir,
+                pq.read_metadata(full).num_rows,
+                os.path.getsize(full),
+            ]
+            if pcols:
+                # decode hive dir values with the engine's own decoder so
+                # escaping/null-sentinel handling matches the write path
+                row += list(_dir_to_values(rel_dir, pcols)) if rel_dir != "." else [
+                    None
+                ] * len(pcols)
+            rows.append(tuple(row))
+    schema = "file string, partition string, n_rows bigint, size_bytes bigint"
+    for c in pcols:
+        schema += f", {c} string"
+    return spark.createDataFrame(rows, schema)
+
+
 def _link_snapshot_tree(src: str, dst: str, resolve_links: bool) -> None:
     """Recreate snapshot dir ``src`` under ``dst`` at ZERO data copy:
     regular files are HARDLINKED (same bytes, new name — the

@@ -338,3 +338,50 @@ class TestScd2FromFeed:
         a = sorted(map(tuple, scd2_from_change_feed(spark, path, ["k"]).collect()))
         b = sorted(map(tuple, scd2_from_change_feed(spark, path, ["k"]).collect()))
         assert a == b and len(a) == 2
+
+
+class TestTableFiles:
+    def test_files_metadata_matches_data(self, spark, sf_dir, tmp_path):
+        from etl_tiki_webscraping_spark.sinks.upsert import table_files
+
+        path = str(tmp_path / "t")
+        upsert_parquet(
+            spark, _orders(spark, sf_dir, 3), path, ["o_orderkey"],
+            partition_by=["prio"], keep_snapshots=9,
+        )
+        tf = table_files(spark, path, partition_cols=["prio"])
+        meta = {
+            r["prio"]: r["total"]
+            for r in tf.groupBy("prio").agg(F.sum("n_rows").alias("total")).collect()
+        }
+        data = {
+            r["prio"]: r["n"]
+            for r in read_parquet_table(spark, path)
+            .groupBy("prio").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert meta == data
+        sizes = tf.select("size_bytes").collect()
+        assert all(r["size_bytes"] > 0 for r in sizes)
+        # version param reads an older snapshot's files; partition value
+        # with a SPACE ("4-NOT SPECIFIED") must decode exactly
+        assert "4-NOT SPECIFIED" in meta
+        upsert_parquet(
+            spark, _orders(spark, sf_dir, 5, 1000.0), path, ["o_orderkey"],
+            partition_by=["prio"], keep_snapshots=9,
+        )
+        tf1 = table_files(spark, path, version=1, partition_cols=["prio"])
+        assert {
+            r["prio"]: r["total"]
+            for r in tf1.groupBy("prio").agg(F.sum("n_rows").alias("total")).collect()
+        } == data
+
+    def test_unpartitioned_files(self, spark, sf_dir, tmp_path):
+        from etl_tiki_webscraping_spark.sinks.upsert import table_files
+
+        path = str(tmp_path / "t")
+        upsert_parquet(spark, _orders(spark, sf_dir, 5), path, ["o_orderkey"])
+        tf = table_files(spark, path)
+        rows = tf.collect()
+        assert rows and all(r["partition"] is None for r in rows)
+        total = sum(r["n_rows"] for r in rows)
+        assert total == read_parquet_table(spark, path).count()

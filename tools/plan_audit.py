@@ -211,6 +211,34 @@ def main() -> int:
           "query terms and corpus stats broadcast; posting exchanges carry "
           "tokens/ids, never document text")
 
+    p = plan_of("snapshot_table_diff")
+    exchanges = [seg for seg in p.split("\n") if "Exchange hashpartitioning" in seg]
+    check("snapshot_table_diff",
+          "xxhash64" in p and all("price" not in e and "prio" not in e for e in exchanges),
+          "hash_compare fingerprints computed in the scan stage; full-outer "
+          "exchanges carry bare (key, fingerprint), never the payload columns")
+
+    p = plan_of("heavy_hitters_exact")
+    check("heavy_hitters_exact",
+          "MapInPandas" in p and "BroadcastHashJoin" in p,
+          "Misra-Gries candidates via Arrow kernel; exact close joins the "
+          "BROADCAST candidate set (no full-cardinality pre-close shuffle)")
+
+    p = plan_of("event_funnel_stages")
+    n_user_ex = sum(
+        1 for seg in p.split("\n")
+        if "Exchange hashpartitioning(user_id" in seg
+    )
+    check("event_funnel_stages", n_user_ex == 1,
+          "three chained stage windows reuse ONE user-keyed exchange")
+
+    p = plan_of("multi_exists_anti")
+    check("multi_exists_anti",
+          "LeftSemi" in p and "LeftAnti" in p
+          and "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+          "EXISTS decorrelates to semi join, NOT EXISTS to anti join — no "
+          "nested-loop fallback")
+
     print()
     if failures:
         print(f"{len(failures)} plan check(s) FAILED")
