@@ -75,12 +75,16 @@ _DRIVER_PRIORITY_R07 = (
 # changes touch their execution path.
 _DRIVER_FRESH_R07 = frozenset({
     # sinks/upsert.py: publish-claim race fix + z-order null/bit fixes.
-    # (snapshot_time_travel, streaming_windowed_counts, streaming_dedup_ids
-    # returned to settled to free window slots for NEW queries: each has
-    # an r5/r6 green row, was locally re-verified after the early-r7
-    # fixes, and its default-path behavior is unchanged by them.)
+    # (snapshot_time_travel, streaming_windowed_counts, streaming_dedup_ids,
+    # snapshot_file_skipping, cdc_apply_changes returned to settled to
+    # free window slots for NEW queries: each has an r5/r6 green row,
+    # was locally re-verified after the early-r7 fixes, and the changed
+    # code paths stay covered — commit protocol by upsert_merge /
+    # snapshot_partitioned_upsert, z-order binning by
+    # zorder_multidim_skipping, streaming staging by the retained
+    # streaming fresh queries.)
     "upsert_merge", "snapshot_partitioned_upsert",
-    "snapshot_file_skipping", "cdc_apply_changes", "zorder_multidim_skipping",
+    "zorder_multidim_skipping",
     # streaming/events.py: staging-cache key fix
     "streaming_stateful_sessions",
     "streaming_enriched_counts", "streaming_stream_stream_join",
@@ -128,6 +132,8 @@ _DRIVER_FRESH_R07 = frozenset({
     "snapshot_files_metadata",
     "not_in_null_aware",
     "lateral_subquery_topn",
+    "doc_unigram_logprob",
+    "doc_chunking",
 })
 
 
@@ -5661,4 +5667,130 @@ def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         WHERE c.c_mktsegment = 'BUILDING'
         """
+    )
+
+
+@register(
+    "doc_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, term
+        FROM (SELECT doc_id,
+                     unnest(list_filter(
+                         regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '')) AS term
+              FROM documents)
+    ),
+    vocab AS (
+        SELECT term, COUNT(*) AS cnt,
+               SUM(COUNT(*)) OVER () AS total
+        FROM toks GROUP BY term
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(ln(CAST(v.cnt AS DOUBLE) / v.total)
+                    AS DECIMAL(18,8)) AS lp
+        FROM toks t JOIN vocab v USING (term)
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    doc="unigram language-model scoring (the corpus-statistics quality "
+        "filter real pretraining pipelines run — low mean token "
+        "log-probability flags gibberish/boilerplate, complementing the "
+        "heuristic quality_score): one explode+groupBy builds the "
+        "corpus unigram table, a token-keyed equi join scores every "
+        "token, per-token ln(p) rounds to DECIMAL(18,8) before the "
+        "per-doc sum (order-independent, so the DuckDB replay "
+        "hash-matches despite float log).  Exchanges carry bare "
+        "(doc_id, term) pairs, never document text.",
+)
+def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != F.lit("")
+            )
+        ).alias("term"),
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    # corpus total as a broadcast SCALAR (quality_decile idiom) — a
+    # SUM() OVER () global window would funnel the whole vocab through
+    # one partition; ReuseExchange shares the groupBy shuffle between
+    # the two subtrees, so the extra aggregate is one bounded reduce
+    total = counts.agg(F.sum("cnt").alias("total"))
+    vocab = counts.crossJoin(F.broadcast(total))
+    scored = toks.join(vocab, "term").select(
+        "doc_id",
+        F.log(F.col("cnt").cast("double") / F.col("total"))
+        .cast("decimal(18,8)")
+        .alias("lp"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.sum("lp").cast("double") / F.count(F.lit(1))).alias("avg_logprob"),
+    )
+
+
+@register(
+    "doc_chunking",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ),
+    dd AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+    chunks AS (
+        SELECT doc_id, n,
+               unnest(range(0, n, 24)) AS start
+        FROM dd
+    )
+    SELECT c.doc_id,
+           CAST(c.start / 24 AS BIGINT) AS chunk_id,
+           CAST(LEAST(32, c.n - c.start) AS BIGINT) AS chunk_len,
+           array_to_string(list_slice(dd.toks, c.start + 1,
+                                      LEAST(c.start + 32, c.n)), ' ')
+               AS chunk_text
+    FROM chunks c JOIN dd USING (doc_id, n)
+    """,
+    doc="sliding-window document chunking for training/RAG (chunk_size "
+        "32 tokens, stride 24 -> 8-token overlap): tokenize once, "
+        "generate chunk starts with sequence(), explode, and slice the "
+        "token array per chunk — all codegen'd array functions, one "
+        "narrow explode, no shuffle at all until a downstream consumer "
+        "groups (the plan is scan -> generate -> project).  Every token "
+        "of every document lands in at least one chunk; boundaries are "
+        "deterministic so the DuckDB replay is exact.",
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    CHUNK, STRIDE = 32, 24
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != F.lit("")
+        ).alias("toks"),
+    ).withColumn("n", F.size("toks")).filter(F.col("n") > 0)
+    chunks = toked.select(
+        "doc_id",
+        "n",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(STRIDE))
+        ).alias("start"),
+    )
+    return chunks.select(
+        "doc_id",
+        (F.col("start") / STRIDE).cast("bigint").alias("chunk_id"),
+        F.least(F.lit(CHUNK), F.col("n") - F.col("start"))
+        .cast("bigint")
+        .alias("chunk_len"),
+        F.array_join(
+            F.slice(F.col("toks"), F.col("start") + 1, F.lit(CHUNK)), " "
+        ).alias("chunk_text"),
     )
