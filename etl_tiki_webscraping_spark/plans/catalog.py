@@ -93,9 +93,11 @@ _DRIVER_FRESH_R07 = frozenset({
     # (approx_distinct_users returned to settled: its r7 change was a
     # unit-test tolerance gate only — the query path is untouched since
     # its r5 green row — freeing the 50th window slot for a NEW query)
-    # decode swap points gained real BMP/WAV branches r7
+    # decode swap points gained real BMP/WAV branches r7 (frame_sample
+    # returned to settled — it shares the image decode sniffing path
+    # that multimodal_image_features keeps covered, and holds an r6
+    # green; slot freed for recursive_cte_calendar)
     "multimodal_image_features", "multimodal_audio_features",
-    "multimodal_frame_sample",
     # NEW r7 queries (must land in the r7 driver window)
     "snapshot_change_feed",
     "bloom_pruned_semi_join",
@@ -134,6 +136,7 @@ _DRIVER_FRESH_R07 = frozenset({
     "lateral_subquery_topn",
     "doc_unigram_logprob",
     "doc_chunking",
+    "recursive_cte_calendar",
 })
 
 
@@ -5793,4 +5796,54 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.slice(F.col("toks"), F.col("start") + 1, F.lit(CHUNK)), " "
         ).alias("chunk_text"),
+    )
+
+
+@register(
+    "recursive_cte_calendar",
+    oracle="""
+    WITH RECURSIVE cal(day) AS (
+        SELECT DATE '2024-01-01'
+        UNION ALL
+        SELECT day + 1 FROM cal WHERE day < DATE '2024-01-30'
+    ),
+    daily AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events
+        WHERE event_type = 'purchase' AND user_id % 29 = 7
+        GROUP BY 1
+    )
+    SELECT cal.day, CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_events
+    FROM cal LEFT JOIN daily ON daily.day = cal.day
+    """,
+    doc="recursive CTE date spine (WITH RECURSIVE, new SQL surface in "
+        "Spark 4): generate the January 2024 calendar by recursion and "
+        "LEFT JOIN sparse per-day purchase counts so EMPTY days appear "
+        "as explicit zeros — the gap-filling query reporting needs that "
+        "a plain GROUP BY cannot produce (it has no row to group for a "
+        "silent day).  Spark's recursion is UNION ALL with a monotone "
+        "termination predicate (UNION-distinct recursion is not yet "
+        "supported, so cyclic closures stay with the union-find "
+        "operator); the oracle replays the identical spine in DuckDB.",
+)
+def q_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.io import register_views
+
+    register_views(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        WITH RECURSIVE cal(day) AS (
+            SELECT DATE '2024-01-01'
+            UNION ALL
+            SELECT date_add(day, 1) FROM cal WHERE day < DATE '2024-01-30'
+        ),
+        daily AS (
+            SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+            FROM events
+            WHERE event_type = 'purchase' AND user_id % 29 = 7
+            GROUP BY 1
+        )
+        SELECT cal.day, COALESCE(daily.n, CAST(0 AS BIGINT)) AS n_events
+        FROM cal LEFT JOIN daily ON daily.day = cal.day
+        """
     )

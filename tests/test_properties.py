@@ -300,3 +300,55 @@ def test_bloom_probe_never_drops_a_true_match(spark, keys, probes, num_bits, k):
     passed = {r.k for r in bloom_probe(probe_df, "k", bloom, num_bits=num_bits, num_hashes=k).collect()}
     true_matches = set(probes) & keys
     assert true_matches <= passed
+
+
+@given(old=KV, new=KV)
+@SETTINGS
+def test_table_diff_is_dict_diff(spark, old, new):
+    """table_diff (both compare paths) == python dict diff: added keys,
+    removed keys, changed values — and nothing for unchanged keys."""
+    from etl_tiki_webscraping_spark.operators.relational import table_diff
+
+    expected = sorted(
+        [(k, "added") for k in new.keys() - old.keys()]
+        + [(k, "removed") for k in old.keys() - new.keys()]
+        + [(k, "changed") for k in old.keys() & new.keys() if old[k] != new[k]]
+    )
+    for hash_compare in (False, True):
+        got = sorted(
+            tuple(r)
+            for r in table_diff(
+                _df(spark, old), _df(spark, new), ["k"], hash_compare=hash_compare
+            ).collect()
+        )
+        assert got == expected, hash_compare
+
+
+@given(
+    counts=st.dictionaries(
+        st.integers(min_value=0, max_value=50),
+        st.integers(min_value=1, max_value=30),
+        min_size=1,
+        max_size=20,
+    ),
+    threshold=st.integers(min_value=1, max_value=12),
+    nparts=st.integers(min_value=1, max_value=5),
+)
+@SETTINGS
+def test_heavy_hitters_equals_group_by_having(spark, counts, threshold, nparts):
+    """heavy_hitters == exact GROUP BY ... HAVING for arbitrary value
+    multiplicities, thresholds, and partitionings — including capacities
+    forced far below the distinct count (real Misra-Gries decrements)."""
+    from etl_tiki_webscraping_spark.operators.sketches import heavy_hitters
+
+    rows = [(v,) for v, c in counts.items() for _ in range(c)]
+    df = spark.createDataFrame(rows, "v int").repartition(nparts)
+    n = len(rows)
+    # tightest capacity the MG guarantee permits (2n/threshold), capped
+    # low so pruning actually happens on dense inputs
+    cap = max(2, (2 * n + threshold - 1) // threshold)
+    got = sorted(
+        tuple(r) for r in heavy_hitters(df, "v", threshold, capacity=cap).collect()
+    )
+    expected = sorted((v, c) for v, c in counts.items() if c >= threshold)
+    assert got == expected
