@@ -66,11 +66,29 @@ NEW_R7 = [
 ORDER_STRIDE = 1_500_000  # % 15 == 0
 CUST_STRIDE = 150_000
 
+# round-7 continuation headliners (second session): table maintenance,
+# sketches, LM scoring, chunking, window/funnel shapes.  lineitem is
+# now replicated too (l_orderkey offset keeps FK integrity with scaled
+# orders; l_partkey UNCHANGED so per-part row density grows 10x — the
+# axis heavy-hitter mining and profiling actually scale on).
+NEW_R7C = [
+    "heavy_hitters_exact",
+    "table_profile",
+    "snapshot_table_diff",
+    "scd2_dim_from_feed",
+    "doc_unigram_logprob",
+    "doc_chunking",
+    "range_frame_moving_avg",
+    "event_funnel_stages",
+    "multi_exists_anti",
+    "csv_ingest_quarantine",
+]
+
 
 def build_scaled(spark) -> str:
     from pyspark.sql import functions as F
 
-    done_marker = os.path.join(SCALED_DIR, "_SCALED_OK_V2")
+    done_marker = os.path.join(SCALED_DIR, "_SCALED_OK_V3")
     if os.path.exists(done_marker):
         return SCALED_DIR
     os.makedirs(SCALED_DIR, exist_ok=True)
@@ -154,12 +172,29 @@ def build_scaled(spark) -> str:
         os.path.join(SCALED_DIR, "events.parquet")
     )
 
+    li = spark.read.parquet(os.path.join(SRC_SF, "lineitem.parquet"))
+    li_parts = [
+        li.select(
+            (F.col("l_orderkey") + i * ORDER_STRIDE).alias("l_orderkey"),
+            *[c for c in li.columns if c != "l_orderkey"],
+        )
+        for i in range(REPLICAS)
+    ]
+    scaled_li = li_parts[0]
+    for p in li_parts[1:]:
+        scaled_li = scaled_li.unionByName(p)
+    tgt = os.path.join(SCALED_DIR, "lineitem.parquet")
+    if os.path.islink(tgt):
+        os.remove(tgt)  # pre-V3 layout symlinked lineitem
+    scaled_li.repartition(32).write.mode("overwrite").parquet(tgt)
+
     for fname in os.listdir(SRC_SF):
         if fname.endswith(".parquet") and fname not in (
             "documents.parquet",
             "events.parquet",
             "orders.parquet",
             "customer.parquet",
+            "lineitem.parquet",
         ):
             dst = os.path.join(SCALED_DIR, fname)
             if not os.path.exists(dst):
@@ -187,7 +222,9 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
     read_events_stream_multibatch(spark, sf_dir, n_batches=3)
 
-    names = NEW_R7 if (len(sys.argv) > 1 and sys.argv[1] == "r7") else FIVE
+    names = FIVE
+    if len(sys.argv) > 1:
+        names = {"r7": NEW_R7, "r7c": NEW_R7C}.get(sys.argv[1], FIVE)
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
