@@ -383,6 +383,59 @@ def table_diff(
     return j.select(*keys, change.alias("change_type")).filter(F.col("change_type").isNotNull())
 
 
+def grouped_topk(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    k: int,
+    tiebreak: str | None = None,
+    ascending: bool = False,
+) -> DataFrame:
+    """EXACT top-k rows per group with a BOUNDED exchange — the scale
+    form of :func:`top_k_per_group` (which window-sorts every row of
+    every group through the shuffle).
+
+    Phase 1: each partition reduces to its LOCAL top-k per group in an
+    Arrow kernel (running state bounded by ``groups_seen x k`` rows per
+    partition), so the group-keyed exchange carries at most
+    ``partitions x groups x k`` rows instead of the whole table.  The
+    global top-k of a union is always contained in the union of local
+    top-ks, so phase 2's ordinary rank over the shrunken set is exact.
+
+    Phase 2: row_number over (order_col, tiebreak) per group, keep
+    rank <= k.  ``tiebreak`` (a unique column) makes the result
+    deterministic when order values collide; required for an exact
+    oracle, optional otherwise."""
+    import pandas as pd
+
+    gcols = list(group_cols)
+    cols = df.columns
+    sort_cols = [order_col] + ([tiebreak] if tiebreak else [])
+    sort_asc = [ascending] + ([True] if tiebreak else [])
+
+    def local_topk(batches) -> "pd.DataFrame":
+        state = None
+        for pdf in batches:
+            both = pdf if state is None else pd.concat([state, pdf])
+            state = (
+                both.sort_values(sort_cols, ascending=sort_asc)
+                .groupby(gcols, sort=False, dropna=False)
+                .head(k)
+            )
+        if state is not None and len(state):
+            yield state[cols]
+
+    shrunk = df.mapInPandas(local_topk, schema=df.schema)
+    order = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    order_by = [order] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(*gcols).orderBy(*order_by)
+    return (
+        shrunk.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def repartition_even(df: DataFrame, n: int) -> DataFrame:
     """Split into ``n`` parallel parts covering EVERY row — the fixed
     form of the reference's 5-way split whose integer-division slicing

@@ -83,11 +83,14 @@ _DRIVER_FRESH_R07 = frozenset({
     # snapshot_partitioned_upsert, z-order binning by
     # zorder_multidim_skipping, streaming staging by the retained
     # streaming fresh queries.)
-    "upsert_merge", "snapshot_partitioned_upsert",
+    # (upsert_merge, streaming_enriched_counts also settled late-session:
+    # commit-path changes stay covered by the snapshot_* fresh queries,
+    # the staging-cache fix by streaming_stream_stream_join.)
+    "snapshot_partitioned_upsert",
     "zorder_multidim_skipping",
     # streaming/events.py: staging-cache key fix
     "streaming_stateful_sessions",
-    "streaming_enriched_counts", "streaming_stream_stream_join",
+    "streaming_stream_stream_join",
     # oracle upgraded r7
     "dedup_embedding_clusters",
     # (approx_distinct_users returned to settled: its r7 change was a
@@ -137,6 +140,8 @@ _DRIVER_FRESH_R07 = frozenset({
     "doc_unigram_logprob",
     "doc_chunking",
     "recursive_cte_calendar",
+    "grouped_topk_bounded",
+    "streaming_sketch_maintenance",
 })
 
 
@@ -165,6 +170,7 @@ _EAGER_STAGING_QUERIES = (
     "jsonl_ingest_quarantine",  # stages the JSONL + corrupt-lines dir
     "partition_evolution",  # stages + evolves the layout fixture table
     "streaming_quarantine_ingest",  # runs the quarantine stream to its sinks
+    "streaming_sketch_maintenance",  # runs the sketch-table stream
 )
 
 
@@ -5846,4 +5852,93 @@ def q_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT cal.day, COALESCE(daily.n, CAST(0 AS BIGINT)) AS n_events
         FROM cal LEFT JOIN daily ON daily.day = cal.day
         """
+    )
+
+
+@register(
+    "grouped_topk_bounded",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS price
+    FROM (
+        SELECT o_orderpriority, o_orderkey,
+               o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey)
+                   AS rk
+        FROM orders
+    )
+    WHERE rk <= 3
+    """,
+    doc="EXACT top-k per group with a BOUNDED exchange (operators/"
+        "relational.py::grouped_topk — the scale form of "
+        "window_topk_per_group): each partition reduces to its local "
+        "top-k per group in an Arrow kernel (state bounded by groups x "
+        "k), so the group-keyed shuffle carries <= partitions x groups "
+        "x k rows instead of the whole table — the global top-k of a "
+        "union is contained in the union of local top-ks, so the final "
+        "rank over the shrunken set is exact.  A 100 TB 'top sellers "
+        "per category' never sorts the full table through a shuffle.  "
+        "Deterministic via the key tie-break; oracle = plain window "
+        "ROW_NUMBER.",
+)
+def q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.relational import grouped_topk
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    return grouped_topk(
+        orders, ["o_orderpriority"], "price", k=3, tiebreak="o_orderkey"
+    )
+
+
+_SKETCH_TABLES: dict[str, str] = {}  # sf_dir -> sketch table path (memoized)
+
+
+@register(
+    "streaming_sketch_maintenance",
+    oracle=None,  # approximate by design; tolerance-gated in unit tests
+    doc="STREAMING mergeable-sketch table maintenance (streaming/"
+        "events.py::foreach_batch_hll_union): a REAL 3-micro-batch run "
+        "folds each batch's per-day HLL user sketches into a stored "
+        "sketch table (scalar hll_union on overlapping days, "
+        "pass-through on novel ones) through the ordinary snapshot "
+        "upsert — the distinct-users dashboard pattern where a 100 TB "
+        "stream's state is |days| compact sketches, never raw ids, and "
+        "weekly-from-daily stays one sketch union away.  Rows-only "
+        "driver check; <=5% relative error vs exact per-day distincts "
+        "asserted in tests/test_streaming.py.",
+)
+def q_streaming_sketch_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.streaming.events import (
+        foreach_batch_hll_union,
+        read_events_stream_multibatch,
+    )
+
+    path = _SKETCH_TABLES.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="sketch-table-")
+        path = root + "/tbl"
+        stream = read_events_stream_multibatch(spark, sf_dir, n_batches=3)
+        stream = stream.withColumn("day", F.to_date("ts"))
+        q = (
+            foreach_batch_hll_union(
+                stream, path, ["day"], "user_id", root + "/ckpt"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming sketch maintenance did not finish")
+        _SKETCH_TABLES[sf_dir] = path
+    from etl_tiki_webscraping_spark.sinks.upsert import read_parquet_table
+
+    return read_parquet_table(spark, path).select(
+        "day", F.hll_sketch_estimate("sk").alias("approx_users")
     )

@@ -411,6 +411,66 @@ def foreach_batch_upsert(
     )
 
 
+def foreach_batch_hll_union(
+    stream: DataFrame,
+    target_path: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    checkpoint_dir: str,
+) -> "DataStreamWriter":
+    """``foreachBatch`` sink maintaining a MERGEABLE-SKETCH table: each
+    micro-batch aggregates per-key HLL sketches of ``value_col`` and
+    unions them into the stored sketch table (scalar ``hll_union`` on
+    the overlap, pass-through on either side's novel keys), committed
+    through the ordinary snapshot upsert.
+
+    This is the streaming half of the sketch-rollup story: a
+    distinct-users dashboard over a 100 TB event stream never stores
+    raw ids — the state is |keys| compact sketches, every trigger's
+    work is one batch-sized aggregate plus a sketch-table merge, and
+    any coarser rollup (weekly from daily) stays a sketch union away.
+    Estimates are read back with ``hll_sketch_estimate``."""
+    from etl_tiki_webscraping_spark.sinks.upsert import (
+        read_parquet_table,
+        upsert_parquet,
+    )
+
+    keys = list(key_cols)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        fresh = batch_df.groupBy(*keys).agg(
+            F.hll_sketch_agg(value_col).alias("sk")
+        )
+        import os
+
+        if os.path.exists(target_path):
+            stored = read_parquet_table(spark, target_path).select(
+                *keys, F.col("sk").alias("__old")
+            )
+            fresh = (
+                fresh.join(stored, on=keys, how="full_outer")
+                .select(
+                    *keys,
+                    F.when(
+                        F.col("sk").isNotNull() & F.col("__old").isNotNull(),
+                        F.hll_union("sk", "__old"),
+                    )
+                    .otherwise(F.coalesce("sk", "__old"))
+                    .alias("sk"),
+                )
+            )
+        upsert_parquet(spark, fresh, target_path, keys)
+
+    return (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(merge)
+    )
+
+
 def stream_stream_purchase_views(
     views: DataFrame,
     purchases: DataFrame,

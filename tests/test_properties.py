@@ -352,3 +352,41 @@ def test_heavy_hitters_equals_group_by_having(spark, counts, threshold, nparts):
     )
     expected = sorted((v, c) for v, c in counts.items() if c >= threshold)
     assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # group
+            st.integers(min_value=-20, max_value=20), # order value (ties likely)
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+    nparts=st.integers(min_value=1, max_value=4),
+)
+@SETTINGS
+def test_grouped_topk_equals_window_rank(spark, rows, k, nparts):
+    """Bounded-shuffle grouped_topk == full window ROW_NUMBER top-k for
+    arbitrary groups, tie-heavy orderings, k, and partitionings."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_tiki_webscraping_spark.operators.relational import grouped_topk
+
+    data = [(g, v, i) for i, (g, v) in enumerate(rows)]  # id = unique tiebreak
+    df = spark.createDataFrame(data, "g int, v int, id int").repartition(nparts)
+    got = sorted(
+        tuple(r)
+        for r in grouped_topk(df, ["g"], "v", k, tiebreak="id").collect()
+    )
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("id").asc())
+    expected = sorted(
+        tuple(r)
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+        .collect()
+    )
+    assert got == expected

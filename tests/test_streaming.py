@@ -501,3 +501,28 @@ def test_foreach_batch_apply_changes_folds_cdc_stream(spark, tmp_path):
         "v00000002",
         "v00000003",
     ]  # v1 may be pruned by default retention
+
+
+class TestStreamingSketchMaintenance:
+    def test_sketch_table_estimates_within_tolerance(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from etl_tiki_webscraping_spark.io import load_table
+        from etl_tiki_webscraping_spark.plans.catalog import QUERIES
+
+        est = {
+            str(r["day"]): r["approx_users"]
+            for r in QUERIES["streaming_sketch_maintenance"].fn(spark, sf_dir).collect()
+        }
+        exact = {
+            str(r["day"]): r["n"]
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        # the stream covered the WHOLE fixture across 3 micro-batches:
+        # every day present, each estimate within 5% of exact distinct
+        assert set(est) == set(exact)
+        for day, n in exact.items():
+            assert abs(est[day] - n) <= max(1.0, 0.05 * n), (day, est[day], n)
