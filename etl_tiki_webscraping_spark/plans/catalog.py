@@ -90,7 +90,8 @@ _DRIVER_FRESH_R07 = frozenset({
     "zorder_multidim_skipping",
     # streaming/events.py: staging-cache key fix
     "streaming_stateful_sessions",
-    "streaming_stream_stream_join",
+    # (streaming_stream_stream_join settled late-session: cache-key fix
+    # only, r5 green; slot freed for snapshot_dv_delete)
     # oracle upgraded r7
     "dedup_embedding_clusters",
     # (approx_distinct_users returned to settled: its r7 change was a
@@ -142,6 +143,7 @@ _DRIVER_FRESH_R07 = frozenset({
     "recursive_cte_calendar",
     "grouped_topk_bounded",
     "streaming_sketch_maintenance",
+    "snapshot_dv_delete",
 })
 
 
@@ -171,6 +173,7 @@ _EAGER_STAGING_QUERIES = (
     "partition_evolution",  # stages + evolves the layout fixture table
     "streaming_quarantine_ingest",  # runs the quarantine stream to its sinks
     "streaming_sketch_maintenance",  # runs the sketch-table stream
+    "snapshot_dv_delete",  # stages + DV-deletes the fixture table
 )
 
 
@@ -5941,4 +5944,64 @@ def q_streaming_sketch_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
 
     return read_parquet_table(spark, path).select(
         "day", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+
+
+_DV_TABLES: dict[str, str] = {}  # sf_dir -> table path (memoized)
+
+
+@register(
+    "snapshot_dv_delete",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           o_orderpriority AS prio
+    FROM orders
+    WHERE o_orderkey % 3 = 0
+      AND NOT (o_orderpriority = '1-URGENT' AND o_custkey % 2 = 1)
+    """,
+    doc="merge-on-read DELETE via deletion vectors (sinks/upsert.py::"
+        "delete_where(deletion_vectors=True) — Delta DV / Iceberg "
+        "positional-delete semantics): a partitioned table deletes the "
+        "odd-customer urgent rows WITHOUT rewriting a single data file "
+        "— the matched rows' (snapshot-relative path, row index) "
+        "coordinates commit into the snapshot's _dv/ dir and every read "
+        "anti-joins them out.  A point delete against a 100 TB table "
+        "costs the matching scan plus KB of vector rows; the next "
+        "rewriting commit purges the vectors (unit-tested, along with "
+        "carry-through of untouched partitions' vectors and "
+        "restore/pruned-read paths).  The oracle replays the delete "
+        "from first principles.",
+)
+def q_snapshot_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.sinks.upsert import (
+        delete_where,
+        read_parquet_table,
+        upsert_parquet,
+    )
+
+    path = _DV_TABLES.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        base = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderkey") % 3 == 0
+        ).select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        path = tempfile.mkdtemp(prefix="dv-") + "/tbl"
+        upsert_parquet(
+            spark, base, path, ["o_orderkey"], partition_by=["prio"], keep_snapshots=5
+        )
+        delete_where(
+            spark, path,
+            (F.col("prio") == "1-URGENT") & (F.col("o_custkey") % 2 == 1),
+            deletion_vectors=True, keep_snapshots=5,
+        )
+        _DV_TABLES[sf_dir] = path
+    return read_parquet_table(spark, path).select(
+        "o_orderkey", "o_custkey", "price", "prio"
     )

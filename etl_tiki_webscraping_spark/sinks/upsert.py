@@ -94,6 +94,12 @@ def upsert_dataframes(
 
 SNAPSHOT_POINTER = "_LATEST"
 
+# merge-on-read deletion vectors: a snapshot-level parquet dir of
+# (snapshot-relative file path, row_index) pairs naming rows DELETED without
+# rewriting their data files (Delta DV / Iceberg positional-delete
+# semantics).  Reads anti-join it; rewrites (upsert/compact) purge it.
+_DV_DIR = "_dv"
+
 # Change-data-feed metadata columns (Delta CDF column names, so a
 # downstream consumer written against Delta's feed reads ours unchanged).
 CHANGE_TYPE_COL = "_change_type"
@@ -220,14 +226,61 @@ def _read_snapshot(spark: SparkSession, target_path: str, snap_name: str) -> Dat
 
     snap_dir = os.path.join(target_path, snap_name)
     mpath = snap_dir + ".json"
+    df = None
     if os.path.exists(mpath):
         with open(mpath) as fh:
             manifest = json.load(fh)
         schema_json = manifest.get("schema")
         if schema_json:
             schema = T.StructType.fromJson(json.loads(schema_json))
-            return spark.read.schema(schema).parquet(snap_dir)
-    return spark.read.parquet(snap_dir)
+            df = spark.read.schema(schema).parquet(snap_dir)
+    if df is None:
+        df = spark.read.parquet(snap_dir)
+    return _maybe_apply_dv(spark, snap_dir, df)
+
+
+def _file_meta_cols(df: DataFrame) -> DataFrame:
+    """Attach the (snapshot-relative file path, in-file row index)
+    identity of every row from the parquet scan's hidden ``_metadata``
+    column — the coordinates deletion vectors are keyed on.
+
+    The key is the path RELATIVE TO THE SNAPSHOT DIR (partition dirs
+    included), not the bare basename: one hive write job names its part
+    files identically in EVERY partition dir, so basenames collide
+    across partitions of the same commit.  The relative path is stable
+    across snapshots for carried-forward references (the farm recreates
+    the same partition layout), which is what lets vectors follow files
+    through reference-carrying commits."""
+    rel = F.regexp_replace(
+        F.col("_metadata.file_path"), r"^.*/v[0-9]{8}(\.[^/]*)?/", ""
+    )
+    return df.select(
+        "*",
+        rel.alias("__dv_file"),
+        F.col("_metadata.row_index").alias("__dv_idx"),
+    )
+
+
+def _maybe_apply_dv(spark: SparkSession, snap_dir: str, df: DataFrame) -> DataFrame:
+    """Merge-on-read: if this snapshot carries deletion vectors,
+    anti-join them out of the scan on (file basename, row index).  The
+    DV side is commonly tiny (it holds one row per deleted ROW, not per
+    retained row) and broadcasts; reads of DV-free snapshots pay
+    nothing.  Rewriting commits (upsert, compaction) purge the vectors,
+    exactly Delta's DV lifecycle."""
+    import os
+
+    dv_dir = os.path.join(snap_dir, _DV_DIR)
+    if not os.path.isdir(dv_dir):
+        return df
+    dv = spark.read.parquet(dv_dir).select(
+        F.col("file").alias("__dv_file"), F.col("row_index").alias("__dv_idx")
+    )
+    return (
+        _file_meta_cols(df)
+        .join(dv, on=["__dv_file", "__dv_idx"], how="left_anti")
+        .drop("__dv_file", "__dv_idx")
+    )
 
 
 def table_history(spark: SparkSession, target_path: str) -> DataFrame:
@@ -345,7 +398,9 @@ def table_files(
     return spark.createDataFrame(rows, schema)
 
 
-def _link_snapshot_tree(src: str, dst: str, resolve_links: bool) -> None:
+def _link_snapshot_tree(
+    src: str, dst: str, resolve_links: bool, keep: "tuple[str, ...]" = (_DV_DIR,)
+) -> None:
     """Recreate snapshot dir ``src`` under ``dst`` at ZERO data copy:
     regular files are HARDLINKED (same bytes, new name — the
     object-store analog is a manifest entry referencing the same
@@ -354,15 +409,18 @@ def _link_snapshot_tree(src: str, dst: str, resolve_links: bool) -> None:
     same-table restore: relative targets resolve identically from the
     sibling staging dir) or resolved to absolute targets
     (``resolve_links=True``, cross-table shallow clone).  ``_``/``.``
-    entries at the snapshot root (``_changes``, bloom indexes) are
-    commit-specific and skipped; hive null-partition dirs are named
-    ``col=__HIVE_DEFAULT_PARTITION__`` so they never match that prefix."""
+    entries at the snapshot root are commit-specific (``_changes``,
+    bloom indexes) and skipped — EXCEPT ``keep`` entries: deletion
+    vectors (``_dv``) are TABLE CONTENT, so restore/clone must carry
+    them or merge-on-read-deleted rows would resurrect.  Hive
+    null-partition dirs are named ``col=__HIVE_DEFAULT_PARTITION__`` so
+    they never match the underscore prefix."""
     import os
     import shutil
 
     os.makedirs(dst)
     for entry in sorted(os.listdir(src)):
-        if entry.startswith(("_", ".")):
+        if entry.startswith(("_", ".")) and entry not in keep:
             continue
         s, d = os.path.join(src, entry), os.path.join(dst, entry)
         if os.path.islink(s):
@@ -370,7 +428,7 @@ def _link_snapshot_tree(src: str, dst: str, resolve_links: bool) -> None:
                 os.path.realpath(s) if resolve_links else os.readlink(s), d
             )
         elif os.path.isdir(s):
-            _link_snapshot_tree(s, d, resolve_links)
+            _link_snapshot_tree(s, d, resolve_links, keep=())
         else:
             try:
                 os.link(s, d)
@@ -756,7 +814,8 @@ def _bloom_pruned_read(
             return None
         return spark.createDataFrame([], schema).filter(pred)
     reader = spark.read.schema(schema) if schema is not None else spark.read
-    return reader.option("basePath", snap_dir).parquet(*kept).filter(pred)
+    df = reader.option("basePath", snap_dir).parquet(*kept)
+    return _maybe_apply_dv(spark, snap_dir, df).filter(pred)
 
 
 def _resolve_snapshot_name(
@@ -959,7 +1018,7 @@ def _stats_pruned_read(
     df = reader.option("basePath", snap_dir).parquet(
         *[os.path.join(snap_dir, f) for f in kept]
     )
-    return _apply_range(df, range_filter)
+    return _apply_range(_maybe_apply_dv(spark, snap_dir, df), range_filter)
 
 
 def _leaf_partition_dirs(root: str, depth: int) -> list[str]:
@@ -1498,6 +1557,25 @@ def _commit_partitioned_staged(
         os.makedirs(os.path.dirname(link), exist_ok=True)
         os.symlink(os.path.relpath(data_dir, os.path.dirname(link)), link)
 
+    # deletion vectors: when any prior partition carries forward BY
+    # REFERENCE, its files' DV rows must carry too or merge-on-read
+    # deletes would resurrect in untouched partitions.  Rows naming
+    # REWRITTEN files go stale harmlessly (new pool basenames never
+    # match).  A full rewrite (no carried references — compaction,
+    # layout evolution) purges the vectors instead.
+    prev_dv = os.path.join(target_path, f"v{next_version - 1:08d}", _DV_DIR)
+    if next_version > 1 and os.path.isdir(prev_dv):
+        pool_real_now = os.path.realpath(pool_dir)
+        carried = any(
+            os.path.realpath(d) != pool_real_now
+            and not os.path.realpath(d).startswith(pool_real_now + os.sep)
+            for d in entries.values()
+        )
+        if carried:
+            shutil.copytree(
+                prev_dv, os.path.join(farm_stage, _DV_DIR), copy_function=os.link
+            )
+
     if changes_builder is not None:
         # feed rows derive from the JUST-WRITTEN pool files (the merged
         # touched partitions) — the merge lineage never runs twice; the
@@ -1981,17 +2059,31 @@ def delete_where(
     partition_by: Sequence[str] | None = None,
     keep_snapshots: int = 2,
     change_feed: bool = False,
+    deletion_vectors: bool = False,
 ) -> None:
     """Delete rows matching ``condition`` from a snapshot table — the
     ``MERGE ... WHEN MATCHED THEN DELETE`` / GDPR-erasure leg the
     reference's insert-only loads lack.
 
-    Partitioned tables rewrite ONLY partitions that contain matching
-    rows (located by a column-pruned scan of the partition columns
-    under the predicate); everything else carries forward by
-    reference, same commit protocol as the upserts.  Unpartitioned
-    tables rewrite the snapshot (inherent).  Deleting is a new commit:
-    time travel still sees the rows in earlier versions until pruned.
+    COPY-ON-WRITE (default): partitioned tables rewrite ONLY partitions
+    that contain matching rows (located by a column-pruned scan of the
+    partition columns under the predicate); everything else carries
+    forward by reference, same commit protocol as the upserts.
+    Unpartitioned tables rewrite the snapshot (inherent).  Deleting is
+    a new commit: time travel still sees the rows in earlier versions
+    until pruned.
+
+    MERGE-ON-READ (``deletion_vectors=True`` — Delta DV / Iceberg
+    positional-delete semantics): NO data file is rewritten at all.
+    The matched rows' (snapshot-relative file path, row index) coordinates are
+    written into the new snapshot's ``_dv/`` dir (unioned with any
+    existing vectors), the data files carry forward as hardlinks/farm
+    references, and every read anti-joins the vectors out
+    (:func:`_maybe_apply_dv`).  A point delete against a 100 TB table
+    costs the matching scan plus KB of vector rows — deferred to reads
+    until the next rewriting commit (upsert of the file's partition, or
+    ``compact_table``) purges the vectors by rewriting.  Works on both
+    layouts; ``partition_by`` is ignored (nothing is rewritten).
     """
     import os
 
@@ -1999,6 +2091,13 @@ def delete_where(
     if cur is None:
         raise FileNotFoundError(f"no committed table at {target_path}")
     next_version = int(cur.lstrip("v")) + 1
+
+    if deletion_vectors:
+        _delete_where_dv(
+            spark, target_path, cur, next_version, condition, keep_snapshots,
+            change_feed,
+        )
+        return
     snap = _read_snapshot(spark, target_path, cur)
 
     if not partition_by:
@@ -2045,6 +2144,91 @@ def delete_where(
         drop_values,
         changes_builder=(lambda staged: deletes) if change_feed else None,
     )
+
+
+def _delete_where_dv(
+    spark: SparkSession,
+    target_path: str,
+    cur: str,
+    next_version: int,
+    condition: Column,
+    keep_snapshots: int,
+    change_feed: bool,
+) -> None:
+    """Merge-on-read leg of :func:`delete_where`: commit a new snapshot
+    whose DATA is the current snapshot's files (hardlinks / farm
+    references, zero rewrite) and whose ``_dv/`` dir is the union of
+    the existing vectors with the newly matched rows' (snapshot-relative
+    file path, row index) coordinates.  Matching runs against the DV-APPLIED
+    current state, so re-deleting already-deleted rows is a no-op, and
+    the ordinary claim + pointer swap makes the vector flip atomic."""
+    import json
+    import os
+    import shutil
+
+    snap_dir = os.path.join(target_path, cur)
+    mpath = snap_dir + ".json"
+    manifest: dict = {}
+    df = None
+    if os.path.exists(mpath):
+        with open(mpath) as fh:
+            manifest = json.load(fh)
+        sj = manifest.get("schema")
+        if sj:
+            df = spark.read.schema(
+                T.StructType.fromJson(json.loads(sj))
+            ).parquet(snap_dir)
+    if df is None:
+        df = spark.read.parquet(snap_dir)
+        manifest.setdefault("schema", df.schema.json())
+    meta = _file_meta_cols(df)
+    dv_dir = os.path.join(snap_dir, _DV_DIR)
+    existing = None
+    if os.path.isdir(dv_dir):
+        existing = spark.read.parquet(dv_dir).select("file", "row_index")
+        meta = meta.join(
+            existing.select(
+                F.col("file").alias("__dv_file"),
+                F.col("row_index").alias("__dv_idx"),
+            ),
+            on=["__dv_file", "__dv_idx"],
+            how="left_anti",
+        )
+    matched = meta.filter(F.coalesce(condition, F.lit(False)))
+    new_rows = matched.select(
+        F.col("__dv_file").alias("file"), F.col("__dv_idx").alias("row_index")
+    )
+    union_dv = new_rows if existing is None else existing.unionByName(new_rows)
+
+    stage = _stage_base(next_version)
+    stage_dir = os.path.join(target_path, stage)
+    committed = False
+    try:
+        # data carries forward by link; vectors are REWRITTEN as the
+        # union (so skip linking the old _dv)
+        _link_snapshot_tree(snap_dir, stage_dir, resolve_links=False, keep=())
+        union_dv.write.mode("overwrite").parquet(os.path.join(stage_dir, _DV_DIR))
+        if change_feed:
+            _tag_changes(
+                matched.drop("__dv_file", "__dv_idx"), "delete", next_version
+            ).write.mode("overwrite").parquet(os.path.join(stage_dir, "_changes"))
+        manifest = dict(manifest)
+        manifest["version"] = next_version
+        manifest["attempt"] = stage  # ownership check at publish
+        manifest["deletion_vectors"] = True
+        out = os.path.join(target_path, stage + ".json")
+        with open(out + ".tmp", "w") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        os.replace(out + ".tmp", out)
+        _publish_staged(target_path, next_version, stage, keep_snapshots)
+        committed = True
+    finally:
+        if not committed:
+            shutil.rmtree(stage_dir, ignore_errors=True)
+            try:
+                os.remove(os.path.join(target_path, stage + ".json"))
+            except OSError:
+                pass
 
 
 def _zorder_column(df: DataFrame, cols: Sequence[str], bits: int = 16) -> Column:

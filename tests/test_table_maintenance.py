@@ -385,3 +385,153 @@ class TestTableFiles:
         assert rows and all(r["partition"] is None for r in rows)
         total = sum(r["n_rows"] for r in rows)
         assert total == read_parquet_table(spark, path).count()
+
+
+class TestDeletionVectors:
+    def test_unpartitioned_dv_delete_zero_rewrite(self, spark, sf_dir, tmp_path):
+        from etl_tiki_webscraping_spark.sinks.upsert import delete_where
+
+        path = str(tmp_path / "t")
+        upsert_parquet(spark, _orders(spark, sf_dir, 3), path, ["o_orderkey"], keep_snapshots=9)
+        v1_rows = _rows(read_parquet_table(spark, path), *COLS)
+
+        def data_files(ver):
+            d = os.path.join(path, f"v{ver:08d}")
+            return sorted(
+                f for f in os.listdir(d)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+
+        delete_where(
+            spark, path, F.col("prio") == "1-URGENT", deletion_vectors=True,
+            keep_snapshots=9,
+        )
+        got = _rows(read_parquet_table(spark, path), *COLS)
+        assert got == [r for r in v1_rows if r[3] != "1-URGENT"] and got != v1_rows
+        # ZERO rewrite: v2 carries exactly v1's data files (same names,
+        # hardlinked bytes) plus a _dv dir
+        assert data_files(2) == data_files(1)
+        assert os.path.isdir(os.path.join(path, "v00000002", "_dv"))
+        # time travel still sees the rows pre-delete
+        assert _rows(read_parquet_table(spark, path, version=1), *COLS) == v1_rows
+        # second DV delete UNIONS; re-deleting deleted rows is a no-op
+        delete_where(
+            spark, path, F.col("prio").isin("1-URGENT", "2-HIGH"),
+            deletion_vectors=True, keep_snapshots=9,
+        )
+        got3 = _rows(read_parquet_table(spark, path), *COLS)
+        assert got3 == [r for r in v1_rows if r[3] not in ("1-URGENT", "2-HIGH")]
+        dv = spark.read.parquet(os.path.join(path, "v00000003", "_dv"))
+        assert dv.count() == dv.distinct().count() == len(v1_rows) - len(got3)
+
+    def test_rewriting_commit_purges_vectors(self, spark, sf_dir, tmp_path):
+        from etl_tiki_webscraping_spark.sinks.upsert import delete_where
+
+        path = str(tmp_path / "t")
+        upsert_parquet(spark, _orders(spark, sf_dir, 3), path, ["o_orderkey"], keep_snapshots=9)
+        delete_where(
+            spark, path, F.col("prio") == "1-URGENT", deletion_vectors=True,
+            keep_snapshots=9,
+        )
+        survivors = _rows(read_parquet_table(spark, path), *COLS)
+        # an upsert (full rewrite for unpartitioned) merges against the
+        # DV-APPLIED state and purges the vectors
+        upsert_parquet(
+            spark, _orders(spark, sf_dir, 5, 1000.0), path, ["o_orderkey"],
+            keep_snapshots=9,
+        )
+        assert not os.path.isdir(os.path.join(path, "v00000003", "_dv"))
+        got = {r[0]: r for r in _rows(read_parquet_table(spark, path), *COLS)}
+        for k, *_rest in survivors:
+            assert k in got
+        # deleted urgent rows did NOT resurrect (unless the new batch re-inserted them)
+        reinserted = {r[0] for r in _orders(spark, sf_dir, 5).collect()}
+        for r in _rows(read_parquet_table(spark, path, version=1), *COLS):
+            if r[3] == "1-URGENT" and r[0] not in reinserted:
+                assert r[0] not in got
+
+    def test_partitioned_dv_carries_through_untouched_partitions(
+        self, spark, sf_dir, tmp_path
+    ):
+        from etl_tiki_webscraping_spark.sinks.upsert import compact_table, delete_where
+
+        path = str(tmp_path / "t")
+        upsert_parquet(
+            spark, _orders(spark, sf_dir, 3), path, ["o_orderkey"],
+            partition_by=["prio"], keep_snapshots=9,
+        )
+        v1_rows = _rows(read_parquet_table(spark, path), *COLS)
+        # DV-delete odd custkeys inside the 1-URGENT partition only
+        delete_where(
+            spark, path,
+            (F.col("prio") == "1-URGENT") & (F.col("o_custkey") % 2 == 1),
+            deletion_vectors=True, keep_snapshots=9,
+        )
+        expect2 = [
+            r for r in v1_rows if not (r[3] == "1-URGENT" and r[1] % 2 == 1)
+        ]
+        assert _rows(read_parquet_table(spark, path), *COLS) == expect2
+        # now upsert into a DIFFERENT partition: 5-LOW rewrites, 1-URGENT
+        # carries forward by reference — its vectors MUST carry too
+        batch = _orders(spark, sf_dir, 3, 7.0).filter(F.col("prio") == "5-LOW")
+        upsert_parquet(
+            spark, batch, path, ["o_orderkey"], partition_by=["prio"],
+            stable_partitions=True, keep_snapshots=9,
+        )
+        got = _rows(read_parquet_table(spark, path), *COLS)
+        assert not any(r[3] == "1-URGENT" and r[1] % 2 == 1 for r in got)
+        assert os.path.isdir(os.path.join(path, "v00000003", "_dv"))
+        # compaction rewrites everything -> vectors purge, content holds
+        compact_table(spark, path, partition_by=["prio"], keep_snapshots=9)
+        assert not os.path.isdir(os.path.join(path, "v00000004", "_dv"))
+        assert sorted(
+            (r[0], r[3]) for r in _rows(read_parquet_table(spark, path), *COLS)
+        ) == sorted((r[0], r[3]) for r in got)
+
+    def test_restore_and_pruned_reads_respect_vectors(self, spark, sf_dir, tmp_path):
+        from etl_tiki_webscraping_spark.sinks.upsert import delete_where, restore_table
+
+        path = str(tmp_path / "t")
+        upsert_parquet(spark, _orders(spark, sf_dir, 3), path, ["o_orderkey"], keep_snapshots=9)
+        delete_where(
+            spark, path, F.col("o_custkey") % 3 == 0, deletion_vectors=True,
+            keep_snapshots=9, change_feed=False,
+        )
+        v2 = _rows(read_parquet_table(spark, path), *COLS)
+        # stats/range-pruned read path applies vectors too
+        lo = min(r[0] for r in v2)
+        hi = max(r[0] for r in v2)
+        ranged = _rows(
+            read_parquet_table(spark, path, range_filter=("o_orderkey", lo, hi)),
+            *COLS,
+        )
+        assert ranged == v2
+        # restore to the DV version carries the vectors (deletes persist)
+        upsert_parquet(
+            spark, _orders(spark, sf_dir, 5, 1000.0), path, ["o_orderkey"],
+            keep_snapshots=9,
+        )
+        restore_table(spark, path, version=2, keep_snapshots=9)
+        assert os.path.isdir(os.path.join(path, "v00000004", "_dv"))
+        assert _rows(read_parquet_table(spark, path), *COLS) == v2
+
+    def test_dv_delete_records_change_feed(self, spark, sf_dir, tmp_path):
+        from etl_tiki_webscraping_spark.sinks.upsert import delete_where
+
+        path = str(tmp_path / "t")
+        upsert_parquet(
+            spark, _orders(spark, sf_dir, 3), path, ["o_orderkey"],
+            keep_snapshots=9, change_feed=True,
+        )
+        v1 = read_parquet_table(spark, path)
+        delete_where(
+            spark, path, F.col("prio") == "1-URGENT", deletion_vectors=True,
+            keep_snapshots=9, change_feed=True,
+        )
+        feed = read_change_feed(spark, path, from_version=2)
+        dels = feed.filter(
+            (F.col("_commit_version") == 2) & (F.col("_change_type") == "delete")
+        ).select(*COLS)
+        assert _rows(dels, *COLS) == _rows(
+            v1.filter(F.col("prio") == "1-URGENT"), *COLS
+        )
