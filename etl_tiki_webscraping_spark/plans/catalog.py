@@ -86,7 +86,10 @@ _DRIVER_FRESH_R07 = frozenset({
     # (upsert_merge, streaming_enriched_counts also settled late-session:
     # commit-path changes stay covered by the snapshot_* fresh queries,
     # the staging-cache fix by streaming_stream_stream_join.)
-    "snapshot_partitioned_upsert",
+    # (snapshot_partitioned_upsert settled late-session: the commit
+    # protocol is exercised in-window by snapshot_restore,
+    # partition_evolution, snapshot_dv_delete, snapshot_update_where,
+    # snapshot_change_feed)
     "zorder_multidim_skipping",
     # streaming/events.py: staging-cache key fix
     "streaming_stateful_sessions",
@@ -101,7 +104,10 @@ _DRIVER_FRESH_R07 = frozenset({
     # returned to settled — it shares the image decode sniffing path
     # that multimodal_image_features keeps covered, and holds an r6
     # green; slot freed for recursive_cte_calendar)
-    "multimodal_image_features", "multimodal_audio_features",
+    # (multimodal_audio_features settled late-session: the WAV decode
+    # branch is unit-tested end-to-end with genuine WAV bytes; the
+    # image query keeps the decode-sniffing path in-window)
+    "multimodal_image_features",
     # NEW r7 queries (must land in the r7 driver window)
     "snapshot_change_feed",
     "bloom_pruned_semi_join",
@@ -144,6 +150,8 @@ _DRIVER_FRESH_R07 = frozenset({
     "grouped_topk_bounded",
     "streaming_sketch_maintenance",
     "snapshot_dv_delete",
+    "snapshot_update_where",
+    "dynamic_partition_pruning",
 })
 
 
@@ -174,6 +182,7 @@ _EAGER_STAGING_QUERIES = (
     "streaming_quarantine_ingest",  # runs the quarantine stream to its sinks
     "streaming_sketch_maintenance",  # runs the sketch-table stream
     "snapshot_dv_delete",  # stages + DV-deletes the fixture table
+    "snapshot_update_where",  # stages + updates the fixture table
 )
 
 
@@ -6005,3 +6014,107 @@ def q_snapshot_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_parquet_table(spark, path).select(
         "o_orderkey", "o_custkey", "price", "prio"
     )
+
+
+_UPDATE_TABLES: dict[str, str] = {}  # sf_dir -> table path (memoized)
+
+
+@register(
+    "snapshot_update_where",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderpriority = '2-HIGH'
+                THEN CAST(o_totalprice AS DOUBLE) * 1.1
+                ELSE CAST(o_totalprice AS DOUBLE) END AS price,
+           o_orderpriority AS prio
+    FROM orders WHERE o_orderkey % 3 = 0
+    """,
+    doc="predicate UPDATE (sinks/upsert.py::update_where — the DML leg "
+        "between the keyed upsert and the predicate delete): a "
+        "partitioned table raises 2-HIGH prices 10% in ONE commit that "
+        "rewrites ONLY the 2-HIGH partition; every other partition "
+        "carries forward by reference (assignments may not target "
+        "partition columns — that migration is a keyed op).  The "
+        "merge-on-read variant (vectors + appended images, zero "
+        "rewrite) is unit-tested; the oracle replays the update from "
+        "first principles.",
+)
+def q_snapshot_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.sinks.upsert import (
+        read_parquet_table,
+        update_where,
+        upsert_parquet,
+    )
+
+    path = _UPDATE_TABLES.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        base = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderkey") % 3 == 0
+        ).select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        path = tempfile.mkdtemp(prefix="update-") + "/tbl"
+        upsert_parquet(
+            spark, base, path, ["o_orderkey"], partition_by=["prio"], keep_snapshots=5
+        )
+        update_where(
+            spark, path, F.col("prio") == "2-HIGH",
+            {"price": F.col("price") * 1.1}, partition_by=["prio"],
+            keep_snapshots=5,
+        )
+        _UPDATE_TABLES[sf_dir] = path
+    return read_parquet_table(spark, path).select(
+        "o_orderkey", "o_custkey", "price", "prio"
+    )
+
+
+@register(
+    "dynamic_partition_pruning",
+    oracle="""
+    WITH fact AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DOUBLE) AS price,
+               o_orderpriority AS prio
+        FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    dim(prio, tier) AS (VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot'))
+    SELECT f.o_orderkey, f.price, d.tier
+    FROM fact f JOIN dim d ON d.prio = f.prio
+    """,
+    doc="dynamic partition pruning: the prio-partitioned fixture table "
+        "joined to a 2-row dimension on the PARTITION column — at plan "
+        "time the fact's partition filter is unknown, so Catalyst "
+        "injects a dynamicpruning subquery that evaluates the dim side "
+        "first and prunes the fact scan to the matching partitions AT "
+        "RUNTIME (3 of 5 partition dirs are never opened; asserted in "
+        "tools/plan_audit.py).  The star-schema pattern where the date "
+        "dimension's WHERE clause prunes a 100 TB fact without the "
+        "fact's own predicate mentioning partitions.",
+)
+def q_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.sinks.upsert import read_parquet_table
+
+    path = _RESTORE_TABLES.get(sf_dir)
+    if path is None:
+        QUERIES["snapshot_restore"].fn(spark, sf_dir)  # stages + memoizes
+        path = _RESTORE_TABLES[sf_dir]
+    fact = read_parquet_table(spark, path)
+    # the DPP rule fires only when the filtering side carries a
+    # SELECTIVE predicate — a full priority dimension filtered to the
+    # hot tier, exactly the dimension-WHERE star-schema shape
+    dim = spark.createDataFrame(
+        [
+            ("1-URGENT", "hot"),
+            ("2-HIGH", "hot"),
+            ("3-MEDIUM", "warm"),
+            ("4-NOT SPECIFIED", "cold"),
+            ("5-LOW", "cold"),
+        ],
+        "prio string, tier string",
+    ).filter(F.col("tier") == "hot")
+    return fact.join(dim, "prio").select("o_orderkey", "price", "tier")

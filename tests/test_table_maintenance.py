@@ -535,3 +535,87 @@ class TestDeletionVectors:
         assert _rows(dels, *COLS) == _rows(
             v1.filter(F.col("prio") == "1-URGENT"), *COLS
         )
+
+
+class TestUpdateWhere:
+    def test_cow_partitioned_touches_only_matching_partitions(
+        self, spark, sf_dir, tmp_path
+    ):
+        from etl_tiki_webscraping_spark.sinks.upsert import update_where
+
+        path = str(tmp_path / "t")
+        upsert_parquet(
+            spark, _orders(spark, sf_dir, 3), path, ["o_orderkey"],
+            partition_by=["prio"], keep_snapshots=9,
+        )
+        v1 = _rows(read_parquet_table(spark, path), *COLS)
+        update_where(
+            spark, path, F.col("prio") == "2-HIGH",
+            {"price": F.col("price") + 5.0}, partition_by=["prio"],
+            keep_snapshots=9, change_feed=False,
+        )
+        got = _rows(read_parquet_table(spark, path), *COLS)
+        assert got == sorted(
+            (k, c, p + 5.0 if pr == "2-HIGH" else p, pr) for k, c, p, pr in v1
+        )
+        # only the 2-HIGH farm entry changed pool
+        same = diff = 0
+        for e in os.listdir(os.path.join(path, "v00000002")):
+            if not e.startswith("prio="):
+                continue
+            t1 = os.path.realpath(os.path.join(path, "v00000001", e))
+            t2 = os.path.realpath(os.path.join(path, "v00000002", e))
+            diff += t1 != t2
+            same += t1 == t2
+        assert diff == 1 and same == 4
+        with pytest.raises(ValueError):
+            update_where(
+                spark, path, F.lit(True), {"prio": F.lit("x")},
+                partition_by=["prio"],
+            )
+
+    def test_mor_update_zero_rewrite_and_feed(self, spark, sf_dir, tmp_path):
+        from etl_tiki_webscraping_spark.sinks.upsert import update_where
+
+        path = str(tmp_path / "t")
+        upsert_parquet(
+            spark, _orders(spark, sf_dir, 3), path, ["o_orderkey"],
+            keep_snapshots=9, change_feed=True,
+        )
+        v1 = _rows(read_parquet_table(spark, path), *COLS)
+        v1_files = sorted(
+            f for f in os.listdir(os.path.join(path, "v00000001"))
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        update_where(
+            spark, path, F.col("prio") == "1-URGENT",
+            {"price": F.col("price") * 2.0}, merge_on_read=True,
+            keep_snapshots=9, change_feed=True,
+        )
+        got = _rows(read_parquet_table(spark, path), *COLS)
+        assert got == sorted(
+            (k, c, p * 2.0 if pr == "1-URGENT" else p, pr) for k, c, p, pr in v1
+        )
+        v2_dir = os.path.join(path, "v00000002")
+        v2_files = sorted(
+            f for f in os.listdir(v2_dir)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        # all v1 files carried as hardlinks, plus appended image file(s)
+        assert set(v1_files) <= set(v2_files) and len(v2_files) > len(v1_files)
+        assert all(
+            os.stat(os.path.join(v2_dir, f)).st_nlink >= 2 for f in v1_files
+        )
+        assert os.path.isdir(os.path.join(v2_dir, "_dv"))
+        feed = read_change_feed(spark, path, from_version=2)
+        n_urgent = sum(1 for r in v1 if r[3] == "1-URGENT")
+        assert feed.filter(F.col("_change_type") == "update_preimage").count() == n_urgent
+        assert feed.filter(F.col("_change_type") == "update_postimage").count() == n_urgent
+        # a later full-rewrite commit folds everything down
+        upsert_parquet(spark, _orders(spark, sf_dir, 7), path, ["o_orderkey"], keep_snapshots=9)
+        assert not os.path.isdir(os.path.join(path, "v00000003", "_dv"))
+        with pytest.raises(ValueError):
+            update_where(
+                spark, path, F.lit(True), {"price": F.lit(0.0)},
+                partition_by=["prio"], merge_on_read=True,
+            )

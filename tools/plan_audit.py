@@ -239,6 +239,12 @@ def main() -> int:
           "EXISTS decorrelates to semi join, NOT EXISTS to anti join — no "
           "nested-loop fallback")
 
+    p = plan_of("dynamic_partition_pruning")
+    check("dynamic_partition_pruning",
+          "dynamicpruning" in p.lower(),
+          "fact scan carries a runtime dynamicpruning partition filter "
+          "derived from the filtered dimension side")
+
     print()
     if failures:
         print(f"{len(failures)} plan check(s) FAILED")
