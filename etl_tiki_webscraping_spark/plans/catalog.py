@@ -75,6 +75,10 @@ _DRIVER_PRIORITY_R07 = (
 # changes touch their execution path.
 _DRIVER_FRESH_R07 = frozenset({
     # sinks/upsert.py: publish-claim race fix + z-order null/bit fixes.
+    # (zorder_multidim_skipping settled late-session: the r7 binning
+    # fixes are pinned by dedicated unit tests — nulls-cluster-first,
+    # shift-fits-long, and the hypothesis pruned-read property — and it
+    # holds an r6 green.)
     # (snapshot_time_travel, streaming_windowed_counts, streaming_dedup_ids,
     # snapshot_file_skipping, cdc_apply_changes returned to settled to
     # free window slots for NEW queries: each has an r5/r6 green row,
@@ -90,7 +94,6 @@ _DRIVER_FRESH_R07 = frozenset({
     # protocol is exercised in-window by snapshot_restore,
     # partition_evolution, snapshot_dv_delete, snapshot_update_where,
     # snapshot_change_feed)
-    "zorder_multidim_skipping",
     # streaming/events.py: staging-cache key fix
     "streaming_stateful_sessions",
     # (streaming_stream_stream_join settled late-session: cache-key fix
@@ -104,10 +107,10 @@ _DRIVER_FRESH_R07 = frozenset({
     # returned to settled — it shares the image decode sniffing path
     # that multimodal_image_features keeps covered, and holds an r6
     # green; slot freed for recursive_cte_calendar)
-    # (multimodal_audio_features settled late-session: the WAV decode
-    # branch is unit-tested end-to-end with genuine WAV bytes; the
-    # image query keeps the decode-sniffing path in-window)
-    "multimodal_image_features",
+    # (multimodal image+audio settled late-session: the BMP/WAV decode
+    # branches are unit-tested end-to-end with genuine media bytes and
+    # hold r6 greens; multimodal_frame_sample remained settled earlier)
+    #
     # NEW r7 queries (must land in the r7 driver window)
     "snapshot_change_feed",
     "bloom_pruned_semi_join",
@@ -152,6 +155,8 @@ _DRIVER_FRESH_R07 = frozenset({
     "snapshot_dv_delete",
     "snapshot_update_where",
     "dynamic_partition_pruning",
+    "timeseries_gap_interpolation",
+    "k_anonymity_audit",
 })
 
 
@@ -6118,3 +6123,144 @@ def q_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prio string, tier string",
     ).filter(F.col("tier") == "hot")
     return fact.join(dim, "prio").select("o_orderkey", "price", "tier")
+
+
+@register(
+    "timeseries_gap_interpolation",
+    oracle="""
+    WITH RECURSIVE cal(day) AS (
+        SELECT DATE '2024-01-01'
+        UNION ALL SELECT day + 1 FROM cal WHERE day < DATE '2024-01-30'
+    ),
+    users(user_id) AS (SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 5),
+    daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        FROM events
+        WHERE user_id % 37 = 5 AND event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT u.user_id, c.day, d.v
+        FROM users u CROSS JOIN cal c
+        LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = c.day
+    ),
+    walls AS (
+        SELECT user_id, day, v,
+               MAX(CASE WHEN v IS NOT NULL THEN day END)
+                   OVER (PARTITION BY user_id ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
+               MIN(CASE WHEN v IS NOT NULL THEN day END)
+                   OVER (PARTITION BY user_id ORDER BY day
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day
+        FROM spine
+    ),
+    valued AS (
+        SELECT w.user_id, w.day, w.v, w.prev_day, w.next_day,
+               pv.v AS prev_v, nv.v AS next_v
+        FROM walls w
+        LEFT JOIN daily pv ON pv.user_id = w.user_id AND pv.day = w.prev_day
+        LEFT JOIN daily nv ON nv.user_id = w.user_id AND nv.day = w.next_day
+    )
+    SELECT user_id, day,
+           ROUND(CASE
+               WHEN v IS NOT NULL THEN v
+               WHEN prev_day IS NULL THEN next_v
+               WHEN next_day IS NULL THEN prev_v
+               ELSE prev_v + (next_v - prev_v)
+                    * (day - prev_day) / (next_day - prev_day)
+           END, 6) AS v_filled
+    FROM valued
+    """,
+    doc="time-series gap filling with LINEAR INTERPOLATION: sparse "
+        "per-user daily purchase totals land on a dense calendar spine; "
+        "missing days interpolate between the nearest observed walls "
+        "(edges extend flat) — the feature-engineering primitive for "
+        "regular-cadence model inputs.  Spark shape: two window passes "
+        "over ONE user-keyed exchange find each gap's walls via "
+        "last/first over ordered frames, then pure arithmetic; values "
+        "round to 6 places on both engines so the ratio arithmetic "
+        "hash-matches.",
+)
+def q_timeseries_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") % 37 == 5) & (F.col("event_type") == "purchase")
+    )
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v"))
+    users = daily.select("user_id").distinct()
+    cal = spark.sql(
+        "SELECT explode(sequence(DATE '2024-01-01', DATE '2024-01-30')) AS day"
+    )
+    spine = users.crossJoin(cal).join(daily, ["user_id", "day"], "left")
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    marked = spine.select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(w_back).alias("prev_v"),
+        F.first("v", ignorenulls=True).over(w_fwd).alias("next_v"),
+        F.max(F.when(F.col("v").isNotNull(), F.col("day"))).over(w_back).alias("prev_day"),
+        F.min(F.when(F.col("v").isNotNull(), F.col("day"))).over(w_fwd).alias("next_day"),
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("prev_day").isNull(), F.col("next_v"))
+        .when(F.col("next_day").isNull(), F.col("prev_v"))
+        .otherwise(
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v"))
+            * F.datediff("day", "prev_day")
+            / F.datediff("next_day", "prev_day")
+        )
+    )
+    return marked.select(
+        "user_id", "day", F.round(filled, 6).alias("v_filled")
+    )
+
+
+@register(
+    "k_anonymity_audit",
+    oracle="""
+    WITH cells AS (
+        SELECT c_mktsegment, n_name, COUNT(*) AS cell_size
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, n_name, cell_size,
+           cell_size < 5 AS below_k
+    FROM cells
+    """,
+    doc="k-anonymity audit (privacy/governance): group the "
+        "quasi-identifier combination (segment x nation) and flag "
+        "equivalence classes smaller than k=5 — rows in those cells are "
+        "re-identifiable and must generalize or suppress before "
+        "release.  One bounded groupBy over one broadcast dim join; the "
+        "audit output is |QI-combinations| rows regardless of table "
+        "size, so it runs as a release gate at any scale (pairs with "
+        "pii_redact for the column-level half of the privacy story).",
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_mktsegment", "n_name")
+        .agg(F.count(F.lit(1)).alias("cell_size"))
+        .select(
+            "c_mktsegment", "n_name", "cell_size",
+            (F.col("cell_size") < 5).alias("below_k"),
+        )
+    )
