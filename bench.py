@@ -107,6 +107,18 @@ HEADLINE = [
     ("scd2_dim_from_feed", "count"),
     ("multi_exists_anti", "collect"),
     ("window_rank_functions", "count"),
+    ("doc_unigram_logprob", "count"),
+    ("doc_chunking", "count"),
+    ("recursive_cte_calendar", "collect"),
+    ("grouped_topk_bounded", "count"),
+    ("snapshot_dv_delete", "count"),
+    ("snapshot_update_where", "count"),
+    ("dynamic_partition_pruning", "count"),
+    ("timeseries_gap_interpolation", "count"),
+    ("k_anonymity_audit", "collect"),
+    ("lateral_subquery_topn", "count"),
+    ("not_in_null_aware", "count"),
+    ("snapshot_files_metadata", "collect"),
 ]
 
 
