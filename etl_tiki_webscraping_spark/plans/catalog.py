@@ -142,7 +142,6 @@ _DRIVER_FRESH_R07 = frozenset({
     "theta_sketch_set_ops",
     "scd2_dim_from_feed",
     "multi_exists_anti",
-    "window_rank_functions",
     "streaming_quarantine_ingest",
     "snapshot_files_metadata",
     "not_in_null_aware",
@@ -156,7 +155,12 @@ _DRIVER_FRESH_R07 = frozenset({
     "snapshot_update_where",
     "dynamic_partition_pruning",
     "timeseries_gap_interpolation",
-    "k_anonymity_audit",
+    "golden_record_survivorship",
+    "chunk_dedup_rate",
+    # NOT in the r7 window (the 50 slots are full; these three are the
+    # simplest aggregate shapes of the new set, locally oracle-verified,
+    # and lead the r8 rotation): k_anonymity_audit, winsorize_clip,
+    # window_rank_functions
 })
 
 
@@ -6263,4 +6267,196 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment", "n_name", "cell_size",
             (F.col("cell_size") < 5).alias("below_k"),
         )
+    )
+
+
+@register(
+    "winsorize_clip",
+    oracle="""
+    WITH bounds AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(LEAST(GREATEST(e.value, b.lo), b.hi), 6) AS v_clipped
+    FROM events e JOIN bounds b USING (event_type)
+    """,
+    doc="winsorization (outlier clipping for model features): per-type "
+        "exact p5/p95 bounds clamp every value — one bounded aggregate "
+        "(|types| rows) broadcast back onto the scan, so the clip is a "
+        "map-side expression over one pass; the classic alternative "
+        "(a global sort for percentiles) never happens.  Spark's exact "
+        "interpolated percentile == DuckDB quantile_cont, values "
+        "rounded to 6 places for the hash match.",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    return ev.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(F.least(F.greatest("value", "lo"), "hi"), 6).alias("v_clipped"),
+    )
+
+
+@register(
+    "golden_record_survivorship",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents
+    ),
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.tok AS ta, b.tok AS tb
+        FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1 OR b.doc_id = a.doc_id + 2
+    ),
+    edges AS (
+        SELECT id_a, id_b FROM cand
+        WHERE CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_concat(ta, tb))) AS DOUBLE) >= 0.5
+    ),
+    undirected AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION SELECT id_b AS src, id_a AS dst FROM edges
+    ),
+    reach AS (
+        SELECT src AS id, src AS lbl FROM undirected
+        UNION
+        SELECT u.dst AS id, r.lbl FROM reach r JOIN undirected u ON u.src = r.id
+    ),
+    comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id),
+    labeled AS (
+        SELECT d.doc_id, d.n_chars,
+               CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ),
+    ranked AS (
+        SELECT component, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY component
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM labeled
+    )
+    SELECT r.component,
+           r.doc_id AS golden_doc_id,
+           (SELECT COUNT(*) FROM labeled l WHERE l.component = r.component)
+               AS n_members
+    FROM ranked r WHERE r.rk = 1
+    """,
+    doc="entity-resolution survivorship (golden record): duplicate "
+        "clusters from the SAME deterministic candidate/Jaccard/"
+        "connected-components pipeline as dedup_cluster_components, then "
+        "each cluster elects one surviving record by the completeness "
+        "rule (longest text, id tie-break) with its member count — the "
+        "step that turns dedup output into a master table.  One extra "
+        "window over the bounded (doc -> component) labels; the "
+        "recursive-CTE oracle recomputes clusters AND survivorship from "
+        "first principles.",
+)
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from etl_tiki_webscraping_spark.operators.dedup import (
+        connected_components,
+        jaccard_on_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    cand = (
+        ids.select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+        .union(ids.select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 2).alias("id_b")))
+        .join(ids.select(F.col("doc_id").alias("id_b")), on="id_b", how="left_semi")
+    )
+    edges = (
+        jaccard_on_pairs(cand, docs, "text", "doc_id", shingle_n=1)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    comps = connected_components(edges)
+    labeled = (
+        docs.select("doc_id", "n_chars")
+        .join(comps.withColumnRenamed("id", "doc_id"), on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("component", "doc_id").cast("bigint").alias("component"),
+        )
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    members = labeled.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+    golden = (
+        labeled.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("component", F.col("doc_id").alias("golden_doc_id"))
+    )
+    return golden.join(members, "component")
+
+
+@register(
+    "chunk_dedup_rate",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ),
+    dd AS (SELECT doc_id, source, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+    chunks AS (
+        SELECT dd.source,
+               md5(array_to_string(
+                   list_slice(dd.toks, c.start + 1, LEAST(c.start + 32, dd.n)),
+                   ' ')) AS h
+        FROM dd, LATERAL (SELECT unnest(range(0, dd.n, 24)) AS start) c
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct,
+           ROUND(1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE) / COUNT(*), 6)
+               AS dup_ratio
+    FROM chunks GROUP BY source
+    """,
+    doc="chunk-level duplication measurement (composition of "
+        "doc_chunking + exact dedup): 32-token/stride-24 chunks hash to "
+        "md5 and per-source duplication ratios fall out of one groupBy "
+        "over bare hashes — the paragraph-grain contamination metric "
+        "pretraining curation tracks (document-level dedup misses "
+        "boilerplate repeated ACROSS distinct documents).  Exchanges "
+        "carry (source, 16-byte hash), never chunk text.",
+)
+def q_chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    CHUNK, STRIDE = 32, 24
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "source",
+        F.filter(
+            F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != F.lit("")
+        ).alias("toks"),
+    ).withColumn("n", F.size("toks")).filter(F.col("n") > 0)
+    chunks = toked.select(
+        "source",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(STRIDE))
+        ).alias("start"),
+        "toks",
+        "n",
+    ).select(
+        "source",
+        F.md5(
+            F.array_join(F.slice(F.col("toks"), F.col("start") + 1, F.lit(CHUNK)), " ")
+        ).alias("h"),
+    )
+    return chunks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("h").alias("n_distinct"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("h").cast("double") / F.count(F.lit(1)), 6
+        ).alias("dup_ratio"),
     )
