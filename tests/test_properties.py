@@ -390,3 +390,81 @@ def test_grouped_topk_equals_window_rank(spark, rows, k, nparts):
         .collect()
     )
     assert got == expected
+
+
+@given(
+    batches=st.lists(KV, min_size=1, max_size=4),
+    restore_to=st.integers(min_value=1, max_value=4),
+)
+@SETTINGS
+def test_history_fold_restore_vacuum_invariants(
+    spark, tmp_path_factory, batches, restore_to
+):
+    """For ANY commit sequence: every retained version equals the dict
+    fold of its prefix; RESTORE to any retained version makes current
+    equal that fold; VACUUM keeps current intact and refuses pruned
+    time travel."""
+
+    from etl_tiki_webscraping_spark.sinks.upsert import (
+        read_parquet_table,
+        restore_table,
+        upsert_parquet,
+        vacuum_table,
+    )
+
+    path = str(tmp_path_factory.mktemp("hist") / "t")
+    folds = []
+    acc: dict = {}
+    for kv in batches:
+        acc = {**acc, **kv}
+        folds.append(dict(acc))
+        upsert_parquet(spark, _df(spark, kv), path, ["k"], keep_snapshots=99)
+
+    def table_at(version=None):
+        return {
+            r["k"]: r["v"]
+            for r in read_parquet_table(spark, path, version=version).collect()
+        }
+
+    for v, fold in enumerate(folds, start=1):
+        assert table_at(v) == fold
+    target = min(restore_to, len(folds))
+    restore_table(spark, path, version=target, keep_snapshots=99)
+    assert table_at() == folds[target - 1]
+    # vacuum to the last 1: current survives, the first version refuses
+    # (snapshot dirs prune regardless of the pool grace window)
+    vacuum_table(path, keep_snapshots=1)
+    assert table_at() == folds[target - 1]
+    if len(folds) > 1:
+        import pytest as _pytest
+
+        with _pytest.raises(FileNotFoundError):
+            read_parquet_table(spark, path, version=1)
+
+
+@given(kv=KV, threshold=st.integers(min_value=-100, max_value=100))
+@SETTINGS
+def test_dv_delete_equals_cow_delete(spark, tmp_path_factory, kv, threshold):
+    """Merge-on-read (deletion vectors) and copy-on-write deletes agree
+    with the dict filter for arbitrary contents and predicates."""
+    from pyspark.sql import functions as F
+
+    from etl_tiki_webscraping_spark.sinks.upsert import (
+        delete_where,
+        read_parquet_table,
+        upsert_parquet,
+    )
+
+    expected = {k: v for k, v in kv.items() if not v >= threshold}
+    results = []
+    for dv in (False, True):
+        path = str(tmp_path_factory.mktemp(f"dv{dv}") / "t")
+        upsert_parquet(spark, _df(spark, kv), path, ["k"], keep_snapshots=9)
+        delete_where(
+            spark, path, F.col("v") >= threshold, deletion_vectors=dv,
+            keep_snapshots=9,
+        )
+        results.append(
+            {r["k"]: r["v"] for r in read_parquet_table(spark, path).collect()}
+        )
+    assert results[0] == results[1] == expected
