@@ -295,6 +295,11 @@ def table_history(spark: SparkSession, target_path: str) -> DataFrame:
     (retained versions × files), i.e. object-store metadata requests;
     a production port would additionally denormalize the counts into
     the commit manifest to make this a single small-file read.
+
+    Counts are PHYSICAL: a snapshot carrying deletion vectors reports
+    its files' footer rows, which still include merge-on-read-deleted
+    rows until a rewriting commit folds them out (same caveat as
+    Delta's numRecords under DVs).
     """
     import json
     import os
@@ -357,7 +362,9 @@ def table_files(
     an object-store port reads the manifest instead).  The substrate
     for compaction planning (small-file detection), cost estimation,
     and metadata-vs-data consistency audits (the catalog query
-    aggregates this against a first-principles recount)."""
+    aggregates this against a first-principles recount).  Row counts
+    are PHYSICAL — under deletion vectors they include
+    merge-on-read-deleted rows until the next rewriting commit."""
     import os
 
     import pyarrow.parquet as pq
