@@ -448,3 +448,221 @@ def brute_force_topk_blocked(
     return top_k_per_group(
         local, [query_id_col], [F.col("cosine").desc(), F.col("neighbor_id").asc()], k
     )
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Train PRODUCT-QUANTIZATION codebooks (the FAISS PQ layout): the
+    vector splits into ``m`` contiguous subspaces and each subspace gets
+    its own ``k``-centroid k-means codebook, so a d-dim float vector
+    compresses to ``m`` small codes (here m bytes) while the effective
+    cell count is ``k^m``.  Returns (subspace, code, subvec) rows —
+    ``m x k`` rows total, a broadcast-sized model regardless of corpus
+    size.
+
+    The driver loop runs ``m`` DISTRIBUTED k-means fits (bounded by the
+    subspace count, never rows); like :func:`ivf_train_centroids`,
+    train on a sample when the corpus is huge — codebook quality
+    saturates early."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim_row = corpus.select(F.size(as_double_vec(vec_col)).alias("d")).first()
+    d = dim_row["d"]
+    if d % m != 0:
+        raise ValueError(f"vector dim {d} not divisible by m={m} subspaces")
+    sub = d // m
+    spark = corpus.sparkSession
+    rows = []
+    vec = as_double_vec(vec_col)
+    for j in range(m):
+        train = corpus.select(
+            array_to_vector(F.slice(vec, j * sub + 1, sub)).alias("features")
+        )
+        model = KMeans(k=k, maxIter=max_iter, seed=seed + j).fit(train)
+        rows += [
+            (j, c, [float(x) for x in cent])
+            for c, cent in enumerate(model.clusterCenters())
+        ]
+    return spark.createDataFrame(
+        rows, "subspace int, code int, subvec array<double>"
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every corpus vector to its ``m`` nearest-codebook codes
+    plus its exact L2 norm — ``(id, codes array<int>, norm)``, the
+    compressed representation ADC search scans.  One Arrow kernel pass
+    with the (m x k x sub) codebook tensor broadcast; no shuffle."""
+    import pandas as pd
+
+    cb = codebooks.orderBy("subspace", "code").collect()  # m*k rows, broadcast below
+    m = 1 + max(r["subspace"] for r in cb)
+    k = 1 + max(r["code"] for r in cb)
+    sub = len(cb[0]["subvec"])
+    tensor = np.zeros((m, k, sub))
+    for r in cb:
+        tensor[r["subspace"], r["code"]] = np.asarray(r["subvec"])
+    bt = corpus.sparkSession.sparkContext.broadcast(tensor)
+
+    out_schema = f"{id_col} bigint, codes array<int>, norm double"
+
+    def encode(batches):
+        t = bt.value  # (m, k, sub)
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
+            )  # (n, d)
+            n = len(mat)
+            codes = np.empty((n, m), dtype=np.int32)
+            for j in range(m):
+                seg = mat[:, j * sub : (j + 1) * sub]  # (n, sub)
+                # squared L2 to each code: ||x||^2 - 2 x.c + ||c||^2
+                d2 = (
+                    -2.0 * seg @ t[j].T
+                    + (t[j] ** 2).sum(axis=1)[None, :]
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: batch[id_col].to_numpy(),
+                    "codes": list(codes),
+                    "norm": np.linalg.norm(mat, axis=1),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(encode, schema=out_schema)
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate cosine top-k by ASYMMETRIC DISTANCE COMPUTATION over
+    PQ codes: per query, an ``(m x k)`` lookup table of subquery·code
+    dot products is built once; a vector's approximate dot product is
+    the sum of ``m`` table lookups on its codes (its exact stored norm
+    de-biases the cosine).  Each corpus partition scans CODES (m ints
+    per vector, not d floats), gathers LUT sums vectorized, and keeps a
+    local top-k per query — the shuffle carries ``partitions x queries
+    x k`` rows, and the full float vectors are never read after encode
+    time.  Approximate by construction; recall floors are pinned in
+    tests like the LSH/IVF paths."""
+    import pandas as pd
+
+    cb = codebooks.orderBy("subspace", "code").collect()
+    m = 1 + max(r["subspace"] for r in cb)
+    ncodes = 1 + max(r["code"] for r in cb)
+    sub = len(cb[0]["subvec"])
+    tensor = np.zeros((m, ncodes, sub))
+    for r in cb:
+        tensor[r["subspace"], r["code"]] = np.asarray(r["subvec"])
+
+    q_rows = queries.select(query_id_col, vec_col).collect()  # small side
+    q_ids = np.array([r[query_id_col] for r in q_rows])
+    q_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
+    q_norm = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    nq = len(q_ids)
+    # LUT[q, j, c] = dot(q_subvec_j, codebook[j][c])
+    lut = np.einsum("qjs,jcs->qjc", q_mat.reshape(nq, m, sub), tensor)
+    bq = codes.sparkSession.sparkContext.broadcast((q_ids, q_norm, lut))
+
+    out_schema = f"{query_id_col} bigint, neighbor_id bigint, cosine double"
+
+    def scan(batches):
+        ids, qn, tables = bq.value  # (nq,), (nq,1), (nq, m, c)
+        for batch in batches:
+            n = len(batch)
+            if n == 0:
+                continue
+            code_mat = np.stack(batch["codes"].to_numpy())  # (n, m)
+            norms = batch["norm"].to_numpy()  # (n,)
+            # adc[q, i] = sum_j tables[q, j, code_mat[i, j]]
+            gathered = tables[:, np.arange(m)[None, :], code_mat]  # (nq, n, m)
+            adc = gathered.sum(axis=2)  # (nq, n)
+            sims = adc / (qn * np.maximum(norms[None, :], 1e-12))
+            top = min(k, n)
+            idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            out_q, out_id, out_s = [], [], []
+            for qi in range(len(ids)):
+                out_q += [ids[qi]] * top
+                out_id += list(batch[id_col].to_numpy()[idx[qi]])
+                out_s += list(sims[qi, idx[qi]])
+            yield pd.DataFrame(
+                {query_id_col: out_q, "neighbor_id": out_id, "cosine": out_s}
+            )
+
+    local = codes.mapInPandas(scan, schema=out_schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def pq_refine(
+    shortlist: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """EXACT re-rank of an ADC shortlist (FAISS's refine step): join the
+    shortlist ids back to their true vectors, score exact cosine against
+    the broadcast query vectors, keep the top-k.  ADC's quantized
+    distances order CLUSTERS well but cannot separate near-identical
+    neighbors (resolution is the quantization cell); re-ranking the
+    bounded ``|queries| x shortlist`` candidate set restores exact
+    ordering while still never scanning full vectors corpus-wide —
+    the standard PQ + refine pipeline."""
+    from pyspark.sql import Window
+
+    cand = shortlist.select(query_id_col, F.col("neighbor_id"))
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("__cv")
+    )
+    qvec = queries.select(
+        F.col(query_id_col), as_double_vec(vec_col).alias("__qv")
+    )
+    scored = (
+        cand.join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), query_id_col)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            cosine(F.col("__cv"), F.col("__qv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -151,7 +151,8 @@ _DRIVER_FRESH_R07 = frozenset({
     # NOT in the r7 window (the 50 slots are full; these three are the
     # simplest aggregate shapes of the new set, locally oracle-verified,
     # and lead the r8 rotation): k_anonymity_audit, winsorize_clip,
-    # window_rank_functions
+    # window_rank_functions; knn_pq_adc (rows-only by contract, recall
+    # floor pinned in unit tests) also waits for r8
 })
 
 
@@ -5223,7 +5224,11 @@ def q_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                     OVER w AS DOUBLE) / COUNT(value) OVER w AS avg_7d
     FROM events
     WINDOW w AS (
-        PARTITION BY user_id ORDER BY epoch(ts)
+        -- floor to WHOLE seconds: Spark's cast(ts AS LONG) truncates
+        -- sub-second precision, while DuckDB's epoch() is fractional —
+        -- without the floor, rows within a fraction of a second of the
+        -- 6-day boundary flip frame membership between engines
+        PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
         RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW
     )
     """,
@@ -6451,3 +6456,41 @@ def q_chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.countDistinct("h").cast("double") / F.count(F.lit(1)), 6
         ).alias("dup_ratio"),
     )
+
+
+@register(
+    "knn_pq_adc",
+    oracle=None,  # approximate (trained product quantizer) — rows-only
+    doc="product-quantization ANN (operators/similarity.py::"
+        "pq_train_codebooks/pq_encode/pq_topk — the FAISS PQ/ADC "
+        "design): vectors compress to m=8 sub-space codes (k=16 "
+        "codebook entries each, trained by m distributed k-means fits; "
+        "effective cell count 16^8) plus an exact norm; search scans "
+        "CODES — 8 small ints per vector, never the 64 floats — via "
+        "per-query asymmetric-distance lookup tables, keeping a local "
+        "top-k per partition so the shuffle carries partitions x "
+        "queries x k rows.  ADC ranks at quantization-cell resolution, "
+        "so it generates a 5k SHORTLIST that pq_refine re-ranks with "
+        "exact cosine over the bounded candidate set — the standard "
+        "PQ + refine pipeline, with the memory/IO story brute force "
+        "cannot have (a 100 TB float corpus becomes ~3 TB of codes; "
+        "full vectors are touched only for shortlisted ids).  Recall "
+        "floors pinned in tests/test_quality_gates.py alongside the "
+        "LSH/IVF gates.",
+)
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.similarity import (
+        pq_encode,
+        pq_refine,
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = pq_train_codebooks(emb, m=8, k=16, max_iter=5)
+    codes = pq_encode(emb, books)
+    shortlist = pq_topk(codes, books, queries, k=50)
+    return pq_refine(shortlist, emb, queries, k=10)

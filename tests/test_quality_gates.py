@@ -235,3 +235,24 @@ def test_crosscorpus_candidates_quality(spark, docs, jaccard_truth):
     missed = {tuple(sorted(p)) for p in truth_cross} - got
     assert truth_cross, "no cross-split near-dups in fixture; gate is vacuous"
     assert not missed, f"cross-corpus LSH missed true pairs: {missed}"
+
+
+def test_pq_adc_recall_on_clustered_data(spark, clustered):
+    from etl_tiki_webscraping_spark.operators.similarity import (
+        pq_encode,
+        pq_refine,
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    exact = _exact_topk(clustered)
+    qs = _queries_of(clustered)
+    books = pq_train_codebooks(clustered, m=8, k=16, max_iter=5)
+    codes = pq_encode(clustered, books)
+    # ADC alone ranks at quantization-cell resolution — near-identical
+    # within-cluster neighbors are indistinguishable to it — so the
+    # pipeline is shortlist (5k) + exact refine, like FAISS
+    approx = pq_refine(pq_topk(codes, books, qs, k=50), clustered, qs, k=10)
+    row = topk_recall_summary(approx, exact, "pq").collect()[0]
+    assert row["mean_recall"] >= 0.9, row
+    assert row["n_queries"] == 5
