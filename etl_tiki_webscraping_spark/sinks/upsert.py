@@ -988,7 +988,13 @@ def _stats_pruned_read(
         return None
     snap_dir = os.path.join(target_path, snap_name)
     all_files: list[str] = []
-    for root, _, files in os.walk(snap_dir, followlinks=True):
+    for root, dirs, files in os.walk(snap_dir, followlinks=True):
+        # never descend into metadata dirs (_changes, _dv, _bloom):
+        # Spark's own reader hides underscore-prefixed path segments,
+        # and the explicit file list must match that contract — a
+        # change-feed or deletion-vector parquet surfacing here would
+        # read junk rows into the table under the table schema
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
         for f in files:
             if f.endswith(".parquet") and not f.startswith((".", "_")):
                 all_files.append(os.path.relpath(os.path.join(root, f), snap_dir))

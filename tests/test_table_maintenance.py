@@ -619,3 +619,51 @@ class TestUpdateWhere:
                 spark, path, F.lit(True), {"price": F.lit(0.0)},
                 partition_by=["prio"], merge_on_read=True,
             )
+
+
+class TestPrunedReadMetadataDirs:
+    def test_range_pruned_read_never_surfaces_feed_or_vector_files(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Regression: _stats_pruned_read builds an EXPLICIT file list;
+        without dir pruning it descended into _changes/ and _dv/, whose
+        parquet would be read as table rows under the table schema.
+        Trigger real pruning (clustered files, narrow bound) on a table
+        that carries BOTH a change feed and deletion vectors."""
+        from etl_tiki_webscraping_spark.sinks.upsert import (
+            compact_table,
+            delete_where,
+        )
+
+        path = str(tmp_path / "t")
+        upsert_parquet(
+            spark, _orders(spark, sf_dir, 3), path, ["o_orderkey"],
+            keep_snapshots=9, change_feed=True,
+        )
+        # cluster on the key so files get disjoint ranges -> real skipping
+        compact_table(spark, path, target_file_bytes=4 * 1024, sort_by=["o_orderkey"])
+        delete_where(
+            spark, path, F.col("o_custkey") % 5 == 0, deletion_vectors=True,
+            keep_snapshots=9, change_feed=True,
+        )
+        full = read_parquet_table(spark, path)
+        # sf0.001 %3 keys span ~0..1500 over 5 clustered files; a 0..600
+        # bound must skip the upper files (and, pre-fix, would have
+        # pulled _changes/_dv parquet into the explicit file list)
+        lo = 0
+        hi = 600
+        pruned = read_parquet_table(
+            spark, path, range_filter=("o_orderkey", lo, hi)
+        )
+        expect = sorted(
+            map(tuple, full.filter(F.col("o_orderkey").between(lo, hi)).select(*COLS).collect())
+        )
+        got = sorted(map(tuple, pruned.select(*COLS).collect()))
+        assert got == expect
+        # prove the plan actually pruned (fewer DATA files than full;
+        # the _dv anti-join side appears in inputFiles on both)
+        def data_files(df):
+            return [f for f in df.inputFiles() if "/_dv/" not in f]
+
+        assert len(data_files(full)) > 1
+        assert len(data_files(pruned)) < len(data_files(full))
