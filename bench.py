@@ -119,6 +119,10 @@ HEADLINE = [
     ("lateral_subquery_topn", "count"),
     ("not_in_null_aware", "count"),
     ("snapshot_files_metadata", "collect"),
+    ("winsorize_clip", "count"),
+    ("golden_record_survivorship", "count"),
+    ("chunk_dedup_rate", "collect"),
+    ("knn_pq_adc", "count"),
 ]
 
 
