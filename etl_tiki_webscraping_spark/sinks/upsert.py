@@ -529,7 +529,11 @@ def restore_table(
                 pass
 
 
-def vacuum_table(target_path: str, keep_snapshots: int = 2) -> list[str]:
+def vacuum_table(
+    target_path: str,
+    keep_snapshots: int = 2,
+    older_than_seconds: "float | None" = None,
+) -> list[str]:
     """``VACUUM`` analog: reclaim snapshot versions older than the
     newest ``keep_snapshots`` plus every ``data/`` pool dir no retained
     snapshot references — the standalone form of the best-effort prune
@@ -542,6 +546,13 @@ def vacuum_table(target_path: str, keep_snapshots: int = 2) -> list[str]:
     raise ``FileNotFoundError`` afterwards; the current version is
     always retained.
 
+    ``older_than_seconds`` (Delta's ``VACUUM ... RETAIN N HOURS`` form)
+    derives the keep count by AGE instead: every version whose manifest
+    was committed within the window is retained (plus the current one,
+    always), versions entirely older reclaim.  When both are given the
+    LARGER retention wins — vacuum never prunes a version one of the
+    two rules would keep.
+
     NOTE the shallow-clone hazard (same as Delta): a clone of a
     PARTITIONED table references this table's pool dirs by path, and
     vacuum here cannot see those external references — vacuum a cloned
@@ -553,6 +564,22 @@ def vacuum_table(target_path: str, keep_snapshots: int = 2) -> list[str]:
     cur = _current_snapshot(target_path)
     if cur is None:
         raise FileNotFoundError(f"no committed snapshot table at {target_path}")
+    cur_v = int(cur.lstrip("v"))
+    if older_than_seconds is not None:
+        import time
+
+        cutoff = time.time() - older_than_seconds
+        oldest_kept = cur_v
+        for entry in os.listdir(target_path):
+            if not (entry.startswith("v") and entry.endswith(".json")):
+                continue
+            stem = entry[:-5]
+            if "." in stem or not stem.lstrip("v").isdigit():
+                continue  # attempt-staged leftovers
+            v = int(stem.lstrip("v"))
+            if v <= cur_v and os.path.getmtime(os.path.join(target_path, entry)) >= cutoff:
+                oldest_kept = min(oldest_kept, v)
+        keep_snapshots = max(keep_snapshots, cur_v - oldest_kept + 1)
 
     def _inventory() -> set[str]:
         entries = set()

@@ -667,3 +667,80 @@ class TestPrunedReadMetadataDirs:
 
         assert len(data_files(full)) > 1
         assert len(data_files(pruned)) < len(data_files(full))
+
+
+class TestVacuumAgeRetention:
+    def test_age_window_overrides_count(self, spark, sf_dir, tmp_path):
+        path = str(tmp_path / "t")
+        for mod in (3, 5, 7):
+            upsert_parquet(
+                spark, _orders(spark, sf_dir, mod), path, ["o_orderkey"],
+                keep_snapshots=9,
+            )
+        # v1's manifest aged out of the window; v2/v3 stay young
+        old = os.path.getmtime(path) - 7200
+        os.utime(os.path.join(path, "v00000001.json"), (old, old))
+        removed = vacuum_table(path, keep_snapshots=1, older_than_seconds=3600)
+        # the age rule RETAINS young v2 even though keep_snapshots=1
+        # would have pruned it; aged v1 reclaims
+        assert "v00000001" in removed
+        assert read_parquet_table(spark, path, version=2).count() > 0
+        with pytest.raises(FileNotFoundError):
+            read_parquet_table(spark, path, version=1)
+
+    def test_everything_young_prunes_nothing_beyond_count(self, spark, sf_dir, tmp_path):
+        path = str(tmp_path / "t")
+        for mod in (3, 5):
+            upsert_parquet(
+                spark, _orders(spark, sf_dir, mod), path, ["o_orderkey"],
+                keep_snapshots=9,
+            )
+        removed = vacuum_table(path, keep_snapshots=1, older_than_seconds=86400)
+        assert not any(e.startswith("v00000001") for e in removed)
+        assert read_parquet_table(spark, path, version=1).count() > 0
+
+
+class TestDvDeleteConcurrency:
+    def test_dv_delete_losing_race_raises_and_leaves_winner_intact(
+        self, spark, sf_dir, tmp_path, monkeypatch
+    ):
+        """A DV delete that loses the commit race must surface
+        ConcurrentWriteError (rebase signal), leave the winner's commit
+        untouched, and reclaim its own staging."""
+        import etl_tiki_webscraping_spark.sinks.upsert as U
+
+        path = str(tmp_path / "t")
+        U.upsert_parquet(spark, _orders(spark, sf_dir, 3), path, ["o_orderkey"], keep_snapshots=9)
+        winner_batch = _orders(spark, sf_dir, 5, 1000.0)
+
+        orig_publish = U._publish_staged
+        raced = {"done": False}
+
+        def racing_publish(target_path, next_version, stage_base, keep_snapshots):
+            if not raced["done"] and ".stage-" in stage_base:
+                raced["done"] = True
+                # the concurrent upsert publishes v2 first
+                U.upsert_parquet(
+                    spark, winner_batch, path, ["o_orderkey"], keep_snapshots=9
+                )
+            return orig_publish(target_path, next_version, stage_base, keep_snapshots)
+
+        monkeypatch.setattr(U, "_publish_staged", racing_publish)
+        with pytest.raises(U.ConcurrentWriteError):
+            U.delete_where(
+                spark, path, F.col("prio") == "1-URGENT",
+                deletion_vectors=True, keep_snapshots=9,
+            )
+        monkeypatch.setattr(U, "_publish_staged", orig_publish)
+        # winner's v2 is current and intact; loser's staging reclaimed
+        cur = U._current_snapshot(path)
+        assert cur == "v00000002"
+        assert not any(".stage-" in e for e in os.listdir(path))
+        # the delete RETRIES cleanly against the new base (idempotent:
+        # matching runs on the DV-applied current state)
+        U.delete_where(
+            spark, path, F.col("prio") == "1-URGENT",
+            deletion_vectors=True, keep_snapshots=9,
+        )
+        got = read_parquet_table(spark, path)
+        assert got.filter(F.col("prio") == "1-URGENT").count() == 0
