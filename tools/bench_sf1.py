@@ -71,6 +71,17 @@ CUST_STRIDE = 150_000
 # now replicated too (l_orderkey offset keeps FK integrity with scaled
 # orders; l_partkey UNCHANGED so per-part row density grows 10x — the
 # axis heavy-hitter mining and profiling actually scale on).
+NEW_R7D = [
+    "snapshot_dv_delete",
+    "snapshot_update_where",
+    "grouped_topk_bounded",
+    "knn_pq_adc",
+    "winsorize_clip",
+    "golden_record_survivorship",
+    "chunk_dedup_rate",
+    "recursive_cte_calendar",
+]
+
 NEW_R7C = [
     "heavy_hitters_exact",
     "table_profile",
@@ -224,7 +235,7 @@ def main() -> None:
 
     names = FIVE
     if len(sys.argv) > 1:
-        names = {"r7": NEW_R7, "r7c": NEW_R7C}.get(sys.argv[1], FIVE)
+        names = {"r7": NEW_R7, "r7c": NEW_R7C, "r7d": NEW_R7D}.get(sys.argv[1], FIVE)
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
