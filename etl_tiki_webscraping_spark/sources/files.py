@@ -41,6 +41,13 @@ def parse_lines_quarantine(
     quarantined iff the permissive parser set the corrupt-record field
     OR produced an all-null struct (from_json returns null for
     hopeless input instead of populating the corrupt column).
+
+    LIMITATION (inherent to line-delimited parsing): a CSV field with a
+    QUOTED EMBEDDED NEWLINE spans two text lines and both halves
+    quarantine.  Data interchange files at scale are line-delimited
+    precisely so they split; for the rare multiline-quoted export, use
+    Spark's native ``multiLine`` CSV reader (which gives up per-line
+    quarantine, splittability, and the streaming twin).
     """
     if fmt not in ("csv", "json"):
         raise ValueError(f"fmt must be 'csv' or 'json', got {fmt!r}")
