@@ -2980,6 +2980,8 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk_recall_summary(wide, exact, "knn_lsh_wide"),
         topk_recall_summary(q_knn_ivf(spark, sf_dir), exact, "knn_ivf"),
         topk_recall_summary(q_knn_ivf_kmeans(spark, sf_dir), exact, "knn_ivf_kmeans"),
+        # PQ shortlist + exact refine (the knn_pq_adc pipeline)
+        topk_recall_summary(q_knn_pq(spark, sf_dir), exact, "knn_pq"),
     ]
     out = reports[0]
     for r in reports[1:]:
