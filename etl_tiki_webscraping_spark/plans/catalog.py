@@ -152,7 +152,7 @@ _DRIVER_FRESH_R07 = frozenset({
     # simplest aggregate shapes of the new set, locally oracle-verified,
     # and lead the r8 rotation): k_anonymity_audit, winsorize_clip,
     # window_rank_functions; knn_pq_adc (rows-only by contract, recall
-    # floor pinned in unit tests) also waits for r8
+    # floor pinned in unit tests) and cohort_retention also wait for r8
 })
 
 
@@ -6507,3 +6507,79 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PQ_BOOKS: dict[str, list] = {}  # sf_dir -> collected codebook rows
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    cohorts AS (
+        SELECT user_id,
+               CAST(date_trunc('week', first_day) AS DATE) AS cohort_week
+        FROM firsts
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, c.cohort_week,
+               CAST(floor(date_diff('day', c.cohort_week,
+                                    CAST(e.ts AS DATE)) / 7) AS BIGINT)
+                   AS week_offset
+        FROM events e JOIN cohorts c USING (user_id)
+        WHERE e.event_type = 'purchase'
+    ),
+    sizes AS (
+        SELECT cohort_week, COUNT(*) AS cohort_size FROM cohorts GROUP BY 1
+    )
+    SELECT a.cohort_week, a.week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / s.cohort_size, 6) AS retention
+    FROM activity a JOIN sizes s USING (cohort_week)
+    GROUP BY a.cohort_week, a.week_offset, s.cohort_size
+    """,
+    doc="cohort retention analysis (the canonical product-analytics "
+        "matrix): users cohorted by first-purchase week, then the share "
+        "of each cohort still purchasing k weeks later.  Spark shape: "
+        "one user-keyed aggregate finds first purchases, the cohort "
+        "label broadcasts back onto the event scan (small dimension by "
+        "construction: one row per user collapses to one per cohort "
+        "before the final bounded groupBy over the cohort x offset "
+        "grid).  Week offsets are integer day arithmetic — no float in "
+        "the grid — and the retention ratio rounds to 6 places for the "
+        "exact DuckDB replay.",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", F.col("ts").cast("date").alias("day"))
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    cohorts = firsts.select(
+        "user_id", F.date_trunc("week", "first_day").cast("date").alias("cohort_week")
+    )
+    activity = (
+        ev.join(cohorts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(F.datediff("day", "cohort_week") / 7).alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            F.round(F.col("n_active").cast("double") / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+    )
