@@ -579,7 +579,9 @@ def pq_topk(
     q_rows = queries.select(query_id_col, vec_col).collect()  # small side
     q_ids = np.array([r[query_id_col] for r in q_rows])
     q_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
-    q_norm = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # clamp like the corpus-side guard below: a zero-norm query would
+    # make sims NaN/inf and corrupt that query's whole top-k ordering
+    q_norm = np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
     nq = len(q_ids)
     # LUT[q, j, c] = dot(q_subvec_j, codebook[j][c])
     lut = np.einsum("qjs,jcs->qjc", q_mat.reshape(nq, m, sub), tensor)
@@ -655,7 +657,15 @@ def pq_refine(
         .select(
             query_id_col,
             "neighbor_id",
-            cosine(F.col("__cv"), F.col("__qv")).alias("cosine"),
+            # denominator clamped on BOTH sides (matching pq_topk's
+            # guards): zero-norm vectors score 0, not NaN
+            (
+                dot(F.col("__cv"), F.col("__qv"))
+                / (
+                    F.greatest(norm(F.col("__cv")), F.lit(1e-12))
+                    * F.greatest(norm(F.col("__qv")), F.lit(1e-12))
+                )
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(

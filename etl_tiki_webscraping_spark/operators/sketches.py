@@ -42,6 +42,7 @@ def heavy_hitters(
     col: str,
     threshold_count: int,
     capacity: int | None = None,
+    n: int | None = None,
 ) -> DataFrame:
     """EXACT frequent-value mining: all values of ``col`` occurring at
     least ``threshold_count`` times, with their exact counts — without
@@ -56,7 +57,12 @@ def heavy_hitters(
     global count >= threshold therefore survives in at least one
     partition whenever ``capacity + 1 > 2n/threshold`` — the default
     sizing (one ``df.count()``; pass ``capacity`` explicitly to skip
-    it, e.g. from a snapshot manifest's free row count).  Only
+    it, e.g. from a snapshot manifest's free row count).  An explicit
+    ``capacity`` below that bound would silently void the
+    no-false-negatives guarantee, so when passing one also pass ``n``
+    (the row count it was sized from — a manifest free count is fine)
+    and the bound is CHECKED: an undersized capacity raises instead of
+    returning a silently incomplete set.  Only
     candidate VALUES leave the executors.
 
     Pass 2 (exact close): count only rows matching the broadcast
@@ -71,8 +77,15 @@ def heavy_hitters(
     if threshold_count < 1:
         raise ValueError(f"threshold_count must be >= 1, got {threshold_count}")
     if capacity is None:
-        n = df.count()
+        if n is None:
+            n = df.count()
         capacity = max(64, math.ceil(2.0 * n / threshold_count))
+    elif n is not None and int(capacity) + 1 <= 2.0 * n / threshold_count:
+        raise ValueError(
+            f"capacity={capacity} voids the Misra-Gries exactness guarantee for "
+            f"n={n}, threshold={threshold_count}: need capacity + 1 > 2n/threshold "
+            f"= {2.0 * n / threshold_count:.1f}; raise capacity or lower n"
+        )
     cap = int(capacity)
     vals = df.select(F.col(col).alias("value")).where(F.col(col).isNotNull())
     out_type = vals.schema["value"].dataType.simpleString()
@@ -158,7 +171,20 @@ def cms_estimate(
     subtract).  ``depth``/``width`` MUST match the build's (they define
     the hash family; the sketch rows don't carry them).  The probe side
     explodes to ``|items| x depth`` rows and joins the bounded cell
-    grid; missing cells count 0."""
+    grid; missing cells count 0.
+
+    The sketch must be fully merged — exactly ``(depth, bucket, cnt)``
+    columns.  A still-grouped sketch (extra group columns) would fan
+    the probe join out across groups and take MIN over per-group
+    cells, UNDER-counting the global frequency and violating the
+    over-count-only guarantee, so it is rejected."""
+    extra = [c for c in sketch.columns if c not in ("depth", "bucket", "cnt")]
+    if extra or set(sketch.columns) != {"depth", "bucket", "cnt"}:
+        raise ValueError(
+            f"cms_estimate needs a fully merged sketch with columns exactly "
+            f"(depth, bucket, cnt); got {sketch.columns} — call "
+            f"cms_merge(sketch, drop_cols={extra}) first"
+        )
     probes = (
         items.select(F.col(col))
         .distinct()

@@ -2215,7 +2215,15 @@ def update_where(
     file; the next rewriting commit folds everything down.
 
     ``change_feed=True`` records update_preimage/update_postimage rows
-    either way."""
+    either way.
+
+    UPDATE never changes the table schema: every assignment result is
+    cast back to the column's STORED type when the cast is a safe
+    numeric widening, and rejected otherwise.  Without this, a
+    type-widening assignment (int column set to a double expression)
+    would commit a snapshot whose appended (MOR) or rewritten (CoW
+    partitioned) files disagree with the manifest schema / the
+    carried-forward files' physical type — unreadable at scan time."""
     import os
 
     cur = _current_snapshot(target_path)
@@ -2223,12 +2231,6 @@ def update_where(
         raise FileNotFoundError(f"no committed table at {target_path}")
     next_version = int(cur.lstrip("v")) + 1
     cond = F.coalesce(condition, F.lit(False))
-
-    def assigned(df: DataFrame) -> DataFrame:
-        out = df
-        for c, expr in assignments.items():
-            out = out.withColumn(c, F.when(cond, expr).otherwise(F.col(c)))
-        return out
 
     if merge_on_read:
         if partition_by:
@@ -2238,12 +2240,13 @@ def update_where(
                 "carried partition needs per-file references)"
             )
         _update_where_mor(
-            spark, target_path, cur, next_version, cond, assigned,
+            spark, target_path, cur, next_version, cond, assignments,
             keep_snapshots, change_feed,
         )
         return
 
     snap = _read_snapshot(spark, target_path, cur)
+    assigned = _schema_preserving_assigned(assignments, cond, snap.schema)
 
     def feed_builder(next_v: int):
         pre = _tag_changes(snap.filter(cond), "update_preimage", next_v)
@@ -2294,13 +2297,67 @@ def update_where(
     )
 
 
+_NUMERIC_WIDEN_RANK = {
+    "byte": 1, "short": 2, "integer": 3, "long": 4, "float": 5, "double": 6
+}
+
+
+def _schema_preserving_assigned(
+    assignments: "dict[str, Column]", cond: Column, schema: "T.StructType"
+):
+    """Build the per-row assignment closure for :func:`update_where`,
+    pinning every assigned column to its STORED type.
+
+    An UPDATE must not change the table schema — the MOR path appends
+    post-image files under the manifest's existing schema, and the CoW
+    partitioned path carries untouched partition files forward with
+    their old physical type — so a type-changing assignment would
+    commit unreadable data.  Assignment results are cast back to the
+    stored type when that cast is a safe numeric widening (expression
+    type ranks at-or-below the stored type: int expr into a long
+    column is fine); anything else — double into int, string into
+    date, an unknown column — raises before any file is written."""
+    stored = {f.name: f.dataType for f in schema.fields}
+
+    def assigned(df: DataFrame) -> DataFrame:
+        out = df
+        for c, expr in assignments.items():
+            if c not in stored:
+                raise TypeError(
+                    f"update_where assignment targets unknown column {c!r}; "
+                    f"table columns: {sorted(stored)} — UPDATE cannot add "
+                    "columns (use a schema-evolving write)"
+                )
+            out = out.withColumn(c, F.when(cond, expr).otherwise(F.col(c)))
+            actual = out.schema[c].dataType
+            want = stored[c]
+            if actual != want:
+                a, w = actual.simpleString(), want.simpleString()
+                if a == "void" or (
+                    _NUMERIC_WIDEN_RANK.get(a, 99)
+                    <= _NUMERIC_WIDEN_RANK.get(w, 0)
+                ):
+                    out = out.withColumn(c, F.col(c).cast(want))
+                else:
+                    raise TypeError(
+                        f"update_where assignment to {c!r} produces type {a} "
+                        f"but the stored column type is {w}; UPDATE preserves "
+                        "the table schema — cast the expression to "
+                        f"{w} explicitly (lossy) or evolve the schema with a "
+                        "rewriting commit first"
+                    )
+        return out
+
+    return assigned
+
+
 def _update_where_mor(
     spark: SparkSession,
     target_path: str,
     cur: str,
     next_version: int,
     cond: Column,
-    assigned,
+    assignments: "dict[str, Column]",
     keep_snapshots: int,
     change_feed: bool,
 ) -> None:
@@ -2327,6 +2384,11 @@ def _update_where_mor(
         df = spark.read.parquet(snap_dir)
         manifest.setdefault("schema", df.schema.json())
     data_cols = df.columns
+    # pin assignments to the COMMITTED schema: the appended post-image
+    # file must be readable under the manifest schema the carried-
+    # forward files were written with (type widening would poison the
+    # snapshot at scan time)
+    assigned = _schema_preserving_assigned(assignments, cond, df.schema)
     meta = _file_meta_cols(df)
     dv_dir = os.path.join(snap_dir, _DV_DIR)
     existing = None

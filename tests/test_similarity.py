@@ -133,3 +133,38 @@ def test_ivf_train_centroids_shape(spark, corpus):
     assigned = ivf_assign(corpus, cents)
     assert assigned.count() == N
     assert {r["cell"] for r in assigned.collect()} <= {0, 1, 2, 3}
+
+
+def test_pq_zero_norm_query_is_guarded(spark, corpus):
+    """ADVICE r7: a zero-norm query vector must not NaN-corrupt its
+    top-k ordering in pq_topk (clamped like the corpus-side guard) or
+    pq_refine (denominator clamped both sides)."""
+    import math
+
+    from etl_tiki_webscraping_spark.operators.similarity import (
+        pq_encode,
+        pq_refine,
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    books = pq_train_codebooks(corpus, m=4, k=8, max_iter=3)
+    codes = pq_encode(corpus, books)
+    qs = spark.createDataFrame(
+        [(0, [0.0] * DIM), (1, VECS[1].tolist())],
+        "query_id bigint, embedding array<float>",
+    )
+    adc = pq_topk(codes, books, qs, k=5)
+    rows = adc.collect()
+    assert all(math.isfinite(r["cosine"]) for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # both queries still return a full, finite top-5
+    assert len(by_q[0]) == 5 and len(by_q[1]) == 5
+    refined = pq_refine(adc, corpus, qs, k=5).collect()
+    assert all(math.isfinite(r["cosine"]) for r in refined)
+    # zero query scores 0 against everything after the clamp
+    assert all(
+        abs(r["cosine"]) < 1e-6 for r in refined if r["query_id"] == 0
+    )

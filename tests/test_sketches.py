@@ -161,3 +161,37 @@ class TestKllRollup:
                     f"{r['event_type']} {name}: {got} outside "
                     f"[{r['lo']}, {r['hi']}]"
                 )
+
+
+class TestSketchGuards:
+    """ADVICE r7 guards: the sketch APIs reject inputs that would
+    silently void their documented guarantees."""
+
+    def test_undersized_explicit_capacity_raises(self, spark):
+        df = _skewed_df(spark)
+        n = 19000
+        # 2n/threshold = 95: capacity 50 would void no-false-negatives
+        with pytest.raises(ValueError, match="Misra-Gries"):
+            heavy_hitters(df, "v", 400, capacity=50, n=n)
+        # right-sized explicit capacity with n: still exact
+        got = sorted(
+            tuple(r)
+            for r in heavy_hitters(df, "v", 400, capacity=96, n=n).collect()
+        )
+        assert len(got) == 8
+
+    def test_cms_estimate_rejects_grouped_sketch(self, spark):
+        df = spark.createDataFrame(
+            [("d1", i % 5) for i in range(100)], "day string, u int"
+        )
+        daily = cms_build(df, "u", group_cols=["day"], depth=3, width=64)
+        items = df.select("u").distinct()
+        with pytest.raises(ValueError, match="cms_merge"):
+            cms_estimate(daily, items, "u", depth=3, width=64)
+        # merged sketch goes through and over-counts only
+        merged = cms_merge(daily, drop_cols=["day"])
+        est = {
+            r["u"]: r["est_count"]
+            for r in cms_estimate(merged, items, "u", depth=3, width=64).collect()
+        }
+        assert all(est[u] >= 20 for u in range(5))

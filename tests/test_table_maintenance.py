@@ -744,3 +744,82 @@ class TestDvDeleteConcurrency:
         )
         got = read_parquet_table(spark, path)
         assert got.filter(F.col("prio") == "1-URGENT").count() == 0
+
+
+class TestUpdateWhereSchemaPreserved:
+    """UPDATE must not change the table schema (ADVICE r7 medium): the
+    MOR path appends post-images under the committed manifest schema
+    and the CoW partitioned path carries old-typed files forward, so a
+    type-widening assignment would commit unreadable parquet."""
+
+    def _stage(self, spark, sf_dir, tmp_path, **kw):
+        path = str(tmp_path / "t")
+        upsert_parquet(
+            spark, _orders(spark, sf_dir, 3), path, ["o_orderkey"],
+            keep_snapshots=9, **kw,
+        )
+        return path
+
+    def test_mor_widening_assignment_raises_before_commit(
+        self, spark, sf_dir, tmp_path
+    ):
+        from etl_tiki_webscraping_spark.sinks.upsert import update_where
+
+        path = self._stage(spark, sf_dir, tmp_path)
+        before = _rows(read_parquet_table(spark, path), *COLS)
+        with pytest.raises(TypeError, match="stored column type"):
+            update_where(
+                spark, path, F.col("prio") == "1-URGENT",
+                {"o_custkey": F.col("price") * 2.0},  # double into bigint
+                merge_on_read=True, keep_snapshots=9,
+            )
+        # nothing committed, table intact and readable
+        assert os.path.basename(
+            os.path.realpath(os.path.join(path))
+        ) or True
+        got = read_parquet_table(spark, path)
+        assert _rows(got, *COLS) == before
+        assert dict(got.dtypes)["o_custkey"] == "bigint"
+
+    def test_cow_partitioned_widening_raises(self, spark, sf_dir, tmp_path):
+        from etl_tiki_webscraping_spark.sinks.upsert import update_where
+
+        path = str(tmp_path / "t")
+        upsert_parquet(
+            spark, _orders(spark, sf_dir, 3), path, ["o_orderkey"],
+            partition_by=["prio"], keep_snapshots=9,
+        )
+        with pytest.raises(TypeError, match="stored column type"):
+            update_where(
+                spark, path, F.col("prio") == "2-HIGH",
+                {"o_custkey": F.col("price")}, partition_by=["prio"],
+                keep_snapshots=9,
+            )
+
+    def test_safe_numeric_widening_is_cast_to_stored_type(
+        self, spark, sf_dir, tmp_path
+    ):
+        from etl_tiki_webscraping_spark.sinks.upsert import update_where
+
+        path = self._stage(spark, sf_dir, tmp_path)
+        # int literal into a bigint column: safe upcast, silently kept
+        update_where(
+            spark, path, F.col("prio") == "1-URGENT",
+            {"o_custkey": F.lit(7)}, merge_on_read=True, keep_snapshots=9,
+        )
+        got = read_parquet_table(spark, path)
+        assert dict(got.dtypes)["o_custkey"] == "bigint"
+        assert (
+            got.filter(F.col("prio") == "1-URGENT")
+            .select("o_custkey").distinct().collect()[0][0] == 7
+        )
+
+    def test_unknown_column_assignment_raises(self, spark, sf_dir, tmp_path):
+        from etl_tiki_webscraping_spark.sinks.upsert import update_where
+
+        path = self._stage(spark, sf_dir, tmp_path)
+        with pytest.raises(TypeError, match="unknown column"):
+            update_where(
+                spark, path, F.lit(True), {"bonus": F.lit(1.0)},
+                merge_on_read=True, keep_snapshots=9,
+            )
