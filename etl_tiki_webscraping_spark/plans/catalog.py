@@ -53,113 +53,84 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[S
     return deco
 
 
-# Round-7 driver-window rotation.  The driver records only the FIRST 50
-# ``queries()`` entries per round, so exports order:
-#   1. _DRIVER_PRIORITY_R07 — the only 3 catalog queries with NO driver
-#      row in any round (the r5/r6 windows rotated past them); they
-#      must land in CORRECTNESS_r07 so r5∪r6∪r7 covers 101/101.
-#   2. other fresh queries — r7 code changes touch their dependencies
-#      (upsert.py commit/z-order path, streaming/events.py staging
-#      cache, dedup embedding-cluster oracle, approx-distinct
-#      tolerance), so their prior green rows predate the code.
-#   3. settled — green in CORRECTNESS_r05 or _r06 and untouched since;
-#      they stay green via tools/verify_local.py (see COVERAGE.md) and
-#      pad the remainder of the 50-slot window in registration order.
-_DRIVER_PRIORITY_R07 = (
-    "streaming_sink_upsert_e2e",
-    "constraint_audit",
-    "snapshot_delete_where",
-)
+# Driver-window rotation (self-maintaining since r8, VERDICT r7 ask #3).
+# The driver records only the FIRST 50 ``queries()`` entries per round,
+# so exports order:
+#   1. never-driver-covered — computed from the committed
+#      CORRECTNESS_r*.json files at import time, NOT hand-maintained:
+#      any catalog query without a passing driver row in any prior
+#      round leads the window (this automatically front-loads queries
+#      added late in a round, the exact failure mode that left 5
+#      r7 additions without evidence).
+#   2. _DRIVER_FRESH — hand-listed queries whose execution path THIS
+#      round's code changes touch, so their prior green rows predate
+#      the code; they re-verify next.
+#   3. settled — green in a prior round and untouched since; they stay
+#      green via tools/verify_local.py (see COVERAGE.md) and pad the
+#      remainder of the 50-slot window in registration order.
 
-# Green in r5 or r6 but re-verify in r7 because this round's code
-# changes touch their execution path.
-_DRIVER_FRESH_R07 = frozenset({
-    # The driver records only the FIRST 50 queries() entries; this set
-    # (plus the 3 _DRIVER_PRIORITY_R07 names) IS the r7 window.  As the
-    # round added queries, early-r7 re-checks were returned to settled
-    # to keep every slot on a query with NO prior driver row.  A query
-    # was returned ONLY when (a) it holds an r5/r6 driver green, (b) it
-    # was locally re-verified (tools/verify_local.py) after every code
-    # change this round touched it, and (c) its changed code path stays
-    # pinned elsewhere:
-    #   - commit protocol (claim-race fix): exercised in-window by
-    #     snapshot_restore, partition_evolution, snapshot_dv_delete,
-    #     snapshot_update_where, snapshot_change_feed, snapshot_history
-    #   - z-order binning fixes: dedicated unit tests (nulls-first,
-    #     shift-fits-long) + the hypothesis pruned-read property
-    #   - streaming staging-cache key fix: default-path behavior
-    #     unchanged; streaming_stateful_sessions (below) plus the
-    #     streaming unit suite cover the staging path
-    #   - BMP/WAV real-decode branches: unit-tested end-to-end with
-    #     genuine media bytes
-    # Returned: snapshot_time_travel, snapshot_file_skipping,
-    # cdc_apply_changes, upsert_merge, snapshot_partitioned_upsert,
-    # zorder_multidim_skipping, streaming_windowed_counts,
-    # streaming_dedup_ids, streaming_enriched_counts,
-    # streaming_stream_stream_join, approx_distinct_users,
-    # multimodal_{image,audio,frame_sample}.
-    # Still-held non-new entries — their r7 change is an ORACLE upgrade,
-    # so the driver evidence itself is new:
-    "streaming_stateful_sessions",
-    "dedup_embedding_clusters",
-    # NEW r7 queries (must land in the r7 driver window)
-    "snapshot_change_feed",
-    "bloom_pruned_semi_join",
-    "bm25_search",
-    "pii_redact",
-    "exists_subquery_agg",
-    "correlated_scalar_subquery",
-    "snapshot_history",
-    "hll_sketch_rollup",
-    "cdc_replication_from_feed",
-    "ivm_rollup_from_feed",
-    "distribution_drift_psi",
-    "incremental_postings_bm25",
-    "streaming_cdc_replication",
-    "sequence_assembly",
-    "hybrid_search_rrf",
-    "bloom_index_point_lookup",
-    "snapshot_restore",
-    "snapshot_table_diff",
-    "heavy_hitters_exact",
-    "table_profile",
-    "kll_quantile_rollup",
-    "cms_frequency_rollup",
-    "csv_ingest_quarantine",
-    "jsonl_ingest_quarantine",
-    "partition_evolution",
-    "range_frame_moving_avg",
-    "event_funnel_stages",
-    "theta_sketch_set_ops",
-    "scd2_dim_from_feed",
-    "multi_exists_anti",
-    "streaming_quarantine_ingest",
-    "snapshot_files_metadata",
-    "not_in_null_aware",
-    "lateral_subquery_topn",
-    "doc_unigram_logprob",
-    "doc_chunking",
-    "recursive_cte_calendar",
-    "grouped_topk_bounded",
-    "streaming_sketch_maintenance",
-    "snapshot_dv_delete",
+
+def _driver_covered() -> "frozenset[str]":
+    """Names with a PASSING driver row in any committed
+    CORRECTNESS_r*.json: oracle rows must be err-free and
+    row-count-matched; rows-only queries (``err == 'no_oracle'`` by
+    the driver contract, for non-SQL-expressible ops) count when the
+    driver recorded a non-negative Spark row count.  A failed or
+    errored row does NOT count — the query must rotate back in."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    covered: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as fh:
+                recs = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, rec in recs.items():
+            if not isinstance(rec, dict):
+                continue
+            oracle_pass = rec.get("err") is None and rec.get("rows_match", False)
+            spec = QUERIES.get(name)
+            # a rows-only row only covers a query that is STILL
+            # rows-only: once it gains an oracle, the oracle itself
+            # needs driver evidence (the dedup_embedding_clusters
+            # r6->r7 upgrade precedent)
+            rows_only_pass = (
+                rec.get("err") == "no_oracle"
+                and rec.get("spark_rows") is not None
+                and (spec is None or spec.oracle is None)
+            )
+            if oracle_pass or rows_only_pass:
+                covered.add(name)
+    return frozenset(covered)
+
+# Prior-round green but re-verify THIS round because this round's code
+# changes touch their execution path (hand-maintained per round; the
+# never-covered set above it is computed and cannot be forgotten).
+_DRIVER_FRESH = frozenset({
+    # r8 code changes:
+    #   - update_where stored-schema pinning (upsert.py)
     "snapshot_update_where",
-    "dynamic_partition_pruning",
-    "timeseries_gap_interpolation",
-    "golden_record_survivorship",
-    "chunk_dedup_rate",
-    # NOT in the r7 window (the 50 slots are full; these three are the
-    # simplest aggregate shapes of the new set, locally oracle-verified,
-    # and lead the r8 rotation): k_anonymity_audit, winsorize_clip,
-    # window_rank_functions; knn_pq_adc (rows-only by contract, recall
-    # floor pinned in unit tests) and cohort_retention also wait for r8
+    #   - cms_estimate merged-sketch guard / heavy_hitters capacity
+    "cms_frequency_rollup",
+    "heavy_hitters_exact",
+    #   - scd2 one-shot backfill builder shares oracle with the fold
+    "scd2_dim_from_feed",
+    #   - multimodal PNG decode lands in the image feature path
+    "multimodal_image_features",
 })
 
 
 def _export_order() -> list[str]:
-    prio = list(_DRIVER_PRIORITY_R07)
-    fresh = [n for n in QUERIES if n in _DRIVER_FRESH_R07]
-    settled = [n for n in QUERIES if n not in _DRIVER_FRESH_R07 and n not in prio]
+    covered = _driver_covered()
+    prio = [n for n in QUERIES if n not in covered]
+    fresh = [n for n in QUERIES if n in _DRIVER_FRESH and n not in prio]
+    settled = [
+        n for n in QUERIES if n in covered and n not in _DRIVER_FRESH
+    ]
     return prio + fresh + settled
 
 

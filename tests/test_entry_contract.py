@@ -72,3 +72,31 @@ def test_docs_query_count_matches_catalog():
     assert int(m.group(1)) == len(QUERIES), (
         f"README says {m.group(1)} queries, registry has {len(QUERIES)}"
     )
+
+
+def test_every_query_driver_covered_or_in_next_window():
+    """VERDICT r7 ask #3: the driver records only the FIRST 50
+    queries() entries per round, and the rotation is now COMPUTED from
+    the committed CORRECTNESS_r*.json files — so a late-round query
+    can never silently miss its window again.  Invariant: every
+    catalog query either has a passing driver row already, or sits in
+    the next window's first 50 slots."""
+    from etl_tiki_webscraping_spark.plans.catalog import (
+        QUERIES,
+        _driver_covered,
+        _export_order,
+    )
+
+    covered = _driver_covered()
+    window = set(_export_order()[:50])
+    stranded = [
+        n for n in QUERIES if n not in covered and n not in window
+    ]
+    assert not stranded, (
+        f"{len(stranded)} queries have no driver evidence AND miss the "
+        f"next 50-slot window: {stranded}"
+    )
+    # uncovered queries must LEAD the window (slots are scarce)
+    order = _export_order()
+    n_uncov = sum(1 for n in QUERIES if n not in covered)
+    assert all(n not in covered for n in order[:n_uncov])
