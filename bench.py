@@ -123,6 +123,9 @@ HEADLINE = [
     ("golden_record_survivorship", "count"),
     ("chunk_dedup_rate", "collect"),
     ("knn_pq_adc", "count"),
+    # round-8 additions
+    ("scd2_backfill_from_feed", "count"),
+    ("cohort_retention", "collect"),
 ]
 
 

@@ -5416,6 +5416,28 @@ def q_scd2_from_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_backfill_from_feed",
+    oracle=QUERIES["scd2_dim_from_feed"].oracle,
+    doc="ONE-SHOT Type-2 dimension backfill from the same change feed "
+        "(sinks/upsert.py::scd2_backfill_from_feed, VERDICT r7 ask #2): "
+        "instead of the fold's O(commits) sequential scd2_apply jobs, "
+        "two key-partitioned windows build the whole history in one "
+        "pass — lag(kind/attrs) suppresses no-op upserts and dead "
+        "deletes, lead(version) closes each open row at the key's next "
+        "kept event.  Shares scd2_dim_from_feed's first-principles "
+        "oracle, so the driver hash-proves fold/backfill parity.",
+)
+def q_scd2_backfill_from_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.sinks.upsert import scd2_backfill_from_feed
+
+    path = _change_feed_table(spark, sf_dir)
+    return scd2_backfill_from_feed(spark, path, keys=["o_orderkey"]).select(
+        "o_orderkey", "o_custkey", "price", "prio",
+        "valid_from", "valid_to", "is_current",
+    )
+
+
+@register(
     "multi_exists_anti",
     oracle="""
     SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait

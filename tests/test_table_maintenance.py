@@ -823,3 +823,80 @@ class TestUpdateWhereSchemaPreserved:
                 spark, path, F.lit(True), {"bonus": F.lit(1.0)},
                 merge_on_read=True, keep_snapshots=9,
             )
+
+
+class TestScd2Backfill:
+    """One-shot window backfill (VERDICT r7 ask #2) must reproduce the
+    commit-by-commit fold exactly — incl. no-op updates, soft deletes,
+    post-delete re-inserts with UNCHANGED attrs (must re-open), and
+    repeated deletes."""
+
+    def _feed_table(self, spark, tmp_path):
+        from etl_tiki_webscraping_spark.sinks.upsert import (
+            delete_where,
+            upsert_parquet,
+        )
+
+        path = str(tmp_path / "t")
+        mk = lambda rows: spark.createDataFrame(rows, "k int, attr string")
+        kw = dict(keep_snapshots=99, change_feed=True)
+        upsert_parquet(spark, mk([(1, "a"), (2, "b"), (4, "x")]), path, ["k"], **kw)
+        upsert_parquet(spark, mk([(1, "a"), (2, "c"), (3, "d")]), path, ["k"], **kw)
+        delete_where(spark, path, F.col("k").isin(3, 4), **kw)
+        # delete of an already-deleted key is a feedless no-op; re-insert
+        # k3 with the SAME attrs it had before the delete (must re-open)
+        delete_where(spark, path, F.col("k") == 3, **kw)
+        upsert_parquet(spark, mk([(3, "d"), (1, "e")]), path, ["k"], **kw)
+        return path
+
+    def test_backfill_matches_fold(self, spark, tmp_path):
+        from etl_tiki_webscraping_spark.sinks.upsert import (
+            scd2_backfill_from_feed,
+            scd2_from_change_feed,
+        )
+
+        path = self._feed_table(spark, tmp_path)
+        cols = ("k", "attr", "valid_from", "valid_to", "is_current")
+        fold = sorted(
+            tuple(r) for r in scd2_from_change_feed(spark, path, ["k"])
+            .select(*cols).collect()
+        )
+        one_shot = sorted(
+            tuple(r) for r in scd2_backfill_from_feed(spark, path, ["k"])
+            .select(*cols).collect()
+        )
+        assert one_shot == fold
+        assert fold == sorted(
+            [
+                (1, "a", 1, 5, False),
+                (1, "e", 5, None, True),
+                (2, "b", 1, 2, False),
+                (2, "c", 2, None, True),
+                (3, "d", 2, 3, False),
+                (3, "d", 5, None, True),
+                (4, "x", 1, 3, False),
+            ]
+        )
+
+    def test_backfill_version_range(self, spark, tmp_path):
+        from etl_tiki_webscraping_spark.sinks.upsert import (
+            scd2_backfill_from_feed,
+            scd2_from_change_feed,
+        )
+
+        path = self._feed_table(spark, tmp_path)
+        cols = ("k", "attr", "valid_from", "valid_to", "is_current")
+        for lo, hi in ((1, 3), (2, None)):
+            fold = sorted(
+                tuple(r)
+                for r in scd2_from_change_feed(
+                    spark, path, ["k"], from_version=lo, to_version=hi
+                ).select(*cols).collect()
+            )
+            got = sorted(
+                tuple(r)
+                for r in scd2_backfill_from_feed(
+                    spark, path, ["k"], from_version=lo, to_version=hi
+                ).select(*cols).collect()
+            )
+            assert got == fold, (lo, hi)
