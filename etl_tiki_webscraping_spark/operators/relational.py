@@ -443,3 +443,53 @@ def repartition_even(df: DataFrame, n: int) -> DataFrame:
     Round-robin repartition: even sizes, no key skew, no tail loss.
     """
     return df.repartition(n)
+
+
+def cohort_retention(
+    events: DataFrame, user_col: str = "user_id", day_col: str = "day"
+) -> DataFrame:
+    """Weekly cohort-retention matrix over (user, activity-day) events:
+    users cohort by the Monday-truncated week of their FIRST day, and
+    each (cohort_week, week_offset) cell counts the distinct users of
+    that cohort active floor((day - cohort_week) / 7) weeks in, with
+    ``retention`` = cell count / cohort size rounded to 6 places.
+
+    Shape at scale: one user-keyed aggregate finds first days; the
+    per-user cohort label joins back onto the event scan (user-keyed
+    shuffle); the final groupBy runs over the bounded cohort x offset
+    grid and the size table collapses to one row per cohort, so it
+    broadcasts.  Week offsets are integer day arithmetic — no float in
+    the grid."""
+    ev = events.select(
+        F.col(user_col).alias("user_id"), F.col(day_col).alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    cohorts = firsts.select(
+        "user_id",
+        F.date_trunc("week", "first_day").cast("date").alias("cohort_week"),
+    )
+    activity = (
+        ev.join(cohorts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(F.datediff("day", "cohort_week") / 7).alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+    )

@@ -6544,35 +6544,9 @@ _PQ_BOOKS: dict[str, list] = {}  # sf_dir -> collected codebook rows
         "exact DuckDB replay.",
 )
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.relational import cohort_retention
+
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     ).select("user_id", F.col("ts").cast("date").alias("day"))
-    firsts = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
-    cohorts = firsts.select(
-        "user_id", F.date_trunc("week", "first_day").cast("date").alias("cohort_week")
-    )
-    activity = (
-        ev.join(cohorts, "user_id")
-        .select(
-            "user_id",
-            "cohort_week",
-            F.floor(F.datediff("day", "cohort_week") / 7).alias("week_offset"),
-        )
-        .distinct()
-    )
-    sizes = cohorts.groupBy("cohort_week").agg(
-        F.count(F.lit(1)).alias("cohort_size")
-    )
-    return (
-        activity.groupBy("cohort_week", "week_offset")
-        .agg(F.count(F.lit(1)).alias("n_active"))
-        .join(F.broadcast(sizes), "cohort_week")
-        .select(
-            "cohort_week",
-            "week_offset",
-            "n_active",
-            F.round(F.col("n_active").cast("double") / F.col("cohort_size"), 6).alias(
-                "retention"
-            ),
-        )
-    )
+    return cohort_retention(ev)

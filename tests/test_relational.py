@@ -194,3 +194,62 @@ def test_stratified_sample_deterministic_subset(spark):
     n_a = sum(1 for _, s in rows1 if s == "a")
     n_b = sum(1 for _, s in rows1 if s == "b")
     assert 30 <= n_a <= 70 and 5 <= n_b <= 35            # ~50% / ~20% of 100 each
+
+
+class TestCohortRetention:
+    """Pin the week bucketing and the retention denominator on a
+    hand-built 3-cohort fixture (VERDICT r7 ask #4)."""
+
+    def test_three_cohorts_hand_computed(self, spark):
+        from etl_tiki_webscraping_spark.operators.relational import (
+            cohort_retention,
+        )
+
+        # 2024-01-01 and 2024-01-08 are Mondays; 2024-01-03 falls in
+        # the first cohort week, 2024-01-17 in the third.
+        rows = [
+            # cohort A (week of Jan 1): u1 first Jan 1, u2 first Jan 3
+            ("u1", "2024-01-01"), ("u2", "2024-01-03"),
+            # u1 active again in week offsets 1 and 2; u2 never returns
+            ("u1", "2024-01-08"), ("u1", "2024-01-16"),
+            # duplicate activity in the same offset counts ONCE
+            ("u1", "2024-01-09"),
+            # cohort B (week of Jan 8): u3 only
+            ("u3", "2024-01-10"), ("u3", "2024-01-21"),  # offsets 0, 1
+            # cohort C (week of Jan 15): u4, u5 — neither returns
+            ("u4", "2024-01-17"), ("u5", "2024-01-15"),
+        ]
+        ev = spark.createDataFrame(rows, "user_id string, d string").select(
+            "user_id", F.col("d").cast("date").alias("day")
+        )
+        got = {
+            (str(r["cohort_week"]), r["week_offset"]): (
+                r["n_active"], r["retention"]
+            )
+            for r in cohort_retention(ev).collect()
+        }
+        assert got == {
+            # cohort A: size 2 — denominator is COHORT size, not the
+            # per-offset active count
+            ("2024-01-01", 0): (2, 1.0),
+            ("2024-01-01", 1): (1, 0.5),
+            ("2024-01-01", 2): (1, 0.5),
+            # cohort B: size 1; Jan 21 is offset 1 (13 days // 7)
+            ("2024-01-08", 0): (1, 1.0),
+            ("2024-01-08", 1): (1, 1.0),
+            # cohort C: size 2, offset 0 only
+            ("2024-01-15", 0): (2, 1.0),
+        }
+
+    def test_cohort_week_is_monday_truncation(self, spark):
+        from etl_tiki_webscraping_spark.operators.relational import (
+            cohort_retention,
+        )
+
+        # a Sunday first-purchase cohorts into the PRECEDING Monday
+        ev = spark.createDataFrame(
+            [("u1", "2024-01-07")], "user_id string, d string"
+        ).select("user_id", F.col("d").cast("date").alias("day"))
+        row = cohort_retention(ev).collect()[0]
+        assert str(row["cohort_week"]) == "2024-01-01"
+        assert row["week_offset"] == 0 and row["retention"] == 1.0
