@@ -46,8 +46,10 @@ def parse_lines_quarantine(
     QUOTED EMBEDDED NEWLINE spans two text lines and both halves
     quarantine.  Data interchange files at scale are line-delimited
     precisely so they split; for the rare multiline-quoted export, use
-    Spark's native ``multiLine`` CSV reader (which gives up per-line
-    quarantine, splittability, and the streaming twin).
+    :func:`read_csv_multiline_quarantine` (tested in
+    tests/test_files_ingest.py::TestMultilineCsv), which keeps the
+    good/quarantine contract on Spark's native ``multiLine`` reader at
+    the cost of splittability and the streaming twin.
     """
     if fmt not in ("csv", "json"):
         raise ValueError(f"fmt must be 'csv' or 'json', got {fmt!r}")
@@ -85,6 +87,51 @@ def read_csv_quarantine(
     return parse_lines_quarantine(
         spark.read.text(path), schema, fmt="csv", options=options
     )
+
+
+def read_csv_multiline_quarantine(
+    spark, path: str, schema: str | T.StructType, **options: str
+) -> tuple[DataFrame, DataFrame]:
+    """CSV ingest with quarantine for files containing QUOTED EMBEDDED
+    NEWLINES — the escape hatch for :func:`read_csv_quarantine`'s
+    documented line-delimited limitation.
+
+    Uses Spark's native ``multiLine`` CSV scan in PERMISSIVE mode with
+    a corrupt-record column, so a quoted record spanning physical lines
+    parses as ONE row with the newline preserved inside the field.
+    Costs vs the line-delimited path, accepted knowingly: each file is
+    read by a single task (a quote state machine can't start
+    mid-split), there is no streaming twin, and the scan must be
+    CACHED before the corrupt-column filter (SPARK-38523: Spark
+    forbids filtering a scan-level corrupt column on the raw scan) —
+    use it for the rare multiline-quoted export, not the 100 TB norm.
+
+    Returns ``(good, quarantine)`` with the same contract as the
+    line-delimited readers: ``good`` carries the typed schema columns,
+    ``quarantine`` carries the raw text (``_raw``) of each record the
+    parser rejected."""
+    struct = (
+        T._parse_datatype_string(schema) if isinstance(schema, str) else schema
+    )
+    if _CORRUPT not in struct.fieldNames():
+        struct = T.StructType(
+            [*struct.fields, T.StructField(_CORRUPT, T.StringType())]
+        )
+    reader_opts = {
+        "mode": "PERMISSIVE",
+        "columnNameOfCorruptRecord": _CORRUPT,
+        "multiLine": "true",
+        **options,
+    }
+    parsed = (
+        spark.read.options(**reader_opts).schema(struct).csv(path)
+    ).cache()  # SPARK-38523: corrupt-column filters need materialization
+    data_cols = [f.name for f in struct.fields if f.name != _CORRUPT]
+    good = parsed.filter(F.col(_CORRUPT).isNull()).select(*data_cols)
+    quarantine = parsed.filter(F.col(_CORRUPT).isNotNull()).select(
+        F.col(_CORRUPT).alias("_raw")
+    )
+    return good, quarantine
 
 
 def read_jsonl_quarantine(

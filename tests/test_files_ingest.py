@@ -181,3 +181,52 @@ class TestStreamingQuarantine:
             "garbage,notanint,zz,1-URGENT",
         ]
         assert good.filter(F.col("o_orderkey") % 7 != 0).count() == 0
+
+
+class TestMultilineCsv:
+    """read_csv_multiline_quarantine: the tested escape hatch for the
+    line-delimited reader's quoted-embedded-newline limitation
+    (VERDICT r7 ask #5)."""
+
+    SCHEMA = "k bigint, name string, x double"
+
+    def test_quoted_embedded_newline_record_survives(self, spark, tmp_path):
+        from etl_tiki_webscraping_spark.sources.files import (
+            read_csv_multiline_quarantine,
+            read_csv_quarantine,
+        )
+
+        p = tmp_path / "data.csv"
+        p.write_text(
+            '1,alpha,1.5\n'
+            '2,"two\nlines",2.5\n'   # quoted newline: ONE logical record
+            'notanint,gamma,3.0\n'   # type mismatch -> quarantine
+            '4,delta,4.5\n'
+        )
+        good, bad = read_csv_multiline_quarantine(spark, str(p), self.SCHEMA)
+        assert sorted(map(tuple, good.collect())) == [
+            (1, "alpha", 1.5),
+            (2, "two\nlines", 2.5),  # newline preserved inside the field
+            (4, "delta", 4.5),
+        ]
+        assert [r["_raw"] for r in bad.collect()] == ["notanint,gamma,3.0"]
+        # contrast: the line-delimited reader quarantines BOTH halves of
+        # the quoted record — exactly the documented limitation
+        lg, lb = read_csv_quarantine(spark, str(p), self.SCHEMA)
+        assert lg.count() == 2
+        assert sorted(r["_raw"] for r in lb.collect()) == [
+            '2,"two', 'lines",2.5', "notanint,gamma,3.0",
+        ]
+
+    def test_options_pass_through(self, spark, tmp_path):
+        from etl_tiki_webscraping_spark.sources.files import (
+            read_csv_multiline_quarantine,
+        )
+
+        p = tmp_path / "data.csv"
+        p.write_text("1|'pipe\nfield'|9.0\n")
+        good, bad = read_csv_multiline_quarantine(
+            spark, str(p), self.SCHEMA, sep="|", quote="'"
+        )
+        assert [tuple(r) for r in good.collect()] == [(1, "pipe\nfield", 9.0)]
+        assert bad.count() == 0
