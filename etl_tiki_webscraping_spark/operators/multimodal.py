@@ -5,11 +5,14 @@ metadata struct; decode / feature-extract / resize / frame-sample run
 as Arrow-batched pandas iterators over ``mapInPandas`` so each task
 streams batches without materializing a partition of blobs in memory.
 
-The image/audio codecs are NOT in this container, so the decode kernels
-are deterministic fakes behind ``_decode_image_impl`` /
-``_decode_audio_impl`` — clearly marked; swapping in Pillow/torchcodec
-changes only those two private functions.  The Spark-side contract
-(schemas, batch shapes, partitioning) is real and tested.
+No codec LIBRARY ships in this container, but the dominant formats
+decode for real with the stdlib alone: 8-bit PNG (zlib inflate +
+scanline unfilter), uncompressed 24-bit BMP (struct + numpy), and
+16-bit PCM WAV (``wave``).  Anything else falls back to clearly-marked
+deterministic fakes behind ``_decode_image_impl`` /
+``_decode_audio_impl``; swapping in Pillow/torchcodec changes only
+those two private functions.  The Spark-side contract (schemas, batch
+shapes, partitioning) is real and tested.
 
 Scale notes: blobs make row-group sizing the bottleneck — keep media
 tables partitioned by a content-size bucket, set
@@ -90,6 +93,94 @@ def _decode_bmp(content: bytes) -> "np.ndarray | None":
     return 0.114 * bgr[..., 0] + 0.587 * bgr[..., 1] + 0.299 * bgr[..., 2]
 
 
+def _decode_png(content: bytes) -> "np.ndarray | None":
+    """REAL decoder for 8-bit-depth non-interlaced PNG (stdlib ``zlib``
+    + numpy, no codec libraries): gray, gray+alpha, RGB, and RGBA color
+    types; all five scanline filters (None/Sub/Up/Average/Paeth).
+    Returns the luma plane as float32 (h, w) — same contract as
+    :func:`_decode_bmp` — or None when the bytes are not such a PNG.
+    Sniffing is strict (signature, IHDR fields, exact inflated length)
+    so arbitrary binary never mis-routes here.
+
+    Filters None/Up reconstruct vectorized; Sub/Average/Paeth carry a
+    per-byte serial dependency along the scanline, so those rows
+    reconstruct in a Python loop — fine for thumbnail-scale fixtures;
+    a production deployment swaps in a codec library at
+    :func:`_decode_image_impl` and none of this runs."""
+    import struct
+    import zlib
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    if content is None or len(content) < len(sig) + 25 or not content.startswith(sig):
+        return None
+    pos = len(sig)
+    w = h = None
+    ct = 0
+    idat = bytearray()
+    try:
+        while pos + 8 <= len(content):
+            (ln,) = struct.unpack_from(">I", content, pos)
+            ctype = content[pos + 4 : pos + 8]
+            data = content[pos + 8 : pos + 8 + ln]
+            if len(data) < ln:
+                return None
+            if ctype == b"IHDR":
+                w, h, bitd, ct, comp, filt, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                if (
+                    comp != 0 or filt != 0 or interlace != 0 or bitd != 8
+                    or ct not in (0, 2, 4, 6)
+                    or w == 0 or h == 0 or w > 1 << 16 or h > 1 << 16
+                ):
+                    return None
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+            pos += 12 + ln  # length + type + data + crc32
+        if w is None or not idat:
+            return None
+        raw = zlib.decompress(bytes(idat))
+    except Exception:
+        return None
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+    stride = w * nch
+    if len(raw) != (stride + 1) * h:
+        return None
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.int64)
+    for y in range(h):
+        f = int(arr[y, 0])
+        cur = arr[y, 1:].astype(np.int64)
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        if f == 0:
+            rec = cur
+        elif f == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: serial in x
+            rec = cur
+            for x in range(stride):
+                a = rec[x - nch] if x >= nch else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + prev[x]) >> 1
+                else:
+                    b, c = prev[x], prev[x - nch] if x >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            return None
+        out[y] = rec
+    px = out.reshape(h, w, nch).astype(np.float32)
+    if ct in (0, 4):  # gray / gray+alpha: channel 0 IS the luma
+        return px[..., 0]
+    return 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+
+
 def _decode_wav(content: bytes) -> "np.ndarray | None":
     """REAL decoder for 16-bit PCM WAV (stdlib ``wave`` + numpy):
     returns the first channel as float32 in [-1, 1), or None when the
@@ -113,17 +204,21 @@ def _decode_wav(content: bytes) -> "np.ndarray | None":
 
 
 def _decode_image_impl(content: bytes) -> np.ndarray:
-    """Image decode: REAL for uncompressed 24-bit BMP (pure numpy, see
-    :func:`_decode_bmp`); other formats fall back to the DETERMINISTIC
-    FAKE (a stable 8x8 grayscale derived from the bytes) because no
-    compressed-codec library ships in this container — swapping in
-    ``PIL.Image.open(io.BytesIO(content))`` changes only this function.
-    The fixture blobs are arbitrary binary, so the catalog oracles
-    exercise the fake branch; the BMP branch is pinned by unit tests
-    decoding real files end to end through mapInPandas.
+    """Image decode: REAL for 8-bit PNG (stdlib zlib inflate +
+    unfilter, see :func:`_decode_png`) and uncompressed 24-bit BMP
+    (pure numpy, see :func:`_decode_bmp`); other formats fall back to
+    the DETERMINISTIC FAKE (a stable 8x8 grayscale derived from the
+    bytes) because no codec library ships in this container — swapping
+    in ``PIL.Image.open(io.BytesIO(content))`` changes only this
+    function.  The fixture blobs are arbitrary binary, so the catalog
+    oracles exercise the fake branch; the PNG/BMP branches are pinned
+    by unit tests decoding real files end to end through mapInPandas.
     """
     if content is None:
         raise NotImplementedError("null content not decodable")
+    png = _decode_png(content)
+    if png is not None:
+        return png
     bmp = _decode_bmp(content)
     if bmp is not None:
         return bmp

@@ -173,3 +173,134 @@ def test_arbitrary_bytes_still_route_to_the_deterministic_fake(spark):
     assert img.shape == (8, 8) and img.dtype == np.float32
     wave = _decode_audio_impl(blob)
     assert wave.shape == (256,)
+
+
+def _make_png(pixels, color_type, filters=None):
+    """Tiny reference PNG encoder for test fixtures: 8-bit depth,
+    non-interlaced, one IDAT, per-row filter types applied FORWARD so
+    the decoder's unfiltering is exercised for real."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.int64)
+    if px.ndim == 2:
+        px = px[..., None]
+    h, w, nch = px.shape
+    expect_nch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    assert nch == expect_nch, (nch, expect_nch)
+    filters = filters or [0] * h
+    stride = w * nch
+    flat = px.reshape(h, stride)
+    raw = bytearray()
+    for y, f in enumerate(filters):
+        raw.append(f)
+        prev = flat[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        row = flat[y]
+        filt = np.empty(stride, dtype=np.int64)
+        for x in range(stride):
+            a = row[x - nch] if x >= nch else 0
+            b, c = prev[x], (prev[x - nch] if x >= nch else 0)
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[x] = (row[x] - pred) & 0xFF
+        raw += filt.astype(np.uint8).tobytes()
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_gray_all_filters_roundtrip():
+    """Every PNG scanline filter (None/Sub/Up/Average/Paeth) unfilters
+    back to the exact source gray values."""
+    import numpy as np
+
+    from etl_tiki_webscraping_spark.operators.multimodal import _decode_png
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(5, 7), dtype=np.int64)
+    png = _make_png(img, color_type=0, filters=[0, 1, 2, 3, 4])
+    got = _decode_png(png)
+    assert got is not None and got.shape == (5, 7)
+    assert np.array_equal(got.astype(np.int64), img)
+
+
+def test_png_rgb_and_rgba_luma():
+    import numpy as np
+
+    from etl_tiki_webscraping_spark.operators.multimodal import _decode_png
+
+    rgb = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]]
+    got = _decode_png(_make_png(rgb, color_type=2, filters=[4, 3]))
+    exp = np.array(
+        [[0.299 * 255, 0.587 * 255], [0.114 * 255, 255.0]], dtype=np.float32
+    )
+    assert np.allclose(got, exp, atol=0.01)
+    # RGBA: alpha ignored, same luma
+    rgba = [[p + (128,) for p in row] for row in rgb]
+    got4 = _decode_png(_make_png(rgba, color_type=6, filters=[1, 2]))
+    assert np.allclose(got4, exp, atol=0.01)
+
+
+def test_png_strict_sniffing_rejects_near_misses():
+    from etl_tiki_webscraping_spark.operators.multimodal import _decode_png
+
+    good = _make_png([[1, 2], [3, 4]], color_type=0)
+    assert _decode_png(good) is not None
+    assert _decode_png(b"\x89PNG\r\n\x1a\n" + b"garbage" * 10) is None
+    assert _decode_png(good[:-20]) is not None or True  # truncation: no crash
+    # 16-bit depth / interlace are out of scope -> None, not garbage
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    deep = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\0" * 18))
+        + chunk(b"IEND", b"")
+    )
+    assert _decode_png(deep) is None
+
+
+def test_real_png_decode_through_mapinpandas(spark):
+    """A genuine PNG decodes to its true dimensions and luma through
+    extract_image_features — retiring the fake-decoder caveat for the
+    dominant image format (VERDICT r7 ask #6)."""
+    from etl_tiki_webscraping_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    png = _make_png(
+        [[(255, 255, 255), (0, 0, 0)]], color_type=2, filters=[4]
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(png))], "media_id long, content binary"
+    )
+    row = extract_image_features(df).collect()[0]
+    assert (row.width, row.height) == (2, 1)
+    assert abs(row.mean_luma - 127.5) < 0.5
+    assert len(row.feature) == 2
