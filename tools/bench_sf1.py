@@ -82,6 +82,16 @@ NEW_R7D = [
     "recursive_cte_calendar",
 ]
 
+# round-8: the one-shot SCD2 backfill vs the fold it replaces, the
+# cohort matrix, and fresh re-measurement of the two slowest r7
+# headliners (VERDICT r7 ask #7 asked for their sf1 evidence).
+NEW_R8 = [
+    "scd2_backfill_from_feed",
+    "scd2_dim_from_feed",
+    "cohort_retention",
+    "streaming_stream_stream_join",
+]
+
 NEW_R7C = [
     "heavy_hitters_exact",
     "table_profile",
@@ -235,7 +245,23 @@ def main() -> None:
 
     names = FIVE
     if len(sys.argv) > 1:
-        names = {"r7": NEW_R7, "r7c": NEW_R7C, "r7d": NEW_R7D}.get(sys.argv[1], FIVE)
+        names = {
+            "r7": NEW_R7, "r7c": NEW_R7C, "r7d": NEW_R7D, "r8": NEW_R8,
+        }.get(sys.argv[1], FIVE)
+    # hoist one-time warehouse staging out of the timed region, exactly
+    # as bench.py does (a deployment's snapshot tables already exist) —
+    # without this, whichever query runs FIRST absorbs the staging cost
+    from etl_tiki_webscraping_spark.plans.catalog import (
+        _EAGER_STAGING_QUERIES,
+        prepare_fixtures,
+    )
+
+    prepare_fixtures(
+        spark, sf_dir,
+        names=[n for n in _EAGER_STAGING_QUERIES if n in names],
+    )
+    for name in names:  # non-eager staged deps (e.g. the shared CDF table)
+        QUERIES[name].fn(spark, sf_dir)
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
@@ -245,6 +271,7 @@ def main() -> None:
 
     entry = {
         "sf": "1",
+        "staging_hoisted": True,  # entries before r8 timed first-touch staging
         "synthetic_scale": f"{REPLICAS}x sf0.1, replica-salted (tools/bench_sf1.py)",
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         "value": round(sum(timings.values()), 3),
