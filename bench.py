@@ -126,6 +126,7 @@ HEADLINE = [
     # round-8 additions
     ("scd2_backfill_from_feed", "count"),
     ("cohort_retention", "collect"),
+    ("ivm_join_from_feed", "count"),
 ]
 
 

@@ -117,3 +117,69 @@ def rollup_deltas_from_change_feed(
             F.sum("__sn").cast("bigint").alias(count_col),
         )
     )
+
+
+def join_view_refresh(
+    view: DataFrame,
+    left_new: DataFrame,
+    right_new: DataFrame,
+    left_key: str,
+    right_key: str,
+    touched_keys: DataFrame,
+) -> DataFrame:
+    """Incrementally maintain a materialized equi-JOIN view — the join
+    sibling of the additive-rollup IVM above.
+
+    ``view`` is the stored ``left JOIN right`` result as of some
+    version; ``touched_keys`` is the distinct set of JOIN-key values
+    any change between then and now touched on EITHER side (project
+    the join key out of both tables' change feeds — inserts, both
+    update images, and deletes all count, since each changes the
+    key's join group).  The refresh is affected-key recompute:
+
+        view' = (view ANTI touched) UNION (left' SEMI touched) JOIN
+                (right' SEMI touched)
+
+    which handles inserts, updates, and deletes uniformly with set
+    semantics — no signed-multiplicity bookkeeping, and join-key
+    changes are covered because the feed contains both the pre- and
+    post-image, putting the OLD and the NEW key value in the touched
+    set.
+
+    Scale shape: work is bounded by |touched| x join fan-out, never
+    table size.  ``touched_keys`` is delta-sized, so Spark broadcasts
+    it into all three legs (semi/anti joins with no shuffle of the
+    big sides); the stored view is rewritten only logically — commit
+    it through upsert/overwrite partitioned by a key bucket so the
+    anti+union materializes only touched partitions.
+
+    ``touched_keys`` must carry exactly one column named ``left_key``.
+    """
+    if touched_keys.columns != [left_key]:
+        raise ValueError(
+            f"touched_keys must have exactly one column named {left_key!r}, "
+            f"got {touched_keys.columns}"
+        )
+    touched = touched_keys.distinct()
+    kept = view.join(F.broadcast(touched), on=left_key, how="left_anti")
+    l_hit = left_new.join(F.broadcast(touched), on=left_key, how="left_semi")
+    r_hit = right_new.join(
+        F.broadcast(touched.withColumnRenamed(left_key, right_key)),
+        on=right_key,
+        how="left_semi",
+    )
+    recomputed = l_hit.join(
+        r_hit, on=F.col(left_key) == F.col(right_key), how="inner"
+    ).select(view.columns)
+    # the USING-column anti join moves the key column first; restore
+    # the view's declared column order for a stable output contract
+    return kept.select(view.columns).unionByName(recomputed)
+
+
+def feed_touched_keys(
+    feed: DataFrame, key_col: str, out_name: str
+) -> DataFrame:
+    """Distinct join-key values a change-feed slice touches: every
+    change row counts (insert / both update images / delete — each
+    changes its key's join group).  Delta-sized by construction."""
+    return feed.select(F.col(key_col).alias(out_name)).distinct()

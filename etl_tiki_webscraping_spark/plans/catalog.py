@@ -3913,6 +3913,42 @@ def _change_feed_table(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+_CUSTOMER_FEED_TABLES: dict[str, str] = {}  # sf_dir -> table path (memoized)
+
+
+def _customer_feed_table(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per process) the customer-side three-commit CDF
+    fixture: v1 = customers with even keys, v2 = overlapping %7 batch
+    at acctbal+500, v3 = delete of the BUILDING segment.  The
+    dimension-side twin of :func:`_change_feed_table`, used by the
+    join-view IVM query."""
+    import tempfile
+
+    from etl_tiki_webscraping_spark.sinks.upsert import delete_where, upsert_parquet
+
+    path = _CUSTOMER_FEED_TABLES.get(sf_dir)
+    if path is None:
+        cust = load_table(spark, sf_dir, "customer")
+        base = cust.filter(F.col("c_custkey") % 2 == 0).select(
+            "c_custkey",
+            "c_name",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        batch = cust.filter(F.col("c_custkey") % 7 == 0).select(
+            "c_custkey",
+            "c_name",
+            (F.col("c_acctbal").cast("double") + F.lit(500.0)).alias("acctbal"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        path = tempfile.mkdtemp(prefix="cust-feed-") + "/tbl"
+        upsert_parquet(spark, base, path, ["c_custkey"], keep_snapshots=5, change_feed=True)
+        upsert_parquet(spark, batch, path, ["c_custkey"], keep_snapshots=5, change_feed=True)
+        delete_where(spark, path, F.col("seg") == "BUILDING", change_feed=True, keep_snapshots=5)
+        _CUSTOMER_FEED_TABLES[sf_dir] = path
+    return path
+
+
 @register(
     "snapshot_history",
     oracle="""
@@ -5434,6 +5470,102 @@ def q_scd2_backfill_from_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_backfill_from_feed(spark, path, keys=["o_orderkey"]).select(
         "o_orderkey", "o_custkey", "price", "prio",
         "valid_from", "valid_to", "is_current",
+    )
+
+
+@register(
+    "ivm_join_from_feed",
+    oracle="""
+    WITH o1 AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DOUBLE) AS price,
+               o_orderpriority AS prio
+        FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    ob AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DOUBLE) + 1000.0 AS price,
+               o_orderpriority AS prio
+        FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    o_final AS (
+        SELECT * FROM (
+            SELECT * FROM o1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ob)
+            UNION ALL SELECT * FROM ob
+        ) WHERE prio <> '1-URGENT'
+    ),
+    c1 AS (
+        SELECT c_custkey, c_name,
+               CAST(c_acctbal AS DOUBLE) AS acctbal,
+               c_mktsegment AS seg
+        FROM customer WHERE c_custkey % 2 = 0
+    ),
+    cb AS (
+        SELECT c_custkey, c_name,
+               CAST(c_acctbal AS DOUBLE) + 500.0 AS acctbal,
+               c_mktsegment AS seg
+        FROM customer WHERE c_custkey % 7 = 0
+    ),
+    c_final AS (
+        SELECT * FROM (
+            SELECT * FROM c1 WHERE c_custkey NOT IN (SELECT c_custkey FROM cb)
+            UNION ALL SELECT * FROM cb
+        ) WHERE seg <> 'BUILDING'
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.price, o.prio,
+           c.c_name, c.acctbal, c.seg
+    FROM o_final o JOIN c_final c ON o.o_custkey = c.c_custkey
+    """,
+    doc="incremental maintenance of a materialized JOIN view "
+        "(operators/rollup.py::join_view_refresh — the join sibling of "
+        "ivm_rollup_from_feed's additive-aggregate IVM): the stored "
+        "orders-x-customer view at v1 is refreshed to the final state "
+        "using only the two tables' change feeds — affected-key "
+        "recompute: delta-sized touched-key set broadcast into one "
+        "anti leg (keep untouched view rows) and two semi legs "
+        "(recompute only touched keys' join groups).  Work is bounded "
+        "by |delta| x join fan-out, never table size; the oracle "
+        "recomputes the FULL final-state join in DuckDB from first "
+        "principles, hash-proving incremental == recompute across "
+        "upserts, updates, and deletes on both sides.",
+)
+def q_ivm_join_from_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.rollup import (
+        feed_touched_keys,
+        join_view_refresh,
+    )
+    from etl_tiki_webscraping_spark.sinks.upsert import (
+        read_change_feed,
+        read_parquet_table,
+    )
+
+    path_o = _change_feed_table(spark, sf_dir)
+    path_c = _customer_feed_table(spark, sf_dir)
+    out_cols = [
+        "o_orderkey", "o_custkey", "price", "prio", "c_name", "acctbal", "seg"
+    ]
+    view1 = (
+        read_parquet_table(spark, path_o, version=1)
+        .join(
+            read_parquet_table(spark, path_c, version=1),
+            on=F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(*out_cols)
+    )
+    touched = feed_touched_keys(
+        read_change_feed(spark, path_o, from_version=2), "o_custkey", "o_custkey"
+    ).unionByName(
+        feed_touched_keys(
+            read_change_feed(spark, path_c, from_version=2), "c_custkey", "o_custkey"
+        )
+    )
+    return join_view_refresh(
+        view1,
+        read_parquet_table(spark, path_o),
+        read_parquet_table(spark, path_c),
+        "o_custkey",
+        "c_custkey",
+        touched,
     )
 
 

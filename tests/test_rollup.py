@@ -130,3 +130,98 @@ def test_rollup_deltas_unknown_change_type_raises(spark):
     with pytest.raises(Exception) as ei:
         rollup_deltas_from_change_feed(feed, ["g"], "v").collect()
     assert "unknown change type" in str(ei.value)
+
+
+class TestJoinViewRefresh:
+    """Affected-key recompute IVM for a materialized equi-join view:
+    incremental refresh must equal full recompute across inserts,
+    updates, deletes, and JOIN-KEY CHANGES on either side."""
+
+    def _mk(self, spark, rows, schema):
+        return spark.createDataFrame(rows, schema)
+
+    def test_refresh_equals_recompute_incl_key_change(self, spark):
+        from etl_tiki_webscraping_spark.operators.rollup import (
+            join_view_refresh,
+        )
+
+        fact_v1 = self._mk(
+            spark,
+            [(1, 10, "a"), (2, 10, "b"), (3, 20, "c"), (4, 30, "d")],
+            "fid int, k int, fx string",
+        )
+        dim_v1 = self._mk(
+            spark, [(10, "ten"), (20, "twenty"), (30, "thirty")],
+            "dk int, dname string",
+        )
+        view1 = fact_v1.join(
+            dim_v1, on=F.col("k") == F.col("dk")
+        ).select("fid", "k", "fx", "dname")
+
+        # changes: fact 3 MOVES key 20->40 (old AND new key touched),
+        # fact 5 inserted at 10, fact 4 deleted; dim 40 inserted,
+        # dim 10 renamed, dim 30 deleted
+        fact_v2 = self._mk(
+            spark,
+            [(1, 10, "a"), (2, 10, "b"), (3, 40, "c"), (5, 10, "e")],
+            "fid int, k int, fx string",
+        )
+        dim_v2 = self._mk(
+            spark, [(10, "TEN"), (20, "twenty"), (40, "forty")],
+            "dk int, dname string",
+        )
+        touched = self._mk(
+            spark, [(20,), (40,), (10,), (30,)], "k int"
+        )
+        got = sorted(
+            tuple(r)
+            for r in join_view_refresh(
+                view1, fact_v2, dim_v2, "k", "dk", touched
+            ).collect()
+        )
+        full = sorted(
+            tuple(r)
+            for r in fact_v2.join(dim_v2, on=F.col("k") == F.col("dk"))
+            .select("fid", "k", "fx", "dname")
+            .collect()
+        )
+        assert got == full
+        assert ("fid", "k", "fx", "dname") == tuple(
+            join_view_refresh(view1, fact_v2, dim_v2, "k", "dk", touched).columns
+        )
+
+    def test_untouched_rows_come_from_the_view_not_a_rejoin(self, spark):
+        from etl_tiki_webscraping_spark.operators.rollup import (
+            join_view_refresh,
+        )
+
+        fact = self._mk(spark, [(1, 10, "a")], "fid int, k int, fx string")
+        dim = self._mk(spark, [(10, "ten")], "dk int, dname string")
+        view = fact.join(dim, on=F.col("k") == F.col("dk")).select(
+            "fid", "k", "fx", "dname"
+        )
+        # empty delta: the refresh must return the view rows verbatim
+        # even if the base tables have silently diverged (proves kept
+        # rows are NOT recomputed)
+        diverged = self._mk(spark, [(10, "LIES")], "dk int, dname string")
+        empty = self._mk(spark, [], "k int")
+        got = [tuple(r) for r in join_view_refresh(
+            view, fact, diverged, "k", "dk", empty
+        ).collect()]
+        assert got == [(1, 10, "a", "ten")]
+
+    def test_touched_keys_schema_validated(self, spark):
+        import pytest
+
+        from etl_tiki_webscraping_spark.operators.rollup import (
+            join_view_refresh,
+        )
+
+        df = self._mk(spark, [(1, 10, "a")], "fid int, k int, fx string")
+        dim = self._mk(spark, [(10, "t")], "dk int, dname string")
+        view = df.join(dim, on=F.col("k") == F.col("dk")).select(
+            "fid", "k", "fx", "dname"
+        )
+        bad = self._mk(spark, [(10, 1)], "k int, extra int")
+        with pytest.raises(ValueError, match="exactly one column"):
+            join_view_refresh(view, df, dim, "k", "dk", bad)
