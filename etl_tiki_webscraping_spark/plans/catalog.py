@@ -3169,6 +3169,53 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_stream_stream_left_outer",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+           v.ts AS view_ts, p.ts AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = v.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+    doc="stream-STREAM LEFT OUTER join with watermarks on both sides "
+        "(streaming/events.py::stream_stream_purchase_views "
+        "how='leftOuter'): every view emits, null-extended when no "
+        "purchase followed within the horizon — abandonment detection, "
+        "the semantics only a watermark can provide in a stream (the "
+        "null row is emittable only once the watermark PROVES no "
+        "matching purchase can still arrive).  A finite stream never "
+        "flushes its own tail, so the source appends two heartbeat "
+        "spacer micro-batches (advance the watermark, then let the "
+        "eviction batch emit) — the availableNow stand-in for a "
+        "production punctuation topic; sentinel rows filter out by "
+        "user_id < 0.  State stays bounded by horizon+delay of traffic "
+        "per side exactly as the inner variant.  Hash-matches the batch "
+        "LEFT JOIN oracle.",
+)
+def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.streaming.events import (
+        read_events_stream_multibatch,
+        run_available_now_to_memory,
+        stream_stream_purchase_views,
+    )
+
+    def side(kind: str) -> DataFrame:
+        return read_events_stream_multibatch(
+            spark, sf_dir, n_batches=3,
+            cache_tag="outer-spacer",
+            spacer_batches=2,
+            spacer_margin_seconds=3600 + 600 + 120,  # horizon+delay+slack
+        ).filter(F.col("event_type") == kind)
+
+    joined = stream_stream_purchase_views(
+        side("view"), side("purchase"), how="leftOuter"
+    )
+    res = run_available_now_to_memory(joined, "stream_stream_loj", "append")
+    return res.filter(F.col("user_id") >= 0)
+
+
+@register(
     "snapshot_file_skipping",
     oracle="""
     SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal

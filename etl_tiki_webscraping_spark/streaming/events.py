@@ -70,6 +70,8 @@ def read_events_stream_multibatch(
     n_batches: int = 3,
     events_df: "DataFrame | None" = None,
     cache_tag: str = "",
+    spacer_batches: int = 0,
+    spacer_margin_seconds: int = 0,
 ) -> DataFrame:
     """Stream the ``events`` fixture as ``n_batches`` REAL micro-batches.
 
@@ -83,6 +85,19 @@ def read_events_stream_multibatch(
     order follows event time, no row is ever late — results stay equal
     to the batch twin / SQL oracle.  (Late-data EVICTION is proven
     separately in tests/test_streaming.py with out-of-order batches.)
+
+    ``spacer_batches`` appends that many trailing single-file
+    micro-batches of sentinel heartbeat rows (one 'view' + one
+    'purchase', ``user_id`` -1/-2, ``event_id`` < 0) whose timestamps
+    start ``spacer_margin_seconds`` past the data's max ``ts``.
+    Outer-join null emissions and state evictions only materialize
+    once the watermark PASSES a row's expiry — and a result-emitting
+    micro-batch uses the watermark computed at the END of the previous
+    one — so a stream that just ends never flushes its tail.  In
+    production a heartbeat/punctuation topic plays this role; two
+    spacer batches (advance, then flush) are the availableNow
+    equivalent.  Callers filter ``user_id < 0`` out of results.
+    Requires a non-empty ``cache_tag`` (distinct staging layout).
     """
     from etl_tiki_webscraping_spark.io import load_table
 
@@ -95,6 +110,11 @@ def read_events_stream_multibatch(
         raise ValueError(
             "read_events_stream_multibatch: a custom events_df needs a "
             "non-empty cache_tag to key its staging cache entry"
+        )
+    if spacer_batches and not cache_tag:
+        raise ValueError(
+            "read_events_stream_multibatch: spacer_batches changes the "
+            "staged layout — pass a non-empty cache_tag"
         )
     events = events_df if events_df is not None else load_table(spark, sf_dir, "events")
     # staging is one-time setup (a deployment streams an already-arriving
@@ -117,6 +137,32 @@ def read_events_stream_multibatch(
         )
         for i, f in enumerate(files):  # part-00000 holds the lowest ts range
             os.utime(os.path.join(staged, f), (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        if spacer_batches:
+            import datetime as _dt
+            import shutil
+
+            # one bounded scalar read: the sentinel ts must clear every
+            # real row's state expiry (caller adds horizon+delay margin)
+            mx = events.agg(F.max("ts").alias("m")).collect()[0]["m"]
+            for b in range(spacer_batches):
+                ts = mx + _dt.timedelta(seconds=spacer_margin_seconds + 60 * b)
+                rows = [
+                    (-(2 * b + 1), ts, -1, "view", 0.0, None),
+                    (-(2 * b + 2), ts, -2, "purchase", 0.0, None),
+                ]
+                tmp = staged + f".spacer{b}"
+                events.sparkSession.createDataFrame(
+                    rows, schema=events.schema
+                ).coalesce(1).write.mode("overwrite").parquet(tmp)
+                part = next(
+                    f for f in os.listdir(tmp)
+                    if f.endswith(".parquet") and not f.startswith((".", "_"))
+                )
+                dst = os.path.join(staged, f"spacer-{b:02d}.parquet")
+                shutil.move(os.path.join(tmp, part), dst)
+                shutil.rmtree(tmp, ignore_errors=True)
+                t = 1_700_000_000 + (len(files) + b) * 60
+                os.utime(dst, (t, t))
         _STAGED_STREAM_DIRS[key] = staged
     schema = events.schema
     return (
@@ -476,6 +522,7 @@ def stream_stream_purchase_views(
     purchases: DataFrame,
     horizon: str = "1 hour",
     watermark_delay: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream INNER join with watermarks on BOTH sides and a
     time-range condition (SURVEY §2.10 extension; VERDICT r3 ask #4):
@@ -493,7 +540,18 @@ def stream_stream_purchase_views(
     is bounded by ``horizon + watermark_delay`` of traffic per side.
     Works identically on batch frames (watermarks are no-ops) — the
     oracle twin.
+
+    ``how='leftOuter'`` emits every view, null-extending the ones no
+    purchase followed within the horizon (abandonment detection) — the
+    semantics only a watermark makes possible in a stream: the
+    null row for a view can be emitted ONLY once the watermark proves
+    no matching purchase can still arrive (watermark past ``view_ts +
+    horizon``), so a finite input needs trailing watermark-advancing
+    rows to flush its tail (see read_events_stream_multibatch's
+    ``spacer_batches``).
     """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"how must be 'inner' or 'leftOuter', got {how!r}")
     v = views.select(
         F.col("event_id").alias("view_id"),
         F.col("user_id").alias("v_user"),
@@ -509,7 +567,7 @@ def stream_stream_purchase_views(
         (F.col("v_user") == F.col("p_user"))
         & (F.col("purchase_ts") >= F.col("view_ts"))
         & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
-        "inner",
+        how,
     ).select(
         "view_id",
         "purchase_id",

@@ -526,3 +526,79 @@ class TestStreamingSketchMaintenance:
         assert set(est) == set(exact)
         for day, n in exact.items():
             assert abs(est[day] - n) <= max(1.0, 0.05 * n), (day, est[day], n)
+
+
+def test_stream_stream_left_outer_emits_nulls_only_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join: a view with no purchase in its
+    horizon emits a NULL-extended row — but only once the watermark
+    proves no match can still arrive.  Without the trailing
+    watermark-advancing batches the unmatched tail must stay buffered
+    (zero premature nulls)."""
+    from etl_tiki_webscraping_spark.streaming.events import (
+        stream_stream_purchase_views,
+    )
+
+    schema = "event_id string, ts timestamp, user_id bigint, event_type string, value double"
+    base = [
+        [
+            {"event_id": "v1", "ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "view", "value": 0.0},
+            {"event_id": "v2", "ts": "2024-01-01 10:10:00", "user_id": 2, "event_type": "view", "value": 0.0},
+        ],
+        [  # p1 matches v1; u2 purchase OUTSIDE the 1h horizon
+            {"event_id": "p1", "ts": "2024-01-01 10:30:00", "user_id": 1, "event_type": "purchase", "value": 5.0},
+            {"event_id": "p2", "ts": "2024-01-01 11:30:00", "user_id": 2, "event_type": "purchase", "value": 7.0},
+        ],
+    ]
+    spacers = [
+        [  # advance both sides' watermarks past every expiry...
+            {"event_id": "hb-v", "ts": "2024-01-01 14:00:00", "user_id": -1, "event_type": "view", "value": 0.0},
+            {"event_id": "hb-p", "ts": "2024-01-01 14:00:00", "user_id": -2, "event_type": "purchase", "value": 0.0},
+        ],
+        [  # ...then the flush batch, which RUNS with that watermark
+            {"event_id": "hb-v2", "ts": "2024-01-01 14:01:00", "user_id": -1, "event_type": "view", "value": 0.0},
+            {"event_id": "hb-p2", "ts": "2024-01-01 14:01:00", "user_id": -2, "event_type": "purchase", "value": 0.0},
+        ],
+    ]
+
+    def run(batches, name):
+        src = _write_batches(tmp_path, f"loj-{name}", batches)
+        views = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+            .json(src).filter(F.col("event_type") == "view")
+        )
+        purchases = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+            .json(src).filter(F.col("event_type") == "purchase")
+        )
+        joined = stream_stream_purchase_views(views, purchases, how="leftOuter")
+        q = (
+            joined.writeStream.outputMode("append").format("memory")
+            .queryName(f"loj_{name}").trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / f"ckpt-{name}"))
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["view_id"], r["purchase_id"])
+            for r in spark.sql(
+                f"select view_id, purchase_id from loj_{name} where user_id >= 0"
+            ).collect()
+        }
+
+    # no spacer: the match emits, the unmatched view CANNOT (watermark
+    # never passed its expiry) — no premature null row
+    assert run(base, "noflush") == {("v1", "p1")}
+    # with spacers the tail flushes: v2 emits null-extended
+    assert run(base + spacers, "flush") == {("v1", "p1"), ("v2", None)}
+
+
+def test_stream_stream_join_rejects_unknown_how(spark):
+    import pytest
+
+    from etl_tiki_webscraping_spark.streaming.events import (
+        stream_stream_purchase_views,
+    )
+
+    df = spark.createDataFrame([], "event_id string, ts timestamp, user_id bigint")
+    with pytest.raises(ValueError, match="leftOuter"):
+        stream_stream_purchase_views(df, df, how="full")
