@@ -245,6 +245,25 @@ def main() -> int:
           "fact scan carries a runtime dynamicpruning partition filter "
           "derived from the filtered dimension side")
 
+    # --- round-8 additions ---------------------------------------------------
+    p = plan_of("scd2_backfill_from_feed")
+    n_key_ex = sum(
+        1 for seg in p.split("\n")
+        if "Exchange hashpartitioning(o_orderkey" in seg
+    )
+    check("scd2_backfill_from_feed",
+          n_key_ex <= 1 and "localCheckpoint" not in p.lower(),
+          "lag and lead windows share ONE key-partitioned exchange; no "
+          "driver-side commit fold, no checkpoint")
+
+    p = plan_of("ivm_join_from_feed")
+    check("ivm_join_from_feed",
+          "LeftAnti" in p and p.count("LeftSemi") >= 2
+          and "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p,
+          "affected-key refresh: broadcast touched-keys drive one anti "
+          "(keep) and two semi (recompute) legs")
+
     print()
     if failures:
         print(f"{len(failures)} plan check(s) FAILED")
