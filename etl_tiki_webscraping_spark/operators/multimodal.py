@@ -282,6 +282,68 @@ def extract_image_features(df: DataFrame, id_col: str = "media_id", content_col:
     return df.select(id_col, content_col).mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixels", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Decode + BOX-DOWNSAMPLE images via mapInPandas — the resize leg
+    of the multimodal surface (thumbnailing / patch-grid prep for a
+    vision encoder), same Arrow-batched 1->1 shape as
+    :func:`extract_image_features`.
+
+    Box (area-average) semantics: the source luma plane splits into an
+    ``out_h x out_w`` grid of equal pixel blocks and each output pixel
+    is its block's exact mean — deterministic arithmetic an external
+    oracle can replay per cell.  Requires the source dimensions to be
+    divisible by the target's (true for the pipeline's fixed
+    encoder-input sizes); anything else raises rather than silently
+    interpolating.  The decode is shared with the feature extractor
+    (real PNG/BMP, deterministic fake otherwise)."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for mid, content in zip(batch[id_col], batch[content_col]):
+                img = _decode_image_impl(bytes(content) if content is not None else None)
+                h, w = img.shape
+                if h % out_h or w % out_w:
+                    raise ValueError(
+                        f"box resize needs src dims divisible by target: "
+                        f"({h}x{w}) -> ({out_h}x{out_w})"
+                    )
+                small = img.reshape(
+                    out_h, h // out_h, out_w, w // out_w
+                ).mean(axis=(1, 3))
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "src_width": int(w),
+                        "src_height": int(h),
+                        "width": int(out_w),
+                        "height": int(out_h),
+                        "pixels": small.astype(np.float32).flatten().tolist(),
+                    }
+                )
+            yield pd.DataFrame.from_records(out)
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -1713,6 +1713,54 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_image_resize",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(ry AS INT) AS ry, CAST(rx AS INT) AS rx,
+           round((
+               CASE WHEN (2*ry)*8 + 2*rx + 1 <= strlen(text)
+                    THEN ascii(substr(text, CAST((2*ry)*8 + 2*rx + 1 AS INT), 1)) ELSE 0 END
+             + CASE WHEN (2*ry)*8 + 2*rx + 2 <= strlen(text)
+                    THEN ascii(substr(text, CAST((2*ry)*8 + 2*rx + 2 AS INT), 1)) ELSE 0 END
+             + CASE WHEN (2*ry+1)*8 + 2*rx + 1 <= strlen(text)
+                    THEN ascii(substr(text, CAST((2*ry+1)*8 + 2*rx + 1 AS INT), 1)) ELSE 0 END
+             + CASE WHEN (2*ry+1)*8 + 2*rx + 2 <= strlen(text)
+                    THEN ascii(substr(text, CAST((2*ry+1)*8 + 2*rx + 2 AS INT), 1)) ELSE 0 END
+           ) / 4.0, 6) AS px
+    FROM documents,
+         (SELECT unnest(range(0, 4)) AS ry),
+         (SELECT unnest(range(0, 4)) AS rx)
+    WHERE text IS NOT NULL
+    """,
+    doc="box-downsample resize over the binary media column "
+        "(operators/multimodal.py::resize_images — the resize leg of "
+        "the decode/feature/resize/frame-sample surface): each output "
+        "pixel is the EXACT mean of its source block, so the oracle "
+        "replays every one of the 4x4 output cells from the fake "
+        "decoder's byte arithmetic (documents are ascii; blocks of 4 "
+        "uint8 values mean exactly in float32).  Real PNG/BMP inputs "
+        "take the same kernel via the shared decoder (unit-tested).",
+)
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.multimodal import resize_images
+
+    media = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("content"))
+    )
+    resized = resize_images(media, out_w=4, out_h=4)
+    return resized.select(
+        "media_id", F.posexplode("pixels").alias("pos", "val")
+    ).select(
+        "media_id",
+        (F.col("pos") / 4).cast("int").alias("ry"),
+        (F.col("pos") % 4).cast("int").alias("rx"),
+        F.round(F.col("val").cast("double"), 6).alias("px"),
+    )
+
+
+@register(
     "multimodal_frame_sample",
     oracle="""
     SELECT doc_id AS media_id,

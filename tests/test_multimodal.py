@@ -304,3 +304,34 @@ def test_real_png_decode_through_mapinpandas(spark):
     assert (row.width, row.height) == (2, 1)
     assert abs(row.mean_luma - 127.5) < 0.5
     assert len(row.feature) == 2
+
+
+def test_resize_box_means_on_real_png(spark):
+    """resize_images: each output pixel is the exact block mean —
+    checked on a genuine 8x8 gradient PNG downsampled to 2x2."""
+    import numpy as np
+
+    from etl_tiki_webscraping_spark.operators.multimodal import resize_images
+
+    img = np.arange(64, dtype=np.int64).reshape(8, 8)  # 0..63 gradient
+    png = _make_png(img, color_type=0, filters=[0, 1, 2, 3, 4, 0, 2, 1])
+    df = spark.createDataFrame(
+        [(5, bytearray(png))], "media_id long, content binary"
+    )
+    row = resize_images(df, out_w=2, out_h=2).collect()[0]
+    assert (row.src_width, row.src_height, row.width, row.height) == (8, 8, 2, 2)
+    got = np.array(row.pixels).reshape(2, 2)
+    exp = img.reshape(2, 4, 2, 4).mean(axis=(1, 3))
+    assert np.allclose(got, exp)
+
+
+def test_resize_rejects_non_divisible_target(spark):
+    import pytest
+
+    from etl_tiki_webscraping_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x" * 64))], "media_id long, content binary"
+    )
+    with pytest.raises(Exception, match="divisible"):
+        resize_images(df, out_w=3, out_h=3).collect()
