@@ -468,3 +468,74 @@ def test_dv_delete_equals_cow_delete(spark, tmp_path_factory, kv, threshold):
             {r["k"]: r["v"] for r in read_parquet_table(spark, path).collect()}
         )
     assert results[0] == results[1] == expected
+
+
+# --- SCD2: one-shot window backfill == commit-by-commit fold ---------------
+
+
+@given(first=KV.filter(bool), commits=st.lists(COMMIT, min_size=1, max_size=3))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_scd2_backfill_equals_fold_for_any_commit_sequence(
+    spark, tmp_path_factory, first, commits
+):
+    """For ANY commit sequence (upserts incl. unchanged-value no-ops
+    and repeat keys, predicate deletes incl. re-deletes and deletes of
+    absent keys), the one-shot window backfill reproduces the
+    commit-by-commit fold's dimension EXACTLY, and both agree with a
+    sequential interval model computed in plain Python."""
+    from pyspark.sql import functions as F
+
+    from etl_tiki_webscraping_spark.sinks.upsert import (
+        delete_where,
+        scd2_backfill_from_feed,
+        scd2_from_change_feed,
+        upsert_parquet,
+    )
+
+    path = str(tmp_path_factory.mktemp("scd2prop")) + "/tbl"
+    keep = len(commits) + 3
+
+    upsert_parquet(spark, _df(spark, first), path, ["k"], change_feed=True, keep_snapshots=keep)
+    # sequential model: open[k] = (value, from_v); closed = [(k,v,from,to)]
+    open_: dict = {k: (v, 1) for k, v in first.items()}
+    closed: list = []
+    for i, (kind, payload) in enumerate(commits):
+        ver = i + 2
+        if kind == "upsert":
+            upsert_parquet(
+                spark, _df(spark, payload), path, ["k"], change_feed=True, keep_snapshots=keep
+            )
+            for k, v in payload.items():
+                if k in open_:
+                    if open_[k][0] == v:
+                        continue  # unchanged: SCD2 no-op
+                    closed.append((k, open_[k][0], open_[k][1], ver))
+                open_[k] = (v, ver)
+        else:
+            delete_where(
+                spark, path, F.col("k").isin(*payload),
+                change_feed=True, keep_snapshots=keep,
+            )
+            for k in payload:
+                if k in open_:
+                    closed.append((k, open_[k][0], open_[k][1], ver))
+                    del open_[k]
+
+    expect = sorted(
+        [(k, v, f, t, False) for (k, v, f, t) in closed]
+        + [(k, v, f, None, True) for k, (v, f) in open_.items()]
+    )
+    cols = ("k", "v", "valid_from", "valid_to", "is_current")
+    fold = sorted(
+        tuple(r) for r in scd2_from_change_feed(spark, path, ["k"])
+        .select(*cols).collect()
+    )
+    one_shot = sorted(
+        tuple(r) for r in scd2_backfill_from_feed(spark, path, ["k"])
+        .select(*cols).collect()
+    )
+    assert one_shot == fold == expect
