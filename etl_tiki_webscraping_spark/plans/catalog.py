@@ -3546,6 +3546,64 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_temperature_mix",
+    oracle="""
+    WITH src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(POW(n, 0.5)) AS DOUBLE) AS z,
+             CAST(SUM(n) AS DOUBLE) AS total
+      FROM src
+    ),
+    rates AS (
+      SELECT source,
+             least(CAST(1.0 AS DOUBLE),
+                   ((POW(n, 0.5) / z) * (0.5 * total)) / CAST(n AS DOUBLE)
+             ) AS sample_rate
+      FROM src, tot
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+          < CAST(floor(r.sample_rate * 10000) AS BIGINT)
+    """,
+    doc="TEMPERATURE-tau mixture resampling (the mT5/XLM-R data-mix "
+        "knob): per-source sampling mass proportional to n^tau with "
+        "tau=0.5 — low-resource sources upweight, dominant ones "
+        "downweight — scaled to a 50%-of-corpus target and applied as "
+        "the same deterministic md5-bucket gate as corpus_mix_sampled "
+        "(reproducible across engines/runs/cluster sizes, no rand()).  "
+        "Plan: one count-by-source aggregate, the tiny rate table "
+        "broadcasts onto the corpus scan — one pass, no window.",
+)
+def q_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = src.agg(
+        F.sum(F.pow("n", F.lit(0.5))).cast("double").alias("z"),
+        F.sum("n").cast("double").alias("total"),
+    )
+    rates = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            ((F.pow("n", F.lit(0.5)) / F.col("z")) * (F.lit(0.5) * F.col("total")))
+            / F.col("n").cast("double"),
+        ).alias("sample_rate"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint")
+        % 10000
+    )
+    return (
+        docs.join(F.broadcast(rates), on="source")
+        .filter(bucket < F.floor(F.col("sample_rate") * 10000).cast("bigint"))
+        .select("doc_id", "source")
+    )
+
+
+@register(
     "corpus_mix_sampled",
     oracle=r"""
     WITH lang_tok AS (
