@@ -1,0 +1,170 @@
+"""Iterative graph algorithms over edge DataFrames.
+
+The reference has no graph surface (its dataflow is a linear scrape ->
+project -> upsert chain, dags/etl.py:25-343); this module is part of
+the large-scale training-data extension surface: duplicate clusters,
+citation/link graphs, and source-authority weighting all reduce to a
+few primitives over an ``(src, dst)`` edge table.  Connected
+components already lives in ``operators.dedup``; this adds PageRank,
+the canonical *fixed-point* iteration (ranks converge rather than
+labels propagating).
+
+Scale shape: each PageRank iteration is exactly ONE shuffle (the
+contribution ``groupBy(dst)``) plus one scalar aggregate (dangling
+mass, broadcast back); the edge table and out-degree table are
+localCheckpoint-ed once and reused by every iteration, so the loop is
+O(iterations) jobs with O(edges) work each — never O(edges^2) and
+never a growing lineage.  Ranks are summed through DECIMAL(38,18) so
+the result is order-independent and cross-engine reproducible (the
+DuckDB oracle unrolls the same iterations and hash-matches).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 6,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge DataFrame.
+
+    Returns ``(node, rank)`` for every node that appears as a source
+    or destination.  Duplicate edges are collapsed (standard unweighted
+    PageRank).  Dangling nodes (no out-edges) redistribute their mass
+    uniformly each iteration, so total rank mass is conserved at 1.0.
+
+    Update rule per iteration (mirrored verbatim by the SQL oracle so
+    the arithmetic is IEEE-identical across engines)::
+
+        rank'(v) = (1-d)/N + d * (sum_{u->v} rank(u)/outdeg(u) + D/N)
+
+    where ``D`` is the summed rank of dangling nodes.  Both sums go
+    through DECIMAL(38,18) for order-independence.
+
+    The driver loop runs ``iterations`` bounded Spark jobs (one
+    localCheckpoint per iteration truncates the otherwise-doubling
+    plan lineage — same bounded-fold shape as the SCD2 commit fold in
+    ``sinks.upsert``); each job is one shuffle keyed by ``dst``.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint()  # reused every iteration; computed once
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()  # scalar; graphs fit node COUNTS on the driver, not nodes
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    outdeg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("double").alias("od"))
+        .localCheckpoint()
+    )
+
+    inv_n = 1.0 / float(n)
+    teleport = (1.0 - damping) / float(n)
+    ranks = nodes.select("node", F.lit(inv_n).alias("rank"))
+
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, ranks["node"] == e["src"])
+            .join(outdeg, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.sum((F.col("rank") / F.col("od")).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("s")
+            )
+        )
+        dangling = (
+            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("rank").cast("decimal(38,18)")),
+                    F.lit(0).cast("decimal(38,18)"),
+                )
+                .cast("double")
+                .alias("dm")
+            )
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(dangling))  # 1-row scalar
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0.0))
+                        + F.col("dm") * F.lit(inv_n)
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()  # bounded: one per iteration
+        )
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_cte: str,
+    damping: float = 0.85,
+    iterations: int = 6,
+) -> str:
+    """Build the DuckDB oracle for :func:`pagerank` by unrolling the
+    iterations into chained CTEs (DuckDB 1.0 recursive CTEs cannot
+    aggregate in the recursive term, so unrolling is the faithful
+    SQL form).  ``edges_cte`` must be a SELECT producing (src, dst).
+
+    Every arithmetic step mirrors the Spark expression shape exactly —
+    contributions and dangling mass summed via DECIMAL(38,18), the
+    teleport/damping combine in the same association order — so the
+    two engines agree bit-for-bit up to the hash normalization.
+    """
+    parts = [
+        f"WITH edges AS (SELECT DISTINCT src, dst FROM ({edges_cte}))",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        "outdeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS od"
+        " FROM edges GROUP BY src)",
+        "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank"
+        " FROM nodes, nn)",
+    ]
+    d = repr(damping)
+    one_minus_d = repr(1.0 - damping)
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(
+            f"s{i} AS (SELECT e.dst AS node,"
+            f" CAST(SUM(CAST(r.rank / o.od AS DECIMAL(38,18))) AS DOUBLE) AS s"
+            f" FROM edges e JOIN r{p} r ON r.node = e.src"
+            f" JOIN outdeg o ON o.src = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"d{i} AS (SELECT CAST(COALESCE("
+            f"SUM(CAST(r.rank AS DECIMAL(38,18))),"
+            f" CAST(0 AS DECIMAL(38,18))) AS DOUBLE) AS dm"
+            f" FROM r{p} r LEFT JOIN outdeg o ON o.src = r.node"
+            f" WHERE o.src IS NULL)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT nd.node,"
+            f" (CAST({one_minus_d} AS DOUBLE) / nn.n)"
+            f" + CAST({d} AS DOUBLE) * (COALESCE(s.s, CAST(0.0 AS DOUBLE))"
+            f" + d.dm * (CAST(1.0 AS DOUBLE) / nn.n)) AS rank"
+            f" FROM nodes nd CROSS JOIN nn CROSS JOIN d{i} d"
+            f" LEFT JOIN s{i} s ON s.node = nd.node)"
+        )
+    body = ",\n".join(parts)
+    return f"{body}\nSELECT node, rank FROM r{iterations}"

@@ -6835,3 +6835,43 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "purchase"
     ).select("user_id", F.col("ts").cast("date").alias("day"))
     return cohort_retention(ev)
+
+
+_PAGERANK_EDGES_SQL = """
+    SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+           'c' || CAST(o_custkey AS VARCHAR) AS dst
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
+def _pagerank_oracle() -> str:
+    from etl_tiki_webscraping_spark.operators.graph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(_PAGERANK_EDGES_SQL, damping=0.85, iterations=6)
+
+
+@register(
+    "graph_pagerank",
+    oracle=_pagerank_oracle(),
+    doc="fixed-point iterative PageRank (6 iterations, d=0.85) over the "
+        "supplier->customer fulfilment graph (edge per distinct "
+        "(supplier, customer) pair observed in lineitem x orders).  The "
+        "canonical iterative-algorithm shape the linear reference DAG "
+        "lacks: each iteration is ONE shuffle (contribution groupBy on "
+        "dst) plus a broadcast scalar (dangling mass), with edges and "
+        "out-degrees localCheckpoint-ed once and reused — O(iterations) "
+        "bounded jobs, lineage truncated per step, rank sums through "
+        "DECIMAL(38,18) so the DuckDB oracle (same iterations unrolled "
+        "as chained CTEs) hash-matches exactly.  At 100 TB the driver "
+        "holds only the node COUNT and per-iteration dangling scalar.",
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+    )
+    return pagerank(edges, damping=0.85, iterations=6)
