@@ -493,3 +493,63 @@ def cohort_retention(
             ).alias("retention"),
         )
     )
+
+
+def blocked_entity_match(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: Sequence[str],
+    max_distance: int = 2,
+    max_block_rows: int | None = None,
+) -> DataFrame:
+    """Blocked fuzzy entity matching (record linkage): candidate pairs
+    are generated ONLY within a blocking key, then scored with exact
+    Levenshtein edit distance and kept when ``<= max_distance``.
+
+    The all-pairs O(n^2) comparison is the classic entity-resolution
+    scale killer; blocking makes the cost sum(|block|^2) — bounded by
+    the blocking key's selectivity, never by table size.  The physical
+    plan is ONE shuffle on the block key (a self equi-join); the edit
+    distance runs JVM-side (``F.levenshtein``, whole-stage codegen) on
+    the blocked candidates only.  ``a_id < b_id`` canonicalizes pairs.
+
+    ``max_block_rows`` optionally EXCLUDES oversized blocks (a skewed
+    blocking key — e.g. a null-heavy column — degenerates back to
+    all-pairs inside that block; at 100 TB you cap it and route those
+    rows to a better key, exactly like the LSH hot-bucket cap in
+    operators/dedup.py).  Exclusion is per-block and deterministic, so
+    an oracle can replay it with a windowed count.
+
+    Returns (a_id, b_id, a_name, b_name, distance), one row per
+    matched pair.
+    """
+    blocks = [F.col(c) for c in block_cols]
+    left = df.select(
+        F.col(id_col).alias("a_id"),
+        F.col(name_col).alias("a_name"),
+        *[F.col(c).alias(f"_bk{i}") for i, c in enumerate(block_cols)],
+    )
+    right = df.select(
+        F.col(id_col).alias("b_id"),
+        F.col(name_col).alias("b_name"),
+        *[F.col(c).alias(f"_bk{i}") for i, c in enumerate(block_cols)],
+    )
+    if max_block_rows is not None:
+        sizes = (
+            df.groupBy(*blocks)
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") <= max_block_rows)
+            .select(*[F.col(c).alias(f"_bk{i}") for i, c in enumerate(block_cols)])
+        )
+        # small by construction (<= distinct block keys); the semi join
+        # broadcasts and prunes oversized blocks before the self-join
+        left = left.join(F.broadcast(sizes), [f"_bk{i}" for i in range(len(block_cols))], "left_semi")
+        right = right.join(F.broadcast(sizes), [f"_bk{i}" for i in range(len(block_cols))], "left_semi")
+    bk = [f"_bk{i}" for i in range(len(block_cols))]
+    pairs = left.join(right, bk).filter(F.col("a_id") < F.col("b_id"))
+    return (
+        pairs.withColumn("distance", F.levenshtein("a_name", "b_name"))
+        .filter(F.col("distance") <= max_distance)
+        .select("a_id", "b_id", "a_name", "b_name", "distance")
+    )

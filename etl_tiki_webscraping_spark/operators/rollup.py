@@ -183,3 +183,43 @@ def feed_touched_keys(
     change row counts (insert / both update images / delete — each
     changes its key's join group).  Delta-sized by construction."""
     return feed.select(F.col(key_col).alias(out_name)).distinct()
+
+
+def equi_width_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int,
+) -> DataFrame:
+    """Equi-width histogram over a numeric column: ``n_buckets`` equal
+    intervals on [lo, hi); values below ``lo`` clamp into bucket 0,
+    values at or above ``hi`` into bucket ``n_buckets - 1`` (the
+    closed-top convention, so no row is dropped).  Returns
+    (bucket, bucket_lo, bucket_hi, cnt) with empty buckets ABSENT —
+    profile consumers densify against a spine if they need zeros.
+
+    The aggregate is a single map-side-combinable groupBy on a derived
+    integer — one shuffle whose cardinality is ``n_buckets``, never row
+    count, so it costs the same at 100 TB as at 100 MB (the scan
+    dominates).  Bucket arithmetic is plain floor division, replayable
+    exactly in any SQL dialect (no dialect-specific width_bucket)."""
+    width = (hi - lo) / n_buckets
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int"),
+        ),
+    )
+    return (
+        df.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bucket",
+            (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("bucket_lo"),
+            (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)).alias("bucket_hi"),
+            "cnt",
+        )
+    )

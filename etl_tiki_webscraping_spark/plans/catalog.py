@@ -6875,3 +6875,139 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
     )
     return pagerank(edges, damping=0.85, iterations=6)
+
+
+@register(
+    "entity_match_blocked",
+    oracle="""
+    SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+           a.c_name AS a_name, b.c_name AS b_name,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS distance
+    FROM customer a
+    JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    doc="blocked fuzzy entity matching (record linkage): candidate "
+        "customer pairs generated ONLY inside a (nation, segment) "
+        "blocking key, scored with exact Levenshtein edit distance, "
+        "kept at distance <= 2.  The all-pairs O(n^2) comparison is "
+        "the classic entity-resolution scale killer; blocking bounds "
+        "the cost by sum(|block|^2) regardless of table size.  Physical "
+        "plan: ONE shuffle on the block key (self equi-join) and the "
+        "edit distance runs JVM-side (F.levenshtein, whole-stage "
+        "codegen) on blocked candidates only — no UDF, no cartesian.  "
+        "An optional per-block row cap excludes skew-degenerate blocks "
+        "(unit-tested); the oracle replays blocking + distance "
+        "first-principles in DuckDB.",
+)
+def q_entity_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.relational import (
+        blocked_entity_match,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    return blocked_entity_match(
+        cust,
+        id_col="c_custkey",
+        name_col="c_name",
+        block_cols=["c_nationkey", "c_mktsegment"],
+        max_distance=2,
+    )
+
+
+@register(
+    "histogram_equi_width",
+    oracle="""
+    WITH b AS (
+        SELECT LEAST(19, GREATEST(0,
+                   CAST(floor((CAST(o_totalprice AS DOUBLE) - 0.0)
+                              / 30000.0) AS INT))) AS bucket
+        FROM orders
+    )
+    SELECT bucket,
+           0.0 + bucket * 30000.0 AS bucket_lo,
+           0.0 + (bucket + 1) * 30000.0 AS bucket_hi,
+           COUNT(*) AS cnt
+    FROM b GROUP BY bucket
+    """,
+    doc="equi-width histogram (profiling primitive): order totals "
+        "bucketed into 20 equal intervals on [0, 600000) with clamped "
+        "edges so no row drops.  ONE map-side-combinable groupBy on a "
+        "derived integer — shuffle cardinality is the bucket count, "
+        "never row count, so the cost at 100 TB is the scan.  Bucket "
+        "arithmetic is plain floor division (no dialect-specific "
+        "width_bucket), replayed exactly by the DuckDB oracle.",
+)
+def q_histogram_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.rollup import equi_width_histogram
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("price")
+    )
+    return equi_width_histogram(orders, "price", lo=0.0, hi=600_000.0, n_buckets=20)
+
+
+_COMPACT_TABLES: dict[str, str] = {}  # sf_dir -> table path (memoized)
+
+
+@register(
+    "snapshot_compaction",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           o_orderpriority AS prio
+    FROM orders WHERE o_orderkey % 3 = 0
+    """,
+    doc="small-file compaction as a first-class maintenance commit "
+        "(sinks/upsert.py::compact_table — Delta OPTIMIZE / Iceberg "
+        "rewrite_data_files): the fixture table accretes FIVE "
+        "micro-batch upsert commits (one file set each — the small-"
+        "file storm that dominates 100 TB scan time via per-file open "
+        "+ footer reads), then ONE compaction commit rewrites the live "
+        "snapshot into ~target-size files CLUSTERED on the order key "
+        "(range-partitioned sort, so selective scans skip whole files "
+        "via manifest min/max).  Data is bit-identical before and "
+        "after BY CONTRACT — the oracle reads the same rows from first "
+        "principles, and the unit suite pins the file-count drop and "
+        "the sort-clustering.",
+)
+def q_snapshot_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.sinks.upsert import (
+        compact_table,
+        read_parquet_table,
+        upsert_parquet,
+    )
+
+    path = _COMPACT_TABLES.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        base = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderkey") % 3 == 0
+        ).select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        path = tempfile.mkdtemp(prefix="compact-") + "/tbl"
+        # five micro-batch commits: disjoint key slices, one file set
+        # each — the accretion pattern a streaming sink produces
+        for i in range(5):
+            upsert_parquet(
+                spark,
+                base.filter(F.col("o_orderkey") % 5 == i),
+                path,
+                ["o_orderkey"],
+                keep_snapshots=7,
+            )
+        compact_table(
+            spark, path, sort_by=["o_orderkey"], keep_snapshots=7
+        )
+        _COMPACT_TABLES[sf_dir] = path
+    return read_parquet_table(spark, path).select(
+        "o_orderkey", "o_custkey", "price", "prio"
+    )

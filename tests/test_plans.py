@@ -131,3 +131,44 @@ def test_hll_sketch_rollup_merge_matches_exact_within_tolerance(spark, sf_dir):
     assert set(approx) == set(exact) and exact
     for t, e in exact.items():
         assert abs(approx[t] - e) <= max(2, 0.05 * e), (t, approx[t], e)
+
+
+def test_snapshot_compaction_rewrites_to_few_clustered_files(spark, sf_dir):
+    """The compaction catalog fixture accretes 5 micro-batch commits
+    then compacts; the LIVE snapshot must hold a handful of key-
+    clustered files (vs one file set per commit) and the data must
+    round-trip bit-identically (the oracle pins values; this pins the
+    physical layout the oracle can't see)."""
+    import os
+
+    from etl_tiki_webscraping_spark.plans.catalog import (
+        QUERIES,
+        _COMPACT_TABLES,
+    )
+    from etl_tiki_webscraping_spark.sinks.upsert import _current_snapshot
+
+    df = QUERIES["snapshot_compaction"].fn(spark, sf_dir)
+    path = _COMPACT_TABLES[sf_dir]
+    cur = _current_snapshot(path)
+    snap_dir = os.path.join(path, cur)
+    files = [
+        os.path.join(root, f)
+        for root, _, fs in os.walk(snap_dir, followlinks=True)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    # sf0.001: ~500 rows << target_file_bytes -> compaction packs the
+    # 5 commits' accretion into a single file
+    assert len(files) <= 2
+    # clustered: each file covers a disjoint o_orderkey range
+    ranges = []
+    for fpath in files:
+        stats = spark.read.parquet(fpath).agg(
+            F.min("o_orderkey"), F.max("o_orderkey")
+        ).collect()[0]
+        ranges.append((stats[0], stats[1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+    # and nothing was lost or duplicated across the rewrite
+    assert df.count() == df.select("o_orderkey").distinct().count()

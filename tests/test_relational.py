@@ -253,3 +253,77 @@ class TestCohortRetention:
         row = cohort_retention(ev).collect()[0]
         assert str(row["cohort_week"]) == "2024-01-01"
         assert row["week_offset"] == 0 and row["retention"] == 1.0
+
+
+class TestBlockedEntityMatch:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "id int, name string, blk string"
+        )
+
+    def test_matches_within_block_only(self, spark):
+        from etl_tiki_webscraping_spark.operators.relational import (
+            blocked_entity_match,
+        )
+
+        # "acme corp" vs "acme c0rp" differ by 1 edit but sit in
+        # DIFFERENT blocks -> blocking must suppress the pair;
+        # the in-block near-pair survives with its exact distance
+        df = self._mk(
+            spark,
+            [
+                (1, "acme corp", "A"),
+                (2, "acme c0rp", "B"),
+                (3, "acme corp.", "A"),
+                (4, "zenith ltd", "A"),
+            ],
+        )
+        got = {
+            (r.a_id, r.b_id, r.distance)
+            for r in blocked_entity_match(
+                df, "id", "name", ["blk"], max_distance=2
+            ).collect()
+        }
+        assert got == {(1, 3, 1)}
+
+    def test_pairs_canonical_and_threshold(self, spark):
+        from etl_tiki_webscraping_spark.operators.relational import (
+            blocked_entity_match,
+        )
+
+        df = self._mk(
+            spark,
+            [(1, "aaaa", "A"), (2, "aaab", "A"), (3, "zzzz", "A")],
+        )
+        rows = blocked_entity_match(
+            df, "id", "name", ["blk"], max_distance=1
+        ).collect()
+        assert [(r.a_id, r.b_id, r.a_name, r.b_name, r.distance) for r in rows] == [
+            (1, 2, "aaaa", "aaab", 1)
+        ]
+        # a_id < b_id canonicalization: no (2, 1) mirror, no self-pair
+
+    def test_max_block_rows_excludes_skewed_block(self, spark):
+        from etl_tiki_webscraping_spark.operators.relational import (
+            blocked_entity_match,
+        )
+
+        # block A has 3 rows (over the cap of 2) -> ALL its pairs are
+        # excluded; block B (2 rows) still matches
+        df = self._mk(
+            spark,
+            [
+                (1, "aaaa", "A"),
+                (2, "aaab", "A"),
+                (3, "aaac", "A"),
+                (4, "bbbb", "B"),
+                (5, "bbbc", "B"),
+            ],
+        )
+        got = {
+            (r.a_id, r.b_id)
+            for r in blocked_entity_match(
+                df, "id", "name", ["blk"], max_distance=2, max_block_rows=2
+            ).collect()
+        }
+        assert got == {(4, 5)}

@@ -225,3 +225,41 @@ class TestJoinViewRefresh:
         bad = self._mk(spark, [(10, 1)], "k int, extra int")
         with pytest.raises(ValueError, match="exactly one column"):
             join_view_refresh(view, df, dim, "k", "dk", bad)
+
+
+class TestEquiWidthHistogram:
+    def test_buckets_edges_and_clamping(self, spark):
+        from etl_tiki_webscraping_spark.operators.rollup import (
+            equi_width_histogram,
+        )
+
+        df = spark.createDataFrame(
+            [(-5.0,), (0.0,), (9.9,), (10.0,), (25.0,), (100.0,), (999.0,)],
+            "v double",
+        )
+        # 10 buckets of width 10 on [0, 100): -5 clamps into bucket 0,
+        # 100 and 999 clamp into bucket 9, 10.0 lands in bucket 1
+        got = {
+            r.bucket: (r.bucket_lo, r.bucket_hi, r.cnt)
+            for r in equi_width_histogram(df, "v", 0.0, 100.0, 10).collect()
+        }
+        assert got == {
+            0: (0.0, 10.0, 3),
+            1: (10.0, 20.0, 1),
+            2: (20.0, 30.0, 1),
+            9: (90.0, 100.0, 2),
+        }
+
+    def test_total_count_preserved(self, spark, sf_dir):
+        from etl_tiki_webscraping_spark.operators.rollup import (
+            equi_width_histogram,
+        )
+        from pyspark.sql import functions as F
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            F.col("o_totalprice").cast("double").alias("price")
+        )
+        hist = equi_width_histogram(orders, "price", 0.0, 600_000.0, 20)
+        assert (
+            hist.agg(F.sum("cnt")).collect()[0][0] == orders.count()
+        )  # clamped edges: no row ever drops

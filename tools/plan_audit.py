@@ -247,14 +247,21 @@ def main() -> int:
 
     # --- round-8 additions ---------------------------------------------------
     p = plan_of("scd2_backfill_from_feed")
-    n_key_ex = sum(
-        1 for seg in p.split("\n")
+    # contract (upsert.py::scd2_backfill_from_feed docstring): three
+    # exchanges total — per-(key, commit) winner window + delete
+    # distinct, both on (o_orderkey, __v), and ONE bare-key exchange
+    # the lag and lead windows SHARE (same partitioning + ordering)
+    key_ex = [
+        seg for seg in p.split("\n")
         if "Exchange hashpartitioning(o_orderkey" in seg
-    )
+    ]
+    n_bare = sum(1 for seg in key_ex if "__v" not in seg)
     check("scd2_backfill_from_feed",
-          n_key_ex <= 1 and "localCheckpoint" not in p.lower(),
-          "lag and lead windows share ONE key-partitioned exchange; no "
-          "driver-side commit fold, no checkpoint")
+          n_bare == 1 and len(key_ex) <= 3
+          and "localCheckpoint" not in p.lower(),
+          "lag and lead windows share ONE bare-key exchange (<=3 total "
+          "incl. the two (key, commit)-grained ones); no driver-side "
+          "commit fold, no checkpoint")
 
     p = plan_of("ivm_join_from_feed")
     check("ivm_join_from_feed",
