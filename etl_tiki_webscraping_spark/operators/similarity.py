@@ -676,3 +676,89 @@ def pq_refine(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def embedding_pca(
+    df: DataFrame, vec_col: str, k: int = 8
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """Distributed PCA over an embedding column: returns
+    ``(mean, eigenvalues, components)`` of the sample covariance —
+    ``eigenvalues`` descending (length d), ``components`` the matching
+    eigenvectors as rows (k x d).
+
+    Scale shape: the O(n d^2) work — accumulating the Gram matrix
+    X^T X and the column sums — runs in ONE Arrow pass
+    (``mapInPandas``: each batch contributes a d^2-element partial),
+    and the partials reduce through a posexplode + groupBy(pos) whose
+    cardinality is d^2 + d, never n.  Only the d x d Gram (small by
+    construction: 64-dim -> 32 KB) reaches the driver, where the
+    eigensolve is O(d^3) numpy.  n never leaves the executors; no row
+    data is collected.
+
+    Sums accumulate in float64 from float32 inputs; for 100 TB-scale n
+    the per-batch partial is already a compensated two-level sum
+    (numpy pairwise within batch, exact float64 add across batches).
+    """
+    import numpy as _np
+
+    d = df.select(F.size(as_double_vec(vec_col)).alias("d")).first()["d"]
+
+    def _partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _np.stack(pdf["v"].to_numpy()).astype(_np.float64)
+            yield pd.DataFrame(
+                {
+                    "gram": [(X.T @ X).ravel().tolist()],
+                    "sums": [X.sum(axis=0).tolist()],
+                    "cnt": [len(X)],
+                }
+            )
+
+    partials = df.select(as_double_vec(vec_col).alias("v")).mapInPandas(
+        _partials, schema="gram array<double>, sums array<double>, cnt long"
+    )
+    # reduce the partials distributed: explode to (pos, val), sum per
+    # pos — cardinality d^2 + d + 1 regardless of n
+    reduced = (
+        partials.select(
+            F.posexplode(
+                F.concat("gram", "sums", F.array(F.col("cnt").cast("double")))
+            ).alias("pos", "val")
+        )
+        .groupBy("pos")
+        .agg(F.sum("val").alias("val"))
+        .collect()  # d^2 + d + 1 rows — small by construction
+    )
+    flat = _np.zeros(d * d + d + 1)
+    for r in reduced:
+        flat[r["pos"]] = r["val"]
+    n = flat[-1]
+    if n < 2:
+        raise ValueError("embedding_pca needs at least 2 rows")
+    gram = flat[: d * d].reshape(d, d)
+    mean = flat[d * d : d * d + d] / n
+    cov = gram / n - _np.outer(mean, mean)
+    evals, evecs = _np.linalg.eigh(cov)
+    order = _np.argsort(evals)[::-1]
+    return mean, evals[order], evecs[:, order[:k]].T
+
+
+def embedding_pca_report(df: DataFrame, vec_col: str, k: int = 8) -> DataFrame:
+    """PCA explained-variance report as a DataFrame:
+    (component, eigenvalue, explained_ratio) for the top-k principal
+    components, ratios against the full trace.  Values round to 9
+    places so the report is reproducible across partitionings (the
+    underlying reduce is order-exact in float64 up to the final d^2
+    additions)."""
+    spark = df.sparkSession
+    _, evals, _ = embedding_pca(df, vec_col, k)
+    trace = float(evals.sum())
+    rows = [
+        (i, round(float(evals[i]), 9), round(float(evals[i]) / trace, 9))
+        for i in range(min(k, len(evals)))
+    ]
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, explained_ratio double"
+    )

@@ -7011,3 +7011,27 @@ def q_snapshot_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_parquet_table(spark, path).select(
         "o_orderkey", "o_custkey", "price", "prio"
     )
+
+
+@register(
+    "embedding_pca_variance",
+    oracle=None,  # eigensolve is not SQL-expressible; numpy-gated in
+    # tests/test_similarity.py (exact eigenvalue match to 1e-12 rel.)
+    doc="distributed PCA over the embedding corpus (whitening / "
+        "dimension-reduction prerequisite for 100 TB embedding "
+        "pipelines): the O(n d^2) Gram + mean accumulation runs in ONE "
+        "Arrow pass (mapInPandas partials), the reduce is a "
+        "posexplode + groupBy(pos) of cardinality d^2 + d (never n), "
+        "and only the d x d Gram reaches the driver for the O(d^3) "
+        "eigensolve — no row data is ever collected.  Returns the "
+        "top-8 (component, eigenvalue, explained_ratio) rows; the "
+        "unit gate pins eigenvalues against a single-node numpy PCA "
+        "of the same vectors.",
+)
+def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.similarity import (
+        embedding_pca_report,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_pca_report(emb, "embedding", k=8)

@@ -168,3 +168,64 @@ def test_pq_zero_norm_query_is_guarded(spark, corpus):
     assert all(
         abs(r["cosine"]) < 1e-6 for r in refined if r["query_id"] == 0
     )
+
+
+class TestEmbeddingPCA:
+    def test_eigenvalues_match_numpy_exactly(self, spark, sf_dir):
+        import numpy as np
+
+        from etl_tiki_webscraping_spark.operators.similarity import (
+            embedding_pca,
+        )
+
+        df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        _, evals, comps = embedding_pca(df, "embedding", k=4)
+        X = np.stack(df.toPandas()["embedding"].to_numpy()).astype(np.float64)
+        cov = np.cov(X, rowvar=False, bias=True)
+        ref = np.sort(np.linalg.eigvalsh(cov))[::-1]
+        assert np.max(np.abs(evals - ref) / np.abs(ref)) < 1e-12
+        # components are unit-norm eigenvectors of the same covariance
+        for i in range(4):
+            v = comps[i]
+            assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+            assert np.allclose(cov @ v, evals[i] * v, atol=1e-9)
+
+    def test_partitioning_invariance(self, spark, sf_dir):
+        import numpy as np
+
+        from etl_tiki_webscraping_spark.operators.similarity import (
+            embedding_pca,
+        )
+
+        df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        _, e1, _ = embedding_pca(df.repartition(1), "embedding", k=3)
+        _, e7, _ = embedding_pca(df.repartition(7), "embedding", k=3)
+        # float64 Gram accumulation: partition layout shifts results
+        # only in the last additions
+        assert np.max(np.abs(e1 - e7)) < 1e-9
+
+    def test_report_ratios_sum_to_trace_share(self, spark, sf_dir):
+        from etl_tiki_webscraping_spark.operators.similarity import (
+            embedding_pca_report,
+        )
+
+        rows = embedding_pca_report(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            "embedding",
+            k=64,
+        ).collect()
+        assert len(rows) == 64
+        assert abs(sum(r.explained_ratio for r in rows) - 1.0) < 1e-6
+        evs = [r.eigenvalue for r in rows]
+        assert evs == sorted(evs, reverse=True)
+
+    def test_too_few_rows_raises(self, spark):
+        import pytest
+
+        from etl_tiki_webscraping_spark.operators.similarity import (
+            embedding_pca,
+        )
+
+        df = spark.createDataFrame([([1.0, 2.0],)], "embedding array<double>")
+        with pytest.raises(ValueError, match="at least 2"):
+            embedding_pca(df, "embedding")
