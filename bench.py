@@ -127,6 +127,14 @@ HEADLINE = [
     ("scd2_backfill_from_feed", "count"),
     ("cohort_retention", "collect"),
     ("ivm_join_from_feed", "count"),
+    ("streaming_stream_stream_left_outer", "count"),
+    ("graph_pagerank", "count"),
+    ("corpus_temperature_mix", "count"),
+    ("multimodal_image_resize", "count"),
+    ("entity_match_blocked", "count"),
+    ("histogram_equi_width", "collect"),
+    ("snapshot_compaction", "count"),
+    ("embedding_pca_variance", "collect"),
 ]
 
 

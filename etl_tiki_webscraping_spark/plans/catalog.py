@@ -156,6 +156,7 @@ _EAGER_STAGING_QUERIES = (
     "snapshot_dv_delete",  # stages + DV-deletes the fixture table
     "snapshot_update_where",  # stages + updates the fixture table
     "knn_pq_adc",  # trains + memoizes the PQ codebooks (index build)
+    "snapshot_compaction",  # stages 5 micro-batch commits + compacts
 )
 
 
