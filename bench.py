@@ -135,6 +135,8 @@ HEADLINE = [
     ("histogram_equi_width", "collect"),
     ("snapshot_compaction", "count"),
     ("embedding_pca_variance", "collect"),
+    ("quality_model_score", "count"),
+    ("weighted_sample_per_group", "count"),
 ]
 
 

@@ -548,8 +548,68 @@ def blocked_entity_match(
         right = right.join(F.broadcast(sizes), [f"_bk{i}" for i in range(len(block_cols))], "left_semi")
     bk = [f"_bk{i}" for i in range(len(block_cols))]
     pairs = left.join(right, bk).filter(F.col("a_id") < F.col("b_id"))
+    # two cheap cuts before the DP: a length band (edit distance >=
+    # length difference, so the band is free pruning), then the
+    # thresholded levenshtein (returns -1 past the threshold and
+    # short-circuits the O(len^2) DP to O(len * max_distance))
+    dist = F.levenshtein("a_name", "b_name", int(max_distance))
     return (
-        pairs.withColumn("distance", F.levenshtein("a_name", "b_name"))
-        .filter(F.col("distance") <= max_distance)
+        pairs.filter(
+            F.abs(F.length("a_name") - F.length("b_name")) <= max_distance
+        )
+        .withColumn("distance", dist)
+        .filter(F.col("distance") >= 0)
         .select("a_id", "b_id", "a_name", "b_name", "distance")
+    )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+    weight_col: Column | str,
+    k: int,
+) -> DataFrame:
+    """Weighted reservoir sample of ``k`` rows per group
+    (Efraimidis-Spirakis A-Res): each row draws a deterministic
+    uniform u from its key hash and ranks by ``ln(u) / w`` descending —
+    the top-k per group is EXACTLY a weighted sample without
+    replacement, where a row's inclusion odds scale with its weight.
+    The corpus-mixing primitive ("sample 10k docs per language,
+    favoring longer documents") that seeded ``rand()`` can't give
+    reproducibly across engines, cluster sizes, or retries.
+
+    u comes from the md5-prefix construction
+    (:func:`deterministic_stratified_sample`): content-independent,
+    engine-portable, replayable in any SQL dialect.  The sort key
+    rounds to 9 places before ranking (the repo's cross-engine ranking
+    convention) so the oracle's rank matches.  Rows with weight <= 0
+    are EXCLUDED (their A-Res key is undefined); callers clamp first
+    if zero-weight rows should still be eligible.
+
+    Plan shape: scan + ONE top-k-per-group (rank window over a
+    group-keyed exchange) — the same bounded shape as
+    :func:`top_k_per_group`; nothing scales with k x groups beyond the
+    output.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    # u in (0, 1]: (h + 1) / 2^32 over the 32-bit md5 prefix — never 0,
+    # so ln(u) is finite
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(4294967296.0)
+    ares = F.round(F.log(u) / w, 9)
+    return (
+        df.filter(w > 0)
+        .withColumn("_ares", ares)
+        .transform(
+            lambda d: top_k_per_group(
+                d,
+                list(group_cols),
+                [F.col("_ares").desc(), F.col(key_col).asc()],
+                k,
+            )
+        )
+        .drop("_ares")
     )

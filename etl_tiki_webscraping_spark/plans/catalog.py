@@ -7036,3 +7036,125 @@ def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_pca_report(emb, "embedding", k=8)
+
+
+@register(
+    "quality_model_score",
+    oracle=r"""
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+                   / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+               CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                        t -> t IN ('the','and','of','to','in','is','it','that','for','with'))) AS DOUBLE)
+                   / CAST(greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1) AS DOUBLE)
+                   AS stopword_ratio,
+               ln(1.0 + len(list_filter(string_split_regex(trim(text), '\s+'),
+                                        t -> t <> ''))) AS log_tokens
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               (-0.8) + 0.55 * log_tokens + (-2.1) * punct_ratio
+                      + 3.0 * stopword_ratio AS z
+        FROM feats
+    )
+    SELECT doc_id,
+           ROUND(CASE WHEN z >= 0
+                      THEN 1.0 / (1.0 + exp(-abs(z)))
+                      ELSE 1.0 - 1.0 / (1.0 + exp(-abs(z))) END, 6) AS score,
+           CASE WHEN (CASE WHEN z >= 0 THEN 1.0 / (1.0 + exp(-abs(z)))
+                           ELSE 1.0 - 1.0 / (1.0 + exp(-abs(z))) END) >= 0.75 THEN 0
+                WHEN (CASE WHEN z >= 0 THEN 1.0 / (1.0 + exp(-abs(z)))
+                           ELSE 1.0 - 1.0 / (1.0 + exp(-abs(z))) END) >= 0.5 THEN 1
+                ELSE 2 END AS band
+    FROM scored
+    """,
+    doc="trained-classifier inference at scan speed (the CCNet/LLaMA-"
+        "style quality-filter deployment, distinct from the heuristic "
+        "text_quality_score): a logistic-regression model's weights "
+        "ride the task closure (broadcast by construction — a dict, "
+        "not a table) and the score is ONE narrow projection in "
+        "whole-stage codegen — no UDF, no shuffle, no model server; "
+        "at 100 TB the cost is the scan.  The sigmoid computes on "
+        "-|z| (quality/scoring.py::sigmoid) so exp never overflows; "
+        "band thresholds route keep/review/drop.  The oracle replays "
+        "features, the stable sigmoid, and the banding in DuckDB; "
+        "scores round to 6 places.",
+)
+def q_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.functions.text import (
+        punct_ratio,
+        stopword_ratio,
+        token_count,
+    )
+    from etl_tiki_webscraping_spark.quality.scoring import (
+        linear_model_score,
+        score_and_band,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = {
+        "punct_ratio": punct_ratio("text"),
+        "stopword_ratio": stopword_ratio("text"),
+        "log_tokens": F.log(F.lit(1.0) + token_count("text")),
+    }
+    score = linear_model_score(
+        feats,
+        weights={
+            "log_tokens": 0.55,
+            "punct_ratio": -2.1,
+            "stopword_ratio": 3.0,
+        },
+        bias=-0.8,
+    )
+    return score_and_band(docs, score, bands=[0.75, 0.5]).select(
+        "doc_id", F.round("score", 6).alias("score"), "band"
+    )
+
+
+@register(
+    "weighted_sample_per_group",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, lang, n_chars,
+               ROUND(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                         + 1.0) / 4294967296.0)
+                     / CAST(n_chars AS DOUBLE), 9) AS ares
+        FROM documents WHERE n_chars > 0
+    ),
+    r AS (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY ares DESC, doc_id ASC) AS rn
+        FROM s
+    )
+    SELECT doc_id, lang, n_chars FROM r WHERE rn <= 15
+    """,
+    doc="weighted reservoir sampling per group (Efraimidis-Spirakis "
+        "A-Res): 15 documents per language, inclusion odds scaling "
+        "with document length — the corpus-mixing primitive seeded "
+        "rand() can't give reproducibly across engines, cluster sizes "
+        "or retries.  Each row's uniform comes from the md5-prefix "
+        "hash (content-independent, engine-portable), the A-Res key "
+        "ln(u)/w rounds to 9 places before ranking (cross-engine "
+        "ranking convention), and the plan is scan + ONE "
+        "top-k-per-group window (WindowGroupLimit bounds the sort at "
+        "k per partition).  The oracle replays hash, key, and rank in "
+        "DuckDB exactly.",
+)
+def q_weighted_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.relational import (
+        weighted_sample_per_group,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return weighted_sample_per_group(
+        docs,
+        group_cols=["lang"],
+        key_col="doc_id",
+        weight_col=F.col("n_chars").cast("double"),
+        k=15,
+    )

@@ -539,3 +539,52 @@ def test_scd2_backfill_equals_fold_for_any_commit_sequence(
         .select(*cols).collect()
     )
     assert one_shot == fold == expect
+
+
+@given(
+    names=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=4),
+        min_size=2,
+        max_size=8,
+    ),
+    threshold=st.integers(min_value=0, max_value=3),
+)
+@SETTINGS
+def test_blocked_entity_match_constant_block_equals_all_pairs(
+    spark, names, threshold
+):
+    """With ONE constant block, blocking prunes nothing: the result
+    must equal the exact O(n^2) Levenshtein pair set."""
+    import itertools
+
+    from etl_tiki_webscraping_spark.operators.relational import (
+        blocked_entity_match,
+    )
+
+    rows = [(i, nm, "B") for i, nm in enumerate(names)]
+    df = spark.createDataFrame(rows, "id int, name string, blk string")
+    got = {
+        (r.a_id, r.b_id, r.distance)
+        for r in blocked_entity_match(
+            df, "id", "name", ["blk"], max_distance=threshold
+        ).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (i, j, lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(
+            [(i, nm) for i, nm in enumerate(names)], 2
+        )
+        if lev(a, b) <= threshold
+    }
+    assert got == want

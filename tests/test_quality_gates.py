@@ -259,3 +259,59 @@ def test_pq_adc_recall_on_clustered_data(spark, clustered):
     row = topk_recall_summary(approx, exact, "pq").collect()[0]
     assert row["mean_recall"] >= 0.9, row
     assert row["n_queries"] == 5
+
+
+class TestLinearModelScore:
+    def test_matches_python_sigmoid_exactly(self, spark):
+        import math
+
+        from etl_tiki_webscraping_spark.quality.scoring import (
+            _sigmoid_py,
+            linear_model_score,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, 2.0, 0.1), (2, -3.0, 0.9), (3, 0.0, 0.5), (4, 800.0, 0.0)],
+            "id int, a double, b double",
+        )
+        score = linear_model_score(
+            {"a": F.col("a"), "b": F.col("b")},
+            weights={"a": 0.5, "b": -1.5},
+            bias=0.25,
+        )
+        got = {r.id: r.s for r in df.select("id", score.alias("s")).collect()}
+        for id_, a, b in [(1, 2.0, 0.1), (2, -3.0, 0.9), (3, 0.0, 0.5), (4, 800.0, 0.0)]:
+            z = 0.25 + 0.5 * a - 1.5 * b
+            assert got[id_] == _sigmoid_py(z), (id_, got[id_])
+        # z=400: naive 1/(1+exp(-z)) is fine but exp(z) would overflow;
+        # the stable form returns exactly 1.0, not inf/nan
+        assert got[4] == 1.0 and not math.isnan(got[4])
+
+    def test_unknown_weight_raises(self, spark):
+        import pytest
+
+        from etl_tiki_webscraping_spark.quality.scoring import (
+            linear_model_score,
+        )
+        from pyspark.sql import functions as F
+
+        with pytest.raises(ValueError, match="unknown features"):
+            linear_model_score({"a": F.col("a")}, weights={"a": 1.0, "zz": 2.0})
+
+    def test_banding_routes_by_descending_thresholds(self, spark):
+        import pytest
+
+        from etl_tiki_webscraping_spark.quality.scoring import score_and_band
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, 0.9), (2, 0.75), (3, 0.6), (4, 0.1)], "id int, s double"
+        )
+        got = {
+            r.id: r.band
+            for r in score_and_band(df, F.col("s"), [0.75, 0.5]).collect()
+        }
+        assert got == {1: 0, 2: 0, 3: 1, 4: 2}  # >= is inclusive
+        with pytest.raises(ValueError, match="descending"):
+            score_and_band(df, F.col("s"), [0.5, 0.75])

@@ -327,3 +327,60 @@ class TestBlockedEntityMatch:
             ).collect()
         }
         assert got == {(4, 5)}
+
+
+class TestWeightedSamplePerGroup:
+    def test_exact_k_per_group_and_determinism(self, spark, sf_dir):
+        from etl_tiki_webscraping_spark.operators.relational import (
+            weighted_sample_per_group,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "lang", F.col("n_chars").cast("double").alias("w")
+        )
+        s1 = weighted_sample_per_group(docs, ["lang"], "doc_id", "w", 5)
+        per_group = {
+            r.lang: r.cnt
+            for r in s1.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+        }
+        sizes = {
+            r.lang: r.cnt
+            for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+        }
+        for lang, n in sizes.items():
+            assert per_group.get(lang, 0) == min(5, n)
+        # repartitioning must not change the sample (hash-derived, not
+        # seeded-per-task)
+        s2 = weighted_sample_per_group(
+            docs.repartition(7), ["lang"], "doc_id", "w", 5
+        )
+        assert {r.doc_id for r in s1.collect()} == {
+            r.doc_id for r in s2.collect()
+        }
+
+    def test_weights_bias_inclusion(self, spark):
+        from etl_tiki_webscraping_spark.operators.relational import (
+            weighted_sample_per_group,
+        )
+
+        # 200 keys: half weight 100, half weight 1 -> the heavy half
+        # must dominate a k=40 sample decisively (A-Res gives ~97%
+        # heavy in expectation; the hash draw is fixed, so this is a
+        # deterministic regression pin, not a flaky statistical test)
+        rows = [(i, "g", 100.0 if i % 2 == 0 else 1.0) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id int, lang string, w double")
+        got = weighted_sample_per_group(df, ["lang"], "doc_id", "w", 40).collect()
+        heavy = sum(1 for r in got if r.w == 100.0)
+        assert len(got) == 40 and heavy >= 35
+
+    def test_nonpositive_weights_excluded(self, spark):
+        from etl_tiki_webscraping_spark.operators.relational import (
+            weighted_sample_per_group,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "g", 0.0), (2, "g", -1.0), (3, "g", 2.0)],
+            "doc_id int, lang string, w double",
+        )
+        got = weighted_sample_per_group(df, ["lang"], "doc_id", "w", 10).collect()
+        assert [r.doc_id for r in got] == [3]
