@@ -137,6 +137,7 @@ HEADLINE = [
     ("embedding_pca_variance", "collect"),
     ("quality_model_score", "count"),
     ("weighted_sample_per_group", "count"),
+    ("setsim_prefix_join", "count"),
 ]
 
 

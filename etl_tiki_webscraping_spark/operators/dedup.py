@@ -694,3 +694,120 @@ def simhash_candidate_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def setsim_prefix_join(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_num: int,
+    threshold_den: int,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    AllPairs/PPJoin candidate generation, VLDB's standard exact
+    algorithm): every pair of documents with token-set Jaccard
+    ``>= threshold_num / threshold_den`` — no LSH false negatives, no
+    all-pairs blow-up.
+
+    The threshold is a RATIONAL, and every pruning and verification
+    decision is integer arithmetic (``den * inter >= num * union``),
+    so the result is bit-exact and replayable on any engine — a float
+    ``t * len`` comparison at a boundary (0.6 * 5 = 3.0000...04)
+    would silently drop true pairs.
+
+    Candidate generation: tokens order globally by (document
+    frequency, token) ascending — rarest first — and each document
+    exposes only its first ``len - ceil(t * len) + 1`` tokens as its
+    PREFIX.  Sharing >= 1 prefix token is NECESSARY for Jaccard >= t
+    (if all shared tokens hide in the last ceil(t*len)-1 positions,
+    the intersection is provably < t * union), so joining prefix to
+    prefix finds every qualifying pair while high-frequency tokens —
+    the fan-out killers — almost never enter a prefix.  A length
+    filter (``den * |B| >= num * |A|``) prunes incompatible sizes
+    inside the same join.
+
+    Scale shape: three token-keyed shuffles (document frequency,
+    prefix self-join, intersection count), all carrying bare
+    (id, token) rows — document text never shuffles; the prefix join
+    is the only quadratic term and its per-token fan-out is bounded
+    by the rarest-first ordering.  Verification counts shared tokens
+    per surviving pair and applies the integer Jaccard test.
+
+    Returns (id_a, id_b, inter, union_sz) with id_a < id_b; callers
+    derive the float ratio if they want one.
+    """
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError("threshold must satisfy 0 < num/den <= 1")
+    num, den = int(threshold_num), int(threshold_den)
+
+    # shingles() emits array_distinct arrays, so the exploded
+    # (id, token) stream is already unique per doc — no distinct
+    # shuffle needed.  Persisted: it feeds FOUR consumers (sizes,
+    # document frequency, the ranked prefix, and both verify arrays) —
+    # unpersisted, Catalyst re-scans and re-shingles the corpus per
+    # consumer (same rationale as the minhash analysis persist above)
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, n=shingle_n)).alias("token"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+
+    w = Window.partitionBy("id").orderBy("df", "token")
+    ranked = (
+        toks.join(dfreq, "token")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, "id")
+    )
+    # prefix length = sz - ceil(num*sz/den) + 1, all-integer ceil
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.col("sz") - F.expr(f"(({num} * sz) + {den} - 1) DIV {den}") + 1
+    ).select("id", "token", "sz")
+
+    a = prefix.select(
+        F.col("id").alias("id_a"), "token", F.col("sz").alias("sz_a")
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"), "token", F.col("sz").alias("sz_b")
+    )
+    cand = (
+        a.join(b, "token")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # Jaccard >= t forces den*min_sz >= num*max_sz
+            & (den * F.col("sz_b") >= num * F.col("sz_a"))
+            & (den * F.col("sz_a") >= num * F.col("sz_b"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # verification: join each candidate pair to the two token ARRAYS
+    # and intersect in codegen — an exploded (pair x token) join would
+    # amplify |cand| by tokens-per-doc before matching (100x row blowup
+    # measured at sf0.1); this shape shuffles each pair with one array
+    # per side, so verify cost is O(|cand| * doc_len), never
+    # O(|cand| * doc_len) ROWS through an exchange
+    arrays = toks.groupBy("id").agg(
+        F.collect_list("token").alias("tok"), F.count(F.lit(1)).alias("sz")
+    )
+    aa = arrays.select(
+        F.col("id").alias("id_a"), F.col("tok").alias("tok_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    ab = arrays.select(
+        F.col("id").alias("id_b"), F.col("tok").alias("tok_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    return (
+        cand.join(aa, "id_a")
+        .join(ab, "id_b")
+        .withColumn(
+            "inter", F.size(F.array_intersect("tok_a", "tok_b")).cast("bigint")
+        )
+        .withColumn("union_sz", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .filter(den * F.col("inter") >= num * F.col("union_sz"))
+        .select("id_a", "id_b", "inter", "union_sz")
+    )

@@ -7158,3 +7158,78 @@ def q_weighted_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight_col=F.col("n_chars").cast("double"),
         k=15,
     )
+
+
+@register(
+    "setsim_prefix_join",
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id AS id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS tk
+        FROM documents
+    ),
+    toks AS (
+        SELECT DISTINCT id, t.token
+        FROM words,
+             unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+                 i -> array_to_string(list_slice(tk, i, i + 2), ' '))))
+                 AS t(token)
+    ),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM toks GROUP BY id),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM toks GROUP BY token),
+    ranked AS (
+        SELECT k.id, k.token, s.sz,
+               row_number() OVER (PARTITION BY k.id
+                                  ORDER BY d.df, k.token) AS rn
+        FROM toks k JOIN dfreq d USING (token) JOIN sizes s USING (id)
+    ),
+    prefix AS (
+        SELECT id, token, sz FROM ranked
+        WHERE rn <= sz - ((9 * sz + 10 - 1) // 10) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM prefix a JOIN prefix b USING (token)
+        WHERE a.id < b.id
+          AND 10 * b.sz >= 9 * a.sz
+          AND 10 * a.sz >= 9 * b.sz
+    ),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS inter
+        FROM cand c
+        JOIN toks ta ON ta.id = c.id_a
+        JOIN toks tb ON tb.id = c.id_b AND tb.token = ta.token
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b, i.inter,
+           sa.sz + sb.sz - i.inter AS union_sz
+    FROM inter i
+    JOIN sizes sa ON sa.id = i.id_a
+    JOIN sizes sb ON sb.id = i.id_b
+    WHERE 10 * i.inter >= 9 * (sa.sz + sb.sz - i.inter)
+    """,
+    doc="EXACT set-similarity self-join via prefix filtering (the "
+        "AllPairs/PPJoin candidate generation): every document pair "
+        "with 3-gram shingle Jaccard >= 9/10 (every doc in the fixture "
+        "has >= 10 tokens, so the short-doc shingle fallback never "
+        "fires), zero false negatives, no LSH "
+        "probabilism and no all-pairs blow-up — candidates must share "
+        "a token in their rarest-first PREFIX (len - ceil(t*len) + 1 "
+        "tokens under the global (df, token) order), so stop-word "
+        "fan-out never enters the join; a rational-arithmetic length "
+        "filter and the integer verification den*inter >= num*union "
+        "make every decision bit-exact on both engines (a float t*len "
+        "compare at a boundary silently drops true pairs).  Three "
+        "bare-(id, token) shuffles; text never moves.  Complements "
+        "dedup_minhash_lsh (approximate, recall-gated) with the exact "
+        "algorithm at the same scale shape.",
+)
+def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.dedup import setsim_prefix_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    return setsim_prefix_join(
+        docs, "doc_id", "text", threshold_num=9, threshold_den=10,
+        shingle_n=3,
+    )

@@ -251,3 +251,54 @@ def test_minhash_cross_corpus_candidates(spark):
     assert (10, 1) in pairs
     assert not any(n == 11 for n, _ in pairs)
     assert all(n in (10, 11) and o in (1, 2) for n, o in pairs)
+
+
+class TestSetsimPrefixJoin:
+    def test_equals_exact_all_pairs_jaccard(self, spark):
+        """Prefix filtering is complete: the result must equal the
+        brute-force all-pairs exact Jaccard >= 3/5 pair set (computed
+        in python on the token sets), including boundary pairs whose
+        Jaccard is exactly the threshold."""
+        import itertools
+
+        from etl_tiki_webscraping_spark.operators.dedup import (
+            setsim_prefix_join,
+        )
+
+        texts = {
+            1: "a b c d e",
+            2: "a b c d f",      # jac vs 1 = 4/6 = 2/3 >= 3/5
+            3: "a b c",          # jac vs 1 = 3/5 (exact boundary)
+            4: "x y z",
+            5: "x y z",          # jac vs 4 = 1
+            6: "a q r s t u v",  # jac vs 1 = 1/11
+        }
+        df = spark.createDataFrame(
+            list(texts.items()), "doc_id int, text string"
+        )
+        got = {
+            (r.id_a, r.id_b): (r.inter, r.union_sz)
+            for r in setsim_prefix_join(df, "doc_id", "text", 3, 5).collect()
+        }
+        want = {}
+        for (i, a), (j, b) in itertools.combinations(
+            sorted((k, set(v.split())) for k, v in texts.items()), 2
+        ):
+            inter, union = len(a & b), len(a | b)
+            if 5 * inter >= 3 * union:
+                want[(i, j)] = (inter, union)
+        assert got == want
+        assert (1, 3) in got  # the exact-boundary pair survived
+
+    def test_bad_threshold_raises(self, spark):
+        import pytest
+
+        from etl_tiki_webscraping_spark.operators.dedup import (
+            setsim_prefix_join,
+        )
+
+        df = spark.createDataFrame([(1, "a")], "doc_id int, text string")
+        with pytest.raises(ValueError, match="threshold"):
+            setsim_prefix_join(df, "doc_id", "text", 0, 5)
+        with pytest.raises(ValueError, match="threshold"):
+            setsim_prefix_join(df, "doc_id", "text", 6, 5)

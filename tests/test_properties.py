@@ -588,3 +588,39 @@ def test_blocked_entity_match_constant_block_equals_all_pairs(
         if lev(a, b) <= threshold
     }
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=1, max_size=6, unique=True
+        ),
+        min_size=2,
+        max_size=7,
+    ),
+    num_den=st.sampled_from([(1, 2), (3, 5), (2, 3), (1, 1)]),
+)
+@SETTINGS
+def test_setsim_prefix_join_is_complete_and_sound(spark, docs, num_den):
+    """Against arbitrary tiny token sets and thresholds, the prefix
+    join returns EXACTLY the brute-force Jaccard >= num/den pairs —
+    completeness (prefix pruning never drops a true pair) and
+    soundness (integer verification never admits a false one)."""
+    import itertools
+
+    from etl_tiki_webscraping_spark.operators.dedup import setsim_prefix_join
+
+    num, den = num_den
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in setsim_prefix_join(df, "doc_id", "text", num, den).collect()
+    }
+    want = set()
+    for (i, a), (j, b) in itertools.combinations(
+        [(i, set(t)) for i, t in enumerate(docs)], 2
+    ):
+        if den * len(a & b) >= num * len(a | b):
+            want.add((i, j))
+    assert got == want

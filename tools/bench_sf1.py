@@ -92,6 +92,23 @@ NEW_R8 = [
     "streaming_stream_stream_join",
 ]
 
+# round-8 continuation: the session's new operators on scaled inputs
+# (orders/customer/lineitem/documents all 10x; embeddings stays
+# fixture-sized — PCA's cost axis is d^2, not n, so the scan is the
+# only n-term and the reduce cardinality is constant by design).
+NEW_R8B = [
+    "graph_pagerank",
+    "entity_match_blocked",
+    "quality_model_score",
+    "weighted_sample_per_group",
+    "histogram_equi_width",
+    "snapshot_compaction",
+    "ivm_join_from_feed",
+    "streaming_stream_stream_left_outer",
+    "corpus_temperature_mix",
+    "embedding_pca_variance",
+]
+
 NEW_R7C = [
     "heavy_hitters_exact",
     "table_profile",
@@ -247,6 +264,7 @@ def main() -> None:
     if len(sys.argv) > 1:
         names = {
             "r7": NEW_R7, "r7c": NEW_R7C, "r7d": NEW_R7D, "r8": NEW_R8,
+            "r8b": NEW_R8B,
         }.get(sys.argv[1], FIVE)
     # hoist one-time warehouse staging out of the timed region, exactly
     # as bench.py does (a deployment's snapshot tables already exist) —

@@ -263,6 +263,15 @@ def main() -> int:
           "incl. the two (key, commit)-grained ones); no driver-side "
           "commit fold, no checkpoint")
 
+    p = plan_of("setsim_prefix_join")
+    check("setsim_prefix_join",
+          "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p
+          and "InMemoryTableScan" in p,
+          "prefix-filtered exact set-similarity join: equi-joins only "
+          "(no cartesian fallback) and the shingle stream is persisted "
+          "once for its four consumers (no per-consumer re-shingle)")
+
     p = plan_of("ivm_join_from_feed")
     check("ivm_join_from_feed",
           "LeftAnti" in p and p.count("LeftSemi") >= 2
