@@ -223,3 +223,53 @@ def equi_width_histogram(
             "cnt",
         )
     )
+
+
+def grouped_ols_trend(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group simple linear regression (OLS y = a + b*x) via
+    sufficient statistics: ONE map-side-combinable aggregate collects
+    (n, sum x, sum y, sum xy, sum x^2) per group and the closed form
+    b = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), a = (Sy - b*Sx) / n does the
+    rest as plain arithmetic — the trend-per-key primitive (metric
+    drift per segment, activity slope per cohort) that needs no ML
+    runtime and costs one shuffle of group-cardinality rows at any
+    data size.
+
+    Sums accumulate in DECIMAL(38,10) so the aggregate is
+    order-independent (float sums would hash-mismatch across
+    partitionings); the closed form divides as double at the end.
+    Groups with < 2 points or zero x-variance return NULL slope and
+    intercept (a vertical or single-point fit has neither).  Returns
+    (group_cols..., n, slope, intercept) with slope/intercept rounded
+    to 6 places for cross-engine replay.
+    """
+    x = F.col(x_col).cast("decimal(38,10)")
+    y = F.col(y_col).cast("decimal(38,10)")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).cast("decimal(38,10)").alias("sxy"),
+        F.sum(x * x).cast("decimal(38,10)").alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    denom = n * sxx - sx * sx
+    slope = F.when(
+        (F.col("n") >= 2) & (denom != 0), (n * sxy - sx * sy) / denom
+    )
+    intercept = F.when(slope.isNotNull(), (sy - slope * sx) / n)
+    return agg.select(
+        *group_cols,
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )

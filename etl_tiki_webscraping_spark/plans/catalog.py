@@ -7233,3 +7233,52 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", threshold_num=9, threshold_den=10,
         shingle_n=3,
     )
+
+
+@register(
+    "grouped_ols_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               COUNT(*) AS y
+        FROM events
+        GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(38,10)) * CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x AS DECIMAL(38,10)) * CAST(x AS DECIMAL(38,10))) AS DOUBLE) AS sxx
+        FROM daily GROUP BY 1
+    )
+    SELECT event_type, n,
+           ROUND(CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
+                      THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6)
+               AS slope,
+           ROUND(CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
+                      THEN (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n END, 6)
+               AS intercept
+    FROM stats
+    """,
+    doc="per-group OLS trend via sufficient statistics: daily event "
+        "counts per type regressed on day index in ONE map-side-"
+        "combinable aggregate (n, Sx, Sy, Sxy, Sxx accumulate in "
+        "DECIMAL(38,10) for order-independent sums) plus closed-form "
+        "arithmetic — trend-per-key at any scale with no ML runtime; "
+        "the shuffle carries group-cardinality rows only.  Degenerate "
+        "groups (n < 2, zero x-variance) yield NULL fits.  The oracle "
+        "replays the identical closed form in DuckDB; slope and "
+        "intercept round to 6 places.",
+)
+def q_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.rollup import grouped_ols_trend
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("x"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return grouped_ols_trend(daily, ["event_type"], "x", "y")

@@ -263,3 +263,44 @@ class TestEquiWidthHistogram:
         assert (
             hist.agg(F.sum("cnt")).collect()[0][0] == orders.count()
         )  # clamped edges: no row ever drops
+
+
+class TestGroupedOlsTrend:
+    def test_matches_numpy_polyfit(self, spark):
+        import numpy as np
+
+        from etl_tiki_webscraping_spark.operators.rollup import (
+            grouped_ols_trend,
+        )
+
+        pts = {
+            "a": [(0.0, 1.0), (1.0, 3.0), (2.0, 5.0), (3.0, 7.0)],  # y=2x+1
+            "b": [(0.0, 10.0), (2.0, 4.0), (4.0, 1.0)],
+        }
+        rows = [(g, x, y) for g, ps in pts.items() for x, y in ps]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        got = {
+            r.g: (r.slope, r.intercept)
+            for r in grouped_ols_trend(df, ["g"], "x", "y").collect()
+        }
+        for g, ps in pts.items():
+            xs, ys = zip(*ps)
+            b, a = np.polyfit(xs, ys, 1)
+            assert abs(got[g][0] - round(b, 6)) < 1e-9
+            assert abs(got[g][1] - round(a, 6)) < 1e-9
+        assert got["a"] == (2.0, 1.0)  # exact on exact data
+
+    def test_degenerate_groups_yield_null(self, spark):
+        from etl_tiki_webscraping_spark.operators.rollup import (
+            grouped_ols_trend,
+        )
+
+        df = spark.createDataFrame(
+            [("single", 1.0, 5.0),
+             ("novar", 2.0, 1.0), ("novar", 2.0, 9.0)],
+            "g string, x double, y double",
+        )
+        got = {r.g: (r.n, r.slope, r.intercept)
+               for r in grouped_ols_trend(df, ["g"], "x", "y").collect()}
+        assert got["single"] == (1, None, None)
+        assert got["novar"] == (2, None, None)  # vertical: no finite fit
