@@ -138,6 +138,8 @@ HEADLINE = [
     ("quality_model_score", "count"),
     ("weighted_sample_per_group", "count"),
     ("setsim_prefix_join", "count"),
+    ("grouped_ols_trend", "collect"),
+    ("substring_dup_spans", "count"),
 ]
 
 

@@ -811,3 +811,134 @@ def setsim_prefix_join(
         .filter(den * F.col("inter") >= num * F.col("union_sz"))
         .select("id_a", "id_b", "inter", "union_sz")
     )
+
+
+# position encoder base for winnowing fingerprints: the (hash, pos)
+# pair packs into ONE bigint (h * BASE + pos) so the window minimum —
+# lexicographic on (hash, then leftmost position) — is a plain
+# array_min; 2^20 supports documents up to ~1M chars with the 32-bit
+# hash still fitting bigint (h * 2^20 < 2^52)
+_WINNOW_BASE = 1 << 20
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    w: int = 8,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every character ``k``-gram of
+    the normalized text, slide a window of ``w`` consecutive gram
+    hashes, and keep each window's minimum.  GUARANTEE: any substring
+    of length >= k + w - 1 shared by two documents yields at least one
+    shared fingerprint — the span-level dedup primitive (contaminated
+    boilerplate, quoted passages, licence blocks) that set-level
+    Jaccard and MinHash cannot see, because a 40-char copied span
+    barely moves whole-document similarity.
+
+    The gram hash is the md5-prefix integer (engine-portable, same
+    construction as :func:`deterministic_stratified_sample`), so an
+    oracle replays fingerprint selection bit-exactly.  Fingerprints
+    are (id, h, pos) rows: positions ride along for span verification;
+    selection density is ~2/(w+1) of gram count.  Documents shorter
+    than k + w - 1 normalized chars emit nothing (no span of guarantee
+    length exists).  Pure built-in expressions per document — no
+    shuffle at all until a consumer joins.
+    """
+    if k < 2 or w < 1:
+        raise ValueError("need k >= 2 and w >= 1")
+    # RELATIONAL winnowing, not nested array expressions: a
+    # transform-inside-transform formulation re-evaluates the whole
+    # md5 chain per window element (interpreted higher-order functions
+    # get no common-subexpression elimination — measured minutes on
+    # 100 docs), so grams EXPLODE to rows (one md5 each) and the
+    # window minimum is a per-document sliding ROWS frame — one
+    # id-keyed sort, linear work, and the winnow min is a plain
+    # aggregate the optimizer understands.
+    norm = docs.select(
+        F.col(id_col).alias("id"), normalize_text(text_col).alias("t")
+    ).filter(F.length("t") >= k + w - 1)
+    grams = norm.select(
+        "id",
+        (F.length("t") - (k - 1)).alias("n_grams"),
+        F.explode(F.sequence(F.lit(1), F.length("t") - (k - 1))).alias("i"),
+        F.col("t"),
+    ).select(
+        "id",
+        "n_grams",
+        "i",
+        (
+            F.conv(
+                F.substring(F.md5(F.substr(F.col("t"), F.col("i"), F.lit(k))), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            * _WINNOW_BASE
+            + F.col("i")
+        ).alias("enc"),
+    )
+    win = (
+        Window.partitionBy("id").orderBy("i").rowsBetween(0, w - 1)
+    )
+    return (
+        grams.withColumn("wmin", F.min("enc").over(win))
+        .filter(F.col("i") <= F.col("n_grams") - (w - 1))
+        .select("id", "wmin")
+        .distinct()
+        .select(
+            "id",
+            (F.col("wmin") / _WINNOW_BASE).cast("bigint").alias("h"),
+            (F.col("wmin") % _WINNOW_BASE).cast("int").alias("pos"),
+        )
+    )
+
+
+def substring_dup_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    w: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Span-level duplicate detection: document pairs sharing >=
+    ``min_shared`` VERIFIED winnowing fingerprints — i.e. pairs that
+    provably contain identical character spans (every span >=
+    k + w - 1 chars is caught; shorter copies may be).
+
+    Scale shape: the fingerprint inverted index shuffles bare
+    (id, h, pos) rows ONCE on the hash; same-hash doc pairs verify the
+    actual k-gram text (killing 32-bit collisions) through an id-keyed
+    join that carries one normalized text per side, then a pair-keyed
+    count.  No all-pairs stage anywhere; fan-out per hash is bounded
+    by how many documents genuinely share that span (cap pathological
+    boilerplate hashes upstream with :func:`cap_bucket_membership` on
+    ``h`` if a corpus has them).
+
+    Returns (id_a, id_b, shared) with id_a < id_b, ``shared`` =
+    distinct verified fingerprint hashes in common.
+    """
+    fps = winnow_fingerprints(docs, id_col, text_col, k, w)
+    norm = docs.select(
+        F.col(id_col).alias("id"), normalize_text(text_col).alias("t")
+    )
+    a = fps.select(F.col("id").alias("id_a"), "h", F.col("pos").alias("pos_a"))
+    b = fps.select(F.col("id").alias("id_b"), "h", F.col("pos").alias("pos_b"))
+    cand = a.join(b, "h").filter(F.col("id_a") < F.col("id_b"))
+    na = norm.select(F.col("id").alias("id_a"), F.col("t").alias("t_a"))
+    nb = norm.select(F.col("id").alias("id_b"), F.col("t").alias("t_b"))
+    verified = (
+        cand.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(
+            F.substr(F.col("t_a"), F.col("pos_a"), F.lit(k))
+            == F.substr(F.col("t_b"), F.col("pos_b"), F.lit(k))
+        )
+    )
+    return (
+        verified.groupBy("id_a", "id_b")
+        .agg(F.count_distinct(F.col("h")).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

@@ -7282,3 +7282,60 @@ def q_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("x"),
     ).agg(F.count(F.lit(1)).alias("y"))
     return grouped_ols_trend(daily, ["event_type"], "x", "y")
+
+
+@register(
+    "substring_dup_spans",
+    oracle=r"""
+    WITH norm AS (
+        SELECT doc_id AS id,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT id, t,
+               list_transform(range(1, length(t) - 16 + 2),
+                   i -> CAST(('0x' || substr(md5(substr(t, i, 16)), 1, 8))
+                             AS BIGINT) * 1048576 + i) AS hs
+        FROM norm WHERE length(t) >= 16
+    ),
+    fps AS (
+        SELECT id, t,
+               list_distinct(list_transform(range(1, len(hs) - 8 + 2),
+                   j -> list_aggregate(list_slice(hs, j, j + 7), 'min'))) AS fp
+        FROM grams WHERE len(hs) >= 8
+    ),
+    pts AS (
+        SELECT id, t, e.enc // 1048576 AS h, e.enc % 1048576 AS pos
+        FROM fps, unnest(fp) AS e(enc)
+    ),
+    cand AS (
+        SELECT a.id AS id_a, b.id AS id_b, a.h
+        FROM pts a JOIN pts b ON a.h = b.h AND a.id < b.id
+        WHERE substr(a.t, a.pos, 16) = substr(b.t, b.pos, 16)
+    )
+    SELECT id_a, id_b, COUNT(DISTINCT h) AS shared
+    FROM cand GROUP BY id_a, id_b HAVING COUNT(DISTINCT h) >= 3
+    """,
+    doc="span-level duplicate detection via winnowing fingerprints "
+        "(Schleimer/Wilkerson/Aiken SIGMOD'03, the MOSS algorithm): "
+        "document pairs sharing >= 3 verified fingerprints, where ANY "
+        "shared character span >= k + w - 1 = 23 chars is guaranteed "
+        "to produce a shared fingerprint — the contamination/"
+        "boilerplate primitive set-level Jaccard and MinHash cannot "
+        "see (a copied 40-char licence line barely moves document "
+        "similarity).  Gram hashes use the engine-portable md5-prefix "
+        "integer; (hash, pos) packs into one bigint so the window "
+        "minimum is a plain array_min; the inverted index shuffles "
+        "bare (id, h, pos) rows once on the hash and candidates "
+        "verify the actual k-gram text (32-bit collision kill).  The "
+        "oracle replays selection, verification, and the distinct-"
+        "hash count in DuckDB bit-exactly.",
+)
+def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.dedup import substring_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_dup_pairs(
+        docs, "doc_id", "text", k=16, w=8, min_shared=3
+    )

@@ -302,3 +302,100 @@ class TestSetsimPrefixJoin:
             setsim_prefix_join(df, "doc_id", "text", 0, 5)
         with pytest.raises(ValueError, match="threshold"):
             setsim_prefix_join(df, "doc_id", "text", 6, 5)
+
+
+class TestWinnowingSubstringDup:
+    def test_guarantee_shared_span_always_detected(self, spark):
+        """The winnowing guarantee: any shared span >= k + w - 1 chars
+        yields >= 1 shared fingerprint, regardless of where the span
+        sits in either document and of surrounding text."""
+        from etl_tiki_webscraping_spark.operators.dedup import (
+            substring_dup_pairs,
+        )
+
+        span = "abcdefghijklmnopqrstuvw"  # exactly k + w - 1 = 23 chars
+        df = spark.createDataFrame(
+            [
+                (1, "PREFIX one " + span + " SUFFIX one"),
+                (2, span + " totally other tail content here"),
+                (3, "no overlap with anything else at all here"),
+            ],
+            "id int, text string",
+        )
+        got = {
+            (r.id_a, r.id_b)
+            for r in substring_dup_pairs(
+                df, "id", "text", k=16, w=8, min_shared=1
+            ).collect()
+        }
+        assert (1, 2) in got
+        assert not any(3 in p for p in got)
+
+    def test_normalization_case_and_whitespace_insensitive(self, spark):
+        from etl_tiki_webscraping_spark.operators.dedup import (
+            substring_dup_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "The  Quick   Brown Fox Jumps Over The Lazy Dog"),
+                (2, "zz the quick brown fox jumps over the lazy dog zz"),
+            ],
+            "id int, text string",
+        )
+        got = substring_dup_pairs(df, "id", "text", min_shared=1).collect()
+        assert [(r.id_a, r.id_b) for r in got] == [(1, 2)]
+
+    def test_short_docs_emit_no_fingerprints(self, spark):
+        from etl_tiki_webscraping_spark.operators.dedup import (
+            winnow_fingerprints,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "tiny"), (2, "a" * 22), (3, "b" * 23)],
+            "id int, text string",
+        )
+        got = winnow_fingerprints(df, "id", "text", k=16, w=8)
+        ids = {r.id for r in got.collect()}
+        assert ids == {3}  # k + w - 1 = 23: only the 23-char doc emits
+
+    def test_matches_single_node_reference(self, spark):
+        """Fingerprint selection equals a direct python winnowing of
+        the same normalized text with the same hash."""
+        import hashlib
+        import re
+
+        from etl_tiki_webscraping_spark.operators.dedup import (
+            _WINNOW_BASE,
+            winnow_fingerprints,
+        )
+
+        texts = {
+            1: "the quick brown fox jumps over the lazy dog again and again",
+            2: "pack my box with five dozen liquor jugs every single day now",
+        }
+        k, w = 16, 8
+        df = spark.createDataFrame(
+            list(texts.items()), "id int, text string"
+        )
+        got = {
+            (r.id, r.h, r.pos)
+            for r in winnow_fingerprints(df, "id", "text", k, w).collect()
+        }
+        want = set()
+        for id_, raw in texts.items():
+            t = re.sub(r"\s+", " ", raw.lower().strip())
+            encs = [
+                int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:8], 16)
+                * _WINNOW_BASE
+                + i
+                + 1
+                for i in range(len(t) - k + 1)
+            ]
+            sel = {
+                min(encs[j : j + w]) for j in range(len(encs) - w + 1)
+            }
+            want |= {
+                (id_, e // _WINNOW_BASE, e % _WINNOW_BASE) for e in sel
+            }
+        assert got == want
