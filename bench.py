@@ -140,6 +140,8 @@ HEADLINE = [
     ("setsim_prefix_join", "count"),
     ("grouped_ols_trend", "collect"),
     ("substring_dup_spans", "count"),
+    ("dp_noisy_counts", "collect"),
+    ("token_bigram_pmi", "collect"),
 ]
 
 

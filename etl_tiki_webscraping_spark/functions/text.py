@@ -155,3 +155,66 @@ def doc_fingerprint(col: Column | str) -> Column:
         F.lit(1125899906842597).cast("bigint"),  # large prime seed
         lambda acc, t: F.xxhash64(acc, t),
     )
+
+
+def bigram_pmi(
+    docs: "DataFrame",
+    text_col: str,
+    min_count: int = 5,
+) -> "DataFrame":
+    """Pointwise mutual information of adjacent token bigrams over a
+    corpus: PMI(a, b) = ln(N * c(ab) / (c(a) * c(b))) with N = total
+    bigram occurrences — the collocation-mining statistic (Church &
+    Hanks) that ranks "new york" above "of the" where raw counts
+    cannot.  ``min_count`` drops rare bigrams whose PMI estimates are
+    noise (the standard correction: a 1-in-a-corpus pair maximizes
+    PMI spuriously).
+
+    Shape: one explode to (token, next_token) pairs, two bounded
+    aggregates (bigram counts, unigram counts), and the unigram table
+    joins back BY TOKEN twice — both joins carry vocabulary-sized
+    rows, never corpus-sized; nothing here scales past the token
+    scan.  Counts are exact integers; only the final ln is float,
+    rounded to 6 for cross-engine replay.
+
+    Returns (tok_a, tok_b, n_ab, pmi).
+    """
+    toks = docs.select(tokenize_ws(F.lower(F.col(text_col))).alias("tk"))
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size("tk") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - 1),
+                    lambda i: F.struct(
+                        F.element_at("tk", i).alias("tok_a"),
+                        F.element_at("tk", i + 1).alias("tok_b"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<tok_a:string,tok_b:string>>"))
+        ).alias("p")
+    ).select("p.tok_a", "p.tok_b")
+    bi = pairs.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("n_ab"))
+    # unigram counts IN BIGRAM POSITIONS (left + right occurrence
+    # totals), the standard PMI marginals over the pair distribution
+    ua = pairs.groupBy("tok_a").agg(F.count(F.lit(1)).alias("n_a"))
+    ub = pairs.groupBy("tok_b").agg(F.count(F.lit(1)).alias("n_b"))
+    total = pairs.count()
+    return (
+        bi.filter(F.col("n_ab") >= min_count)
+        .join(ua, "tok_a")
+        .join(ub, "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.lit(float(total))
+                    * F.col("n_ab")
+                    / (F.col("n_a") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -7339,3 +7339,78 @@ def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_pairs(
         docs, "doc_id", "text", k=16, w=8, min_shared=3
     )
+
+
+@register(
+    "dp_noisy_counts",
+    oracle="""
+    WITH g AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+    h AS (
+        SELECT event_type, n,
+               (CAST(('0x' || substr(md5(event_type), 1, 8)) AS BIGINT)
+                + 1.0) / 4294967296.0 AS u
+        FROM g
+    )
+    SELECT event_type,
+           ROUND(n + (-2.0) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 6)
+               AS noisy_count
+    FROM h
+    """,
+    doc="Laplace-mechanism noisy count release (epsilon = 0.5, "
+        "sensitivity 1): per-event-type counts plus inverse-CDF "
+        "Laplace(2) noise — the differential-privacy release "
+        "primitive.  The noise draw is DETERMINISTIC (md5-derived "
+        "uniform per group key): a re-run never re-randomizes, which "
+        "is what a correct DP release requires anyway (fresh noise "
+        "per query averages away), and what lets the oracle replay "
+        "the exact noise; production swaps the hash draw for secure "
+        "randomness once and persists.  Counts are one bounded "
+        "aggregate; noise is arithmetic on group-cardinality rows.",
+)
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.quality.scoring import (
+        laplace_noisy_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return laplace_noisy_counts(ev, ["event_type"], epsilon=0.5)
+
+
+@register(
+    "token_bigram_pmi",
+    oracle=r"""
+    WITH toks AS (
+        SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS tk
+        FROM documents
+    ),
+    pairs AS (
+        SELECT tk[i] AS tok_a, tk[i + 1] AS tok_b
+        FROM toks, unnest(range(1, len(tk))) AS r(i)
+        WHERE len(tk) >= 2
+    ),
+    bi AS (
+        SELECT tok_a, tok_b, COUNT(*) AS n_ab FROM pairs GROUP BY 1, 2
+    ),
+    ua AS (SELECT tok_a, COUNT(*) AS n_a FROM pairs GROUP BY 1),
+    ub AS (SELECT tok_b, COUNT(*) AS n_b FROM pairs GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS total FROM pairs)
+    SELECT b.tok_a, b.tok_b, b.n_ab,
+           ROUND(ln(t.total * b.n_ab / (a.n_a * u.n_b)), 6) AS pmi
+    FROM bi b
+    JOIN ua a USING (tok_a) JOIN ub u USING (tok_b) CROSS JOIN tot t
+    WHERE b.n_ab >= 5
+    """,
+    doc="adjacent-bigram pointwise mutual information (Church & Hanks "
+        "collocation mining): PMI = ln(N * c(ab) / (c(a) * c(b))) over "
+        "bigram-position marginals, min-count 5 against spurious "
+        "rare-pair PMI.  One explode to (tok, next_tok), two "
+        "vocabulary-bounded aggregates, two vocabulary-sized joins — "
+        "nothing past the token scan scales with corpus size.  Counts "
+        "are exact integers; only the final ln is float (rounded 6).",
+)
+def q_token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.functions.text import bigram_pmi
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_pmi(docs, "text", min_count=5)

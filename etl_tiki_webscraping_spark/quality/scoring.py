@@ -70,3 +70,52 @@ def _sigmoid_py(z: float) -> float:
     ez = math.exp(-abs(z))
     p = 1.0 / (1.0 + ez)
     return p if z >= 0 else 1.0 - p
+
+
+def laplace_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float,
+    seed_col: Column | None = None,
+) -> DataFrame:
+    """Laplace-mechanism noisy counts per group (the count-release
+    primitive of differential privacy): each group's count gets
+    additive Laplace(1/epsilon) noise — sensitivity 1 for a
+    one-row-per-entity count — via inverse-CDF sampling
+    ``-b * sgn(u - 1/2) * ln(1 - 2|u - 1/2|)``.
+
+    The uniform u derives from the md5-prefix hash of the group key
+    (plus an optional ``seed_col``), making the release DETERMINISTIC:
+    re-running never re-randomizes (re-release with fresh noise leaks
+    — averaging attacks), and an oracle can replay the exact noise on
+    any engine.  True DP deployment swaps the hash draw for secure
+    randomness ONCE and persists the release; the mechanism, scale,
+    and post-processing are identical.  Counts are one
+    map-side-combinable aggregate; the noise is arithmetic on the
+    group-cardinality result — nothing scales with row count.
+
+    Returns (group_cols..., noisy_count) with the noisy value rounded
+    to 6 places.
+    """
+    if epsilon <= 0:
+        raise ValueError("epsilon must be > 0")
+    b = 1.0 / epsilon
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols])
+    if seed_col is not None:
+        key = F.concat_ws("\x1f", key, seed_col.cast("string"))
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(4294967296.0)  # (0, 1]
+    centered = u - F.lit(0.5)
+    noise = (
+        F.lit(-b)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return (
+        df.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            *group_cols,
+            F.round(F.col("n") + noise, 6).alias("noisy_count"),
+        )
+    )

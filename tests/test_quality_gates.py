@@ -315,3 +315,46 @@ class TestLinearModelScore:
         assert got == {1: 0, 2: 0, 3: 1, 4: 2}  # >= is inclusive
         with pytest.raises(ValueError, match="descending"):
             score_and_band(df, F.col("s"), [0.5, 0.75])
+
+
+class TestLaplaceNoisyCounts:
+    def test_noise_is_laplace_shaped_and_deterministic(self, spark):
+        import math
+
+        from etl_tiki_webscraping_spark.quality.scoring import (
+            laplace_noisy_counts,
+        )
+
+        rows = [(f"g{i % 40}",) for i in range(400)]
+        df = spark.createDataFrame(rows, "g string")
+        r1 = {r.g: r.noisy_count
+              for r in laplace_noisy_counts(df, ["g"], 0.5).collect()}
+        r2 = {r.g: r.noisy_count
+              for r in laplace_noisy_counts(
+                  df.repartition(7), ["g"], 0.5).collect()}
+        assert r1 == r2  # deterministic across partitionings
+        # every group has 10 rows; noise = noisy - 10.  b = 2 ->
+        # median |noise| should be ~ 2*ln(2) = 1.386; check the
+        # empirical median is in a generous band and signs occur both
+        # ways (the draw is fixed, so this is a regression pin)
+        noises = sorted(v - 10.0 for v in r1.values())
+        absmed = sorted(abs(x) for x in noises)[len(noises) // 2]
+        assert 0.4 < absmed < 4.0
+        assert any(x < 0 for x in noises) and any(x > 0 for x in noises)
+        assert all(math.isfinite(x) for x in noises)
+
+    def test_epsilon_validation_and_scale(self, spark):
+        import pytest
+
+        from etl_tiki_webscraping_spark.quality.scoring import (
+            laplace_noisy_counts,
+        )
+
+        df = spark.createDataFrame([("a",)], "g string")
+        with pytest.raises(ValueError, match="epsilon"):
+            laplace_noisy_counts(df, ["g"], 0.0)
+        # smaller epsilon -> strictly larger noise magnitude for the
+        # same group (same u, scale multiplies)
+        n1 = laplace_noisy_counts(df, ["g"], 1.0).collect()[0].noisy_count
+        n01 = laplace_noisy_counts(df, ["g"], 0.1).collect()[0].noisy_count
+        assert abs(n01 - 1.0) > abs(n1 - 1.0)

@@ -116,3 +116,41 @@ def test_redact_pii_scrubs_emails_and_phones(spark):
     assert got[0] == "mail <EMAIL> now"
     assert got[1] == "call <PHONE> or <PHONE> today"
     assert got[2] == "no pii here at all"
+
+
+class TestBigramPmi:
+    def test_collocation_ranks_above_frequent_pair(self, spark):
+        import math
+
+        from etl_tiki_webscraping_spark.functions.text import bigram_pmi
+
+        # "new york" always co-occurs; "of the" is frequent but both
+        # tokens appear all over -> PMI(new york) > PMI(of the)
+        docs = [
+            "new york is one of the cities of the north of the east",
+            "new york has many of the parks of the region",
+            "new york draws many of the visitors of the world",
+            "new york leads many of the rankings of the decade",
+            "new york anchors many of the routes of the coast",
+        ]
+        df = spark.createDataFrame([(d,) for d in docs], "text string")
+        got = {(r.tok_a, r.tok_b): (r.n_ab, r.pmi)
+               for r in bigram_pmi(df, "text", min_count=5).collect()}
+        assert ("new", "york") in got and ("of", "the") in got
+        assert got[("new", "york")][1] > got[("of", "the")][1]
+        # hand-check one PMI value: c(new york)=5, left c(new)=5,
+        # right c(york)=5, N = total bigrams
+        total = sum(len(d.split()) - 1 for d in docs)
+        want = round(math.log(total * 5 / (5 * 5)), 6)
+        assert abs(got[("new", "york")][1] - want) < 1e-9
+
+    def test_min_count_drops_rare_pairs(self, spark):
+        from etl_tiki_webscraping_spark.functions.text import bigram_pmi
+
+        df = spark.createDataFrame(
+            [("alpha beta",), ("alpha beta",), ("gamma delta",)],
+            "text string",
+        )
+        got = {(r.tok_a, r.tok_b)
+               for r in bigram_pmi(df, "text", min_count=2).collect()}
+        assert got == {("alpha", "beta")}
