@@ -142,6 +142,7 @@ HEADLINE = [
     ("substring_dup_spans", "count"),
     ("dp_noisy_counts", "collect"),
     ("token_bigram_pmi", "collect"),
+    ("image_dedup_ahash", "count"),
 ]
 
 

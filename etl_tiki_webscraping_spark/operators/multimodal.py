@@ -418,3 +418,107 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 16, id_col: str = "media_i
                 yield pd.DataFrame.from_records(out)
 
     return df.select(id_col, content_col).mapInPandas(run, schema=schema)
+
+
+def image_ahash(features: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) from decoded image features:
+    bit i is set iff luma pixel i exceeds the image's mean luma — the
+    standard cheap perceptual fingerprint (visually-identical images
+    modulo compression/brightness noise land within a few bits).
+
+    Input is :func:`extract_image_features` output (the 64-value luma
+    vector + mean), so decode cost is paid once and the hash itself is
+    pure JVM column arithmetic.  The 64 bits split into TWO bigint
+    halves (h_lo = bits 0-31, h_hi = bits 32-63) built from literal
+    shift terms: ANSI mode forbids a set bit 63 in one signed bigint
+    fold, and the split halves replay as plain integer arithmetic on
+    any engine.  Returns (media_id, h_lo, h_hi).
+    """
+    mean = F.col("mean_luma")
+
+    def half(lo_bit: int) -> Column:
+        terms = [
+            F.when(
+                F.element_at("feature", i + 1) > mean, F.lit(1 << (i - lo_bit))
+            ).otherwise(F.lit(0)).cast("bigint")
+            for i in range(lo_bit, lo_bit + 32)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    return features.select(
+        "media_id",
+        half(0).alias("h_lo"),
+        half(32).alias("h_hi"),
+    )
+
+
+def image_neardup_pairs(
+    hashes: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """Near-duplicate image pairs by aHash Hamming distance: the
+    64-bit hash splits into EIGHT 8-bit bands, and any pair within
+    ``max_hamming <= 7`` differing bits must agree exactly on at least
+    one band (pigeonhole: 7 bits cannot touch all 8 bands — note d
+    differing bits CAN touch d bands, so catching distance d needs at
+    least d + 1 bands), so candidates come from band-value equi-joins
+    — one shuffle on (band, value), never an all-pairs scan — and the
+    exact popcount check runs on candidates only.  The same band-join
+    shape as the SimHash text path (operators/dedup.py), closing the
+    loop between the multimodal and dedup families.
+
+    Returns (media_id_a, media_id_b, hamming) with a < b.
+    """
+    if not 0 <= max_hamming <= 7:
+        raise ValueError("8-band scheme supports max_hamming in [0, 7]")
+    bands = hashes.select(
+        "media_id",
+        "h_lo",
+        "h_hi",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftright(F.col(c), s).bitwiseAND(F.lit(255))
+                        ).alias("val"),
+                    )
+                    for b, (c, s) in enumerate(
+                        [(c, s) for c in ("h_lo", "h_hi")
+                         for s in (0, 8, 16, 24)]
+                    )
+                ]
+            )
+        ).alias("bb"),
+    ).select("media_id", "h_lo", "h_hi", "bb.band", "bb.val")
+    a = bands.select(
+        F.col("media_id").alias("media_id_a"),
+        F.col("h_lo").alias("lo_a"),
+        F.col("h_hi").alias("hi_a"),
+        "band",
+        "val",
+    )
+    b = bands.select(
+        F.col("media_id").alias("media_id_b"),
+        F.col("h_lo").alias("lo_b"),
+        F.col("h_hi").alias("hi_b"),
+        "band",
+        "val",
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("media_id_a") < F.col("media_id_b"))
+        .select(
+            "media_id_a",
+            "media_id_b",
+            (
+                F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+                + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -7414,3 +7414,63 @@ def q_token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bigram_pmi(docs, "text", min_count=5)
+
+
+@register(
+    "image_dedup_ahash",
+    oracle="""
+    WITH px AS (
+        SELECT doc_id AS media_id,
+               list_transform(range(0, 64),
+                   i -> CASE WHEN i + 1 <= strlen(text)
+                             THEN ascii(substr(text, CAST(i + 1 AS INT), 1))
+                             ELSE 0 END) AS luma
+        FROM documents
+    ),
+    m AS (SELECT media_id, luma, list_sum(luma) / 64.0 AS mean FROM px),
+    hh AS (
+        SELECT media_id,
+               list_sum(list_transform(range(0, 32),
+                   i -> CASE WHEN luma[CAST(i + 1 AS INT)] > mean
+                             THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                             ELSE 0 END)) AS h_lo,
+               list_sum(list_transform(range(0, 32),
+                   i -> CASE WHEN luma[CAST(i + 33 AS INT)] > mean
+                             THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                             ELSE 0 END)) AS h_hi
+        FROM m
+    )
+    SELECT media_id_a, media_id_b, hamming FROM (
+        SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+               bit_count(xor(a.h_lo, b.h_lo))
+                   + bit_count(xor(a.h_hi, b.h_hi)) AS hamming
+        FROM hh a JOIN hh b ON a.media_id < b.media_id
+    ) WHERE hamming <= 6
+    """,
+    doc="perceptual-hash image near-dup (aHash + banded Hamming join): "
+        "each decoded image's 64 luma pixels threshold against their "
+        "mean into a 64-bit fingerprint (two bigint halves — ANSI "
+        "forbids bit 63 in one signed fold), and pairs within Hamming "
+        "6 surface via FOUR 16-bit band equi-joins (pigeonhole: <= 15 "
+        "differing bits must leave one band identical) — the SimHash "
+        "band shape applied to the multimodal column, one "
+        "(band, value) shuffle, no all-pairs.  Decode runs once in "
+        "the Arrow kernel; the hash and join are pure JVM integer "
+        "ops.  The oracle replays the fake decoder's byte arithmetic, "
+        "both hash halves, and an all-pairs popcount in DuckDB (500 "
+        "docs — the band join is the scale path, the oracle the "
+        "semantic spec).",
+)
+def q_image_dedup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.multimodal import (
+        extract_image_features,
+        image_ahash,
+        image_neardup_pairs,
+    )
+
+    media = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    hashes = image_ahash(extract_image_features(media))
+    return image_neardup_pairs(hashes, max_hamming=6)

@@ -335,3 +335,68 @@ def test_resize_rejects_non_divisible_target(spark):
     )
     with pytest.raises(Exception, match="divisible"):
         resize_images(df, out_w=3, out_h=3).collect()
+
+
+class TestImageAhashNearDup:
+    def _hashes(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "media_id long, h_lo long, h_hi long"
+        )
+
+    def test_ahash_matches_python_reference(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_tiki_webscraping_spark.operators.multimodal import (
+            extract_image_features,
+            image_ahash,
+        )
+
+        texts = {1: "abcxyz" * 12, 2: "zzzzaaaa" * 9}
+        df = spark.createDataFrame(
+            [(i, t.encode()) for i, t in texts.items()],
+            "media_id long, content binary",
+        )
+        got = {
+            r.media_id: (r.h_lo, r.h_hi)
+            for r in image_ahash(extract_image_features(df)).collect()
+        }
+        for mid, t in texts.items():
+            luma = [ord(c) for c in t[:64]] + [0] * max(0, 64 - len(t))
+            mean = sum(luma) / 64.0
+            lo = sum(1 << i for i in range(32) if luma[i] > mean)
+            hi = sum(1 << i for i in range(32) if luma[32 + i] > mean)
+            assert got[mid] == (lo, hi), mid
+
+    def test_band_recall_guarantee_adversarial(self, spark):
+        """d differing bits CAN touch d bands, so the scheme needs
+        d + 1 bands for distance d: spread SEVEN differing bits over
+        seven different 8-bit bands — only the eighth band matches,
+        and the pair must still surface (the 4x16 scheme this replaced
+        missed exactly this shape)."""
+        from etl_tiki_webscraping_spark.operators.multimodal import (
+            image_neardup_pairs,
+        )
+
+        lo_b = (1 << 0) | (1 << 8) | (1 << 16) | (1 << 24)  # bands 0-3
+        hi_b = (1 << 0) | (1 << 8) | (1 << 16)              # bands 4-6
+        df = self._hashes(spark, [(1, 0, 0), (2, lo_b, hi_b)])
+        got = image_neardup_pairs(df, max_hamming=7).collect()
+        assert [(r.media_id_a, r.media_id_b, r.hamming) for r in got] == [
+            (1, 2, 7)
+        ]
+
+    def test_hamming_threshold_and_validation(self, spark):
+        import pytest
+
+        from etl_tiki_webscraping_spark.operators.multimodal import (
+            image_neardup_pairs,
+        )
+
+        df = self._hashes(
+            spark,
+            [(1, 0b1111, 0), (2, 0, 0)],  # hamming 4, all in band 0
+        )
+        assert image_neardup_pairs(df, max_hamming=3).count() == 0
+        assert image_neardup_pairs(df, max_hamming=4).count() == 1
+        with pytest.raises(ValueError, match="max_hamming"):
+            image_neardup_pairs(df, max_hamming=8)
