@@ -143,6 +143,9 @@ HEADLINE = [
     ("dp_noisy_counts", "collect"),
     ("token_bigram_pmi", "collect"),
     ("image_dedup_ahash", "count"),
+    ("basket_cooccurrence", "count"),
+    ("event_transition_matrix", "collect"),
+    ("time_weighted_average", "count"),
 ]
 
 

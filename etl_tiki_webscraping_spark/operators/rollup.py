@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -272,4 +272,125 @@ def grouped_ols_trend(
         "n",
         F.round(slope, 6).alias("slope"),
         F.round(intercept, 6).alias("intercept"),
+    )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Frequent item PAIRS by basket co-occurrence (the candidate-pair
+    stage of market-basket / affinity mining): for every basket, each
+    unordered pair of DISTINCT items it contains counts once, and
+    pairs below ``min_support`` baskets drop.
+
+    Shape: one basket-keyed self equi-join generates in-basket pairs —
+    the cost is sum(|basket|^2) bounded by basket size, never item or
+    basket count (the same bounded-quadratic argument as blocked
+    entity matching) — then a pair-keyed count.  A pathological
+    mega-basket is the skew risk; cap basket size upstream the same
+    way LSH caps buckets.  Returns (item_a, item_b, support) with
+    item_a < item_b.
+    """
+    items = df.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("item")
+    ).distinct()
+    a = items.select("b", F.col("item").alias("item_a"))
+    c = items.select("b", F.col("item").alias("item_b"))
+    return (
+        a.join(c, "b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+
+
+def event_transition_matrix(
+    events: DataFrame,
+    key_col: str,
+    order_col: str,
+    state_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: count (state, next state) adjacencies within each key's
+    ``order_col``-ordered stream and emit each row's transition
+    probability P(next | state) = count / row total.
+
+    ONE key-partitioned window (lag) finds adjacencies; the transition
+    aggregate and the per-source total are both bounded by
+    |states|^2, so everything after the window is constant-sized at
+    any scale.  Ordering ties break on ``tiebreak_col`` (pass the
+    event id) — without it, same-timestamp adjacency would be
+    partition-order-dependent and unreplayable.  Probabilities round
+    to 6.  Returns (state_from, state_to, n, p).
+    """
+    order = [F.col(order_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    adj = (
+        events.withColumn("_next", F.lead(state_col).over(w))
+        .filter(F.col("_next").isNotNull())
+        .select(
+            F.col(state_col).alias("state_from"),
+            F.col("_next").alias("state_to"),
+        )
+    )
+    counts = adj.groupBy("state_from", "state_to").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("state_from").agg(F.sum("n").alias("tot"))
+    return (
+        counts.join(F.broadcast(totals), "state_from")
+        .select(
+            "state_from",
+            "state_to",
+            "n",
+            F.round(F.col("n") / F.col("tot"), 6).alias("p"),
+        )
+    )
+
+
+def time_weighted_average(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Time-weighted average of an irregularly-sampled value per key
+    (TWAP): each observation holds until the next one, so its weight
+    is that duration in seconds, and the key's average is
+    sum(value * dur) / sum(dur) over the closed intervals (the last
+    observation has no successor and is excluded — standard TWAP over
+    the observed span).
+
+    ONE key-partitioned window computes successor timestamps; the
+    weighted sums accumulate in DECIMAL(38,6) so the aggregate is
+    order-independent.  Keys with a single observation (no closed
+    interval) return NULL.  Returns (key, twap) rounded to 6.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    # duration via INTEGER microsecond difference, divided once:
+    # subtracting two already-divided doubles rounds differently than
+    # dividing the exact integer difference, and the 1-ulp drift
+    # breaks cross-engine replay
+    dur = (
+        F.unix_micros(F.lead(F.col(ts_col)).over(w))
+        - F.unix_micros(F.col(ts_col))
+    ) / F.lit(1_000_000.0)
+    closed = events.withColumn("_dur", dur).filter(F.col("_dur").isNotNull())
+    num = F.sum(
+        (F.col(value_col) * F.col("_dur")).cast("decimal(38,6)")
+    ).cast("double")
+    den = F.sum(F.col("_dur").cast("decimal(38,6)")).cast("double")
+    return closed.groupBy(key_col).agg(
+        F.round(
+            F.when(den != 0, num / den), 6
+        ).alias("twap")
     )

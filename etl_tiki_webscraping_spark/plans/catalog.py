@@ -7474,3 +7474,109 @@ def q_image_dedup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hashes = image_ahash(extract_image_features(media))
     return image_neardup_pairs(hashes, max_hamming=6)
+
+
+@register(
+    "basket_cooccurrence",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS item FROM lineitem
+    )
+    SELECT a.item AS item_a, c.item AS item_b, COUNT(*) AS support
+    FROM items a JOIN items c ON a.b = c.b AND a.item < c.item
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+    doc="market-basket co-occurrence (the candidate-pair stage of "
+        "affinity mining): part pairs co-ordered in >= 2 orders, via "
+        "ONE basket-keyed self equi-join whose cost is "
+        "sum(|basket|^2) — bounded by basket size (~4-7 line items), "
+        "never order or part count — then a pair-keyed count.  The "
+        "same bounded-quadratic argument as blocked entity matching; "
+        "a mega-basket is the skew risk and caps upstream like LSH "
+        "buckets.  The oracle replays the join and support floor.",
+)
+def q_basket_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.rollup import (
+        cooccurrence_pairs,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    return cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH adj AS (
+        SELECT event_type AS state_from,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS state_to
+        FROM events
+    ),
+    counts AS (
+        SELECT state_from, state_to, COUNT(*) AS n
+        FROM adj WHERE state_to IS NOT NULL GROUP BY 1, 2
+    ),
+    totals AS (SELECT state_from, SUM(n) AS tot FROM counts GROUP BY 1)
+    SELECT c.state_from, c.state_to, c.n, ROUND(c.n / t.tot, 6) AS p
+    FROM counts c JOIN totals t USING (state_from)
+    """,
+    doc="first-order Markov transition matrix over per-user event "
+        "streams: ONE user-keyed lag/lead window finds adjacencies "
+        "(ties break on event_id — without a tiebreak, same-timestamp "
+        "adjacency is partition-order-dependent and unreplayable), "
+        "then |states|^2-bounded aggregates and a broadcast row-total "
+        "join yield P(next | state).  The behavioral-analytics "
+        "primitive between lag_lead_delta and the funnel queries.",
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.rollup import (
+        event_transition_matrix,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return event_transition_matrix(
+        ev, "user_id", "ts", "event_type", tiebreak_col="event_id"
+    )
+
+
+@register(
+    "time_weighted_average",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, value,
+               date_diff('microsecond', ts,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)) / 1000000.0 AS dur
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           ROUND(CASE WHEN CAST(SUM(CAST(dur AS DECIMAL(38,6))) AS DOUBLE) <> 0
+                 THEN CAST(SUM(CAST(value * dur AS DECIMAL(38,6))) AS DOUBLE)
+                      / CAST(SUM(CAST(dur AS DECIMAL(38,6))) AS DOUBLE) END, 6)
+               AS twap
+    FROM iv WHERE dur IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="time-weighted average of an irregularly-sampled value per "
+        "user (TWAP): each purchase value holds until the user's next "
+        "purchase, weights are the holding durations, and the "
+        "weighted sums accumulate in DECIMAL(38,6) so the aggregate "
+        "is order-independent (float sums hash-mismatch across "
+        "partitionings).  ONE user-keyed window + one bounded "
+        "aggregate; single-observation users drop (no closed "
+        "interval).  Ties break on event_id.",
+)
+def q_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.rollup import (
+        time_weighted_average,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return time_weighted_average(
+        ev, "user_id", "ts", "value", tiebreak_col="event_id"
+    )

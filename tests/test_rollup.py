@@ -304,3 +304,73 @@ class TestGroupedOlsTrend:
                for r in grouped_ols_trend(df, ["g"], "x", "y").collect()}
         assert got["single"] == (1, None, None)
         assert got["novar"] == (2, None, None)  # vertical: no finite fit
+
+
+class TestCooccurrencePairs:
+    def test_pairs_and_support(self, spark):
+        from etl_tiki_webscraping_spark.operators.rollup import (
+            cooccurrence_pairs,
+        )
+
+        rows = [
+            (1, "a"), (1, "b"), (1, "c"),
+            (2, "a"), (2, "b"),
+            (3, "a"), (3, "b"), (3, "a"),  # dup item in basket: counts once
+            (4, "c"),
+        ]
+        df = spark.createDataFrame(rows, "b int, item string")
+        got = {
+            (r.item_a, r.item_b): r.support
+            for r in cooccurrence_pairs(df, "b", "item", 2).collect()
+        }
+        assert got == {("a", "b"): 3}  # (a,c)/(b,c) support 1 drop
+
+
+class TestEventTransitionMatrix:
+    def test_counts_probabilities_and_tiebreak(self, spark):
+        from etl_tiki_webscraping_spark.operators.rollup import (
+            event_transition_matrix,
+        )
+
+        # user 1: A -> B -> B; user 2: A -> C.  Same-ts pair in user 2
+        # orders by the id tiebreak (id 1 before id 2).
+        rows = [
+            (1, 10, 1, "A"), (1, 20, 2, "B"), (1, 30, 3, "B"),
+            (2, 50, 1, "A"), (2, 50, 2, "C"),
+        ]
+        df = spark.createDataFrame(rows, "u int, t int, eid int, s string")
+        got = {
+            (r.state_from, r.state_to): (r.n, r.p)
+            for r in event_transition_matrix(
+                df, "u", "t", "s", tiebreak_col="eid"
+            ).collect()
+        }
+        assert got == {
+            ("A", "B"): (1, 0.5),
+            ("A", "C"): (1, 0.5),
+            ("B", "B"): (1, 1.0),
+        }
+
+
+class TestTimeWeightedAverage:
+    def test_twap_hand_computed(self, spark):
+        import datetime
+
+        from etl_tiki_webscraping_spark.operators.rollup import (
+            time_weighted_average,
+        )
+
+        base = datetime.datetime(2024, 1, 1)
+        mk = lambda s: base + datetime.timedelta(seconds=s)
+        # value 10 held 5s, value 20 held 15s -> (50 + 300) / 20 = 17.5
+        rows = [
+            (1, mk(0), 1, 10.0), (1, mk(5), 2, 20.0), (1, mk(20), 3, 99.0),
+            (2, mk(0), 1, 7.0),  # single observation: no closed interval
+        ]
+        df = spark.createDataFrame(
+            rows, "u int, ts timestamp, eid int, v double"
+        )
+        got = {r.u: r.twap
+               for r in time_weighted_average(
+                   df, "u", "ts", "v", tiebreak_col="eid").collect()}
+        assert got == {1: 17.5}  # user 2 absent entirely
