@@ -859,7 +859,14 @@ def winnow_fingerprints(
     # aggregate the optimizer understands.
     norm = docs.select(
         F.col(id_col).alias("id"), normalize_text(text_col).alias("t")
-    ).filter(F.length("t") >= k + w - 1)
+    ).filter(
+        (F.length("t") >= k + w - 1)
+        # positions pack into the low bits of the encoded fingerprint;
+        # a document longer than the encoder base would silently
+        # corrupt hashes, so such docs are excluded (chunk them first
+        # — doc_chunking — or raise _WINNOW_BASE)
+        & (F.length("t") < _WINNOW_BASE)
+    )
     grams = norm.select(
         "id",
         (F.length("t") - (k - 1)).alias("n_grams"),

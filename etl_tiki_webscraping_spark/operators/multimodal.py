@@ -434,6 +434,11 @@ def image_ahash(features: DataFrame) -> DataFrame:
     fold, and the split halves replay as plain integer arithmetic on
     any engine.  Returns (media_id, h_lo, h_hi).
     """
+    # aHash is defined on the 8x8 = 64-pixel thumbnail; a differently-
+    # sized feature vector would make element_at(feature, i) THROW
+    # under ANSI mode mid-query, so non-conforming rows are excluded
+    # up front (resize to 8x8 first via resize_images)
+    features = features.filter(F.size("feature") == 64)
     mean = F.col("mean_luma")
 
     def half(lo_bit: int) -> Column:

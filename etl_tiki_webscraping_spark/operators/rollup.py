@@ -204,6 +204,10 @@ def equi_width_histogram(
     count, so it costs the same at 100 TB as at 100 MB (the scan
     dominates).  Bucket arithmetic is plain floor division, replayable
     exactly in any SQL dialect (no dialect-specific width_bucket)."""
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    if n_buckets < 1:
+        raise ValueError("need n_buckets >= 1")
     width = (hi - lo) / n_buckets
     bucket = F.least(
         F.lit(n_buckets - 1),

@@ -7348,7 +7348,7 @@ def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     h AS (
         SELECT event_type, n,
                (CAST(('0x' || substr(md5(event_type), 1, 8)) AS BIGINT)
-                + 1.0) / 4294967296.0 AS u
+                + 0.5) / 4294967296.0 AS u
         FROM g
     )
     SELECT event_type,
@@ -7579,4 +7579,38 @@ def q_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return time_weighted_average(
         ev, "user_id", "ts", "value", tiebreak_col="event_id"
+    )
+
+
+@register(
+    "streaming_dp_noisy_counts",
+    oracle=QUERIES["dp_noisy_counts"].oracle,
+    doc="streaming twin of dp_noisy_counts: the per-type counts "
+        "accumulate in a REAL 3-micro-batch readStream aggregate "
+        "(complete mode, Trigger.AvailableNow) and the Laplace noise "
+        "applies as a POST-PROCESSING projection on the released "
+        "aggregate — exactly how a DP release composes with "
+        "streaming ingestion (noise on the release, never inside the "
+        "running state, or the draws would compose across triggers).  "
+        "Shares the batch query's oracle verbatim; hash-match proves "
+        "cross-batch count state plus the deterministic noise "
+        "reproduce the batch answer on in-order input.",
+)
+def q_streaming_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.quality.scoring import laplace_noise
+    from etl_tiki_webscraping_spark.streaming.events import (
+        read_events_stream_multibatch,
+        run_available_now_to_memory,
+    )
+
+    stream = read_events_stream_multibatch(spark, sf_dir, n_batches=3)
+    counts = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    released = run_available_now_to_memory(
+        counts, "stream_dp_counts", "complete"
+    )
+    noise = laplace_noise(F.col("event_type").cast("string"), epsilon=0.5)
+    return released.select(
+        "event_type", F.round(F.col("n") + noise, 6).alias("noisy_count")
     )

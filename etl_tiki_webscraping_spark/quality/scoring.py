@@ -97,19 +97,13 @@ def laplace_noisy_counts(
     Returns (group_cols..., noisy_count) with the noisy value rounded
     to 6 places.
     """
-    if epsilon <= 0:
-        raise ValueError("epsilon must be > 0")
-    b = 1.0 / epsilon
-    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols])
-    if seed_col is not None:
-        key = F.concat_ws("\x1f", key, seed_col.cast("string"))
-    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double")
-    u = (h + F.lit(1.0)) / F.lit(4294967296.0)  # (0, 1]
-    centered = u - F.lit(0.5)
-    noise = (
-        F.lit(-b)
-        * F.signum(centered)
-        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    noise = laplace_noise(
+        F.concat_ws(
+            "\x1f",
+            *[F.col(c).cast("string") for c in group_cols],
+            *([seed_col.cast("string")] if seed_col is not None else []),
+        ),
+        epsilon,
     )
     return (
         df.groupBy(*group_cols)
@@ -118,4 +112,24 @@ def laplace_noisy_counts(
             *group_cols,
             F.round(F.col("n") + noise, 6).alias("noisy_count"),
         )
+    )
+
+
+def laplace_noise(key: Column, epsilon: float) -> Column:
+    """Deterministic Laplace(1/epsilon) noise column keyed on ``key``
+    (see :func:`laplace_noisy_counts` for the release semantics): the
+    md5-prefix uniform feeds the inverse CDF.  The half-offset keeps
+    BOTH tails of u strictly inside (0, 1) — u = 1 would put
+    ln(1 - 2|u - 1/2|) at ln(0) = -inf and release an infinite count
+    for that unlucky 1-in-2^32 key."""
+    if epsilon <= 0:
+        raise ValueError("epsilon must be > 0")
+    b = 1.0 / epsilon
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    centered = u - F.lit(0.5)
+    return (
+        F.lit(-b)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
     )

@@ -399,3 +399,19 @@ class TestWinnowingSubstringDup:
                 (id_, e // _WINNOW_BASE, e % _WINNOW_BASE) for e in sel
             }
         assert got == want
+
+
+def test_winnow_excludes_docs_past_encoder_base(spark):
+    """A doc longer than the position-encoder base would silently
+    corrupt fingerprints; it must be excluded instead."""
+    from etl_tiki_webscraping_spark.operators.dedup import (
+        _WINNOW_BASE,
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x" * (_WINNOW_BASE + 10)), (2, "normal sized document text")],
+        "id int, text string",
+    )
+    got = {r.id for r in winnow_fingerprints(df, "id", "text").collect()}
+    assert got == {2}

@@ -400,3 +400,22 @@ class TestImageAhashNearDup:
         assert image_neardup_pairs(df, max_hamming=4).count() == 1
         with pytest.raises(ValueError, match="max_hamming"):
             image_neardup_pairs(df, max_hamming=8)
+
+
+def test_image_ahash_skips_non_64_pixel_features(spark):
+    """A non-8x8 feature vector must be excluded, not crash ANSI
+    element_at mid-query."""
+    from etl_tiki_webscraping_spark.operators.multimodal import image_ahash
+
+    rows = [
+        (1, 2, 2, 1.0, [9.0] * 4),     # 2x2: excluded
+        (2, 8, 8, 1.0, [0.0] * 63 + [99.0]),  # conforming
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, width int, height int, mean_luma double,"
+        " feature array<float>",
+    )
+    got = image_ahash(df).collect()
+    assert [r.media_id for r in got] == [2]
+    assert got[0].h_hi == 1 << 31 and got[0].h_lo == 0

@@ -358,3 +358,16 @@ class TestLaplaceNoisyCounts:
         n1 = laplace_noisy_counts(df, ["g"], 1.0).collect()[0].noisy_count
         n01 = laplace_noisy_counts(df, ["g"], 0.1).collect()[0].noisy_count
         assert abs(n01 - 1.0) > abs(n1 - 1.0)
+
+
+def test_laplace_draw_is_strictly_interior(spark):
+    """The uniform uses a half-offset so both tails stay open: even
+    the extreme 32-bit hash values cannot reach u in {0, 1} where the
+    inverse CDF is infinite.  Pin the arithmetic directly."""
+    lo = (0 + 0.5) / 4294967296.0
+    hi = (4294967295 + 0.5) / 4294967296.0
+    assert 0.0 < lo and hi < 1.0
+    import math
+
+    for u in (lo, hi):
+        assert math.isfinite(math.log(1 - 2 * abs(u - 0.5)))

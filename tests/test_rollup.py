@@ -374,3 +374,17 @@ class TestTimeWeightedAverage:
                for r in time_weighted_average(
                    df, "u", "ts", "v", tiebreak_col="eid").collect()}
         assert got == {1: 17.5}  # user 2 absent entirely
+
+
+def test_equi_width_histogram_validates_bounds(spark):
+    import pytest
+
+    from etl_tiki_webscraping_spark.operators.rollup import (
+        equi_width_histogram,
+    )
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError, match="hi > lo"):
+        equi_width_histogram(df, "v", 10.0, 10.0, 5)
+    with pytest.raises(ValueError, match="n_buckets"):
+        equi_width_histogram(df, "v", 0.0, 10.0, 0)

@@ -272,6 +272,28 @@ def main() -> int:
           "(no cartesian fallback) and the shingle stream is persisted "
           "once for its four consumers (no per-consumer re-shingle)")
 
+    p = plan_of("substring_dup_spans")
+    check("substring_dup_spans",
+          "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p,
+          "winnowing inverted index: hash-keyed equi-joins only, no "
+          "all-pairs fallback anywhere in the span-dedup plan")
+
+    p = plan_of("image_dedup_ahash")
+    check("image_dedup_ahash",
+          "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p
+          and "MapInPandas" in p,
+          "aHash near-dup: decode once in the Arrow kernel, band-value "
+          "equi-join candidates, no all-pairs fallback")
+
+    p = plan_of("basket_cooccurrence")
+    check("basket_cooccurrence",
+          "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p,
+          "in-basket pairs via a basket-keyed equi-join — bounded by "
+          "basket size, never a cross join")
+
     p = plan_of("ivm_join_from_feed")
     check("ivm_join_from_feed",
           "LeftAnti" in p and p.count("LeftSemi") >= 2
