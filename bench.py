@@ -146,6 +146,11 @@ HEADLINE = [
     ("basket_cooccurrence", "count"),
     ("event_transition_matrix", "collect"),
     ("time_weighted_average", "count"),
+    ("streaming_dp_noisy_counts", "collect"),
+    ("tpch_q1", "collect"),
+    ("tpch_q3", "collect"),
+    ("tpch_q5", "collect"),
+    ("tpch_q6", "collect"),
 ]
 
 

@@ -7614,3 +7614,188 @@ def q_streaming_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return released.select(
         "event_type", F.round(F.col("n") + noise, 6).alias("noisy_count")
     )
+
+
+# ===========================================================================
+# Recognized-benchmark surface: TPC-H queries adapted to the fixture
+# schema (dates shifted to the generator's 1995-2001 range; intact
+# columns only).  Each runs as a declarative DataFrame plan — Catalyst
+# picks broadcast/shuffle strategies — with the standard SQL as its
+# DuckDB oracle.
+# ===========================================================================
+
+@register(
+    "tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 (pricing summary report) on the fixture lineitem: "
+        "ONE scan with the ship-date filter pushed to parquet, all "
+        "eight aggregates in a single partial+final hash aggregate "
+        "over the 6-group key space; sums accumulate in "
+        "DECIMAL(38,6) so the answer is order-independent and the "
+        "DuckDB oracle (the standard SQL) hash-matches.  The "
+        "benchmark's canonical scan-heavy aggregation shape.",
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
+    )
+    dec = lambda c: c.cast("decimal(38,6)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast("double").alias("sum_disc_price"),
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")))).cast("double").alias("sum_charge"),
+            F.round(F.sum(dec(F.col("l_quantity"))).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(F.sum(dec(F.col("l_extendedprice"))).cast("double") / F.count(F.lit(1)), 6).alias("avg_price"),
+            F.round(F.sum(dec(F.col("l_discount"))).cast("double") / F.count(F.lit(1)), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-03-15'
+      AND l_shipdate > TIMESTAMP '1997-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 (shipping priority): segment-filtered customers "
+        "BROADCAST into orders, the date filters push to both scans, "
+        "revenue aggregates per order, and the global top-10 runs as "
+        "TakeOrderedAndProject (partition-local top-10, never a full "
+        "sort).  l_orderkey joins the tie-break so the limit edge is "
+        "deterministic on both engines.",
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+            ).cast("double").alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 (local supplier volume): the six-table star — "
+        "region/nation BROADCAST down the join tree, the "
+        "customer-nation = supplier-nation equality rides the "
+        "supplier join, date range pushes to the orders scan, and "
+        "ONE final aggregate over the 5-nation key space.  The "
+        "canonical multi-join shape Catalyst must reorder well.",
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+            ).cast("double").alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q6",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 (forecasting revenue change): pure scan-filter-"
+        "aggregate — every predicate pushes to the parquet scan "
+        "(PushedFilters carries the date range, discount band, and "
+        "quantity cap) and a single global sum in DECIMAL(38,6) "
+        "collapses map-side.  The benchmark's selectivity-and-"
+        "pushdown probe.",
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(38,6)")
+        ).cast("double").alias("revenue")
+    )

@@ -272,6 +272,33 @@ def main() -> int:
           "(no cartesian fallback) and the shingle stream is persisted "
           "once for its four consumers (no per-consumer re-shingle)")
 
+    p = plan_of("tpch_q1")
+    check("tpch_q1",
+          "PushedFilters: [IsNotNull(l_shipdate)" in p
+          or "LessThanOrEqual(l_shipdate" in p,
+          "Q1 ship-date filter pushed to the parquet scan; single "
+          "partial+final aggregate")
+
+    p = plan_of("tpch_q3")
+    check("tpch_q3",
+          "TakeOrderedAndProject" in p and "BroadcastHashJoin" in p,
+          "Q3 global top-10 as TakeOrderedAndProject (no full sort); "
+          "segment customers broadcast")
+
+    p = plan_of("tpch_q5")
+    check("tpch_q5",
+          p.count("BroadcastHashJoin") >= 3
+          and "CartesianProduct" not in p,
+          "Q5 six-table star: supplier/nation/region sides broadcast, "
+          "no cartesian anywhere")
+
+    p = plan_of("tpch_q6")
+    check("tpch_q6",
+          "GreaterThanOrEqual(l_discount,0.05)" in p.replace(" ", "")
+          or "l_discount" in p.split("PushedFilters")[-1].split("]")[0],
+          "Q6 discount band + quantity cap + date range all pushed to "
+          "the scan")
+
     p = plan_of("substring_dup_spans")
     check("substring_dup_spans",
           "CartesianProduct" not in p
