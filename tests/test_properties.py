@@ -624,3 +624,131 @@ def test_setsim_prefix_join_is_complete_and_sound(spark, docs, num_den):
         if den * len(a & b) >= num * len(a | b):
             want.add((i, j))
     assert got == want
+
+
+@given(
+    baskets=st.lists(
+        st.tuples(st.integers(min_value=1, max_value=4),
+                  st.sampled_from("pqrs")),
+        max_size=14,
+    ),
+    min_support=st.integers(min_value=1, max_value=3),
+)
+@SETTINGS
+def test_cooccurrence_equals_python_replay(spark, baskets, min_support):
+    import itertools
+
+    from etl_tiki_webscraping_spark.operators.rollup import (
+        cooccurrence_pairs,
+    )
+
+    df = (
+        spark.createDataFrame(baskets, "b int, item string")
+        if baskets
+        else spark.createDataFrame([], "b int, item string")
+    )
+    got = {
+        (r.item_a, r.item_b): r.support
+        for r in cooccurrence_pairs(df, "b", "item", min_support).collect()
+    }
+    by_basket: dict[int, set] = {}
+    for b, item in baskets:
+        by_basket.setdefault(b, set()).add(item)
+    want: dict[tuple, int] = {}
+    for items in by_basket.values():
+        for a, c in itertools.combinations(sorted(items), 2):
+            want[(a, c)] = want.get((a, c), 0) + 1
+    want = {k: v for k, v in want.items() if v >= min_support}
+    assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(min_value=1, max_value=3),   # user
+                  st.integers(min_value=0, max_value=9),   # ts
+                  st.sampled_from("XYZ")),                 # state
+        max_size=12,
+    )
+)
+@SETTINGS
+def test_transition_matrix_equals_python_replay(spark, events):
+    from etl_tiki_webscraping_spark.operators.rollup import (
+        event_transition_matrix,
+    )
+
+    rows = [(u, t, i, s) for i, (u, t, s) in enumerate(events)]
+    df = (
+        spark.createDataFrame(rows, "u int, t int, eid int, s string")
+        if rows
+        else spark.createDataFrame([], "u int, t int, eid int, s string")
+    )
+    got = {
+        (r.state_from, r.state_to): (r.n, r.p)
+        for r in event_transition_matrix(
+            df, "u", "t", "s", tiebreak_col="eid"
+        ).collect()
+    }
+    seqs: dict[int, list] = {}
+    for u, t, eid, s in rows:
+        seqs.setdefault(u, []).append((t, eid, s))
+    counts: dict[tuple, int] = {}
+    for seq in seqs.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    totals: dict[str, int] = {}
+    for (a, _), n in counts.items():
+        totals[a] = totals.get(a, 0) + n
+    want = {
+        k: (n, round(n / totals[k[0]], 6)) for k, n in counts.items()
+    }
+    assert got == want
+
+
+@given(
+    obs=st.lists(
+        st.tuples(st.integers(min_value=1, max_value=2),      # key
+                  st.integers(min_value=0, max_value=3600),   # offset s
+                  st.integers(min_value=-20, max_value=20)),  # value
+        max_size=10,
+        unique_by=lambda o: (o[0], o[1]),
+    )
+)
+@SETTINGS
+def test_twap_equals_python_replay(spark, obs):
+    import datetime
+
+    from etl_tiki_webscraping_spark.operators.rollup import (
+        time_weighted_average,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (k, base + datetime.timedelta(seconds=off), i, float(v))
+        for i, (k, off, v) in enumerate(obs)
+    ]
+    df = (
+        spark.createDataFrame(rows, "u int, ts timestamp, eid int, v double")
+        if rows
+        else spark.createDataFrame(
+            [], "u int, ts timestamp, eid int, v double"
+        )
+    )
+    got = {
+        r.u: r.twap
+        for r in time_weighted_average(
+            df, "u", "ts", "v", tiebreak_col="eid"
+        ).collect()
+    }
+    series: dict[int, list] = {}
+    for k, off, v in obs:
+        series.setdefault(k, []).append((off, float(v)))
+    want = {}
+    for k, pts in series.items():
+        pts.sort()
+        if len(pts) < 2:
+            continue
+        num = sum(v * (pts[i + 1][0] - t) for i, (t, v) in enumerate(pts[:-1]))
+        den = pts[-1][0] - pts[0][0]
+        want[k] = round(num / den, 6) if den else None
+    assert got == want
