@@ -151,6 +151,7 @@ HEADLINE = [
     ("tpch_q3", "collect"),
     ("tpch_q5", "collect"),
     ("tpch_q6", "collect"),
+    ("bpe_train_merges", "collect"),
 ]
 
 

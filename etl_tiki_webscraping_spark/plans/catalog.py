@@ -7799,3 +7799,28 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(38,6)")
         ).cast("double").alias("revenue")
     )
+
+
+@register(
+    "bpe_train_merges",
+    oracle=None,  # iterative argmax-per-round — not SQL-expressible;
+    # exact parity with a single-node reference BPE is pinned by
+    # tests/test_bpe.py on this very fixture
+    doc="distributed BPE merge training (Sennrich et al. 2016 — the "
+        "tokenizer-learning step of an LLM pipeline): 12 merges "
+        "learned from the corpus.  The corpus is scanned ONCE into a "
+        "(word, count) vocabulary; every iteration is one explode + "
+        "groupBy over VOCAB-sized rows plus a single-row argmax "
+        "collect (a scalar, like PageRank's dangling mass), and the "
+        "merge applies as a JVM-side array fold with the vocab "
+        "localCheckpoint-ed per round (O(1) lineage).  Corpus size "
+        "touches only the initial scan; iterations are bounded by "
+        "num_merges; ties break (count DESC, pair ASC) so the merge "
+        "sequence is deterministic — tests pin exact parity with a "
+        "textbook single-node implementation.",
+)
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.bpe import bpe_train_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train_report(spark, docs, "text", num_merges=12)
