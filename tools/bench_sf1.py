@@ -109,6 +109,26 @@ NEW_R8B = [
     "embedding_pca_variance",
 ]
 
+# round-8 continuation, second wave: dedup/analytics/TPC-H additions
+# on the same 10x synthesis (documents salted, orders/customer/
+# lineitem key-offset).
+NEW_R8C = [
+    "setsim_prefix_join",
+    "substring_dup_spans",
+    "image_dedup_ahash",
+    "token_bigram_pmi",
+    "dp_noisy_counts",
+    "basket_cooccurrence",
+    "event_transition_matrix",
+    "time_weighted_average",
+    "grouped_ols_trend",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "bpe_train_merges",
+]
+
 NEW_R7C = [
     "heavy_hitters_exact",
     "table_profile",
@@ -264,7 +284,7 @@ def main() -> None:
     if len(sys.argv) > 1:
         names = {
             "r7": NEW_R7, "r7c": NEW_R7C, "r7d": NEW_R7D, "r8": NEW_R8,
-            "r8b": NEW_R8B,
+            "r8b": NEW_R8B, "r8c": NEW_R8C,
         }.get(sys.argv[1], FIVE)
     # hoist one-time warehouse staging out of the timed region, exactly
     # as bench.py does (a deployment's snapshot tables already exist) —
