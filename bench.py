@@ -152,6 +152,7 @@ HEADLINE = [
     ("tpch_q5", "collect"),
     ("tpch_q6", "collect"),
     ("bpe_train_merges", "collect"),
+    ("contamination_new_docs", "count"),
 ]
 
 

@@ -949,3 +949,58 @@ def substring_dup_pairs(
         .agg(F.count_distinct(F.col("h")).alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+def contaminated_new_docs(
+    new_docs: DataFrame,
+    base_fps: DataFrame,
+    base_norm: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    w: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Ingest-time span-contamination check: which NEW documents
+    contain a character span (>= k + w - 1 chars, the winnowing
+    guarantee) already present in the base corpus — the incremental
+    consumer of :func:`winnow_fingerprints`, mirroring
+    ``incremental_postings_bm25`` / ``incremental_dedup_new_docs``:
+    the base corpus is represented by its PERSISTED fingerprint store
+    (``base_fps``: id/h/pos rows, appended batch-by-batch) plus the
+    normalized texts needed only for collision verification — the
+    base is never re-fingerprinted per batch.
+
+    Join shape: batch fingerprints (small side) against the store on
+    the hash, gram-text verification through two id-keyed joins, then
+    one aggregate per (new doc, base doc).  Returns
+    (new_id, base_id, shared) with ``shared`` = distinct verified
+    fingerprints in common, filtered to >= ``min_shared``.
+    """
+    fps_new = winnow_fingerprints(new_docs, id_col, text_col, k, w)
+    norm_new = new_docs.select(
+        F.col(id_col).alias("new_id"), normalize_text(text_col).alias("t_new")
+    )
+    a = fps_new.select(
+        F.col("id").alias("new_id"), "h", F.col("pos").alias("pos_new")
+    )
+    b = base_fps.select(
+        F.col("id").alias("base_id"), "h", F.col("pos").alias("pos_base")
+    )
+    cand = a.join(b, "h")
+    nb = base_norm.select(
+        F.col("id").alias("base_id"), F.col("t").alias("t_base")
+    )
+    verified = (
+        cand.join(norm_new, "new_id")
+        .join(nb, "base_id")
+        .filter(
+            F.substr(F.col("t_new"), F.col("pos_new"), F.lit(k))
+            == F.substr(F.col("t_base"), F.col("pos_base"), F.lit(k))
+        )
+    )
+    return (
+        verified.groupBy("new_id", "base_id")
+        .agg(F.count_distinct(F.col("h")).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

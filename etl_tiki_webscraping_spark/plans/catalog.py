@@ -7824,3 +7824,67 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_train_report(spark, docs, "text", num_merges=12)
+
+
+@register(
+    "contamination_new_docs",
+    oracle=r"""
+    WITH norm AS (
+        SELECT doc_id AS id,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT id, t,
+               list_transform(range(1, length(t) - 16 + 2),
+                   i -> CAST(('0x' || substr(md5(substr(t, i, 16)), 1, 8))
+                             AS BIGINT) * 1048576 + i) AS hs
+        FROM norm WHERE length(t) >= 16
+    ),
+    fps AS (
+        SELECT id, t,
+               list_distinct(list_transform(range(1, len(hs) - 8 + 2),
+                   j -> list_aggregate(list_slice(hs, j, j + 7), 'min'))) AS fp
+        FROM grams WHERE len(hs) >= 8
+    ),
+    pts AS (
+        SELECT id, t, e.enc // 1048576 AS h, e.enc % 1048576 AS pos
+        FROM fps, unnest(fp) AS e(enc)
+    ),
+    cand AS (
+        SELECT a.id AS new_id, b.id AS base_id, a.h
+        FROM pts a JOIN pts b ON a.h = b.h
+        WHERE a.id % 10 = 0 AND b.id % 10 <> 0
+          AND substr(a.t, a.pos, 16) = substr(b.t, b.pos, 16)
+    )
+    SELECT new_id, base_id, COUNT(DISTINCT h) AS shared
+    FROM cand GROUP BY new_id, base_id HAVING COUNT(DISTINCT h) >= 1
+    """,
+    doc="ingest-time span-contamination check (the incremental "
+        "consumer of the winnowing index, mirroring "
+        "incremental_postings_bm25): a new batch (doc_id % 10 = 0) "
+        "probes the BASE corpus's persisted fingerprint store — the "
+        "base is never re-fingerprinted per batch — and any new doc "
+        "sharing a verified >= 23-char span with a base doc surfaces "
+        "with its shared-fingerprint count.  The decontamination gate "
+        "a training pipeline runs on every crawl increment, at "
+        "batch x store-match cost.  The oracle replays both sides' "
+        "fingerprint selection and the cross-corpus verification.",
+)
+def q_contamination_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.dedup import (
+        contaminated_new_docs,
+        normalize_text,
+        winnow_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    base_fps = winnow_fingerprints(base, "doc_id", "text")
+    base_norm = base.select(
+        F.col("doc_id").alias("id"), normalize_text("text").alias("t")
+    )
+    return contaminated_new_docs(
+        batch, base_fps, base_norm, "doc_id", "text", min_shared=1
+    )

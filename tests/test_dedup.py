@@ -415,3 +415,41 @@ def test_winnow_excludes_docs_past_encoder_base(spark):
     )
     got = {r.id for r in winnow_fingerprints(df, "id", "text").collect()}
     assert got == {2}
+
+
+def test_contaminated_new_docs_detects_cross_corpus_span(spark):
+    """A new doc carrying a >= 23-char span from the base corpus must
+    surface against exactly that base doc; clean new docs must not."""
+    from pyspark.sql import functions as F
+
+    from etl_tiki_webscraping_spark.operators.dedup import (
+        contaminated_new_docs,
+        normalize_text,
+        winnow_fingerprints,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (1, "the benchmark answer key says forty two exactly"),
+            (2, "unrelated base material with its own words"),
+        ],
+        "id int, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "prefix THE BENCHMARK ANSWER KEY SAYS forty two exactly suffix"),
+            (11, "entirely novel content nothing shared with base"),
+        ],
+        "id int, text string",
+    )
+    got = {
+        (r.new_id, r.base_id)
+        for r in contaminated_new_docs(
+            new,
+            winnow_fingerprints(base, "id", "text"),
+            base.select(F.col("id"), normalize_text("text").alias("t")),
+            "id",
+            "text",
+        ).collect()
+    }
+    assert got == {(10, 1)}
