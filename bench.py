@@ -153,6 +153,10 @@ HEADLINE = [
     ("tpch_q6", "collect"),
     ("bpe_train_merges", "collect"),
     ("contamination_new_docs", "count"),
+    ("tpch_q10", "collect"),
+    ("tpch_q18", "collect"),
+    ("part_triangles", "count"),
+    ("embedding_dim_stats", "collect"),
 ]
 
 

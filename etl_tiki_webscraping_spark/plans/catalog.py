@@ -7888,3 +7888,190 @@ def q_contamination_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contaminated_new_docs(
         batch, base_fps, base_norm, "doc_id", "text", min_shared=1
     )
+
+
+@register(
+    "tpch_q10",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           n_name
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    doc="TPC-H Q10 (returned-item reporting): one quarter's returned "
+        "line items aggregate revenue per customer, nation BROADCAST, "
+        "date + returnflag pushed to the scans, global top-20 as "
+        "TakeOrderedAndProject with the customer key as tie-break.",
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+            ).cast("double").alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q18",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 150
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY totalprice DESC, o_orderkey LIMIT 50
+    """,
+    doc="TPC-H Q18 (large-volume customers): the HAVING subquery "
+        "becomes a grouped-filter SEMI JOIN gating the orders scan "
+        "(never a rescan-per-row correlated form), then the customer "
+        "join and per-order quantity rollup feed a top-50 "
+        "TakeOrderedAndProject keyed (totalprice DESC, orderkey).",
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"], "left_semi")
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double").alias("sum_qty")
+        )
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(50)
+    )
+
+
+@register(
+    "part_triangles",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS item FROM lineitem
+    ),
+    edges AS (
+        SELECT a.item AS u, c.item AS v
+        FROM items a JOIN items c ON a.b = c.b AND a.item < c.item
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM edges e1
+    JOIN edges e2 ON e1.v = e2.u
+    JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+    doc="triangle enumeration over the part-affinity graph (edges = "
+        "basket_cooccurrence at support >= 2): the canonical "
+        "bounded-shuffle graph-mining join — node ordering u < v < w "
+        "means each triangle materializes EXACTLY once and the "
+        "wedge-closing join never mirrors, so cost is "
+        "sum(deg(v)^2 / 2) over the ORDERED adjacency, the textbook "
+        "distributed triangle bound.  Two edge-keyed equi-joins, no "
+        "cartesian (plan-audited).",
+)
+def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.rollup import (
+        cooccurrence_pairs,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_support=2).select(
+        F.col("item_a").alias("u"), F.col("item_b").alias("v")
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    return (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"], "left_semi")
+        .select("a", "b", "c")
+    )
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+    WITH e AS (SELECT embedding FROM embeddings)
+    SELECT i AS dim,
+           ROUND(CAST(SUM(CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*), 9) AS mean_val,
+           ROUND(sqrt(
+               CAST(SUM(CAST(CAST(embedding[i + 1] AS DOUBLE)
+                             * CAST(embedding[i + 1] AS DOUBLE)
+                             AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
+               - pow(CAST(SUM(CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+                     / COUNT(*), 2)
+           ), 6) AS std_val
+    FROM e, unnest(range(0, 64)) AS r(i)
+    GROUP BY i
+    """,
+    doc="per-dimension mean and population std over the embedding "
+        "column (the feature-standardization stats a vector pipeline "
+        "broadcasts before z-scoring): ONE posexplode + groupBy(dim) "
+        "whose shuffle cardinality is d, with both moments "
+        "accumulated in DECIMAL(38,12) for order-independent sums — "
+        "mean rounds to 9, std (a sqrt of a difference, ulp-"
+        "amplifying) to 6.  The relational twin of embedding_pca's "
+        "Gram pass.",
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    dec = F.col("v").cast("decimal(38,12)")
+    dec2 = (F.col("v") * F.col("v")).cast("decimal(38,12)")
+    return (
+        vals.groupBy("dim")
+        .agg(
+            F.round(F.sum(dec).cast("double") / F.count(F.lit(1)), 9).alias("mean_val"),
+            F.round(
+                F.sqrt(
+                    F.sum(dec2).cast("double") / F.count(F.lit(1))
+                    - F.pow(F.sum(dec).cast("double") / F.count(F.lit(1)), 2)
+                ),
+                6,
+            ).alias("std_val"),
+        )
+    )
