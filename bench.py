@@ -157,6 +157,9 @@ HEADLINE = [
     ("tpch_q18", "collect"),
     ("part_triangles", "count"),
     ("embedding_dim_stats", "collect"),
+    ("weighted_median_price", "collect"),
+    ("entity_resolution_clusters", "count"),
+    ("corpus_pipeline_v2", "collect"),
 ]
 
 

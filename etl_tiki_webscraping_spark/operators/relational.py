@@ -613,3 +613,42 @@ def weighted_sample_per_group(
         )
         .drop("_ares")
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Exact weighted median per group: the smallest value whose
+    cumulative weight reaches half the group's total — the robust
+    location estimate consensus pipelines use where weights are
+    trust/quality scores.
+
+    ONE group-keyed window computes the running weight in
+    (value, weight DESC) order with DECIMAL(38,6) accumulation (the
+    cumulative sum must be order-exact or the crossing row can differ
+    per partitioning); a min-over-qualifying aggregate picks the
+    crossing value.  Non-positive weights are excluded; groups with
+    no positive weight vanish.  Returns (group_cols..., wmedian).
+    """
+    w = F.col(weight_col).cast("decimal(38,6)")
+    pos = df.filter(F.col(weight_col) > 0)
+    win = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(value_col).asc(), F.col(weight_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = Window.partitionBy(*group_cols)
+    marked = pos.select(
+        *group_cols,
+        F.col(value_col).alias("_v"),
+        F.sum(w).over(win).alias("_cum"),
+        F.sum(w).over(totals).alias("_tot"),
+    )
+    return (
+        marked.filter(F.col("_cum") * 2 >= F.col("_tot"))
+        .groupBy(*group_cols)
+        .agg(F.min("_v").alias("wmedian"))
+    )

@@ -8075,3 +8075,215 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("std_val"),
         )
     )
+
+
+@register(
+    "weighted_median_price",
+    oracle="""
+    WITH pos AS (
+        SELECT l_returnflag, l_extendedprice AS v,
+               CAST(l_quantity AS DECIMAL(38,6)) AS w
+        FROM lineitem WHERE l_quantity > 0
+    ),
+    m AS (
+        SELECT l_returnflag, v,
+               SUM(w) OVER (PARTITION BY l_returnflag
+                            ORDER BY v ASC, w DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum,
+               SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+        FROM pos
+    )
+    SELECT l_returnflag, MIN(v) AS wmedian
+    FROM m WHERE cum * 2 >= tot GROUP BY l_returnflag
+    """,
+    doc="exact weighted median line price per return flag, quantity-"
+        "weighted (operators/relational.py::weighted_median): one "
+        "group-keyed window accumulates the running weight in "
+        "DECIMAL(38,6) — order-exact, so the crossing row cannot "
+        "drift across partitionings — and a min-over-qualifying "
+        "aggregate picks the smallest value whose cumulative weight "
+        "reaches half the total.  Ties inside a value block cannot "
+        "change the block-end cumulative, so the median is "
+        "deterministic; both engines replay identically.",
+)
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.relational import (
+        weighted_median,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").alias("w"),
+    )
+    return weighted_median(li, ["l_returnflag"], "v", "w").select(
+        "l_returnflag", "wmedian"
+    )
+
+
+@register(
+    "entity_resolution_clusters",
+    oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_mktsegment = b.c_mktsegment
+         AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 2
+    ),
+    undirected AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION SELECT id_b, id_a FROM edges
+    ),
+    reach AS (
+        SELECT src AS id, src AS lbl FROM undirected
+        UNION
+        SELECT u.dst, r.lbl FROM reach r JOIN undirected u ON u.src = r.id
+    ),
+    comp AS (SELECT id, MIN(lbl) AS entity_id FROM reach GROUP BY id)
+    SELECT c.c_custkey,
+           CAST(coalesce(p.entity_id, c.c_custkey) AS BIGINT) AS entity_id
+    FROM customer c LEFT JOIN comp p ON p.id = c.c_custkey
+    """,
+    doc="end-to-end entity resolution: blocked fuzzy match pairs "
+        "(entity_match_blocked's exact plan) feed connected components "
+        "(the dedup clustering operator), so transitive chains of "
+        "near-identical customer records collapse into ONE entity id "
+        "(min member key); unmatched records are their own entity.  "
+        "The match-then-cluster composition every MDM pipeline runs; "
+        "the oracle recomputes components with a recursive "
+        "reachability CTE — the distributed min-label contraction is "
+        "exactly equivalent.",
+)
+def q_entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.dedup import (
+        connected_components,
+    )
+    from etl_tiki_webscraping_spark.operators.relational import (
+        blocked_entity_match,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    edges = blocked_entity_match(
+        cust, "c_custkey", "c_name",
+        ["c_nationkey", "c_mktsegment"], max_distance=2,
+    ).select(F.col("a_id").alias("id_a"), F.col("b_id").alias("id_b"))
+    comps = connected_components(edges)
+    return (
+        cust.select("c_custkey")
+        .join(
+            comps.select(
+                F.col("id").alias("c_custkey"),
+                F.col("component").alias("entity_id"),
+            ),
+            "c_custkey",
+            "left",
+        )
+        .select(
+            "c_custkey",
+            F.coalesce("entity_id", F.col("c_custkey")).alias("entity_id"),
+        )
+    )
+
+
+@register(
+    "corpus_pipeline_v2",
+    oracle=r"""
+    WITH feats AS (
+        SELECT doc_id, lang, n_chars, text,
+               CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+                   / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+               CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                        t -> t IN ('the','and','of','to','in','is','it','that','for','with'))) AS DOUBLE)
+                   / CAST(greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1) AS DOUBLE)
+                   AS stopword_ratio,
+               ln(1.0 + len(list_filter(string_split_regex(trim(text), '\s+'),
+                                        t -> t <> ''))) AS log_tokens
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang, n_chars, text,
+               (-0.8) + 0.55 * log_tokens + (-2.1) * punct_ratio
+                      + 3.0 * stopword_ratio AS z
+        FROM feats
+    ),
+    kept AS (
+        SELECT doc_id, lang, n_chars, text
+        FROM scored
+        WHERE (CASE WHEN z >= 0 THEN 1.0 / (1.0 + exp(-abs(z)))
+                    ELSE 1.0 - 1.0 / (1.0 + exp(-abs(z))) END) >= 0.5
+    ),
+    sampled AS (
+        SELECT doc_id, lang, n_chars, text,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY ROUND(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                                      + 1.0) / 4294967296.0)
+                                  / CAST(n_chars AS DOUBLE), 9) DESC,
+                            doc_id ASC) AS rn
+        FROM kept WHERE n_chars > 0
+    ),
+    survivors AS (
+        SELECT s.doc_id, s.lang, s.n_chars
+        FROM sampled s
+        JOIN (
+            SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
+                   MIN(doc_id) AS doc_id
+            FROM sampled WHERE rn <= 20 GROUP BY 1
+        ) k ON k.doc_id = s.doc_id
+        WHERE s.rn <= 20
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM survivors GROUP BY lang
+    """,
+    doc="corpus-curation capstone v2, chaining THIS round's operators "
+        "end-to-end: classifier scoring (keep score >= 0.5) -> "
+        "weighted reservoir sample (20 docs/lang, length-weighted "
+        "A-Res) -> exact content dedup (lowest-id survivor per "
+        "normalized text) -> per-language size report.  Every stage "
+        "is the same code path as its standalone query "
+        "(quality_model_score, weighted_sample_per_group, "
+        "dedup_exact_text); the oracle replays the whole chain in one "
+        "SQL pipeline — composition is where silent contract "
+        "mismatches between stages would surface.",
+)
+def q_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.functions.text import (
+        punct_ratio,
+        stopword_ratio,
+        token_count,
+    )
+    from etl_tiki_webscraping_spark.operators.dedup import exact_dedup
+    from etl_tiki_webscraping_spark.operators.relational import (
+        weighted_sample_per_group,
+    )
+    from etl_tiki_webscraping_spark.quality.scoring import (
+        linear_model_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    score = linear_model_score(
+        {
+            "punct_ratio": punct_ratio("text"),
+            "stopword_ratio": stopword_ratio("text"),
+            "log_tokens": F.log(F.lit(1.0) + token_count("text")),
+        },
+        weights={"log_tokens": 0.55, "punct_ratio": -2.1, "stopword_ratio": 3.0},
+        bias=-0.8,
+    )
+    kept = docs.withColumn("_s", score).filter(F.col("_s") >= 0.5).drop("_s")
+    sampled = weighted_sample_per_group(
+        kept,
+        group_cols=["lang"],
+        key_col="doc_id",
+        weight_col=F.col("n_chars").cast("double"),
+        k=20,
+    )
+    survivors = exact_dedup(sampled, "text", "doc_id")
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -384,3 +384,46 @@ class TestWeightedSamplePerGroup:
         )
         got = weighted_sample_per_group(df, ["lang"], "doc_id", "w", 10).collect()
         assert [r.doc_id for r in got] == [3]
+
+
+class TestWeightedMedian:
+    def test_hand_computed_and_half_rule(self, spark):
+        from etl_tiki_webscraping_spark.operators.relational import (
+            weighted_median,
+        )
+
+        # g1: values 1(w1), 2(w1), 3(w6) -> half of 8 is 4 -> median 3
+        # g2: values 5(w2), 7(w2) -> cum at 5 is 2, 2*2 >= 4 -> median 5
+        # g3: only non-positive weights -> group vanishes
+        rows = [
+            ("g1", 1.0, 1.0), ("g1", 2.0, 1.0), ("g1", 3.0, 6.0),
+            ("g2", 5.0, 2.0), ("g2", 7.0, 2.0),
+            ("g3", 9.0, 0.0), ("g3", 9.5, -1.0),
+        ]
+        df = spark.createDataFrame(rows, "g string, v double, w double")
+        got = {r.g: r.wmedian
+               for r in weighted_median(df, ["g"], "v", "w").collect()}
+        assert got == {"g1": 3.0, "g2": 5.0}
+
+    def test_partitioning_invariant(self, spark):
+        import random
+
+        from etl_tiki_webscraping_spark.operators.relational import (
+            weighted_median,
+        )
+
+        rng = random.Random(7)
+        rows = [("g", float(rng.randint(0, 50)), float(rng.randint(1, 9)))
+                for _ in range(300)]
+        df = spark.createDataFrame(rows, "g string, v double, w double")
+        m1 = weighted_median(df.repartition(1), ["g"], "v", "w").collect()
+        m8 = weighted_median(df.repartition(8), ["g"], "v", "w").collect()
+        assert m1[0].wmedian == m8[0].wmedian
+        # python replay: smallest v whose block-end cumulative crosses
+        tot = sum(w for _, _, w in rows)
+        acc = 0.0
+        for v in sorted({v for _, v, _ in rows}):
+            acc += sum(w for _, vv, w in rows if vv == v)
+            if acc * 2 >= tot:
+                assert m1[0].wmedian == v
+                break
