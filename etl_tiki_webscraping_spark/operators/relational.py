@@ -626,26 +626,34 @@ def weighted_median(
     location estimate consensus pipelines use where weights are
     trust/quality scores.
 
-    ONE group-keyed window computes the running weight in
-    (value, weight DESC) order with DECIMAL(38,6) accumulation (the
-    cumulative sum must be order-exact or the crossing row can differ
-    per partitioning); a min-over-qualifying aggregate picks the
-    crossing value.  Non-positive weights are excluded; groups with
-    no positive weight vanish.  Returns (group_cols..., wmedian).
+    Rows first PRE-AGGREGATE to one (group, value, total weight) row
+    per distinct value — a map-side-combinable shuffle that shrinks
+    the ordered pass from row count to distinct-value count (the
+    window's sort parallelism is capped at the number of GROUPS, so
+    feeding it raw rows serializes row-count work onto #groups tasks;
+    feeding it distinct values bounds that serial work by the value
+    domain).  Then ONE group-keyed window computes the running weight
+    in value order with DECIMAL(38,6) accumulation (order-exact, so
+    the crossing value cannot differ per partitioning) and a
+    min-over-qualifying aggregate picks the crossing value.
+    Non-positive weights are excluded; groups with no positive weight
+    vanish.  Returns (group_cols..., wmedian).
     """
-    w = F.col(weight_col).cast("decimal(38,6)")
     pos = df.filter(F.col(weight_col) > 0)
+    per_value = pos.groupBy(*group_cols, F.col(value_col).alias("_v")).agg(
+        F.sum(F.col(weight_col).cast("decimal(38,6)")).alias("_w")
+    )
     win = (
         Window.partitionBy(*group_cols)
-        .orderBy(F.col(value_col).asc(), F.col(weight_col).desc())
+        .orderBy(F.col("_v").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     totals = Window.partitionBy(*group_cols)
-    marked = pos.select(
+    marked = per_value.select(
         *group_cols,
-        F.col(value_col).alias("_v"),
-        F.sum(w).over(win).alias("_cum"),
-        F.sum(w).over(totals).alias("_tot"),
+        "_v",
+        F.sum("_w").over(win).alias("_cum"),
+        F.sum("_w").over(totals).alias("_tot"),
     )
     return (
         marked.filter(F.col("_cum") * 2 >= F.col("_tot"))

@@ -129,6 +129,19 @@ NEW_R8C = [
     "bpe_train_merges",
 ]
 
+# round-8 continuation, third wave.
+NEW_R8D = [
+    "contamination_new_docs",
+    "tpch_q10",
+    "tpch_q18",
+    "part_triangles",
+    "embedding_dim_stats",
+    "weighted_median_price",
+    "entity_resolution_clusters",
+    "corpus_pipeline_v2",
+    "streaming_dp_noisy_counts",
+]
+
 NEW_R7C = [
     "heavy_hitters_exact",
     "table_profile",
@@ -284,7 +297,7 @@ def main() -> None:
     if len(sys.argv) > 1:
         names = {
             "r7": NEW_R7, "r7c": NEW_R7C, "r7d": NEW_R7D, "r8": NEW_R8,
-            "r8b": NEW_R8B, "r8c": NEW_R8C,
+            "r8b": NEW_R8B, "r8c": NEW_R8C, "r8d": NEW_R8D,
         }.get(sys.argv[1], FIVE)
     # hoist one-time warehouse staging out of the timed region, exactly
     # as bench.py does (a deployment's snapshot tables already exist) —

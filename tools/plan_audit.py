@@ -299,6 +299,61 @@ def main() -> int:
           "Q6 discount band + quantity cap + date range all pushed to "
           "the scan")
 
+    p = plan_of("weighted_median_price")
+    flag_ex = [
+        seg for seg in p.split("\n")
+        if "Exchange hashpartitioning(l_returnflag" in seg
+    ]
+    n_bare = sum(1 for seg in flag_ex if " v#" not in seg)
+    check("weighted_median_price",
+          n_bare == 1 and len(flag_ex) == 2,
+          "pre-aggregation shuffles once on (group, value) — distinct-"
+          "value cardinality, shrinking the serial window input — and "
+          "both windows + the crossing aggregate share ONE bare "
+          "group-keyed exchange")
+
+    # the PCA REPORT materializes at build time by design — only the
+    # d^2-row reduce reaches the driver — so audit the distributed
+    # stage directly: the Gram partials must be ONE Arrow pass
+    from etl_tiki_webscraping_spark.operators.similarity import (
+        as_double_vec,
+    )
+    from pyspark.sql import functions as SF
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        as_double_vec("embedding").alias("v")
+    )
+    import pandas as _pd
+
+    def _probe(batches):
+        for b in batches:
+            yield _pd.DataFrame({"n": [len(b)]})
+
+    pp = (
+        emb.mapInPandas(_probe, schema="n long")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    rep = plan_of("embedding_pca_variance")
+    check("embedding_pca_variance",
+          "MapInPandas" in pp and "Exchange" not in pp
+          and ("LocalTableScan" in rep or "ExistingRDD" in rep),
+          "Gram partials are ONE shuffle-free Arrow pass; the returned "
+          "report is a local tiny table — only d^2 + d rows ever left "
+          "the executors")
+
+    p = plan_of("histogram_equi_width")
+    check("histogram_equi_width",
+          "HashAggregate" in p and "Exchange" in p
+          and p.count("Exchange") <= 2,
+          "derived-integer groupBy: partial+final aggregate over one "
+          "bucket-cardinality exchange")
+
+    p = plan_of("quality_model_score")
+    check("quality_model_score",
+          "Exchange" not in p,
+          "classifier inference is a pure projection: ZERO exchanges "
+          "— the cost is the scan")
+
     p = plan_of("substring_dup_spans")
     check("substring_dup_spans",
           "CartesianProduct" not in p
