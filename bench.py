@@ -160,6 +160,7 @@ HEADLINE = [
     ("weighted_median_price", "collect"),
     ("entity_resolution_clusters", "count"),
     ("corpus_pipeline_v2", "collect"),
+    ("tpch_q14", "collect"),
 ]
 
 

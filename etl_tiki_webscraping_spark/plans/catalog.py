@@ -8287,3 +8287,45 @@ def q_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@register(
+    "tpch_q14",
+    oracle="""
+    SELECT ROUND(
+        100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE)
+              / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(38,6))) AS DOUBLE), 6)
+        AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-02-01'
+    """,
+    doc="TPC-H Q14 (promotion effect): one month's line items join "
+        "the part dimension — BROADCAST, the fact side never shuffles "
+        "— and a single conditional/unconditional sum pair in "
+        "DECIMAL(38,6) yields the promo revenue share.  The "
+        "broadcast-join + conditional-aggregate archetype.",
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)).cast("decimal(38,6)")
+                ).cast("double")
+                / F.sum(rev.cast("decimal(38,6)")).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
