@@ -752,3 +752,71 @@ def test_twap_equals_python_replay(spark, obs):
         den = pts[-1][0] - pts[0][0]
         want[k] = round(num / den, 6) if den else None
     assert got == want
+
+
+@given(
+    xs=st.lists(
+        st.tuples(st.sampled_from("ab"),
+                  st.integers(min_value=0, max_value=20),
+                  st.integers(min_value=-30, max_value=30)),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SETTINGS
+def test_grouped_ols_equals_numpy_polyfit(spark, xs):
+    import numpy as np
+
+    from etl_tiki_webscraping_spark.operators.rollup import grouped_ols_trend
+
+    rows = [(g, float(x), float(y)) for g, x, y in xs]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r.g: (r.slope, r.intercept)
+           for r in grouped_ols_trend(df, ["g"], "x", "y").collect()}
+    by_g: dict[str, list] = {}
+    for g, x, y in rows:
+        by_g.setdefault(g, []).append((x, y))
+    for g, pts in by_g.items():
+        xs_, ys_ = zip(*pts)
+        if len(pts) < 2 or len(set(xs_)) < 2:
+            assert got[g] == (None, None)
+            continue
+        b, a = np.polyfit(xs_, ys_, 1)
+        assert abs(got[g][0] - round(float(b), 6)) < 1e-6, g
+        assert abs(got[g][1] - round(float(a), 6)) < 1e-6, g
+
+
+@given(
+    n=st.integers(min_value=1, max_value=30),
+    k=st.integers(min_value=1, max_value=8),
+)
+@SETTINGS
+def test_weighted_sample_uniform_weights_is_pure_hash_topk(spark, n, k):
+    """With ALL weights equal, A-Res degenerates to a uniform sample:
+    the selected keys must be exactly the top-k by the raw hash-key
+    order — i.e. the weighting is the ONLY thing that biases
+    selection."""
+    import hashlib
+
+    from etl_tiki_webscraping_spark.operators.relational import (
+        weighted_sample_per_group,
+    )
+
+    rows = [(i, "g", 1.0) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, w double")
+    got = {
+        r.doc_id
+        for r in weighted_sample_per_group(
+            df, ["lang"], "doc_id", "w", k
+        ).collect()
+    }
+
+    import math
+
+    def ares(i):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        u = (h + 1.0) / 4294967296.0
+        return round(math.log(u) / 1.0, 9)
+
+    want = set(sorted(range(n), key=lambda i: (-ares(i), i))[:k])
+    assert got == want
