@@ -161,6 +161,7 @@ HEADLINE = [
     ("entity_resolution_clusters", "count"),
     ("corpus_pipeline_v2", "collect"),
     ("tpch_q14", "collect"),
+    ("zscore_outlier_report", "count"),
 ]
 
 

@@ -8329,3 +8329,56 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue_pct")
         )
     )
+
+
+@register(
+    "zscore_outlier_report",
+    oracle="""
+    WITH stats AS (
+        SELECT o_orderpriority AS prio,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE)
+                   / COUNT(*) AS mu,
+               sqrt(CAST(SUM(CAST(o_totalprice * o_totalprice
+                                  AS DECIMAL(38,8))) AS DOUBLE) / COUNT(*)
+                    - pow(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE)
+                          / COUNT(*), 2)) AS sigma
+        FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderkey, s.prio,
+           ROUND((CAST(o.o_totalprice AS DOUBLE) - s.mu) / s.sigma, 4) AS z
+    FROM orders o JOIN stats s ON o.o_orderpriority = s.prio
+    WHERE s.sigma > 0
+      AND abs((CAST(o.o_totalprice AS DOUBLE) - s.mu) / s.sigma) > 1.65
+    """,
+    doc="grouped z-score outlier report (the detection sibling of "
+        "winsorize_clip, which CLIPS): per-priority mean and "
+        "population sigma from one bounded aggregate with "
+        "DECIMAL(38,8) moment accumulation, then the group stats "
+        "BROADCAST back onto the scan and the |z| > 1.65 filter runs "
+        "in codegen — two passes over the fact, zero fact-side "
+        "shuffles.  z rounds to 4 (a sigma-division amplifies ulp; "
+        "the round also keeps the cut away from the boundary; the threshold sits at 1.65 because the fixture's totalprice is uniform — max attainable |z| is sqrt(3), so a classic 3-sigma cut can never fire on this data).  "
+        "Zero-variance groups are excluded rather than dividing by "
+        "zero.",
+)
+def q_zscore_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("v"),
+    )
+    dec = F.col("v").cast("decimal(38,8)")
+    dec2 = (F.col("v") * F.col("v")).cast("decimal(38,8)")
+    stats = orders.groupBy("prio").agg(
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.sqrt(
+            F.sum(dec2).cast("double") / F.count(F.lit(1))
+            - F.pow(F.sum(dec).cast("double") / F.count(F.lit(1)), 2)
+        ).alias("sigma"),
+    ).filter(F.col("sigma") > 0)
+    z = (F.col("v").cast("double") - F.col("mu")) / F.col("sigma")
+    return (
+        orders.join(F.broadcast(stats), "prio")
+        .filter(F.abs(z) > 1.65)
+        .select("o_orderkey", "prio", F.round(z, 4).alias("z"))
+    )
