@@ -154,6 +154,11 @@ def join_view_refresh(
     anti+union materializes only touched partitions.
 
     ``touched_keys`` must carry exactly one column named ``left_key``.
+    When both sides share the join-key NAME (``left_key == right_key``
+    — the common case for a view joined on a shared key), the
+    recompute uses the USING-column form, which resolves the otherwise
+    AMBIGUOUS_REFERENCE and keeps a single key column, matching a view
+    stored from a USING join.
     """
     if touched_keys.columns != [left_key]:
         raise ValueError(
@@ -168,9 +173,15 @@ def join_view_refresh(
         on=right_key,
         how="left_semi",
     )
-    recomputed = l_hit.join(
-        r_hit, on=F.col(left_key) == F.col(right_key), how="inner"
-    ).select(view.columns)
+    if left_key == right_key:
+        # USING join: one key column, no ambiguous F.col reference
+        recomputed = l_hit.join(r_hit, on=left_key, how="inner").select(
+            view.columns
+        )
+    else:
+        recomputed = l_hit.join(
+            r_hit, on=F.col(left_key) == F.col(right_key), how="inner"
+        ).select(view.columns)
     # the USING-column anti join moves the key column first; restore
     # the view's declared column order for a stable output contract
     return kept.select(view.columns).unionByName(recomputed)
@@ -191,17 +202,25 @@ def equi_width_histogram(
     lo: float,
     hi: float,
     n_buckets: int,
+    null_bucket: bool = False,
 ) -> DataFrame:
     """Equi-width histogram over a numeric column: ``n_buckets`` equal
     intervals on [lo, hi); values below ``lo`` clamp into bucket 0,
     values at or above ``hi`` into bucket ``n_buckets - 1`` (the
-    closed-top convention, so no row is dropped).  Returns
+    closed-top convention, so no NON-NULL row is dropped).  Returns
     (bucket, bucket_lo, bucket_hi, cnt) with empty buckets ABSENT —
     profile consumers densify against a spine if they need zeros.
 
+    NULL handling is explicit, never silent: NULL values are EXCLUDED
+    from the numeric buckets (``floor(NULL-lo)`` has no bucket; the
+    old clamp quietly folded them into bucket 0, misreporting the low
+    bucket on any nullable column).  With ``null_bucket=True`` the
+    NULL count is emitted as a dedicated ``bucket = -1`` row with NULL
+    edges, so profiling stays total without corrupting bucket 0.
+
     The aggregate is a single map-side-combinable groupBy on a derived
-    integer — one shuffle whose cardinality is ``n_buckets``, never row
-    count, so it costs the same at 100 TB as at 100 MB (the scan
+    integer — one shuffle whose cardinality is ``n_buckets`` (+1), never
+    row count, so it costs the same at 100 TB as at 100 MB (the scan
     dominates).  Bucket arithmetic is plain floor division, replayable
     exactly in any SQL dialect (no dialect-specific width_bucket)."""
     if not hi > lo:
@@ -209,21 +228,33 @@ def equi_width_histogram(
     if n_buckets < 1:
         raise ValueError("need n_buckets >= 1")
     width = (hi - lo) / n_buckets
-    bucket = F.least(
+    clamped = F.least(
         F.lit(n_buckets - 1),
         F.greatest(
             F.lit(0),
             F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int"),
         ),
     )
+    if null_bucket:
+        # one extra groupBy key value, same single shuffle
+        bucket = F.when(F.col(value_col).isNull(), F.lit(-1)).otherwise(clamped)
+        src = df
+    else:
+        bucket = clamped
+        src = df.filter(F.col(value_col).isNotNull())
     return (
-        df.select(bucket.alias("bucket"))
+        src.select(bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
             "bucket",
-            (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("bucket_lo"),
-            (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)).alias("bucket_hi"),
+            F.when(
+                F.col("bucket") >= 0, F.lit(lo) + F.col("bucket") * F.lit(width)
+            ).alias("bucket_lo"),
+            F.when(
+                F.col("bucket") >= 0,
+                F.lit(lo) + (F.col("bucket") + 1) * F.lit(width),
+            ).alias("bucket_hi"),
             "cnt",
         )
     )

@@ -682,9 +682,13 @@ def embedding_pca(
     df: DataFrame, vec_col: str, k: int = 8
 ) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
     """Distributed PCA over an embedding column: returns
-    ``(mean, eigenvalues, components)`` of the sample covariance —
-    ``eigenvalues`` descending (length d), ``components`` the matching
-    eigenvectors as rows (k x d).
+    ``(mean, eigenvalues, components)`` of the POPULATION covariance
+    ``gram/n - outer(mean, mean)`` (divide by n, not n-1; callers
+    wanting the textbook sample estimator scale eigenvalues by
+    n/(n-1) — eigenvectors and explained-variance RATIOS are
+    identical under either convention) — ``eigenvalues`` descending
+    (length d), ``components`` the matching eigenvectors as rows
+    (k x d).
 
     Scale shape: the O(n d^2) work — accumulating the Gram matrix
     X^T X and the column sums — runs in ONE Arrow pass

@@ -53,7 +53,7 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[S
     return deco
 
 
-# Driver-window rotation (self-maintaining since r8, VERDICT r7 ask #3).
+# Driver-window rotation (fully computed since r9, VERDICT r8 ask #1).
 # The driver records only the FIRST 50 ``queries()`` entries per round,
 # so exports order:
 #   1. never-driver-covered — computed from the committed
@@ -65,25 +65,36 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[S
 #   2. _DRIVER_FRESH — hand-listed queries whose execution path THIS
 #      round's code changes touch, so their prior green rows predate
 #      the code; they re-verify next.
-#   3. settled — green in a prior round and untouched since; they stay
-#      green via tools/verify_local.py (see COVERAGE.md) and pad the
-#      remainder of the 50-slot window in registration order.
+#   3. stalest-first remainder — every other covered query, ordered by
+#      the ROUND of its most recent passing driver row ASCENDING
+#      (registration order breaks ties), computed from the same
+#      committed CORRECTNESS files.  No query's driver evidence can
+#      age more than ~ceil(catalog/50)+1 rounds before it rotates back
+#      into the window — the r8 hand-maintained freshness list is no
+#      longer the only thing keeping settled queries re-verified.
 
 
-def _driver_covered() -> "frozenset[str]":
-    """Names with a PASSING driver row in any committed
-    CORRECTNESS_r*.json: oracle rows must be err-free and
-    row-count-matched; rows-only queries (``err == 'no_oracle'`` by
-    the driver contract, for non-SQL-expressible ops) count when the
-    driver recorded a non-negative Spark row count.  A failed or
-    errored row does NOT count — the query must rotate back in."""
+def _driver_latest_round() -> "dict[str, int]":
+    """Per-query round number of the most recent PASSING driver row
+    across the committed CORRECTNESS_r*.json files: oracle rows must
+    be err-free and row-count-matched; rows-only queries
+    (``err == 'no_oracle'`` by the driver contract, for
+    non-SQL-expressible ops) count when the driver recorded a
+    non-negative Spark row count.  A failed or errored row does NOT
+    count — the query must rotate back in.  Queries absent from the
+    result have no driver evidence at all and lead the window."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    covered: set[str] = set()
+    latest: dict[str, int] = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(path) as fh:
                 recs = json.load(fh)
@@ -104,33 +115,40 @@ def _driver_covered() -> "frozenset[str]":
                 and (spec is None or spec.oracle is None)
             )
             if oracle_pass or rows_only_pass:
-                covered.add(name)
-    return frozenset(covered)
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _driver_covered() -> "frozenset[str]":
+    """Names with a PASSING driver row in any committed
+    CORRECTNESS_r*.json (see :func:`_driver_latest_round`)."""
+    return frozenset(_driver_latest_round())
 
 # Prior-round green but re-verify THIS round because this round's code
-# changes touch their execution path (hand-maintained per round; the
-# never-covered set above it is computed and cannot be forgotten).
+# changes touch their execution path.  Only the handful of queries
+# whose code changed THIS round belongs here; everything else rotates
+# automatically stalest-first, so forgetting an entry costs at most
+# ~ceil(catalog/50) rounds of evidence age, never unbounded drift.
 _DRIVER_FRESH = frozenset({
-    # r8 code changes:
-    #   - update_where stored-schema pinning (upsert.py)
+    # r9 code changes:
+    #   - equi_width_histogram NULL exclusion + oracle NULL filter
+    "histogram_equi_width",
+    #   - join_view_refresh USING-join path for shared key names
+    "ivm_join_from_feed",
+    #   - update_where exact-widening guard (expression-typed probe)
     "snapshot_update_where",
-    #   - cms_estimate merged-sketch guard / heavy_hitters capacity
-    "cms_frequency_rollup",
-    "heavy_hitters_exact",
-    #   - scd2 one-shot backfill builder shares oracle with the fold
-    "scd2_dim_from_feed",
-    #   - multimodal PNG decode lands in the image feature path
-    "multimodal_image_features",
 })
 
 
 def _export_order() -> list[str]:
-    covered = _driver_covered()
-    prio = [n for n in QUERIES if n not in covered]
+    latest = _driver_latest_round()
+    prio = [n for n in QUERIES if n not in latest]
     fresh = [n for n in QUERIES if n in _DRIVER_FRESH and n not in prio]
-    settled = [
-        n for n in QUERIES if n in covered and n not in _DRIVER_FRESH
-    ]
+    reg_order = {n: i for i, n in enumerate(QUERIES)}
+    settled = sorted(
+        (n for n in QUERIES if n in latest and n not in _DRIVER_FRESH),
+        key=lambda n: (latest[n], reg_order[n]),
+    )
     return prio + fresh + settled
 
 
@@ -6926,7 +6944,7 @@ def q_entity_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT LEAST(19, GREATEST(0,
                    CAST(floor((CAST(o_totalprice AS DOUBLE) - 0.0)
                               / 30000.0) AS INT))) AS bucket
-        FROM orders
+        FROM orders WHERE o_totalprice IS NOT NULL
     )
     SELECT bucket,
            0.0 + bucket * 30000.0 AS bucket_lo,
@@ -6936,7 +6954,10 @@ def q_entity_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="equi-width histogram (profiling primitive): order totals "
         "bucketed into 20 equal intervals on [0, 600000) with clamped "
-        "edges so no row drops.  ONE map-side-combinable groupBy on a "
+        "edges so no non-NULL row drops (NULLs are excluded, or "
+        "surfaced as a dedicated bucket=-1 row with null_bucket=True — "
+        "never silently folded into bucket 0).  ONE map-side-"
+        "combinable groupBy on a "
         "derived integer — shuffle cardinality is the bucket count, "
         "never row count, so the cost at 100 TB is the scan.  Bucket "
         "arithmetic is plain floor division (no dialect-specific "
@@ -7451,8 +7472,10 @@ def q_token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "each decoded image's 64 luma pixels threshold against their "
         "mean into a 64-bit fingerprint (two bigint halves — ANSI "
         "forbids bit 63 in one signed fold), and pairs within Hamming "
-        "6 surface via FOUR 16-bit band equi-joins (pigeonhole: <= 15 "
-        "differing bits must leave one band identical) — the SimHash "
+        "6 surface via EIGHT 8-bit band equi-joins (pigeonhole: d "
+        "differing bits CAN touch d bands, so catching distance d "
+        "needs >= d+1 bands; 8 bands cover max_hamming <= 7) — the "
+        "SimHash "
         "band shape applied to the multimodal column, one "
         "(band, value) shuffle, no all-pairs.  Decode runs once in "
         "the Arrow kernel; the hash and join are pure JVM integer "

@@ -2297,8 +2297,18 @@ def update_where(
     )
 
 
-_NUMERIC_WIDEN_RANK = {
-    "byte": 1, "short": 2, "integer": 3, "long": 4, "float": 5, "double": 6
+# Exactly-representable numeric widenings only.  A rank comparison
+# (byte<short<int<long<float<double) would admit int/long into float
+# and long into double, which silently lose precision above 2^24
+# (float mantissa) / 2^53 (double mantissa) — an UPDATE must never
+# quietly corrupt stored values, so those demotions-in-precision
+# require an explicit cast by the caller.
+_SAFE_NUMERIC_WIDEN = {  # keys/values are DataType.simpleString() names
+    "tinyint": {"smallint", "int", "bigint", "float", "double"},
+    "smallint": {"int", "bigint", "float", "double"},  # |x| < 2^15 < 2^24
+    "int": {"bigint", "double"},  # int->float is lossy above 2^24
+    "bigint": set(),  # bigint->float/double lossy above 2^24 / 2^53
+    "float": {"double"},
 }
 
 
@@ -2313,10 +2323,13 @@ def _schema_preserving_assigned(
     partitioned path carries untouched partition files forward with
     their old physical type — so a type-changing assignment would
     commit unreadable data.  Assignment results are cast back to the
-    stored type when that cast is a safe numeric widening (expression
-    type ranks at-or-below the stored type: int expr into a long
-    column is fine); anything else — double into int, string into
-    date, an unknown column — raises before any file is written."""
+    stored type when that cast is an EXACT numeric widening (every
+    value of the expression type is exactly representable in the
+    stored type: int expr into a long column is fine; int into float
+    or long into double is NOT — those lose precision above the
+    mantissa and require an explicit cast); anything else — double
+    into int, string into date, an unknown column — raises before any
+    file is written."""
     stored = {f.name: f.dataType for f in schema.fields}
 
     def assigned(df: DataFrame) -> DataFrame:
@@ -2328,24 +2341,27 @@ def _schema_preserving_assigned(
                     f"table columns: {sorted(stored)} — UPDATE cannot add "
                     "columns (use a schema-evolving write)"
                 )
-            out = out.withColumn(c, F.when(cond, expr).otherwise(F.col(c)))
-            actual = out.schema[c].dataType
+            # type the RAW expression before when/otherwise combines
+            # it with the stored column — Spark's conditional coerces
+            # both branches to a common type, which would quietly
+            # perform exactly the lossy widening (int -> float) this
+            # guard exists to reject
+            actual = out.select(expr.alias("__expr_probe")).schema[
+                "__expr_probe"
+            ].dataType
             want = stored[c]
-            if actual != want:
-                a, w = actual.simpleString(), want.simpleString()
-                if a == "void" or (
-                    _NUMERIC_WIDEN_RANK.get(a, 99)
-                    <= _NUMERIC_WIDEN_RANK.get(w, 0)
-                ):
-                    out = out.withColumn(c, F.col(c).cast(want))
-                else:
-                    raise TypeError(
-                        f"update_where assignment to {c!r} produces type {a} "
-                        f"but the stored column type is {w}; UPDATE preserves "
-                        "the table schema — cast the expression to "
-                        f"{w} explicitly (lossy) or evolve the schema with a "
-                        "rewriting commit first"
-                    )
+            a, w = actual.simpleString(), want.simpleString()
+            if not (a == "void" or a == w or w in _SAFE_NUMERIC_WIDEN.get(a, ())):
+                raise TypeError(
+                    f"update_where assignment to {c!r} produces type {a} "
+                    f"but the stored column type is {w}; UPDATE preserves "
+                    "the table schema — cast the expression to "
+                    f"{w} explicitly (lossy) or evolve the schema with a "
+                    "rewriting commit first"
+                )
+            out = out.withColumn(
+                c, F.when(cond, expr.cast(want)).otherwise(F.col(c))
+            )
         return out
 
     return assigned

@@ -100,3 +100,56 @@ def test_every_query_driver_covered_or_in_next_window():
     order = _export_order()
     n_uncov = sum(1 for n in QUERIES if n not in covered)
     assert all(n not in covered for n in order[:n_uncov])
+
+
+def test_settled_queries_rotate_stalest_first():
+    """VERDICT r8 ask #1: after the never-covered and changed-path
+    sets, the window fills with the queries whose most recent passing
+    driver row is OLDEST — computed from the committed CORRECTNESS
+    files, not a hand-maintained list."""
+    from etl_tiki_webscraping_spark.plans.catalog import (
+        QUERIES,
+        _DRIVER_FRESH,
+        _driver_latest_round,
+        _export_order,
+    )
+
+    latest = _driver_latest_round()
+    order = _export_order()
+    settled = [n for n in order if n in latest and n not in _DRIVER_FRESH]
+    rounds = [latest[n] for n in settled]
+    assert rounds == sorted(rounds), (
+        "settled queries are not ordered stalest-first"
+    )
+
+
+def test_driver_evidence_age_is_bounded_under_rotation():
+    """Simulate the rotation forward: each round the driver records
+    the first 50 exported names as passing at that round.  With the
+    stalest-first fill, EVERY query must be re-verified within
+    ceil(catalog/50)+1 rounds of any starting state — the hand-
+    maintained-list failure mode (unbounded staleness) is dead."""
+    import math
+
+    from etl_tiki_webscraping_spark.plans.catalog import (
+        QUERIES,
+        _driver_latest_round,
+    )
+
+    latest = dict(_driver_latest_round())
+    for n in QUERIES:
+        latest.setdefault(n, 0)  # never covered sorts oldest
+    reg_order = {n: i for i, n in enumerate(QUERIES)}
+    cycle = math.ceil(len(QUERIES) / 50)
+    start = max(latest.values())
+    for rnd in range(start + 1, start + 1 + 2 * cycle):
+        window = sorted(latest, key=lambda n: (latest[n], reg_order[n]))[:50]
+        for n in window:
+            latest[n] = rnd
+    # after the warm-up cycle, no query's evidence is older than
+    # cycle+1 rounds behind the current round
+    final = start + 2 * cycle
+    worst = final - min(latest.values())
+    assert worst <= cycle + 1, (
+        f"rotation lets evidence age {worst} rounds (> {cycle + 1})"
+    )

@@ -210,6 +210,25 @@ class TestJoinViewRefresh:
         ).collect()]
         assert got == [(1, 10, "a", "ten")]
 
+    def test_same_key_name_uses_using_join(self, spark):
+        # the common case: both sides share the join-key NAME; the
+        # recompute must not hit AMBIGUOUS_REFERENCE (ADVICE r8) and
+        # must keep a single key column like a USING-join view
+        from etl_tiki_webscraping_spark.operators.rollup import (
+            join_view_refresh,
+        )
+
+        fact = self._mk(spark, [(1, 10, "a"), (2, 20, "b")], "fid int, k int, fx string")
+        dim = self._mk(spark, [(10, "ten"), (20, "twenty")], "k int, dname string")
+        view = fact.join(dim, on="k").select("fid", "k", "fx", "dname")
+        fact2 = self._mk(spark, [(1, 10, "a"), (2, 20, "B")], "fid int, k int, fx string")
+        touched = self._mk(spark, [(20,)], "k int")
+        got = sorted(
+            tuple(r)
+            for r in join_view_refresh(view, fact2, dim, "k", "k", touched).collect()
+        )
+        assert got == [(1, 10, "a", "ten"), (2, 20, "B", "twenty")]
+
     def test_touched_keys_schema_validated(self, spark):
         import pytest
 
@@ -248,6 +267,36 @@ class TestEquiWidthHistogram:
             1: (10.0, 20.0, 1),
             2: (20.0, 30.0, 1),
             9: (90.0, 100.0, 2),
+        }
+
+    def test_nulls_never_pollute_bucket_zero(self, spark):
+        # ADVICE r8 (medium): floor(NULL-lo) is NULL and greatest()
+        # skips NULLs, so the old clamp silently counted NULLs into
+        # bucket 0.  Default: NULLs excluded; null_bucket=True: a
+        # dedicated bucket=-1 row with NULL edges carries the count.
+        from etl_tiki_webscraping_spark.operators.rollup import (
+            equi_width_histogram,
+        )
+
+        df = spark.createDataFrame(
+            [(None,), (None,), (5.0,), (15.0,)], "v double"
+        )
+        got = {
+            r.bucket: r.cnt
+            for r in equi_width_histogram(df, "v", 0.0, 100.0, 10).collect()
+        }
+        assert got == {0: 1, 1: 1}  # NULLs excluded, bucket 0 honest
+
+        with_null = {
+            r.bucket: (r.bucket_lo, r.bucket_hi, r.cnt)
+            for r in equi_width_histogram(
+                df, "v", 0.0, 100.0, 10, null_bucket=True
+            ).collect()
+        }
+        assert with_null == {
+            -1: (None, None, 2),
+            0: (0.0, 10.0, 1),
+            1: (10.0, 20.0, 1),
         }
 
     def test_total_count_preserved(self, spark, sf_dir):

@@ -814,6 +814,37 @@ class TestUpdateWhereSchemaPreserved:
             .select("o_custkey").distinct().collect()[0][0] == 7
         )
 
+    def test_precision_losing_widenings_rejected(self, spark):
+        # ADVICE r8: rank-based widening admitted int/long -> float and
+        # long -> double, which silently lose precision above 2^24 /
+        # 2^53.  Only EXACT widenings may be auto-cast.
+        from pyspark.sql import types as T
+
+        from etl_tiki_webscraping_spark.sinks.upsert import (
+            _schema_preserving_assigned,
+        )
+
+        _ = T  # stored types come from the df schema below
+
+        def run(expr_t, stored_t):
+            df = spark.createDataFrame([], f"x {expr_t}, c {stored_t}")
+            fn = _schema_preserving_assigned(
+                {"c": F.col("x")}, F.lit(True), df.schema
+            )
+            return dict(fn(df).dtypes)["c"]
+
+        # lossy: bigint -> float/double, int -> float must raise
+        for expr_t, stored_t in [
+            ("bigint", "float"), ("bigint", "double"), ("int", "float")
+        ]:
+            with pytest.raises(TypeError, match="stored column type"):
+                run(expr_t, stored_t)
+        # exact widenings still auto-cast to the stored type
+        assert run("int", "bigint") == "bigint"
+        assert run("int", "double") == "double"
+        assert run("smallint", "float") == "float"
+        assert run("float", "double") == "double"
+
     def test_unknown_column_assignment_raises(self, spark, sf_dir, tmp_path):
         from etl_tiki_webscraping_spark.sinks.upsert import update_where
 
