@@ -162,6 +162,10 @@ HEADLINE = [
     ("corpus_pipeline_v2", "collect"),
     ("tpch_q14", "collect"),
     ("zscore_outlier_report", "count"),
+    ("tpch_q2", "collect"),
+    ("tpch_q17", "collect"),
+    ("tpch_q20", "collect"),
+    ("tpch_q21", "collect"),
 ]
 
 

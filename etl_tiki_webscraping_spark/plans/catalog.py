@@ -8405,3 +8405,319 @@ def q_zscore_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > 1.65)
         .select("o_orderkey", "prio", F.round(z, 4).alias("z"))
     )
+
+
+@register(
+    "tpch_q17",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0
+               AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23' AND p_size <= 10
+      AND l_quantity < (
+        SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                      / COUNT(*))
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+    doc="TPC-H Q17 (small-quantity-order revenue; reference star "
+        "schema sql/dwh.sql:28 consumers hit this correlated-AVG "
+        "shape): the per-part correlated scalar AVG subquery "
+        "DECORRELATES to aggregate-then-join — ONE groupBy(l_partkey) "
+        "computes every part's average once (decimal-exact sum / "
+        "count, so Spark and the oracle see the identical double), "
+        "then joins back on the same l_partkey partitioning; the "
+        "brand/size part filter broadcasts into the lineitem scan "
+        "first so the aggregate only touches qualifying parts.  A "
+        "naive planner rescans lineitem per outer row — here lineitem "
+        "is read ONCE for the filter side and ONCE for the aggregate, "
+        "both pruned to 3 columns.  Predicates adapted to the "
+        "fixture's part columns (p_brand/p_size; no p_container).",
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pf = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 10))
+        .select("p_partkey")
+    )
+    li_f = li.join(
+        F.broadcast(pf), li["l_partkey"] == pf["p_partkey"]
+    ).drop("p_partkey")
+    avg_qty = li_f.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        li_f.join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double")
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "tpch_q21",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE o_orderstatus = 'F' AND l1.l_shipdate >= TIMESTAMP '1999-01-01'
+      AND r_name = 'EUROPE'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate >= TIMESTAMP '1999-01-01')
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+    """,
+    doc="TPC-H Q21 (suppliers who kept orders waiting): the nested "
+        "EXISTS / NOT EXISTS chain — the canonical decorrelation "
+        "stress shape — rewrites to ONE per-order aggregate: "
+        "countDistinct(supplier) and countDistinct(LATE supplier) per "
+        "order, then EXISTS(other supplier) == n_supp >= 2 and "
+        "NOT EXISTS(other late supplier) == n_late_supp = 1 (the late "
+        "outer row itself is that one).  lineitem is scanned exactly "
+        "TWICE (outer late lines + the aggregate) instead of the "
+        "naive three correlated rescans, the qualifying-order set "
+        "gates through semi joins, and the supplier/nation/region dim "
+        "stack broadcasts.  'Late' adapts to the fixture's columns "
+        "(shipdate cutoff; no receipt/commit dates).",
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") >= cutoff
+    ord_stats = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .select("l_orderkey")
+    )
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.join(region, nation["n_regionkey"] == region["r_regionkey"])
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        li.filter(late)
+        .join(orders_f, li["l_orderkey"] == orders_f["o_orderkey"], "left_semi")
+        .join(ord_stats, "l_orderkey", "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q20",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                 AS ps_availqty
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND s_suppkey IN (
+        SELECT ps_suppkey FROM ps
+        WHERE ps_partkey IN (SELECT p_partkey FROM part
+                             WHERE p_name LIKE 'small%')
+          AND ps_availqty > (
+            SELECT 0.5 * CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+            FROM lineitem
+            WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+              AND l_shipdate >= TIMESTAMP '1998-01-01'
+              AND l_shipdate < TIMESTAMP '1999-01-01'))
+    ORDER BY s_name
+    """,
+    doc="TPC-H Q20 (potential part promotion): nested IN with a "
+        "correlated aggregate.  The availability relation derives "
+        "from lineitem (the fixture carries no partsupp table) with "
+        "ONE groupBy(part, supplier); the correlated half-year "
+        "quantity SUM decorrelates to a second, date-filtered "
+        "aggregate on the SAME (l_partkey, l_suppkey) keys — the two "
+        "aggregates co-partition, so their join adds no exchange.  "
+        "The part-name IN-list broadcasts as a semi join before the "
+        "aggregate, the qualifying supplier set gates supplier "
+        "through a semi join, and nation/region broadcast.  An "
+        "absent half-year sum means the correlated subquery returns "
+        "NULL and the > comparison fails — inner-join semantics, "
+        "identical in both engines.",
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li_p = li.join(
+        F.broadcast(parts), li["l_partkey"] == parts["p_partkey"], "left_semi"
+    )
+    ps = li_p.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("ps_availqty")
+    )
+    half = (
+        li_p.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            (
+                0.5
+                * F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double")
+            ).alias("half_qty")
+        )
+    )
+    qual_supp = (
+        ps.join(half, ["l_partkey", "l_suppkey"])
+        .filter(F.col("ps_availqty") > F.col("half_qty"))
+        .select("l_suppkey")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.join(region, nation["n_regionkey"] == region["r_regionkey"])
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            qual_supp, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "tpch_q2",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(l_extendedprice / l_quantity) AS ps_supplycost
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+           CAST(ps_supplycost AS DOUBLE) AS supplycost
+    FROM part
+    JOIN ps ON p_partkey = ps_partkey
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size = 15 AND r_name = 'EUROPE'
+      AND ps_supplycost = (
+        SELECT MIN(ps2.ps_supplycost)
+        FROM ps ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+    doc="TPC-H Q2 (minimum-cost supplier): correlated scalar MIN.  "
+        "The supply-cost relation derives from lineitem (no partsupp "
+        "in the fixture; min unit price per part x supplier — IEEE "
+        "double division, bit-identical in both engines).  The "
+        "correlated per-part MIN over region-gated suppliers "
+        "DECORRELATES to aggregate-then-join: the region-filtered "
+        "(part, supplier, cost) stream is computed ONCE, a "
+        "groupBy(part) takes each part's min, and the equality "
+        "becomes a same-key equi-join + filter — the p_size part "
+        "filter semi-joins the stream FIRST so both the aggregate "
+        "and the final join only carry qualifying parts.  The "
+        "supplier/nation/region stack (100 rows) broadcasts; top-100 "
+        "is TakeOrderedAndProject on the 4-key tie-broken sort.",
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    parts15 = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 15)
+        .select("p_partkey", "p_type")
+    )
+    li_p = li.join(
+        F.broadcast(parts15.select("p_partkey")),
+        li["l_partkey"] == parts15["p_partkey"],
+        "left_semi",
+    )
+    ps = li_p.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.join(region, nation["n_regionkey"] == region["r_regionkey"])
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps_eur = ps.join(
+        F.broadcast(eur_supp), ps["l_suppkey"] == eur_supp["s_suppkey"]
+    )
+    min_cost = ps_eur.groupBy("l_partkey").agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        ps_eur.join(min_cost, "l_partkey")
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .join(F.broadcast(parts15), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.col("ps_supplycost").alias("supplycost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
