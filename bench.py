@@ -166,6 +166,7 @@ HEADLINE = [
     ("tpch_q17", "collect"),
     ("tpch_q20", "collect"),
     ("tpch_q21", "collect"),
+    ("bpe_encode_corpus", "count"),
 ]
 
 

@@ -112,3 +112,86 @@ def bpe_train_report(
         [(r, l, rt, l + rt) for r, l, rt in merges],
         "rank int, left string, right string, merged string",
     )
+
+
+# --- encode (VERDICT r8 ask #3): apply a learned merge table ----------
+
+#: symbol separator for the string-encoded token stream.  Greedy BPE
+#: merge application — merge every non-overlapping adjacent (l, r)
+#: left-to-right — is EXACTLY the semantics of a non-overlapping
+#: left-to-right literal string replace of "l<SEP>r" with "lr" on the
+#: separator-joined symbol string (separators make symbol boundaries
+#: unambiguous, so a replace can never match across half a symbol).
+#: That equivalence keeps the whole encode inside JVM whole-stage
+#: codegen (chained F.replace — no Python in the hot path at all) and
+#: makes it replayable verbatim in ANSI SQL for the oracle.
+BPE_SEP = "\x1f"
+
+
+def bpe_encode_col(word_col, merges: "list[tuple[int, str, str]]"):
+    """Encoded token stream of a word as a BPE_SEP-joined string:
+    chars joined by the separator, then each merge replayed in RANK
+    ORDER as one literal replace.  Pure column expressions — cost is
+    O(word length x merges) inside codegen, zero shuffles, zero
+    Python.  Input symbols must not contain BPE_SEP; any stray
+    occurrence is stripped first (control char, absent from text).
+
+    For production-sized merge tables (30k+) a chained expression no
+    longer codegens — that regime dedups the word vocabulary first
+    and encodes each distinct word once in an Arrow kernel; this
+    expression form is the right tool for bounded merge tables and is
+    what the oracle can replay exactly."""
+    col = word_col if not isinstance(word_col, str) else F.col(word_col)
+    e = F.array_join(F.split(F.replace(col, F.lit(BPE_SEP), F.lit("")), ""), BPE_SEP)
+    for _, left, right in sorted(merges):
+        e = F.replace(e, F.lit(left + BPE_SEP + right), F.lit(left + right))
+    return e
+
+
+def bpe_tokens_col(word_col, merges: "list[tuple[int, str, str]]"):
+    """Token ARRAY form of :func:`bpe_encode_col` (unit-test surface
+    and the shape downstream n-gram/LM ops consume)."""
+    return F.split(bpe_encode_col(word_col, merges), BPE_SEP)
+
+
+def bpe_token_count_col(word_col, merges: "list[tuple[int, str, str]]"):
+    """Token count of a word under the merge table: separators + 1 on
+    the encoded stream (length arithmetic, no array materialization)."""
+    e = bpe_encode_col(word_col, merges)
+    return (
+        F.length(e) - F.length(F.replace(e, F.lit(BPE_SEP), F.lit(""))) + 1
+    ).cast("bigint")
+
+
+def bpe_encode_corpus(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: "list[tuple[int, str, str]]",
+) -> DataFrame:
+    """Tokenize the corpus under a learned merge table and report per
+    document (n_words, n_tokens) — the budgeting/packing input every
+    training-data pipeline needs after training a tokenizer.
+
+    Scale shape: the encode runs as codegen'd string expressions on
+    the exploded word stream, then ONE map-side-combinable
+    groupBy(id) — the single exchange carries (doc_id, two bigints),
+    never words or text.  Corpus cost is O(total chars x merges) of
+    pure JVM string work; no join, no Python worker, no second
+    shuffle.  (A 30k-merge production vocabulary instead dedups
+    distinct words, Arrow-encodes the vocab once, and joins counts
+    back — documented in :func:`bpe_encode_col`.)"""
+    words = docs.select(
+        F.col(id_col),
+        F.explode(tokenize_ws(F.lower(F.col(text_col)))).alias("word"),
+    )
+    return (
+        words.select(
+            id_col, bpe_token_count_col(F.col("word"), merges).alias("nt")
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+        )
+    )

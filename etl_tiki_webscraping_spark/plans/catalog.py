@@ -8721,3 +8721,70 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)
     )
+
+
+# Pinned merge table for the encode query — a DEPLOYED tokenizer is a
+# fixed artifact applied unchanged to new data (training it is
+# bpe_train_merges above); these 16 merges are the trainer's exact
+# output on the sf0.001 documents fixture (asserted by
+# tests/test_bpe.py::test_pinned_merges_are_the_trainers_output) and
+# are frozen here so the oracle replays the encode byte-for-byte at
+# any scale factor.
+_BPE_PINNED_MERGES: "list[tuple[int, str, str]]" = [
+    (0, "e", "r"), (1, "o", "r"), (2, "i", "n"), (3, "o", "w"),
+    (4, "s", "t"), (5, "l", "u"), (6, "a", "r"), (7, "p", "ar"),
+    (8, "m", "er"), (9, "a", "t"), (10, "a", "n"), (11, "c", "an"),
+    (12, "s", "can"), (13, "c", "o"), (14, "co", "lu"), (15, "colu", "m"),
+]
+
+
+def _bpe_encode_oracle() -> str:
+    """Generate the encode oracle from the pinned merge table: greedy
+    BPE merge application == chained non-overlapping literal replace
+    on the chr(31)-joined symbol string (see operators/bpe.py), so
+    the whole encode replays in ANSI SQL — one replace per merge, in
+    rank order."""
+    e = "array_to_string(string_split(replace(word, chr(31), ''), ''), chr(31))"
+    for _, left, right in _BPE_PINNED_MERGES:
+        e = (
+            f"replace({e}, '{left}' || chr(31) || '{right}', "
+            f"'{left}{right}')"
+        )
+    return f"""
+    WITH words AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+        FROM documents
+    ),
+    enc AS (
+        SELECT doc_id, {e} AS e FROM words WHERE word <> ''
+    )
+    SELECT doc_id, COUNT(*) AS n_words,
+           CAST(SUM(length(e) - length(replace(e, chr(31), '')) + 1)
+                AS BIGINT) AS n_tokens
+    FROM enc GROUP BY doc_id
+    """
+
+
+@register(
+    "bpe_encode_corpus",
+    oracle=_bpe_encode_oracle(),
+    doc="BPE corpus encode (VERDICT r8 ask #3 — the other half of the "
+        "tokenizer loop bpe_train_merges opened): per-document word "
+        "and token counts under the pinned 16-merge table learned by "
+        "the trainer from this corpus.  Greedy merge application is "
+        "EXACTLY non-overlapping left-to-right literal replace of "
+        "'l<SEP>r'->'lr' on the separator-joined symbol string, so "
+        "the encode runs as chained JVM codegen string replaces on "
+        "the exploded word stream — no Python, no join, and the ONE "
+        "exchange is the map-side-combined groupBy(doc_id) carrying "
+        "(id, two bigints).  The oracle replays the identical replace "
+        "chain in DuckDB (operators/bpe.py::bpe_encode_col documents "
+        "the equivalence; parity with a single-node fold encode is "
+        "unit-tested in tests/test_bpe.py).",
+)
+def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.bpe import bpe_encode_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode_corpus(docs, "doc_id", "text", _BPE_PINNED_MERGES)

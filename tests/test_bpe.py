@@ -47,9 +47,16 @@ def test_bpe_matches_reference_on_fixture(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     vocab = build_word_vocab(docs, "text")
     counts = {r.word: r.cnt for r in vocab.collect()}
-    got = bpe_train(vocab, num_merges=10)
-    want = _reference_bpe(counts, 10)
-    assert got == want and len(got) == 10
+    got = bpe_train(vocab, num_merges=16)
+    want = _reference_bpe(counts, 16)
+    assert got == want and len(got) == 16
+
+    # the catalog's deployed-tokenizer artifact is this exact output
+    # (bpe_encode_corpus doc promises the pinned table IS what the
+    # trainer learns from the fixture)
+    from etl_tiki_webscraping_spark.plans.catalog import _BPE_PINNED_MERGES
+
+    assert got == _BPE_PINNED_MERGES
 
 
 def test_bpe_handcrafted_ties_and_overlaps(spark):
@@ -80,3 +87,114 @@ def test_bpe_stops_when_no_pair_reaches_floor(spark):
     vocab = build_word_vocab(docs, "text")
     got = bpe_train(vocab, num_merges=5, min_pair_count=2)
     assert got == []  # every pair occurs once: below the floor
+
+
+# --- encode (the other half of the tokenizer loop) -------------------
+
+
+def _reference_encode(word: str, merges) -> list[str]:
+    """Single-node greedy BPE encode: replay merges in rank order,
+    each applied left-to-right non-overlapping (same fold as
+    _reference_bpe's application step)."""
+    syms = list(word)
+    for _, l, r in sorted(merges):
+        out, i = [], 0
+        while i < len(syms):
+            if out and out[-1] == l and syms[i] == r:
+                out[-1] = l + r
+            else:
+                out.append(syms[i])
+            i += 1
+        syms = out
+    return syms
+
+
+_ENCODE_MERGES = [
+    (0, "a", "a"),       # self-pair: overlap handling ("aaaa" -> aa aa)
+    (1, "a", "b"),       # consumed-left: "aab" folds to (aa, b) not (a, ab)
+    (2, "aa", "b"),      # cascading: output of merge 0 feeds merge 2
+    (3, "c", "d"),
+    (4, "cd", "cd"),     # pair of merged symbols
+]
+
+
+def test_bpe_encode_col_matches_reference(spark):
+    """Chained-replace encode == single-node greedy fold encode on
+    every overlap/cascade shape that distinguishes wrong orderings."""
+    from etl_tiki_webscraping_spark.operators.bpe import bpe_tokens_col
+
+    words = [
+        "aaaa", "aaaab", "aab", "ab", "ba", "abab", "cdcd", "cdcdcd",
+        "acdbcd", "aaabaaab", "x", "", "bbbb", "aacdaab",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r.word: list(r.toks)
+        for r in df.select(
+            "word", bpe_tokens_col("word", _ENCODE_MERGES).alias("toks")
+        ).collect()
+    }
+    for w in words:
+        want = _reference_encode(w, _ENCODE_MERGES) or [""]
+        assert got[w] == want, (w, got[w], want)
+
+
+def test_bpe_token_count_col_is_token_len(spark):
+    from etl_tiki_webscraping_spark.operators.bpe import (
+        bpe_token_count_col,
+        bpe_tokens_col,
+    )
+
+    words = ["aaaa", "aab", "cdcdcd", "zz", "acdbcd"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    rows = df.select(
+        bpe_tokens_col("word", _ENCODE_MERGES).alias("t"),
+        bpe_token_count_col("word", _ENCODE_MERGES).alias("n"),
+    ).collect()
+    for r in rows:
+        assert r.n == len(r.t)
+
+
+def test_bpe_encode_corpus_counts(spark):
+    """End-to-end encode on a tiny corpus with hand-computed counts."""
+    from etl_tiki_webscraping_spark.operators.bpe import bpe_encode_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa ab cd"), (2, "AAAB  cdcd"), (3, "x")],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in bpe_encode_corpus(
+            docs, "doc_id", "text", _ENCODE_MERGES
+        ).collect()
+    }
+    # doc1: aaaa->[aa,aa]=2, ab->[ab]=1, cd->[cd]=1  => 3 words 4 toks
+    # doc2 (lowercased): aaab -> merge0 [aa,a,b] -> merge1 [aa,ab]
+    #   (merge2 (aa,b) finds no adjacency) = 2 toks; cdcd->[cdcd]=1
+    #   => 2 words 3 toks
+    # doc3: x -> 1 word 1 tok
+    assert got == {1: (3, 4), 2: (2, 3), 3: (1, 1)}
+
+
+def test_trained_merges_roundtrip_through_encode(spark, sf_dir):
+    """Train on the fixture, encode the fixture with the learned
+    table, and check a sample of documents against the single-node
+    encoder run on the same merges (full loop: train -> deploy ->
+    encode)."""
+    from etl_tiki_webscraping_spark.plans.catalog import _BPE_PINNED_MERGES
+    from etl_tiki_webscraping_spark.operators.bpe import bpe_encode_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in bpe_encode_corpus(
+            docs, "doc_id", "text", _BPE_PINNED_MERGES
+        ).collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        words = r.text.lower().split()
+        want_tokens = sum(
+            len(_reference_encode(w, _BPE_PINNED_MERGES)) for w in words
+        )
+        assert got[r.doc_id] == (len(words), want_tokens), r.doc_id

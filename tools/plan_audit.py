@@ -423,6 +423,16 @@ def main() -> int:
           "in-basket pairs via a basket-keyed equi-join — bounded by "
           "basket size, never a cross join")
 
+    p = plan_of("bpe_encode_corpus")
+    exchanges = [seg for seg in p.split("\n") if "Exchange" in seg]
+    check("bpe_encode_corpus",
+          len(exchanges) == 1 and "text" not in exchanges[0]
+          and "word" not in exchanges[0]
+          and "MapInPandas" not in p and "BatchEvalPython" not in p,
+          "merge replay is pure JVM codegen string work; the ONE "
+          "exchange is the map-side-combined per-doc rollup carrying "
+          "(doc_id, two bigints) — never words or text")
+
     p = plan_of("ivm_join_from_feed")
     check("ivm_join_from_feed",
           "LeftAnti" in p and p.count("LeftSemi") >= 2
