@@ -827,6 +827,7 @@ def winnow_fingerprints(
     text_col: str,
     k: int = 16,
     w: int = 8,
+    with_grams: bool = False,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03 — the MOSS algorithm): hash every character ``k``-gram of
@@ -846,6 +847,18 @@ def winnow_fingerprints(
     than k + w - 1 normalized chars emit nothing (no span of guarantee
     length exists).  Pure built-in expressions per document — no
     shuffle at all until a consumer joins.
+
+    ``with_grams=True`` additionally attaches the actual k-char gram
+    at each fingerprint position (one id-keyed join carrying each
+    document's text ONCE, immediately projected down to the k-char
+    gram).  A gram-carrying fingerprint store is SELF-CONTAINED for
+    collision verification: consumers compare grams on the hash join
+    directly, so no verification stage ever shuffles full document
+    text — and an incremental base store (see
+    :func:`contaminated_new_docs`) never needs the base corpus text
+    retained at all.  Cost: +k chars per fingerprint row, at ~2/(w+1)
+    fingerprints per char that is ~2k/(w+1) bytes per corpus char in
+    the STORE, while the winnow window exchange itself stays bare.
     """
     if k < 2 or w < 1:
         raise ValueError("need k >= 2 and w >= 1")
@@ -889,7 +902,7 @@ def winnow_fingerprints(
     win = (
         Window.partitionBy("id").orderBy("i").rowsBetween(0, w - 1)
     )
-    return (
+    fps = (
         grams.withColumn("wmin", F.min("enc").over(win))
         .filter(F.col("i") <= F.col("n_grams") - (w - 1))
         .select("id", "wmin")
@@ -899,6 +912,11 @@ def winnow_fingerprints(
             (F.col("wmin") / _WINNOW_BASE).cast("bigint").alias("h"),
             (F.col("wmin") % _WINNOW_BASE).cast("int").alias("pos"),
         )
+    )
+    if not with_grams:
+        return fps
+    return fps.join(norm, "id").select(
+        "id", "h", "pos", F.substr(F.col("t"), F.col("pos"), F.lit(k)).alias("gram")
     )
 
 
@@ -915,34 +933,29 @@ def substring_dup_pairs(
     provably contain identical character spans (every span >=
     k + w - 1 chars is caught; shorter copies may be).
 
-    Scale shape: the fingerprint inverted index shuffles bare
-    (id, h, pos) rows ONCE on the hash; same-hash doc pairs verify the
-    actual k-gram text (killing 32-bit collisions) through an id-keyed
-    join that carries one normalized text per side, then a pair-keyed
-    count.  No all-pairs stage anywhere; fan-out per hash is bounded
-    by how many documents genuinely share that span (cap pathological
-    boilerplate hashes upstream with :func:`cap_bucket_membership` on
-    ``h`` if a corpus has them).
+    Scale shape: the fingerprint inverted index carries its own
+    k-char gram per row (``winnow_fingerprints(with_grams=True)`` —
+    each document's text crosses ONE id-keyed join and is immediately
+    cut down to grams), so the hash-keyed candidate join verifies by
+    gram equality inline — killing 32-bit collisions without ever
+    shuffling document text: every verification exchange carries at
+    most (id, h, k chars).  No all-pairs stage anywhere; fan-out per
+    hash is bounded by how many documents genuinely share that span
+    (cap pathological boilerplate hashes upstream with
+    :func:`cap_bucket_membership` on ``h`` if a corpus has them).
 
     Returns (id_a, id_b, shared) with id_a < id_b, ``shared`` =
     distinct verified fingerprint hashes in common.
     """
-    fps = winnow_fingerprints(docs, id_col, text_col, k, w)
-    norm = docs.select(
-        F.col(id_col).alias("id"), normalize_text(text_col).alias("t")
+    fps = winnow_fingerprints(docs, id_col, text_col, k, w, with_grams=True)
+    a = fps.select(
+        F.col("id").alias("id_a"), "h", F.col("gram").alias("gram_a")
     )
-    a = fps.select(F.col("id").alias("id_a"), "h", F.col("pos").alias("pos_a"))
-    b = fps.select(F.col("id").alias("id_b"), "h", F.col("pos").alias("pos_b"))
-    cand = a.join(b, "h").filter(F.col("id_a") < F.col("id_b"))
-    na = norm.select(F.col("id").alias("id_a"), F.col("t").alias("t_a"))
-    nb = norm.select(F.col("id").alias("id_b"), F.col("t").alias("t_b"))
-    verified = (
-        cand.join(na, "id_a")
-        .join(nb, "id_b")
-        .filter(
-            F.substr(F.col("t_a"), F.col("pos_a"), F.lit(k))
-            == F.substr(F.col("t_b"), F.col("pos_b"), F.lit(k))
-        )
+    b = fps.select(
+        F.col("id").alias("id_b"), "h", F.col("gram").alias("gram_b")
+    )
+    verified = a.join(b, "h").filter(
+        (F.col("id_a") < F.col("id_b")) & (F.col("gram_a") == F.col("gram_b"))
     )
     return (
         verified.groupBy("id_a", "id_b")
@@ -954,7 +967,6 @@ def substring_dup_pairs(
 def contaminated_new_docs(
     new_docs: DataFrame,
     base_fps: DataFrame,
-    base_norm: DataFrame,
     id_col: str,
     text_col: str,
     k: int = 16,
@@ -966,41 +978,74 @@ def contaminated_new_docs(
     guarantee) already present in the base corpus — the incremental
     consumer of :func:`winnow_fingerprints`, mirroring
     ``incremental_postings_bm25`` / ``incremental_dedup_new_docs``:
-    the base corpus is represented by its PERSISTED fingerprint store
-    (``base_fps``: id/h/pos rows, appended batch-by-batch) plus the
-    normalized texts needed only for collision verification — the
-    base is never re-fingerprinted per batch.
+    the base corpus is represented ONLY by its PERSISTED gram-carrying
+    fingerprint store (``base_fps``: id/h/pos/gram rows from
+    ``winnow_fingerprints(with_grams=True)``, appended batch-by-batch)
+    — the base is never re-fingerprinted per batch, and the base
+    TEXT never needs to be retained or joined at probe time: the
+    store's k-char grams are the collision-verification payload.
 
     Join shape: batch fingerprints (small side) against the store on
-    the hash, gram-text verification through two id-keyed joins, then
-    one aggregate per (new doc, base doc).  Returns
-    (new_id, base_id, shared) with ``shared`` = distinct verified
-    fingerprints in common, filtered to >= ``min_shared``.
+    the hash with inline gram-equality verification, then one
+    aggregate per (new doc, base doc) — no exchange anywhere carries
+    more than (id, h, k chars).  Returns (new_id, base_id, shared)
+    with ``shared`` = distinct verified fingerprints in common,
+    filtered to >= ``min_shared``.
     """
-    fps_new = winnow_fingerprints(new_docs, id_col, text_col, k, w)
-    norm_new = new_docs.select(
-        F.col(id_col).alias("new_id"), normalize_text(text_col).alias("t_new")
+    fps_new = winnow_fingerprints(
+        new_docs, id_col, text_col, k, w, with_grams=True
     )
     a = fps_new.select(
-        F.col("id").alias("new_id"), "h", F.col("pos").alias("pos_new")
+        F.col("id").alias("new_id"), "h", F.col("gram").alias("gram_new")
     )
     b = base_fps.select(
-        F.col("id").alias("base_id"), "h", F.col("pos").alias("pos_base")
+        F.col("id").alias("base_id"), "h", F.col("gram").alias("gram_base")
     )
-    cand = a.join(b, "h")
-    nb = base_norm.select(
-        F.col("id").alias("base_id"), F.col("t").alias("t_base")
-    )
-    verified = (
-        cand.join(norm_new, "new_id")
-        .join(nb, "base_id")
-        .filter(
-            F.substr(F.col("t_new"), F.col("pos_new"), F.lit(k))
-            == F.substr(F.col("t_base"), F.col("pos_base"), F.lit(k))
-        )
-    )
+    verified = a.join(b, "h").filter(F.col("gram_new") == F.col("gram_base"))
     return (
         verified.groupBy("new_id", "base_id")
         .agg(F.count_distinct(F.col("h")).alias("shared"))
         .filter(F.col("shared") >= min_shared)
+    )
+
+
+def winnow_coverage(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    w: int = 8,
+) -> DataFrame:
+    """Span-dedup COVERAGE report: how every document routes through
+    :func:`winnow_fingerprints` — the observability twin of the two
+    silent exclusion filters there, so corpus-level coverage loss is a
+    number in a report instead of rows that quietly vanish.
+
+    Statuses (disjoint, every doc counted exactly once):
+    - ``fingerprinted``          — in the guarantee regime
+    - ``too_short``              — normalized length < k + w - 1: no
+      span of guarantee length exists (correct to skip, but the count
+      shows how much of the corpus the guarantee cannot cover)
+    - ``oversize_quarantined``   — normalized length >= the position-
+      encoder base (would corrupt packed fingerprints): ROUTE THESE
+      THROUGH :func:`doc_chunking` first and fingerprint the chunks,
+      or raise ``_WINNOW_BASE``
+
+    One projection + one tiny groupBy (status cardinality 3); returns
+    (status, n_docs, total_chars) ordered by status.
+    """
+    n = F.length(normalize_text(text_col))
+    status = (
+        F.when(n >= _WINNOW_BASE, F.lit("oversize_quarantined"))
+        .when(n < k + w - 1, F.lit("too_short"))
+        .otherwise(F.lit("fingerprinted"))
+    )
+    return (
+        docs.select(status.alias("status"), n.alias("n"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("status")
     )

@@ -7347,9 +7347,11 @@ def q_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "see (a copied 40-char licence line barely moves document "
         "similarity).  Gram hashes use the engine-portable md5-prefix "
         "integer; (hash, pos) packs into one bigint so the window "
-        "minimum is a plain array_min; the inverted index shuffles "
-        "bare (id, h, pos) rows once on the hash and candidates "
-        "verify the actual k-gram text (32-bit collision kill).  The "
+        "minimum is a plain array_min; fingerprint rows carry their "
+        "own k-char gram (with_grams=True), so the hash-keyed "
+        "candidate join verifies by gram equality INLINE — no "
+        "verification exchange ever carries document text, only "
+        "(id, h, 16 chars) (32-bit collision kill).  The "
         "oracle replays selection, verification, and the distinct-"
         "hash count in DuckDB bit-exactly.",
 )
@@ -7360,6 +7362,37 @@ def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_pairs(
         docs, "doc_id", "text", k=16, w=8, min_shared=3
     )
+
+
+@register(
+    "winnow_coverage_report",
+    oracle=r"""
+    WITH norm AS (
+        SELECT length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS n
+        FROM documents
+    )
+    SELECT CASE WHEN n >= 1048576 THEN 'oversize_quarantined'
+                WHEN n < 23 THEN 'too_short'
+                ELSE 'fingerprinted' END AS status,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_chars
+    FROM norm GROUP BY 1 ORDER BY status
+    """,
+    doc="span-dedup coverage report (VERDICT r8 ask #8): how every "
+        "document routes through winnow_fingerprints — fingerprinted "
+        "(guarantee regime), too_short (< k + w - 1 = 23 normalized "
+        "chars: no guarantee-length span exists), or "
+        "oversize_quarantined (>= the 2^20 position-encoder base: "
+        "route through doc_chunking first).  Turns the operator's two "
+        "silent exclusion filters into observable counts so corpus "
+        "coverage loss is a report number, not vanished rows.  One "
+        "projection + a 3-row groupBy.",
+)
+def q_winnow_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.dedup import winnow_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_coverage(docs, "doc_id", "text")
 
 
 @register(
@@ -7886,8 +7919,10 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="ingest-time span-contamination check (the incremental "
         "consumer of the winnowing index, mirroring "
         "incremental_postings_bm25): a new batch (doc_id % 10 = 0) "
-        "probes the BASE corpus's persisted fingerprint store — the "
-        "base is never re-fingerprinted per batch — and any new doc "
+        "probes the BASE corpus's persisted GRAM-CARRYING fingerprint "
+        "store — the base is never re-fingerprinted per batch and its "
+        "TEXT is not retained at all (the store's k-char grams are "
+        "the collision-verification payload) — and any new doc "
         "sharing a verified >= 23-char span with a base doc surfaces "
         "with its shared-fingerprint count.  The decontamination gate "
         "a training pipeline runs on every crawl increment, at "
@@ -7897,19 +7932,17 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_contamination_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_tiki_webscraping_spark.operators.dedup import (
         contaminated_new_docs,
-        normalize_text,
         winnow_fingerprints,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     base = docs.filter(F.col("doc_id") % 10 != 0)
     batch = docs.filter(F.col("doc_id") % 10 == 0)
-    base_fps = winnow_fingerprints(base, "doc_id", "text")
-    base_norm = base.select(
-        F.col("doc_id").alias("id"), normalize_text("text").alias("t")
-    )
+    # the persisted store carries its own k-char grams, so the base
+    # TEXT is not an input to the probe at all
+    base_fps = winnow_fingerprints(base, "doc_id", "text", with_grams=True)
     return contaminated_new_docs(
-        batch, base_fps, base_norm, "doc_id", "text", min_shared=1
+        batch, base_fps, "doc_id", "text", min_shared=1
     )
 
 

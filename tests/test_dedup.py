@@ -419,12 +419,11 @@ def test_winnow_excludes_docs_past_encoder_base(spark):
 
 def test_contaminated_new_docs_detects_cross_corpus_span(spark):
     """A new doc carrying a >= 23-char span from the base corpus must
-    surface against exactly that base doc; clean new docs must not."""
-    from pyspark.sql import functions as F
-
+    surface against exactly that base doc; clean new docs must not.
+    The base side is ONLY its gram-carrying fingerprint store — no
+    base text reaches the probe."""
     from etl_tiki_webscraping_spark.operators.dedup import (
         contaminated_new_docs,
-        normalize_text,
         winnow_fingerprints,
     )
 
@@ -446,10 +445,74 @@ def test_contaminated_new_docs_detects_cross_corpus_span(spark):
         (r.new_id, r.base_id)
         for r in contaminated_new_docs(
             new,
-            winnow_fingerprints(base, "id", "text"),
-            base.select(F.col("id"), normalize_text("text").alias("t")),
+            winnow_fingerprints(base, "id", "text", with_grams=True),
             "id",
             "text",
         ).collect()
     }
     assert got == {(10, 1)}
+
+
+def test_winnow_grams_match_text_at_position(spark):
+    """with_grams=True attaches exactly the k-char normalized-text
+    slice at each fingerprint position."""
+    from etl_tiki_webscraping_spark.operators.dedup import (
+        normalize_text,
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, "  Pack  MY box\twith five dozen liquor jugs daily  "),
+        ],
+        "id int, text string",
+    )
+    k = 16
+    norm = {
+        r.id: r.t
+        for r in df.select("id", normalize_text("text").alias("t")).collect()
+    }
+    plain = {
+        (r.id, r.h, r.pos)
+        for r in winnow_fingerprints(df, "id", "text", k=k, w=8).collect()
+    }
+    got = winnow_fingerprints(
+        df, "id", "text", k=k, w=8, with_grams=True
+    ).collect()
+    # same fingerprint set, plus the correct gram per row
+    assert {(r.id, r.h, r.pos) for r in got} == plain
+    for r in got:
+        assert r.gram == norm[r.id][r.pos - 1 : r.pos - 1 + k]
+
+
+def test_winnow_coverage_routes_every_doc(spark):
+    """Every doc lands in exactly one status; oversize docs are
+    quarantined (observable), not silently dropped."""
+    from etl_tiki_webscraping_spark.operators.dedup import (
+        _WINNOW_BASE,
+        winnow_coverage,
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "tiny"),
+            (2, "a" * 22),
+            (3, "this one is plenty long enough to fingerprint ok"),
+            (4, "x" * (_WINNOW_BASE + 5)),
+        ],
+        "id int, text string",
+    )
+    got = {
+        r.status: (r.n_docs, r.total_chars)
+        for r in winnow_coverage(df, "id", "text").collect()
+    }
+    assert got == {
+        "too_short": (2, 26),
+        "fingerprinted": (1, 48),
+        "oversize_quarantined": (1, _WINNOW_BASE + 5),
+    }
+    # coverage statuses agree with what winnow_fingerprints emits
+    emitted = {r.id for r in winnow_fingerprints(df, "id", "text").collect()}
+    assert emitted == {3}

@@ -401,12 +401,36 @@ def main() -> int:
           "classifier inference is a pure projection: ZERO exchanges "
           "— the cost is the scan")
 
+    def _no_text_in_exchanges(plan: str) -> bool:
+        # gram-carrying fingerprints (r8 ask #4): verification happens
+        # inline on the hash join, so no exchange may carry the full
+        # normalized text (t#N) or raw text column — only ids, hashes,
+        # and k-char grams
+        ex = [seg for seg in plan.split("\n") if "Exchange" in seg]
+        return len(ex) > 0 and all(
+            " t#" not in e and "text#" not in e and "t_a" not in e
+            and "t_b" not in e and "t_new" not in e and "t_base" not in e
+            for e in ex
+        )
+
     p = plan_of("substring_dup_spans")
     check("substring_dup_spans",
           "CartesianProduct" not in p
-          and "BroadcastNestedLoopJoin" not in p,
+          and "BroadcastNestedLoopJoin" not in p
+          and _no_text_in_exchanges(p),
           "winnowing inverted index: hash-keyed equi-joins only, no "
-          "all-pairs fallback anywhere in the span-dedup plan")
+          "all-pairs fallback, and NO exchange carries document text "
+          "— verification rides on k-char grams attached per "
+          "fingerprint")
+
+    p = plan_of("contamination_new_docs")
+    check("contamination_new_docs",
+          "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p
+          and _no_text_in_exchanges(p),
+          "incremental span probe: batch joins the persisted "
+          "gram-carrying store on the hash; no exchange carries "
+          "document text (base text is not even an input)")
 
     p = plan_of("image_dedup_ahash")
     check("image_dedup_ahash",
