@@ -167,6 +167,7 @@ HEADLINE = [
     ("tpch_q20", "collect"),
     ("tpch_q21", "collect"),
     ("bpe_encode_corpus", "count"),
+    ("knn_ivf_pq", "count"),
 ]
 
 

@@ -24,6 +24,8 @@ the LSH bucketing to find pairs with cosine >= threshold.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -500,13 +502,17 @@ def pq_encode(
     codebooks: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Encode every corpus vector to its ``m`` nearest-codebook codes
     plus its exact L2 norm — ``(id, codes array<int>, norm)``, the
     compressed representation ADC search scans.  One Arrow kernel pass
-    with the (m x k x sub) codebook tensor broadcast; no shuffle."""
+    with the (m x k x sub) codebook tensor broadcast; no shuffle.
+    ``carry_cols`` ride through unchanged (e.g. the IVF ``cell`` id for
+    the composed :func:`ivf_pq_topk` index)."""
     import pandas as pd
 
+    carry = list(carry_cols)
     cb = codebooks.orderBy("subspace", "code").collect()  # m*k rows, broadcast below
     m = 1 + max(r["subspace"] for r in cb)
     k = 1 + max(r["code"] for r in cb)
@@ -516,7 +522,12 @@ def pq_encode(
         tensor[r["subspace"], r["code"]] = np.asarray(r["subvec"])
     bt = corpus.sparkSession.sparkContext.broadcast(tensor)
 
-    out_schema = f"{id_col} bigint, codes array<int>, norm double"
+    carry_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in corpus.schema.fields
+        if f.name in carry
+    )
+    out_schema = f"{id_col} bigint, codes array<int>, norm double" + carry_schema
 
     def encode(batches):
         t = bt.value  # (m, k, sub)
@@ -536,15 +547,18 @@ def pq_encode(
                     + (t[j] ** 2).sum(axis=1)[None, :]
                 )
                 codes[:, j] = d2.argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    id_col: batch[id_col].to_numpy(),
-                    "codes": list(codes),
-                    "norm": np.linalg.norm(mat, axis=1),
-                }
-            )
+            out = {
+                id_col: batch[id_col].to_numpy(),
+                "codes": list(codes),
+                "norm": np.linalg.norm(mat, axis=1),
+            }
+            for c in carry:
+                out[c] = batch[c].to_numpy()
+            yield pd.DataFrame(out)
 
-    return corpus.select(id_col, vec_col).mapInPandas(encode, schema=out_schema)
+    return corpus.select(id_col, vec_col, *carry).mapInPandas(
+        encode, schema=out_schema
+    )
 
 
 def pq_topk(
@@ -675,6 +689,139 @@ def pq_refine(
         scored.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .drop("__rk")
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist_k: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """COMPOSED IVF x PQ search — the shape that actually serves 10^9+
+    vectors (FAISS ``IVFx,PQy``): route each query to its ``nprobe``
+    nearest IVF cells, ADC-scan PQ codes ONLY within the probed lists,
+    then exact-refine the shortlist.  IVF prunes the scan to
+    ~nprobe/n_cells of the corpus; PQ shrinks what IS scanned to m
+    small ints + a norm per vector; refine restores exact ordering on
+    the bounded candidate set.
+
+    Plan shape (the 100 TB story): cell assignment and code encoding
+    are shuffle-free Arrow passes (persist the code table partitioned
+    by ``cell`` and the probe join becomes partition pruning); query
+    routing happens driver-side on the already-collected small query
+    matrix, so the (query, cell) probe list BROADCASTS onto the code
+    table — the scan side never shuffles.  The ADC kernel scores and
+    keeps a per-batch shortlist, so the only wide exchange carries
+    (query_id, neighbor_id, adc) rows bounded by partitions x queries
+    x shortlist_k; full vectors are touched only for the refined ids.
+
+    Quantization is on RAW vectors (IVF is routing-only); FAISS's
+    residual encoding (quantize x - centroid[cell]) is a known
+    accuracy refinement that needs per-(query, cell) LUTs — at the
+    pinned recall gate it is not needed.  Approximate by construction:
+    recall floor pinned in tests/test_quality_gates.py.
+    """
+    spark = corpus.sparkSession
+
+    # index build: cell assignment + raw-vector PQ codes (cell rides
+    # through the encode kernel)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, centroid_id_col)
+    codes = pq_encode(assigned, codebooks, id_col, vec_col, carry_cols=("cell",))
+
+    # driver-side query routing + ADC lookup tables: both need the
+    # collected query matrix anyway (small side by contract)
+    c_rows = sorted(
+        centroids.select(centroid_id_col, vec_col).collect(),
+        key=lambda r: r[centroid_id_col],
+    )
+    c_ids = np.array([r[centroid_id_col] for r in c_rows])
+    c_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in c_rows])
+    c_mat = c_mat / np.maximum(
+        np.linalg.norm(c_mat, axis=1, keepdims=True), 1e-12
+    )
+
+    cb = codebooks.orderBy("subspace", "code").collect()
+    m = 1 + max(r["subspace"] for r in cb)
+    ncodes = 1 + max(r["code"] for r in cb)
+    sub = len(cb[0]["subvec"])
+    tensor = np.zeros((m, ncodes, sub))
+    for r in cb:
+        tensor[r["subspace"], r["code"]] = np.asarray(r["subvec"])
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_ids = np.array([r[query_id_col] for r in q_rows])
+    q_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
+    q_norm = np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    nq = len(q_ids)
+
+    # nprobe nearest cells per query (cosine; ties -> lowest cell id,
+    # matching ivf_topk's ordering)
+    sims_qc = (q_mat / q_norm) @ c_mat.T  # (nq, n_cells)
+    order = np.argsort(-sims_qc, axis=1, kind="stable")[:, :nprobe]
+    probe_rows = [
+        (int(q_ids[qi]), int(c_ids[ci]))
+        for qi in range(nq)
+        for ci in order[qi]
+    ]
+    qcells = spark.createDataFrame(
+        probe_rows, f"{query_id_col} bigint, cell bigint"
+    )
+
+    # LUT[q, j, c] = dot(q_subvec_j, codebook[j][c])
+    lut = np.einsum("qjs,jcs->qjc", q_mat.reshape(nq, m, sub), tensor)
+    qidx = {int(q): i for i, q in enumerate(q_ids)}
+    bq = spark.sparkContext.broadcast((qidx, q_norm, lut))
+
+    cand = codes.join(F.broadcast(qcells), on="cell")
+    out_schema = f"{query_id_col} bigint, neighbor_id bigint, cosine double"
+
+    def scan(batches):
+        idx, qn, tables = bq.value
+        for batch in batches:
+            n = len(batch)
+            if n == 0:
+                continue
+            qi = batch[query_id_col].map(idx).to_numpy()  # (n,)
+            code_mat = np.stack(batch["codes"].to_numpy())  # (n, m)
+            norms = np.maximum(batch["norm"].to_numpy(), 1e-12)
+            # adc[i] = sum_j tables[qi[i], j, code_mat[i, j]]
+            adc = tables[qi[:, None], np.arange(m)[None, :], code_mat].sum(axis=1)
+            sims = adc / (qn[qi, 0] * norms)
+            out = pd.DataFrame(
+                {
+                    query_id_col: batch[query_id_col].to_numpy(),
+                    "neighbor_id": batch[id_col].to_numpy(),
+                    "cosine": sims,
+                }
+            )
+            # per-batch shortlist: bounds the global window input to
+            # partitions x queries x shortlist_k rows
+            yield (
+                out.sort_values(
+                    [query_id_col, "cosine", "neighbor_id"],
+                    ascending=[True, False, True],
+                )
+                .groupby(query_id_col, sort=False)
+                .head(shortlist_k)
+            )
+
+    local = cand.mapInPandas(scan, schema=out_schema)
+    shortlist = top_k_per_group(
+        local,
+        [query_id_col],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        shortlist_k,
+    )
+    return pq_refine(
+        shortlist, corpus, queries, k, id_col, vec_col, query_id_col
     )
 
 

@@ -229,3 +229,48 @@ class TestEmbeddingPCA:
         df = spark.createDataFrame([([1.0, 2.0],)], "embedding array<double>")
         with pytest.raises(ValueError, match="at least 2"):
             embedding_pca(df, "embedding")
+
+
+def test_pq_encode_carry_cols(spark, corpus):
+    """carry_cols ride through the encode kernel unchanged (the cell
+    tag the composed IVF x PQ index needs)."""
+    from pyspark.sql import functions as F
+
+    from etl_tiki_webscraping_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    tagged = corpus.withColumn("cell", F.col("vec_id") % 3)
+    books = pq_train_codebooks(corpus, m=4, k=8, max_iter=3)
+    codes = pq_encode(tagged, books, carry_cols=("cell",))
+    rows = codes.collect()
+    assert len(rows) == corpus.count()
+    for r in rows:
+        assert r["cell"] == r["vec_id"] % 3
+        assert len(r["codes"]) == 4
+
+
+def test_ivf_pq_full_probe_matches_pq_refine_shape(spark, corpus, queries):
+    """With nprobe = n_cells (no routing loss) the composed pipeline
+    degenerates to plain PQ shortlist + exact refine: top-k ids must
+    match the numpy exact ranking wherever the shortlist covers."""
+    from etl_tiki_webscraping_spark.operators.similarity import (
+        ivf_pq_topk,
+        ivf_train_centroids,
+        pq_train_codebooks,
+    )
+
+    cents = ivf_train_centroids(corpus, n_cells=4, max_iter=5)
+    books = pq_train_codebooks(corpus, m=4, k=8, max_iter=3)
+    got = ivf_pq_topk(
+        corpus, cents, books, queries,
+        k=5, nprobe=4, shortlist_k=N,  # full probe + full shortlist
+    )
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append((r["cosine"], r["neighbor_id"]))
+    for qid in range(3):
+        ids = [n for _, n in sorted(by_q[qid], key=lambda t: (-t[0], t[1]))]
+        # full probe + full shortlist + exact refine == exact top-5
+        assert ids == _numpy_topk(qid, 5)

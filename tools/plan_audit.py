@@ -457,6 +457,22 @@ def main() -> int:
           "exchange is the map-side-combined per-doc rollup carrying "
           "(doc_id, two bigints) — never words or text")
 
+    p = plan_of("knn_ivf_pq")
+    ivfpq_ex = [
+        seg for seg in p.split("\n")
+        if "Exchange" in seg and "Broadcast" not in seg
+    ]
+    check("knn_ivf_pq",
+          p.count("BroadcastHashJoin") >= 3
+          and "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p
+          and len(ivfpq_ex) == 1
+          and all("embedding" not in e for e in ivfpq_ex),
+          "composed IVF x PQ: probe list, refine shortlist, and query "
+          "vectors all broadcast; the ONE hash exchange is the global "
+          "shortlist window carrying bare (qid, id, score) — vectors "
+          "are never shuffled")
+
     p = plan_of("ivm_join_from_feed")
     check("ivm_join_from_feed",
           "LeftAnti" in p and p.count("LeftSemi") >= 2
