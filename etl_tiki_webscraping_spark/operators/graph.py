@@ -31,13 +31,25 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iterations: int = 6,
+    tol: float | None = None,
 ) -> DataFrame:
-    """Fixed-iteration PageRank over a directed edge DataFrame.
+    """PageRank over a directed edge DataFrame — fixed-iteration by
+    default, CONVERGENCE-STOPPED when ``tol`` is set.
 
     Returns ``(node, rank)`` for every node that appears as a source
     or destination.  Duplicate edges are collapsed (standard unweighted
     PageRank).  Dangling nodes (no out-edges) redistribute their mass
     uniformly each iteration, so total rank mass is conserved at 1.0.
+
+    ``tol``: when given, iteration stops EARLY once the L1 delta
+    ``sum(|rank' - rank|)`` falls below it (one extra scalar aggregate
+    per iteration — a node-keyed join of two checkpointed rank tables
+    reduced to a single row), with ``iterations`` as the hard cap.  At
+    100x scale the fixed count is either wasted work or not converged;
+    the epsilon stop pays one cheap job per iteration to run exactly
+    as many as the graph needs.  The oracle-checked catalog query
+    keeps the fixed-iteration form (the unrolled-CTE oracle needs a
+    known count).
 
     Update rule per iteration (mirrored verbatim by the SQL oracle so
     the arithmetic is IEEE-identical across engines)::
@@ -98,7 +110,7 @@ def pagerank(
                 .alias("dm")
             )
         )
-        ranks = (
+        new_ranks = (
             nodes.crossJoin(F.broadcast(dangling))  # 1-row scalar
             .join(contrib, "node", "left")
             .select(
@@ -114,6 +126,26 @@ def pagerank(
             )
             .localCheckpoint()  # bounded: one per iteration
         )
+        if tol is not None:
+            # L1 delta as ONE scalar row: both rank tables are
+            # checkpointed and share the node key set by construction
+            delta = (
+                new_ranks.select("node", F.col("rank").alias("r2"))
+                .join(ranks.select("node", F.col("rank").alias("r1")), "node")
+                .agg(
+                    F.sum(
+                        F.abs(F.col("r2") - F.col("r1")).cast("decimal(38,18)")
+                    )
+                    .cast("double")
+                    .alias("d")
+                )
+                .first()["d"]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
     return ranks
 
 

@@ -70,3 +70,37 @@ class TestPagerank:
         assert got["b"] == pytest.approx(got["c"], abs=1e-15)
         # a receives only teleport + dangling share; b/c also get a's mass
         assert got["b"] > got["a"]
+
+
+class TestPagerankConvergence:
+    """tol= epsilon early stop (VERDICT r8 ask #6)."""
+
+    EDGES = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+
+    def test_loose_tol_stops_after_one_iteration(self, spark):
+        """A tol bigger than any possible L1 delta stops after the
+        first iteration — result must equal iterations=1 exactly."""
+        one = _run(spark, self.EDGES, iterations=1)
+        early = _run(spark, self.EDGES, iterations=50, tol=10.0)
+        assert early == one
+
+    def test_tight_tol_matches_converged_fixed_run(self, spark):
+        """A tight tol converges to (numerically) the same fixed point
+        a long fixed run reaches, without running all 100 iterations."""
+        fixed = _run(spark, self.EDGES, iterations=100)
+        conv = _run(spark, self.EDGES, iterations=100, tol=1e-12)
+        for node, r in fixed.items():
+            assert conv[node] == pytest.approx(r, abs=1e-9)
+
+    def test_mass_conserved_under_early_stop(self, spark):
+        got = _run(spark, self.EDGES, iterations=50, tol=1e-6)
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+    def test_early_stop_runs_fewer_jobs(self, spark):
+        """The epsilon stop must actually cut iterations: on a cycle
+        (uniform from iteration 0, delta 0 after the first update) a
+        tol run equals the 1-iteration result even with a huge cap."""
+        cycle = [("a", "b"), ("b", "c"), ("c", "a")]
+        one = _run(spark, cycle, iterations=1)
+        conv = _run(spark, cycle, iterations=500, tol=1e-15)
+        assert conv == one
