@@ -153,3 +153,28 @@ def test_driver_evidence_age_is_bounded_under_rotation():
     assert worst <= cycle + 1, (
         f"rotation lets evidence age {worst} rounds (> {cycle + 1})"
     )
+
+
+def test_gates_report_covers_every_rows_only_query():
+    """VERDICT r8 ask #7: every catalog query WITHOUT a DuckDB oracle
+    must carry a quantitative accuracy gate in tools/gates_report.py.
+    The report declares its gated set as a module constant so this
+    check is static (no Spark run): adding a rows-only query without
+    also adding its gate fails here immediately."""
+    import importlib.util
+    import os
+
+    from etl_tiki_webscraping_spark.plans.catalog import QUERIES
+
+    spec = importlib.util.spec_from_file_location(
+        "gates_report",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "gates_report.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    no_oracle = {n for n, q in QUERIES.items() if q.oracle is None}
+    assert no_oracle == set(mod.GATED_QUERIES), (
+        f"ungated rows-only queries: {sorted(no_oracle - mod.GATED_QUERIES)}; "
+        f"stale gate entries: {sorted(set(mod.GATED_QUERIES) - no_oracle)}"
+    )

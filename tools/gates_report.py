@@ -1,0 +1,320 @@
+"""Consolidated accuracy-gate report for the rows-only queries
+(VERDICT r8 ask #7): every catalog query WITHOUT a DuckDB oracle is
+approximate / hash-seeded / iterative by contract, and each one
+carries a quantitative gate (recall floor, error bound, exact parity,
+determinism).  Those gates live in unit tests; this tool MEASURES all
+of them in one run and prints one line per (query, gate) so the
+"rows-only but gated" claim is auditable in one place — and FAILS
+(exit 1) like CI if any measured value violates its bound.
+
+Usage: python tools/gates_report.py [sf_dir]   (default sf0.001 — the
+gates are accuracy properties, not throughput; the small fixture is
+the right cost point)
+
+Every floor mirrors the corresponding unit test (tests/
+test_quality_gates.py, tests/test_sketches.py, tests/test_bpe.py,
+tests/test_properties.py); keep them in sync when retuning.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+# The rows-only (no-oracle) queries this report gates.  A unit test
+# (tests/test_entry_contract.py::test_gates_report_covers_every_rows_only_query)
+# asserts this set stays identical to the catalog's no-oracle set, so
+# adding a rows-only query without a gate here fails CI statically —
+# no Spark run needed.
+GATED_QUERIES = frozenset({
+    "knn_lsh", "ann_recall_report", "knn_ivf", "knn_ivf_kmeans",
+    "knn_pq_adc", "knn_ivf_pq", "lsh_pair_quality",
+    "dedup_minhash_lsh", "dedup_minhash_clusters",
+    "corpus_pipeline_neardup", "crosscorpus_neardup_lsh",
+    "dedup_simhash", "dedup_embedding_cosine", "doc_fingerprint",
+    "approx_distinct_users", "hll_sketch_rollup",
+    "streaming_sketch_maintenance", "kll_quantile_rollup",
+    "cms_frequency_rollup", "theta_sketch_set_ops",
+    "embedding_pca_variance", "bpe_train_merges",
+})
+
+ROWS: list[tuple[str, str, str, str, bool]] = []  # query, gate, measured, bound, ok
+
+
+def emit(query: str, gate: str, measured, bound: str, ok: bool) -> None:
+    ROWS.append((query, gate, str(measured), bound, ok))
+    print(f"{'ok  ' if ok else 'FAIL'} {query:32s} {gate}: {measured} (bound: {bound})")
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from etl_tiki_webscraping_spark.io import load_table
+    from etl_tiki_webscraping_spark.plans.catalog import QUERIES
+    from etl_tiki_webscraping_spark.session import get_spark
+
+    spark = get_spark("gates-report")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # --- ANN recall floors (tests/test_quality_gates.py::
+    # test_fixture_ann_recall_floors; measured-on-isotropic-noise
+    # operating points, floors at ~half so they fail on collapse) ----
+    ann = {
+        r["method"]: r
+        for r in QUERIES["ann_recall_report"].fn(spark, SF_DIR).collect()
+    }
+    ann_floors = {
+        "knn_lsh": ("knn_lsh", 0.10),
+        "knn_lsh_wide": ("ann_recall_report", 0.70),
+        "knn_ivf": ("knn_ivf", 0.25),
+        "knn_ivf_kmeans": ("knn_ivf_kmeans", 0.30),
+        "knn_pq": ("knn_pq_adc", 0.40),
+        "knn_ivf_pq": ("knn_ivf_pq", 0.30),
+    }
+    for method, (query, floor) in ann_floors.items():
+        row = ann.get(method)
+        got = row["mean_recall"] if row else None
+        emit(query, f"mean recall@10 [{method}]", got, f">= {floor}",
+             row is not None and got >= floor and row["n_queries"] >= 5)
+
+    # --- LSH candidate-pair quality vs exact Jaccard truth ----------
+    # (tests/test_quality_gates.py::test_minhash/simhash_candidates_quality)
+    pq = {
+        r["method"]: r
+        for r in QUERIES["lsh_pair_quality"].fn(spark, SF_DIR).collect()
+    }
+    mh = pq["minhash_lsh_t0.8"]
+    emit("lsh_pair_quality", "truth pairs exist (gate non-vacuous)",
+         mh["n_truth"], "> 0", mh["n_truth"] > 0)
+    for query in ("dedup_minhash_lsh", "dedup_minhash_clusters",
+                  "corpus_pipeline_neardup", "crosscorpus_neardup_lsh"):
+        emit(query, "minhash candidate P / R vs exact Jaccard",
+             f"P={mh['precision']} R={mh['recall']}",
+             "P >= 0.80, R >= 0.95",
+             mh["precision"] >= 0.80 and mh["recall"] >= 0.95)
+    sh = pq["simhash_h3"]
+    emit("dedup_simhash", "simhash candidate P / R vs exact Jaccard",
+         f"P={sh['precision']} R={sh['recall']}", "P >= 0.7, R >= 0.5",
+         sh["precision"] >= 0.7 and sh["recall"] >= 0.5)
+
+    # --- embedding-cosine near-dup: verified pairs vs exact all-pairs
+    from etl_tiki_webscraping_spark.operators.similarity import (
+        cosine_threshold_pairs_exact,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    got_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["dedup_embedding_cosine"].fn(spark, SF_DIR).collect()
+    }
+    truth_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_threshold_pairs_exact(emb, threshold=0.30).collect()
+    }
+    prec = len(got_pairs & truth_pairs) / len(got_pairs) if got_pairs else 1.0
+    rec = len(got_pairs & truth_pairs) / len(truth_pairs) if truth_pairs else 1.0
+    # candidates are exact-cosine VERIFIED -> precision must be 1.0;
+    # recall is the SRP bucketing's (approximate by design, floor at
+    # the broken-banding level like the ANN floors)
+    emit("dedup_embedding_cosine", "exact-verified precision",
+         round(prec, 4), "== 1.0", prec == 1.0)
+    emit("dedup_embedding_cosine", "bucket recall vs exact all-pairs",
+         round(rec, 4), ">= 0.10", rec >= 0.10)
+
+    # --- doc_fingerprint: determinism (order-sensitive fold must not
+    # depend on partitioning / run) ----------------------------------
+    fp1 = {r["doc_id"]: r["fingerprint"]
+           for r in QUERIES["doc_fingerprint"].fn(spark, SF_DIR).collect()}
+    fp2 = {r["doc_id"]: r["fingerprint"]
+           for r in QUERIES["doc_fingerprint"].fn(spark, SF_DIR).collect()}
+    emit("doc_fingerprint", "re-run determinism",
+         f"{len(fp1)} docs", "identical fingerprints", fp1 == fp2 and len(fp1) > 0)
+
+    # --- distinct sketches vs exact (tests/test_sketches.py tolerance
+    # max(2, 5% of truth)) -------------------------------------------
+    ev = load_table(spark, SF_DIR, "events")
+    exact_users = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+
+    def _within(est: float, true: float) -> bool:
+        return abs(est - true) <= max(2.0, 0.05 * true)
+
+    for query, col in (("approx_distinct_users", "approx_users"),
+                       ("hll_sketch_rollup", "approx_users")):
+        rows = {r["event_type"]: r[col]
+                for r in QUERIES[query].fn(spark, SF_DIR).collect()}
+        worst = max(
+            abs(rows[t] - exact_users[t]) / max(exact_users[t], 1)
+            for t in exact_users
+        )
+        emit(query, "distinct-count relative error (worst type)",
+             round(worst, 4), "<= max(2 abs, 5%)",
+             set(rows) == set(exact_users)
+             and all(_within(rows[t], exact_users[t]) for t in exact_users))
+
+    exact_daily = {
+        r["day"]: r["n"]
+        for r in ev.select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    sk = {r["day"]: r["approx_users"]
+          for r in QUERIES["streaming_sketch_maintenance"].fn(spark, SF_DIR).collect()}
+    ok = set(sk) == set(exact_daily) and all(
+        _within(sk[d], exact_daily[d]) for d in exact_daily
+    )
+    worst = max(
+        abs(sk.get(d, 0) - exact_daily[d]) / max(exact_daily[d], 1)
+        for d in exact_daily
+    )
+    emit("streaming_sketch_maintenance",
+         "per-day distinct error after 3-batch stream fold",
+         round(worst, 4), "<= max(2 abs, 5%)", ok)
+
+    # --- KLL quantiles: normalized rank error of each estimate ------
+    vals = {
+        t: np.sort(np.array(
+            ev.filter(F.col("event_type") == t).select("value").toPandas()["value"],
+            dtype=np.float64,
+        ))
+        for t in exact_users
+    }
+    kll = QUERIES["kll_quantile_rollup"].fn(spark, SF_DIR).collect()
+    worst_rank_err = 0.0
+    for r in kll:
+        v = vals[r["event_type"]]
+        for q, col in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            rank = np.searchsorted(v, r[col], side="right") / len(v)
+            worst_rank_err = max(worst_rank_err, abs(rank - q))
+    emit("kll_quantile_rollup", "normalized rank error (worst of p50/p95/p99)",
+         round(worst_rank_err, 4), "<= 0.05", worst_rank_err <= 0.05)
+
+    # --- CMS: over-count-only + classic additive eps bound ----------
+    exact_cnt = {
+        r["user_id"]: r["n"]
+        for r in ev.filter(F.col("user_id") < 50)
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = ev.count()
+    eps_bound = math.e / 2048 * n_total  # width=2048 (catalog config)
+    cms = {r["user_id"]: r["est_count"]
+           for r in QUERIES["cms_frequency_rollup"].fn(spark, SF_DIR).collect()}
+    over_ok = all(cms[u] >= exact_cnt[u] for u in exact_cnt)
+    bound_ok = all(cms[u] <= exact_cnt[u] + eps_bound for u in exact_cnt)
+    worst_over = max(cms[u] - exact_cnt[u] for u in exact_cnt)
+    emit("cms_frequency_rollup", "over-count-only + additive bound",
+         f"max overshoot {worst_over}", f"0 <= overshoot <= {eps_bound:.1f}",
+         over_ok and bound_ok and set(cms) == set(exact_cnt))
+
+    # --- theta set algebra vs exact set ops -------------------------
+    view = {r["user_id"] for r in ev.filter(F.col("event_type") == "view")
+            .select("user_id").distinct().collect()}
+    buy = {r["user_id"] for r in ev.filter(F.col("event_type") == "purchase")
+           .select("user_id").distinct().collect()}
+    th = QUERIES["theta_sketch_set_ops"].fn(spark, SF_DIR).collect()[0]
+    truth = {"n_view": len(view), "n_buy": len(buy),
+             "n_union": len(view | buy), "n_intersect": len(view & buy),
+             "n_view_only": len(view - buy)}
+    worst = max(abs(th[k] - t) / max(t, 1) for k, t in truth.items())
+    emit("theta_sketch_set_ops", "set-op relative error (worst op)",
+         round(worst, 4), "<= max(2 abs, 5%)",
+         all(_within(th[k], t) for k, t in truth.items()))
+
+    # --- PCA vs numpy population covariance (tests/test_properties) -
+    rep = {r["component"]: r
+           for r in QUERIES["embedding_pca_variance"].fn(spark, SF_DIR).collect()}
+    mat = np.stack(
+        emb.select("embedding").toPandas()["embedding"].map(
+            lambda v: np.asarray(v, dtype=np.float64)
+        )
+    )
+    cov = (mat.T @ mat) / len(mat) - np.outer(mat.mean(0), mat.mean(0))
+    eig = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    k = len(rep)
+    rel = max(
+        abs(rep[i]["eigenvalue"] - eig[i]) / abs(eig[i]) for i in range(k)
+    )
+    emit("embedding_pca_variance", f"top-{k} eigenvalue rel error vs numpy",
+         f"{rel:.2e}", "<= 1e-4", rel <= 1e-4)
+
+    # --- BPE training: exact parity with a single-node reference ----
+    from etl_tiki_webscraping_spark.operators.bpe import build_word_vocab
+
+    docs = load_table(spark, SF_DIR, "documents")
+    counts = {r["word"]: r["cnt"]
+              for r in build_word_vocab(docs, "text").collect()}
+
+    def reference_bpe(word_counts, num_merges, min_pair_count=2):
+        # textbook Sennrich BPE; mirrors tests/test_bpe.py::_reference_bpe
+        syms = {w: list(w) for w in word_counts}
+        merges = []
+        for rank in range(num_merges):
+            pairs: dict = {}
+            for w, s in syms.items():
+                for a, b in zip(s, s[1:]):
+                    pairs[(a, b)] = pairs.get((a, b), 0) + word_counts[w]
+            if not pairs:
+                break
+            (l, r), n = min(pairs.items(),
+                            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            if n < min_pair_count:
+                break
+            merges.append((rank, l, r))
+            for w, s in syms.items():
+                out, i = [], 0
+                while i < len(s):
+                    if out and out[-1] == l and s[i] == r:
+                        out[-1] = l + r
+                    else:
+                        out.append(s[i])
+                    i += 1
+                syms[w] = out
+        return merges
+
+    got_merges = [
+        (r["rank"], r["left"], r["right"])
+        for r in QUERIES["bpe_train_merges"].fn(spark, SF_DIR)
+        .orderBy("rank").collect()
+    ]
+    want_merges = reference_bpe(counts, len(got_merges))
+    emit("bpe_train_merges", "exact merge-table parity vs single-node BPE",
+         f"{len(got_merges)} merges", "identical (rank, left, right)",
+         got_merges == want_merges and len(got_merges) > 0)
+
+    # --- summary ----------------------------------------------------
+    gated_queries = {r[0] for r in ROWS}
+    no_oracle = {n for n, q in QUERIES.items() if q.oracle is None}
+    missing = sorted(no_oracle - gated_queries)
+    emit("(coverage)", "every rows-only query carries a gate here",
+         f"{len(no_oracle - set(missing))}/{len(no_oracle)}",
+         "all rows-only queries gated", not missing)
+    if missing:
+        print("  ungated rows-only queries:", ", ".join(missing))
+    emit("(coverage)", "GATED_QUERIES constant in sync with measured set",
+         f"{len(gated_queries & GATED_QUERIES)}/{len(GATED_QUERIES)}",
+         "declared == measured", gated_queries == GATED_QUERIES)
+
+    failures = [r for r in ROWS if not r[4]]
+    print()
+    if failures:
+        print(f"{len(failures)} gate(s) FAILED")
+        return 1
+    print(f"all {len(ROWS)} gates passed "
+          f"({len(no_oracle)} rows-only queries covered)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
