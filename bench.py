@@ -168,6 +168,17 @@ HEADLINE = [
     ("tpch_q21", "collect"),
     ("bpe_encode_corpus", "count"),
     ("knn_ivf_pq", "count"),
+    ("tpch_q4", "collect"),
+    ("tpch_q7", "collect"),
+    ("tpch_q8", "collect"),
+    ("tpch_q9", "collect"),
+    ("tpch_q11", "collect"),
+    ("tpch_q12", "collect"),
+    ("tpch_q13", "collect"),
+    ("tpch_q15", "collect"),
+    ("tpch_q16", "collect"),
+    ("tpch_q19", "collect"),
+    ("tpch_q22", "collect"),
 ]
 
 

@@ -172,3 +172,17 @@ def test_snapshot_compaction_rewrites_to_few_clustered_files(spark, sf_dir):
         assert hi1 <= lo2
     # and nothing was lost or duplicated across the rewrite
     assert df.count() == df.select("o_orderkey").distinct().count()
+
+
+def test_tpch_suite_is_complete_with_oracles():
+    """Round 9: the catalog carries the FULL 22-query TPC-H suite, and
+    every one of them is oracle-anchored (standard SQL, no rows-only
+    entries) — a consumer of the reference star schema can run any
+    TPC-H query shape against this engine and have it differentially
+    checked."""
+    from etl_tiki_webscraping_spark.plans.catalog import QUERIES
+
+    for n in range(1, 23):
+        name = f"tpch_q{n}"
+        assert name in QUERIES, f"{name} missing from the catalog"
+        assert QUERIES[name].oracle is not None, f"{name} has no oracle"

@@ -481,6 +481,121 @@ def main() -> int:
           "affected-key refresh: broadcast touched-keys drive one anti "
           "(keep) and two semi (recompute) legs")
 
+    # --- TPC-H completion set (round 9): the 11 queries finishing the
+    # full 22.  A 1-row scalar-subquery broadcast may plan as a
+    # BroadcastNestedLoopJoin (build side is exactly one row) — that's
+    # the CORRECT shape for an uncorrelated scalar, so those checks
+    # assert the DATA joins are hash joins rather than banning BNLJ.
+    def _scans(p, table):
+        return sum(
+            seg.count(f"{table}.parquet") for seg in p.split("\n")
+            if "Scan" in seg or "FileScan" in seg
+        )
+
+    p = plan_of("tpch_q4")
+    check("tpch_q4",
+          "LeftSemi" in p
+          and "BroadcastNestedLoopJoin" not in p
+          and "CartesianProduct" not in p
+          and "GreaterThanOrEqual(o_orderdate" in p,
+          "Q4 correlated EXISTS decorrelated to ONE semi join with the "
+          "late-ship inequality as a residual; quarter filter pushed "
+          "to the orders scan")
+
+    p = plan_of("tpch_q7")
+    check("tpch_q7",
+          "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p
+          and _scans(p, "lineitem") == 1
+          and _scans(p, "nation") == 2,
+          "Q7 two-nation pair: both nation copies broadcast with the "
+          "cross-pair disjunction as a residual, lineitem scanned once")
+
+    p = plan_of("tpch_q8")
+    check("tpch_q8",
+          p.count("BroadcastHashJoin") >= 5
+          and "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p
+          and _scans(p, "lineitem") == 1,
+          "Q8 eight-table market share: every dimension broadcasts "
+          "into the single lineitem pass; share is one conditional "
+          "aggregate")
+
+    p = plan_of("tpch_q9")
+    check("tpch_q9",
+          "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p
+          and _scans(p, "lineitem") <= 2,
+          "Q9 derived supply cost joins back on its own grouping keys; "
+          "lineitem scanned at most twice (stream + cost aggregate), "
+          "never per outer row")
+
+    p = plan_of("tpch_q11")
+    check("tpch_q11",
+          "CartesianProduct" not in p
+          and p.count("BroadcastNestedLoopJoin") <= 1  # 1-row scalar
+          and _scans(p, "lineitem") <= 2
+          and "LeftSemi" in p,
+          "Q11 value-per-part vs broadcast scalar mean threshold; "
+          "region suppliers gate via semi joins")
+
+    p = plan_of("tpch_q12")
+    check("tpch_q12",
+          "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p
+          and ("GreaterThanOrEqual(l_shipdate" in p),
+          "Q12 year filter pushed to the lineitem scan; the 30-day lag "
+          "inequality rides the orderkey hash join as a residual")
+
+    p = plan_of("tpch_q13")
+    check("tpch_q13",
+          "LeftOuter" in p
+          and "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p
+          and "Not(EqualTo(o_orderpriority,1-URGENT))" in p,
+          "Q13 zero-order customers preserved: LEFT OUTER with the "
+          "priority exclusion pushed to the orders scan (inside the "
+          "join condition, so the join never degrades to inner)")
+
+    p = plan_of("tpch_q15")
+    check("tpch_q15",
+          "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p
+          and _scans(p, "lineitem") <= 2
+          and p.count("HashAggregate") >= 2,
+          "Q15 revenue view + broadcast scalar MAX: two aggregates, "
+          "lineitem scanned at most twice, supplier broadcast")
+
+    p = plan_of("tpch_q16")
+    check("tpch_q16",
+          "LeftAnti" in p
+          and "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p
+          and _scans(p, "lineitem") == 1,
+          "Q16 NOT IN excluded suppliers as a broadcast anti join (PK "
+          "side provably non-null); one lineitem pass feeds the "
+          "distinct pair derivation")
+
+    p = plan_of("tpch_q19")
+    check("tpch_q19",
+          "BroadcastHashJoin" in p
+          and "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p
+          and "GreaterThanOrEqual(l_quantity,1.0)" in p
+          and "LessThanOrEqual(l_quantity,30.0)" in p,
+          "Q19 disjunctive predicate: union quantity bounds pushed to "
+          "the scan, branch OR evaluated as an equi-join residual — "
+          "never a nested loop")
+
+    p = plan_of("tpch_q22")
+    check("tpch_q22",
+          "LeftAnti" in p
+          and p.count("BroadcastNestedLoopJoin") <= 1  # 1-row scalar
+          and "CartesianProduct" not in p
+          and "GreaterThanOrEqual(o_orderdate,2000-06-01" in p,
+          "Q22 no-recent-order anti join with the recency window "
+          "pushed to the orders scan; scalar average broadcasts")
+
     print()
     if failures:
         print(f"{len(failures)} plan check(s) FAILED")
