@@ -179,6 +179,7 @@ HEADLINE = [
     ("tpch_q16", "collect"),
     ("tpch_q19", "collect"),
     ("tpch_q22", "collect"),
+    ("token_budget_cutoff", "count"),
 ]
 
 

@@ -660,3 +660,108 @@ def weighted_median(
         .groupBy(*group_cols)
         .agg(F.min("_v").alias("wmedian"))
     )
+
+
+def ordered_budget_select(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    budget: float,
+    tie_col: str,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Select rows in (``order_col`` DESC, ``tie_col`` ASC) order while
+    the running total of ``weight_col`` stays <= ``budget`` — the
+    "fill a token budget with the best documents" primitive of a
+    training-data pipeline (quality-ranked corpus truncation).
+
+    The naive form is a GLOBAL-order cumulative window — a single
+    partition processing every row, which cannot work at 100 TB.  This
+    runs as a distributed two-pass prefix sum instead:
+
+    1. ONE aggregate finds the order column's [lo, hi] range; each row
+       maps to one of ``n_buckets`` equi-width buckets, numbered so
+       bucket index ASCENDS as consumption order proceeds (highest
+       ``order_col`` first).  The mapping is monotone, so bucket order
+       refines global order and equal order values can never straddle
+       a bucket boundary.
+    2. ONE map-side-combined aggregate computes each bucket's weight
+       sum; a window over <= ``n_buckets`` rows (tiny, broadcastable)
+       turns that into each bucket's STRICT-PRIOR prefix total.
+    3. The prefix joins back by bucket (broadcast), and a window
+       PARTITIONED BY BUCKET — parallel across buckets, never global —
+       adds the within-bucket running weight.  A row survives iff
+       prior-buckets total + within-bucket running total <= budget.
+
+    Weights accumulate in DECIMAL(38,6) so the running total is exact
+    and order-independent; the result is identical to the single-
+    window definition row-for-row.  Rows with a NULL order or weight
+    are EXCLUDED up front (explicitly — otherwise a NULL bucket key
+    would drop them silently at the join while their weight skewed
+    nothing; a ranking that can be NULL must be coalesced by the
+    caller).  Degenerate case: all order values equal -> one bucket ->
+    the window serializes (documented; the caller picked a constant
+    ranking).  Returns the input columns, filtered; no ordering
+    guarantee (order downstream if needed).
+
+    The input is PERSISTED (memory-and-disk): it has three consumers
+    — the range aggregate, the per-bucket totals, and the final
+    filtered join — and without pinning it each consumer would rerun
+    the caller's upstream plan (at 100 TB: three extra full scans of
+    whatever computed the ranking).  Callers pass the narrow
+    projection (id, order, weight), not the wide table.
+    """
+    df = df.filter(
+        F.col(order_col).isNotNull() & F.col(weight_col).isNotNull()
+    ).persist()
+    lo_hi = df.agg(
+        F.min(order_col).alias("__lo"), F.max(order_col).alias("__hi")
+    )
+    with_b = df.join(F.broadcast(lo_hi))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(n_buckets)
+    bucket = (
+        F.when(F.col("__hi") <= F.col("__lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((F.col("__hi") - F.col(order_col)) / width),
+                ),
+            )
+        )
+        .cast("int")
+    )
+    with_b = with_b.withColumn("__bucket", bucket).drop("__lo", "__hi")
+    per_bucket = with_b.groupBy("__bucket").agg(
+        F.sum(F.col(weight_col).cast("decimal(38,6)")).alias("__btoks")
+    )
+    # <= n_buckets rows: the single-partition window here is over a
+    # tiny relation by construction, not over the data
+    prior_w = (
+        Window.orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = per_bucket.select(
+        "__bucket",
+        F.coalesce(
+            F.sum("__btoks").over(prior_w),
+            F.lit(0).cast("decimal(38,6)"),
+        ).alias("__prior"),
+    )
+    within = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.col(order_col).desc(), F.col(tie_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out_cols = df.columns
+    return (
+        with_b.join(F.broadcast(prefix), "__bucket")
+        .withColumn(
+            "__cum",
+            F.col("__prior")
+            + F.sum(F.col(weight_col).cast("decimal(38,6)")).over(within),
+        )
+        .filter(F.col("__cum") <= F.lit(budget))
+        .select(*out_cols)
+    )

@@ -9550,3 +9550,60 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+@register(
+    "token_budget_cutoff",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                      t -> t IN ('the','and','of','to','in','is','it','that','for','with'))) AS DOUBLE)
+                 / CAST(greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1) AS DOUBLE)
+                 AS quality,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                 AS n_tokens
+      FROM documents
+    ),
+    ordered AS (
+      SELECT doc_id, quality, n_tokens,
+             CAST(SUM(CAST(n_tokens AS DECIMAL(38,6))) OVER (
+               ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS cum
+      FROM toks
+    )
+    SELECT doc_id, quality, n_tokens FROM ordered WHERE cum <= 8000
+    ORDER BY quality DESC, doc_id
+    """,
+    doc="Token-budget corpus truncation: keep the highest-quality "
+        "documents (stopword-ratio ranking, doc_id tie-break) until "
+        "a fixed token budget fills — THE selection primitive of a "
+        "training-data pipeline ('fill 10B tokens with the best "
+        "docs').  The definition is a global-order cumulative window "
+        "— a single partition at 100 TB — so the implementation "
+        "(operators/relational.py::ordered_budget_select) runs it as "
+        "a distributed two-pass prefix sum: equi-width quality "
+        "buckets (monotone mapping, ties can't straddle), per-bucket "
+        "weight totals turned into strict-prior prefixes by a window "
+        "over <=256 TINY rows, broadcast back, and a within-bucket "
+        "window PARTITIONED BY BUCKET — parallel across buckets, "
+        "row-identical to the single-window definition (the oracle "
+        "IS that definition).  DECIMAL accumulation keeps the "
+        "running total exact.",
+)
+def q_token_budget_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.functions.text import stopword_ratio
+    from etl_tiki_webscraping_spark.operators.relational import (
+        ordered_budget_select,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        stopword_ratio("text").alias("quality"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("bigint").alias("n_tokens"),
+    )
+    return ordered_budget_select(
+        docs, "quality", "n_tokens", 8000, "doc_id"
+    ).orderBy(F.col("quality").desc(), "doc_id")

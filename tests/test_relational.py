@@ -427,3 +427,73 @@ class TestWeightedMedian:
             if acc * 2 >= tot:
                 assert m1[0].wmedian == v
                 break
+
+
+class TestOrderedBudgetSelect:
+    """ordered_budget_select = the single-window definition, verified
+    by python replay; buckets are an execution strategy only."""
+
+    @staticmethod
+    def _replay(rows, budget):
+        # rows: (id, order, weight); global (order DESC, id ASC) cumsum
+        keep, acc = set(), 0.0
+        for i, o, w in sorted(rows, key=lambda r: (-r[1], r[0])):
+            if acc + w > budget:
+                break  # cumulative filter: later rows all exceed too
+            acc += w
+            keep.add(i)
+        return keep
+
+    def _got(self, spark, rows, budget, n_buckets=8):
+        from etl_tiki_webscraping_spark.operators.relational import (
+            ordered_budget_select,
+        )
+
+        df = spark.createDataFrame(rows, "id long, o double, w long")
+        out = ordered_budget_select(
+            df.repartition(8), "o", "w", budget, "id", n_buckets=n_buckets
+        )
+        return {r.id for r in out.collect()}
+
+    def test_matches_single_window_replay(self, spark):
+        import random
+
+        rng = random.Random(11)
+        rows = [(i, round(rng.random(), 3), rng.randint(1, 50))
+                for i in range(400)]
+        budget = sum(w for _, _, w in rows) // 3
+        assert self._got(spark, rows, budget) == self._replay(rows, budget)
+
+    def test_heavy_ties_break_on_id(self, spark):
+        # many rows share the same order value -> tie column decides
+        rows = [(i, 1.0 if i % 2 else 0.5, 10) for i in range(100)]
+        got = self._got(spark, rows, 200)
+        assert got == self._replay(rows, 200)
+        # 20 x 10 tokens fit: the 20 SMALLEST odd ids (o=1.0 ranks
+        # first, then id ascending breaks the tie)
+        assert got == {i for i in range(40) if i % 2}
+
+    def test_all_equal_order_single_bucket(self, spark):
+        rows = [(i, 7.0, 5) for i in range(50)]
+        got = self._got(spark, rows, 100)
+        assert got == set(range(20)) == self._replay(rows, 100)
+
+    def test_budget_edges(self, spark):
+        rows = [(i, float(i), 10) for i in range(10)]
+        assert self._got(spark, rows, 0) == set()
+        assert self._got(spark, rows, 9) == set()  # first row exceeds
+        assert self._got(spark, rows, 10_000) == set(range(10))
+
+    def test_null_order_rows_excluded_not_miscounted(self, spark):
+        from etl_tiki_webscraping_spark.operators.relational import (
+            ordered_budget_select,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 2.0, 10), (2, None, 1000), (3, 1.0, 10)],
+            "id long, o double, w long",
+        )
+        got = {r.id for r in
+               ordered_budget_select(df, "o", "w", 20, "id").collect()}
+        # the NULL-order row neither appears nor consumes budget
+        assert got == {1, 3}

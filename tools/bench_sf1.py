@@ -142,6 +142,29 @@ NEW_R8D = [
     "streaming_dp_noisy_counts",
 ]
 
+# round-9: the TPC-H completion set (the 11 finishing the full 22),
+# the round-8-close decorrelation set, and the tokenizer/ANN composers.
+NEW_R9 = [
+    "tpch_q2",
+    "tpch_q17",
+    "tpch_q20",
+    "tpch_q21",
+    "bpe_encode_corpus",
+    "knn_ivf_pq",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q19",
+    "tpch_q22",
+    "token_budget_cutoff",
+]
+
 NEW_R7C = [
     "heavy_hitters_exact",
     "table_profile",
@@ -297,7 +320,7 @@ def main() -> None:
     if len(sys.argv) > 1:
         names = {
             "r7": NEW_R7, "r7c": NEW_R7C, "r7d": NEW_R7D, "r8": NEW_R8,
-            "r8b": NEW_R8B, "r8c": NEW_R8C, "r8d": NEW_R8D,
+            "r8b": NEW_R8B, "r8c": NEW_R8C, "r8d": NEW_R8D, "r9": NEW_R9,
         }.get(sys.argv[1], FIVE)
     # hoist one-time warehouse staging out of the timed region, exactly
     # as bench.py does (a deployment's snapshot tables already exist) —

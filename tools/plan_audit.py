@@ -587,6 +587,19 @@ def main() -> int:
           "the scan, branch OR evaluated as an equi-join residual — "
           "never a nested loop")
 
+    import re as _re
+
+    p = plan_of("token_budget_cutoff")
+    check("token_budget_cutoff",
+          "InMemoryTableScan" in p
+          and _re.search(
+              r"windowspecdefinition\(__bucket#\d+, quality#\d+ DESC", p
+          ) is not None,
+          "budget cutoff: the cumulative window is PARTITIONED BY "
+          "BUCKET (never a global single-partition order), and the "
+          "(id, order, weight) projection is persisted once for its "
+          "three consumers")
+
     p = plan_of("tpch_q22")
     check("tpch_q22",
           "LeftAnti" in p
