@@ -180,6 +180,8 @@ HEADLINE = [
     ("tpch_q19", "collect"),
     ("tpch_q22", "collect"),
     ("token_budget_cutoff", "count"),
+    ("token_budget_per_lang", "count"),
+    ("doc_bigram_logprob", "count"),
 ]
 
 

@@ -669,29 +669,36 @@ def ordered_budget_select(
     budget: float,
     tie_col: str,
     n_buckets: int = 256,
+    group_cols: "Sequence[str] | None" = None,
 ) -> DataFrame:
     """Select rows in (``order_col`` DESC, ``tie_col`` ASC) order while
     the running total of ``weight_col`` stays <= ``budget`` — the
     "fill a token budget with the best documents" primitive of a
-    training-data pipeline (quality-ranked corpus truncation).
+    training-data pipeline (quality-ranked corpus truncation).  With
+    ``group_cols``, the order and the budget apply PER GROUP (each
+    language/source fills its own quota — the per-stratum form data-
+    mix curation uses).
 
     The naive form is a GLOBAL-order cumulative window — a single
-    partition processing every row, which cannot work at 100 TB.  This
-    runs as a distributed two-pass prefix sum instead:
+    partition processing every row (or one partition per group, each
+    carrying that group's full row count), which cannot work at
+    100 TB.  This runs as a distributed two-pass prefix sum instead:
 
-    1. ONE aggregate finds the order column's [lo, hi] range; each row
-       maps to one of ``n_buckets`` equi-width buckets, numbered so
-       bucket index ASCENDS as consumption order proceeds (highest
-       ``order_col`` first).  The mapping is monotone, so bucket order
-       refines global order and equal order values can never straddle
-       a bucket boundary.
-    2. ONE map-side-combined aggregate computes each bucket's weight
-       sum; a window over <= ``n_buckets`` rows (tiny, broadcastable)
-       turns that into each bucket's STRICT-PRIOR prefix total.
-    3. The prefix joins back by bucket (broadcast), and a window
-       PARTITIONED BY BUCKET — parallel across buckets, never global —
-       adds the within-bucket running weight.  A row survives iff
-       prior-buckets total + within-bucket running total <= budget.
+    1. ONE aggregate finds the order column's [lo, hi] range (per
+       group when grouped); each row maps to one of ``n_buckets``
+       equi-width buckets, numbered so bucket index ASCENDS as
+       consumption order proceeds (highest ``order_col`` first).  The
+       mapping is monotone, so bucket order refines the selection
+       order and equal order values can never straddle a bucket
+       boundary.
+    2. ONE map-side-combined aggregate computes each (group,) bucket's
+       weight sum; a window over <= ``n_buckets`` rows per group
+       (tiny) turns that into each bucket's STRICT-PRIOR prefix total.
+    3. The prefix joins back by (group,) bucket, and a window
+       PARTITIONED BY (group,) BUCKET — parallel across buckets, never
+       global — adds the within-bucket running weight.  A row survives
+       iff prior-buckets total + within-bucket running total <=
+       budget.
 
     Weights accumulate in DECIMAL(38,6) so the running total is exact
     and order-independent; the result is identical to the single-
@@ -699,25 +706,33 @@ def ordered_budget_select(
     are EXCLUDED up front (explicitly — otherwise a NULL bucket key
     would drop them silently at the join while their weight skewed
     nothing; a ranking that can be NULL must be coalesced by the
-    caller).  Degenerate case: all order values equal -> one bucket ->
-    the window serializes (documented; the caller picked a constant
-    ranking).  Returns the input columns, filtered; no ordering
-    guarantee (order downstream if needed).
+    caller).  Degenerate case: all order values equal in a group ->
+    one bucket -> that group's window serializes (documented; the
+    caller picked a constant ranking).  Returns the input columns,
+    filtered; no ordering guarantee (order downstream if needed).
 
     The input is PERSISTED (memory-and-disk): it has three consumers
     — the range aggregate, the per-bucket totals, and the final
     filtered join — and without pinning it each consumer would rerun
     the caller's upstream plan (at 100 TB: three extra full scans of
     whatever computed the ranking).  Callers pass the narrow
-    projection (id, order, weight), not the wide table.
+    projection (id, order, weight[, group]), not the wide table.
+    The range/prefix sides are broadcast only in the ungrouped form;
+    grouped, they are |groups| x n_buckets rows and the join planner
+    (AQE) picks broadcast vs shuffle from the actual size.
     """
+    gcols = list(group_cols or [])
     df = df.filter(
         F.col(order_col).isNotNull() & F.col(weight_col).isNotNull()
     ).persist()
-    lo_hi = df.agg(
+    lo_hi = df.groupBy(*gcols).agg(
+        F.min(order_col).alias("__lo"), F.max(order_col).alias("__hi")
+    ) if gcols else df.agg(
         F.min(order_col).alias("__lo"), F.max(order_col).alias("__hi")
     )
-    with_b = df.join(F.broadcast(lo_hi))
+    with_b = (
+        df.join(lo_hi, gcols) if gcols else df.join(F.broadcast(lo_hi))
+    )
     width = (F.col("__hi") - F.col("__lo")) / F.lit(n_buckets)
     bucket = (
         F.when(F.col("__hi") <= F.col("__lo"), F.lit(0))
@@ -733,16 +748,18 @@ def ordered_budget_select(
         .cast("int")
     )
     with_b = with_b.withColumn("__bucket", bucket).drop("__lo", "__hi")
-    per_bucket = with_b.groupBy("__bucket").agg(
+    per_bucket = with_b.groupBy(*gcols, "__bucket").agg(
         F.sum(F.col(weight_col).cast("decimal(38,6)")).alias("__btoks")
     )
-    # <= n_buckets rows: the single-partition window here is over a
-    # tiny relation by construction, not over the data
+    # <= n_buckets rows per group: the window here is over a tiny
+    # relation by construction, not over the data
     prior_w = (
-        Window.orderBy("__bucket")
+        (Window.partitionBy(*gcols) if gcols else Window)
+        .orderBy("__bucket")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prefix = per_bucket.select(
+        *gcols,
         "__bucket",
         F.coalesce(
             F.sum("__btoks").over(prior_w),
@@ -750,14 +767,17 @@ def ordered_budget_select(
         ).alias("__prior"),
     )
     within = (
-        Window.partitionBy("__bucket")
+        Window.partitionBy(*gcols, "__bucket")
         .orderBy(F.col(order_col).desc(), F.col(tie_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out_cols = df.columns
+    joined = (
+        with_b.join(prefix, [*gcols, "__bucket"]) if gcols
+        else with_b.join(F.broadcast(prefix), "__bucket")
+    )
     return (
-        with_b.join(F.broadcast(prefix), "__bucket")
-        .withColumn(
+        joined.withColumn(
             "__cum",
             F.col("__prior")
             + F.sum(F.col(weight_col).cast("decimal(38,6)")).over(within),

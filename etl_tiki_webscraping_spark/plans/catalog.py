@@ -9607,3 +9607,165 @@ def q_token_budget_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered_budget_select(
         docs, "quality", "n_tokens", 8000, "doc_id"
     ).orderBy(F.col("quality").desc(), "doc_id")
+
+
+@register(
+    "token_budget_per_lang",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                      t -> t IN ('the','and','of','to','in','is','it','that','for','with'))) AS DOUBLE)
+                 / CAST(greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1) AS DOUBLE)
+                 AS quality,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                 AS n_tokens
+      FROM documents
+    ),
+    ordered AS (
+      SELECT doc_id, lang, quality, n_tokens,
+             CAST(SUM(CAST(n_tokens AS DECIMAL(38,6))) OVER (
+               PARTITION BY lang
+               ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS cum
+      FROM toks
+    )
+    SELECT doc_id, lang, quality, n_tokens FROM ordered WHERE cum <= 2000
+    ORDER BY lang, quality DESC, doc_id
+    """,
+    doc="Per-language token-budget truncation: every language fills "
+        "its own quota with its best documents — the per-stratum form "
+        "of token_budget_cutoff that data-mix curation runs after "
+        "corpus_mix_allocation decides the quotas.  Same distributed "
+        "two-pass prefix sum (ordered_budget_select with group_cols), "
+        "but the range/prefix relations are per-group and their "
+        "windows partition by (lang, bucket) — the degenerate one-"
+        "partition-per-LANGUAGE cumulative window (each carrying that "
+        "language's full doc count: still billions of rows per "
+        "partition at corpus scale) never appears.",
+)
+def q_token_budget_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.functions.text import stopword_ratio
+    from etl_tiki_webscraping_spark.operators.relational import (
+        ordered_budget_select,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        stopword_ratio("text").alias("quality"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("bigint").alias("n_tokens"),
+    )
+    return ordered_budget_select(
+        docs, "quality", "n_tokens", 2000, "doc_id", group_cols=["lang"]
+    ).orderBy("lang", F.col("quality").desc(), "doc_id")
+
+
+@register(
+    "doc_bigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(terms) AS term,
+             generate_subscripts(terms, 1) AS pos
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               t -> t <> '') AS terms
+            FROM documents)
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+             term AS cur
+      FROM toks
+      QUALIFY prev IS NOT NULL
+    ),
+    c2 AS (SELECT prev, cur, COUNT(*) AS n2 FROM bigrams GROUP BY 1, 2),
+    c1 AS (SELECT prev, SUM(n2) AS n1 FROM c2 GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT term) AS vsize FROM toks),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(ln((c2.n2 + 0.5)
+                     / (c1.n1 + 0.5 * v.vsize)) AS DECIMAL(18,8)) AS lp
+      FROM bigrams b
+      JOIN c2 ON b.prev = c2.prev AND b.cur = c2.cur
+      JOIN c1 ON b.prev = c1.prev
+      CROSS JOIN v
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Bigram language-model scoring with add-k smoothing (k=0.5): "
+        "the conditional upgrade of doc_unigram_logprob — low mean "
+        "ln P(w|prev) flags token-order gibberish that unigram "
+        "frequency cannot (shuffled text keeps its unigram score).  "
+        "Bigrams form via ONE lag window partitioned per document "
+        "(parallel across docs); corpus statistics are two map-side-"
+        "combined aggregates (bigram counts, then context totals "
+        "derived from them — the token stream is NOT re-scanned) plus "
+        "a scalar vocabulary size; scoring is one (prev, cur)-keyed "
+        "equi join of the doc stream against the count table with the "
+        "context totals broadcast onto it.  Per-token ln quantizes to "
+        "DECIMAL(18,8) before the sum (the doc_unigram_logprob "
+        "precedent) so the per-doc average is order-independent and "
+        "bit-identical across engines.  Docs with fewer than two "
+        "tokens have no bigrams and are absent by definition.",
+)
+def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        ).alias("pos", "term"),
+    )
+    doc_w = Window.partitionBy("doc_id").orderBy("pos")
+    # persisted: the bigram stream has TWO consumers (the count build
+    # and the scoring join) — without pinning it, the explode + lag
+    # window would rerun per consumer (two extra full passes at scale)
+    bigrams = (
+        toks.select(
+            "doc_id",
+            F.lag("term").over(doc_w).alias("prev"),
+            F.col("term").alias("cur"),
+        )
+        .filter(F.col("prev").isNotNull())
+        .persist()
+    )
+    # persisted too: c2 (bigram-TYPE cardinality, tiny) feeds both the
+    # context totals and the scoring lookup — one combined shuffle of
+    # the stream instead of two
+    c2 = (
+        bigrams.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("n2"))
+        .persist()
+    )
+    c1 = c2.groupBy("prev").agg(F.sum("n2").alias("n1"))
+    vsize = toks.agg(F.countDistinct("term").alias("vsize"))
+    lookup = (
+        c2.join(F.broadcast(c1), "prev")
+        .join(F.broadcast(vsize))
+        .select(
+            "prev",
+            "cur",
+            F.log(
+                (F.col("n2") + 0.5) / (F.col("n1") + 0.5 * F.col("vsize"))
+            ).cast("decimal(18,8)").alias("lp"),
+        )
+    )
+    return (
+        bigrams.join(lookup, ["prev", "cur"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            (F.sum("lp").cast("double") / F.count(F.lit(1)))
+            .alias("avg_logprob"),
+        )
+    )

@@ -497,3 +497,30 @@ class TestOrderedBudgetSelect:
                ordered_budget_select(df, "o", "w", 20, "id").collect()}
         # the NULL-order row neither appears nor consumes budget
         assert got == {1, 3}
+
+    def test_grouped_budget_is_per_group(self, spark):
+        import random
+
+        from etl_tiki_webscraping_spark.operators.relational import (
+            ordered_budget_select,
+        )
+
+        rng = random.Random(5)
+        rows = [(i, f"g{i % 3}", round(rng.random(), 3), rng.randint(1, 30))
+                for i in range(300)]
+        df = spark.createDataFrame(rows, "id long, g string, o double, w long")
+        budget = 400
+        got = {r.id for r in ordered_budget_select(
+            df.repartition(8), "o", "w", budget, "id",
+            n_buckets=8, group_cols=["g"],
+        ).collect()}
+        want = set()
+        for g in ("g0", "g1", "g2"):
+            grp = [(i, o, w) for i, gg, o, w in rows if gg == g]
+            want |= self._replay(grp, budget)
+        assert got == want
+        # each group independently near its budget: no group starved
+        by_g = {g: sum(w for i, gg, o, w in rows if gg == g and i in got)
+                for g in ("g0", "g1", "g2")}
+        assert all(v <= budget for v in by_g.values())
+        assert all(v > budget - 30 for v in by_g.values())

@@ -163,6 +163,8 @@ NEW_R9 = [
     "tpch_q19",
     "tpch_q22",
     "token_budget_cutoff",
+    "token_budget_per_lang",
+    "doc_bigram_logprob",
 ]
 
 NEW_R7C = [

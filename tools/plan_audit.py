@@ -600,6 +600,26 @@ def main() -> int:
           "(id, order, weight) projection is persisted once for its "
           "three consumers")
 
+    p = plan_of("token_budget_per_lang")
+    check("token_budget_per_lang",
+          _re.search(
+              r"windowspecdefinition\(lang#\d+, __bucket#\d+, quality#\d+ DESC",
+              p,
+          ) is not None
+          and "CartesianProduct" not in p,
+          "grouped budget cutoff: the cumulative window partitions by "
+          "(lang, bucket) — never one partition per language carrying "
+          "that language's whole corpus")
+
+    p = plan_of("doc_bigram_logprob")
+    check("doc_bigram_logprob",
+          "InMemoryTableScan" in p
+          and "CartesianProduct" not in p
+          and p.count("BroadcastNestedLoopJoin") <= 1,  # 1-row vsize
+          "bigram LM: the exploded+lagged stream and the count table "
+          "persist once for their two consumers each; scoring is an "
+          "equi join (scalar vocab size is the only 1-row broadcast)")
+
     p = plan_of("tpch_q22")
     check("tpch_q22",
           "LeftAnti" in p
