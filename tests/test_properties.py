@@ -820,3 +820,45 @@ def test_weighted_sample_uniform_weights_is_pure_hash_topk(spark, n, k):
 
     want = set(sorted(range(n), key=lambda i: (-ares(i), i))[:k])
     assert got == want
+
+
+BUDGET_ROWS = st.lists(
+    st.tuples(
+        st.floats(min_value=0.0, max_value=1.0,
+                  allow_nan=False, allow_infinity=False),
+        st.integers(min_value=1, max_value=40),
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(rows=BUDGET_ROWS, budget=st.integers(min_value=0, max_value=600),
+       n_buckets=st.sampled_from([1, 2, 7, 64]))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_ordered_budget_select_equals_definition(spark, rows, budget,
+                                                 n_buckets):
+    """For ANY data, budget, and bucket count, the distributed prefix-
+    sum select returns exactly the rows the single-window definition
+    keeps: cumulative weight in (order DESC, id ASC) order <= budget.
+    Bucket count is an execution knob, never a semantics knob."""
+    from etl_tiki_webscraping_spark.operators.relational import (
+        ordered_budget_select,
+    )
+
+    data = [(i, o, w) for i, (o, w) in enumerate(rows)]
+    df = (spark.createDataFrame(data, "id long, o double, w long")
+          if data else
+          spark.createDataFrame([], "id long, o double, w long"))
+    got = {r.id for r in ordered_budget_select(
+        df, "o", "w", budget, "id", n_buckets=n_buckets
+    ).collect()}
+    keep, acc = set(), 0
+    for i, o, w in sorted(data, key=lambda r: (-r[1], r[0])):
+        if acc + w > budget:
+            break
+        acc += w
+        keep.add(i)
+    assert got == keep
