@@ -947,7 +947,12 @@ def substring_dup_pairs(
     Returns (id_a, id_b, shared) with id_a < id_b, ``shared`` =
     distinct verified fingerprint hashes in common.
     """
-    fps = winnow_fingerprints(docs, id_col, text_col, k, w, with_grams=True)
+    # persisted: BOTH sides of the self-join consume the fingerprint
+    # stream — without pinning it, the gram explode + winnow window
+    # (the dominant cost) runs twice
+    fps = winnow_fingerprints(
+        docs, id_col, text_col, k, w, with_grams=True
+    ).persist()
     a = fps.select(
         F.col("id").alias("id_a"), "h", F.col("gram").alias("gram_a")
     )
