@@ -182,6 +182,7 @@ HEADLINE = [
     ("token_budget_cutoff", "count"),
     ("token_budget_per_lang", "count"),
     ("doc_bigram_logprob", "count"),
+    ("logreg_quality_train", "collect"),
 ]
 
 

@@ -9769,3 +9769,46 @@ def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "logreg_quality_train",
+    oracle=None,  # iterative Newton solves — not SQL-replayable
+    doc="Distributed logistic-regression TRAINING via IRLS "
+        "(operators/mlfit.py::logreg_train_irls) — the trainable half "
+        "of the quality classifier whose fixed-weight scoring side is "
+        "quality_model_score: fit P(lang='en' | stopword_ratio, "
+        "punct_ratio, log10 tokens) on the documents fixture.  Each "
+        "Newton iteration is ONE shuffle-free Arrow pass accumulating "
+        "the d x d normal matrix; partials reduce at d^2+d+2 "
+        "cardinality (the embedding_pca shape) and only that reaches "
+        "the driver's O(d^3) solve — n never leaves the executors, "
+        "and d is the feature count (4), not the corpus.  Gates "
+        "(tools/gates_report.py + tests/test_mlfit.py): exact "
+        "coefficient parity (<=1e-6) with a single-node numpy IRLS "
+        "replay on the same features, monotone non-increasing "
+        "deviance, and partitioning invariance.",
+)
+def q_logreg_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.functions.text import (
+        punct_ratio,
+        stopword_ratio,
+    )
+    from etl_tiki_webscraping_spark.operators.mlfit import (
+        logreg_train_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+        stopword_ratio("text").alias("stopword_ratio"),
+        punct_ratio("text").alias("punct_ratio"),
+        F.log10(
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
+        ).alias("log10_tokens"),
+    )
+    return logreg_train_report(
+        docs,
+        ["stopword_ratio", "punct_ratio", "log10_tokens"],
+        "is_en",
+        max_iters=8,
+    )

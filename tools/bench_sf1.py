@@ -165,6 +165,7 @@ NEW_R9 = [
     "token_budget_cutoff",
     "token_budget_per_lang",
     "doc_bigram_logprob",
+    "logreg_quality_train",
 ]
 
 NEW_R7C = [

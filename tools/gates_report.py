@@ -43,6 +43,7 @@ GATED_QUERIES = frozenset({
     "streaming_sketch_maintenance", "kll_quantile_rollup",
     "cms_frequency_rollup", "theta_sketch_set_ops",
     "embedding_pca_variance", "bpe_train_merges",
+    "logreg_quality_train",
 })
 
 ROWS: list[tuple[str, str, str, str, bool]] = []  # query, gate, measured, bound, ok
@@ -292,6 +293,56 @@ def main() -> int:
     emit("bpe_train_merges", "exact merge-table parity vs single-node BPE",
          f"{len(got_merges)} merges", "identical (rank, left, right)",
          got_merges == want_merges and len(got_merges) > 0)
+
+    # --- logistic IRLS training: exact parity with a single-node
+    # numpy replay on the identical features (tests/test_mlfit.py) ---
+    from etl_tiki_webscraping_spark.functions.text import (
+        punct_ratio,
+        stopword_ratio,
+    )
+
+    feats = (
+        load_table(spark, SF_DIR, "documents")
+        .select(
+            (F.col("lang") == "en").cast("int").alias("y"),
+            stopword_ratio("text").alias("x1"),
+            punct_ratio("text").alias("x2"),
+            F.log10(
+                F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
+            ).alias("x3"),
+        )
+        .toPandas()
+    )
+    X = np.column_stack([np.ones(len(feats)),
+                         feats["x1"], feats["x2"], feats["x3"]])
+    y = feats["y"].to_numpy(np.float64)
+    beta = np.zeros(4)
+    devs = []
+    for _ in range(8):
+        eta = X @ beta
+        pr = 1.0 / (1.0 + np.exp(-eta))
+        epsv = 1e-12
+        wv = np.clip(pr * (1.0 - pr), epsv, None)
+        z = eta + (y - pr) / wv
+        A = X.T @ (wv[:, None] * X) + 1e-8 * np.eye(4)
+        devs.append(-2.0 * float(
+            np.sum(y * np.log(np.clip(pr, epsv, None))
+                   + (1 - y) * np.log(np.clip(1 - pr, epsv, None)))
+        ))
+        beta = np.linalg.solve(A, X.T @ (wv * z))
+    got_lr = {r["feature"]: r["coef"]
+              for r in QUERIES["logreg_quality_train"].fn(spark, SF_DIR).collect()}
+    want_lr = {"(intercept)": beta[0], "stopword_ratio": beta[1],
+               "punct_ratio": beta[2], "log10_tokens": beta[3],
+               "(deviance)": devs[-1]}
+    worst = max(abs(got_lr[k] - want_lr[k]) for k in want_lr)
+    emit("logreg_quality_train",
+         "coef + deviance parity vs single-node IRLS",
+         f"{worst:.2e}", "<= 1e-5 (reported at 6dp)",
+         set(got_lr) == set(want_lr) and worst <= 1e-5)
+    emit("logreg_quality_train", "deviance monotone non-increasing",
+         f"{len(devs)} iters", "dev[i+1] <= dev[i]",
+         all(b <= a + 1e-6 for a, b in zip(devs, devs[1:])))
 
     # --- summary ----------------------------------------------------
     gated_queries = {r[0] for r in ROWS}
