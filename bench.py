@@ -183,6 +183,7 @@ HEADLINE = [
     ("token_budget_per_lang", "count"),
     ("doc_bigram_logprob", "count"),
     ("logreg_quality_train", "collect"),
+    ("model_calibration_bins", "collect"),
 ]
 
 

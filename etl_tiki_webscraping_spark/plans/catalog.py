@@ -9812,3 +9812,89 @@ def q_logreg_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_en",
         max_iters=8,
     )
+
+
+@register(
+    "model_calibration_bins",
+    oracle=r"""
+    WITH feats AS (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+                   / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+               CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                        t -> t IN ('the','and','of','to','in','is','it','that','for','with'))) AS DOUBLE)
+                   / CAST(greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1) AS DOUBLE)
+                   AS stopword_ratio,
+               ln(1.0 + len(list_filter(string_split_regex(trim(text), '\s+'),
+                                        t -> t <> ''))) AS log_tokens
+        FROM documents
+    ),
+    scored AS (
+        SELECT y,
+               (-0.8) + 0.55 * log_tokens + (-2.1) * punct_ratio
+                      + 3.0 * stopword_ratio AS z
+        FROM feats
+    ),
+    probs AS (
+        SELECT y,
+               CASE WHEN z >= 0 THEN 1.0 / (1.0 + exp(-abs(z)))
+                    ELSE 1.0 - 1.0 / (1.0 + exp(-abs(z))) END AS p
+        FROM scored
+    )
+    SELECT CAST(least(9, CAST(floor(p * 10) AS BIGINT)) AS INT) AS bin,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(p AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6)
+               AS mean_pred,
+           ROUND(CAST(SUM(CAST(y AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6)
+               AS obs_rate
+    FROM probs
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Model calibration (reliability bins) — the third leg of the "
+        "classifier loop: logreg_quality_train TRAINS, "
+        "quality_model_score SCORES at scan speed, and this audits "
+        "whether the scores MEAN what they claim (predicted "
+        "probability vs observed label rate per decile bin — the "
+        "reliability-diagram table).  Same deployed weights and "
+        "stable -|z| sigmoid as the scoring query; binning is a "
+        "derived-integer groupBy (bounded 10-row key space, partial+"
+        "final aggregate, one exchange); per-bin means quantize "
+        "through DECIMAL(18,8) so they are order-independent and "
+        "hash-identical across engines.",
+)
+def q_model_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.functions.text import (
+        punct_ratio,
+        stopword_ratio,
+    )
+    from etl_tiki_webscraping_spark.quality.scoring import sigmoid
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    )
+    z = (
+        F.lit(-0.8)
+        + 0.55 * F.log(1.0 + n_tok.cast("double"))
+        - 2.1 * punct_ratio("text")
+        + 3.0 * stopword_ratio("text")
+    )
+    probs = docs.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        sigmoid(z).alias("p"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(18,8)")).cast("double")
+    return (
+        probs.groupBy(
+            F.least(F.lit(9), F.floor(F.col("p") * 10).cast("bigint"))
+            .cast("int").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(dec(F.col("p")) / F.count(F.lit(1)), 6).alias("mean_pred"),
+            F.round(dec(F.col("y")) / F.count(F.lit(1)), 6).alias("obs_rate"),
+        )
+        .orderBy("bin")
+    )

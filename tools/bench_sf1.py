@@ -166,6 +166,7 @@ NEW_R9 = [
     "token_budget_per_lang",
     "doc_bigram_logprob",
     "logreg_quality_train",
+    "model_calibration_bins",
 ]
 
 NEW_R7C = [
