@@ -620,6 +620,14 @@ def main() -> int:
           "persist once for their two consumers each; scoring is an "
           "equi join (scalar vocab size is the only 1-row broadcast)")
 
+    p = plan_of("model_calibration_bins")
+    check("model_calibration_bins",
+          "HashAggregate" in p and p.count("Exchange") <= 2
+          and "Join" not in p,
+          "calibration bins: derived-integer groupBy over the 10-bin "
+          "key space — one partial+final aggregate, no join, model "
+          "weights ride the expression")
+
     p = plan_of("tpch_q22")
     check("tpch_q22",
           "LeftAnti" in p
