@@ -174,6 +174,7 @@ _EAGER_STAGING_QUERIES = (
     "snapshot_dv_delete",  # stages + DV-deletes the fixture table
     "snapshot_update_where",  # stages + updates the fixture table
     "knn_pq_adc",  # trains + memoizes the PQ codebooks (index build)
+    "knn_ivf_pq",  # trains + memoizes coarse centroids + PQ codebooks
     "snapshot_compaction",  # stages 5 micro-batch commits + compacts
     "contamination_new_docs",  # builds + memoizes the base winnow store
 )
