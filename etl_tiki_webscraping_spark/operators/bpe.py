@@ -116,36 +116,70 @@ def bpe_train_report(
 
 # --- encode (VERDICT r8 ask #3): apply a learned merge table ----------
 
-#: symbol separator for the string-encoded token stream.  Greedy BPE
-#: merge application — merge every non-overlapping adjacent (l, r)
-#: left-to-right — is EXACTLY the semantics of a non-overlapping
-#: left-to-right literal string replace of "l<SEP>r" with "lr" on the
-#: separator-joined symbol string (separators make symbol boundaries
-#: unambiguous, so a replace can never match across half a symbol).
-#: That equivalence keeps the whole encode inside JVM whole-stage
-#: codegen (chained F.replace — no Python in the hot path at all) and
-#: makes it replayable verbatim in ANSI SQL for the oracle.
+#: symbol separator for the string-encoded token stream (public
+#: output form), and the CLOSE half of the internal per-symbol
+#: wrapper.  Greedy BPE merge application — merge every
+#: non-overlapping adjacent (l, r) left-to-right — is EXACTLY the
+#: semantics of a non-overlapping left-to-right literal string
+#: replace of "<OPEN>l<CLOSE><OPEN>r<CLOSE>" with "<OPEN>lr<CLOSE>"
+#: on a stream where EVERY symbol is individually wrapped.  A single
+#: separator BETWEEN symbols is NOT enough: the pattern "c<SEP>o"
+#: also matches inside "...c<SEP>or..." (r a strict prefix of the
+#: next symbol) or "...xc<SEP>o..." (l a strict suffix of the
+#: previous one), merging across half a multi-char symbol — with the
+#: pinned fixture table that mis-encodes 'score' as [s, cor, e].
+#: Full wrappers anchor both ends of both symbols, so a match can
+#: only ever consume two WHOLE adjacent symbols.  The chain stays
+#: inside JVM whole-stage codegen (no Python in the hot path) and
+#: replays verbatim in ANSI SQL for the oracle.
 BPE_SEP = "\x1f"
+BPE_OPEN = "\x1e"
+
+
+def _bpe_wrapped_col(word_col, merges: "list[tuple[int, str, str]]"):
+    """Internal wrapped-stream form: each symbol as
+    ``<OPEN>sym<CLOSE>``, merges replayed in rank order as literal
+    replaces.  Stray sentinel chars in the input (control chars,
+    absent from text) are stripped first."""
+    col = word_col if not isinstance(word_col, str) else F.col(word_col)
+    cleaned = F.replace(
+        F.replace(col, F.lit(BPE_SEP), F.lit("")), F.lit(BPE_OPEN), F.lit("")
+    )
+    e = F.array_join(
+        F.transform(
+            F.split(cleaned, ""),
+            lambda c: F.concat(F.lit(BPE_OPEN), c, F.lit(BPE_SEP)),
+        ),
+        "",
+    )
+    for _, left, right in sorted(merges):
+        e = F.replace(
+            e,
+            F.lit(BPE_OPEN + left + BPE_SEP + BPE_OPEN + right + BPE_SEP),
+            F.lit(BPE_OPEN + left + right + BPE_SEP),
+        )
+    return e
 
 
 def bpe_encode_col(word_col, merges: "list[tuple[int, str, str]]"):
     """Encoded token stream of a word as a BPE_SEP-joined string:
-    chars joined by the separator, then each merge replayed in RANK
-    ORDER as one literal replace.  Pure column expressions — cost is
+    per-symbol-wrapped stream (see :data:`BPE_OPEN`), each merge
+    replayed in RANK ORDER as one literal replace, then the wrappers
+    collapse to plain separators.  Pure column expressions — cost is
     O(word length x merges) inside codegen, zero shuffles, zero
-    Python.  Input symbols must not contain BPE_SEP; any stray
-    occurrence is stripped first (control char, absent from text).
+    Python.
 
     For production-sized merge tables (30k+) a chained expression no
     longer codegens — that regime dedups the word vocabulary first
     and encodes each distinct word once in an Arrow kernel; this
     expression form is the right tool for bounded merge tables and is
     what the oracle can replay exactly."""
-    col = word_col if not isinstance(word_col, str) else F.col(word_col)
-    e = F.array_join(F.split(F.replace(col, F.lit(BPE_SEP), F.lit("")), ""), BPE_SEP)
-    for _, left, right in sorted(merges):
-        e = F.replace(e, F.lit(left + BPE_SEP + right), F.lit(left + right))
-    return e
+    e = _bpe_wrapped_col(word_col, merges)
+    # "<CLOSE><OPEN>" boundaries -> one public separator, then the
+    # outermost leading OPEN / trailing CLOSE drop
+    pub = F.replace(e, F.lit(BPE_SEP + BPE_OPEN), F.lit(BPE_SEP))
+    pub = F.replace(pub, F.lit(BPE_OPEN), F.lit(""))
+    return F.substring(pub, 1, F.length(pub) - 1)
 
 
 def bpe_tokens_col(word_col, merges: "list[tuple[int, str, str]]"):
@@ -155,11 +189,12 @@ def bpe_tokens_col(word_col, merges: "list[tuple[int, str, str]]"):
 
 
 def bpe_token_count_col(word_col, merges: "list[tuple[int, str, str]]"):
-    """Token count of a word under the merge table: separators + 1 on
-    the encoded stream (length arithmetic, no array materialization)."""
-    e = bpe_encode_col(word_col, merges)
+    """Token count of a word under the merge table: OPEN markers on
+    the wrapped stream (length arithmetic, no array
+    materialization)."""
+    e = _bpe_wrapped_col(word_col, merges)
     return (
-        F.length(e) - F.length(F.replace(e, F.lit(BPE_SEP), F.lit(""))) + 1
+        F.length(e) - F.length(F.replace(e, F.lit(BPE_OPEN), F.lit("")))
     ).cast("bigint")
 
 

@@ -1028,18 +1028,25 @@ def winnow_coverage(
 
     Statuses (disjoint, every doc counted exactly once):
     - ``fingerprinted``          — in the guarantee regime
-    - ``too_short``              — normalized length < k + w - 1: no
-      span of guarantee length exists (correct to skip, but the count
-      shows how much of the corpus the guarantee cannot cover)
+    - ``too_short``              — normalized length < k + w - 1 (or
+      the text is NULL — fingerprints emit nothing for it, exactly
+      like a too-short doc): no span of guarantee length exists, but
+      the count shows how much of the corpus the guarantee cannot
+      cover
     - ``oversize_quarantined``   — normalized length >= the position-
       encoder base (would corrupt packed fingerprints): ROUTE THESE
       THROUGH :func:`doc_chunking` first and fingerprint the chunks,
       or raise ``_WINNOW_BASE``
 
+    NULL text needs its own branch: a NULL normalized length makes
+    BOTH range conditions NULL (falsy), which would fall through to
+    the ``otherwise`` and claim the doc as fingerprinted — the exact
+    silent-exclusion bug this report exists to surface.
+
     One projection + one tiny groupBy (status cardinality 3); returns
     (status, n_docs, total_chars) ordered by status.
     """
-    n = F.length(normalize_text(text_col))
+    n = F.coalesce(F.length(normalize_text(text_col)), F.lit(0))
     status = (
         F.when(n >= _WINNOW_BASE, F.lit("oversize_quarantined"))
         .when(n < k + w - 1, F.lit("too_short"))

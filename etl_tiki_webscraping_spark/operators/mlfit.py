@@ -64,10 +64,22 @@ def logreg_train_irls(
     cols = [F.col(label_col).cast("double").alias("__y")] + [
         F.col(c).cast("double").alias(f"__x{i}") for i, c in enumerate(feats)
     ]
-    data = df.select(*cols).na.drop()
+    # persisted for the loop: every iteration re-consumes the feature
+    # projection — uncached, the caller's upstream plan (feature
+    # extraction over the whole corpus) would re-execute max_iters
+    # times; unpersisted before returning (the fit is the only
+    # consumer)
+    data = df.select(*cols).na.drop().persist()
 
     beta = np.zeros(d)
     deviances: list[float] = []
+    try:
+        return _irls_loop(data, d, beta, deviances, max_iters, ridge, tol)
+    finally:
+        data.unpersist()
+
+
+def _irls_loop(data, d, beta, deviances, max_iters, ridge, tol):
     for _ in range(max_iters):
         b = beta.copy()
 

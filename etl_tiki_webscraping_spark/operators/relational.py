@@ -717,6 +717,12 @@ def ordered_budget_select(
     the caller's upstream plan (at 100 TB: three extra full scans of
     whatever computed the ranking).  Callers pass the narrow
     projection (id, order, weight[, group]), not the wide table.
+    Cache lifecycle: the selection is lazy, so the operator cannot
+    unpersist before the caller materializes; Spark's CacheManager
+    dedupes identical plans (repeat invocations on the same input
+    reuse one entry, bounded per distinct (input, params)), entries
+    evict under LRU pressure, and a long-lived session can release
+    them explicitly via ``spark.catalog.clearCache()``.
     The range/prefix sides are broadcast only in the ungrouped form;
     grouped, they are |groups| x n_buckets rows and the join planner
     (AQE) picks broadcast vs shuffle from the actual size.

@@ -7422,7 +7422,9 @@ def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "winnow_coverage_report",
     oracle=r"""
     WITH norm AS (
-        SELECT length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS n
+        SELECT coalesce(
+                 length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+                 0) AS n
         FROM documents
     )
     SELECT CASE WHEN n >= 1048576 THEN 'oversize_quarantined'
@@ -7936,7 +7938,12 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_report(spark, docs, "text", num_merges=12)
 
 
-_WINNOW_BASE_STORE: "dict[str, DataFrame]" = {}
+# keyed by (Spark application id, sf_dir): a persisted DataFrame is
+# bound to the session that built it, so a session restart within one
+# process must rebuild the store instead of probing a dead cache (the
+# other index memos store collected rows and are session-free; the
+# fingerprint store is too large to collect, so it keys by app)
+_WINNOW_BASE_STORE: "dict[tuple[str, str], DataFrame]" = {}
 
 
 @register(
@@ -8000,14 +8007,15 @@ def q_contamination_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memoized per process and materialized once, exactly like the
     # PQ/bloom index builds, so every probe pays only the batch
     # fingerprinting + the store join, never a base re-fingerprint
-    base_fps = _WINNOW_BASE_STORE.get(sf_dir)
+    store_key = (spark.sparkContext.applicationId, sf_dir)
+    base_fps = _WINNOW_BASE_STORE.get(store_key)
     if base_fps is None:
         base = docs.filter(F.col("doc_id") % 10 != 0)
         base_fps = winnow_fingerprints(
             base, "doc_id", "text", with_grams=True
         ).persist()
         base_fps.count()  # materialize the store eagerly
-        _WINNOW_BASE_STORE[sf_dir] = base_fps
+        _WINNOW_BASE_STORE[store_key] = base_fps
     return contaminated_new_docs(
         batch, base_fps, "doc_id", "text", min_shared=1
     )
@@ -8841,14 +8849,20 @@ _BPE_PINNED_MERGES: "list[tuple[int, str, str]]" = [
 def _bpe_encode_oracle() -> str:
     """Generate the encode oracle from the pinned merge table: greedy
     BPE merge application == chained non-overlapping literal replace
-    on the chr(31)-joined symbol string (see operators/bpe.py), so
-    the whole encode replays in ANSI SQL — one replace per merge, in
-    rank order."""
-    e = "array_to_string(string_split(replace(word, chr(31), ''), ''), chr(31))"
+    on the stream where EVERY symbol is wrapped chr(30)..chr(31)
+    (operators/bpe.py::_bpe_wrapped_col — full wrappers, not bare
+    separators, so a replace can only match whole adjacent symbols),
+    so the whole encode replays in ANSI SQL — one replace per merge,
+    in rank order; token count = OPEN markers."""
+    e = (
+        "array_to_string(list_transform("
+        "string_split(replace(replace(word, chr(31), ''), chr(30), ''), ''),"
+        " c -> chr(30) || c || chr(31)), '')"
+    )
     for _, left, right in _BPE_PINNED_MERGES:
         e = (
-            f"replace({e}, '{left}' || chr(31) || '{right}', "
-            f"'{left}{right}')"
+            f"replace({e}, chr(30) || '{left}' || chr(31) || chr(30) || "
+            f"'{right}' || chr(31), chr(30) || '{left}{right}' || chr(31))"
         )
     return f"""
     WITH words AS (
@@ -8860,7 +8874,7 @@ def _bpe_encode_oracle() -> str:
         SELECT doc_id, {e} AS e FROM words WHERE word <> ''
     )
     SELECT doc_id, COUNT(*) AS n_words,
-           CAST(SUM(length(e) - length(replace(e, chr(31), '')) + 1)
+           CAST(SUM(length(e) - length(replace(e, chr(30), '')))
                 AS BIGINT) AS n_tokens
     FROM enc GROUP BY doc_id
     """

@@ -198,3 +198,38 @@ def test_trained_merges_roundtrip_through_encode(spark, sf_dir):
             len(_reference_encode(w, _BPE_PINNED_MERGES)) for w in words
         )
         assert got[r.doc_id] == (len(words), want_tokens), r.doc_id
+
+
+def test_bpe_encode_col_boundary_safety(spark):
+    """Regression for the cross-symbol-boundary replace bug: with a
+    single separator BETWEEN symbols, merge 13 (c,o) of the pinned
+    table matched 'c<SEP>o' inside '...c<SEP>or...', merging across
+    half of the multi-char symbol 'or' — 'score' mis-encoded as
+    [s, cor, e] instead of the greedy fold's [s, c, or, e].  Full
+    per-symbol wrappers make these words encode exactly like the
+    single-node reference."""
+    from pyspark.sql import functions as F
+
+    from etl_tiki_webscraping_spark.operators.bpe import (
+        bpe_token_count_col,
+        bpe_tokens_col,
+    )
+    from etl_tiki_webscraping_spark.plans.catalog import _BPE_PINNED_MERGES
+
+    words = ["score", "corpus", "record", "cow", "cor", "or",
+             "coluor", "scanor", "anor", "aner", "column", "scan"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r["w"]: (list(r["toks"]), r["n"])
+        for r in df.select(
+            "w",
+            bpe_tokens_col("w", _BPE_PINNED_MERGES).alias("toks"),
+            bpe_token_count_col("w", _BPE_PINNED_MERGES).alias("n"),
+        ).collect()
+    }
+    for w in words:
+        want = _reference_encode(w, _BPE_PINNED_MERGES)
+        assert got[w][0] == want, f"{w}: {got[w][0]} != {want}"
+        assert got[w][1] == len(want), f"{w}: count {got[w][1]} != {len(want)}"
+    # the documented failure case, pinned explicitly
+    assert got["score"][0] == ["s", "c", "or", "e"]

@@ -516,3 +516,28 @@ def test_winnow_coverage_routes_every_doc(spark):
     # coverage statuses agree with what winnow_fingerprints emits
     emitted = {r.id for r in winnow_fingerprints(df, "id", "text").collect()}
     assert emitted == {3}
+
+
+def test_winnow_coverage_null_text_counts_as_too_short(spark):
+    """Regression: a NULL normalized length made BOTH range conditions
+    NULL (falsy) so the otherwise() branch claimed NULL-text docs as
+    'fingerprinted' even though winnow_fingerprints emits nothing for
+    them — the exact silent exclusion the report exists to surface."""
+    from etl_tiki_webscraping_spark.operators.dedup import (
+        winnow_coverage,
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "x" * 100), (3, "tiny")],
+        "doc_id long, text string",
+    )
+    rep = {r["status"]: (r["n_docs"], r["total_chars"])
+           for r in winnow_coverage(docs, "doc_id", "text").collect()}
+    assert rep["fingerprinted"] == (1, 100)
+    assert rep["too_short"] == (2, 4)  # NULL doc contributes 0 chars
+    # the report agrees with what the fingerprinter actually emits
+    fp_ids = {r["id"] for r in
+              winnow_fingerprints(docs, "doc_id", "text").select("id")
+              .distinct().collect()}
+    assert fp_ids == {2}
