@@ -89,7 +89,13 @@ def hot_buckets(
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact content dedup: keep the lowest-id row per distinct
-    normalized text.
+    normalized text.  Rows with NULL text are NOT candidates — they
+    all pass through: ``md5(NULL)`` is NULL, ``groupBy`` treats NULLs
+    as equal, and without the filter every NULL-text row (missing
+    field, failed fetch) would land in ONE group with only ``min(id)``
+    surviving — silently deleting rows that are not duplicates of
+    anything.  (NULL != '' here: empty strings dedup among themselves;
+    absent text is unknown content.)
 
     Shuffle discipline: the survivor election aggregates (md5, id)
     pairs only — 24-byte rows — and the winners semi-join back onto the
@@ -97,13 +103,19 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     through the shuffle; min-per-group is also a partial (map-side)
     aggregate, which row_number cannot be.
     """
+    hashed = df.select(
+        F.md5(normalize_text(text_col)).alias("__h"), F.col(id_col)
+    )
     ids = (
-        df.select(F.md5(normalize_text(text_col)).alias("__h"), F.col(id_col))
+        hashed.filter(F.col("__h").isNotNull())
         .groupBy("__h")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
-    return df.join(ids, on=id_col, how="left_semi").select(*df.columns)
+    null_ids = hashed.filter(F.col("__h").isNull()).select(id_col)
+    return df.join(
+        ids.unionByName(null_ids), on=id_col, how="left_semi"
+    ).select(*df.columns)
 
 
 # --------------------------------------------------------------------------
@@ -261,7 +273,12 @@ def minhash_candidate_pairs(
     buckets = sig.select("id", F.explode(_band_buckets(F.col("sig"), bands, r)).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    buckets = cap_bucket_membership(buckets, ["band", "bucket"], bucket_cap)
+    # persisted: the capped bucket table feeds BOTH sides of the
+    # self-join (and the cap aggregation consumed it once already);
+    # without pinning, a standalone call re-runs the Arrow signature
+    # kernel per consumer.  (The minhash_dedup path additionally
+    # persists the analysis itself for its other consumers.)
+    buckets = cap_bucket_membership(buckets, ["band", "bucket"], bucket_cap).persist()
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (
@@ -552,6 +569,18 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         # shrink the partition count with the graph so the next round's
         # union-find sees denser locality (tail rounds: one partition)
         cur = cur.repartition(max(1, n_left // 100_000))
+    else:
+        # exhausting max_iter with boundary edges left would compose a
+        # hierarchy that labels CONNECTED nodes with different
+        # components — silently wrong dedup clusters.  Loud failure
+        # instead; each contraction at least halves the boundary graph
+        # in practice, so hitting this means a pathological input, not
+        # a tuning problem.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"contraction rounds ({n_left} boundary edges remain); "
+            "raise max_iter"
+        )
 
     # compose the contraction hierarchy top-down: the deepest roots are
     # final; each shallower mapping re-labels through the level above it
@@ -664,7 +693,19 @@ def simhash_candidate_pairs(
     docs all hashes to ONE simhash, putting the whole mass in the same
     4 buckets and exploding the join quadratically — and exact
     duplicates are :func:`exact_dedup`'s job, not SimHash's.
+
+    ``max_hamming`` is capped at 3: the fixed 4-chunk banding only
+    GUARANTEES a shared chunk up to distance 3 (pigeonhole) — a larger
+    value would silently miss qualifying pairs that differ in all four
+    chunks, a filter that appears to honor the parameter but loses
+    recall.  (d differing bits need d+1 bands; the 8-band image-hash
+    variant covers d <= 7.)
     """
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            "max_hamming must be in [0, 3]: the 4-chunk banding only "
+            "guarantees candidate generation up to hamming distance 3"
+        )
     sh = df.select(F.col(id_col).alias("id"), simhash64_udf()(F.col(text_col)).alias("sh"))
     chunks = sh.select(
         "id",

@@ -44,7 +44,15 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Exact JVM cosine; NULL when either vector has zero norm
+    (cosine is undefined there).  ``try_divide`` rather than ``/``:
+    under the session's ANSI mode a bare double division THROWS
+    DIVIDE_BY_ZERO, so one zero-norm embedding (failed encode,
+    padding row) would abort the whole query instead of being
+    excluded.  NULL then drops through ``>=`` filters and sorts
+    NULLS LAST under desc — the same exclusion the Arrow path
+    implements."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_udf():
@@ -52,6 +60,14 @@ def cosine_udf():
     batch.  Used on candidate pairs in the approximate paths; the
     oracle-checked brute-force keeps the exact JVM fold so results are
     bit-identical with external SQL engines.
+
+    Zero-norm pairs return NULL (pandas nullable Float64 -> Arrow
+    null), NOT NaN: Spark's nan-safe comparison treats NaN as GREATER
+    than every double, so a NaN cosine would pass ``>= threshold``
+    filters and occupy the TOP of every desc-ordered top-k — false
+    near-dup pairs and garbage neighbors from exactly the degenerate
+    vectors that should be excluded.  NULL matches the JVM
+    :func:`cosine` exclusion semantics row-for-row.
     """
 
     @F.pandas_udf("double")
@@ -60,7 +76,10 @@ def cosine_udf():
         mb = np.stack([np.asarray(v, dtype=np.float64) for v in b])
         num = (ma * mb).sum(axis=1)
         den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
-        return pd.Series(num / den)
+        safe = num / np.where(den == 0.0, 1.0, den)
+        return pd.Series(
+            pd.array(safe, dtype="Float64")
+        ).mask(den == 0.0)
 
     return cos
 
@@ -95,7 +114,7 @@ def brute_force_topk(
         F.col("__qid").alias(query_id_col),
         "neighbor_id",
         cosine(F.col("__qvec"), F.col("__cvec")).alias("cosine"),
-    )
+    ).filter(F.col("cosine").isNotNull())  # zero-norm rows are not neighbors
     return top_k_per_group(
         scored, [query_id_col], [F.col("cosine").desc(), F.col("neighbor_id").asc()], k
     )
@@ -192,6 +211,7 @@ def lsh_topk(
             "neighbor_id",
             cosine_udf()(F.col("__qvec"), F.col("__cvec")).alias("cosine"),
         )
+        .filter(F.col("cosine").isNotNull())  # zero-norm rows excluded
     )
     return top_k_per_group(
         scored, [query_id_col], [F.col("cosine").desc(), F.col("neighbor_id").asc()], k
@@ -224,7 +244,9 @@ def ivf_assign(
     )
     c_ids = np.array([r[centroid_id_col] for r in c_rows])
     c_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in c_rows])
-    c_mat = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+    c_mat = c_mat / np.maximum(
+        np.linalg.norm(c_mat, axis=1, keepdims=True), 1e-12
+    )  # zero-norm floor: keeps degenerate vectors finite (~0 sim), never NaN
     bc = corpus.sparkSession.sparkContext.broadcast((c_ids, c_mat))
 
     out_fields = corpus.schema.fields
@@ -237,7 +259,9 @@ def ivf_assign(
             if len(batch) == 0:
                 continue
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
             # argmax returns the FIRST max index; centroids sorted by id,
             # so ties resolve to the lowest centroid id
             best = (mat @ cm.T).argmax(axis=1)
@@ -277,7 +301,7 @@ def ivf_topk(
         F.col("__qid").alias(query_id_col),
         F.col(id_col).alias("neighbor_id"),
         cosine_udf()(F.col("__qvec"), F.col("__cvec")).alias("cosine"),
-    )
+    ).filter(F.col("cosine").isNotNull())  # zero-norm rows excluded
     return top_k_per_group(
         scored, [query_id_col], [F.col("cosine").desc(), F.col("neighbor_id").asc()], k
     )
@@ -401,9 +425,15 @@ def brute_force_topk_blocked(
     import pandas as pd
 
     q_rows = queries.select(query_id_col, vec_col).collect()  # small, broadcast below
+    if not q_rows:  # empty query set -> empty result, not a numpy stack crash
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id_col} bigint, neighbor_id bigint, cosine double"
+        )
     q_ids = np.array([r[query_id_col] for r in q_rows])
     q_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
-    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_mat = q_mat / np.maximum(
+        np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12
+    )
     sc = corpus.sparkSession.sparkContext
     bq = sc.broadcast((q_ids, q_mat))
 
@@ -416,7 +446,9 @@ def brute_force_topk_blocked(
                 continue
             c_ids = batch[id_col].to_numpy()
             c_mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
-            c_mat = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            c_mat = c_mat / np.maximum(
+        np.linalg.norm(c_mat, axis=1, keepdims=True), 1e-12
+    )  # zero-norm floor: keeps degenerate vectors finite (~0 sim), never NaN
             sims = c_mat @ qm.T  # (batch, n_queries)
             if round_digits is not None:
                 # the GLOBAL ranking happens on half-up-rounded scores, so the
@@ -476,6 +508,8 @@ def pq_train_codebooks(
     from pyspark.ml.functions import array_to_vector
 
     dim_row = corpus.select(F.size(as_double_vec(vec_col)).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("pq_train_codebooks needs a non-empty corpus")
     d = dim_row["d"]
     if d % m != 0:
         raise ValueError(f"vector dim {d} not divisible by m={m} subspaces")
@@ -522,10 +556,14 @@ def pq_encode(
         tensor[r["subspace"], r["code"]] = np.asarray(r["subvec"])
     bt = corpus.sparkSession.sparkContext.broadcast(tensor)
 
+    # declared in CARRY order, not corpus-schema order: mapInPandas
+    # assigns pandas columns to the declared schema positionally, and
+    # the kernel appends carries in ``carry`` order — a schema in
+    # table order would silently swap the values of two same-typed
+    # carries (or throw a confusing Arrow cast otherwise)
+    field_by_name = {f.name: f for f in corpus.schema.fields}
     carry_schema = "".join(
-        f", {f.name} {f.dataType.simpleString()}"
-        for f in corpus.schema.fields
-        if f.name in carry
+        f", {c} {field_by_name[c].dataType.simpleString()}" for c in carry
     )
     out_schema = f"{id_col} bigint, codes array<int>, norm double" + carry_schema
 
@@ -591,6 +629,10 @@ def pq_topk(
         tensor[r["subspace"], r["code"]] = np.asarray(r["subvec"])
 
     q_rows = queries.select(query_id_col, vec_col).collect()  # small side
+    if not q_rows:  # empty query set -> empty result, not a numpy stack crash
+        return codes.sparkSession.createDataFrame(
+            [], f"{query_id_col} bigint, neighbor_id bigint, cosine double"
+        )
     q_ids = np.array([r[query_id_col] for r in q_rows])
     q_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
     # clamp like the corpus-side guard below: a zero-norm query would
@@ -616,12 +658,20 @@ def pq_topk(
             adc = gathered.sum(axis=2)  # (nq, n)
             sims = adc / (qn * np.maximum(norms[None, :], 1e-12))
             top = min(k, n)
-            idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            # lexsort, not argpartition: duplicate vectors encode to
+            # identical codes+norms (exactly tied ADC scores), and an
+            # arbitrary tied subset at the batch cutoff would make the
+            # result depend on row-to-partition assignment.  (sim desc,
+            # id asc) matches the global window's tie contract, so the
+            # batch shortlist always keeps the rows the global ranking
+            # would keep.
+            batch_ids = batch[id_col].to_numpy()
             out_q, out_id, out_s = [], [], []
             for qi in range(len(ids)):
+                order = np.lexsort((batch_ids, -sims[qi]))[:top]
                 out_q += [ids[qi]] * top
-                out_id += list(batch[id_col].to_numpy()[idx[qi]])
-                out_s += list(sims[qi, idx[qi]])
+                out_id += list(batch_ids[order])
+                out_s += list(sims[qi, order])
             yield pd.DataFrame(
                 {query_id_col: out_q, "neighbor_id": out_id, "cosine": out_s}
             )
@@ -757,6 +807,10 @@ def ivf_pq_topk(
         tensor[r["subspace"], r["code"]] = np.asarray(r["subvec"])
 
     q_rows = queries.select(query_id_col, vec_col).collect()
+    if not q_rows:  # empty query set -> empty result, not a numpy stack crash
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id_col} bigint, neighbor_id bigint, cosine double"
+        )
     q_ids = np.array([r[query_id_col] for r in q_rows])
     q_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
     q_norm = np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
@@ -852,7 +906,10 @@ def embedding_pca(
     """
     import numpy as _np
 
-    d = df.select(F.size(as_double_vec(vec_col)).alias("d")).first()["d"]
+    d_row = df.select(F.size(as_double_vec(vec_col)).alias("d")).first()
+    if d_row is None:
+        raise ValueError("embedding_pca needs at least 2 rows (got 0)")
+    d = d_row["d"]
 
     def _partials(batches):
         for pdf in batches:

@@ -926,9 +926,10 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ORDER BY doc_id ASC
         ) AS rn
         FROM documents
-    ) WHERE rn = 1
+    ) WHERE rn = 1 OR text IS NULL
     """,
-    doc="exact content dedup: hash-groupBy on md5(normalized text), min-id survivor",
+    doc="exact content dedup: hash-groupBy on md5(normalized text), min-id "
+        "survivor; NULL-text rows are not dedup candidates and pass through",
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_tiki_webscraping_spark.operators.dedup import exact_dedup

@@ -541,3 +541,33 @@ def test_winnow_coverage_null_text_counts_as_too_short(spark):
               winnow_fingerprints(docs, "doc_id", "text").select("id")
               .distinct().collect()}
     assert fp_ids == {2}
+
+
+def test_exact_dedup_null_text_rows_all_pass_through(spark):
+    """Regression: md5(NULL) is NULL and groupBy treats NULLs as
+    equal, so every NULL-text row collapsed into one group and only
+    min(id) survived — deleting rows that are not duplicates of
+    anything.  NULL-text rows are not dedup candidates; they all pass
+    through.  Empty strings still dedup among themselves."""
+    from etl_tiki_webscraping_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, ""), (4, ""), (5, "x"), (6, "x")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in exact_dedup(df, "text", "doc_id").collect())
+    assert kept == [1, 2, 3, 5]
+
+
+def test_simhash_rejects_unguaranteed_hamming(spark):
+    """max_hamming > 3 would silently lose recall (4-chunk pigeonhole
+    only guarantees distance <= 3) — must refuse loudly."""
+    import pytest as _pytest
+
+    from etl_tiki_webscraping_spark.operators.dedup import (
+        simhash_candidate_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="max_hamming"):
+        simhash_candidate_pairs(df, "text", "doc_id", max_hamming=4)

@@ -274,3 +274,66 @@ def test_ivf_pq_full_probe_matches_pq_refine_shape(spark, corpus, queries):
         ids = [n for _, n in sorted(by_q[qid], key=lambda t: (-t[0], t[1]))]
         # full probe + full shortlist + exact refine == exact top-5
         assert ids == _numpy_topk(qid, 5)
+
+
+def test_zero_norm_vectors_excluded_not_nan_ranked(spark):
+    """Regression: a zero-norm embedding produced NaN cosine from the
+    Arrow kernel — and Spark's nan-safe ordering puts NaN ABOVE every
+    real score, so the degenerate vector topped every top-k and passed
+    every >= threshold filter; the JVM path meanwhile THREW
+    DIVIDE_BY_ZERO under ANSI mode.  Both paths now yield NULL: the
+    zero vector never appears, and queries still succeed."""
+    from etl_tiki_webscraping_spark.operators.similarity import (
+        brute_force_topk,
+        cosine_threshold_pairs_exact,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(10, [1.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    got = brute_force_topk(corpus, queries, k=3)
+    rows = got.collect()  # must not raise DIVIDE_BY_ZERO
+    ranked = [r.neighbor_id for r in rows]
+    assert 3 not in ranked and ranked[0] == 1
+    pairs = cosine_threshold_pairs_exact(corpus, threshold=0.5).collect()
+    assert all(3 not in (r.id_a, r.id_b) for r in pairs)
+
+
+def test_cosine_udf_zero_norm_is_null(spark):
+    from pyspark.sql import functions as F
+
+    from etl_tiki_webscraping_spark.operators.similarity import cosine_udf
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([0.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    rows = df.select(cosine_udf()(F.col("a"), F.col("b")).alias("c")).collect()
+    vals = [r.c for r in rows]
+    assert sorted(v for v in vals if v is not None) == [1.0]
+    assert None in vals
+
+
+def test_pq_encode_carry_order_independent(spark):
+    """Regression: the carry schema was declared in corpus-schema
+    order while the kernel emitted carries in carry_cols order —
+    mapInPandas assigns positionally, so two same-typed carries
+    requested in reversed order silently swapped values."""
+    from etl_tiki_webscraping_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 0.0, 1.0, float(i % 3)], i * 10, i * 100)
+         for i in range(20)],
+        "vec_id long, embedding array<double>, a long, b long",
+    )
+    books = pq_train_codebooks(corpus, m=2, k=2, max_iter=3)
+    out = pq_encode(corpus, books, carry_cols=("b", "a")).collect()
+    for r in out:
+        assert r["a"] == r["vec_id"] * 10 and r["b"] == r["vec_id"] * 100
