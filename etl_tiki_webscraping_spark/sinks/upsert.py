@@ -82,6 +82,21 @@ def upsert_dataframes(
         for f in target.schema.fields:
             if f.name not in updates.columns:
                 updates = updates.withColumn(f.name, F.lit(None).cast(f.dataType))
+    # type drift on a SHARED column is a loud error, not a silent
+    # coercion: unionByName would widen int->string (etc.) for the
+    # whole merged result, flipping the table's stored type — and on a
+    # partitioned table the manifest would record the widened type
+    # while carried-forward untouched partitions stay physically
+    # narrow, making the committed table unreadable at scan time
+    t_types = {f.name: f.dataType.simpleString() for f in target.schema.fields}
+    for f in updates.schema.fields:
+        want = t_types.get(f.name)
+        got = f.dataType.simpleString()  # simpleString: nullability-blind
+        if want is not None and got != want:
+            raise ValueError(
+                f"upsert: column '{f.name}' type drift — table has "
+                f"{want}, batch has {got}; cast the batch explicitly"
+            )
     updates = _dedup_updates(updates.select(*target.columns), keys, order_by)
     survivors = (
         target.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
@@ -1403,12 +1418,29 @@ def _prune_snapshots(target_path: str, next_version: int, keep_snapshots: int) -
         # still be staging toward a long-superseded version while winners
         # commit past it — reclaiming its dir mid-write surfaces as a
         # generic IO error retry_conflicts can't rebase.  Recency is the
-        # only safe liveness signal: an active writer keeps refreshing its
-        # staging dir's mtime as files land; superseded leftovers age out
-        # of the grace window and reclaim on a later prune.
+        # only safe liveness signal — measured over the artifact's WHOLE
+        # TREE, not the top dir alone: a Spark write lands task files
+        # under <stage>/_temporary/... for the entire job, so a >grace-
+        # window write never refreshes the top-level dir's mtime and a
+        # concurrent winner's prune would delete the live staging
+        # mid-write (generic FileNotFoundError the rebase loop can't
+        # retry).  The walk is bounded: staging/pool dirs hold one
+        # attempt's files.  Superseded leftovers age out of the grace
+        # window and reclaim on a later prune.
         del artifact_version
         try:
-            return now - os.stat(path).st_mtime < _CLAIM_GRACE_SECONDS
+            newest = os.stat(path).st_mtime
+            if os.path.isdir(path):
+                for root, dirs, files in os.walk(path):
+                    for e in dirs + files:
+                        try:
+                            newest = max(
+                                newest,
+                                os.lstat(os.path.join(root, e)).st_mtime,
+                            )
+                        except OSError:
+                            return True  # mutating underfoot: live
+            return now - newest < _CLAIM_GRACE_SECONDS
         except OSError:
             return True  # vanished mid-check: someone owns it, leave it
 
@@ -1428,7 +1460,15 @@ def _prune_snapshots(target_path: str, next_version: int, keep_snapshots: int) -
             for e in dirs + files:
                 p = os.path.join(root, e)
                 if os.path.islink(p):
-                    rel = os.path.relpath(os.path.realpath(p), target_path)
+                    # relpath of realpath(link) against realpath(table):
+                    # with any symlinked component in target_path itself
+                    # (/tmp on macOS, /var tempdirs) the two spellings
+                    # differ, every pool would look unreferenced, and
+                    # prune would delete live data out from under the
+                    # retained snapshots' farm links
+                    rel = os.path.relpath(
+                        os.path.realpath(p), os.path.realpath(target_path)
+                    )
                     parts = rel.split(os.sep)
                     if parts[0] == "data" and len(parts) > 1:
                         referenced.add(parts[1])
@@ -2054,7 +2094,15 @@ def _upsert_parquet_partitioned(
             for pc in pcols:
                 touched = touched.withColumn(pc, F.col(pc).cast(updates.schema[pc].dataType))
             if not evolve_schema:
-                touched = touched.select(*updates.columns)
+                # align the BATCH to the table, never the table to the
+                # batch: a narrower batch raises here (missing column)
+                # exactly like the unpartitioned path's
+                # updates.select(*target.columns) — silently narrowing
+                # `touched` instead would commit the touched partitions
+                # without the column AND record the narrowed schema as
+                # the manifest's authoritative one, losing the column
+                # for the whole table on every later read
+                updates = updates.select(*touched.columns)
             prior = touched
             merged = upsert_dataframes(touched, updates, keys, order_by, evolve_schema)
     elif os.path.exists(target_path) and any(
@@ -2333,7 +2381,15 @@ def _schema_preserving_assigned(
     stored = {f.name: f.dataType for f in schema.fields}
 
     def assigned(df: DataFrame) -> DataFrame:
-        out = df
+        # ONE simultaneous select, not sequential withColumn chaining:
+        # SQL UPDATE evaluates every SET expression AND the WHERE
+        # predicate against the PRE-update row.  A chain would feed
+        # each later assignment (and each re-evaluation of the
+        # condition) the already-updated values — {'a': col('b'),
+        # 'b': col('a')} must swap, not collapse to a=b=old_b, and a
+        # condition the first assignment falsifies must not stop the
+        # remaining columns' updates for that row.
+        exprs: "dict[str, Column]" = {}
         for c, expr in assignments.items():
             if c not in stored:
                 raise TypeError(
@@ -2346,7 +2402,7 @@ def _schema_preserving_assigned(
             # both branches to a common type, which would quietly
             # perform exactly the lossy widening (int -> float) this
             # guard exists to reject
-            actual = out.select(expr.alias("__expr_probe")).schema[
+            actual = df.select(expr.alias("__expr_probe")).schema[
                 "__expr_probe"
             ].dataType
             want = stored[c]
@@ -2359,10 +2415,10 @@ def _schema_preserving_assigned(
                     f"{w} explicitly (lossy) or evolve the schema with a "
                     "rewriting commit first"
                 )
-            out = out.withColumn(
-                c, F.when(cond, expr.cast(want)).otherwise(F.col(c))
-            )
-        return out
+            exprs[c] = F.when(cond, expr.cast(want)).otherwise(F.col(c))
+        return df.select(
+            *[exprs.get(c, F.col(c)).alias(c) for c in df.columns]
+        )
 
     return assigned
 
@@ -2628,12 +2684,18 @@ def compact_table(
 
     cur = _current_snapshot(target_path)
     snap_dir = os.path.join(target_path, cur) if cur else target_path
-    size = sum(
-        os.path.getsize(os.path.join(root, f))
-        for root, _, files in os.walk(snap_dir, followlinks=True)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    size = 0
+    for root, dirs, files in os.walk(snap_dir, followlinks=True):
+        # prune metadata subtrees (_changes/_dv/...): their parquet
+        # bytes are not data — counting a large change feed would
+        # overestimate n_files and emit more, smaller files than
+        # requested, the opposite of the compaction goal
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        size += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
     n_files = max(1, -(-size // target_file_bytes))  # ceil
     df = _read_snapshot(spark, target_path, cur) if cur else spark.read.parquet(snap_dir)
     next_version = int(cur.lstrip("v")) + 1 if cur else 1
@@ -2977,6 +3039,22 @@ def apply_changes(
     latest = dedup_deterministic(
         changes, keys, [F.col(seq_col).desc(), F.col(op_col).asc(), *value_tiebreak]
     )
+    # a NULL / unknown op must NOT reach the apply: the key would be
+    # anti-joined out of the survivors (every batch key is) but
+    # `op != 'D'` is null-false so the row would never re-insert —
+    # a malformed CDC row silently DELETING its key.  A feed anomaly
+    # is a loud error, not a phantom delete.
+    latest = latest.withColumn(
+        op_col,
+        F.when(F.col(op_col).isin("I", "U", "D"), F.col(op_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("apply_changes: op must be I/U/D, got "),
+                    F.coalesce(F.col(op_col), F.lit("NULL")),
+                )
+            )
+        ),
+    )
     survivors = target.join(
         latest.select(*keys).distinct(), on=keys, how="left_anti"
     ).select(*out_cols)
@@ -3013,6 +3091,18 @@ def apply_changes_parquet(
     keys = list(keys)
     data_cols = [c for c in changes.columns if c not in (op_col, seq_col)]
     cur = _current_snapshot(target_path)
+
+    def _require_feed_covers(table_cols: "list[str]") -> None:
+        # a feed narrower than the table would make snap.select(
+        # *data_cols) silently drop the missing columns from the
+        # committed result — column loss, not replication
+        missing = [c for c in table_cols if c not in data_cols]
+        if missing:
+            raise ValueError(
+                "apply_changes_parquet: change feed lacks table "
+                f"column(s) {missing}; a replication feed must carry "
+                "every target column"
+            )
     if cur is None:
         merged = apply_changes(
             changes.select(*data_cols).limit(0), changes, keys, op_col, seq_col
@@ -3024,6 +3114,7 @@ def apply_changes_parquet(
         return
     next_version = int(cur.lstrip("v")) + 1
     snap = _read_snapshot(spark, target_path, cur)
+    _require_feed_covers(snap.columns)
     if not partition_by:
         merged = apply_changes(snap.select(*data_cols), changes, keys, op_col, seq_col)
         _commit_unpartitioned(merged, target_path, next_version, keep_snapshots)

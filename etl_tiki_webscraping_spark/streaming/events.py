@@ -120,7 +120,14 @@ def read_events_stream_multibatch(
     # staging is one-time setup (a deployment streams an already-arriving
     # dir); memoize per (fixture, split) so repeated runs in one session
     # — the bench's steady-state pass — don't re-shuffle and re-write it
-    key = (os.path.abspath(sf_dir), n_batches, cache_tag)
+    # spacer params are part of the staged LAYOUT: same tag with a
+    # different spacer count/margin must stage fresh, not silently
+    # reuse a dir whose sentinel batches differ (the same hazard the
+    # events_df/cache_tag guard exists for)
+    key = (
+        os.path.abspath(sf_dir), n_batches, cache_tag,
+        spacer_batches, spacer_margin_seconds,
+    )
     staged = _STAGED_STREAM_DIRS.get(key)
     if staged is None or not os.path.isdir(staged):
         staged = tempfile.mkdtemp(prefix="stream-batches-") + "/in"
@@ -492,19 +499,29 @@ def foreach_batch_hll_union(
         )
         import os
 
-        if os.path.exists(target_path):
+        # emptiness check, not bare exists(): a pre-created empty sink
+        # dir would otherwise hit a schema-less parquet read and kill
+        # the first micro-batch (same guard the upsert paths use)
+        if os.path.isdir(target_path) and any(
+            not e.startswith((".", "_")) for e in os.listdir(target_path)
+        ):
             stored = read_parquet_table(spark, target_path).select(
                 *keys, F.col("sk").alias("__old")
             )
+            # LEFT join: the update set stays batch-sized.  full_outer
+            # would pull every STORED key into `fresh` and rewrite the
+            # whole table each trigger — O(stored), not O(batch);
+            # stored-only keys already survive via the upsert's
+            # anti-join carry-forward.
             fresh = (
-                fresh.join(stored, on=keys, how="full_outer")
+                fresh.join(stored, on=keys, how="left")
                 .select(
                     *keys,
                     F.when(
-                        F.col("sk").isNotNull() & F.col("__old").isNotNull(),
+                        F.col("__old").isNotNull(),
                         F.hll_union("sk", "__old"),
                     )
-                    .otherwise(F.coalesce("sk", "__old"))
+                    .otherwise(F.col("sk"))
                     .alias("sk"),
                 )
             )

@@ -143,7 +143,15 @@ class TestVacuum:
 
         old = os.stat(path).st_mtime - upsert_mod._CLAIM_GRACE_SECONDS - 10
         for p in os.listdir(os.path.join(path, "data")):
-            os.utime(os.path.join(path, "data", p), (old, old))
+            pool = os.path.join(path, "data", p)
+            # age the WHOLE tree: liveness is judged by the newest
+            # mtime anywhere under the artifact (a long Spark write
+            # only refreshes deep _temporary paths, so the top dir's
+            # mtime alone proves nothing)
+            os.utime(pool, (old, old))
+            for root, dirs, files in os.walk(pool):
+                for e in dirs + files:
+                    os.utime(os.path.join(root, e), (old, old))
         removed = vacuum_table(path, keep_snapshots=2)
         assert "v00000001" in removed and "v00000001.json" in removed
         # retained versions still read; pruned version refuses

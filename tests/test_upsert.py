@@ -1195,3 +1195,104 @@ def test_apply_changes_parquet_partitioned_prunes_and_migrates(spark, tmp_parque
     )
     again = {(r.k, r.v, r.pt) for r in read_parquet_table(spark, tmp_parquet_dir).collect()}
     assert again == got
+
+
+class TestReviewHardening:
+    """Round-9 deep-review regressions: narrower batches, type drift,
+    NULL CDC ops, and simultaneous UPDATE assignment semantics."""
+
+    def test_update_where_swaps_columns_simultaneously(self, spark, tmp_path):
+        from etl_tiki_webscraping_spark.sinks.upsert import (
+            read_parquet_table,
+            update_where,
+            upsert_parquet,
+        )
+
+        path = str(tmp_path / "swap")
+        df = spark.createDataFrame([(1, 10, 20), (2, 3, 4)], "k long, a long, b long")
+        upsert_parquet(spark, df, path, ["k"])
+        update_where(
+            spark, path, F.col("k") == 1, {"a": F.col("b"), "b": F.col("a")}
+        )
+        rows = {r.k: (r.a, r.b) for r in read_parquet_table(spark, path).collect()}
+        assert rows[1] == (20, 10)  # swapped, not collapsed to (20, 20)
+        assert rows[2] == (3, 4)
+
+    def test_update_where_condition_reads_pre_update_values(self, spark, tmp_path):
+        from etl_tiki_webscraping_spark.sinks.upsert import (
+            read_parquet_table,
+            update_where,
+            upsert_parquet,
+        )
+
+        path = str(tmp_path / "precond")
+        df = spark.createDataFrame([(1, 5, 0), (2, -5, 0)], "k long, a long, c long")
+        upsert_parquet(spark, df, path, ["k"])
+        # the first assignment falsifies the condition for matched rows;
+        # the second must still apply to them (SQL UPDATE snapshot rule)
+        update_where(
+            spark, path, F.col("a") > 0,
+            {"a": -F.col("a"), "c": F.col("c") + 1},
+        )
+        rows = {r.k: (r.a, r.c) for r in read_parquet_table(spark, path).collect()}
+        assert rows[1] == (-5, 1)
+        assert rows[2] == (-5, 0)
+
+    def test_apply_changes_null_op_raises(self, spark):
+        import pytest as _pytest
+
+        from etl_tiki_webscraping_spark.sinks.upsert import apply_changes
+
+        target = spark.createDataFrame([(1, "a")], "k long, v string")
+        bad = spark.createDataFrame(
+            [(1, "x", None, 9)], "k long, v string, op string, seq long"
+        )
+        with _pytest.raises(Exception, match="op must be I/U/D"):
+            apply_changes(target, bad, ["k"]).collect()
+
+    def test_upsert_type_drift_raises(self, spark):
+        import pytest as _pytest
+
+        from etl_tiki_webscraping_spark.sinks.upsert import upsert_dataframes
+
+        target = spark.createDataFrame([(1, 2)], "k long, n int")
+        drifted = spark.createDataFrame([(1, "3")], "k long, n string")
+        with _pytest.raises(ValueError, match="type drift"):
+            upsert_dataframes(target, drifted, ["k"])
+
+    def test_partitioned_upsert_narrower_batch_raises(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from etl_tiki_webscraping_spark.sinks.upsert import upsert_parquet
+
+        path = str(tmp_path / "narrow")
+        full = spark.createDataFrame(
+            [(1, "a", 5, "p1")], "k long, v string, extra long, part string"
+        )
+        upsert_parquet(spark, full, path, ["k"], partition_by=["part"])
+        narrower = spark.createDataFrame(
+            [(1, "b", "p1")], "k long, v string, part string"
+        )
+        with _pytest.raises(Exception):  # missing 'extra' must be loud
+            upsert_parquet(spark, narrower, path, ["k"], partition_by=["part"])
+
+    def test_changes_feed_missing_column_raises(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from etl_tiki_webscraping_spark.sinks.upsert import (
+            apply_changes_parquet,
+            upsert_parquet,
+        )
+
+        path = str(tmp_path / "feedcols")
+        upsert_parquet(
+            spark,
+            spark.createDataFrame([(1, "a", 5)], "k long, v string, extra long"),
+            path,
+            ["k"],
+        )
+        feed = spark.createDataFrame(
+            [(1, "b", "U", 1)], "k long, v string, op string, seq long"
+        )
+        with _pytest.raises(ValueError, match="lacks table column"):
+            apply_changes_parquet(spark, feed, path, ["k"])
