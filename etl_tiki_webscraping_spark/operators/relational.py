@@ -22,6 +22,18 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _md5_prefix_long(key_col: str) -> Column:
+    """The cross-engine hash-to-integer recipe every deterministic
+    sampler here shares: the first 8 hex chars of md5(key) as a bigint
+    — replayable verbatim in any SQL dialect (DuckDB:
+    CAST('0x' || substr(md5(k), 1, 8) AS BIGINT)).  ONE definition so
+    a recipe change can never diverge the operators' documented
+    cross-replay consistency."""
+    return F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+
+
 def dedup_first(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     """One arbitrary representative row per key — the reference's
     ``drop_duplicates(subset=["shop_id"])`` (dags/etl.py:86).
@@ -134,21 +146,43 @@ def asof_join(
 
     This implementation is the merge-scan shape that survives scale:
     tag and UNION both sides, ONE shuffle on the key, per-key sort by
-    (ts, side), then ``last(right_col, ignorenulls)`` over a running
-    window forward-fills the most recent right values onto each left
-    row.  Cost: one shuffle + one sort — identical to a window
+    (ts, side), then ``last(<right row struct>, ignorenulls)`` over a
+    running window forward-fills the most recent right ROW onto each
+    left row.  Cost: one shuffle + one sort — identical to a window
     aggregation, independent of match fan-out.  Right rows sort before
-    left rows at equal timestamps, so ts-equal matches are included
-    (DuckDB/pandas ``merge_asof`` backward semantics).
+    left rows at equal timestamps, so ts-equal matches are included;
+    NULL keys never match and a NULL value in the matched row comes
+    through as NULL, not an older row's value (DuckDB/pandas
+    ``merge_asof`` backward semantics — see the inline comment).
     """
     on = [on] if isinstance(on, str) else list(on)
     rcols = list(right_cols) if right_cols is not None else [
         c for c in right.columns if c not in on and c != right_ts
     ]
     l = left.withColumn("__t", F.col(left_ts)).withColumn("__side", F.lit(1))
-    r = right.select(
-        *on, F.col(right_ts).alias("__t"), *[F.col(c).alias(f"__r_{c}") for c in rcols]
-    ).withColumn("__side", F.lit(0))
+    # NULL semantics match equi-join / DuckDB ASOF: right rows with a
+    # NULL key or NULL ts never match anything, so they are excluded
+    # from the fill source — window partitioning would otherwise treat
+    # NULL keys as EQUAL and fill NULL-key left rows from them.  The
+    # fill carries the most recent right row as ONE STRUCT, not
+    # per-column last(ignorenulls): the per-column form skips a
+    # genuine NULL value in the newest matching row (returning a stale
+    # older value) and can stitch column values from DIFFERENT right
+    # rows into a composite row that never existed.
+    r = (
+        right.filter(
+            reduce(
+                lambda a, b: a & b,
+                [F.col(c).isNotNull() for c in [*on, right_ts]],
+            )
+        )
+        .select(
+            *on,
+            F.col(right_ts).alias("__t"),
+            F.struct(*[F.col(c).alias(c) for c in rcols]).alias("__r"),
+        )
+        .withColumn("__side", F.lit(0))
+    )
     u = l.unionByName(r, allowMissingColumns=True)
     w = (
         Window.partitionBy(*on)
@@ -156,11 +190,11 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = u.select(
-        "*", *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}") for c in rcols]
+        "*", F.last("__r", ignorenulls=True).over(w).alias("__f")
     )
     return (
         filled.filter(F.col("__side") == 1)
-        .select(*left.columns, *[F.col(f"__f_{c}").alias(c) for c in rcols])
+        .select(*left.columns, *[F.col(f"__f.{c}").alias(c) for c in rcols])
     )
 
 
@@ -268,13 +302,16 @@ def deterministic_stratified_sample(
     codegen'd expressions, zero shuffle; the filter pushes no I/O cost
     beyond the scan.
     """
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast("bigint")
-        % 100
-    )
+    bucket = _md5_prefix_long(key_col) % 100
     pred = F.lit(False)
     for stratum, frac in fractions.items():
-        pred = pred | ((F.col(strata_col) == stratum) & (bucket < int(round(frac * 100))))
+        # compare against frac*100 DIRECTLY — pre-rounding to int
+        # silently rewrites sub-percent fractions (0.005 -> 0 rows via
+        # banker's rounding; 0.125 -> 12% not 12.5%) away from the
+        # documented predicate.  The hash bucket is an integer, so
+        # bucket < 0.5 keeps exactly bucket 0 (~1%), the closest the
+        # 100-bucket grid can express, instead of dropping the stratum.
+        pred = pred | ((F.col(strata_col) == stratum) & (bucket < F.lit(frac * 100)))
     return df.filter(pred)
 
 
@@ -359,6 +396,10 @@ def table_diff(
     if hash_compare:
 
         def fingerprint(alias: str) -> Column:
+            if not attrs:
+                # keys-only diff: every matched key is "unchanged" by
+                # definition; a zero-arg xxhash64 would fail analysis
+                return F.lit(0).cast("bigint").alias(alias)
             parts: list[Column] = []
             for i, c in enumerate(attrs):
                 parts += [F.lit(i), F.col(c).cast("string")]
@@ -413,12 +454,21 @@ def grouped_topk(
     sort_cols = [order_col] + ([tiebreak] if tiebreak else [])
     sort_asc = [ascending] + ([True] if tiebreak else [])
 
+    # pandas must rank NULL order values exactly where the phase-2
+    # Spark window does (asc -> NULLS FIRST, desc -> NULLS LAST):
+    # with the pandas default (always last), a NULL row belonging in
+    # the exact ascending top-k would be pruned in phase 1 on some
+    # partitionings and survive on others — same data, different
+    # partitioning, different answer
+    na_pos = "first" if ascending else "last"
+
     def local_topk(batches) -> "pd.DataFrame":
         state = None
         for pdf in batches:
             both = pdf if state is None else pd.concat([state, pdf])
             state = (
-                both.sort_values(sort_cols, ascending=sort_asc)
+                both.sort_values(sort_cols, ascending=sort_asc,
+                                 na_position=na_pos)
                 .groupby(gcols, sort=False, dropna=False)
                 .head(k)
             )
@@ -595,9 +645,7 @@ def weighted_sample_per_group(
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     # u in (0, 1]: (h + 1) / 2^32 over the 32-bit md5 prefix — never 0,
     # so ln(u) is finite
-    h = F.conv(
-        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
-    ).cast("double")
+    h = _md5_prefix_long(key_col).cast("double")
     u = (h + F.lit(1.0)) / F.lit(4294967296.0)
     ares = F.round(F.log(u) / w, 9)
     return (
@@ -736,8 +784,27 @@ def ordered_budget_select(
     ) if gcols else df.agg(
         F.min(order_col).alias("__lo"), F.max(order_col).alias("__hi")
     )
+
+    def _null_safe_join(left: DataFrame, right: DataFrame,
+                        join_cols: "list[str]") -> DataFrame:
+        # name-based equi joins never match NULL keys, which would
+        # silently drop every row of a NULL-valued group (a legitimate
+        # stratum — e.g. unknown language) from the selection; eqNullSafe
+        # keeps NULL groups first-class
+        renamed = right.select(
+            *[F.col(c).alias(f"__rj_{c}") for c in join_cols],
+            *[c for c in right.columns if c not in join_cols],
+        )
+        cond = reduce(
+            lambda a, b: a & b,
+            [left[c].eqNullSafe(renamed[f"__rj_{c}"]) for c in join_cols],
+        )
+        out = left.join(renamed, cond)
+        return out.drop(*[f"__rj_{c}" for c in join_cols])
+
     with_b = (
-        df.join(lo_hi, gcols) if gcols else df.join(F.broadcast(lo_hi))
+        _null_safe_join(df, lo_hi, gcols) if gcols
+        else df.join(F.broadcast(lo_hi))
     )
     width = (F.col("__hi") - F.col("__lo")) / F.lit(n_buckets)
     bucket = (
@@ -779,7 +846,7 @@ def ordered_budget_select(
     )
     out_cols = df.columns
     joined = (
-        with_b.join(prefix, [*gcols, "__bucket"]) if gcols
+        _null_safe_join(with_b, prefix, [*gcols, "__bucket"]) if gcols
         else with_b.join(F.broadcast(prefix), "__bucket")
     )
     return (

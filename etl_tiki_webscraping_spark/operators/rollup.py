@@ -228,20 +228,31 @@ def equi_width_histogram(
     if n_buckets < 1:
         raise ValueError("need n_buckets >= 1")
     width = (hi - lo) / n_buckets
+    # clamp in BIGINT first, cast int only after: floor() of a far
+    # outlier (or +/-inf) yields a long outside int range, and under
+    # ANSI mode an early .cast('int') throws CAST_OVERFLOW — one
+    # extreme row aborting the whole histogram instead of clamping
+    # into the edge bucket as documented
     clamped = F.least(
-        F.lit(n_buckets - 1),
+        F.lit(n_buckets - 1).cast("bigint"),
         F.greatest(
-            F.lit(0),
-            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int"),
+            F.lit(0).cast("bigint"),
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)),
         ),
-    )
+    ).cast("int")
+    # NaN has no place on the number line: route it with NULL (the
+    # -1 bucket / exclusion), never through floor() arithmetic
+    vtype = df.schema[value_col].dataType.simpleString()
+    is_missing = F.col(value_col).isNull()
+    if vtype in ("float", "double"):
+        is_missing = is_missing | F.isnan(F.col(value_col))
     if null_bucket:
         # one extra groupBy key value, same single shuffle
-        bucket = F.when(F.col(value_col).isNull(), F.lit(-1)).otherwise(clamped)
+        bucket = F.when(is_missing, F.lit(-1)).otherwise(clamped)
         src = df
     else:
         bucket = clamped
-        src = df.filter(F.col(value_col).isNotNull())
+        src = df.filter(~is_missing)
     return (
         src.select(bucket.alias("bucket"))
         .groupBy("bucket")

@@ -93,7 +93,13 @@ def heavy_hitters(
     def mg(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         counters = None  # pd.Series: value -> (possibly decremented) count
         for pdf in batches:
-            vc = pdf["value"].value_counts()
+            # dropna=False: Spark's exact GROUP BY groups NaN as a
+            # value, and the pandas default would silently drop it —
+            # a NaN heavy hitter could then never become a candidate,
+            # a false negative the Misra-Gries guarantee forbids
+            # (NULLs are already filtered Spark-side, symmetric with
+            # the exact definition)
+            vc = pdf["value"].value_counts(dropna=False)
             counters = vc if counters is None else counters.add(vc, fill_value=0)
             if len(counters) > cap:
                 delta = counters.nlargest(cap + 1).iloc[-1]
@@ -187,6 +193,11 @@ def cms_estimate(
         )
     probes = (
         items.select(F.col(col))
+        # NULL probes mirror the build side's isNotNull filter: the
+        # sketch never counted NULLs, and xxhash64 SKIPS a null input,
+        # so a NULL probe would hash to a depth-only bucket and return
+        # pure collision mass as a confident-looking estimate
+        .where(F.col(col).isNotNull())
         .distinct()
         .select(
             col,

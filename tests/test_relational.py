@@ -118,6 +118,36 @@ def test_asof_join_backward_semantics(spark):
     assert out[4] is None    # key with no right rows at all
 
 
+def test_asof_join_null_semantics_fill_whole_row(spark):
+    """Regression for the struct-fill rework: (a) right rows with a
+    NULL key or NULL ts are never a fill source (equi-join semantics —
+    window partitioning alone would treat NULL keys as equal); (b) a
+    genuine NULL value in the most recent matching right row comes
+    through as NULL, not an older row's value; (c) the filled columns
+    always come from ONE right row, never stitched across rows."""
+    from etl_tiki_webscraping_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, None, 10), (2, "k", 30)], "id int, k string, t int"
+    )
+    right = spark.createDataFrame(
+        [
+            (None, 5, "nullkey", 1),      # NULL key: never matches
+            ("k", None, "nullts", 2),     # NULL ts: never matches
+            ("k", 10, "old", 3),
+            ("k", 20, None, 4),           # newest match for t=30: a IS NULL
+        ],
+        "k string, t int, a string, b int",
+    )
+    out = {r["id"]: (r["a"], r["b"])
+           for r in asof_join(left, right, on="k", left_ts="t",
+                              right_ts="t").collect()}
+    assert out[1] == (None, None)  # NULL-key left row matches nothing
+    # newest row wins wholesale: a stays NULL (not "old"), b comes from
+    # the SAME row (4, not 3)
+    assert out[2] == (None, 4)
+
+
 def test_salted_join_matches_plain_join(spark):
     from etl_tiki_webscraping_spark.operators.relational import salted_join
 
@@ -194,6 +224,24 @@ def test_stratified_sample_deterministic_subset(spark):
     n_a = sum(1 for _, s in rows1 if s == "a")
     n_b = sum(1 for _, s in rows1 if s == "b")
     assert 30 <= n_a <= 70 and 5 <= n_b <= 35            # ~50% / ~20% of 100 each
+
+
+def test_stratified_sample_subpercent_fraction_not_rounded_away(spark):
+    """Regression: int(round(0.005*100)) == 0 silently dropped the
+    stratum; the predicate now compares the integer bucket against
+    frac*100 directly, so 0.005 keeps bucket 0 (~1%, the closest the
+    100-bucket grid expresses) instead of nothing."""
+    from etl_tiki_webscraping_spark.operators.relational import (
+        deterministic_stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(2000)], "k long, stratum string"
+    )
+    kept = deterministic_stratified_sample(
+        df, "k", "stratum", {"a": 0.005}
+    ).count()
+    assert 0 < kept <= 60  # ~1% of 2000, never zero, never 2%+
 
 
 class TestCohortRetention:
@@ -524,3 +572,23 @@ class TestOrderedBudgetSelect:
                 for g in ("g0", "g1", "g2")}
         assert all(v <= budget for v in by_g.values())
         assert all(v > budget - 30 for v in by_g.values())
+
+    def test_null_group_is_a_first_class_stratum(self, spark):
+        """Regression: the name-based equi join back to the per-group
+        range/prefix relations never matched NULL group keys, so every
+        row of a NULL-valued group (e.g. unknown language) silently
+        vanished from the selection."""
+        from etl_tiki_webscraping_spark.operators.relational import (
+            ordered_budget_select,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "en", 0.9, 10), (2, None, 0.8, 10), (3, None, 0.7, 10)],
+            "id long, g string, o double, w long",
+        )
+        got = {r.id for r in ordered_budget_select(
+            df, "o", "w", 15, "id", n_buckets=4, group_cols=["g"]
+        ).collect()}
+        # each group fills its own budget: en takes id 1; the NULL
+        # group takes its best row (id 2) and stops at the budget
+        assert got == {1, 2}

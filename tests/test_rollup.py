@@ -299,6 +299,32 @@ class TestEquiWidthHistogram:
             1: (10.0, 20.0, 1),
         }
 
+    def test_nan_routes_with_null_and_outliers_clamp_under_ansi(self, spark):
+        # NaN has no place on the number line: it follows the NULL
+        # routing (excluded, or bucket -1 with null_bucket=True), and a
+        # far outlier whose floor() exceeds int range clamps into the
+        # edge bucket instead of raising CAST_OVERFLOW under ANSI mode.
+        from etl_tiki_webscraping_spark.operators.rollup import (
+            equi_width_histogram,
+        )
+
+        df = spark.createDataFrame(
+            [(float("nan"),), (5.0,), (1e18,), (-1e18,), (float("inf"),)],
+            "v double",
+        )
+        got = {
+            r.bucket: r.cnt
+            for r in equi_width_histogram(df, "v", 0.0, 100.0, 10).collect()
+        }
+        assert got == {0: 2, 9: 2}  # NaN gone; +/-1e18 and inf clamp
+        with_null = {
+            r.bucket: r.cnt
+            for r in equi_width_histogram(
+                df, "v", 0.0, 100.0, 10, null_bucket=True
+            ).collect()
+        }
+        assert with_null == {-1: 1, 0: 2, 9: 2}
+
     def test_total_count_preserved(self, spark, sf_dir):
         from etl_tiki_webscraping_spark.operators.rollup import (
             equi_width_histogram,
