@@ -170,12 +170,15 @@ def bigram_pmi(
     noise (the standard correction: a 1-in-a-corpus pair maximizes
     PMI spuriously).
 
-    Shape: one explode to (token, next_token) pairs, two bounded
-    aggregates (bigram counts, unigram counts), and the unigram table
-    joins back BY TOKEN twice — both joins carry vocabulary-sized
-    rows, never corpus-sized; nothing here scales past the token
-    scan.  Counts are exact integers; only the final ln is float,
-    rounded to 6 for cross-engine replay.
+    Shape: the corpus is scanned ONCE — the (token, next_token) explode
+    feeds a single bigram-count aggregate, and every marginal cascades
+    from that vocabulary-pair-bounded table (``n_a = Σ_b c(a,b)``,
+    ``n_b = Σ_a c(a,b)``, ``N = Σ c(a,b)``) instead of re-aggregating
+    corpus-sized pair streams; the bigram table persists for its four
+    consumers.  The marginal joins carry vocabulary-sized rows, never
+    corpus-sized, and N rides a 1-row broadcast (no driver action).
+    Counts are exact integers; only the final ln is float, rounded to
+    6 for cross-engine replay.
 
     Returns (tok_a, tok_b, n_ab, pmi).
     """
@@ -194,23 +197,31 @@ def bigram_pmi(
             ).otherwise(F.array().cast("array<struct<tok_a:string,tok_b:string>>"))
         ).alias("p")
     ).select("p.tok_a", "p.tok_b")
-    bi = pairs.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("n_ab"))
+    # persisted: vocab-pair-bounded (NOT corpus-bounded), read by the
+    # total/left-marginal/right-marginal aggregates + the output filter
+    bi = (
+        pairs.groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .persist()
+    )
     # unigram counts IN BIGRAM POSITIONS (left + right occurrence
-    # totals), the standard PMI marginals over the pair distribution
-    ua = pairs.groupBy("tok_a").agg(F.count(F.lit(1)).alias("n_a"))
-    ub = pairs.groupBy("tok_b").agg(F.count(F.lit(1)).alias("n_b"))
-    total = pairs.count()
+    # totals), the standard PMI marginals over the pair distribution —
+    # derived from the bigram table, never from a corpus re-scan
+    ua = bi.groupBy("tok_a").agg(F.sum("n_ab").alias("n_a"))
+    ub = bi.groupBy("tok_b").agg(F.sum("n_ab").alias("n_b"))
+    total = bi.agg(F.sum("n_ab").alias("__total"))
     return (
         bi.filter(F.col("n_ab") >= min_count)
         .join(ua, "tok_a")
         .join(ub, "tok_b")
+        .join(F.broadcast(total))  # 1-row scalar
         .select(
             "tok_a",
             "tok_b",
             "n_ab",
             F.round(
                 F.log(
-                    F.lit(float(total))
+                    F.col("__total").cast("double")
                     * F.col("n_ab")
                     / (F.col("n_a") * F.col("n_b"))
                 ),

@@ -78,6 +78,8 @@ def decontaminate(
     ``min_hits=1`` the whole check adds NO shuffle beyond the final
     bare-id anti join.
     """
+    if n < 1:
+        raise ValueError("need n >= 1")
     # probe on 64-bit gram hashes, not gram strings: the strings stay
     # inside whole-stage codegen, the broadcast set is 8 bytes per gram,
     # and the join compares longs (xxhash64 collisions are 2^-64 per
@@ -137,6 +139,12 @@ def pack_by_token_budget(
     no global ordering, no driver state; parallelism = n_shards.  At
     100 TB, size ``n_shards`` to ~executor-count x 4.
     """
+    if budget < 1:
+        # a zero budget would float-divide to Infinity and only fail
+        # (or worse, wrap) at the final bigint cast — fail loud instead
+        raise ValueError("need budget >= 1")
+    if shard_expr is None and n_shards < 1:
+        raise ValueError("need n_shards >= 1")
     shard = (
         shard_expr
         if shard_expr is not None

@@ -59,6 +59,10 @@ def logreg_train_irls(
     round — see the catalog query), exactly the embedding_pca
     contract.
     """
+    if max_iters < 1:
+        # zero iterations would return the all-zero init with NO
+        # deviance trace — the report indexes deviances[-1]
+        raise ValueError("need max_iters >= 1")
     feats = list(feature_cols)
     d = len(feats) + 1
     cols = [F.col(label_col).cast("double").alias("__y")] + [
