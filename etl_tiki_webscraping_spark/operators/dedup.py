@@ -101,21 +101,26 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     pairs only — 24-byte rows — and the winners semi-join back onto the
     full table.  A window over the hash would drag every document body
     through the shuffle; min-per-group is also a partial (map-side)
-    aggregate, which row_number cannot be.
+    aggregate, which row_number cannot be.  NULL-text pass-through is
+    a COALESCE to a per-row synthetic key (``"\\0null:" || id`` — the
+    NUL prefix cannot collide with 32-hex md5 output), NOT a
+    filter/union split: branching the hashed stream would recompute
+    the whole upstream lineage once per branch (measured 1.5x on the
+    corpus capstone, whose upstream is the decontamination probe).
     """
-    hashed = df.select(
-        F.md5(normalize_text(text_col)).alias("__h"), F.col(id_col)
-    )
     ids = (
-        hashed.filter(F.col("__h").isNotNull())
+        df.select(
+            F.coalesce(
+                F.md5(normalize_text(text_col)),
+                F.concat(F.lit("\x00null:"), F.col(id_col).cast("string")),
+            ).alias("__h"),
+            F.col(id_col),
+        )
         .groupBy("__h")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
-    null_ids = hashed.filter(F.col("__h").isNull()).select(id_col)
-    return df.join(
-        ids.unionByName(null_ids), on=id_col, how="left_semi"
-    ).select(*df.columns)
+    return df.join(ids, on=id_col, how="left_semi").select(*df.columns)
 
 
 # --------------------------------------------------------------------------
@@ -277,7 +282,10 @@ def minhash_candidate_pairs(
     # self-join (and the cap aggregation consumed it once already);
     # without pinning, a standalone call re-runs the Arrow signature
     # kernel per consumer.  (The minhash_dedup path additionally
-    # persists the analysis itself for its other consumers.)
+    # persists the analysis itself for its other consumers.)  Cache
+    # lifecycle: the returned DataFrame is lazy so the entry outlives
+    # this call — it evicts under LRU pressure, and a long-lived
+    # session releases it via spark.catalog.clearCache().
     buckets = cap_bucket_membership(buckets, ["band", "bucket"], bucket_cap).persist()
     left = buckets.alias("l")
     right = buckets.alias("r")
@@ -990,7 +998,10 @@ def substring_dup_pairs(
     """
     # persisted: BOTH sides of the self-join consume the fingerprint
     # stream — without pinning it, the gram explode + winnow window
-    # (the dominant cost) runs twice
+    # (the dominant cost) runs twice.  Cache lifecycle: the returned
+    # DataFrame is lazy so the entry outlives this call — it evicts
+    # under LRU pressure, and a long-lived session releases it via
+    # spark.catalog.clearCache().
     fps = winnow_fingerprints(
         docs, id_col, text_col, k, w, with_grams=True
     ).persist()

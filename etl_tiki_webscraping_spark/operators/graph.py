@@ -14,9 +14,11 @@ contribution ``groupBy(dst)``) plus one scalar aggregate (dangling
 mass, broadcast back); the edge table and out-degree table are
 localCheckpoint-ed once and reused by every iteration, so the loop is
 O(iterations) jobs with O(edges) work each — never O(edges^2) and
-never a growing lineage.  Ranks are summed through DECIMAL(38,18) so
-the result is order-independent and cross-engine reproducible (the
-DuckDB oracle unrolls the same iterations and hash-matches).
+never a growing lineage.  Per-row contributions quantize to integer
+1e-15 units (floor(x*1e15 + 0.5), exact DECIMAL(38,0) sums) so the
+result is order-independent and BIT-identical across engines (the
+DuckDB oracle unrolls the same iterations and hash-matches at any
+precision).
 """
 
 from __future__ import annotations
@@ -56,8 +58,11 @@ def pagerank(
 
         rank'(v) = (1-d)/N + d * (sum_{u->v} rank(u)/outdeg(u) + D/N)
 
-    where ``D`` is the summed rank of dangling nodes.  Both sums go
-    through DECIMAL(38,18) for order-independence.
+    where ``D`` is the summed rank of dangling nodes.  Both sums
+    quantize per row to integer 1e-15 units (floor(x*1e15 + 0.5) —
+    the same IEEE formula on both engines) and accumulate exactly in
+    DECIMAL(38,0), for order-independence AND bit-identical
+    cross-engine replay.
 
     The driver loop runs ``iterations`` bounded Spark jobs (one
     localCheckpoint per iteration truncates the otherwise-doubling
@@ -89,25 +94,44 @@ def pagerank(
     ranks = nodes.select("node", F.lit(inv_n).alias("rank"))
 
     for _ in range(iterations):
+        # per-row quantization to integer 1e-15 units via
+        # floor(x*1e15 + 0.5): the SAME IEEE-double formula on both
+        # engines, so the exact DECIMAL(38,0) sums are bit-identical
+        # at any hash precision (a double->DECIMAL(38,18) cast rounds
+        # half-way ties differently between Spark and DuckDB and
+        # drifted the final ranks by ~1 ULP).  Ranks sum to 1 so
+        # x <= 1 and x*1e15 <= 1e15 < 2^53 — the product is an exact
+        # integer in double on both engines.
         contrib = (
             e.join(ranks, ranks["node"] == e["src"])
             .join(outdeg, "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(
-                F.sum((F.col("rank") / F.col("od")).cast("decimal(38,18)"))
-                .cast("double")
-                .alias("s")
+                (
+                    F.sum(
+                        F.floor(
+                            (F.col("rank") / F.col("od")) * F.lit(1e15)
+                            + F.lit(0.5)
+                        ).cast("decimal(38,0)")
+                    ).cast("double")
+                    / F.lit(1e15)
+                ).alias("s")
             )
         )
         dangling = (
             ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
             .agg(
-                F.coalesce(
-                    F.sum(F.col("rank").cast("decimal(38,18)")),
-                    F.lit(0).cast("decimal(38,18)"),
-                )
-                .cast("double")
-                .alias("dm")
+                (
+                    F.coalesce(
+                        F.sum(
+                            F.floor(
+                                F.col("rank") * F.lit(1e15) + F.lit(0.5)
+                            ).cast("decimal(38,0)")
+                        ),
+                        F.lit(0).cast("decimal(38,0)"),
+                    ).cast("double")
+                    / F.lit(1e15)
+                ).alias("dm")
             )
         )
         new_ranks = (
@@ -160,9 +184,10 @@ def pagerank_oracle_sql(
     SQL form).  ``edges_cte`` must be a SELECT producing (src, dst).
 
     Every arithmetic step mirrors the Spark expression shape exactly —
-    contributions and dangling mass summed via DECIMAL(38,18), the
+    contributions and dangling mass quantized per row to integer
+    1e-15 units and summed exactly via DECIMAL(38,0), the
     teleport/damping combine in the same association order — so the
-    two engines agree bit-for-bit up to the hash normalization.
+    two engines agree bit-for-bit at full precision.
     """
     parts = [
         f"WITH edges AS (SELECT DISTINCT src, dst FROM ({edges_cte}))",
@@ -179,14 +204,15 @@ def pagerank_oracle_sql(
         p = i - 1
         parts.append(
             f"s{i} AS (SELECT e.dst AS node,"
-            f" CAST(SUM(CAST(r.rank / o.od AS DECIMAL(38,18))) AS DOUBLE) AS s"
+            f" CAST(SUM(CAST(FLOOR(r.rank / o.od * 1e15 + 0.5)"
+            f" AS DECIMAL(38,0))) AS DOUBLE) / 1e15 AS s"
             f" FROM edges e JOIN r{p} r ON r.node = e.src"
             f" JOIN outdeg o ON o.src = e.src GROUP BY e.dst)"
         )
         parts.append(
             f"d{i} AS (SELECT CAST(COALESCE("
-            f"SUM(CAST(r.rank AS DECIMAL(38,18))),"
-            f" CAST(0 AS DECIMAL(38,18))) AS DOUBLE) AS dm"
+            f"SUM(CAST(FLOOR(r.rank * 1e15 + 0.5) AS DECIMAL(38,0))),"
+            f" CAST(0 AS DECIMAL(38,0))) AS DOUBLE) / 1e15 AS dm"
             f" FROM r{p} r LEFT JOIN outdeg o ON o.src = r.node"
             f" WHERE o.src IS NULL)"
         )

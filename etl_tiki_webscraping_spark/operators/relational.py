@@ -305,13 +305,20 @@ def deterministic_stratified_sample(
     bucket = _md5_prefix_long(key_col) % 100
     pred = F.lit(False)
     for stratum, frac in fractions.items():
-        # compare against frac*100 DIRECTLY — pre-rounding to int
+        # compare against a QUANTIZED frac*100 — pre-rounding to int
         # silently rewrites sub-percent fractions (0.005 -> 0 rows via
         # banker's rounding; 0.125 -> 12% not 12.5%) away from the
-        # documented predicate.  The hash bucket is an integer, so
+        # documented predicate, but the RAW product is just as wrong
+        # the other way: binary floats put many whole-percent products
+        # just above the integer (0.07*100 = 7.000000000000001), so
+        # `bucket < frac*100` would admit one extra bucket and sample a
+        # full extra percentage point.  round(..., 6) snaps those back
+        # to the integer while preserving sub-percent thresholds
+        # (0.5, 12.5) exactly.  The hash bucket is an integer, so
         # bucket < 0.5 keeps exactly bucket 0 (~1%), the closest the
         # 100-bucket grid can express, instead of dropping the stratum.
-        pred = pred | ((F.col(strata_col) == stratum) & (bucket < F.lit(frac * 100)))
+        threshold = round(frac * 100, 6)
+        pred = pred | ((F.col(strata_col) == stratum) & (bucket < F.lit(threshold)))
     return df.filter(pred)
 
 

@@ -103,7 +103,15 @@ def _driver_latest_round() -> "dict[str, int]":
         for name, rec in recs.items():
             if not isinstance(rec, dict):
                 continue
-            oracle_pass = rec.get("err") is None and rec.get("rows_match", False)
+            # a row counts as passing only if the VALUE hash matched
+            # too — r9 recorded tpch_q9/q12 with rows_match=True but
+            # hash_match=False, and treating that as green would rotate a
+            # FAILING query out of the window instead of back in
+            oracle_pass = (
+                rec.get("err") is None
+                and rec.get("rows_match", False)
+                and rec.get("hash_match") is not False
+            )
             spec = QUERIES.get(name)
             # a rows-only row only covers a query that is STILL
             # rows-only: once it gains an oracle, the oracle itself
@@ -130,13 +138,26 @@ def _driver_covered() -> "frozenset[str]":
 # automatically stalest-first, so forgetting an entry costs at most
 # ~ceil(catalog/50) rounds of evidence age, never unbounded drift.
 _DRIVER_FRESH = frozenset({
-    # r9 code changes:
-    #   - equi_width_histogram NULL exclusion + oracle NULL filter
+    # r10 code changes:
+    #   - tpch_q9: integer-micros amount quantization (both engines);
+    #     tpch_q12: oracle SUMs cast BIGINT (both hash-FAILED in r9 —
+    #     the failing rows also no longer count as coverage, so these
+    #     would lead the window even without this list)
+    "tpch_q9",
+    "tpch_q12",
+    #   - pagerank per-row 1e-15 quantization (impl + oracle)
+    "graph_pagerank",
+    #   - histogram oracle bucket_lo/hi cast DOUBLE (Decimal leak)
     "histogram_equi_width",
-    #   - join_view_refresh USING-join path for shared key names
-    "ivm_join_from_feed",
-    #   - update_where exact-widening guard (expression-typed probe)
-    "snapshot_update_where",
+    #   - exact_dedup single-pass NULL pass-through (coalesce key)
+    "dedup_exact_text",
+    "incremental_dedup_new_docs",
+    "corpus_pipeline_e2e",
+    #   - apply_changes whole-feed op validation before dedup
+    "cdc_apply_changes",
+    "cdc_replication_from_feed",
+    #   - stratified-sample threshold quantization (round(frac*100, 6))
+    "stratified_hash_sample",
 })
 
 
@@ -6935,7 +6956,8 @@ def _pagerank_oracle() -> str:
         "dst) plus a broadcast scalar (dangling mass), with edges and "
         "out-degrees localCheckpoint-ed once and reused — O(iterations) "
         "bounded jobs, lineage truncated per step, rank sums through "
-        "DECIMAL(38,18) so the DuckDB oracle (same iterations unrolled "
+        "integer 1e-15 units (exact DECIMAL(38,0) sums) so the DuckDB "
+        "oracle (same iterations unrolled "
         "as chained CTEs) hash-matches exactly.  At 100 TB the driver "
         "holds only the node COUNT and per-iteration dangling scalar.",
 )
@@ -7002,8 +7024,8 @@ def q_entity_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders WHERE o_totalprice IS NOT NULL
     )
     SELECT bucket,
-           0.0 + bucket * 30000.0 AS bucket_lo,
-           0.0 + (bucket + 1) * 30000.0 AS bucket_hi,
+           CAST(bucket * 30000.0 AS DOUBLE) AS bucket_lo,
+           CAST((bucket + 1) * 30000.0 AS DOUBLE) AS bucket_hi,
            COUNT(*) AS cnt
     FROM b GROUP BY bucket
     """,
@@ -9126,11 +9148,13 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
              MIN(l_extendedprice / l_quantity) AS ps_supplycost
       FROM lineitem GROUP BY 1, 2
     )
-    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    SELECT nation, o_year,
+           CAST(SUM(amount_micros) AS DOUBLE) / 1000000.0 AS sum_profit
     FROM (SELECT n_name AS nation,
                  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
-                 CAST(l_extendedprice * (1 - l_discount)
-                      - ps_supplycost * l_quantity AS DECIMAL(38,6)) AS amount
+                 CAST(FLOOR((l_extendedprice * (1 - l_discount)
+                             - ps_supplycost * l_quantity) * 1000000.0 + 0.5)
+                      AS DECIMAL(38,0)) AS amount_micros
           FROM part
           JOIN lineitem ON p_partkey = l_partkey
           JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
@@ -9150,8 +9174,13 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "on its own (l_partkey, l_suppkey) grouping keys (co-"
         "partitioned, no extra exchange), supplier+nation broadcast, "
         "and ONE final aggregate covers (nation x year).  Per-row "
-        "amounts quantize to DECIMAL(38,6) before the sum so the "
-        "total is order-independent.",
+        "amounts quantize to integer micros via FLOOR(x*1e6 + 0.5) "
+        "before the sum — the SAME IEEE-double formula on both "
+        "engines — so the exact-integer total is order-independent "
+        "AND bit-identical across engines at any hash precision "
+        "(a double->DECIMAL cast rounds half-way ties differently "
+        "between Spark and DuckDB, which a full-precision value "
+        "hash catches even when the sums agree to 9 digits).",
 )
 def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = load_table(spark, sf_dir, "part").filter(
@@ -9167,10 +9196,20 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    amount = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - F.col("ps_supplycost") * F.col("l_quantity")
-    ).cast("decimal(38,6)")
+    # quantize to integer micros with the same IEEE-double formula the
+    # oracle uses: floor(x*1e6 + 0.5) on identical doubles is
+    # bit-deterministic on both engines (double->DECIMAL casts are
+    # not: the engines round half-way ties differently).  DECIMAL(38,0)
+    # keeps the sum exact at any scale (a raw BIGINT sum could overflow
+    # at 100 TB; ~1e10 micros/row x 1e12 rows > 2^63).
+    amount_micros = F.floor(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.col("ps_supplycost") * F.col("l_quantity")
+        )
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("decimal(38,0)")
     return (
         li.join(ps, ["l_partkey", "l_suppkey"])
         .join(orders, F.col("l_orderkey") == orders["o_orderkey"])
@@ -9184,7 +9223,10 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("bigint").alias("o_year"),
         )
-        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .agg(
+            (F.sum(amount_micros).cast("double") / F.lit(1000000.0))
+            .alias("sum_profit")
+        )
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -9283,10 +9325,10 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12",
     oracle="""
     SELECT l_returnflag AS shipgroup,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -9301,7 +9343,11 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conditional aggregate.  The year filter pushes to the "
         "lineitem scan; the cross-table lag inequality rides the "
         "o_orderkey hash join as a residual — no second pass, no "
-        "nested loop.",
+        "nested loop.  Oracle SUMs cast to BIGINT: DuckDB's SUM over "
+        "INTEGER yields HUGEINT (int128), which fetch paths coerce "
+        "to float/str unlike Spark's BIGINT — the one bare "
+        "integer-SUM oracle in the catalog was the one the driver "
+        "hash-mismatched in r9.",
 )
 def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(

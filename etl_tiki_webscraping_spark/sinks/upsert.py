@@ -3036,15 +3036,16 @@ def apply_changes(
     value_tiebreak = [
         F.col(c).asc_nulls_first() for c in out_cols if c not in keys
     ]
-    latest = dedup_deterministic(
-        changes, keys, [F.col(seq_col).desc(), F.col(op_col).asc(), *value_tiebreak]
-    )
     # a NULL / unknown op must NOT reach the apply: the key would be
     # anti-joined out of the survivors (every batch key is) but
     # `op != 'D'` is null-false so the row would never re-insert —
     # a malformed CDC row silently DELETING its key.  A feed anomaly
-    # is a loud error, not a phantom delete.
-    latest = latest.withColumn(
+    # is a loud error, not a phantom delete — and the check runs on
+    # the WHOLE feed BEFORE the per-key dedup, so a malformed row
+    # shadowed by a later seq for the same key still raises instead of
+    # being silently discarded.  Same scan either way: the projection
+    # fuses into the dedup's shuffle write, no extra pass.
+    changes = changes.withColumn(
         op_col,
         F.when(F.col(op_col).isin("I", "U", "D"), F.col(op_col)).otherwise(
             F.raise_error(
@@ -3054,6 +3055,9 @@ def apply_changes(
                 )
             )
         ),
+    )
+    latest = dedup_deterministic(
+        changes, keys, [F.col(seq_col).desc(), F.col(op_col).asc(), *value_tiebreak]
     )
     survivors = target.join(
         latest.select(*keys).distinct(), on=keys, how="left_anti"

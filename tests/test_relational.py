@@ -244,6 +244,29 @@ def test_stratified_sample_subpercent_fraction_not_rounded_away(spark):
     assert 0 < kept <= 60  # ~1% of 2000, never zero, never 2%+
 
 
+def test_stratified_sample_whole_percent_not_inflated(spark):
+    """Regression (ADVICE r9): the raw float product 0.07*100 =
+    7.000000000000001 admitted bucket 7 under `bucket < frac*100`,
+    silently sampling 8% instead of 7%.  The threshold is quantized to
+    6 decimals, so every whole-percent fraction keeps EXACTLY
+    frac*100 of the 100 hash buckets."""
+    from etl_tiki_webscraping_spark.operators.relational import (
+        _md5_prefix_long,
+        deterministic_stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(5000)], "k long, stratum string"
+    )
+    buckets = df.select((_md5_prefix_long("k") % 100).alias("b")).collect()
+    for frac in (0.07, 0.14, 0.28, 0.56):
+        want = sum(1 for r in buckets if r["b"] < round(frac * 100))
+        kept = deterministic_stratified_sample(
+            df, "k", "stratum", {"a": frac}
+        ).count()
+        assert kept == want, (frac, kept, want)
+
+
 class TestCohortRetention:
     """Pin the week bucketing and the retention denominator on a
     hand-built 3-cohort fixture (VERDICT r7 ask #4)."""

@@ -1250,6 +1250,22 @@ class TestReviewHardening:
         with _pytest.raises(Exception, match="op must be I/U/D"):
             apply_changes(target, bad, ["k"]).collect()
 
+    def test_apply_changes_shadowed_bad_op_still_raises(self, spark):
+        """ADVICE r9: the op check runs on the WHOLE feed before the
+        per-key dedup, so a malformed row shadowed by a later seq for
+        the same key raises instead of being silently discarded."""
+        import pytest as _pytest
+
+        from etl_tiki_webscraping_spark.sinks.upsert import apply_changes
+
+        target = spark.createDataFrame([(1, "a")], "k long, v string")
+        feed = spark.createDataFrame(
+            [(1, "bad", "X", 1), (1, "good", "U", 2)],
+            "k long, v string, op string, seq long",
+        )
+        with _pytest.raises(Exception, match="op must be I/U/D"):
+            apply_changes(target, feed, ["k"]).collect()
+
     def test_upsert_type_drift_raises(self, spark):
         import pytest as _pytest
 
