@@ -164,3 +164,165 @@ def pack_by_token_budget(
         )
         .select(*df.columns, F.col("__shard").alias("shard"), "pack_id")
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR — data selection with importance resampling (Xie et al., 2023)
+# --------------------------------------------------------------------------
+
+def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, term) stream under the repo's standard tokenizer (lowercase,
+    ``[^a-z0-9]+`` split) — the exact shape ``doc_unigram_logprob``'s
+    oracle replays in DuckDB."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("term"),
+    )
+
+
+def _md5_bucket(term: Column, n_buckets: int) -> Column:
+    """Hash a token into ``n_buckets`` via the repo's cross-engine
+    md5-prefix recipe (``relational._md5_prefix_long``): the first 8
+    hex chars of md5 as a bigint, mod buckets — replayable verbatim in
+    any SQL dialect, unlike xxhash64/murmur whose constants differ per
+    engine."""
+    return (
+        F.conv(F.substring(F.md5(term), 1, 8), 16, 10).cast("bigint")
+        % F.lit(n_buckets)
+    )
+
+
+def dsir_log_weights(
+    pool: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Per-document DSIR importance log-weight ``ln p_target(x) /
+    p_raw(x)`` over hashed unigram features (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): the
+    published recipe for steering a raw 100 TB crawl toward a curated
+    target domain without training a model — two hashed bag-of-words
+    unigram LMs (add-1 smoothed over ``n_buckets`` md5 buckets), and
+    each pool document scores the sum of per-token log-ratios.
+
+    Returns ``(id, n_tokens, log_weight)`` for every pool document
+    with at least one token (token-less documents have no features,
+    hence no weight — callers route them separately).
+
+    Scale shape: both corpora tokenize ONCE; the two feature
+    histograms are ``n_buckets``-bounded aggregates (map-side
+    combinable; the hashing is exactly why DSIR scales — the
+    vocabulary never leaves the fixed bucket grid), their log-ratio
+    table is <= ``n_buckets`` rows and BROADCASTS into the pool's
+    token stream; the per-doc reduce is one groupBy(id) carrying
+    bare (id, bigint) pairs.  Nothing shuffles document text.
+
+    Cross-engine determinism: the per-bucket log-ratio quantizes to
+    integer 1e-8 units via ``floor(x*1e8 + 0.5)`` — the same
+    IEEE-double formula on both engines — and per-doc sums accumulate
+    exactly in DECIMAL(38,0), so the DuckDB oracle hash-matches at any
+    precision (the tpch_q9 lesson: double->DECIMAL casts round
+    half-way ties differently per engine; FLOOR of an exact product
+    does not).
+    """
+    if n_buckets < 2:
+        raise ValueError("need n_buckets >= 2")
+    pool_toks = _tokens(pool, text_col, id_col)
+    tgt_toks = _tokens(target, text_col, id_col)
+    b = F.lit(float(n_buckets))
+
+    def hist(toks: DataFrame) -> DataFrame:
+        return (
+            toks.select(_md5_bucket(F.col("term"), n_buckets).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    raw_hist = hist(pool_toks)
+    tgt_hist = hist(tgt_toks)
+    raw_total = raw_hist.agg(F.sum("cnt").alias("n_raw"))
+    tgt_total = tgt_hist.agg(F.sum("cnt").alias("n_tgt"))
+    # full outer over the bucket grid: a bucket seen only in one corpus
+    # still gets its smoothed ratio (add-1 keeps both densities > 0)
+    ratios = (
+        raw_hist.withColumnRenamed("cnt", "c_raw")
+        .join(tgt_hist.withColumnRenamed("cnt", "c_tgt"), "bucket", "full_outer")
+        .crossJoin(F.broadcast(raw_total))
+        .crossJoin(F.broadcast(tgt_total))
+        .select(
+            "bucket",
+            F.floor(
+                F.log(
+                    (
+                        (F.coalesce(F.col("c_tgt"), F.lit(0)).cast("double") + F.lit(1.0))
+                        / (F.col("n_tgt").cast("double") + b)
+                    )
+                    / (
+                        (F.coalesce(F.col("c_raw"), F.lit(0)).cast("double") + F.lit(1.0))
+                        / (F.col("n_raw").cast("double") + b)
+                    )
+                )
+                * F.lit(1e8)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("lw_units"),
+        )
+    )
+    scored = pool_toks.select(
+        "id", _md5_bucket(F.col("term"), n_buckets).alias("bucket")
+    ).join(F.broadcast(ratios), "bucket")
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (
+            F.sum(F.col("lw_units").cast("decimal(38,0)")).cast("double")
+            / F.lit(1e8)
+        ).alias("log_weight"),
+    )
+
+
+def dsir_resample(
+    pool: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR selection: draw ``k`` pool documents WITHOUT replacement
+    with inclusion odds proportional to the DSIR importance weight —
+    the Gumbel-top-k trick in log space (``key = log_weight + Gumbel``
+    with a deterministic per-document uniform from the md5-prefix
+    hash), which never exponentiates the weight (exp(log_weight) of a
+    long document under/overflows double).
+
+    The Gumbel noise uses ``u = (h + 0.5) / 2^32`` — strictly inside
+    (0, 1) so ``ln(-ln(u))`` is always finite (``+1`` would allow
+    u = 1.0 and an infinite key for that row regardless of weight).
+    The key quantizes to integer 1e-9 units via the floor recipe, so
+    rank order (key desc, id asc) is bit-identical cross-engine.
+
+    Plan shape: :func:`dsir_log_weights` + ONE global top-k
+    (TakeOrderedAndProject — bounded at k per partition, no full
+    sort).  Returns ``(id, n_tokens, log_weight, key_units)``.
+    """
+    lw = dsir_log_weights(pool, target, text_col, id_col, n_buckets)
+    h = F.conv(
+        F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint").cast("double")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    key_units = F.floor(
+        (F.col("log_weight") - F.log(-F.log(u))) * F.lit(1e9) + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        lw.withColumn("key_units", key_units)
+        .orderBy(F.col("key_units").desc(), F.col("id").asc())
+        .limit(k)
+    )

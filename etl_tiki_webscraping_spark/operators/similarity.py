@@ -970,3 +970,123 @@ def embedding_pca_report(df: DataFrame, vec_col: str, k: int = 8) -> DataFrame:
     return spark.createDataFrame(
         rows, "component int, eigenvalue double, explained_ratio double"
     )
+
+
+def centroid_cosine_outliers(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    group_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Per-group least-prototypical vectors: each group's centroid
+    (per-dimension mean), then the ``k`` vectors with the LOWEST
+    cosine to their own group's centroid — the prototypicality
+    data-pruning signal (SemDeDup / SSL-prototypes, Abbas et al. 2023;
+    Sorscher et al. 2022): embedding-space outliers inside a
+    cluster/domain are the noisy, misfiled, or off-topic examples a
+    curation pipeline routes to review before training.
+
+    Returns ``(group_col, id_col, cos_centroid)``, ``k`` rows per
+    group, cosine quantized to 1e-6.  Zero-norm vectors and NULL
+    embeddings are excluded (consistent with the repo's kNN paths).
+
+    Scale shape: ONE posexplode + groupBy(group, dim) for centroids —
+    shuffle cardinality |groups| x d, never row count — then the tiny
+    centroid-array table BROADCASTS back onto the vector scan, where
+    dot/norm fold JVM-side inside whole-stage codegen (zip_with +
+    aggregate over integer units: no Python, no per-row shuffle), and
+    ONE top-k-per-group window bounds the sort at k per partition.
+
+    Cross-engine determinism (the tpch_q9 lesson applied throughout):
+    every float enters a sum as ``floor(x*1eN + 0.5)`` integer units —
+    elements at 1e-9, squared/product terms at 1e-12, the final cosine
+    at 1e-6 — so sums are exact, order-free, and bit-identical on any
+    engine; ranking ties break by id.
+    """
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dims = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col).alias("vid"),
+            F.posexplode(vd).alias("i", "v"),
+        )
+    )
+    # centroid component c = (exact-integer mean of 1e-9 units) / 1e9;
+    # the two divisions stay in THIS order — the oracle mirrors it
+    cent_dims = (
+        dims.groupBy("grp", "i")
+        .agg(
+            (
+                F.sum(F.floor(F.col("v") * F.lit(1e9) + F.lit(0.5)))
+                .cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1e9)
+            ).alias("c")
+        )
+    )
+    cents = (
+        cent_dims.groupBy("grp")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "c"))),
+                lambda s: s["c"],
+            ).alias("cent")
+        )
+        .select(
+            "grp",
+            "cent",
+            F.aggregate(
+                "cent",
+                F.lit(0).cast("long"),
+                lambda acc, x: acc
+                + F.floor(x * x * F.lit(1e12) + F.lit(0.5)),
+            ).alias("nc_units"),
+        )
+    )
+    scored = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), F.col(id_col).alias("vid"), vd.alias("v"))
+        .join(F.broadcast(cents), "grp")
+        .select(
+            "grp",
+            "vid",
+            "nc_units",
+            F.aggregate(
+                F.zip_with(
+                    "v", "cent",
+                    lambda x, y: F.floor(x * y * F.lit(1e12) + F.lit(0.5)),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot_units"),
+            F.aggregate(
+                "v",
+                F.lit(0).cast("long"),
+                lambda acc, x: acc
+                + F.floor(x * x * F.lit(1e12) + F.lit(0.5)),
+            ).alias("nv_units"),
+        )
+        .filter((F.col("nv_units") > 0) & (F.col("nc_units") > 0))
+        .select(
+            "grp",
+            "vid",
+            F.floor(
+                (F.col("dot_units").cast("double") / F.lit(1e12))
+                / F.sqrt(
+                    (F.col("nv_units").cast("double") / F.lit(1e12))
+                    * (F.col("nc_units").cast("double") / F.lit(1e12))
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("bigint").alias("cos_units"),
+        )
+    )
+    return top_k_per_group(
+        scored, ["grp"], [F.col("cos_units").asc(), F.col("vid").asc()], k
+    ).select(
+        F.col("grp").alias(group_col),
+        F.col("vid").alias(id_col),
+        (F.col("cos_units").cast("double") / F.lit(1e6)).alias("cos_centroid"),
+    )

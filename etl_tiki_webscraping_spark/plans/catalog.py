@@ -9974,3 +9974,163 @@ def q_model_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "dsir_importance_resample",
+    oracle="""
+    WITH pool_toks AS (
+        SELECT doc_id AS id,
+               unnest(list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                   t -> t <> '')) AS term
+        FROM documents WHERE source <> 'src1'
+    ),
+    tgt_toks AS (
+        SELECT doc_id AS id,
+               unnest(list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                   t -> t <> '')) AS term
+        FROM documents WHERE source = 'src1'
+    ),
+    raw_hist AS (
+        SELECT CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 4096
+                   AS bucket,
+               COUNT(*) AS c_raw
+        FROM pool_toks GROUP BY 1
+    ),
+    tgt_hist AS (
+        SELECT CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 4096
+                   AS bucket,
+               COUNT(*) AS c_tgt
+        FROM tgt_toks GROUP BY 1
+    ),
+    nr AS (SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw FROM raw_hist),
+    nt AS (SELECT CAST(SUM(c_tgt) AS BIGINT) AS n_tgt FROM tgt_hist),
+    ratios AS (
+        SELECT COALESCE(r.bucket, t.bucket) AS bucket,
+               CAST(FLOOR(ln(
+                   ((CAST(COALESCE(t.c_tgt, 0) AS DOUBLE) + 1.0)
+                    / (CAST(nt.n_tgt AS DOUBLE) + 4096.0))
+                   / ((CAST(COALESCE(r.c_raw, 0) AS DOUBLE) + 1.0)
+                      / (CAST(nr.n_raw AS DOUBLE) + 4096.0))
+               ) * 1e8 + 0.5) AS BIGINT) AS lw_units
+        FROM raw_hist r FULL OUTER JOIN tgt_hist t ON r.bucket = t.bucket
+        CROSS JOIN nr CROSS JOIN nt
+    ),
+    scored AS (
+        SELECT id,
+               CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 4096
+                   AS bucket
+        FROM pool_toks
+    ),
+    lw AS (
+        SELECT s.id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CAST(r.lw_units AS DECIMAL(38,0))) AS DOUBLE) / 1e8
+                   AS log_weight
+        FROM scored s JOIN ratios r USING (bucket) GROUP BY s.id
+    ),
+    keyed AS (
+        SELECT id AS doc_id, n_tokens, log_weight,
+               CAST(FLOOR((log_weight - ln(-ln(
+                   (CAST(CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))
+                              AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)))
+                   * 1e9 + 0.5) AS BIGINT) AS key_units
+        FROM lw
+    )
+    SELECT doc_id, n_tokens, log_weight, key_units
+    FROM keyed ORDER BY key_units DESC, doc_id ASC LIMIT 100
+    """,
+    doc="DSIR — data selection via importance resampling (Xie et al. "
+        "2023), the published recipe for steering a raw crawl toward a "
+        "curated target domain: two add-1-smoothed hashed-unigram LMs "
+        "(4096 md5 buckets; the hashing is why DSIR scales — the "
+        "vocabulary never leaves the fixed bucket grid), per-document "
+        "log-weight = sum of per-token log-ratios, then Gumbel-top-k "
+        "selection of 100 docs WITHOUT replacement with odds "
+        "proportional to the weight (log-space — never exponentiates), "
+        "using the deterministic md5-prefix uniform.  Plan: both "
+        "corpora tokenize once, the bucket histograms are 4096-bounded "
+        "map-side-combinable aggregates, the log-ratio table "
+        "BROADCASTS into the pool token stream, the per-doc reduce "
+        "carries bare (id, bigint) pairs, and the top-k is "
+        "TakeOrderedAndProject.  Per-bucket ratios and rank keys "
+        "quantize via floor(x*1eN + 0.5) (exact DECIMAL sums), so the "
+        "oracle replay is bit-identical at any hash precision.",
+)
+def q_dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.decontaminate import dsir_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    pool = docs.filter(F.col("source") != "src1")
+    target = docs.filter(F.col("source") == "src1")
+    out = dsir_resample(pool, target, "text", "doc_id", k=100, n_buckets=4096)
+    return out.withColumnRenamed("id", "doc_id")
+
+
+@register(
+    "embedding_centroid_outliers",
+    oracle="""
+    WITH x AS (
+        SELECT vec_id, label, i, CAST(embedding[i + 1] AS DOUBLE) AS vd
+        FROM embeddings, unnest(range(0, 64)) AS r(i)
+        WHERE embedding IS NOT NULL
+    ),
+    cent AS (
+        SELECT label, i,
+               CAST(SUM(CAST(FLOOR(vd * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / COUNT(*) / 1e9 AS c
+        FROM x GROUP BY label, i
+    ),
+    nc AS (
+        SELECT label,
+               SUM(CAST(FLOOR(c * c * 1e12 + 0.5) AS BIGINT)) AS nc_units
+        FROM cent GROUP BY label
+    ),
+    dots AS (
+        SELECT x.vec_id, x.label,
+               SUM(CAST(FLOOR(x.vd * c.c * 1e12 + 0.5) AS BIGINT))
+                   AS dot_units,
+               SUM(CAST(FLOOR(x.vd * x.vd * 1e12 + 0.5) AS BIGINT))
+                   AS nv_units
+        FROM x JOIN cent c ON x.label = c.label AND x.i = c.i
+        GROUP BY x.vec_id, x.label
+    ),
+    cosd AS (
+        SELECT d.vec_id, d.label,
+               CAST(FLOOR((CAST(d.dot_units AS DOUBLE) / 1e12)
+                   / sqrt((CAST(d.nv_units AS DOUBLE) / 1e12)
+                          * (CAST(n.nc_units AS DOUBLE) / 1e12))
+                   * 1e6 + 0.5) AS BIGINT) AS cos_units
+        FROM dots d JOIN nc n ON d.label = n.label
+        WHERE d.nv_units > 0 AND n.nc_units > 0
+    ),
+    r AS (
+        SELECT label, vec_id, cos_units,
+               row_number() OVER (PARTITION BY label
+                                  ORDER BY cos_units ASC, vec_id ASC) AS rn
+        FROM cosd
+    )
+    SELECT label, vec_id, CAST(cos_units AS DOUBLE) / 1e6 AS cos_centroid
+    FROM r WHERE rn <= 5
+    """,
+    doc="per-group embedding prototypicality pruning (SemDeDup / "
+        "SSL-prototypes, Abbas et al. 2023; Sorscher et al. 2022): "
+        "each label's centroid, then the 5 vectors per label with the "
+        "LOWEST cosine to their own centroid — the in-cluster outliers "
+        "a curation pipeline routes to review before training.  Plan: "
+        "ONE posexplode + groupBy(label, dim) whose shuffle "
+        "cardinality is |labels| x d (never row count), centroid "
+        "arrays BROADCAST back onto the vector scan, dot/norm fold "
+        "JVM-side (zip_with + aggregate over integer units, no "
+        "Python), one WindowGroupLimit top-k.  Every float enters a "
+        "sum as floor(x*1eN + 0.5) integer units, so the DuckDB "
+        "replay is bit-identical at any hash precision.",
+)
+def q_embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.similarity import (
+        centroid_cosine_outliers,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_cosine_outliers(emb, "embedding", "vec_id", "label", k=5)

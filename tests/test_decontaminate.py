@@ -109,3 +109,73 @@ def test_pack_by_token_budget_sharded_is_deterministic(spark):
     import pyspark.sql.functions as SF
     per_shard = packs.groupBy("shard").agg(SF.min("pack_id").alias("lo")).collect()
     assert all(r["lo"] == 0 for r in per_shard)
+
+
+def test_dsir_log_weights_favor_target_vocabulary(spark):
+    """A pool doc written in the target's vocabulary must out-weigh a
+    pool doc written in out-of-target vocabulary (the defining DSIR
+    property), and token-less docs get no weight row."""
+    from etl_tiki_webscraping_spark.operators.decontaminate import (
+        dsir_log_weights,
+    )
+
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta epsilon") for i in range(5)],
+        "doc_id long, text string",
+    )
+    pool = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta"),   # target-like
+            (2, "zork quux blarg wibble frotz"),  # out-of-target
+            (3, "!!! ???"),                        # tokenizes to nothing
+            (4, None),                             # NULL text
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["id"]: r
+        for r in dsir_log_weights(pool, target, "text", "doc_id").collect()
+    }
+    assert set(rows) == {1, 2}          # 3 and 4 have no tokens
+    assert rows[1]["log_weight"] > rows[2]["log_weight"]
+    assert rows[1]["log_weight"] > 0    # in-target vocab: ratio > 1
+    assert rows[2]["log_weight"] < 0    # never-seen-in-target vocab
+    assert rows[1]["n_tokens"] == 5
+
+
+def test_dsir_resample_deterministic_and_bounded(spark):
+    from etl_tiki_webscraping_spark.operators.decontaminate import (
+        dsir_resample,
+    )
+
+    target = spark.createDataFrame(
+        [(1000, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    pool = spark.createDataFrame(
+        [(i, f"alpha beta token{i % 7} token{i % 3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    once = dsir_resample(pool, target, "text", "doc_id", k=10).collect()
+    twice = dsir_resample(pool, target, "text", "doc_id", k=10).collect()
+    assert len(once) == 10
+    assert [r["id"] for r in once] == [r["id"] for r in twice]
+    # keys are finite bigints (the u=(h+0.5)/2^32 construction can
+    # never produce ln(-ln(1.0)) = -inf)
+    assert all(r["key_units"] is not None for r in once)
+    # selection is weight-biased: ranked by key desc
+    keys = [r["key_units"] for r in once]
+    assert keys == sorted(keys, reverse=True)
+
+
+def test_dsir_resample_k_larger_than_pool_returns_all(spark):
+    from etl_tiki_webscraping_spark.operators.decontaminate import (
+        dsir_resample,
+    )
+
+    target = spark.createDataFrame(
+        [(99, "alpha beta")], "doc_id long, text string"
+    )
+    pool = spark.createDataFrame(
+        [(1, "alpha x"), (2, "beta y")], "doc_id long, text string"
+    )
+    assert dsir_resample(pool, target, "text", "doc_id", k=50).count() == 2

@@ -337,3 +337,92 @@ def test_pq_encode_carry_order_independent(spark):
     out = pq_encode(corpus, books, carry_cols=("b", "a")).collect()
     for r in out:
         assert r["a"] == r["vec_id"] * 10 and r["b"] == r["vec_id"] * 100
+
+
+class TestCentroidCosineOutliers:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<float>"
+        )
+
+    def test_obvious_outlier_ranks_first(self, spark):
+        from etl_tiki_webscraping_spark.operators.similarity import (
+            centroid_cosine_outliers,
+        )
+
+        rows = [
+            (1, 0, [1.0, 0.0, 0.0]),
+            (2, 0, [0.9, 0.1, 0.0]),
+            (3, 0, [1.0, 0.05, 0.0]),
+            (4, 0, [-1.0, 0.0, 0.0]),  # anti-aligned: the outlier
+        ]
+        out = centroid_cosine_outliers(
+            self._df(spark, rows), "embedding", "vec_id", "label", k=2
+        ).collect()
+        assert len(out) == 2
+        assert out[0]["vec_id"] == 4 or {r["vec_id"] for r in out} == {4, 2}
+        worst = min(out, key=lambda r: r["cos_centroid"])
+        assert worst["vec_id"] == 4
+        assert worst["cos_centroid"] < 0  # anti-aligned with centroid
+
+    def test_zero_norm_and_null_excluded(self, spark):
+        from etl_tiki_webscraping_spark.operators.similarity import (
+            centroid_cosine_outliers,
+        )
+
+        rows = [
+            (1, 0, [1.0, 0.0]),
+            (2, 0, [0.8, 0.2]),
+            (3, 0, [0.0, 0.0]),   # zero norm: no cosine
+            (4, 0, None),          # NULL embedding
+        ]
+        got = centroid_cosine_outliers(
+            self._df(spark, rows), "embedding", "vec_id", "label", k=10
+        ).collect()
+        assert {r["vec_id"] for r in got} == {1, 2}
+
+    def test_partitioning_invariant(self, spark):
+        from etl_tiki_webscraping_spark.operators.similarity import (
+            centroid_cosine_outliers,
+        )
+
+        rows = [
+            (i, i % 3, [float((i * 7 + j * 3) % 11) / 11.0 for j in range(8)])
+            for i in range(60)
+        ]
+        base = self._df(spark, rows)
+        a = centroid_cosine_outliers(base, "embedding", "vec_id", "label", k=4)
+        b = centroid_cosine_outliers(
+            base.repartition(13), "embedding", "vec_id", "label", k=4
+        )
+        ra = sorted(map(tuple, a.collect()))
+        rb = sorted(map(tuple, b.collect()))
+        assert ra == rb and len(ra) == 12  # 3 labels x 4
+
+    def test_centroid_math_matches_numpy(self, spark):
+        import numpy as np
+
+        from etl_tiki_webscraping_spark.operators.similarity import (
+            centroid_cosine_outliers,
+        )
+
+        rng = [
+            (i, 0, [((i * 13 + j * 5) % 17) / 17.0 + 0.1 for j in range(4)])
+            for i in range(10)
+        ]
+        out = {
+            r["vec_id"]: r["cos_centroid"]
+            for r in centroid_cosine_outliers(
+                self._df(spark, rng), "embedding", "vec_id", "label", k=10
+            ).collect()
+        }
+        vecs = {i: np.array(v, dtype=np.float64) for i, _, v in rng}
+        # replay the quantization: element units at 1e-9 for the mean
+        units = {i: np.floor(v * 1e9 + 0.5) for i, v in vecs.items()}
+        cu = sum(units.values()) / len(units) / 1e9
+        for i, v in vecs.items():
+            dot = np.sum(np.floor(v * cu * 1e12 + 0.5)) / 1e12
+            nv = np.sum(np.floor(v * v * 1e12 + 0.5)) / 1e12
+            nc = np.sum(np.floor(cu * cu * 1e12 + 0.5)) / 1e12
+            cos = np.floor(dot / np.sqrt(nv * nc) * 1e6 + 0.5) / 1e6
+            assert abs(out[i] - cos) < 1e-12, (i, out[i], cos)

@@ -628,6 +628,28 @@ def main() -> int:
           "key space — one partial+final aggregate, no join, model "
           "weights ride the expression")
 
+    p = plan_of("dsir_importance_resample")
+    check("dsir_importance_resample",
+          "BroadcastHashJoin" in p
+          and "TakeOrderedAndProject" in p
+          and "CartesianProduct" not in p
+          and "text" not in p.split("Exchange hashpartitioning", 1)[-1][:400],
+          "DSIR: the 4096-bucket log-ratio table broadcasts into the "
+          "pool token stream (exchanges carry bare (id, bucket) pairs, "
+          "never document text); Gumbel top-k is TakeOrderedAndProject, "
+          "not a global sort")
+
+    p = plan_of("embedding_centroid_outliers")
+    check("embedding_centroid_outliers",
+          "BroadcastHashJoin" in p
+          and "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p
+          and ("WindowGroupLimit" in p or "RunningWindowFunction" in p
+               or "Window" in p),
+          "centroid outliers: |labels| x d centroid table broadcasts "
+          "back onto the vector scan; dot/norm fold JVM-side; top-k "
+          "bounded per group")
+
     p = plan_of("tpch_q22")
     check("tpch_q22",
           "LeftAnti" in p
