@@ -10134,3 +10134,138 @@ def q_embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame
 
     emb = load_table(spark, sf_dir, "embeddings")
     return centroid_cosine_outliers(emb, "embedding", "vec_id", "label", k=5)
+
+
+@register(
+    "doc_kneser_ney_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(terms) AS term,
+             generate_subscripts(terms, 1) AS pos
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               t -> t <> '') AS terms
+            FROM documents)
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+             term AS cur
+      FROM toks
+      QUALIFY prev IS NOT NULL
+    ),
+    c2 AS (SELECT prev, cur, COUNT(*) AS n2 FROM bigrams GROUP BY 1, 2),
+    c1 AS (SELECT prev, CAST(SUM(n2) AS BIGINT) AS n1,
+                  COUNT(*) AS nv
+           FROM c2 GROUP BY 1),
+    cw AS (SELECT cur, COUNT(*) AS nw FROM c2 GROUP BY 1),
+    tt AS (SELECT COUNT(*) AS t FROM c2),
+    lookup AS (
+      SELECT c2.prev, c2.cur,
+             CAST(FLOOR(ln(
+                 (CAST(c2.n2 AS DOUBLE) - 0.75) / CAST(c1.n1 AS DOUBLE)
+                 + (0.75 * CAST(c1.nv AS DOUBLE) / CAST(c1.n1 AS DOUBLE))
+                   * (CAST(cw.nw AS DOUBLE) / CAST(tt.t AS DOUBLE))
+             ) * 1e8 + 0.5) AS BIGINT) AS lp_units
+      FROM c2
+      JOIN c1 ON c2.prev = c1.prev
+      JOIN cw ON c2.cur = cw.cur
+      CROSS JOIN tt
+    )
+    SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(l.lp_units AS DECIMAL(38,0))) AS DOUBLE)
+               / COUNT(*) / 1e8 AS avg_logprob
+    FROM bigrams b JOIN lookup l ON b.prev = l.prev AND b.cur = l.cur
+    GROUP BY b.doc_id
+    """,
+    doc="interpolated Kneser-Ney bigram scoring (absolute discount "
+        "D=0.75): P(w|v) = max(c(vw)-D,0)/c(v) + D*N1+(v,.)/c(v) * "
+        "N1+(.,w)/N1+(.,.) — the smoothing real LM-based corpus "
+        "filters use (CCNet's KenLM is modified KN), ranking by "
+        "CONTINUATION diversity where add-k ranks by raw frequency "
+        "('san francisco' scores high under add-k even though "
+        "'francisco' follows almost nothing else; KN discounts it).  "
+        "Self-scored corpus, so every doc bigram has c(vw) >= 1 and "
+        "the discounted term never hits ln(0).  Same plan shape as "
+        "doc_bigram_logprob: one lag window per doc, all statistics "
+        "cascade from the persisted bigram-TYPE table (context "
+        "totals + continuation fan-outs are two aggregates of c2, "
+        "never corpus re-scans; the type total is a 1-row broadcast), "
+        "one (prev,cur)-keyed scoring join.  Per-bigram ln quantizes "
+        "to integer 1e-8 units via floor(x*1e8+0.5), so the per-doc "
+        "average is order-independent and the DuckDB replay "
+        "bit-identical at any precision.",
+)
+def q_doc_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        ).alias("pos", "term"),
+    )
+    doc_w = Window.partitionBy("doc_id").orderBy("pos")
+    # persisted: two consumers (count build + scoring join) — the
+    # doc_bigram_logprob precedent; lifecycle: LRU-evicted, released
+    # via spark.catalog.clearCache()
+    bigrams = (
+        toks.select(
+            "doc_id",
+            F.lag("term").over(doc_w).alias("prev"),
+            F.col("term").alias("cur"),
+        )
+        .filter(F.col("prev").isNotNull())
+        .persist()
+    )
+    c2 = (
+        bigrams.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("n2"))
+        .persist()
+    )
+    c1 = c2.groupBy("prev").agg(
+        F.sum("n2").alias("n1"), F.count(F.lit(1)).alias("nv")
+    )
+    cw = c2.groupBy("cur").agg(F.count(F.lit(1)).alias("nw"))
+    tt = c2.agg(F.count(F.lit(1)).alias("t"))
+    lookup = (
+        c2.join(F.broadcast(c1), "prev")
+        .join(F.broadcast(cw), "cur")
+        .join(F.broadcast(tt))
+        .select(
+            "prev",
+            "cur",
+            F.floor(
+                F.log(
+                    (F.col("n2").cast("double") - F.lit(0.75))
+                    / F.col("n1").cast("double")
+                    + (
+                        F.lit(0.75) * F.col("nv").cast("double")
+                        / F.col("n1").cast("double")
+                    )
+                    * (
+                        F.col("nw").cast("double")
+                        / F.col("t").cast("double")
+                    )
+                )
+                * F.lit(1e8)
+                + F.lit(0.5)
+            ).cast("bigint").alias("lp_units"),
+        )
+    )
+    return (
+        bigrams.join(lookup, ["prev", "cur"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            (
+                F.sum(F.col("lp_units").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1e8)
+            ).alias("avg_logprob"),
+        )
+    )

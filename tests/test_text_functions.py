@@ -154,3 +154,66 @@ class TestBigramPmi:
         got = {(r.tok_a, r.tok_b)
                for r in bigram_pmi(df, "text", min_count=2).collect()}
         assert got == {("alpha", "beta")}
+
+
+def test_kneser_ney_catalog_query_matches_python_replay(spark, tmp_path):
+    """Pin the interpolated-KN formula (D=0.75) against a pure-python
+    replay on a small fixture, including the integer-unit
+    quantization: P(w|v) = (c(vw)-D)/c(v) + D*N1+(v,.)/c(v) *
+    N1+(.,w)/T."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from etl_tiki_webscraping_spark.plans.catalog import QUERIES
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat ate the fish",
+        3: "a dog sat on a log",
+        4: "one",          # single token: no bigrams -> absent
+    }
+    df = pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    )
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in QUERIES["doc_kneser_ney_logprob"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert 4 not in got
+
+    # python replay
+    bigrams = {d: list(zip(t.split(), t.split()[1:])) for d, t in texts.items()}
+    c2 = Counter(bg for bgs in bigrams.values() for bg in bgs)
+    c1 = Counter()
+    nv = Counter()
+    nw = Counter()
+    for (v, w), n in c2.items():
+        c1[v] += n
+        nv[v] += 1
+        nw[w] += 1
+    T = len(c2)
+    for d, bgs in bigrams.items():
+        if not bgs:
+            continue
+        units = 0
+        for v, w in bgs:
+            p = (c2[(v, w)] - 0.75) / c1[v] + (0.75 * nv[v] / c1[v]) * (
+                nw[w] / T
+            )
+            units += math.floor(math.log(p) * 1e8 + 0.5)
+        want = units / len(bgs) / 1e8
+        n_b, avg = got[d]
+        assert n_b == len(bgs)
+        assert abs(avg - want) < 1e-12, (d, avg, want)

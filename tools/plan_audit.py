@@ -628,6 +628,16 @@ def main() -> int:
           "key space — one partial+final aggregate, no join, model "
           "weights ride the expression")
 
+    p = plan_of("doc_kneser_ney_logprob")
+    check("doc_kneser_ney_logprob",
+          "InMemoryTableScan" in p
+          and "CartesianProduct" not in p
+          and p.count("BroadcastNestedLoopJoin") <= 1,  # 1-row type total
+          "Kneser-Ney LM: bigram stream and type table persist once "
+          "for their two consumers; context totals + continuation "
+          "fan-outs cascade from the type table (no corpus re-scan); "
+          "scoring is an equi join")
+
     p = plan_of("dsir_importance_resample")
     check("dsir_importance_resample",
           "BroadcastHashJoin" in p
