@@ -10269,3 +10269,69 @@ def q_doc_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "event_ohlc_resample",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               CAST(FLOOR(CAST(epoch_us(ts) AS DOUBLE) / 21600000000.0)
+                    AS BIGINT) AS bucket,
+               ts, event_id, value
+        FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY ts ASC, event_id ASC) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM b
+    )
+    SELECT event_type, bucket,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1e6 AS volume,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM r GROUP BY event_type, bucket
+    """,
+    doc="time-bucket OHLC resampling (the downsampling primitive every "
+        "metrics/market pipeline runs): per (event_type, 6-hour "
+        "bucket) the first/last/min/max of value plus exact volume "
+        "and count.  First/last are DETERMINISTIC under ties: Spark "
+        "takes min/max of struct(ts, event_id, value) — a total order "
+        "because event_id is unique — where a bare min_by/arg_min "
+        "would return whichever row a partition delivered first.  "
+        "ONE map-side-combinable groupBy (struct min/max and sum are "
+        "all partial aggregates; no window on the Spark side — the "
+        "oracle uses windows only because SQL lacks struct min); "
+        "shuffle cardinality is |types| x |buckets|, never row "
+        "count.  Volume sums integer 1e-6 units (floor recipe) for "
+        "bit-identical cross-engine replay.",
+)
+def q_event_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    us = F.unix_micros(F.col("ts"))
+    bucket = F.floor(us.cast("double") / F.lit(21600000000.0)).cast("bigint")
+    first_s = F.min(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+    last_s = F.max(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+    return (
+        ev.select("event_type", bucket.alias("bucket"), "ts", "event_id", "value")
+        .groupBy("event_type", "bucket")
+        .agg(
+            first_s["value"].alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            last_s["value"].alias("close"),
+            (
+                F.sum(F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)))
+                .cast("double")
+                / F.lit(1e6)
+            ).alias("volume"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -463,3 +463,42 @@ def test_equi_width_histogram_validates_bounds(spark):
         equi_width_histogram(df, "v", 10.0, 10.0, 5)
     with pytest.raises(ValueError, match="n_buckets"):
         equi_width_histogram(df, "v", 0.0, 10.0, 0)
+
+
+def test_event_ohlc_deterministic_ties(spark, tmp_path):
+    """Two events with the SAME timestamp in one bucket: open/close
+    must come from the min/max (ts, event_id) row — a total order —
+    not whichever row a partition delivered first."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from etl_tiki_webscraping_spark.plans.catalog import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # bucket 0: tie at t0 — event_id 1 is open; last ts wins close
+        (1, t0, 7, "click", 10.0, "{}"),
+        (2, t0, 8, "click", 99.0, "{}"),
+        (3, t0 + dt.timedelta(hours=1), 9, "click", 55.0, "{}"),
+        # NULL value excluded entirely
+        (4, t0, 9, "click", None, "{}"),
+        # different bucket (6h width)
+        (5, t0 + dt.timedelta(hours=7), 9, "click", 1.0, "{}"),
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet", index=False)
+
+    out = {
+        (r["event_type"], r["bucket"]): r
+        for r in QUERIES["event_ohlc_resample"].fn(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 2
+    b0 = [v for k, v in out.items() if v["n"] == 3][0]
+    assert b0["open"] == 10.0   # event_id 1 at the tied timestamp
+    assert b0["close"] == 55.0  # strictly later row
+    assert b0["high"] == 99.0 and b0["low"] == 10.0
+    assert abs(b0["volume"] - 164.0) < 1e-9
+    b1 = [v for k, v in out.items() if v["n"] == 1][0]
+    assert b1["open"] == b1["close"] == 1.0
