@@ -158,6 +158,8 @@ _DRIVER_FRESH = frozenset({
     "cdc_replication_from_feed",
     #   - stratified-sample threshold quantization (round(frac*100, 6))
     "stratified_hash_sample",
+    #   - sum_disc_price factor-quantized (decimal-product tie at sf0.1)
+    "groupby_agg_metrics",
 })
 
 
@@ -472,7 +474,9 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 1e6 + 0.5) AS BIGINT)
+                    * CAST(FLOOR((1 - l_discount) * 1e6 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1e12 AS sum_disc_price,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
@@ -486,13 +490,21 @@ def q_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
-    disc_price = F.col("l_extendedprice").cast("decimal(18,6)") * (
-        F.lit(1) - F.col("l_discount")
-    ).cast("decimal(18,6)")
+    # the price x (1-discount) PRODUCT lands off the 1e-6 grid, so a
+    # double->DECIMAL cast hits half-way ties the two engines round
+    # differently (one tie flipped at sf0.1); quantizing each FACTOR
+    # to integer micros via the floor recipe keeps the product and its
+    # DECIMAL(38,0) sum exact and bit-identical on both engines
+    disc_units = F.floor(
+        F.col("l_extendedprice") * F.lit(1e6) + F.lit(0.5)
+    ) * F.floor((F.lit(1) - F.col("l_discount")) * F.lit(1e6) + F.lit(0.5))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         _exact_sum("l_quantity").alias("sum_qty"),
         _exact_sum("l_extendedprice").alias("sum_base_price"),
-        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        (
+            F.sum(disc_units.cast("decimal(38,0)")).cast("double")
+            / F.lit(1e12)
+        ).alias("sum_disc_price"),
         (_exact_sum("l_quantity") / F.count(F.lit(1)).cast("double")).alias("avg_qty"),
         F.count(F.lit(1)).alias("count_order"),
     )

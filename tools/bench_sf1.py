@@ -169,6 +169,17 @@ NEW_R9 = [
     "model_calibration_bins",
 ]
 
+NEW_R10 = [
+    "dsir_importance_resample",
+    "embedding_centroid_outliers",
+    "doc_kneser_ney_logprob",
+    "event_ohlc_resample",
+    "graph_pagerank",
+    "corpus_pipeline_e2e",
+    "tpch_q9",
+    "tpch_q12",
+]
+
 NEW_R7C = [
     "heavy_hitters_exact",
     "table_profile",
@@ -325,6 +336,7 @@ def main() -> None:
         names = {
             "r7": NEW_R7, "r7c": NEW_R7C, "r7d": NEW_R7D, "r8": NEW_R8,
             "r8b": NEW_R8B, "r8c": NEW_R8C, "r8d": NEW_R8D, "r9": NEW_R9,
+            "r10": NEW_R10,
         }.get(sys.argv[1], FIVE)
     # hoist one-time warehouse staging out of the timed region, exactly
     # as bench.py does (a deployment's snapshot tables already exist) —
