@@ -184,6 +184,10 @@ HEADLINE = [
     ("doc_bigram_logprob", "count"),
     ("logreg_quality_train", "collect"),
     ("model_calibration_bins", "collect"),
+    ("dsir_importance_resample", "collect"),
+    ("embedding_centroid_outliers", "collect"),
+    ("doc_kneser_ney_logprob", "count"),
+    ("event_ohlc_resample", "collect"),
 ]
 
 
