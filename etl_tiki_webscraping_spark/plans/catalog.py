@@ -10347,3 +10347,188 @@ def q_event_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+def _dcg_units() -> "tuple[list[int], list[int]]":
+    """Integer 1e-9-unit DCG discounts for ranks 1..10 and their prefix
+    sums (ideal DCG for m relevant), PRECOMPUTED in Python and embedded
+    as literals in BOTH the Spark plan and the DuckDB oracle — the one
+    place the floor recipe is not enough, because ln() is libm-backed
+    and the JVM and DuckDB could legally differ by 1 ULP on the same
+    input; integer constants cannot."""
+    import math
+
+    units = [
+        math.floor(1e9 * (math.log(2.0) / math.log(i + 1.0)) + 0.5)
+        for i in range(1, 11)
+    ]
+    prefix = [sum(units[: m + 1]) for m in range(10)]
+    return units, prefix
+
+
+@register(
+    "retrieval_quality_metrics",
+    oracle=(lambda _u=_dcg_units(): f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS qlabel, embedding AS qvec
+        FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+        SELECT q.query_id, q.qlabel, e.vec_id AS neighbor_id,
+               e.label AS nlabel,
+               round(list_dot_product(
+                         list_transform(q.qvec, x -> CAST(x AS DOUBLE)),
+                         list_transform(e.embedding, x -> CAST(x AS DOUBLE)))
+                     / (sqrt(list_dot_product(
+                            list_transform(q.qvec, x -> CAST(x AS DOUBLE)),
+                            list_transform(q.qvec, x -> CAST(x AS DOUBLE))))
+                        * sqrt(list_dot_product(
+                            list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                            list_transform(e.embedding, x -> CAST(x AS DOUBLE))))),
+                     6) AS cosine
+        FROM q, embeddings e WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rn
+        FROM scored
+    ),
+    lbl AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS lbl_n
+            FROM embeddings GROUP BY label),
+    per_q AS (
+        SELECT query_id, qlabel,
+               CAST(SUM(CASE WHEN nlabel = qlabel
+                    THEN list_extract({_u[0]}, rn) ELSE 0 END) AS BIGINT)
+                   AS dcg_units,
+               MIN(CASE WHEN nlabel = qlabel THEN rn END) AS first_rel,
+               CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hits
+        FROM ranked WHERE rn <= 10
+        GROUP BY query_id, qlabel
+    ),
+    per_q2 AS (
+        SELECT p.query_id, p.qlabel,
+               CAST(FLOOR((CAST(p.dcg_units AS DOUBLE)
+                    / CAST(list_extract({_u[1]},
+                           LEAST(10, l.lbl_n - 1)) AS DOUBLE))
+                    * 1e9 + 0.5) AS BIGINT) AS ndcg_units,
+               CASE WHEN p.first_rel IS NULL THEN 0
+                    ELSE CAST(FLOOR(1e9 * (1.0 / CAST(p.first_rel AS DOUBLE))
+                                    + 0.5) AS BIGINT) END AS mrr_units,
+               CAST(FLOOR((CAST(p.hits AS DOUBLE)
+                    / CAST(l.lbl_n - 1 AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+                   AS recall_units
+        FROM per_q p JOIN lbl l ON p.qlabel = l.label
+        WHERE l.lbl_n - 1 > 0
+    )
+    SELECT qlabel AS label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CAST(mrr_units AS DECIMAL(38,0))) AS DOUBLE)
+               / COUNT(*) / 1e9 AS mean_mrr,
+           CAST(SUM(CAST(ndcg_units AS DECIMAL(38,0))) AS DOUBLE)
+               / COUNT(*) / 1e9 AS mean_ndcg10,
+           CAST(SUM(CAST(recall_units AS DECIMAL(38,0))) AS DOUBLE)
+               / COUNT(*) / 1e9 AS mean_recall10
+    FROM per_q2 GROUP BY qlabel
+    """)(),
+    doc="retrieval quality evaluation (nDCG@10 / MRR / recall@10) of "
+        "exact cosine top-10 against same-label relevance — the "
+        "eval-harness half every ANN/retrieval deployment needs next "
+        "to the indexes themselves.  Ranking reuses knn_bruteforce's "
+        "cross-engine convention (round-6 cosine, id tie-break); DCG "
+        "discounts are PYTHON-precomputed integer 1e-9 units embedded "
+        "as literals in BOTH engines (ln is libm-backed and may "
+        "legally differ 1 ULP between JVM and DuckDB; integer "
+        "constants cannot), ideal DCG is a prefix-sum lookup at "
+        "min(10, n_relevant), and per-label means accumulate exact "
+        "integer units.  Plan: queries broadcast onto one corpus "
+        "scan, WindowGroupLimit top-10, label counts broadcast, one "
+        "bounded rollup.",
+)
+def q_retrieval_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from etl_tiki_webscraping_spark.operators.similarity import (
+        as_double_vec,
+        cosine,
+    )
+
+    units, prefix = _dcg_units()
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        as_double_vec("embedding").alias("qvec"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nlabel"),
+        as_double_vec("embedding").alias("cvec"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(qs))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "qlabel", "neighbor_id", "nlabel",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 10
+    )
+    disc = F.element_at(F.array(*[F.lit(u) for u in units]), F.col("rn"))
+    rel = (F.col("nlabel") == F.col("qlabel")).cast("int")
+    per_q = ranked.groupBy("query_id", "qlabel").agg(
+        F.sum(F.when(rel == 1, disc).otherwise(F.lit(0)))
+        .cast("bigint").alias("dcg_units"),
+        F.min(F.when(rel == 1, F.col("rn"))).alias("first_rel"),
+        F.sum(rel).cast("bigint").alias("hits"),
+    )
+    lbl = emb.groupBy(F.col("label")).agg(F.count(F.lit(1)).alias("lbl_n"))
+    idcg = F.element_at(
+        F.array(*[F.lit(p) for p in prefix]),
+        F.least(F.lit(10), F.col("lbl_n") - 1).cast("int"),
+    )
+    per_q2 = (
+        per_q.join(F.broadcast(lbl), per_q["qlabel"] == lbl["label"])
+        .filter(F.col("lbl_n") - 1 > 0)
+        .select(
+            "qlabel",
+            F.floor(
+                (F.col("dcg_units").cast("double") / idcg.cast("double"))
+                * F.lit(1e9) + F.lit(0.5)
+            ).cast("bigint").alias("ndcg_units"),
+            F.when(F.col("first_rel").isNull(), F.lit(0).cast("bigint"))
+            .otherwise(
+                F.floor(
+                    F.lit(1e9)
+                    * (F.lit(1.0) / F.col("first_rel").cast("double"))
+                    + F.lit(0.5)
+                ).cast("bigint")
+            ).alias("mrr_units"),
+            F.floor(
+                (
+                    F.col("hits").cast("double")
+                    / (F.col("lbl_n") - 1).cast("double")
+                )
+                * F.lit(1e9) + F.lit(0.5)
+            ).cast("bigint").alias("recall_units"),
+        )
+    )
+
+    def mean_units(c: str) -> "F.Column":
+        return (
+            F.sum(F.col(c).cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1e9)
+        )
+
+    return per_q2.groupBy(F.col("qlabel").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        mean_units("mrr_units").alias("mean_mrr"),
+        mean_units("ndcg_units").alias("mean_ndcg10"),
+        mean_units("recall_units").alias("mean_recall10"),
+    )

@@ -426,3 +426,79 @@ class TestCentroidCosineOutliers:
             nc = np.sum(np.floor(cu * cu * 1e12 + 0.5)) / 1e12
             cos = np.floor(dot / np.sqrt(nv * nc) * 1e6 + 0.5) / 1e6
             assert abs(out[i] - cos) < 1e-12, (i, out[i], cos)
+
+
+def test_retrieval_quality_metrics_python_replay(spark, tmp_path):
+    """Replay nDCG@10 / MRR / recall@10 in pure python (same round-6
+    ranking convention, same integer discount units) on a small
+    fixture with a deliberately off-cluster query."""
+    import math
+
+    import pandas as pd
+
+    from etl_tiki_webscraping_spark.plans.catalog import QUERIES
+
+    vecs = {
+        0: (0, [1.0, 0.0]),       # query, label 0
+        1: (0, [0.9, 0.1]),
+        2: (1, [0.0, 1.0]),
+        3: (1, [0.1, 0.9]),
+        4: (0, [0.8, 0.2]),
+        100: (1, [1.0, 0.02]),    # query, label 1 — but points at label 0
+    }
+    pd.DataFrame(
+        {
+            "vec_id": list(vecs),
+            "embedding": [v for _, v in vecs.values()],
+            "label": [l for l, _ in vecs.values()],
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet", index=False)
+
+    got = {
+        r["label"]: r
+        for r in QUERIES["retrieval_quality_metrics"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+
+    units = [
+        math.floor(1e9 * (math.log(2.0) / math.log(i + 1.0)) + 0.5)
+        for i in range(1, 11)
+    ]
+    prefix = [sum(units[: m + 1]) for m in range(10)]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    lbl_n = {}
+    for l, _ in vecs.values():
+        lbl_n[l] = lbl_n.get(l, 0) + 1
+    expected = {}
+    for qid in (0, 100):
+        qlabel, qv = vecs[qid]
+        ranked = sorted(
+            ((cos(qv, v), nid) for nid, (_, v) in vecs.items() if nid != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:10]
+        rels = [1 if vecs[nid][0] == qlabel else 0 for _, nid in ranked]
+        n_rel = lbl_n[qlabel] - 1
+        dcg = sum(u for u, r in zip(units, rels) if r)
+        ndcg = math.floor(dcg / prefix[min(10, n_rel) - 1] * 1e9 + 0.5)
+        fr = next((i + 1 for i, r in enumerate(rels) if r), None)
+        mrr = 0 if fr is None else math.floor(1e9 * (1.0 / fr) + 0.5)
+        rec = math.floor(sum(rels) / n_rel * 1e9 + 0.5)
+        expected.setdefault(qlabel, []).append((mrr, ndcg, rec))
+    for l, rows in expected.items():
+        n = len(rows)
+        want_mrr = sum(r[0] for r in rows) / n / 1e9
+        want_ndcg = sum(r[1] for r in rows) / n / 1e9
+        want_rec = sum(r[2] for r in rows) / n / 1e9
+        assert got[l]["n_queries"] == n
+        assert abs(got[l]["mean_mrr"] - want_mrr) < 1e-9
+        assert abs(got[l]["mean_ndcg10"] - want_ndcg) < 1e-9
+        assert abs(got[l]["mean_recall10"] - want_rec) < 1e-9
+    # the off-cluster query must NOT score a perfect MRR
+    assert got[1]["mean_mrr"] < 1.0
