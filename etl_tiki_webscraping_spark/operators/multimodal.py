@@ -203,10 +203,179 @@ def _decode_wav(content: bytes) -> "np.ndarray | None":
     return pcm.astype(np.float32) / 32768.0
 
 
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> "list[int] | None":
+    """GIF-variant LZW decompression (GIF89a spec appendix F): variable
+    code width starting at min_code_size+1, table grows to 4095 codes,
+    Clear resets, EOI terminates.  Returns the pixel index stream or
+    None on any malformed stream (bad code, truncation)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list[int] = []
+    # bit reader: GIF packs codes LSB-first
+    acc = 0
+    nbits = 0
+    pos = 0
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    while len(out) < n_pixels:
+        while nbits < code_size:
+            if pos >= len(data):
+                return None
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            return None
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return out[:n_pixels] if len(out) >= n_pixels else None
+
+
+def _decode_gif_frames(content: bytes) -> "list[np.ndarray] | None":
+    """REAL decoder for non-interlaced GIF87a/GIF89a (pure-python LZW +
+    numpy, no codec libraries): returns ALL frames as float32 luma
+    planes at the full logical-screen size — GIF is the one common
+    container where "video" frame sampling can run for real without a
+    demuxer library.  Frames composite draw-over (disposal methods
+    beyond draw-over/keep are rare in practice and affect only which
+    pixels persist BETWEEN frames; each returned frame is the canvas
+    after its image is drawn).  Transparent pixels (GCE flag) leave the
+    canvas unchanged.  Returns None unless the signature, screen
+    descriptor, block structure, LZW stream, and pixel counts all
+    agree — strict sniffing, so arbitrary binary never mis-routes here.
+    Interlaced frames reject (returns None): fixtures are sequential;
+    a production deployment swaps a codec library into
+    :func:`_decode_image_impl` and none of this runs."""
+    import struct
+
+    if content is None or len(content) < 13:
+        return None
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        w, h, packed, _bg, _aspect = struct.unpack_from("<HHBBB", content, 6)
+    except struct.error:
+        return None
+    if w == 0 or h == 0 or w > 4096 or h > 4096:
+        return None
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if len(content) < pos + 3 * n:
+            return None
+        gct = np.frombuffer(content, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((h, w), dtype=np.float32)
+    frames: list[np.ndarray] = []
+    transparent: int | None = None
+    while pos < len(content):
+        b0 = content[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            if pos >= len(content):
+                return None
+            label = content[pos]
+            pos += 1
+            subs = []
+            while pos < len(content) and content[pos] != 0:
+                ln = content[pos]
+                subs.append(content[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1  # block terminator
+            if label == 0xF9 and subs and len(subs[0]) >= 4:
+                flags = subs[0][0]
+                transparent = subs[0][3] if flags & 1 else None
+            continue
+        if b0 != 0x2C:  # not an image descriptor
+            return None
+        try:
+            ix, iy, iw, ih, ipacked = struct.unpack_from("<HHHHB", content, pos)
+        except struct.error:
+            return None
+        pos += 9
+        if ipacked & 0x40:  # interlaced: out of scope, reject loudly
+            return None
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            if len(content) < pos + 3 * n:
+                return None
+            ct = np.frombuffer(content, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if ct is None or ix + iw > w or iy + ih > h or iw == 0 or ih == 0:
+            return None
+        if pos >= len(content):
+            return None
+        min_code = content[pos]
+        pos += 1
+        if not 2 <= min_code <= 8:
+            return None
+        lzw = bytearray()
+        while pos < len(content) and content[pos] != 0:
+            ln = content[pos]
+            lzw += content[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1  # terminator
+        idx = _gif_lzw_decode(bytes(lzw), min_code, iw * ih)
+        if idx is None:
+            return None
+        px = np.asarray(idx, dtype=np.int64).reshape(ih, iw)
+        if px.max() >= len(ct):
+            return None
+        rgb = ct[px].astype(np.float32)
+        luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        region = canvas[iy : iy + ih, ix : ix + iw]
+        if transparent is not None:
+            mask = px != transparent
+            region[mask] = luma[mask]
+        else:
+            region[:] = luma
+        frames.append(canvas.copy())
+        transparent = None
+    return frames or None
+
+
+def _decode_gif(content: bytes) -> "np.ndarray | None":
+    """First GIF frame as float32 luma, or None (the still-image entry
+    point :func:`_decode_image_impl` dispatches through)."""
+    frames = _decode_gif_frames(content)
+    return frames[0] if frames else None
+
+
 def _decode_image_impl(content: bytes) -> np.ndarray:
     """Image decode: REAL for 8-bit PNG (stdlib zlib inflate +
-    unfilter, see :func:`_decode_png`) and uncompressed 24-bit BMP
-    (pure numpy, see :func:`_decode_bmp`); other formats fall back to
+    unfilter, see :func:`_decode_png`), uncompressed 24-bit BMP
+    (pure numpy, see :func:`_decode_bmp`), and non-interlaced GIF
+    (pure-python LZW, see :func:`_decode_gif_frames`); other formats
+    fall back to
     the DETERMINISTIC FAKE (a stable 8x8 grayscale derived from the
     bytes) because no codec library ships in this container — swapping
     in ``PIL.Image.open(io.BytesIO(content))`` changes only this
@@ -222,6 +391,9 @@ def _decode_image_impl(content: bytes) -> np.ndarray:
     bmp = _decode_bmp(content)
     if bmp is not None:
         return bmp
+    gif = _decode_gif(content)
+    if gif is not None:
+        return gif
     arr = np.frombuffer(content[:64].ljust(64, b"\0"), dtype=np.uint8)
     return arr.reshape(8, 8).astype(np.float32)
 
@@ -414,6 +586,142 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 16, id_col: str = "media_i
                 data = bytes(content) if content is not None else b""
                 for i in range(0, len(data), every_n_bytes):
                     out.append({"media_id": int(mid), "frame_index": i // every_n_bytes, "frame": data[i : i + every_n_bytes]})
+            if out:
+                yield pd.DataFrame.from_records(out)
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=schema)
+
+
+
+def encode_gif(
+    frames: "list[list[list[int]]]",
+    palette: "list[tuple[int, int, int]]",
+    w: int,
+    h: int,
+) -> bytes:
+    """Minimal GIF89a WRITER (global color table, one full-canvas image
+    per frame, spec-correct LZW with code-width growth and table-full
+    Clear): the synthesis half of :func:`_decode_gif_frames`, used to
+    materialize deterministic animated-media fixtures at query time —
+    the same role the snapshot/CSV fixture builders play for their
+    sources — and genuinely useful for writing masks/heatmaps as
+    previews.  Pixel values must index ``palette``."""
+    import struct
+
+    n = max(2, len(palette))
+    bits = max(1, (n - 1).bit_length())
+    ct_size = 1 << bits
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    for i in range(ct_size):
+        out += bytes(palette[i] if i < len(palette) else (0, 0, 0))
+    min_code = max(2, bits)
+    clear = 1 << min_code
+    eoi = clear + 1
+    for frame in frames:
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        out += bytes([min_code])
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = eoi + 1
+        code_size = min_code + 1
+        bits_out: "list[int]" = []
+
+        def emit(code: int) -> None:
+            for b in range(code_size):
+                bits_out.append((code >> b) & 1)
+
+        emit(clear)
+        prev = b""
+        for row in frame:
+            for idx in row:
+                cur = prev + bytes([idx])
+                if cur in table:
+                    prev = cur
+                    continue
+                emit(table[prev])
+                if next_code < 4096:
+                    table[cur] = next_code
+                    if next_code == (1 << code_size) and code_size < 12:
+                        code_size += 1
+                    next_code += 1
+                else:
+                    emit(clear)
+                    table = {bytes([i]): i for i in range(clear)}
+                    next_code = eoi + 1
+                    code_size = min_code + 1
+                prev = bytes([idx])
+        if prev:
+            emit(table[prev])
+        emit(eoi)
+        lzw = bytearray()
+        for i in range(0, len(bits_out), 8):
+            byte = 0
+            for j, bit in enumerate(bits_out[i : i + 8]):
+                byte |= bit << j
+            lzw.append(byte)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + bytes(chunk)
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
+def sample_gif_frames(
+    df: DataFrame,
+    every_n: int = 2,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """REAL frame sampling over animated GIF (the one common container
+    a pure-python decoder can demux): decode every frame via
+    :func:`_decode_gif_frames`, keep every ``every_n``-th, and emit
+    (media_id, frame_index, height, width, mean_luma) per kept frame —
+    the 1->N mapInPandas shape :func:`sample_frames` demonstrates on
+    the byte-stride fake, now running an actual LZW decode.  Non-GIF
+    or malformed content yields frame_index = -1 with NULL stats (the
+    quarantine-row convention: coverage loss is observable, never
+    silent).  mean_luma is float64 of a float32-mean — deterministic
+    for a given blob, replayed exactly by the unit suite's own
+    encoder."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_index", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("mean_luma", T.DoubleType()),
+            # exact integer 1e-6-unit luma sum (floor recipe over the
+            # float32 plane) — the order-free, oracle-replayable digest
+            T.StructField("luma_units", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for mid, content in zip(batch[id_col], batch[content_col]):
+                frames = _decode_gif_frames(
+                    bytes(content) if content is not None else None
+                )
+                if not frames:
+                    out.append(
+                        {"media_id": int(mid), "frame_index": -1,
+                         "height": None, "width": None, "mean_luma": None,
+                         "luma_units": None}
+                    )
+                    continue
+                for i in range(0, len(frames), every_n):
+                    f = frames[i]
+                    units = int(
+                        np.floor(f.astype(np.float64) * 1e6 + 0.5).sum()
+                    )
+                    out.append(
+                        {"media_id": int(mid), "frame_index": i,
+                         "height": int(f.shape[0]), "width": int(f.shape[1]),
+                         "mean_luma": float(f.mean()),
+                         "luma_units": units}
+                    )
             if out:
                 yield pd.DataFrame.from_records(out)
 

@@ -10532,3 +10532,102 @@ def q_retrieval_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_units("ndcg_units").alias("mean_ndcg10"),
         mean_units("recall_units").alias("mean_recall10"),
     )
+
+
+_GIF_PALETTE = [(0, 0, 0), (255, 255, 255), (64, 128, 192), (200, 100, 50)]
+
+
+def _gif_luma_units() -> "list[int]":
+    """Integer 1e-6-unit luma of each _GIF_PALETTE color, computed with
+    the DECODER's exact float32 arithmetic (same numpy, same op order)
+    and embedded as literals in the oracle — the _dcg_units pattern:
+    constants cannot drift between engines."""
+    import numpy as np
+
+    pal = np.array(_GIF_PALETTE, dtype=np.float32)
+    luma = 0.299 * pal[:, 0] + 0.587 * pal[:, 1] + 0.114 * pal[:, 2]
+    return [int(np.floor(np.float64(v) * 1e6 + 0.5)) for v in luma]
+
+
+@register(
+    "gif_frame_sampling",
+    oracle=(lambda _u=_gif_luma_units(): f"""
+    WITH ids AS (
+        SELECT doc_id AS media_id FROM documents WHERE doc_id % 12 = 0
+    ),
+    fr AS (SELECT media_id, fi FROM ids, unnest([0, 2]) AS t(fi)),
+    grid AS (
+        SELECT a.x, b.y
+        FROM unnest(range(0, 4)) AS a(x), unnest(range(0, 4)) AS b(y)
+    ),
+    px AS (
+        SELECT media_id, fi,
+               CAST((media_id + fi + x * y) % 4 AS INT) AS k
+        FROM fr, grid
+    )
+    SELECT media_id, CAST(fi AS INT) AS frame_index,
+           4 AS height, 4 AS width,
+           CAST(SUM(list_extract({_u}, k + 1)) AS BIGINT) AS luma_units
+    FROM px GROUP BY media_id, fi
+    """)(),
+    doc="REAL animated-media frame sampling, oracle-checked end to end "
+        "through the codec: per selected document a 3-frame 4x4 GIF is "
+        "synthesized at query time (package encoder: spec-correct LZW "
+        "with code-width growth; pixel(f,y,x) = (id+f+x*y) mod 4 over "
+        "a fixed 4-color table), decoded back through the pure-python "
+        "GIF LZW decoder inside ONE mapInPandas kernel, and every 2nd "
+        "frame emits (height, width, luma_units) — the exact integer "
+        "1e-6-unit luma sum of the float32 plane.  The DuckDB oracle "
+        "recomputes those sums FROM FIRST PRINCIPLES (pixel-formula x "
+        "palette-luma constants precomputed with the decoder's own "
+        "float32 arithmetic, embedded as integer literals) — so a "
+        "hash match proves the encode->LZW->decode->composite round "
+        "trip bit-exactly, with no codec in the oracle.  Scale shape: "
+        "1->N mapInPandas (Arrow both ways), no shuffle before the "
+        "final exchange; non-GIF content would surface as "
+        "frame_index=-1 quarantine rows, never vanish.",
+)
+def q_gif_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.operators.multimodal import (
+        encode_gif,
+        sample_gif_frames,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 12 == 0)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    pal = list(_GIF_PALETTE)
+
+    def build(d: int) -> bytes:
+        frames = [
+            [[(d + fi + x * y) % 4 for x in range(4)] for y in range(4)]
+            for fi in range(3)
+        ]
+        return encode_gif(frames, pal, 4, 4)
+
+    blob_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "content": b["media_id"].map(lambda d: build(int(d))),
+                }
+            )
+
+    blobs = ids.mapInPandas(gen, blob_schema)
+    return sample_gif_frames(blobs, every_n=2).select(
+        "media_id", "frame_index", "height", "width", "luma_units"
+    )

@@ -419,3 +419,173 @@ def test_image_ahash_skips_non_64_pixel_features(spark):
     got = image_ahash(df).collect()
     assert [r.media_id for r in got] == [2]
     assert got[0].h_hi == 1 << 31 and got[0].h_lo == 0
+
+
+# ---------------------------------------------------------------------------
+# GIF decode + real frame sampling
+# ---------------------------------------------------------------------------
+
+def _gif_lzw_encode(indices, min_code_size):
+    """Reference GIF-LZW encoder for fixtures (spec appendix F): builds
+    the string table exactly like a decoder expects, growing code width
+    at table size 2^n."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    out_bits = []
+
+    def emit(code):
+        for b in range(code_size):
+            out_bits.append((code >> b) & 1)
+
+    emit(clear)
+    prev = b""
+    for idx in indices:
+        cur = prev + bytes([idx])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        if next_code < 4096:
+            table[cur] = next_code
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+            next_code += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        prev = bytes([idx])
+    if prev:
+        emit(table[prev])
+    emit(eoi)
+    data = bytearray()
+    for i in range(0, len(out_bits), 8):
+        byte = 0
+        for j, bit in enumerate(out_bits[i : i + 8]):
+            byte |= bit << j
+        data.append(byte)
+    return bytes(data)
+
+
+def _make_gif(frames, palette, w, h, transparent=None):
+    """Minimal GIF89a writer: global color table, one image descriptor
+    per frame (full-canvas), optional transparency via a GCE."""
+    import struct
+
+    n = max(2, len(palette))
+    bits = max(1, (n - 1).bit_length())
+    ct_size = 1 << bits
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    for i in range(ct_size):
+        out += bytes(palette[i] if i < len(palette) else (0, 0, 0))
+    min_code = max(2, bits)
+    for fi, frame in enumerate(frames):
+        if transparent is not None and fi > 0:
+            out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        out += bytes([min_code])
+        lzw = _gif_lzw_encode([p for row in frame for p in row], min_code)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
+def test_gif_decode_single_frame_luma():
+    import numpy as np
+
+    from etl_tiki_webscraping_spark.operators.multimodal import _decode_gif
+
+    palette = [(0, 0, 0), (255, 255, 255), (255, 0, 0), (0, 0, 255)]
+    frame = [[0, 1, 2], [3, 0, 1]]
+    blob = _make_gif([frame], palette, 3, 2)
+    luma = _decode_gif(blob)
+    assert luma is not None and luma.shape == (2, 3)
+    want = np.array(
+        [[0.0, 255.0, 0.299 * 255], [0.114 * 255, 0.0, 255.0]], dtype=np.float32
+    )
+    assert np.allclose(luma, want, atol=1e-3)
+
+
+def test_gif_multiframe_composites_and_transparency():
+    import numpy as np
+
+    from etl_tiki_webscraping_spark.operators.multimodal import (
+        _decode_gif_frames,
+    )
+
+    palette = [(0, 0, 0), (255, 255, 255)]
+    f0 = [[1, 1], [1, 1]]
+    # frame 1 paints index 0 everywhere, but 0 is TRANSPARENT for this
+    # frame -> canvas must stay all-white
+    f1 = [[0, 0], [0, 0]]
+    blob = _make_gif([f0, f1], palette, 2, 2, transparent=0)
+    frames = _decode_gif_frames(blob)
+    assert len(frames) == 2
+    assert np.allclose(frames[0], 255.0)
+    assert np.allclose(frames[1], 255.0)  # transparent paint = no-op
+
+
+def test_gif_decoder_rejects_garbage_and_interlace():
+    from etl_tiki_webscraping_spark.operators.multimodal import _decode_gif
+
+    assert _decode_gif(b"not a gif at all") is None
+    assert _decode_gif(b"GIF89a\x00\x00") is None
+    # interlace flag set -> loud rejection (documented out of scope)
+    palette = [(0, 0, 0), (255, 255, 255)]
+    blob = bytearray(_make_gif([[[0, 1], [1, 0]]], palette, 2, 2))
+    # image descriptor: header(6) + lsd(7) + gct(2 colors x 3) = 19
+    desc = 6 + 7 + 3 * 2
+    assert blob[desc] == 0x2C
+    blob[desc + 9] = blob[desc + 9] | 0x40  # set interlace bit in ipacked
+    assert _decode_gif(bytes(blob)) is None
+
+
+def test_gif_image_impl_dispatch_and_frame_sampling(spark):
+    """End to end through mapInPandas: extract_image_features decodes
+    the REAL GIF (not the byte fake), and sample_gif_frames emits
+    every-2nd frame plus quarantine rows for non-GIF blobs."""
+    import numpy as np
+
+    from etl_tiki_webscraping_spark.operators.multimodal import (
+        _decode_gif_frames,
+        extract_image_features,
+        sample_gif_frames,
+    )
+
+    palette = [(0, 0, 0), (255, 255, 255), (128, 128, 128), (10, 200, 90)]
+    frames = [
+        [[(fi + x + y) % 4 for x in range(4)] for y in range(3)]
+        for fi in range(5)
+    ]
+    blob = _make_gif(frames, palette, 4, 3)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"junk-bytes-here"))],
+        "media_id long, content binary",
+    )
+
+    feats = {r["media_id"]: r for r in extract_image_features(df).collect()}
+    assert (feats[1]["height"], feats[1]["width"]) == (3, 4)
+    want0 = _decode_gif_frames(blob)[0]
+    assert abs(feats[1]["mean_luma"] - float(want0.mean())) < 1e-3
+    assert (feats[2]["height"], feats[2]["width"]) == (8, 8)  # fake fallback
+
+    rows = sample_gif_frames(df, every_n=2).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    idx1 = sorted(r["frame_index"] for r in by_media[1])
+    assert idx1 == [0, 2, 4]
+    all_frames = _decode_gif_frames(blob)
+    for r in by_media[1]:
+        assert (r["height"], r["width"]) == (3, 4)
+        assert abs(r["mean_luma"] - float(all_frames[r["frame_index"]].mean())) < 1e-9
+    assert [r["frame_index"] for r in by_media[2]] == [-1]
+    assert by_media[2][0]["mean_luma"] is None

@@ -628,6 +628,15 @@ def main() -> int:
           "key space — one partial+final aggregate, no join, model "
           "weights ride the expression")
 
+    p = plan_of("gif_frame_sampling")
+    check("gif_frame_sampling",
+          p.count("MapInPandas") == 2
+          and "Exchange" not in p.split("MapInPandas", 1)[0]
+          and "CartesianProduct" not in p,
+          "GIF frame sampling: synthesize + decode are two chained "
+          "Arrow kernels on the scan with NO shuffle upstream of "
+          "them — blobs never cross an exchange")
+
     p = plan_of("doc_kneser_ney_logprob")
     check("doc_kneser_ney_logprob",
           "InMemoryTableScan" in p
