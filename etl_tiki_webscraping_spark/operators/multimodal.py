@@ -566,6 +566,103 @@ def extract_audio_features(
     return df.select(id_col, content_col).mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
+def extract_audio_spectral_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    sample_rate: int = 16_000,
+) -> DataFrame:
+    """Frequency-domain audio features via one rFFT Arrow kernel — the
+    spectral leg the time-domain stats (:func:`extract_audio_features`)
+    cannot provide: spectral centroid (the perceptual "brightness" /
+    dominant-frequency estimate), 85% rolloff, and bandwidth, over the
+    magnitude spectrum of the whole clip (rectangular window — fine for
+    feature extraction; a perceptual pipeline adds framing+Hann at the
+    same swap point as the codec).  Same 1->1 mapInPandas shape as the
+    other decoders; the decode is REAL for 16-bit PCM WAV
+    (``_decode_wav``) with the deterministic byte fake as fallback.
+
+    No DuckDB oracle can replay an FFT, so the catalog query is
+    rows-only; the accuracy gate (tools/gates_report.py + unit tests)
+    checks the centroid of synthesized pure tones lands on the tone
+    frequency — an end-to-end WAV-encode -> decode -> rFFT check.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("n_samples", T.IntegerType(), False),
+            T.StructField("spectral_centroid_hz", T.DoubleType()),
+            T.StructField("spectral_rolloff_hz", T.DoubleType()),
+            T.StructField("spectral_bandwidth_hz", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for mid, content in zip(batch[id_col], batch[content_col]):
+                wave = _decode_audio_impl(
+                    bytes(content) if content is not None else None
+                ).astype(np.float64)
+                n = wave.shape[0]
+                rec = {"media_id": int(mid), "n_samples": n,
+                       "spectral_centroid_hz": None,
+                       "spectral_rolloff_hz": None,
+                       "spectral_bandwidth_hz": None}
+                if n >= 2:
+                    mag = np.abs(np.fft.rfft(wave * np.hanning(n)))
+                    freqs = np.fft.rfftfreq(n, d=1.0 / sample_rate)
+                    total = float(mag.sum())
+                    if total > 0:
+                        c = float((freqs * mag).sum() / total)
+                        cum = np.cumsum(mag)
+                        roll_idx = int(np.searchsorted(cum, 0.85 * total))
+                        bw = float(
+                            np.sqrt(((freqs - c) ** 2 * mag).sum() / total)
+                        )
+                        rec.update(
+                            spectral_centroid_hz=c,
+                            spectral_rolloff_hz=float(
+                                freqs[min(roll_idx, len(freqs) - 1)]
+                            ),
+                            spectral_bandwidth_hz=bw,
+                        )
+                out.append(rec)
+            yield pd.DataFrame.from_records(out)
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=schema)
+
+
+def encode_wav_tone(
+    freq_hz: float,
+    n_samples: int = 2048,
+    sample_rate: int = 16_000,
+    amplitude: float = 0.5,
+) -> bytes:
+    """16-bit PCM WAV of a pure sine tone (stdlib ``wave``): the
+    deterministic audio-fixture synthesizer, pairing with
+    :func:`encode_gif` on the image side."""
+    import io
+    import math
+    import wave as _wave
+
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        pcm = np.array(
+            [
+                int(round(amplitude * math.sin(2.0 * math.pi * freq_hz * t
+                                               / sample_rate) * 32767))
+                for t in range(n_samples)
+            ],
+            dtype="<i2",
+        )
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
 def sample_frames(df: DataFrame, every_n_bytes: int = 16, id_col: str = "media_id", content_col: str = "content") -> DataFrame:
     """Frame-sampling plumbing for video: emits one row per sampled
     'frame' (here: byte-stride chunks from the fake decoder; real impl

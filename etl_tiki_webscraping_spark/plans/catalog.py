@@ -10631,3 +10631,59 @@ def q_gif_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_gif_frames(blobs, every_n=2).select(
         "media_id", "frame_index", "height", "width", "luma_units"
     )
+
+
+@register(
+    "audio_spectral_features",
+    oracle=None,  # an FFT has no SQL replay — rows-only; the accuracy
+    # gate (tools/gates_report.py) checks synthesized pure tones'
+    # centroids land on the tone frequency, end to end through the
+    # WAV encode -> decode -> rFFT path
+    doc="frequency-domain audio features (spectral centroid / 85% "
+        "rolloff / bandwidth) over REAL 16-bit PCM WAV: per selected "
+        "document a pure sine tone at 200 + (doc_id mod 20)*150 Hz is "
+        "synthesized at query time (stdlib wave encoder), decoded "
+        "back, and rFFT'd — all inside two chained Arrow kernels on "
+        "the scan, no shuffle, blobs never cross an exchange.  The "
+        "spectral leg the time-domain multimodal_audio_features "
+        "cannot provide (dominant frequency, brightness, band "
+        "spread).  Gate: max |centroid - tone| <= 25 Hz over every "
+        "row (tools/gates_report.py + tests/test_multimodal.py).",
+)
+def q_audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.operators.multimodal import (
+        encode_wav_tone,
+        extract_audio_spectral_features,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 12 == 0)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    blob_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "content": b["media_id"].map(
+                        lambda d: encode_wav_tone(
+                            200.0 + (int(d) % 20) * 150.0
+                        )
+                    ),
+                }
+            )
+
+    blobs = ids.mapInPandas(gen, blob_schema)
+    return extract_audio_spectral_features(blobs)

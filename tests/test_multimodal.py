@@ -589,3 +589,59 @@ def test_gif_image_impl_dispatch_and_frame_sampling(spark):
         assert abs(r["mean_luma"] - float(all_frames[r["frame_index"]].mean())) < 1e-9
     assert [r["frame_index"] for r in by_media[2]] == [-1]
     assert by_media[2][0]["mean_luma"] is None
+
+
+def test_audio_spectral_centroid_pure_tones(spark):
+    """End to end WAV-encode -> decode -> rFFT: centroid of a pure
+    tone lands on the tone frequency; a two-tone mix lands between;
+    the fake-decoder fallback still yields finite features."""
+    from etl_tiki_webscraping_spark.operators.multimodal import (
+        encode_wav_tone,
+        extract_audio_spectral_features,
+    )
+
+    rows = [
+        (1, bytearray(encode_wav_tone(500.0))),
+        (2, bytearray(encode_wav_tone(3000.0))),
+        (3, bytearray(b"not audio at all")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {
+        r["media_id"]: r
+        for r in extract_audio_spectral_features(df).collect()
+    }
+    assert abs(got[1]["spectral_centroid_hz"] - 500.0) < 25.0
+    assert abs(got[2]["spectral_centroid_hz"] - 3000.0) < 25.0
+    assert got[1]["spectral_rolloff_hz"] >= got[1]["spectral_centroid_hz"] - 25.0
+    assert got[2]["spectral_bandwidth_hz"] < got[2]["spectral_centroid_hz"]
+    assert got[3]["spectral_centroid_hz"] is not None  # fake fallback
+    assert got[3]["n_samples"] == 256  # fake decoder zero-pads to 256
+
+
+def test_audio_spectral_numpy_replay(spark):
+    """The kernel's numbers equal a direct numpy replay of the same
+    definition (no hidden windowing or scaling)."""
+    import numpy as np
+
+    from etl_tiki_webscraping_spark.operators.multimodal import (
+        _decode_wav,
+        encode_wav_tone,
+        extract_audio_spectral_features,
+    )
+
+    blob = encode_wav_tone(1234.0, n_samples=1024)
+    df = spark.createDataFrame(
+        [(7, bytearray(blob))], "media_id long, content binary"
+    )
+    got = extract_audio_spectral_features(df).collect()[0]
+    wave = _decode_wav(blob).astype(np.float64)
+    mag = np.abs(np.fft.rfft(wave * np.hanning(len(wave))))
+    freqs = np.fft.rfftfreq(len(wave), d=1.0 / 16000)
+    total = mag.sum()
+    c = (freqs * mag).sum() / total
+    bw = np.sqrt(((freqs - c) ** 2 * mag).sum() / total)
+    roll = freqs[min(int(np.searchsorted(np.cumsum(mag), 0.85 * total)),
+                     len(freqs) - 1)]
+    assert abs(got["spectral_centroid_hz"] - c) < 1e-9
+    assert abs(got["spectral_bandwidth_hz"] - bw) < 1e-9
+    assert abs(got["spectral_rolloff_hz"] - roll) < 1e-9

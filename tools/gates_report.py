@@ -43,7 +43,7 @@ GATED_QUERIES = frozenset({
     "streaming_sketch_maintenance", "kll_quantile_rollup",
     "cms_frequency_rollup", "theta_sketch_set_ops",
     "embedding_pca_variance", "bpe_train_merges",
-    "logreg_quality_train",
+    "logreg_quality_train", "audio_spectral_features",
 })
 
 ROWS: list[tuple[str, str, str, str, bool]] = []  # query, gate, measured, bound, ok
@@ -343,6 +343,25 @@ def main() -> int:
     emit("logreg_quality_train", "deviance monotone non-increasing",
          f"{len(devs)} iters", "dev[i+1] <= dev[i]",
          all(b <= a + 1e-6 for a, b in zip(devs, devs[1:])))
+
+    # --- audio spectral features: tone-centroid accuracy -------------
+    # end to end through WAV encode -> decode -> rFFT: for a pure sine
+    # at f Hz, the spectral centroid must land on f (leakage bounds
+    # the error; 25 Hz ~= 3 bins at 2048 samples / 16 kHz)
+    spec = QUERIES["audio_spectral_features"].fn(spark, SF_DIR).collect()
+    worst_hz = 0.0
+    ok_all = len(spec) > 0
+    for r in spec:
+        tone = 200.0 + (int(r["media_id"]) % 20) * 150.0
+        err = abs(r["spectral_centroid_hz"] - tone)
+        worst_hz = max(worst_hz, err)
+        ok_all = ok_all and err <= 25.0 and (
+            r["spectral_rolloff_hz"] >= r["spectral_centroid_hz"] - 25.0
+        )
+    emit("audio_spectral_features",
+         "pure-tone centroid lands on the tone frequency",
+         f"max |centroid - tone| = {worst_hz:.1f} Hz over {len(spec)} rows",
+         "<= 25 Hz, rolloff >= centroid - 25", ok_all)
 
     # --- summary ----------------------------------------------------
     gated_queries = {r[0] for r in ROWS}
