@@ -188,6 +188,9 @@ HEADLINE = [
     ("embedding_centroid_outliers", "collect"),
     ("doc_kneser_ney_logprob", "count"),
     ("event_ohlc_resample", "collect"),
+    ("retrieval_quality_metrics", "collect"),
+    ("gif_frame_sampling", "collect"),
+    ("audio_spectral_features", "collect"),
 ]
 
 

@@ -170,6 +170,9 @@ NEW_R9 = [
 ]
 
 NEW_R10 = [
+    "retrieval_quality_metrics",
+    "gif_frame_sampling",
+    "audio_spectral_features",
     "dsir_importance_resample",
     "embedding_centroid_outliers",
     "doc_kneser_ney_logprob",
