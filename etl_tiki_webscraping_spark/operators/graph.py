@@ -34,6 +34,7 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 6,
     tol: float | None = None,
+    broadcast_node_limit: int = 2_000_000,
 ) -> DataFrame:
     """PageRank over a directed edge DataFrame — fixed-iteration by
     default, CONVERGENCE-STOPPED when ``tol`` is set.
@@ -93,6 +94,19 @@ def pagerank(
     teleport = (1.0 - damping) / float(n)
     ranks = nodes.select("node", F.lit(inv_n).alias("rank"))
 
+    # adaptive join strategy, decided from the EXACT node count the
+    # driver already holds: when the rank table fits comfortably in a
+    # broadcast (n <= broadcast_node_limit, ~40 B/row -> <= ~80 MB),
+    # ship ranks/outdeg to the edge partitions instead of shuffling
+    # the (much larger) edge table once per iteration — the edge scan
+    # then never crosses an exchange and the only shuffle left is the
+    # (dst, units) partial-aggregated contribution reduce.  Past the
+    # limit the plain shuffle join is the correct 100 TB plan, so this
+    # degrades to exactly what it was.  Values are unchanged either
+    # way: the quantized integer sums are order- and plan-independent.
+    def maybe_broadcast(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if n <= broadcast_node_limit else df
+
     for _ in range(iterations):
         # per-row quantization to integer 1e-15 units via
         # floor(x*1e15 + 0.5): the SAME IEEE-double formula on both
@@ -103,8 +117,8 @@ def pagerank(
         # x <= 1 and x*1e15 <= 1e15 < 2^53 — the product is an exact
         # integer in double on both engines.
         contrib = (
-            e.join(ranks, ranks["node"] == e["src"])
-            .join(outdeg, "src")
+            e.join(maybe_broadcast(ranks), ranks["node"] == e["src"])
+            .join(maybe_broadcast(outdeg), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 (
@@ -119,7 +133,11 @@ def pagerank(
             )
         )
         dangling = (
-            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
+            ranks.join(
+                maybe_broadcast(outdeg),
+                ranks["node"] == outdeg["src"],
+                "left_anti",
+            )
             .agg(
                 (
                     F.coalesce(
