@@ -247,8 +247,17 @@ def dsir_log_weights(
 
     raw_hist = hist(pool_toks)
     tgt_hist = hist(tgt_toks)
-    raw_total = raw_hist.agg(F.sum("cnt").alias("n_raw"))
-    tgt_total = tgt_hist.agg(F.sum("cnt").alias("n_tgt"))
+    # COALESCE the totals: SUM over an empty histogram is NULL, and a
+    # NULL total would silently NULL every log-weight.  With 0 the
+    # add-1 smoothing degrades gracefully: a token-less target means a
+    # UNIFORM target density (1/B per bucket), so weights rank by
+    # inverse raw frequency instead of vanishing.
+    raw_total = raw_hist.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_raw")
+    )
+    tgt_total = tgt_hist.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_tgt")
+    )
     # full outer over the bucket grid: a bucket seen only in one corpus
     # still gets its smoothed ratio (add-1 keeps both densities > 0)
     ratios = (

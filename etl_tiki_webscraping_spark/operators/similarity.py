@@ -1005,13 +1005,30 @@ def centroid_cosine_outliers(
     engine; ranking ties break by id.
     """
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    dims = (
-        df.filter(F.col(vec_col).isNotNull())
-        .select(
-            F.col(group_col).alias("grp"),
-            F.col(id_col).alias("vid"),
-            F.posexplode(vd).alias("i", "v"),
+    base = df.filter(F.col(vec_col).isNotNull())
+    # restrict each group to its MODAL embedding length before anything
+    # touches the centroid: a stray off-length vector would otherwise
+    # pollute the centroid with extra dimensions and NULL out the dot
+    # of every MAJORITY vector (zip_with pads the shorter side).  One
+    # tiny (group, length) aggregate, broadcast back; ties break to the
+    # smaller length for determinism.
+    modal = (
+        base.groupBy(F.col(group_col).alias("grp"), F.size(vec_col).alias("__len"))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .groupBy("grp")
+        .agg(
+            F.max(F.struct(F.col("__cnt"), (-F.col("__len")).alias("__nl")))
+            .alias("__m")
         )
+        .select("grp", (-F.col("__m.__nl")).alias("__modal_len"))
+    )
+    base = base.join(
+        F.broadcast(modal), base[group_col] == modal["grp"]
+    ).filter(F.size(vec_col) == F.col("__modal_len")).drop("grp", "__modal_len")
+    dims = base.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("vid"),
+        F.posexplode(vd).alias("i", "v"),
     )
     # centroid component c = (exact-integer mean of 1e-9 units) / 1e9;
     # the two divisions stay in THIS order — the oracle mirrors it
@@ -1046,7 +1063,7 @@ def centroid_cosine_outliers(
         )
     )
     scored = (
-        df.filter(F.col(vec_col).isNotNull())
+        base
         .select(F.col(group_col).alias("grp"), F.col(id_col).alias("vid"), vd.alias("v"))
         .join(F.broadcast(cents), "grp")
         .select(
@@ -1068,7 +1085,14 @@ def centroid_cosine_outliers(
                 + F.floor(x * x * F.lit(1e12) + F.lit(0.5)),
             ).alias("nv_units"),
         )
-        .filter((F.col("nv_units") > 0) & (F.col("nc_units") > 0))
+        # dot_units NULL = the vector's length differs from the group
+        # centroid's (zip_with pads with NULL) — exclude it rather than
+        # let NULL sort FIRST under the ascending outlier rank
+        .filter(
+            (F.col("nv_units") > 0)
+            & (F.col("nc_units") > 0)
+            & F.col("dot_units").isNotNull()
+        )
         .select(
             "grp",
             "vid",

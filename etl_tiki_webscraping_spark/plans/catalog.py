@@ -10017,8 +10017,10 @@ def q_model_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS c_tgt
         FROM tgt_toks GROUP BY 1
     ),
-    nr AS (SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw FROM raw_hist),
-    nt AS (SELECT CAST(SUM(c_tgt) AS BIGINT) AS n_tgt FROM tgt_hist),
+    nr AS (SELECT CAST(COALESCE(SUM(c_raw), 0) AS BIGINT) AS n_raw
+           FROM raw_hist),
+    nt AS (SELECT CAST(COALESCE(SUM(c_tgt), 0) AS BIGINT) AS n_tgt
+           FROM tgt_hist),
     ratios AS (
         SELECT COALESCE(r.bucket, t.bucket) AS bucket,
                CAST(FLOOR(ln(
@@ -10291,7 +10293,7 @@ def q_doc_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(FLOOR(CAST(epoch_us(ts) AS DOUBLE) / 21600000000.0)
                     AS BIGINT) AS bucket,
                ts, event_id, value
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
     ),
     r AS (
         SELECT *,
@@ -10326,7 +10328,12 @@ def q_doc_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bit-identical cross-engine replay.",
 )
 def q_event_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # NULL ts is excluded on BOTH engines: inside a struct min Spark
+    # orders a NULL field low while the oracle window's default puts
+    # NULLs last — the one spot the two replays could diverge
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     us = F.unix_micros(F.col("ts"))
     bucket = F.floor(us.cast("double") / F.lit(21600000000.0)).cast("bigint")
     first_s = F.min(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))

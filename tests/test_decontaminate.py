@@ -179,3 +179,27 @@ def test_dsir_resample_k_larger_than_pool_returns_all(spark):
         [(1, "alpha x"), (2, "beta y")], "doc_id long, text string"
     )
     assert dsir_resample(pool, target, "text", "doc_id", k=50).count() == 2
+
+
+def test_dsir_tokenless_target_degrades_to_uniform(spark):
+    """A target with no tokens must NOT NULL every weight (SUM over an
+    empty histogram is NULL): add-1 smoothing over a 0 total gives a
+    UNIFORM target density, so weights rank by inverse raw frequency."""
+    from etl_tiki_webscraping_spark.operators.decontaminate import (
+        dsir_log_weights,
+    )
+
+    target = spark.createDataFrame(
+        [(9, "!!!")], "doc_id long, text string"  # tokenizes to nothing
+    )
+    pool = spark.createDataFrame(
+        [(1, "common common common"), (2, "rare")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["id"]: r["log_weight"]
+        for r in dsir_log_weights(pool, target, "text", "doc_id").collect()
+    }
+    assert all(v is not None for v in rows.values())
+    # per-token weight of the rarer token is higher under uniform target
+    assert rows[2] / 1 > rows[1] / 3

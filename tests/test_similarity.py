@@ -502,3 +502,26 @@ def test_retrieval_quality_metrics_python_replay(spark, tmp_path):
         assert abs(got[l]["mean_recall10"] - want_rec) < 1e-9
     # the off-cluster query must NOT score a perfect MRR
     assert got[1]["mean_mrr"] < 1.0
+
+
+def test_centroid_outliers_length_mismatch_excluded(spark):
+    """A vector whose length differs from its group's MODAL length is
+    excluded up front — without that, the stray vector pollutes the
+    centroid with extra dimensions and NULLs out the dot of every
+    MAJORITY vector (zip_with pads the shorter side)."""
+    from etl_tiki_webscraping_spark.operators.similarity import (
+        centroid_cosine_outliers,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0]),
+            (2, 0, [0.9, 0.1]),
+            (3, 0, [1.0, 0.0, 0.0]),  # 3-dim in a 2-dim-majority group
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    got = {r["vec_id"] for r in centroid_cosine_outliers(
+        df, "embedding", "vec_id", "label", k=10
+    ).collect()}
+    assert 3 not in got and got == {1, 2}
