@@ -266,8 +266,11 @@ def _decode_gif_frames(content: bytes) -> "list[np.ndarray] | None":
     pixels persist BETWEEN frames; each returned frame is the canvas
     after its image is drawn).  Transparent pixels (GCE flag) leave the
     canvas unchanged.  Returns None unless the signature, screen
-    descriptor, block structure, LZW stream, and pixel counts all
-    agree — strict sniffing, so arbitrary binary never mis-routes here.
+    descriptor, block structure, LZW stream, pixel counts, every
+    sub-block's byte bounds, and the 0x3B trailer all agree — strict
+    sniffing INCLUDING truncation (a stream cut off mid-sub-block or
+    missing its trailer rejects even if earlier frames decoded), so
+    arbitrary binary never mis-routes here.
     Interlaced frames reject (returns None): fixtures are sequential;
     a production deployment swaps a codec library into
     :func:`_decode_image_impl` and none of this runs."""
@@ -294,10 +297,12 @@ def _decode_gif_frames(content: bytes) -> "list[np.ndarray] | None":
     canvas = np.zeros((h, w), dtype=np.float32)
     frames: list[np.ndarray] = []
     transparent: int | None = None
+    saw_trailer = False
     while pos < len(content):
         b0 = content[pos]
         pos += 1
         if b0 == 0x3B:  # trailer
+            saw_trailer = True
             break
         if b0 == 0x21:  # extension: label + sub-blocks
             if pos >= len(content):
@@ -307,8 +312,12 @@ def _decode_gif_frames(content: bytes) -> "list[np.ndarray] | None":
             subs = []
             while pos < len(content) and content[pos] != 0:
                 ln = content[pos]
+                if pos + 1 + ln > len(content):  # truncated sub-block
+                    return None
                 subs.append(content[pos + 1 : pos + 1 + ln])
                 pos += 1 + ln
+            if pos >= len(content):  # truncated before block terminator
+                return None
             pos += 1  # block terminator
             if label == 0xF9 and subs and len(subs[0]) >= 4:
                 flags = subs[0][0]
@@ -341,8 +350,12 @@ def _decode_gif_frames(content: bytes) -> "list[np.ndarray] | None":
         lzw = bytearray()
         while pos < len(content) and content[pos] != 0:
             ln = content[pos]
+            if pos + 1 + ln > len(content):  # truncated sub-block
+                return None
             lzw += content[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
+        if pos >= len(content):  # truncated before block terminator
+            return None
         pos += 1  # terminator
         idx = _gif_lzw_decode(bytes(lzw), min_code, iw * ih)
         if idx is None:
@@ -360,6 +373,8 @@ def _decode_gif_frames(content: bytes) -> "list[np.ndarray] | None":
             region[:] = luma
         frames.append(canvas.copy())
         transparent = None
+    if not saw_trailer:  # stream ended without the 0x3B trailer
+        return None
     return frames or None
 
 
@@ -576,9 +591,11 @@ def extract_audio_spectral_features(
     spectral leg the time-domain stats (:func:`extract_audio_features`)
     cannot provide: spectral centroid (the perceptual "brightness" /
     dominant-frequency estimate), 85% rolloff, and bandwidth, over the
-    magnitude spectrum of the whole clip (rectangular window — fine for
-    feature extraction; a perceptual pipeline adds framing+Hann at the
-    same swap point as the codec).  Same 1->1 mapInPandas shape as the
+    magnitude spectrum of the whole clip with a single Hann window
+    applied across its full length (suppresses leakage from the clip
+    edges; a perceptual pipeline adds short-time FRAMING — many
+    windowed frames instead of one — at the same swap point as the
+    codec).  Same 1->1 mapInPandas shape as the
     other decoders; the decode is REAL for 16-bit PCM WAV
     (``_decode_wav``) with the deterministic byte fake as fallback.
 

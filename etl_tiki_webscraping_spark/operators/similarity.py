@@ -988,8 +988,12 @@ def centroid_cosine_outliers(
     curation pipeline routes to review before training.
 
     Returns ``(group_col, id_col, cos_centroid)``, ``k`` rows per
-    group, cosine quantized to 1e-6.  Zero-norm vectors and NULL
-    embeddings are excluded (consistent with the repo's kNN paths).
+    group, cosine quantized to 1e-6.  Zero-norm vectors, NULL
+    embeddings, and NULL group labels are excluded — the NULL-label
+    exclusion is EXPLICIT (not a side effect of the modal-length
+    equi-join, which would drop them silently) and mirrored by the
+    catalog oracle, so both engines agree if a fixture ever gains
+    NULL labels (consistent with the repo's kNN paths).
 
     Scale shape: ONE posexplode + groupBy(group, dim) for centroids —
     shuffle cardinality |groups| x d, never row count — then the tiny
@@ -1005,7 +1009,9 @@ def centroid_cosine_outliers(
     engine; ranking ties break by id.
     """
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = df.filter(F.col(vec_col).isNotNull())
+    base = df.filter(
+        F.col(vec_col).isNotNull() & F.col(group_col).isNotNull()
+    )
     # restrict each group to its MODAL embedding length before anything
     # touches the centroid: a stray off-length vector would otherwise
     # pollute the centroid with extra dimensions and NULL out the dot

@@ -10088,7 +10088,7 @@ def q_dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH x AS (
         SELECT vec_id, label, i, CAST(embedding[i + 1] AS DOUBLE) AS vd
         FROM embeddings, unnest(range(0, 64)) AS r(i)
-        WHERE embedding IS NOT NULL
+        WHERE embedding IS NOT NULL AND label IS NOT NULL
     ),
     cent AS (
         SELECT label, i,

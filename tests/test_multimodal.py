@@ -548,6 +548,35 @@ def test_gif_decoder_rejects_garbage_and_interlace():
     assert _decode_gif(bytes(blob)) is None
 
 
+def test_gif_decoder_rejects_truncation():
+    """Strict truncation contract (round-11 ADVICE): a stream cut off
+    mid-sub-block, missing its block terminator, or missing the 0x3B
+    trailer rejects wholesale — no partial frame list leaks out."""
+    from etl_tiki_webscraping_spark.operators.multimodal import (
+        _decode_gif_frames,
+    )
+
+    palette = [(0, 0, 0), (255, 255, 255)]
+    blob = _make_gif([[[0, 1], [1, 0]], [[1, 0], [0, 1]]], palette, 2, 2)
+    assert _decode_gif_frames(blob) is not None  # intact: decodes
+    # missing trailer (0x3B): the last byte of a well-formed stream
+    assert blob[-1] == 0x3B
+    assert _decode_gif_frames(blob[:-1]) is None
+    # truncated mid-LZW-sub-block: cut into the SECOND frame's data so
+    # a partial-frame leak would have returned [frame0]
+    trailer_at = len(blob) - 1
+    for cut in (trailer_at - 1, trailer_at - 2, trailer_at - 3):
+        assert _decode_gif_frames(blob[:cut]) is None
+    # truncated extension: GCE block sliced mid-sub-block (the helper
+    # emits a GCE before every frame after the first)
+    gce = _make_gif(
+        [[[0, 1], [1, 0]], [[1, 1], [1, 1]]], palette, 2, 2, transparent=0
+    )
+    ext_at = gce.find(b"\x21\xf9")
+    assert ext_at > 0
+    assert _decode_gif_frames(gce[: ext_at + 3]) is None
+
+
 def test_gif_image_impl_dispatch_and_frame_sampling(spark):
     """End to end through mapInPandas: extract_image_features decodes
     the REAL GIF (not the byte fake), and sample_gif_frames emits

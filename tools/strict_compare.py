@@ -115,11 +115,18 @@ def main() -> int:
         if type_diff:
             print(f"TYPE  {name}: {type_diff}")
         if s_sig != o_sig:
-            sset, oset = set(s_sig), set(o_sig)
-            ds = sorted(sset - oset)[:3]
-            do = sorted(oset - sset)[:3]
-            print(f"DIFF  {name}: {len(sset - oset)} spark-only / "
-                  f"{len(oset - sset)} oracle-only of {len(srows)}")
+            # Counter, not set: a divergence that differs only in
+            # duplicate-row MULTIPLICITY must still print its offending
+            # rows (a set-diff would show "0 spark-only / 0 oracle-only")
+            from collections import Counter
+
+            scnt, ocnt = Counter(s_sig), Counter(o_sig)
+            sonly = sorted((scnt - ocnt).elements())
+            oonly = sorted((ocnt - scnt).elements())
+            ds = sonly[:3]
+            do = oonly[:3]
+            print(f"DIFF  {name}: {len(sonly)} spark-only / "
+                  f"{len(oonly)} oracle-only of {len(srows)}")
             for r in ds:
                 print(f"  S {r[:200]}")
             for r in do:
