@@ -7953,18 +7953,23 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # iterative argmax-per-round — not SQL-expressible;
     # exact parity with a single-node reference BPE is pinned by
     # tests/test_bpe.py on this very fixture
-    doc="distributed BPE merge training (Sennrich et al. 2016 — the "
+    doc="BPE merge training (Sennrich et al. 2016 — the "
         "tokenizer-learning step of an LLM pipeline): 12 merges "
         "learned from the corpus.  The corpus is scanned ONCE into a "
-        "(word, count) vocabulary; every iteration is one explode + "
-        "groupBy over VOCAB-sized rows plus a single-row argmax "
-        "collect (a scalar, like PageRank's dangling mass), and the "
-        "merge applies as a JVM-side array fold with the vocab "
-        "localCheckpoint-ed per round (O(1) lineage).  Corpus size "
-        "touches only the initial scan; iterations are bounded by "
-        "num_merges; ties break (count DESC, pair ASC) so the merge "
-        "sequence is deterministic — tests pin exact parity with a "
-        "textbook single-node implementation.",
+        "(word, count) vocabulary; when the vocab fits the driver "
+        "(<= 2M distinct words — true even for very large corpora) "
+        "the merge loop runs driver-local with INCREMENTAL pair-count "
+        "deltas (only words containing the chosen pair re-count per "
+        "merge): TWO Spark jobs total regardless of num_merges, the "
+        "classic trainer shape.  Oversized vocabs fall back to the "
+        "distributed per-merge loop (explode + groupBy over "
+        "VOCAB-sized rows, single-row argmax collect, JVM-fold "
+        "rewrite, localCheckpoint per round).  Both paths are "
+        "byte-identical; ties break (count DESC, pair ASC) so the "
+        "merge sequence is deterministic — tests pin exact parity "
+        "with a textbook single-node implementation on both sides of "
+        "the threshold, and a job-count test proves the 256-merge "
+        "train stays at O(1) jobs.",
 )
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_tiki_webscraping_spark.operators.bpe import bpe_train_report
