@@ -548,6 +548,32 @@ def test_gif_decoder_rejects_garbage_and_interlace():
     assert _decode_gif(bytes(blob)) is None
 
 
+def test_gif_large_frame_vectorized_expansion_roundtrip():
+    """Frames past the tiny-frame threshold (>=4096 output pixels)
+    take the vectorized numpy LZW expansion; pin that path against the
+    package encoder with a pseudo-random 96x96 frame (deep LZW chains,
+    code-width growth)."""
+    import numpy as np
+
+    from etl_tiki_webscraping_spark.operators.multimodal import (
+        _decode_gif_frames,
+        encode_gif,
+    )
+
+    palette = [(0, 0, 0), (255, 255, 255), (64, 128, 192), (200, 100, 50)]
+    frame = [[(x * 31 + y * 17 + x * y) % 4 for x in range(96)] for y in range(96)]
+    blob = encode_gif([frame], palette, 96, 96)
+    got = _decode_gif_frames(blob)
+    assert got is not None and got[0].shape == (96, 96)
+    lut = np.array(palette, dtype=np.float32)
+    luma = 0.299 * lut[:, 0] + 0.587 * lut[:, 1] + 0.114 * lut[:, 2]
+    want = np.array(
+        [[luma[frame[y][x]] for x in range(96)] for y in range(96)],
+        dtype=np.float32,
+    )
+    assert np.array_equal(got[0], want)
+
+
 def test_gif_decoder_rejects_truncation():
     """Strict truncation contract (round-11 ADVICE): a stream cut off
     mid-sub-block, missing its block terminator, or missing the 0x3B
