@@ -460,7 +460,8 @@ def _decode_gif(content: bytes) -> "np.ndarray | None":
 
 
 def _decode_image_impl(content: bytes) -> np.ndarray:
-    """Image decode: REAL for 8-bit PNG (stdlib zlib inflate +
+    """Image decode: REAL for baseline JPEG (Huffman + vectorized
+    IDCT, see :mod:`.jpeg`), 8-bit PNG (stdlib zlib inflate +
     unfilter, see :func:`_decode_png`), uncompressed 24-bit BMP
     (pure numpy, see :func:`_decode_bmp`), and non-interlaced GIF
     (pure-python LZW, see :func:`_decode_gif_frames`); other formats
@@ -469,11 +470,20 @@ def _decode_image_impl(content: bytes) -> np.ndarray:
     bytes) because no codec library ships in this container — swapping
     in ``PIL.Image.open(io.BytesIO(content))`` changes only this
     function.  The fixture blobs are arbitrary binary, so the catalog
-    oracles exercise the fake branch; the PNG/BMP branches are pinned
-    by unit tests decoding real files end to end through mapInPandas.
+    oracles exercise the fake branch; the JPEG/PNG/BMP branches are
+    pinned by unit tests decoding real files end to end through
+    mapInPandas.
     """
     if content is None:
         raise NotImplementedError("null content not decodable")
+    if content[:3] == b"\xff\xd8\xff":  # cheap sniff before full parse
+        from etl_tiki_webscraping_spark.operators.jpeg import (
+            decode_jpeg_luma,
+        )
+
+        jpg = decode_jpeg_luma(content)
+        if jpg is not None:
+            return jpg
     png = _decode_png(content)
     if png is not None:
         return png

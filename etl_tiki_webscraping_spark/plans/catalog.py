@@ -10646,6 +10646,101 @@ def q_gif_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jpeg_image_stats",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id AS media_id FROM documents WHERE doc_id % 12 = 1
+    ),
+    blk AS (
+        SELECT media_id, bx, by,
+               128 + 2 * ((media_id + 3 * bx + 5 * by) % 50 - 25) AS lvl
+        FROM ids, unnest(range(0, 2)) AS a(bx), unnest(range(0, 2)) AS b(by)
+    )
+    SELECT media_id, 16 AS width, 16 AS height,
+           CAST(SUM(64 * lvl * 1000000) AS BIGINT) AS luma_units
+    FROM blk GROUP BY media_id
+    """,
+    doc="REAL baseline-JPEG decode, oracle-checked end to end through "
+        "the codec (round-11 VERDICT ask #2 — the dominant web image "
+        "format): per selected document a 16x16 grayscale baseline "
+        "JPEG of 2x2 constant 8x8 blocks (level(bx,by) = 128 + "
+        "2*((id + 3bx + 5by) mod 50 - 25)) is synthesized at query "
+        "time by the package encoder (two-pass OPTIMIZED canonical "
+        "Huffman, Annex K tables), decoded back through the full "
+        "baseline pipeline (marker parse -> Huffman entropy decode -> "
+        "dequantize -> vectorized IDCT -> round/clamp) inside the "
+        "shared _decode_image_impl dispatch (so format SNIFFING is "
+        "exercised too), and (width, height, luma_units) emit per "
+        "image — luma_units the exact integer 1e-6-unit sum folded "
+        "JVM-side over the feature vector.  Block-constant levels on "
+        "the DC quantization grid (offset even, Annex K DC step 16) "
+        "roundtrip BIT-EXACTLY: AC of a constant block quantizes to "
+        "zero and the DC path is integer-exact, so the DuckDB oracle "
+        "replays the whole encode -> Huffman -> DCT -> IDCT trip from "
+        "first principles with no codec at all (the gif_frame_sampling "
+        "pattern).  Scale shape: 1->1 mapInPandas (Arrow both ways), "
+        "blobs never cross an exchange, the only shuffle carries "
+        "(media_id, 3 ints).",
+)
+def q_jpeg_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 12 == 1)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def build(d: int) -> bytes:
+        import numpy as np
+
+        from etl_tiki_webscraping_spark.operators.jpeg import encode_jpeg
+
+        img = np.empty((16, 16), dtype=np.float64)
+        for by in range(2):
+            for bx in range(2):
+                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = 128 + 2 * (
+                    (d + 3 * bx + 5 * by) % 50 - 25
+                )
+        return encode_jpeg(img)
+
+    blob_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "content": b["media_id"].map(lambda d: build(int(d))),
+                }
+            )
+
+    blobs = ids.mapInPandas(gen, blob_schema)
+    feats = extract_image_features(blobs)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.aggregate(
+            "feature",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        ).alias("luma_units"),
+    )
+
+
+@register(
     "audio_spectral_features",
     oracle=None,  # an FFT has no SQL replay — rows-only; the accuracy
     # gate (tools/gates_report.py) checks synthesized pure tones'

@@ -1,0 +1,192 @@
+"""Baseline JPEG codec: encode/decode roundtrips, sampling modes,
+restart markers, strict sniffing, and the mapInPandas dispatch."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _grad(h: int, w: int) -> np.ndarray:
+    gx, gy = np.meshgrid(np.linspace(0, 255, w), np.linspace(0, 255, h))
+    return 0.5 * gx + 0.5 * gy
+
+
+def test_zigzag_is_the_standard_permutation():
+    from etl_tiki_webscraping_spark.operators.jpeg import ZIGZAG
+
+    # ITU-T T.81 figure A.6 head and tail (natural row-major indices)
+    assert ZIGZAG[:10].tolist() == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert ZIGZAG[-6:].tolist() == [61, 54, 47, 55, 62, 63]
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+
+
+def test_block_constant_grayscale_roundtrips_exactly():
+    """Levels on the DC quantization grid (even offset from 128 with
+    the Annex K DC step 16): AC quantizes to zero, DC is integer-exact
+    at every step — the catalog oracle's foundation."""
+    from etl_tiki_webscraping_spark.operators.jpeg import (
+        decode_jpeg_luma,
+        encode_jpeg,
+    )
+
+    img = np.zeros((24, 16), dtype=np.float64)
+    levels = [[78, 178], [128, 130], [254, 0]]
+    for by in range(3):
+        for bx in range(2):
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = levels[by][bx]
+    out = decode_jpeg_luma(encode_jpeg(img))
+    assert out is not None and out.dtype == np.float32
+    assert np.array_equal(out, img.astype(np.float32))
+
+
+def test_gradient_roundtrip_within_quantization_error():
+    from etl_tiki_webscraping_spark.operators.jpeg import (
+        decode_jpeg_luma,
+        encode_jpeg,
+    )
+
+    img = _grad(24, 40)
+    out = decode_jpeg_luma(encode_jpeg(img))
+    assert out.shape == (24, 40)
+    assert float(np.abs(out - img).mean()) < 3.0
+
+
+def test_color_subsampling_modes_return_luma():
+    """4:4:4 / 4:2:2 / 4:2:0: the decoder entropy-decodes the chroma
+    blocks (the stream is interleaved) and returns the Y plane; for a
+    block-constant color image the Y error is bounded by the DC
+    quantization step (16/8 = 2)."""
+    from etl_tiki_webscraping_spark.operators.jpeg import (
+        decode_jpeg_luma,
+        encode_jpeg,
+    )
+
+    rgb = np.zeros((16, 16, 3), dtype=np.float64)
+    rgb[:8, :8] = [255, 0, 0]
+    rgb[:8, 8:] = [0, 255, 0]
+    rgb[8:, :8] = [0, 0, 255]
+    rgb[8:, 8:] = [128, 128, 128]
+    y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    for sub in ("444", "422", "420"):
+        out = decode_jpeg_luma(encode_jpeg(rgb, subsampling=sub))
+        assert out is not None and out.shape == (16, 16), sub
+        assert float(np.abs(out - y).max()) <= 2.0, sub
+
+
+def test_restart_interval_roundtrip():
+    """DRI + RSTn markers: byte alignment and DC-pred reset on both
+    sides, grayscale and 4:2:0."""
+    from etl_tiki_webscraping_spark.operators.jpeg import (
+        decode_jpeg_luma,
+        encode_jpeg,
+    )
+
+    img = _grad(32, 48)
+    out = decode_jpeg_luma(encode_jpeg(img, restart_interval=2))
+    assert out is not None and float(np.abs(out - img).mean()) < 3.0
+    rgb = np.stack([img, img[::-1], img[:, ::-1]], axis=-1)
+    out2 = decode_jpeg_luma(
+        encode_jpeg(rgb, subsampling="420", restart_interval=1)
+    )
+    y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    assert out2 is not None and float(np.abs(out2 - y).mean()) < 4.0
+
+
+def test_odd_dimensions_pad_and_crop():
+    from etl_tiki_webscraping_spark.operators.jpeg import (
+        decode_jpeg_luma,
+        encode_jpeg,
+    )
+
+    img = _grad(29, 37)
+    out = decode_jpeg_luma(encode_jpeg(img))
+    assert out.shape == (29, 37)
+    assert float(np.abs(out - img).mean()) < 3.0
+    # 4:2:0 with odd dims: chroma pads to its own grid
+    rgb = np.stack([img] * 3, axis=-1)
+    out2 = decode_jpeg_luma(encode_jpeg(rgb, subsampling="420"))
+    assert out2.shape == (29, 37)
+
+
+def test_strict_sniffing_and_truncation_reject():
+    from etl_tiki_webscraping_spark.operators.jpeg import (
+        decode_jpeg_luma,
+        encode_jpeg,
+    )
+
+    assert decode_jpeg_luma(b"") is None
+    assert decode_jpeg_luma(b"not a jpeg at all") is None
+    assert decode_jpeg_luma(b"\xff\xd8\x00\x00") is None
+    blob = encode_jpeg(_grad(16, 16))
+    assert decode_jpeg_luma(blob) is not None
+    # truncation anywhere (headers or entropy data) rejects wholesale,
+    # including a missing EOI
+    for cut in (10, len(blob) // 2, len(blob) - 1, len(blob) - 2):
+        assert decode_jpeg_luma(blob[:cut]) is None, cut
+
+
+def test_progressive_and_nonbaseline_reject():
+    from etl_tiki_webscraping_spark.operators.jpeg import (
+        decode_jpeg_luma,
+        encode_jpeg,
+    )
+
+    blob = bytearray(encode_jpeg(_grad(16, 16)))
+    sof = blob.find(b"\xff\xc0")
+    assert sof > 0
+    blob[sof + 1] = 0xC2  # pretend progressive DCT
+    assert decode_jpeg_luma(bytes(blob)) is None
+    blob[sof + 1] = 0xC1  # extended sequential — also out of scope
+    assert decode_jpeg_luma(bytes(blob)) is None
+
+
+def test_optimized_huffman_tables_are_canonical_and_complete():
+    """The two-pass table builder: every emitted symbol gets a code,
+    lengths fit 16 bits, and the all-ones max-length code is unused
+    (the pseudo-symbol reservation)."""
+    from etl_tiki_webscraping_spark.operators.jpeg import (
+        _canonical_codes,
+        _huffman_code_lengths,
+    )
+
+    freqs = {i: (i + 1) ** 2 for i in range(40)}
+    lengths = _huffman_code_lengths(freqs)
+    assert set(lengths) == set(freqs)
+    assert max(lengths.values()) <= 16
+    bits, values, codes = _canonical_codes(lengths)
+    assert sum(bits) == len(freqs) and sorted(values) == sorted(freqs)
+    # prefix-free: no code is a prefix of another
+    as_bits = {
+        format(c, f"0{ln}b") for c, ln in codes.values()
+    }
+    for a in as_bits:
+        for b in as_bits:
+            assert a == b or not b.startswith(a)
+    # the all-ones code of the maximum assigned length is reserved
+    maxlen = max(ln for _, ln in codes.values())
+    assert ("1" * maxlen) not in as_bits
+
+
+def test_jpeg_dispatch_through_mapinpandas(spark):
+    """End to end through extract_image_features: a real JPEG routes
+    to the baseline decoder (not the byte fake), junk falls back."""
+    from etl_tiki_webscraping_spark.operators.jpeg import (
+        decode_jpeg_luma,
+        encode_jpeg,
+    )
+    from etl_tiki_webscraping_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    img = np.full((16, 16), 130.0)
+    blob = encode_jpeg(img)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"junk-bytes-here"))],
+        "media_id long, content binary",
+    )
+    feats = {r["media_id"]: r for r in extract_image_features(df).collect()}
+    assert (feats[1]["height"], feats[1]["width"]) == (16, 16)
+    want = decode_jpeg_luma(blob)
+    assert abs(feats[1]["mean_luma"] - float(want.mean())) < 1e-9
+    assert feats[1]["mean_luma"] == 130.0  # grid-aligned level: exact
+    assert (feats[2]["height"], feats[2]["width"]) == (8, 8)  # fake path
