@@ -161,30 +161,50 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
     )
 
 
+MINHASH_PRIME = (1 << 31) - 1  # Mersenne prime 2^31-1
+
+
+def minhash_hash_params(num_hashes: int = 64) -> "tuple[np.ndarray, np.ndarray]":
+    """The fixed-seed universal-hash family (a_i, b_i) shared by the
+    Arrow kernel AND the catalog's DuckDB oracle (which embeds these
+    as literals, the language_id pattern) — one source of truth so the
+    constants cannot drift between engines."""
+    rng = np.random.default_rng(42)  # fixed: deterministic across runs/nodes
+    a = rng.integers(1, MINHASH_PRIME, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, MINHASH_PRIME, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
 def minhash_analysis_udf(num_hashes: int = 64, shingle_n: int = 3):
     """Arrow-vectorized tokenize→shingle→hash→signature kernel (the
     scale path): text → struct<sig: array<bigint>, hset: array<bigint>>.
 
     One pass per document: whitespace tokens, distinct word n-gram
-    shingles, a stable 31-bit base hash per shingle (crc32 — process-
-    and node-independent), then the classic universal-hash family
-    g_i(h) = (a_i*h + b_i) mod p with p = 2^31-1 as a numpy
-    (num_hashes × n_shingles) broadcast + column-min.  Products stay
-    under 2^62, so everything runs in native int64 — no object math.
-    ``hset`` (the sorted distinct shingle hashes) rides along so exact
-    Jaccard verification downstream intersects bigint arrays JVM-side
-    instead of re-shingling text.  Fusing the whole chain into one
-    Arrow batch kernel replaced an interpreted higher-order-function
-    pipeline that spent ~8 s shingling 5 k docs; per-partition, no
-    shuffle.  31-bit hash space is ample for Jaccard estimation
-    (collision rate ~n_shingles/2^31 per doc).
+    shingles, a stable 31-bit base hash per shingle (the first 4 md5
+    bytes masked to 31 bits — process- and node-independent, and
+    REPLAYABLE in ANSI SQL as ``('0x' || substr(md5(s), 1, 8))::BIGINT
+    & 2147483647``, which is what upgraded the LSH catalog queries
+    from rows-only to full DuckDB oracles in round 11), then the
+    classic universal-hash family g_i(h) = (a_i*h + b_i) mod p with
+    p = 2^31-1 as a numpy (num_hashes × n_shingles) broadcast +
+    column-min.  Products stay under 2^62, so everything runs in
+    native int64 — no object math.  ``hset`` (the sorted distinct
+    shingle hashes) rides along so exact Jaccard verification
+    downstream intersects bigint arrays JVM-side instead of
+    re-shingling text.  Fusing the whole chain into one Arrow batch
+    kernel replaced an interpreted higher-order-function pipeline that
+    spent ~8 s shingling 5 k docs; per-partition, no shuffle.  31-bit
+    hash space is ample for Jaccard estimation (collision rate
+    ~n_shingles/2^31 per doc); md5 costs ~3x crc32 per shingle but the
+    kernel is embarrassingly parallel and hashing is <10%% of its
+    wall-clock.
     """
-    from zlib import crc32
+    from hashlib import md5 as _md5
 
-    p = (1 << 31) - 1  # Mersenne prime 2^31-1
-    rng = np.random.default_rng(42)  # fixed seed: deterministic across runs/nodes
-    a = rng.integers(1, p, size=num_hashes, dtype=np.int64)[:, None]
-    b = rng.integers(0, p, size=num_hashes, dtype=np.int64)[:, None]
+    p = MINHASH_PRIME
+    a, b = minhash_hash_params(num_hashes)
+    a = a[:, None]
+    b = b[:, None]
 
     @F.pandas_udf(f"struct<sig: array<bigint>, hset: array<bigint>>")
     def analyze(texts: pd.Series) -> pd.DataFrame:
@@ -200,7 +220,11 @@ def minhash_analysis_udf(num_hashes: int = 64, shingle_n: int = 3):
                 sh = {" ".join(toks)}
             base = np.unique(
                 np.fromiter(
-                    (crc32(s.encode()) & 0x7FFFFFFF for s in sh),
+                    (
+                        int.from_bytes(_md5(s.encode()).digest()[:4], "big")
+                        & 0x7FFFFFFF
+                        for s in sh
+                    ),
                     dtype=np.int64,
                     count=len(sh),
                 )
@@ -241,14 +265,32 @@ def minhash_analysis(
 
 def _band_buckets(sig_col: Column, bands: int, rows_per_band: int) -> Column:
     """Hash each band of the signature to one bucket id:
-    array<struct<band:int, bucket:bigint>>."""
+    array<struct<band:int, bucket:bigint>>.  The bucket is the first
+    15 md5 hex digits (60 bits) of the band's comma-joined values —
+    an 8-byte shuffle key exactly as the old xxhash64 form, but
+    replayable in DuckDB as ``('0x' || substr(md5(str), 1, 15))::
+    BIGINT`` (the round-11 oracle upgrade)."""
     return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(",", *[sig_col[b * rows_per_band + r].cast("string") for r in range(rows_per_band)])
-                ).alias("bucket"),
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    sig_col[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint").alias("bucket"),
             )
             for b in range(bands)
         ]
