@@ -1012,42 +1012,51 @@ def centroid_cosine_outliers(
     base = df.filter(
         F.col(vec_col).isNotNull() & F.col(group_col).isNotNull()
     )
-    # restrict each group to its MODAL embedding length before anything
-    # touches the centroid: a stray off-length vector would otherwise
-    # pollute the centroid with extra dimensions and NULL out the dot
-    # of every MAJORITY vector (zip_with pads the shorter side).  One
-    # tiny (group, length) aggregate, broadcast back; ties break to the
-    # smaller length for determinism.
-    modal = (
-        base.groupBy(F.col(group_col).alias("grp"), F.size(vec_col).alias("__len"))
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .groupBy("grp")
-        .agg(
-            F.max(F.struct(F.col("__cnt"), (-F.col("__len")).alias("__nl")))
-            .alias("__m")
-        )
-        .select("grp", (-F.col("__m.__nl")).alias("__modal_len"))
-    )
-    base = base.join(
-        F.broadcast(modal), base[group_col] == modal["grp"]
-    ).filter(F.size(vec_col) == F.col("__modal_len")).drop("grp", "__modal_len")
+    # Each group's centroid uses only its MODAL embedding length: a
+    # stray off-length vector must not pollute the centroid with extra
+    # dimensions.  The election rides the centroid aggregate itself
+    # (round-11 bench recovery — the old pre-filter cost a third scan
+    # of the table plus a broadcast join on the fat vector rows):
+    # centroids group by (grp, len, i), so off-length vectors aggregate
+    # SEPARATELY instead of polluting, and the modal (grp, len) is
+    # picked from the tiny aggregate (count at i=0 = that length's
+    # vector count; ties break to the smaller length).  Zero-length
+    # vectors never posexplode a row, so they sit out the election —
+    # they can't score anyway (no cosine).  The scored pass needs no
+    # length filter at all: zip_with NULL-pads against the modal-length
+    # centroid and the dot_units IS NOT NULL filter excludes them.
     dims = base.select(
         F.col(group_col).alias("grp"),
-        F.col(id_col).alias("vid"),
+        F.size(vec_col).alias("__len"),
         F.posexplode(vd).alias("i", "v"),
     )
     # centroid component c = (exact-integer mean of 1e-9 units) / 1e9;
     # the two divisions stay in THIS order — the oracle mirrors it
-    cent_dims = (
-        dims.groupBy("grp", "i")
+    cent_all = (
+        dims.groupBy("grp", "__len", "i")
         .agg(
             (
                 F.sum(F.floor(F.col("v") * F.lit(1e9) + F.lit(0.5)))
                 .cast("double")
                 / F.count(F.lit(1))
                 / F.lit(1e9)
-            ).alias("c")
+            ).alias("c"),
+            F.count(F.lit(1)).alias("__n"),
         )
+    )
+    modal = (
+        cent_all.filter(F.col("i") == 0)
+        .groupBy("grp")
+        .agg(
+            F.max(F.struct(F.col("__n").alias("__cnt"), (-F.col("__len")).alias("__nl")))
+            .alias("__m")
+        )
+        .select("grp", (-F.col("__m.__nl")).alias("__modal_len"))
+    )
+    cent_dims = (
+        cent_all.join(F.broadcast(modal), "grp")
+        .filter(F.col("__len") == F.col("__modal_len"))
+        .select("grp", "i", "c")
     )
     cents = (
         cent_dims.groupBy("grp")

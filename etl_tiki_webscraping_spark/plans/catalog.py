@@ -474,9 +474,9 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(FLOOR(l_extendedprice * 1e6 + 0.5) AS BIGINT)
-                    * CAST(FLOOR((1 - l_discount) * 1e6 + 0.5) AS BIGINT))
-                AS DOUBLE) / 1e12 AS sum_disc_price,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * CAST(FLOOR((1 - l_discount) * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1e4 AS sum_disc_price,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
@@ -493,18 +493,24 @@ def q_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the price x (1-discount) PRODUCT lands off the 1e-6 grid, so a
     # double->DECIMAL cast hits half-way ties the two engines round
     # differently (one tie flipped at sf0.1); quantizing each FACTOR
-    # to integer micros via the floor recipe keeps the product and its
-    # DECIMAL(38,0) sum exact and bit-identical on both engines
+    # via the floor recipe keeps the product and sum exact and
+    # bit-identical on both engines.  Factors quantize at their NATIVE
+    # precision (prices and discounts are 2-decimal data): cents x
+    # integer-percent keeps the per-row product <= ~1.1e9, so the sum
+    # runs as a plain codegen'd BIGINT sum — the r10 micros form
+    # needed a per-row DECIMAL(38,0) conversion + Decimal128 sum,
+    # which is what the r10 bench regression flagged.  Headroom: a
+    # bigint sum holds ~10^10 such rows per group; past that re-cast
+    # the product to decimal(38,0) (same expression, slower sum).
     disc_units = F.floor(
-        F.col("l_extendedprice") * F.lit(1e6) + F.lit(0.5)
-    ) * F.floor((F.lit(1) - F.col("l_discount")) * F.lit(1e6) + F.lit(0.5))
+        F.col("l_extendedprice") * F.lit(100) + F.lit(0.5)
+    ) * F.floor((F.lit(1) - F.col("l_discount")) * F.lit(100) + F.lit(0.5))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         _exact_sum("l_quantity").alias("sum_qty"),
         _exact_sum("l_extendedprice").alias("sum_base_price"),
-        (
-            F.sum(disc_units.cast("decimal(38,0)")).cast("double")
-            / F.lit(1e12)
-        ).alias("sum_disc_price"),
+        (F.sum(disc_units).cast("double") / F.lit(1e4)).alias(
+            "sum_disc_price"
+        ),
         (_exact_sum("l_quantity") / F.count(F.lit(1)).cast("double")).alias("avg_qty"),
         F.count(F.lit(1)).alias("count_order"),
     )
