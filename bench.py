@@ -191,6 +191,9 @@ HEADLINE = [
     ("retrieval_quality_metrics", "collect"),
     ("gif_frame_sampling", "collect"),
     ("audio_spectral_features", "collect"),
+    ("jpeg_image_stats", "collect"),
+    ("unigram_train", "collect"),
+    ("unigram_encode_corpus", "count"),
 ]
 
 

@@ -1,0 +1,296 @@
+"""Unigram-LM (SentencePiece-style) tokenizer training + encode —
+BPE's sibling (Kudo 2018, "Subword Regularization"; the unigram model
+of the SentencePiece toolkit — public algorithm), round-11 VERDICT
+ask #6.
+
+Pipeline (all on the bounded WORD VOCABULARY, never the corpus — the
+``operators/bpe.py`` scale shape):
+
+1. **Seed** (distributed): every substring up to ``max_piece_len``
+   chars of every vocab word, count-weighted — one explode + groupBy
+   whose cardinality is bounded by |vocab| x word_len x max_piece_len
+   (production SentencePiece enumerates the same candidates via a
+   suffix array; the explode form IS the distributed equivalent).
+   Top ``seed_size`` by (count DESC, piece ASC), plus every single
+   character (coverage).
+2. **Hard-EM** (distributed E-step): each iteration Viterbi-segments
+   every vocab word under the current piece log-probs inside ONE
+   Arrow kernel (piece table rides the closure — it is vocab-bounded,
+   never corpus-bounded), emits per-batch pre-aggregated (piece,
+   count) pairs, and one groupBy reduces them; the M-step re-estimates
+   log-probs driver-side on the piece-table-sized result.  Hard-EM
+   (Viterbi counts instead of full forward-backward marginals) is the
+   documented simplification — deterministic, and the fixpoint is the
+   same argmax segmentation the encoder uses.
+3. **Prune**: keep the ``vocab_size`` highest-count pieces (ties by
+   piece ASC), single characters always retained, then one final
+   re-estimate.
+
+Every score is an INTEGER: log-probs quantize to 1e-6 units via the
+repo's floor recipe, and the Viterbi objective packs (score, -n_tok)
+into one bigint (``combined = 64*score_units + 63 - n_tok``;
+n_tok <= max_word_len < 63, transitions add ``64*lp_units - 1``) so
+comparisons are exact, order-free, and the ENCODE replays in ANSI SQL
+as an unrolled integer DP — which is what makes
+``unigram_encode_corpus`` a full-oracle catalog query.  Words longer
+than ``max_word_len`` chars (or containing characters outside the
+piece table) fall back to one-token-per-character — the <unk>
+convention, mirrored exactly by the oracle.
+
+Reference parity: the reference repo has no tokenizer at all
+(dags/etl.py is a pandas scraper); this operator belongs to the
+LLM-data-pipeline surface.  tests/test_unigram.py pins the trainer
+against an independent single-node replay (the ``_reference_bpe``
+pattern).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+#: packing base for (score, n_tok): n_tok < 63 always (max_word_len
+#: is capped far below), so the low 6 bits hold 63 - n_tok exactly.
+_PACK = 64
+
+
+def _lp_units(count: int, total: int) -> int:
+    """Integer 1e-6-unit log-prob: floor(ln(c/total)*1e6 + 0.5) — the
+    repo's floor recipe, computed ONCE driver-side so engines never
+    re-derive a float."""
+    return int(math.floor(math.log(count / total) * 1e6 + 0.5))
+
+
+def viterbi_combined(
+    word: str, pieces: "dict[str, int]", max_piece_len: int
+) -> "tuple[int | None, list[str]]":
+    """Exact integer Viterbi over one word: returns (combined score at
+    the final position or None if unreachable, best piece path).
+    Ties break to the SMALLEST start position j (= the longest final
+    piece) — the first strict improvement wins, scanning j ascending.
+    The combined objective maximizes score then minimizes token count
+    (see module docstring)."""
+    n = len(word)
+    dp: "list[int | None]" = [None] * (n + 1)
+    back: "list[tuple[int, str] | None]" = [None] * (n + 1)
+    dp[0] = _PACK - 1  # score 0, 0 tokens -> 64*0 + 63
+    for k in range(1, n + 1):
+        best = None
+        best_j = None
+        for j in range(max(0, k - max_piece_len), k):
+            if dp[j] is None:
+                continue
+            lp = pieces.get(word[j:k])
+            if lp is None:
+                continue
+            v = dp[j] + _PACK * lp - 1
+            if best is None or v > best:
+                best, best_j = v, j
+        if best is not None:
+            dp[k] = best
+            back[k] = (best_j, word[best_j:k])
+    if dp[n] is None:
+        return None, []
+    path: "list[str]" = []
+    k = n
+    while k > 0:
+        j, piece = back[k]
+        path.append(piece)
+        k = j
+    path.reverse()
+    return dp[n], path
+
+
+def combined_to_ntok(combined: int) -> int:
+    """Recover the token count from a packed score: 63 - floor-mod-64
+    digit.  Floor division (not truncation) — combined is negative."""
+    return 63 - (combined - _PACK * (combined // _PACK))
+
+
+def seed_candidates(
+    vocab: DataFrame, max_piece_len: int = 4, seed_size: int = 1000
+) -> "list[tuple[str, int]]":
+    """Distributed seed enumeration: [(piece, weighted count)] for the
+    top ``seed_size`` substrings (count DESC, piece ASC) plus every
+    single character.  One explode + partial-aggregated groupBy; the
+    returned list is piece-table-sized."""
+    w = F.col("word")
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length(w)),
+            lambda s: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(max_piece_len), F.length(w) - s + 1),
+                ),
+                lambda l: F.substr(w, s, l),
+            ),
+        )
+    )
+    counts = (
+        vocab.select(F.explode(subs).alias("piece"), "cnt")
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("bigint").alias("c"))
+    )
+    # the single-partition window is fine here: `counts` is already the
+    # piece-candidate aggregate (vocab-bounded, not corpus-bounded)
+    ranked = counts.select(
+        "piece",
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("piece").asc()))
+        .alias("rn"),
+    )
+    kept = ranked.filter(
+        (F.col("rn") <= seed_size) | (F.length("piece") == 1)
+    ).select("piece", "c")
+    return [(r["piece"], int(r["c"])) for r in kept.collect()]
+
+
+def _estep_kernel(pieces: "dict[str, int]", max_piece_len: int, max_word_len: int):
+    """Arrow E-step: (word, cnt) batches -> pre-aggregated (piece, c)
+    usage counts under the CURRENT piece table.  Fallback words (too
+    long / unreachable) contribute one count per character."""
+
+    def run(batches: "Iterable[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        acc: "dict[str, int]" = {}
+        for batch in batches:
+            for word, cnt in zip(batch["word"], batch["cnt"]):
+                word, cnt = str(word), int(cnt)
+                if len(word) <= max_word_len:
+                    combined, path = viterbi_combined(word, pieces, max_piece_len)
+                else:
+                    combined, path = None, []
+                if combined is None:
+                    path = list(word)  # <unk>-per-char fallback
+                for piece in path:
+                    acc[piece] = acc.get(piece, 0) + cnt
+        if acc:
+            yield pd.DataFrame(
+                {"piece": list(acc), "c": [acc[p] for p in acc]}
+            )
+
+    return run
+
+
+def unigram_train(
+    vocab: DataFrame,
+    vocab_size: int = 400,
+    num_iters: int = 4,
+    max_piece_len: int = 4,
+    seed_size: int = 1000,
+    max_word_len: int = 20,
+) -> "list[tuple[str, int]]":
+    """Train the unigram piece table: returns [(piece, lp_units)]
+    sorted by piece.  See module docstring for the algorithm and
+    determinism contract; every EM iteration is ONE Arrow pass over
+    the vocab plus one piece-table-sized groupBy."""
+    seeds = seed_candidates(vocab, max_piece_len, seed_size)
+    total = sum(c for _, c in seeds)
+    pieces = {p: _lp_units(c, total) for p, c in seeds}
+    vocab = vocab.select("word", "cnt").localCheckpoint()
+
+    def m_step(
+        counts: "dict[str, int]", prune_to: "int | None"
+    ) -> "dict[str, int]":
+        # add-one smoothing on single characters ONLY: chars must stay
+        # alive for the fallback/coverage guarantee even when unused
+        c2 = {
+            p: counts.get(p, 0) + (1 if len(p) == 1 else 0)
+            for p in pieces
+            if counts.get(p, 0) > 0 or len(p) == 1
+        }
+        if prune_to is not None:
+            order = sorted(c2.items(), key=lambda kv: (-kv[1], kv[0]))
+            keep = {p for p, _ in order[:prune_to]}
+            keep |= {p for p in c2 if len(p) == 1}
+            c2 = {p: c for p, c in c2.items() if p in keep}
+        tot = sum(c2.values())
+        return {p: _lp_units(c, tot) for p, c in c2.items()}
+
+    for it in range(num_iters):
+        kernel = _estep_kernel(pieces, max_piece_len, max_word_len)
+        counts_rows = (
+            vocab.mapInPandas(kernel, "piece string, c bigint")
+            .groupBy("piece")
+            .agg(F.sum("c").cast("bigint").alias("c"))
+            .collect()
+        )
+        counts = {r["piece"]: int(r["c"]) for r in counts_rows}
+        # prune on the LAST iteration only: EM first converges the
+        # estimates over the full seed, then the table shrinks once
+        pieces = m_step(
+            counts, prune_to=vocab_size if it == num_iters - 1 else None
+        )
+    return sorted(pieces.items())
+
+
+def unigram_train_report(
+    spark: SparkSession, docs: DataFrame, text_col: str, **kw
+) -> DataFrame:
+    """Piece table as a DataFrame: (piece, lp_units)."""
+    from etl_tiki_webscraping_spark.operators.bpe import build_word_vocab
+
+    table = unigram_train(build_word_vocab(docs, text_col), **kw)
+    return spark.createDataFrame(table, "piece string, lp_units bigint")
+
+
+def unigram_encode_corpus(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    pieces: "list[tuple[str, int]]",
+    max_piece_len: int = 4,
+    max_word_len: int = 20,
+) -> DataFrame:
+    """Tokenize the corpus under a trained piece table and report per
+    document (n_words, n_tokens) — the bpe_encode_corpus twin for the
+    unigram tokenizer.
+
+    Scale shape: the corpus explodes to words, the DISTINCT word
+    vocabulary is Viterbi-encoded ONCE per word in an Arrow kernel
+    (the production shape bpe_encode_col's docstring prescribes for
+    big merge tables), the per-word token counts broadcast back onto
+    the word stream, and ONE map-side-combinable groupBy(id) carries
+    (doc_id, two bigints).  The integer DP is replayed exactly by the
+    catalog's generated SQL oracle (unrolled over positions)."""
+    table = dict(pieces)
+
+    def encode(batches: "Iterable[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for batch in batches:
+            out = []
+            for word in batch["word"]:
+                word = str(word)
+                if len(word) <= max_word_len:
+                    combined, _ = viterbi_combined(word, table, max_piece_len)
+                else:
+                    combined = None
+                out.append(
+                    len(word) if combined is None
+                    else combined_to_ntok(combined)
+                )
+            yield pd.DataFrame({"word": batch["word"], "nt": out})
+
+    from etl_tiki_webscraping_spark.functions.text import tokenize_ws
+
+    words = docs.select(
+        F.col(id_col),
+        F.explode(tokenize_ws(F.lower(F.col(text_col)))).alias("word"),
+    )
+    ntok = (
+        words.select("word")
+        .distinct()
+        .mapInPandas(encode, "word string, nt bigint")
+    )
+    return (
+        words.join(F.broadcast(ntok), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+        )
+    )

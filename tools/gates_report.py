@@ -36,14 +36,17 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 GATED_QUERIES = frozenset({
     "knn_lsh", "ann_recall_report", "knn_ivf", "knn_ivf_kmeans",
     "knn_pq_adc", "knn_ivf_pq", "lsh_pair_quality",
-    "dedup_minhash_lsh", "dedup_minhash_clusters",
     "corpus_pipeline_neardup", "crosscorpus_neardup_lsh",
-    "dedup_simhash", "dedup_embedding_cosine", "doc_fingerprint",
+    "dedup_simhash", "dedup_embedding_cosine",
     "approx_distinct_users", "hll_sketch_rollup",
     "streaming_sketch_maintenance", "kll_quantile_rollup",
     "cms_frequency_rollup", "theta_sketch_set_ops",
     "embedding_pca_variance", "bpe_train_merges",
     "logreg_quality_train", "audio_spectral_features",
+    "unigram_train",
+    # r11 upgraded doc_fingerprint / dedup_minhash_lsh /
+    # dedup_minhash_clusters to full DuckDB oracles; their gates below
+    # still run as bonus evidence, but they are no longer rows-only
 })
 
 ROWS: list[tuple[str, str, str, str, bool]] = []  # query, gate, measured, bound, ok
@@ -294,6 +297,87 @@ def main() -> int:
          f"{len(got_merges)} merges", "identical (rank, left, right)",
          got_merges == want_merges and len(got_merges) > 0)
 
+    # --- unigram-LM training: exact parity with a single-node replay
+    # (substring seed -> hard-EM packed-integer Viterbi -> prune; the
+    # same `counts` vocabulary the BPE gate collected) ----------------
+    import math as _math
+    from collections import defaultdict as _dd
+
+    def reference_unigram(word_counts, vocab_size=400, num_iters=4,
+                          M=4, seed_size=1000, K=20):
+        def lpu(c, total):
+            return int(_math.floor(_math.log(c / total) * 1e6 + 0.5))
+
+        sub = _dd(int)
+        for w, c in word_counts.items():
+            for s in range(len(w)):
+                for l in range(1, min(M, len(w) - s) + 1):
+                    sub[w[s:s + l]] += c
+        order = sorted(sub.items(), key=lambda kv: (-kv[1], kv[0]))
+        kept = dict(order[:seed_size])
+        for p, c in sub.items():
+            if len(p) == 1:
+                kept[p] = c
+        total = sum(kept.values())
+        lp = {p: lpu(c, total) for p, c in kept.items()}
+
+        def viterbi(w):
+            n = len(w)
+            dp = [None] * (n + 1)
+            back = [None] * (n + 1)
+            dp[0] = 63
+            for k in range(1, n + 1):
+                best = bj = None
+                for j in range(max(0, k - M), k):
+                    if dp[j] is None:
+                        continue
+                    u = lp.get(w[j:k])
+                    if u is None:
+                        continue
+                    v = dp[j] + 64 * u - 1
+                    if best is None or v > best:
+                        best, bj = v, j
+                if best is not None:
+                    dp[k] = best
+                    back[k] = bj
+            if dp[n] is None:
+                return None
+            path, k = [], n
+            while k > 0:
+                j = back[k]
+                path.append(w[j:k])
+                k = j
+            return path[::-1]
+
+        for it in range(num_iters):
+            cnt = _dd(int)
+            for w, c in word_counts.items():
+                path = viterbi(w) if len(w) <= K else None
+                if path is None:
+                    path = list(w)
+                for p in path:
+                    cnt[p] += c
+            c2 = {p: cnt.get(p, 0) + (1 if len(p) == 1 else 0)
+                  for p in lp if cnt.get(p, 0) > 0 or len(p) == 1}
+            if it == num_iters - 1:
+                order = sorted(c2.items(), key=lambda kv: (-kv[1], kv[0]))
+                keep = {p for p, _ in order[:vocab_size]}
+                keep |= {p for p in c2 if len(p) == 1}
+                c2 = {p: c for p, c in c2.items() if p in keep}
+            tot = sum(c2.values())
+            lp = {p: lpu(c, tot) for p, c in c2.items()}
+        return sorted(lp.items())
+
+    got_pieces = sorted(
+        (r["piece"], int(r["lp_units"]))
+        for r in QUERIES["unigram_train"].fn(spark, SF_DIR).collect()
+    )
+    want_pieces = reference_unigram(counts)
+    emit("unigram_train",
+         "exact piece-table parity vs single-node unigram-LM replay",
+         f"{len(got_pieces)} pieces", "identical (piece, lp_units)",
+         got_pieces == want_pieces and len(got_pieces) > 0)
+
     # --- logistic IRLS training: exact parity with a single-node
     # numpy replay on the identical features (tests/test_mlfit.py) ---
     from etl_tiki_webscraping_spark.functions.text import (
@@ -372,9 +456,11 @@ def main() -> int:
          "all rows-only queries gated", not missing)
     if missing:
         print("  ungated rows-only queries:", ", ".join(missing))
-    emit("(coverage)", "GATED_QUERIES constant in sync with measured set",
+    # measured may EXCEED declared: queries upgraded from rows-only to
+    # full oracles keep their gates as bonus evidence
+    emit("(coverage)", "every declared rows-only gate was measured",
          f"{len(gated_queries & GATED_QUERIES)}/{len(GATED_QUERIES)}",
-         "declared == measured", gated_queries == GATED_QUERIES)
+         "declared <= measured", GATED_QUERIES <= gated_queries)
 
     failures = [r for r in ROWS if not r[4]]
     print()
