@@ -658,11 +658,26 @@ def _bit_vote(h: Column, i: int) -> Column:
     return F.when(is_set, F.lit(1).cast("bigint")).otherwise(F.lit(-1).cast("bigint"))
 
 
+def _md5_hash64(t: Column) -> Column:
+    """Stable 64-bit token hash as the first 8 md5 bytes (big-endian),
+    built JVM-side from two 32-bit halves (``conv`` hands back decimal
+    STRINGS, and a full 16-hex value overflows the signed cast — the
+    hi half lands in the sign bit via the wrap of ``shiftleft``).
+    Byte-identical to the Arrow kernel's
+    ``int.from_bytes(md5(s)[:8], "big")`` and replayable in DuckDB as
+    ``('0x' || substr(md5(t), 1, 16))::UBIGINT``."""
+    hx = F.md5(t)
+    hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint")
+    lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("bigint")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 def simhash64(col: Column | str) -> Column:
     """64-bit SimHash over whitespace tokens, entirely JVM-side:
-    per-token xxhash64 -> per-bit +/-1 votes (bit masks unrolled in
-    Python — column-indexed shifts aren't expressible) -> sign ->
-    bit pack.
+    per-token md5-prefix hash (:func:`_md5_hash64` — same hash as the
+    Arrow kernel, so both forms produce identical signatures) ->
+    per-bit +/-1 votes (bit masks unrolled in Python — column-indexed
+    shifts aren't expressible) -> sign -> bit pack.
     """
     toks = tokenize_ws(F.lower(F.col(col) if isinstance(col, str) else col))
     zero64 = F.array_repeat(F.lit(0).cast("bigint"), 64)
@@ -671,7 +686,7 @@ def simhash64(col: Column | str) -> Column:
         zero64,
         lambda acc, t: F.zip_with(
             acc,
-            F.array(*[_bit_vote(F.xxhash64(t), i) for i in range(64)]),
+            F.array(*[_bit_vote(_md5_hash64(t), i) for i in range(64)]),
             lambda a, b: a + b,
         ),
     )
@@ -688,11 +703,15 @@ def simhash64(col: Column | str) -> Column:
 
 def simhash64_udf():
     """Arrow-vectorized SimHash kernel: stable 64-bit token hashes
-    (blake2b-8, node-independent), numpy bit-matrix votes, sign-packed
-    into one signed int64.  Same banding/verify contract as the
-    expression form but one batch kernel per Arrow chunk instead of an
-    interpreted 64-wide fold per token."""
-    from hashlib import blake2b
+    (first 8 md5 bytes big-endian — node-independent AND replayable in
+    ANSI SQL as ``('0x' || substr(md5(tok), 1, 16))::UBIGINT``, which
+    is what upgraded dedup_simhash from rows-only to a full DuckDB
+    oracle in round 11; was blake2b before the upgrade), numpy
+    bit-matrix votes, sign-packed into one signed int64.  Same
+    banding/verify contract as the expression form (identical hash, so
+    identical signatures) but one batch kernel per Arrow chunk instead
+    of an interpreted 64-wide fold per token."""
+    from hashlib import md5 as _md5
 
     shifts = np.arange(64, dtype=np.uint64)
 
@@ -706,7 +725,7 @@ def simhash64_udf():
                 continue
             h = np.fromiter(
                 (
-                    int.from_bytes(blake2b(s.encode(), digest_size=8).digest(), "little")
+                    int.from_bytes(_md5(s.encode()).digest()[:8], "big")
                     for s in toks
                 ),
                 dtype=np.uint64,

@@ -19,7 +19,8 @@ here bound that:
 
 - :func:`cms_build` / :func:`cms_merge` / :func:`cms_estimate` — a
   Count-Min sketch held as ordinary DataFrame rows ``(depth, bucket,
-  cnt)`` with seeded ``xxhash64`` bucket hashing: build is one
+  cnt)`` with seeded md5-derived bucket hashing (engine-portable —
+  DuckDB replays every cell, see ``_cms_bucket``): build is one
   map-side-combined groupBy bounded by depth x width cells per task,
   merging sketches of different batches is a plain additive groupBy
   (the re-aggregatable form rollups need), and estimates join probes
@@ -119,10 +120,30 @@ def heavy_hitters(
 
 
 def _cms_bucket(col: str, depth_col, width: int):
-    """Seeded bucket id: each depth row d hashes with a distinct seed
-    position so the d rows are pairwise-independent-ish, the classic
-    CMS construction with xxhash64 standing in for the hash family."""
-    return F.pmod(F.xxhash64(depth_col, F.col(col)), F.lit(width))
+    """Seeded bucket id: each depth row d hashes ``md5(d || ':' || v)``
+    (first 15 hex digits as a 60-bit non-negative bigint, mod width) so
+    the d rows are pairwise-independent-ish — the classic CMS
+    construction with an md5-derived hash family.  md5 (vs the old
+    xxhash64) makes the whole sketch ENGINE-PORTABLE: DuckDB replays a
+    cell as ``('0x' || substr(md5(d || ':' || v), 1, 15))::BIGINT %
+    width``, which is what upgraded cms_frequency_rollup from
+    rows-only to a full oracle in round 11.  The value participates
+    via its canonical string form — bucket identity must not depend on
+    an engine's integer byte layout."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", depth_col.cast("string"), F.col(col).cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(width),
+    )
 
 
 def cms_build(
@@ -194,7 +215,7 @@ def cms_estimate(
     probes = (
         items.select(F.col(col))
         # NULL probes mirror the build side's isNotNull filter: the
-        # sketch never counted NULLs, and xxhash64 SKIPS a null input,
+        # sketch never counted NULLs, and concat_ws DROPS a null input,
         # so a NULL probe would hash to a depth-only bucket and return
         # pure collision mass as a confident-looking estimate
         .where(F.col(col).isNotNull())

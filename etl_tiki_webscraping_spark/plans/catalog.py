@@ -138,28 +138,24 @@ def _driver_covered() -> "frozenset[str]":
 # automatically stalest-first, so forgetting an entry costs at most
 # ~ceil(catalog/50) rounds of evidence age, never unbounded drift.
 _DRIVER_FRESH = frozenset({
-    # r10 code changes:
-    #   - tpch_q9: integer-micros amount quantization (both engines);
-    #     tpch_q12: oracle SUMs cast BIGINT (both hash-FAILED in r9 —
-    #     the failing rows also no longer count as coverage, so these
-    #     would lead the window even without this list)
-    "tpch_q9",
-    "tpch_q12",
-    #   - pagerank per-row 1e-15 quantization (impl + oracle)
-    "graph_pagerank",
-    #   - histogram oracle bucket_lo/hi cast DOUBLE (Decimal leak)
-    "histogram_equi_width",
-    #   - exact_dedup single-pass NULL pass-through (coalesce key)
-    "dedup_exact_text",
-    "incremental_dedup_new_docs",
-    "corpus_pipeline_e2e",
-    #   - apply_changes whole-feed op validation before dedup
-    "cdc_apply_changes",
-    "cdc_replication_from_feed",
-    #   - stratified-sample threshold quantization (round(frac*100, 6))
-    "stratified_hash_sample",
-    #   - sum_disc_price factor-quantized (decimal-product tie at sf0.1)
+    # r11 code changes (the oracle UPGRADES — minhash pair,
+    # doc_fingerprint, dedup_simhash, cms_frequency_rollup — plus the
+    # brand-new unigram/jpeg queries change driver MODE and therefore
+    # lead the window via `prio` without being listed here):
+    #   - GIF LZW decode vectorized (int-table two-pass)
+    "gif_frame_sampling",
+    #   - BPE train incremental-delta driver-local fast path
+    "bpe_train_merges",
+    #   - centroid outliers: modal-length election folded into the
+    #     centroid aggregate (bench recovery, plan change)
+    "embedding_centroid_outliers",
+    #   - cheaper bit-strict sum_disc_price form (bench recovery)
     "groupby_agg_metrics",
+    #   - stream-stream join shuffle tuning
+    "streaming_stream_stream_join",
+    "streaming_stream_stream_left_outer",
+    #   - JPEG branch added to the shared multimodal decode dispatch
+    "multimodal_image_features",
 })
 
 
@@ -1102,8 +1098,60 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    oracle=None,  # xxhash64-based — rows-only
-    doc="SimHash near-dup candidates: 64-bit simhash, 16-bit chunk banding, hamming ≤ 3",
+    oracle=r"""
+    WITH sh_toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                           x -> x <> '') AS tok
+        FROM documents
+    ),
+    sh_h AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(u.w), 1, 16)) AS UBIGINT) AS h,
+               COUNT(*) AS cnt
+        FROM sh_toks, unnest(tok) AS u(w)
+        GROUP BY doc_id, h
+    ),
+    sh_votes AS (
+        SELECT doc_id, r.i,
+               SUM(CASE WHEN (h >> r.i) & 1 = 1 THEN cnt ELSE -cnt END) AS v
+        FROM sh_h, unnest(range(0, 64)) AS r(i)
+        GROUP BY doc_id, r.i
+    ),
+    sh_packed AS (
+        SELECT doc_id,
+               SUM(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << i ELSE 0 END) AS p
+        FROM sh_votes GROUP BY doc_id
+    ),
+    sh_sig AS (
+        SELECT d.doc_id, CAST(coalesce(p.p, 0) AS UBIGINT) AS s
+        FROM documents d LEFT JOIN sh_packed p USING (doc_id)
+    ),
+    sh_chunks AS (
+        SELECT doc_id, r.c AS chunk, (s >> (16 * r.c)) & 65535 AS val, s
+        FROM sh_sig, unnest(range(0, 4)) AS r(c)
+    ),
+    sh_keep AS (
+        SELECT chunk, val FROM sh_chunks
+        GROUP BY chunk, val HAVING COUNT(*) <= 1024
+    ),
+    sh_capped AS (
+        SELECT c.* FROM sh_chunks c JOIN sh_keep k USING (chunk, val)
+    )
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+           CAST(bit_count(xor(l.s, r.s)) AS INT) AS hamming
+    FROM sh_capped l
+    JOIN sh_capped r
+      ON l.chunk = r.chunk AND l.val = r.val AND l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.s, r.s)) <= 3
+    """,
+    doc="SimHash near-dup candidates: 64-bit simhash, 16-bit chunk banding, "
+        "hamming ≤ 3.  The DuckDB oracle replays the ENTIRE pipeline "
+        "(md5-prefix 64-bit token hashes — the round-11 blake2b→md5 swap "
+        "that made the signature SQL-expressible — duplicate-weighted "
+        "per-bit votes, HUGEINT sign-pack, 4×16-bit chunk banding, "
+        "cap-1024 hot buckets, full-width hamming verify); upgraded from "
+        "rows-only in r11",
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_tiki_webscraping_spark.operators.dedup import simhash_candidate_pairs
@@ -5399,8 +5447,27 @@ def q_kll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cms_frequency_rollup",
-    oracle=None,  # one-sided estimate by design; over-count-only + error
-                  # bound gated in unit tests
+    oracle=r"""
+    WITH cells AS (
+        SELECT r.d AS depth,
+               CAST(('0x' || substr(md5(r.d || ':' || user_id), 1, 15))
+                    AS BIGINT) % 2048 AS bucket,
+               COUNT(*) AS cnt
+        FROM events, unnest(range(0, 5)) AS r(d)
+        WHERE user_id IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    probes AS (
+        SELECT DISTINCT user_id, r.d AS depth,
+               CAST(('0x' || substr(md5(r.d || ':' || user_id), 1, 15))
+                    AS BIGINT) % 2048 AS bucket
+        FROM events, unnest(range(0, 5)) AS r(d)
+        WHERE user_id IS NOT NULL AND user_id < 50
+    )
+    SELECT p.user_id, CAST(MIN(coalesce(c.cnt, 0)) AS BIGINT) AS est_count
+    FROM probes p LEFT JOIN cells c USING (depth, bucket)
+    GROUP BY p.user_id
+    """,
     doc="DataFrame-native mergeable Count-Min sketch (operators/"
         "sketches.py::cms_build/cms_merge/cms_estimate): per-day "
         "frequency sketches of user activity held as (day, depth, "
@@ -5408,9 +5475,14 @@ def q_kll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bounded by depth x width cells per task, the day->global "
         "rollup is a plain additive groupBy over the bounded grid "
         "(never rescans events), and point estimates probe k seeded "
-        "xxhash64 buckets taking the min.  Estimates can only "
+        "md5-derived buckets taking the min.  Estimates can only "
         "OVER-count (CMS guarantee) — asserted with the eps-bound in "
-        "tests/test_sketches.py; rows-only driver check by contract.",
+        "tests/test_sketches.py.  The md5 hash family (round-11 "
+        "xxhash64 swap) makes every cell engine-portable, so the "
+        "DuckDB oracle replays the FULL sketch — build grid, day→"
+        "global additivity (a direct global groupBy equals the merged "
+        "day cells), probe min — not just the exact answer; upgraded "
+        "from rows-only in r11.",
 )
 def q_cms_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_tiki_webscraping_spark.operators.sketches import (
