@@ -194,6 +194,8 @@ HEADLINE = [
     ("jpeg_image_stats", "collect"),
     ("unigram_train", "collect"),
     ("unigram_encode_corpus", "count"),
+    ("gopher_repetition_stats", "count"),
+    ("gopher_repetition_filter", "count"),
 ]
 
 

@@ -11158,3 +11158,114 @@ def q_audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = ids.mapInPandas(gen, blob_schema)
     return extract_audio_spectral_features(blobs)
+
+
+# ===========================================================================
+# Round 11: Gopher-style repetition quality rules (operators/repetition.py)
+# ===========================================================================
+
+_GOPHER_STATS_CTES = r"""
+    rep_toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                           x -> x <> '') AS tok
+        FROM documents
+    ),
+    rep_base AS (
+        SELECT doc_id,
+               CAST(len(tok) AS INT) AS n_words,
+               CAST(length(array_to_string(tok, ' ')) AS INT) AS total_chars,
+               tok
+        FROM rep_toks
+    ),
+    rep_tagged AS (
+        SELECT doc_id, ns.n AS n,
+               CASE WHEN len(tok) >= ns.n THEN
+                   list_transform(range(1, len(tok) - ns.n + 2),
+                       i -> array_to_string(list_slice(tok, i, i + ns.n - 1), ' '))
+               ELSE [] END AS gs
+        FROM rep_base CROSS JOIN (SELECT unnest([2, 3, 4, 5]) AS n) AS ns
+    ),
+    rep_grams AS (SELECT doc_id, n, unnest(gs) AS g FROM rep_tagged),
+    rep_cnt AS (
+        SELECT doc_id, n, g, COUNT(*) AS c FROM rep_grams GROUP BY doc_id, n, g
+    ),
+    rep_per_n AS (
+        SELECT doc_id, n,
+               MAX(c * length(g)) AS top_mass,
+               SUM(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS dup_mass
+        FROM rep_cnt GROUP BY doc_id, n
+    ),
+    rep_wide AS (
+        SELECT doc_id,
+               MAX(CASE WHEN n = 2 THEN top_mass END) AS t2,
+               MAX(CASE WHEN n = 3 THEN top_mass END) AS t3,
+               MAX(CASE WHEN n = 4 THEN top_mass END) AS t4,
+               MAX(CASE WHEN n = 5 THEN dup_mass END) AS d5
+        FROM rep_per_n GROUP BY doc_id
+    ),
+    rep_stats AS (
+        SELECT b.doc_id, b.n_words, b.total_chars,
+               CAST(coalesce(w.t2, 0) AS BIGINT) AS top2gram_mass,
+               CAST(coalesce(w.t3, 0) AS BIGINT) AS top3gram_mass,
+               CAST(coalesce(w.t4, 0) AS BIGINT) AS top4gram_mass,
+               CAST(coalesce(w.d5, 0) AS BIGINT) AS dup5gram_mass,
+               CASE WHEN b.total_chars > 0 THEN
+                   CAST(coalesce(w.t2, 0) AS DOUBLE) / CAST(b.total_chars AS DOUBLE)
+               END AS top2gram_frac,
+               CASE WHEN b.total_chars > 0 THEN
+                   CAST(coalesce(w.t3, 0) AS DOUBLE) / CAST(b.total_chars AS DOUBLE)
+               END AS top3gram_frac,
+               CASE WHEN b.total_chars > 0 THEN
+                   CAST(coalesce(w.t4, 0) AS DOUBLE) / CAST(b.total_chars AS DOUBLE)
+               END AS top4gram_frac,
+               CASE WHEN b.total_chars > 0 THEN
+                   CAST(coalesce(w.d5, 0) AS DOUBLE) / CAST(b.total_chars AS DOUBLE)
+               END AS dup5gram_frac
+        FROM rep_base b LEFT JOIN rep_wide w USING (doc_id)
+    )
+"""
+
+
+@register(
+    "gopher_repetition_stats",
+    oracle=f"""
+    WITH {_GOPHER_STATS_CTES}
+    SELECT * FROM rep_stats
+    """,
+    doc="Gopher-style repetition signals (Rae et al. 2021 §A1.1, the "
+        "token-stream variant documented in operators/repetition.py): "
+        "per-doc top-2/3/4-gram character mass and duplicated-5-gram "
+        "mass as exact BIGINTs plus float64 fractions.  One tagged "
+        "explode into one map-side-combined groupBy — shuffle rows "
+        "bound by per-task distinct grams, no UDF.  The oracle replays "
+        "tokenize → gram → count → mass exactly; fractions are int64/"
+        "int64 IEEE divisions, bit-identical across engines.",
+)
+def q_gopher_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.repetition import repetition_signals
+
+    return repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "gopher_repetition_filter",
+    oracle=f"""
+    WITH {_GOPHER_STATS_CTES}
+    SELECT * FROM rep_stats
+    WHERE n_words >= 5
+      AND top2gram_mass * 5 <= total_chars * 1
+      AND top3gram_mass * 50 <= total_chars * 9
+      AND top4gram_mass * 25 <= total_chars * 4
+      AND dup5gram_mass * 20 <= total_chars * 3
+    """,
+    doc="documents SURVIVING the Gopher repetition thresholds (top-2/3/"
+        "4-gram char fraction <= 0.20/0.18/0.16, duplicated-5-gram "
+        "fraction <= 0.15, >= 5 words) — every threshold an integer "
+        "cross-multiplication so no float tie can flip a keep/drop "
+        "between engines (r10 float discipline)",
+)
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.repetition import repetition_filter
+
+    return repetition_filter(load_table(spark, sf_dir, "documents"))

@@ -678,6 +678,17 @@ def main() -> int:
           "Q22 no-recent-order anti join with the recency window "
           "pushed to the orders scan; scalar average broadcasts")
 
+    # --- round 11: Gopher repetition rules -----------------------------------
+    p = plan_of("gopher_repetition_stats")
+    check("gopher_repetition_stats",
+          "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p
+          and _no_text_in_exchanges(p)
+          and ("partial_count" in p or "partial" in p.lower()),
+          "gram-count exchanges carry (doc_id, n, gram<=5 tokens), "
+          "never full document text; gram counts partial-aggregate "
+          "map-side before the exchange")
+
     print()
     if failures:
         print(f"{len(failures)} plan check(s) FAILED")
