@@ -196,6 +196,7 @@ HEADLINE = [
     ("unigram_encode_corpus", "count"),
     ("gopher_repetition_stats", "count"),
     ("gopher_repetition_filter", "count"),
+    ("perplexity_terciles", "count"),
 ]
 
 

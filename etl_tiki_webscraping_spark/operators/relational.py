@@ -552,6 +552,142 @@ def cohort_retention(
     )
 
 
+def deletion_variant_keys(name: Column, max_distance: int) -> Column:
+    """All strings obtainable from ``name`` by deleting up to
+    ``max_distance`` characters (the deletion neighborhood of
+    Mor & Fraenkel 1982; SymSpell's candidate index), distinct, as an
+    array<string>.
+
+    The pigeonhole this buys: ``lev(a, b) <= k`` implies the two
+    del<=k neighborhoods INTERSECT (delete from ``a`` the characters
+    an optimal alignment substitutes-or-deletes, from ``b`` those it
+    substitutes-or-inserts: each side deletes <= k and the results are
+    equal).  So joining on a shared variant is an EXACT candidate
+    generator — no false negatives — whose selectivity follows the
+    variant strings (mostly-intact names), not any coarse block key.
+
+    Entirely JVM-side nested higher-order functions (no UDF); only
+    ``max_distance`` in {1, 2} is supported — neighborhood size is
+    C(L, <=k), which at k=3 (~1000 variants for L=20) stops being the
+    cheap side of the trade.
+    """
+    if max_distance not in (1, 2):
+        raise ValueError(
+            "deletion_variant_keys supports max_distance in {1, 2}; "
+            f"got {max_distance} (C(L, k) variants per row explodes past 2)"
+        )
+    L = F.length(name)
+    idx = F.sequence(F.lit(1), L)
+    empty = F.array().cast("array<string>")
+
+    def _del1(i: Column) -> Column:
+        return F.concat(name.substr(F.lit(1), i - 1), name.substr(i + 1, L - i))
+
+    def _del2(i: Column, j: Column) -> Column:
+        # j > i: drop chars i and j (1-based)
+        return F.concat(
+            name.substr(F.lit(1), i - 1),
+            name.substr(i + 1, j - i - 1),
+            name.substr(j + 1, L - j),
+        )
+
+    parts = [F.array(name)]
+    parts.append(
+        F.when(L >= 1, F.transform(idx, _del1)).otherwise(empty)
+    )
+    if max_distance == 2:
+        parts.append(
+            F.when(
+                L >= 2,
+                F.flatten(
+                    F.transform(
+                        idx,
+                        lambda i: F.transform(
+                            F.filter(idx, lambda j: j > i),
+                            lambda j: _del2(i, j),
+                        ),
+                    )
+                ),
+            ).otherwise(empty)
+        )
+    return F.array_distinct(F.flatten(F.array(*parts)))
+
+
+def deletion_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: Sequence[str],
+    max_distance: int = 2,
+) -> DataFrame:
+    """EXACT Levenshtein-``<= max_distance`` pairs within blocks via the
+    deletion-neighborhood join — the near-linear alternative to the
+    block self-join when blocks are huge.
+
+    Plan: each row explodes to its <= C(L, <=k)+L+1 deletion variants
+    (:func:`deletion_variant_keys`), each variant hashed to an 8-byte
+    md5-prefix key so the exchange carries (id, bigint) instead of
+    near-full-length strings; ONE self equi-join on (block key,
+    variant hash) -> distinct candidate pairs -> length-band +
+    thresholded-levenshtein verify (hash collisions are harmless —
+    verification is exact).  Cost is sum over variant-key buckets of
+    |bucket|^2, and bucket membership tracks NEAR-DUPLICATE density
+    (names within distance k of a common subsequence), not block
+    size: growing a block 100x grows this join ~100x, where the block
+    self-join grows 10,000x.
+
+    The sf10 scaling probe (tools/bench_sf10.py) is what surfaced the
+    need: customer blocks key on (nation, segment) whose cardinality
+    is CONSTANT in table size, so at 100x data every block is 100x
+    fatter and the self-join's sum(|block|^2) explodes quadratically.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(name_col).alias("name"),
+        *[F.col(c).alias(f"_bk{i}") for i, c in enumerate(block_cols)],
+    )
+    # explode in a SECOND select: a generator referencing a column
+    # aliased in the same projection trips Spark's lateral-column-alias
+    # check (INTERNAL_ERROR: LateralColumnAliasReference)
+    v = base.select(
+        "id",
+        "name",
+        *[f"_bk{i}" for i in range(len(block_cols))],
+        F.explode(
+            deletion_variant_keys(F.col("name"), max_distance)
+        ).alias("_variant"),
+    ).select(
+        "id",
+        "name",
+        *[f"_bk{i}" for i in range(len(block_cols))],
+        F.conv(F.substring(F.md5("_variant"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("_vh"),
+    )
+    bk = [f"_bk{i}" for i in range(len(block_cols))]
+    left = v.select(
+        F.col("id").alias("a_id"), F.col("name").alias("a_name"), *bk, "_vh"
+    )
+    right = v.select(
+        F.col("id").alias("b_id"), F.col("name").alias("b_name"), *bk, "_vh"
+    )
+    cand = (
+        left.join(right, [*bk, "_vh"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_name", "b_name")
+        .distinct()
+    )
+    dist = F.levenshtein("a_name", "b_name", int(max_distance))
+    return (
+        cand.filter(
+            F.abs(F.length("a_name") - F.length("b_name")) <= max_distance
+        )
+        .withColumn("distance", dist)
+        .filter(F.col("distance") >= 0)
+        .select("a_id", "b_id", "a_name", "b_name", "distance")
+    )
+
+
 def blocked_entity_match(
     df: DataFrame,
     id_col: str,
@@ -559,6 +695,7 @@ def blocked_entity_match(
     block_cols: Sequence[str],
     max_distance: int = 2,
     max_block_rows: int | None = None,
+    overflow: str = "exclude",
 ) -> DataFrame:
     """Blocked fuzzy entity matching (record linkage): candidate pairs
     are generated ONLY within a blocking key, then scored with exact
@@ -571,16 +708,27 @@ def blocked_entity_match(
     distance runs JVM-side (``F.levenshtein``, whole-stage codegen) on
     the blocked candidates only.  ``a_id < b_id`` canonicalizes pairs.
 
-    ``max_block_rows`` optionally EXCLUDES oversized blocks (a skewed
-    blocking key — e.g. a null-heavy column — degenerates back to
-    all-pairs inside that block; at 100 TB you cap it and route those
-    rows to a better key, exactly like the LSH hot-bucket cap in
-    operators/dedup.py).  Exclusion is per-block and deterministic, so
-    an oracle can replay it with a windowed count.
+    ``max_block_rows`` caps oversized blocks (a skewed blocking key —
+    e.g. a null-heavy column — degenerates back to all-pairs inside
+    that block; at 100 TB a single fat block stalls the stage).  What
+    happens to the capped rows is ``overflow``:
+
+    - ``"exclude"`` (default): drop oversized blocks entirely —
+      deterministic and oracle-replayable with a windowed count, but
+      lossy.
+    - ``"deletion_join"``: route oversized-block rows through
+      :func:`deletion_neighborhood_pairs` — the EXACT near-linear
+      candidate generator — so the result is IDENTICAL to the uncapped
+      self-join while the per-block cost stops being quadratic.  This
+      is the 100 TB configuration: equi-join for the small blocks
+      (cheapest when sum(|block|^2) is affordable), deletion join for
+      the fat ones.
 
     Returns (a_id, b_id, a_name, b_name, distance), one row per
     matched pair.
     """
+    if overflow not in ("exclude", "deletion_join"):
+        raise ValueError(f"unknown overflow policy {overflow!r}")
     blocks = [F.col(c) for c in block_cols]
     left = df.select(
         F.col(id_col).alias("a_id"),
@@ -592,6 +740,7 @@ def blocked_entity_match(
         F.col(name_col).alias("b_name"),
         *[F.col(c).alias(f"_bk{i}") for i, c in enumerate(block_cols)],
     )
+    hot_pairs = None
     if max_block_rows is not None:
         sizes = (
             df.groupBy(*blocks)
@@ -603,6 +752,22 @@ def blocked_entity_match(
         # broadcasts and prunes oversized blocks before the self-join
         left = left.join(F.broadcast(sizes), [f"_bk{i}" for i in range(len(block_cols))], "left_semi")
         right = right.join(F.broadcast(sizes), [f"_bk{i}" for i in range(len(block_cols))], "left_semi")
+        if overflow == "deletion_join":
+            hot_rows = df.join(
+                F.broadcast(
+                    sizes.select(
+                        *[
+                            F.col(f"_bk{i}").alias(c)
+                            for i, c in enumerate(block_cols)
+                        ]
+                    )
+                ),
+                list(block_cols),
+                "left_anti",
+            )
+            hot_pairs = deletion_neighborhood_pairs(
+                hot_rows, id_col, name_col, block_cols, max_distance
+            )
     bk = [f"_bk{i}" for i in range(len(block_cols))]
     pairs = left.join(right, bk).filter(F.col("a_id") < F.col("b_id"))
     # two cheap cuts before the DP: a length band (edit distance >=
@@ -610,7 +775,7 @@ def blocked_entity_match(
     # thresholded levenshtein (returns -1 past the threshold and
     # short-circuits the O(len^2) DP to O(len * max_distance))
     dist = F.levenshtein("a_name", "b_name", int(max_distance))
-    return (
+    out = (
         pairs.filter(
             F.abs(F.length("a_name") - F.length("b_name")) <= max_distance
         )
@@ -618,6 +783,9 @@ def blocked_entity_match(
         .filter(F.col("distance") >= 0)
         .select("a_id", "b_id", "a_name", "b_name", "distance")
     )
+    if hot_pairs is not None:
+        out = out.unionByName(hot_pairs)
+    return out
 
 
 def weighted_sample_per_group(
@@ -864,4 +1032,112 @@ def ordered_budget_select(
         )
         .filter(F.col("__cum") <= F.lit(budget))
         .select(*out_cols)
+    )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    order_col: str,
+    tie_col: str,
+    n: int = 3,
+    n_buckets: int = 256,
+    ascending: bool = True,
+    out_col: str = "tile",
+) -> DataFrame:
+    """``NTILE(n) OVER (ORDER BY order_col [ASC|DESC], tie_col ASC)``
+    without the single-partition global sort the window form compiles
+    to — the quantile-band assignment of CCNet-style perplexity
+    bucketing (head/middle/tail) and any other "label each row by its
+    global quantile" task.
+
+    Plan (the :func:`ordered_budget_select` two-pass prefix shape):
+
+    1. ONE aggregate finds [lo, hi] of ``order_col``; each row maps to
+       one of ``n_buckets`` equi-width range buckets, numbered so the
+       bucket index ascends in rank order.  The map is monotone and
+       equal values can never straddle a boundary, so bucket order
+       refines rank order.
+    2. ONE map-side-combined count per bucket; a window over
+       <= ``n_buckets`` rows turns that into strict-prior prefix
+       counts and the 1-row grand total broadcasts.
+    3. global rank = prior-bucket count + within-bucket row_number —
+       the within window is PARTITIONED BY bucket, parallel across
+       buckets, never global.
+
+    The tile is then pure integer arithmetic on the rank (NTILE's
+    exact definition: the first ``N mod n`` tiles get ``N div n + 1``
+    rows, the rest ``N div n``), so the result is row-for-row
+    identical to the window form and engine-portably exact — no float
+    participates after the monotone bucket map.
+
+    Rows with a NULL ``order_col`` are EXCLUDED (callers coalesce
+    first if NULL should rank).  Ties: ``tie_col`` must complete a
+    total order or ranks (and thus tiles at tile boundaries) are
+    nondeterministic — same contract as SQL NTILE with an
+    under-specified ORDER BY.  Skewed value distributions degrade
+    gracefully: a hot equi-width bucket serializes only ITS rows
+    through one window partition (worst case all-equal values -> one
+    bucket -> the global-window plan you started with).
+
+    The input is persisted (three consumers: range agg, bucket counts,
+    final rank join) — same lifecycle contract as
+    :func:`ordered_budget_select`.
+    """
+    if n < 1:
+        raise ValueError(f"NTILE needs n >= 1, got {n}")
+    df = df.filter(F.col(order_col).isNotNull()).persist()
+    lo_hi = df.agg(
+        F.min(order_col).alias("__lo"), F.max(order_col).alias("__hi")
+    )
+    with_b = df.join(F.broadcast(lo_hi))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(n_buckets)
+    pos = (
+        (F.col(order_col) - F.col("__lo"))
+        if ascending
+        else (F.col("__hi") - F.col(order_col))
+    )
+    bucket = (
+        F.when(F.col("__hi") <= F.col("__lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.greatest(F.lit(0), F.floor(pos / width)),
+            )
+        )
+        .cast("int")
+    )
+    with_b = with_b.withColumn("__bucket", bucket).drop("__lo", "__hi")
+    per_bucket = with_b.groupBy("__bucket").agg(
+        F.count(F.lit(1)).alias("__bn")
+    )
+    prior_w = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = per_bucket.select(
+        "__bucket",
+        F.coalesce(F.sum("__bn").over(prior_w), F.lit(0)).alias("__prior"),
+    )
+    total = per_bucket.agg(F.sum("__bn").alias("__total"))
+    order_expr = (
+        F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    )
+    within = Window.partitionBy("__bucket").orderBy(
+        order_expr, F.col(tie_col).asc()
+    )
+    ranked = (
+        with_b.join(F.broadcast(prefix), "__bucket")
+        .join(F.broadcast(total))
+        .withColumn("__rank", F.col("__prior") + F.row_number().over(within))
+    )
+    base = F.floor(F.col("__total") / n).cast("bigint")
+    rem = (F.col("__total") % n).cast("bigint")
+    big_cut = rem * (base + 1)  # rows covered by the (base+1)-sized tiles
+    tile = F.when(
+        F.col("__rank") <= big_cut,
+        F.floor((F.col("__rank") - 1) / (base + 1)) + 1,
+    ).otherwise(
+        rem + F.floor((F.col("__rank") - big_cut - 1) / base) + 1
+    )
+    return ranked.withColumn(out_col, tile.cast("int")).drop(
+        "__bucket", "__prior", "__total", "__rank"
     )

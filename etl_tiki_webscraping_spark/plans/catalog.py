@@ -156,6 +156,12 @@ _DRIVER_FRESH = frozenset({
     "streaming_stream_stream_left_outer",
     #   - JPEG branch added to the shared multimodal decode dispatch
     "multimodal_image_features",
+    #   - cap-64 + deletion-neighborhood overflow (sf10 probe finding:
+    #     block self-join quadratic in block fatness)
+    "entity_match_blocked",
+    "entity_resolution_clusters",
+    #   - KN scores refactored into the shared _kn_doc_scores helper
+    "doc_kneser_ney_logprob",
 })
 
 
@@ -7233,12 +7239,20 @@ def q_entity_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cust = load_table(spark, sf_dir, "customer")
+    # cap 64 + deletion_join overflow: EXACTLY the uncapped result (the
+    # deletion-neighborhood path is an exact candidate generator), but
+    # per-block cost stops being quadratic in block fatness — at sf0.01
+    # every block is under the cap (pure equi path), at sf0.1 every
+    # block is over it (pure deletion path), so the one oracle checks
+    # BOTH physical strategies across the driver's two SFs
     return blocked_entity_match(
         cust,
         id_col="c_custkey",
         name_col="c_name",
         block_cols=["c_nationkey", "c_mktsegment"],
         max_distance=2,
+        max_block_rows=64,
+        overflow="deletion_join",
     )
 
 
@@ -8553,9 +8567,15 @@ def q_entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cust = load_table(spark, sf_dir, "customer")
+    # same cap-64 + deletion_join config as entity_match_blocked: the
+    # sf10 probe showed the plain block self-join exploding 10,000x at
+    # 100x data (block-key cardinality is constant in table size);
+    # routing fat blocks through the exact deletion-neighborhood join
+    # keeps the identical edge set at near-linear cost
     edges = blocked_entity_match(
         cust, "c_custkey", "c_name",
         ["c_nationkey", "c_mktsegment"], max_distance=2,
+        max_block_rows=64, overflow="deletion_join",
     ).select(F.col("a_id").alias("id_a"), F.col("b_id").alias("id_b"))
     comps = connected_components(edges)
     return (
@@ -10519,10 +10539,11 @@ def q_embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame
     return centroid_cosine_outliers(emb, "embedding", "vec_id", "label", k=5)
 
 
-@register(
-    "doc_kneser_ney_logprob",
-    oracle="""
-    WITH toks AS (
+# Shared KN-score replay: CTEs ending in ``kn_scores (doc_id,
+# n_bigrams, avg_logprob)`` — used by doc_kneser_ney_logprob and the
+# perplexity_terciles band assignment (round 11).
+_KN_SCORE_CTES = r"""
+    kn_toks AS (
       SELECT doc_id, unnest(terms) AS term,
              generate_subscripts(terms, 1) AS pos
       FROM (SELECT doc_id,
@@ -10530,36 +10551,46 @@ def q_embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame
                                t -> t <> '') AS terms
             FROM documents)
     ),
-    bigrams AS (
+    kn_bigrams AS (
       SELECT doc_id,
              lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
              term AS cur
-      FROM toks
+      FROM kn_toks
       QUALIFY prev IS NOT NULL
     ),
-    c2 AS (SELECT prev, cur, COUNT(*) AS n2 FROM bigrams GROUP BY 1, 2),
-    c1 AS (SELECT prev, CAST(SUM(n2) AS BIGINT) AS n1,
+    kn_c2 AS (SELECT prev, cur, COUNT(*) AS n2 FROM kn_bigrams GROUP BY 1, 2),
+    kn_c1 AS (SELECT prev, CAST(SUM(n2) AS BIGINT) AS n1,
                   COUNT(*) AS nv
-           FROM c2 GROUP BY 1),
-    cw AS (SELECT cur, COUNT(*) AS nw FROM c2 GROUP BY 1),
-    tt AS (SELECT COUNT(*) AS t FROM c2),
-    lookup AS (
-      SELECT c2.prev, c2.cur,
+           FROM kn_c2 GROUP BY 1),
+    kn_cw AS (SELECT cur, COUNT(*) AS nw FROM kn_c2 GROUP BY 1),
+    kn_tt AS (SELECT COUNT(*) AS t FROM kn_c2),
+    kn_lookup AS (
+      SELECT kn_c2.prev, kn_c2.cur,
              CAST(FLOOR(ln(
-                 (CAST(c2.n2 AS DOUBLE) - 0.75) / CAST(c1.n1 AS DOUBLE)
-                 + (0.75 * CAST(c1.nv AS DOUBLE) / CAST(c1.n1 AS DOUBLE))
-                   * (CAST(cw.nw AS DOUBLE) / CAST(tt.t AS DOUBLE))
+                 (CAST(kn_c2.n2 AS DOUBLE) - 0.75) / CAST(kn_c1.n1 AS DOUBLE)
+                 + (0.75 * CAST(kn_c1.nv AS DOUBLE) / CAST(kn_c1.n1 AS DOUBLE))
+                   * (CAST(kn_cw.nw AS DOUBLE) / CAST(kn_tt.t AS DOUBLE))
              ) * 1e8 + 0.5) AS BIGINT) AS lp_units
-      FROM c2
-      JOIN c1 ON c2.prev = c1.prev
-      JOIN cw ON c2.cur = cw.cur
-      CROSS JOIN tt
+      FROM kn_c2
+      JOIN kn_c1 ON kn_c2.prev = kn_c1.prev
+      JOIN kn_cw ON kn_c2.cur = kn_cw.cur
+      CROSS JOIN kn_tt
+    ),
+    kn_scores AS (
+      SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(CAST(l.lp_units AS DECIMAL(38,0))) AS DOUBLE)
+                 / COUNT(*) / 1e8 AS avg_logprob
+      FROM kn_bigrams b JOIN kn_lookup l ON b.prev = l.prev AND b.cur = l.cur
+      GROUP BY b.doc_id
     )
-    SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           CAST(SUM(CAST(l.lp_units AS DECIMAL(38,0))) AS DOUBLE)
-               / COUNT(*) / 1e8 AS avg_logprob
-    FROM bigrams b JOIN lookup l ON b.prev = l.prev AND b.cur = l.cur
-    GROUP BY b.doc_id
+"""
+
+
+@register(
+    "doc_kneser_ney_logprob",
+    oracle=f"""
+    WITH {_KN_SCORE_CTES}
+    SELECT doc_id, n_bigrams, avg_logprob FROM kn_scores
     """,
     doc="interpolated Kneser-Ney bigram scoring (absolute discount "
         "D=0.75): P(w|v) = max(c(vw)-D,0)/c(v) + D*N1+(v,.)/c(v) * "
@@ -10580,6 +10611,14 @@ def q_embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame
         "bit-identical at any precision.",
 )
 def q_doc_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _kn_doc_scores(spark, sf_dir)
+
+
+def _kn_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob) Kneser-Ney score table — the
+    shared engine of doc_kneser_ney_logprob and perplexity_terciles;
+    see the former's doc for the plan shape and the 1e-8-unit
+    quantization that makes avg_logprob bit-identical cross-engine."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -11269,3 +11308,49 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_tiki_webscraping_spark.operators.repetition import repetition_filter
 
     return repetition_filter(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "perplexity_terciles",
+    oracle=f"""
+    WITH {_KN_SCORE_CTES}
+    SELECT doc_id, n_bigrams, avg_logprob,
+           CAST(NTILE(3) OVER (ORDER BY avg_logprob DESC, doc_id ASC)
+                AS INT) AS tile,
+           CASE NTILE(3) OVER (ORDER BY avg_logprob DESC, doc_id ASC)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS band
+    FROM kn_scores
+    """,
+    doc="CCNet-style perplexity band assignment (Wenzek et al. 2020): "
+        "every document labeled head/middle/tail by LM-score tercile "
+        "— the bucketing CCNet uses to stratify CommonCrawl by KenLM "
+        "perplexity before sampling.  Score = the bit-strict "
+        "doc_kneser_ney_logprob average (higher avg_logprob = lower "
+        "perplexity = head); ties break on doc_id so the order is "
+        "total.  The tercile is operators/relational.py::"
+        "distributed_ntile — NTILE(3) via the two-pass range-bucket "
+        "prefix-count plan (no single-partition global sort; the only "
+        "global structures are the 256-row bucket-count table and a "
+        "1-row total, both broadcast), row-for-row identical to the "
+        "window form, which is exactly what the oracle runs.",
+)
+def q_perplexity_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.relational import (
+        distributed_ntile,
+    )
+
+    scores = _kn_doc_scores(spark, sf_dir)
+    banded = distributed_ntile(
+        scores, "avg_logprob", "doc_id", n=3, ascending=False
+    )
+    return banded.select(
+        "doc_id",
+        "n_bigrams",
+        "avg_logprob",
+        "tile",
+        F.when(F.col("tile") == 1, F.lit("head"))
+        .when(F.col("tile") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("band"),
+    )

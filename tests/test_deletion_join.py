@@ -1,0 +1,128 @@
+"""Deletion-neighborhood entity matching
+(operators/relational.py::deletion_variant_keys /
+deletion_neighborhood_pairs / blocked_entity_match overflow): the
+exact-pigeonhole guarantee vs a brute-force python replay, and the
+overflow union's equality with the plain block self-join."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_tiki_webscraping_spark.operators.relational import (
+    blocked_entity_match,
+    deletion_neighborhood_pairs,
+    deletion_variant_keys,
+)
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+NAMES = [
+    "Customer#000000001",
+    "Customer#000000002",  # sub of 1 (d=1)
+    "Customer#000010002",  # sub of 2 (d=1), sub2 of 1 (d=2)
+    "Customer#900010002",  # d=1 from previous
+    "Customer#123456789",  # far from all
+    "Customer#00000001",   # deletion of 1 (d=1)
+    "Xustomer#000000001",  # substitution in the CONSTANT prefix
+    "ab",                  # short strings
+    "a",
+    "",
+]
+ROWS = [(i, n, 1) for i, n in enumerate(NAMES)]
+SCHEMA = "id long, name string, blk int"
+
+
+def _truth_pairs(max_d: int) -> set:
+    return {
+        (i, j)
+        for (i, a), (j, b) in itertools.combinations(enumerate(NAMES), 2)
+        if _lev(a, b) <= max_d
+    }
+
+
+def test_variant_keys_match_python_enumeration(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    got = {
+        r["name"]: set(r["v"])
+        for r in df.select(
+            "name", deletion_variant_keys(F.col("name"), 2).alias("v")
+        ).collect()
+    }
+    for name in NAMES:
+        want = {name}
+        want |= {name[:i] + name[i + 1 :] for i in range(len(name))}
+        want |= {
+            name[:i] + name[i + 1 : j] + name[j + 1 :]
+            for i in range(len(name))
+            for j in range(i + 1, len(name))
+        }
+        assert got[name] == want, name
+
+
+@pytest.mark.parametrize("max_d", [1, 2])
+def test_deletion_pairs_exact(spark, max_d):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in deletion_neighborhood_pairs(
+            df, "id", "name", ["blk"], max_distance=max_d
+        ).collect()
+    }
+    assert got == _truth_pairs(max_d)
+
+
+def test_overflow_union_equals_uncapped_self_join(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    plain = {
+        tuple(r)
+        for r in blocked_entity_match(df, "id", "name", ["blk"]).collect()
+    }
+    # cap of 3 forces the single 10-row block through the deletion path
+    routed = {
+        tuple(r)
+        for r in blocked_entity_match(
+            df, "id", "name", ["blk"],
+            max_block_rows=3, overflow="deletion_join",
+        ).collect()
+    }
+    assert routed == plain
+    # mixed: one small block stays on the equi path, the big one routes
+    mixed_rows = ROWS + [(100, "zz", 2), (101, "zz", 2)]
+    df2 = spark.createDataFrame(mixed_rows, SCHEMA)
+    plain2 = {
+        tuple(r)
+        for r in blocked_entity_match(df2, "id", "name", ["blk"]).collect()
+    }
+    routed2 = {
+        tuple(r)
+        for r in blocked_entity_match(
+            df2, "id", "name", ["blk"],
+            max_block_rows=3, overflow="deletion_join",
+        ).collect()
+    }
+    assert routed2 == plain2
+    assert (100, 101, "zz", "zz", 0) in routed2
+
+
+def test_rejects_unsupported_distance_and_policy(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    with pytest.raises(ValueError):
+        deletion_neighborhood_pairs(df, "id", "name", ["blk"], max_distance=3)
+    with pytest.raises(ValueError):
+        blocked_entity_match(
+            df, "id", "name", ["blk"], max_block_rows=3, overflow="nope"
+        )

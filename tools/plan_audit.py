@@ -678,6 +678,26 @@ def main() -> int:
           "Q22 no-recent-order anti join with the recency window "
           "pushed to the orders scan; scalar average broadcasts")
 
+    # --- round 11: distributed NTILE (perplexity bands) ----------------------
+    p = plan_of("perplexity_terciles")
+    check("perplexity_terciles",
+          "hashpartitioning(__bucket" in p
+          and "CartesianProduct" not in p,
+          "rank window PARTITIONED BY range bucket (parallel), never a "
+          "global sort of the score table; only the <=256-row "
+          "bucket-count prefix is single-partition")
+
+    # --- round 11: deletion-neighborhood entity matching ---------------------
+    p = plan_of("entity_match_blocked")
+    check("entity_match_blocked",
+          "levenshtein" in p
+          and "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p
+          and "_vh" in p,
+          "fat blocks route through the md5-hashed deletion-variant "
+          "equi-join (exchanges carry 8-byte variant hashes); "
+          "verification is inline thresholded levenshtein")
+
     # --- round 11: Gopher repetition rules -----------------------------------
     p = plan_of("gopher_repetition_stats")
     check("gopher_repetition_stats",
