@@ -995,16 +995,17 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load_table(spark, sf_dir, "documents"), "text", "doc_id")
 
 
-def _minhash_lsh_ctes() -> str:
-    """The full MinHash-LSH replay as DuckDB CTEs ending in ``edges``
-    (verified duplicate pairs, id_a < id_b) — shared by the
-    dedup_minhash_lsh and dedup_minhash_clusters oracles (round-11
-    VERDICT ask #4: the kernel's md5-based hashes made the whole
-    pipeline SQL-expressible).  Embeds the kernel's exact seeded
-    universal-hash constants as literals (the language_id pattern):
-    tokenize -> distinct 3-shingles -> 31-bit md5-prefix base hash ->
-    (a*h + b) mod p column-min signature -> 16 x 4 bands -> 15-hex-md5
-    bucket ids -> cap-1024 bucket join -> exact hset-Jaccard >= 0.8."""
+def _minhash_sig_ctes(src: str = "documents") -> str:
+    """MinHash signature/banding replay as DuckDB CTEs through
+    ``mh_buckets`` (plus ``mh_sh`` raw shingle sets for string-level
+    Jaccard verification) over relation ``src(doc_id, text)`` — the
+    shared front half of every MinHash oracle (round-11 VERDICT ask
+    #4: the kernel's md5-based hashes made the whole pipeline
+    SQL-expressible).  Embeds the kernel's exact seeded universal-hash
+    constants as literals (the language_id pattern): tokenize ->
+    distinct 3-shingles -> 31-bit md5-prefix base hash -> (a*h + b)
+    mod p column-min signature -> 16 x 4 bands -> 15-hex-md5 bucket
+    ids."""
     from etl_tiki_webscraping_spark.operators.dedup import (
         minhash_hash_params,
     )
@@ -1019,7 +1020,7 @@ def _minhash_lsh_ctes() -> str:
         SELECT doc_id,
                list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
                            x -> x <> '') AS tok
-        FROM documents
+        FROM {src}
     ),
     mh_sh AS (
         SELECT doc_id,
@@ -1052,7 +1053,17 @@ def _minhash_lsh_ctes() -> str:
                    list_slice(s, band * 4 + 1, band * 4 + 4), ',')), 1, 15))
                    AS BIGINT) AS bucket
         FROM mh_sigarr, unnest(range(0, 16)) AS r(band)
-    ),
+    )
+    """
+
+
+def _minhash_lsh_ctes(src: str = "documents") -> str:
+    """The full MinHash-LSH replay ending in ``edges`` (verified
+    duplicate pairs, id_a < id_b): :func:`_minhash_sig_ctes` plus
+    cap-1024 bucket join -> exact hset-Jaccard >= 0.8 — shared by
+    dedup_minhash_lsh, dedup_minhash_clusters, and (via ``src``) the
+    corpus_pipeline_neardup oracle."""
+    return rf"""{_minhash_sig_ctes(src)},
     mh_keep AS (
         SELECT band, bucket FROM mh_buckets
         GROUP BY band, bucket HAVING COUNT(*) <= 1024
@@ -3292,8 +3303,13 @@ def q_lsh_pair_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # near-dup variant swaps in MinHash-LSH dedup (seeded, rows-only).
 # ===========================================================================
 
-_CORPUS_PIPELINE_SQL = r"""
-    WITH quality AS (
+# head (quality gate -> decontamination -> clean) and tail (token
+# count -> shard/pack -> split) of the corpus-pipeline replay, shared
+# by the exact-dedup (corpus_pipeline_e2e) and MinHash-LSH
+# (corpus_pipeline_neardup) compositions — only the dedup stage in the
+# middle differs.
+_CORPUS_HEAD_SQL = r"""
+    quality AS (
         SELECT doc_id, text
         FROM documents
         WHERE text IS NOT NULL
@@ -3323,15 +3339,10 @@ _CORPUS_PIPELINE_SQL = r"""
         SELECT q.doc_id, q.text FROM quality q
         WHERE q.doc_id % 50 <> 0
           AND q.doc_id NOT IN (SELECT doc_id FROM contaminated)
-    ),
-    deduped AS (
-        SELECT doc_id, text FROM (
-            SELECT *, ROW_NUMBER() OVER (
-                PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
-                ORDER BY doc_id ASC
-            ) AS rn FROM clean
-        ) WHERE rn = 1
-    ),
+    )
+"""
+
+_CORPUS_TAIL_SQL = r"""
     counted AS (
         SELECT doc_id,
                CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))
@@ -3352,6 +3363,19 @@ _CORPUS_PIPELINE_SQL = r"""
                ELSE 'test'
            END AS split
     FROM c
+"""
+
+_CORPUS_PIPELINE_SQL = rf"""
+    WITH {_CORPUS_HEAD_SQL},
+    deduped AS (
+        SELECT doc_id, text FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                ORDER BY doc_id ASC
+            ) AS rn FROM clean
+        ) WHERE rn = 1
+    ),
+    {_CORPUS_TAIL_SQL}
 """
 
 
@@ -3414,11 +3438,25 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_pipeline_neardup",
-    oracle=None,  # MinHash-LSH stage is seeded — rows-only
+    oracle=rf"""
+    WITH {_CORPUS_HEAD_SQL},
+    {_minhash_lsh_ctes(src="clean")},
+    nd_dup AS (SELECT DISTINCT id_b FROM edges),
+    deduped AS (
+        SELECT cl.doc_id, cl.text FROM clean cl
+        LEFT JOIN nd_dup d ON d.id_b = cl.doc_id
+        WHERE d.id_b IS NULL
+    ),
+    {_CORPUS_TAIL_SQL}
+    """,
     doc="the same composed corpus pipeline with MinHash-LSH near-dup removal "
         "(threshold 0.8) in place of exact dedup — proves the approximate tier "
-        "composes into the chain; correctness of the LSH stage itself is gated "
-        "by lsh_pair_quality + tests/test_quality_gates.py",
+        "composes into the chain.  Upgraded from rows-only in r11: the oracle "
+        "splices the full MinHash-LSH replay (signatures over the CLEANED "
+        "corpus, cap-1024, hset-Jaccard >= 0.8, drop-higher-id) between the "
+        "shared pipeline head (quality gate + decontamination) and tail "
+        "(token packing + split); pair quality additionally gated by "
+        "lsh_pair_quality + tests/test_quality_gates.py",
 )
 def q_corpus_pipeline_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _corpus_pipeline(spark, sf_dir, near_dup=True)
@@ -3610,13 +3648,55 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "crosscorpus_neardup_lsh",
-    oracle=None,  # xxhash64-based LSH signatures — rows-only by contract
+    oracle=f"""
+    WITH {_minhash_sig_ctes()},
+    cc_flag AS (
+        SELECT doc_id,
+               (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 100) < 70 AS is_old
+        FROM documents
+    ),
+    cc_new AS (
+        SELECT b.doc_id, b.band, b.bucket
+        FROM mh_buckets b JOIN cc_flag f USING (doc_id) WHERE NOT f.is_old
+    ),
+    cc_old AS (
+        SELECT b.doc_id, b.band, b.bucket
+        FROM mh_buckets b JOIN cc_flag f USING (doc_id) WHERE f.is_old
+    ),
+    cc_new_keep AS (
+        SELECT band, bucket FROM cc_new
+        GROUP BY band, bucket HAVING COUNT(*) <= 1024
+    ),
+    cc_old_keep AS (
+        SELECT band, bucket FROM cc_old
+        GROUP BY band, bucket HAVING COUNT(*) <= 1024
+    ),
+    cc_cand AS (
+        SELECT DISTINCT n.doc_id AS id_a, o.doc_id AS id_b
+        FROM (SELECT c.* FROM cc_new c JOIN cc_new_keep USING (band, bucket)) n
+        JOIN (SELECT c.* FROM cc_old c JOIN cc_old_keep USING (band, bucket)) o
+          USING (band, bucket)
+    )
+    SELECT c.id_a AS new_id, c.id_b AS old_id
+    FROM cc_cand c
+    JOIN mh_sh sa ON sa.doc_id = c.id_a
+    JOIN mh_sh sb ON sb.doc_id = c.id_b
+    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+                 AS DOUBLE) >= 0.8
+    """,
     doc="incremental-crawl NEAR-dup: MinHash-LSH candidates between the new "
         "slice and the existing corpus (minhash_candidate_pairs_cross — bare "
         "(band,bucket,id) join, per-side hot-bucket cap), verified by exact "
         "n-gram Jaccard >= 0.8 on candidates only.  The cross-corpus analog "
         "of dedup_minhash_lsh: candidate generation never compares new x old "
-        "exhaustively, and document text never enters an exchange",
+        "exhaustively, and document text never enters an exchange.  The "
+        "DuckDB oracle replays the whole thing — shared signature CTEs, the "
+        "md5(doc_id)%100 old/new split, per-side cap-1024, string-shingle "
+        "Jaccard verify (this query verifies on raw shingles where "
+        "dedup_minhash_lsh verifies on the 31-bit hset) — upgraded from "
+        "rows-only in r11 (the kernel's md5 hashes made it replayable)",
 )
 def q_crosscorpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_tiki_webscraping_spark.operators.dedup import (
