@@ -1113,10 +1113,11 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_simhash",
-    oracle=r"""
-    WITH sh_toks AS (
+# SimHash replay CTEs (through the capped chunk table) + the pair
+# SELECT tail — shared by the dedup_simhash oracle and
+# lsh_pair_quality's simhash candidate leg.
+_SIMHASH_CTES = r"""
+    sh_toks AS (
         SELECT doc_id,
                list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
                            x -> x <> '') AS tok
@@ -1155,13 +1156,21 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_capped AS (
         SELECT c.* FROM sh_chunks c JOIN sh_keep k USING (chunk, val)
     )
+"""
+
+_SIMHASH_PAIRS_SQL = r"""
     SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
            CAST(bit_count(xor(l.s, r.s)) AS INT) AS hamming
     FROM sh_capped l
     JOIN sh_capped r
       ON l.chunk = r.chunk AND l.val = r.val AND l.doc_id < r.doc_id
     WHERE bit_count(xor(l.s, r.s)) <= 3
-    """,
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"WITH {_SIMHASH_CTES} {_SIMHASH_PAIRS_SQL}",
     doc="SimHash near-dup candidates: 64-bit simhash, 16-bit chunk banding, "
         "hamming ≤ 3.  The DuckDB oracle replays the ENTIRE pipeline "
         "(md5-prefix 64-bit token hashes — the round-11 blake2b→md5 swap "
@@ -3265,13 +3274,54 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "lsh_pair_quality",
-    oracle=None,  # measures seeded-LSH candidates — not SQL-replayable
+    oracle=f"""
+    WITH {_minhash_lsh_ctes()},
+    {_SIMHASH_CTES},
+    pq_truth AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM mh_hs a JOIN mh_hs b ON b.doc_id > a.doc_id
+        WHERE CAST(len(list_intersect(a.hset, b.hset)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.hset, b.hset)))
+                     AS DOUBLE) >= 0.8
+    ),
+    pq_sim AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM sh_capped l JOIN sh_capped r
+          ON l.chunk = r.chunk AND l.val = r.val AND l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.s, r.s)) <= 3
+    ),
+    pq AS (
+        SELECT 'minhash_lsh_t0.8' AS method,
+               (SELECT COUNT(*) FROM mh_cand) AS n_candidates,
+               (SELECT COUNT(*) FROM pq_truth) AS n_truth,
+               (SELECT COUNT(*) FROM mh_cand c
+                 JOIN pq_truth t ON t.id_a = c.id_a AND t.id_b = c.id_b)
+                   AS n_hit
+        UNION ALL
+        SELECT 'simhash_h3',
+               (SELECT COUNT(*) FROM pq_sim),
+               (SELECT COUNT(*) FROM pq_truth),
+               (SELECT COUNT(*) FROM pq_sim c
+                 JOIN pq_truth t ON t.id_a = c.id_a AND t.id_b = c.id_b)
+    )
+    SELECT method,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           round(CAST(n_hit AS DOUBLE) / n_candidates, 4) AS precision,
+           round(CAST(n_hit AS DOUBLE) / n_truth, 4) AS recall
+    FROM pq
+    """,
     doc="candidate-pair precision/recall of MinHash-LSH (threshold 0.8, its "
         "advertised operating point) and SimHash (hamming<=3 band) against "
         "EXACT all-pairs n-gram Jaccard ground truth on the documents fixture; "
         "one row per method.  Truth builder is O(n^2) on hashed shingle sets — "
         "gate-measurement scope (bounded slice), while the generators under "
-        "test are the 100 TB paths",
+        "test are the 100 TB paths.  Upgraded from rows-only in r11: with "
+        "both generators AND the truth builder on the md5-prefix hash "
+        "recipes, the oracle replays candidates, ground truth (same 31-bit "
+        "hset — even hash collisions match), and the precision/recall "
+        "arithmetic end-to-end",
 )
 def q_lsh_pair_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_tiki_webscraping_spark.operators.dedup import (

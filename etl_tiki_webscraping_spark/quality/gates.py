@@ -170,8 +170,12 @@ def exact_jaccard_pairs_all(
     path being measured against it.
 
     Shape note even so: shingle sets are hashed to bigint arrays first
-    (xxhash64 per shingle) so the quadratic join compares int arrays,
-    not strings, and the pair frame carries only (id, hashes).
+    (the MinHash kernel's 31-bit md5-prefix recipe — first 4 md5 bytes
+    masked to 31 bits, which made this truth builder SQL-replayable in
+    r11 exactly like the kernel: the oracle reuses the same ``hset``
+    CTE, so even the rare 31-bit collisions match bit-for-bit) so the
+    quadratic join compares int arrays, not strings, and the pair
+    frame carries only (id, hashes).
     """
     from etl_tiki_webscraping_spark.operators.dedup import shingles
 
@@ -179,7 +183,12 @@ def exact_jaccard_pairs_all(
         F.col(id_col).alias("id"),
         F.array_sort(
             F.array_distinct(
-                F.transform(shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
+                F.transform(
+                    shingles(text_col, shingle_n),
+                    lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+                    .cast("bigint")
+                    .bitwiseAND(F.lit(0x7FFFFFFF)),
+                )
             )
         ).alias("hs"),
     )
