@@ -125,25 +125,46 @@ def brute_force_topk(
 # --------------------------------------------------------------------------
 
 def srp_buckets_udf(tables: int, bits: int):
-    """Arrow-vectorized signed-random-projection bucketing.
+    """Arrow-vectorized signed-random-projection bucketing,
+    SQL-REPLAYABLE end to end.
 
-    Gaussian hyperplanes from a FIXED seed, derived lazily from the
-    observed vector dimension INSIDE the worker — same seed + same dim
-    gives identical planes on every executor and every run, with no
-    stored model and no driver-side dimension probe (which would cost
-    an extra job per invocation).  Whole Arrow batch of vectors
-    projects in one (n x dim) @ (dim x tables*bits) matmul; sign bits
-    pack into one bucket id per table.  Returns array<bigint> of
-    length ``tables``.  This replaces an interpreted per-element
-    expression fold ~100x slower; per-partition, no shuffle.
+    Hyperplanes are md5-derived Rademacher (+-1) vectors — plane j
+    (j = table*bits + bit) has entry +1 at dimension d iff the first
+    60 bits of md5(f"{j}:{d}") are even — and every vector quantizes
+    to exact integer units ``floor(v * 1e6 + 0.5)`` before projecting,
+    so each sign decision is an exact int64 dot (no float ULP can flip
+    a bucket bit) and an external SQL engine replays the bucket ids
+    bit-for-bit (see the ``knn_lsh`` / ``dedup_embedding_cosine``
+    oracles in plans/catalog.py — the r3 ``language_id`` seeded-hash
+    upgrade pattern applied to SRP).  Rademacher entries are a standard
+    sign-random-projection family: the angle-preserving property needs
+    only a symmetric entry distribution, and +-1 is the form a SQL
+    replay can express as a CASE over md5.
+
+    Planes derive lazily from the observed vector dimension INSIDE the
+    worker — same dim gives identical planes on every executor and
+    every run, with no stored model and no driver-side dimension probe
+    (which would cost an extra job per invocation).  Whole Arrow batch
+    of vectors projects in one (n x dim) @ (dim x tables*bits) int64
+    matmul (|unit| < 2^40 per element leaves 4096 dims of exact-sum
+    headroom); sign bits pack into one bucket id per table.  Returns
+    array<bigint> of length ``tables``.  This replaces an interpreted
+    per-element expression fold ~100x slower; per-partition, no
+    shuffle.
     """
+    import hashlib
+
     weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.int64)
     plane_cache: dict[int, np.ndarray] = {}
 
     def planes_for(dim: int) -> np.ndarray:
         if dim not in plane_cache:
-            rng = np.random.default_rng(42)
-            plane_cache[dim] = rng.standard_normal((dim, tables * bits))
+            s = np.empty((dim, tables * bits), np.int64)
+            for j in range(tables * bits):
+                for d in range(dim):
+                    h = int(hashlib.md5(f"{j}:{d}".encode()).hexdigest()[:15], 16)
+                    s[d, j] = 1 if h % 2 == 0 else -1
+            plane_cache[dim] = s
         return plane_cache[dim]
 
     @F.pandas_udf("array<bigint>")
@@ -151,8 +172,9 @@ def srp_buckets_udf(tables: int, bits: int):
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])  # (n, dim)
+        units = np.floor(mat * 1e6 + 0.5).astype(np.int64)
         planes = planes_for(mat.shape[1])
-        signs = (mat @ planes >= 0).astype(np.int64).reshape(len(mat), tables, bits)
+        signs = (units @ planes >= 0).astype(np.int64).reshape(len(mat), tables, bits)
         ids = signs @ weights  # (n, tables)
         return pd.Series(list(ids))
 
@@ -189,6 +211,11 @@ def lsh_topk(
     volume of the dominant side).  Candidate pairs are distinct'd as
     bare id pairs, then the corpus vectors join back once (one shuffle
     of each vector) and the query vectors broadcast.
+
+    Candidates score with the JVM sequential-fold cosine rounded to
+    6dp — the same arithmetic the knn_bruteforce oracle replays — so
+    with the SQL-replayable SRP buckets the WHOLE approximate path is
+    DuckDB-checkable (buckets, candidate set, scores, ranking).
     """
     c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("__cvec"))
     q = queries.select(F.col(query_id_col).alias("__qid"), as_double_vec(vec_col).alias("__qvec"))
@@ -209,7 +236,7 @@ def lsh_topk(
         .select(
             F.col("__qid").alias(query_id_col),
             "neighbor_id",
-            cosine_udf()(F.col("__qvec"), F.col("__cvec")).alias("cosine"),
+            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine"),
         )
         .filter(F.col("cosine").isNotNull())  # zero-norm rows excluded
     )
@@ -322,7 +349,12 @@ def cosine_dedup_pairs(
     per side (see lsh_topk's scale notes).  SRP cells denser than
     ``bucket_cap`` are dropped before the self-join (the O(|cell|^2)
     hot-bucket guard, see dedup.cap_bucket_membership); members keep
-    recall through the other ``tables`` they hash into."""
+    recall through the other ``tables`` they hash into.
+
+    Pairs score with the JVM sequential-fold cosine rounded to 6dp
+    (knn_bruteforce's oracle arithmetic), so combined with the
+    SQL-replayable SRP buckets the full pair list — buckets, cap,
+    candidate pairs, scores, threshold — replays in DuckDB."""
     from etl_tiki_webscraping_spark.operators.dedup import cap_bucket_membership
 
     v = df.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("__vec"))
@@ -340,7 +372,7 @@ def cosine_dedup_pairs(
     return (
         pairs.join(v.select(F.col("id").alias("id_a"), F.col("__vec").alias("va")), on="id_a")
         .join(v.select(F.col("id").alias("id_b"), F.col("__vec").alias("vb")), on="id_b")
-        .select("id_a", "id_b", cosine_udf()(F.col("va"), F.col("vb")).alias("cosine"))
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 

@@ -1365,10 +1365,81 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SRP-LSH replay (shared by the knn_lsh / dedup_embedding_cosine
+# oracles): the kernel's md5-Rademacher hyperplanes and exact integer
+# units replayed in DuckDB — plane j has entry +1 at dim d iff the
+# first 60 bits of md5('j:d') are even, vectors quantize to
+# floor(v*1e6 + 0.5), and each bucket id packs the 8 sign bits of the
+# 8 plane dots per table (operators/similarity.py::srp_buckets_udf).
+# list_dot_product over +-1.0 times integer-valued doubles is exact
+# (|unit| < 2^20 here, 2^40 worst case), so every sign decision —
+# hence every bucket id, candidate pair, and top-k — is bit-identical
+# across engines.
+_SRP_REPLAY_CTES = """
+    units AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> floor(CAST(x AS DOUBLE) * 1000000 + 0.5)) AS u
+        FROM embeddings
+    ),
+    signs AS (
+        SELECT r.j,
+               list_transform(range(0, d.dim), d2 ->
+                   CASE WHEN CAST(('0x' || substr(md5(r.j || ':' || d2), 1, 15))
+                             AS BIGINT) % 2 = 0
+                        THEN 1.0 ELSE -1.0 END) AS sv
+        FROM range(0, 64) r(j),
+             (SELECT CAST(max(len(embedding)) AS BIGINT) AS dim FROM embeddings) d
+    ),
+    bk AS (
+        SELECT u.vec_id, s.j // 8 AS t,
+               CAST(SUM(CASE WHEN list_dot_product(u.u, s.sv) >= 0
+                             THEN (CAST(1 AS BIGINT) << (7 - (s.j % 8)))
+                             ELSE 0 END) AS BIGINT) AS bucket
+        FROM units u
+        CROSS JOIN signs s
+        GROUP BY 1, 2
+    ),
+    vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    )
+"""
+
+
 @register(
     "knn_lsh",
-    oracle=None,  # approximate — rows-only
-    doc="LSH (signed-random-projection) approximate top-k: bucket join, score within buckets",
+    oracle=f"""
+    WITH {_SRP_REPLAY_CTES},
+    qb AS (SELECT vec_id AS query_id, t, bucket FROM bk WHERE vec_id % 100 = 0),
+    cand AS (
+        SELECT DISTINCT qb.query_id, cb.vec_id AS neighbor_id
+        FROM qb JOIN bk cb USING (t, bucket)
+    ),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               round(list_dot_product(q.v, n.v)
+                     / (sqrt(list_dot_product(q.v, q.v))
+                        * sqrt(list_dot_product(n.v, n.v))), 6) AS cosine
+        FROM cand c
+        JOIN vecs q ON q.vec_id = c.query_id
+        JOIN vecs n ON n.vec_id = c.neighbor_id
+        WHERE list_dot_product(q.v, q.v) > 0
+          AND list_dot_product(n.v, n.v) > 0
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rn
+        FROM scored
+    ) WHERE rn <= 10
+    """,
+    doc="LSH (signed-random-projection) approximate top-k: bucket join, score "
+        "within buckets.  FULL oracle (upgraded r11 from rows-only): the "
+        "md5-Rademacher hyperplanes + exact 1e-6 integer units make every "
+        "bucket bit SQL-replayable, and the round-6 JVM cosine is "
+        "knn_bruteforce's proven oracle arithmetic — DuckDB replays buckets, "
+        "candidate set, scores, and ranking bit-for-bit.",
 )
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_tiki_webscraping_spark.operators.similarity import lsh_topk
@@ -1400,10 +1471,39 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_embedding_cosine",
-    oracle=None,  # LSH-bucketed — rows-only
+    oracle=f"""
+    WITH {_SRP_REPLAY_CTES},
+    kept AS (
+        SELECT b.vec_id AS id, b.t, b.bucket
+        FROM bk b
+        JOIN (SELECT t, bucket, COUNT(*) AS c FROM bk GROUP BY 1, 2) n
+          USING (t, bucket)
+        WHERE n.c <= 1024
+    ),
+    pairs AS (
+        SELECT DISTINCT l.id AS id_a, r.id AS id_b
+        FROM kept l JOIN kept r USING (t, bucket)
+        WHERE l.id < r.id
+    ),
+    scored AS (
+        SELECT p.id_a, p.id_b,
+               round(list_dot_product(a.v, b2.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b2.v, b2.v))), 6) AS cosine
+        FROM pairs p
+        JOIN vecs a  ON a.vec_id  = p.id_a
+        JOIN vecs b2 ON b2.vec_id = p.id_b
+        WHERE list_dot_product(a.v, a.v) > 0
+          AND list_dot_product(b2.v, b2.v) > 0
+    )
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.30
+    """,
     doc="embedding-cosine near-dup pairs via SRP-LSH buckets (threshold 0.30 on the "
         "random test vectors so the check exercises non-empty output; production "
-        "near-dup would use ≥0.95)",
+        "near-dup would use ≥0.95).  FULL oracle (upgraded r11 from rows-only): "
+        "DuckDB replays the md5-Rademacher buckets, the 1024 hot-bucket cap, the "
+        "distinct id_a < id_b candidate pairs, and the round-6 cosine threshold "
+        "bit-for-bit (shared _SRP_REPLAY_CTES with knn_lsh).",
 )
 def q_cos_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_tiki_webscraping_spark.operators.similarity import cosine_dedup_pairs

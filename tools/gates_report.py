@@ -34,18 +34,18 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 # adding a rows-only query without a gate here fails CI statically —
 # no Spark run needed.
 GATED_QUERIES = frozenset({
-    "knn_lsh", "ann_recall_report", "knn_ivf", "knn_ivf_kmeans",
-    "knn_pq_adc", "knn_ivf_pq", "lsh_pair_quality",
-    "corpus_pipeline_neardup", "crosscorpus_neardup_lsh",
-    "dedup_simhash", "dedup_embedding_cosine",
+    "ann_recall_report", "knn_ivf", "knn_ivf_kmeans",
+    "knn_pq_adc", "knn_ivf_pq",
     "approx_distinct_users", "hll_sketch_rollup",
     "streaming_sketch_maintenance", "kll_quantile_rollup",
-    "cms_frequency_rollup", "theta_sketch_set_ops",
+    "theta_sketch_set_ops",
     "embedding_pca_variance", "bpe_train_merges",
     "logreg_quality_train", "audio_spectral_features",
     "unigram_train",
     # r11 upgraded doc_fingerprint / dedup_minhash_lsh /
-    # dedup_minhash_clusters to full DuckDB oracles; their gates below
+    # dedup_minhash_clusters / dedup_simhash / cms_frequency_rollup /
+    # lsh_pair_quality / corpus_pipeline_neardup /
+    # crosscorpus_neardup_lsh to full DuckDB oracles; their gates below
     # still run as bonus evidence, but they are no longer rows-only
 })
 
