@@ -256,13 +256,25 @@ def ivf_assign(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
 ) -> DataFrame:
-    """Assign every vector to its nearest centroid (max cosine;
-    ties -> lowest centroid id).  One narrow mapInPandas pass: the
-    centroid matrix broadcasts as numpy and each Arrow batch is a
+    """Assign every vector to its nearest centroid (max QUANTIZED
+    cosine; ties -> lowest centroid id).  One narrow mapInPandas pass:
+    the centroid matrix broadcasts as numpy and each Arrow batch is a
     single (batch × dim) @ (dim × n_cells) matmul + argmax — no
     |corpus| × |centroids| row blow-up, no shuffle.  At 100 TB you'd
     persist the output partitioned-by-cell so queries prune whole
     files (partition pruning does the index lookup).
+
+    Cross-engine determinism: vectors and centroids quantize to exact
+    ``floor(v * 1e6 + 0.5)`` integer units, the dot matmul is exact
+    int64 (|unit| < 2^20, 64 dims -> < 2^46), and the similarity is
+    ``floor(dot / (sqrt(nv) * sqrt(nc)) * 1e6 + 0.5)`` — every step an
+    IEEE correctly-rounded op over exactly-representable integers, so
+    an external SQL engine replays the argmax cell assignment
+    bit-for-bit (the knn_ivf oracle).  Zero-norm vectors or centroids
+    are excluded from the sim (undefined cosine): an all-NULL row
+    keeps the lowest centroid id via the final nan-safe argmax, and a
+    zero-norm corpus vector can never surface as a neighbor anyway
+    (the scorer drops NULL cosines).
     """
     import pandas as pd
 
@@ -270,28 +282,32 @@ def ivf_assign(
         centroids.select(centroid_id_col, vec_col).collect(), key=lambda r: r[centroid_id_col]
     )
     c_ids = np.array([r[centroid_id_col] for r in c_rows])
-    c_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in c_rows])
-    c_mat = c_mat / np.maximum(
-        np.linalg.norm(c_mat, axis=1, keepdims=True), 1e-12
-    )  # zero-norm floor: keeps degenerate vectors finite (~0 sim), never NaN
-    bc = corpus.sparkSession.sparkContext.broadcast((c_ids, c_mat))
+    c_units = np.stack(
+        [np.floor(np.asarray(r[vec_col], dtype=np.float64) * 1e6 + 0.5) for r in c_rows]
+    ).astype(np.int64)
+    bc = corpus.sparkSession.sparkContext.broadcast((c_ids, c_units))
 
     out_fields = corpus.schema.fields
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields) + ", cell bigint"
     cols = [f.name for f in out_fields]
 
     def assign(batches):
-        ids, cm = bc.value
+        ids, cu = bc.value
+        nc = (cu * cu).sum(axis=1).astype(np.float64)  # exact, < 2^46
+        sqrt_nc = np.sqrt(nc)
         for batch in batches:
             if len(batch) == 0:
                 continue
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
-            mat = mat / np.maximum(
-                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
-            )
+            units = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+            nv = (units * units).sum(axis=1).astype(np.float64)
+            dots = (units @ cu.T).astype(np.float64)  # exact int64 -> exact double
+            with np.errstate(divide="ignore", invalid="ignore"):
+                simq = np.floor(dots / (np.sqrt(nv)[:, None] * sqrt_nc[None, :]) * 1e6 + 0.5)
+            simq[~np.isfinite(simq)] = -np.inf  # zero norms: undefined cosine
             # argmax returns the FIRST max index; centroids sorted by id,
             # so ties resolve to the lowest centroid id
-            best = (mat @ cm.T).argmax(axis=1)
+            best = simq.argmax(axis=1)
             out = batch[cols].copy()
             out["cell"] = ids[best]
             yield out
@@ -311,15 +327,43 @@ def ivf_topk(
     centroid_id_col: str = "centroid_id",
 ) -> DataFrame:
     """IVF search: per query, probe the ``nprobe`` nearest cells and
-    run exact cosine only inside them."""
+    run exact cosine only inside them.
+
+    Cell probing uses the SAME quantized similarity as
+    :func:`ivf_assign` (exact 1e-6 integer units, one IEEE formula —
+    JVM-side here, numpy there: identical doubles), and candidates
+    score with the round-6 JVM cosine — so with deterministic
+    centroids the whole search replays in SQL (the knn_ivf oracle).
+    """
     assigned = ivf_assign(corpus, centroids, id_col, vec_col, centroid_id_col)
+
+    def _units(c: Column) -> Column:
+        return F.transform(c, lambda x: F.floor(x.cast("double") * F.lit(1e6) + F.lit(0.5)))
+
     cents = centroids.select(
-        F.col(centroid_id_col).alias("cell"), as_double_vec(vec_col).alias("__cent")
+        F.col(centroid_id_col).alias("cell"),
+        as_double_vec(vec_col).alias("__cent"),
+        _units(F.col(vec_col)).alias("__cu"),
     )
-    q = queries.select(F.col(query_id_col).alias("__qid"), as_double_vec(vec_col).alias("__qvec"))
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        as_double_vec(vec_col).alias("__qvec"),
+        _units(F.col(vec_col)).alias("__qu"),
+    )
+    dot_u = F.aggregate(
+        F.zip_with(F.col("__qu"), F.col("__cu"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nq = F.aggregate(F.col("__qu"), F.lit(0.0), lambda acc, v: acc + v * v)
+    ncen = F.aggregate(F.col("__cu"), F.lit(0.0), lambda acc, v: acc + v * v)
+    simq = F.floor(
+        F.try_divide(dot_u, F.sqrt(nq) * F.sqrt(ncen)) * F.lit(1e6) + F.lit(0.5)
+    )
     qcells = (
         q.crossJoin(F.broadcast(cents))
-        .withColumn("__sim", cosine_udf()(F.col("__qvec"), F.col("__cent")))
+        .withColumn("__sim", simq)
+        .filter(F.col("__sim").isNotNull())  # zero-norm query/centroid
         .transform(lambda d: top_k_per_group(d, ["__qid"], [F.col("__sim").desc(), F.col("cell").asc()], nprobe))
         .select("__qid", "__qvec", "cell")
     )
@@ -327,7 +371,7 @@ def ivf_topk(
     scored = cand.select(
         F.col("__qid").alias(query_id_col),
         F.col(id_col).alias("neighbor_id"),
-        cosine_udf()(F.col("__qvec"), F.col("__cvec")).alias("cosine"),
+        F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine"),
     ).filter(F.col("cosine").isNotNull())  # zero-norm rows excluded
     return top_k_per_group(
         scored, [query_id_col], [F.col("cosine").desc(), F.col("neighbor_id").asc()], k

@@ -1365,23 +1365,32 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# SRP-LSH replay (shared by the knn_lsh / dedup_embedding_cosine
-# oracles): the kernel's md5-Rademacher hyperplanes and exact integer
-# units replayed in DuckDB — plane j has entry +1 at dim d iff the
-# first 60 bits of md5('j:d') are even, vectors quantize to
-# floor(v*1e6 + 0.5), and each bucket id packs the 8 sign bits of the
-# 8 plane dots per table (operators/similarity.py::srp_buckets_udf).
-# list_dot_product over +-1.0 times integer-valued doubles is exact
-# (|unit| < 2^20 here, 2^40 worst case), so every sign decision —
-# hence every bucket id, candidate pair, and top-k — is bit-identical
-# across engines.
-_SRP_REPLAY_CTES = """
+# Embedding replay building blocks (shared by the knn_lsh /
+# dedup_embedding_cosine / knn_ivf oracles).  ``units`` quantizes every
+# vector to exact floor(v*1e6 + 0.5) integer units (list_dot_product
+# over integer-valued doubles is exact: |unit| < 2^20 here, 2^40 worst
+# case); ``vecs`` is the plain double view the round-6 cosine scores
+# on (knn_bruteforce's proven oracle arithmetic).
+_VEC_REPLAY_CTES = """
     units AS (
         SELECT vec_id,
                list_transform(embedding,
                               x -> floor(CAST(x AS DOUBLE) * 1000000 + 0.5)) AS u
         FROM embeddings
     ),
+    vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    )
+"""
+
+# SRP-LSH replay: the kernel's md5-Rademacher hyperplanes over the
+# integer units — plane j has entry +1 at dim d iff the first 60 bits
+# of md5('j:d') are even, and each bucket id packs the 8 sign bits of
+# the 8 plane dots per table (operators/similarity.py::
+# srp_buckets_udf).  Every sign decision is exact, so every bucket id,
+# candidate pair, and top-k is bit-identical across engines.
+_SRP_REPLAY_CTES = _VEC_REPLAY_CTES + """,
     signs AS (
         SELECT r.j,
                list_transform(range(0, d.dim), d2 ->
@@ -1399,10 +1408,6 @@ _SRP_REPLAY_CTES = """
         FROM units u
         CROSS JOIN signs s
         GROUP BY 1, 2
-    ),
-    vecs AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings
     )
 """
 
@@ -1453,8 +1458,64 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_ivf",
-    oracle=None,  # approximate — rows-only
-    doc="IVF approximate top-k: centroid cells + nprobe probing, relational IVF layout",
+    oracle=f"""
+    WITH {_VEC_REPLAY_CTES},
+    norms AS (
+        SELECT vec_id, u, list_dot_product(u, u) AS nv FROM units
+    ),
+    cents AS (
+        SELECT vec_id AS cell, u AS cu, nv AS ncen
+        FROM norms WHERE vec_id % 31 = 0
+    ),
+    sims AS (
+        SELECT n.vec_id, c.cell,
+               floor(list_dot_product(n.u, c.cu)
+                     / (sqrt(n.nv) * sqrt(c.ncen)) * 1000000 + 0.5) AS simq
+        FROM norms n CROSS JOIN cents c
+        WHERE n.nv > 0 AND c.ncen > 0
+    ),
+    assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY simq DESC, cell ASC
+            ) AS rn FROM sims
+        ) WHERE rn = 1
+    ),
+    qprobe AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY simq DESC, cell ASC
+            ) AS rn FROM sims WHERE vec_id % 100 = 0
+        ) WHERE rn <= 4
+    ),
+    cand AS (
+        SELECT q.query_id, a.vec_id AS neighbor_id
+        FROM qprobe q JOIN assigned a USING (cell)
+    ),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               round(list_dot_product(q.v, n.v)
+                     / (sqrt(list_dot_product(q.v, q.v))
+                        * sqrt(list_dot_product(n.v, n.v))), 6) AS cosine
+        FROM cand c
+        JOIN vecs q ON q.vec_id = c.query_id
+        JOIN vecs n ON n.vec_id = c.neighbor_id
+        WHERE list_dot_product(q.v, q.v) > 0
+          AND list_dot_product(n.v, n.v) > 0
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rn FROM scored
+    ) WHERE rn <= 10
+    """,
+    doc="IVF approximate top-k: centroid cells + nprobe probing, relational IVF "
+        "layout.  FULL oracle (upgraded r11 from rows-only): with deterministic "
+        "centroids (vec_id % 31) the whole search is SQL-replayable — cell "
+        "assignment argmax over the quantized similarity floor(dot/(sqrt*sqrt)"
+        "*1e6+0.5) on exact 1e-6 integer units (identical IEEE arithmetic in "
+        "the numpy kernel, the JVM probe, and DuckDB), nprobe=4 probing, and "
+        "round-6 cosine ranking inside the probed cells.",
 )
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_tiki_webscraping_spark.operators.similarity import ivf_topk

@@ -34,7 +34,7 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 # adding a rows-only query without a gate here fails CI statically —
 # no Spark run needed.
 GATED_QUERIES = frozenset({
-    "ann_recall_report", "knn_ivf", "knn_ivf_kmeans",
+    "ann_recall_report", "knn_ivf_kmeans",
     "knn_pq_adc", "knn_ivf_pq",
     "approx_distinct_users", "hll_sketch_rollup",
     "streaming_sketch_maintenance", "kll_quantile_rollup",
