@@ -197,6 +197,9 @@ HEADLINE = [
     ("gopher_repetition_stats", "count"),
     ("gopher_repetition_filter", "count"),
     ("perplexity_terciles", "count"),
+    ("quality_model_auc", "collect"),
+    ("generation_overlap_eval", "count"),
+    ("tokenizer_fertility_by_lang", "collect"),
 ]
 
 

@@ -7669,9 +7669,9 @@ def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_pca_report(emb, "embedding", k=8)
 
 
-@register(
-    "quality_model_score",
-    oracle=r"""
+# quality_model_score's full replay (features -> stable sigmoid ->
+# banding), shared with the quality_model_auc oracle below.
+_QMS_ORACLE = r"""
     WITH feats AS (
         SELECT doc_id,
                CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
@@ -7700,7 +7700,12 @@ def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
                            ELSE 1.0 - 1.0 / (1.0 + exp(-abs(z))) END) >= 0.5 THEN 1
                 ELSE 2 END AS band
     FROM scored
-    """,
+    """
+
+
+@register(
+    "quality_model_score",
+    oracle=_QMS_ORACLE,
     doc="trained-classifier inference at scan speed (the CCNet/LLaMA-"
         "style quality-filter deployment, distinct from the heuristic "
         "text_quality_score): a logistic-regression model's weights "
@@ -7742,6 +7747,175 @@ def q_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_and_band(docs, score, bands=[0.75, 0.5]).select(
         "doc_id", F.round("score", 6).alias("score"), "band"
     )
+
+
+@register(
+    "quality_model_auc",
+    oracle=f"""
+    WITH lab AS (
+        SELECT s.score,
+               CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label
+        FROM ({_QMS_ORACLE}) s JOIN documents d USING (doc_id)
+    ),
+    g AS (
+        SELECT score, COUNT(*) AS cnt, SUM(label) AS pos
+        FROM lab GROUP BY 1
+    ),
+    r AS (
+        SELECT *,
+               COALESCE(SUM(cnt) OVER (
+                   ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS below
+        FROM g
+    ),
+    a AS (
+        SELECT SUM(pos * (2 * below + cnt + 1)) AS pos_rank2,
+               SUM(pos) AS n_pos, SUM(cnt - pos) AS n_neg
+        FROM r
+    )
+    SELECT CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           round(CAST(pos_rank2 - n_pos * (n_pos + 1) AS DOUBLE)
+                 / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)),
+                 6) AS auc
+    FROM a
+    """,
+    doc="classifier EVALUATION closing the quality-model loop (train = "
+        "logreg_quality_train, inference = quality_model_score, "
+        "calibration = model_calibration_bins): ROC AUC of the deployed "
+        "score against the independent lang='en' label via the tied-rank "
+        "Mann-Whitney statistic (quality/eval.py::roc_auc_report).  The "
+        "English-stopword feature gives the score real signal on the "
+        "label, so the AUC is a meaningful measurement, not a fixture "
+        "artifact.  Scale shape: the raw scan partial-aggregates to "
+        "|distinct 6dp scores| <= ~1e6 rows map-side; only that bounded "
+        "table crosses an exchange and feeds the one bounded ranking "
+        "window — a 100 TB AUC costs one scan.  Rank arithmetic is "
+        "integer-exact (2*avg_rank = 2*below+cnt+1, DECIMAL sums) until "
+        "the single final division, rounded 6dp — the oracle replays it "
+        "bit-for-bit.",
+)
+def q_quality_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.quality.eval import roc_auc_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = q_quality_model_score(spark, sf_dir).join(
+        docs.select(
+            "doc_id", (F.col("lang") == "en").cast("int").alias("label")
+        ),
+        "doc_id",
+    )
+    return roc_auc_report(scored, "score", "label")
+
+
+@register(
+    "generation_overlap_eval",
+    oracle=r"""
+    WITH docs2 AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           t -> t <> '') AS tok
+        FROM documents
+    ),
+    pairs AS (
+        SELECT c.doc_id // 2 AS pair_id, c.tok AS tc, r.tok AS tr
+        FROM docs2 c JOIN docs2 r ON r.doc_id = c.doc_id - 1
+        WHERE c.doc_id % 2 = 1 AND len(c.tok) > 0 AND len(r.tok) > 0
+    ),
+    grams AS (
+        SELECT pair_id, 'c' AS side, 1 AS n, unnest(tc) AS gram FROM pairs
+        UNION ALL
+        SELECT pair_id, 'r', 1, unnest(tr) FROM pairs
+        UNION ALL
+        SELECT pair_id, 'c', 2,
+               unnest(list_transform(range(1, len(tc)),
+                                     i -> tc[i] || ' ' || tc[i + 1]))
+        FROM pairs
+        UNION ALL
+        SELECT pair_id, 'r', 2,
+               unnest(list_transform(range(1, len(tr)),
+                                     i -> tr[i] || ' ' || tr[i + 1]))
+        FROM pairs
+    ),
+    cnt AS (
+        SELECT pair_id, n, gram,
+               SUM(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS c_cnt,
+               SUM(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS r_cnt
+        FROM grams GROUP BY 1, 2, 3
+    ),
+    per_n AS (
+        SELECT pair_id, n,
+               SUM(LEAST(c_cnt, r_cnt)) AS clip,
+               SUM(c_cnt) AS c_tot, SUM(r_cnt) AS r_tot
+        FROM cnt GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT pair_id,
+               MAX(CASE WHEN n = 1 THEN clip  END) AS clip1,
+               MAX(CASE WHEN n = 1 THEN c_tot END) AS c_tot1,
+               MAX(CASE WHEN n = 1 THEN r_tot END) AS r_tot1,
+               COALESCE(MAX(CASE WHEN n = 2 THEN clip  END), 0) AS clip2,
+               COALESCE(MAX(CASE WHEN n = 2 THEN c_tot END), 0) AS c_tot2,
+               COALESCE(MAX(CASE WHEN n = 2 THEN r_tot END), 0) AS r_tot2
+        FROM per_n GROUP BY pair_id
+    )
+    SELECT pair_id,
+           CAST(c_tot1 AS BIGINT) AS cand_tokens,
+           CAST(r_tot1 AS BIGINT) AS ref_tokens,
+           CASE WHEN clip1 > 0 AND clip2 > 0
+                THEN round(
+                    (CASE WHEN c_tot1 > r_tot1 THEN 1.0
+                          ELSE exp(1.0 - CAST(r_tot1 AS DOUBLE)
+                                         / CAST(c_tot1 AS DOUBLE)) END)
+                    * sqrt((CAST(clip1 AS DOUBLE) / CAST(c_tot1 AS DOUBLE))
+                           * (CAST(clip2 AS DOUBLE) / CAST(c_tot2 AS DOUBLE))),
+                    6)
+                ELSE 0.0 END AS bleu2,
+           CASE WHEN r_tot2 > 0
+                THEN round(CAST(clip2 AS DOUBLE) / CAST(r_tot2 AS DOUBLE), 6)
+                END AS rouge2_recall,
+           CASE WHEN c_tot2 > 0 AND r_tot2 > 0 THEN
+               CASE WHEN (CAST(clip2 AS DOUBLE) / CAST(c_tot2 AS DOUBLE))
+                         + (CAST(clip2 AS DOUBLE) / CAST(r_tot2 AS DOUBLE)) > 0
+                    THEN round(2.0
+                         * (CAST(clip2 AS DOUBLE) / CAST(c_tot2 AS DOUBLE))
+                         * (CAST(clip2 AS DOUBLE) / CAST(r_tot2 AS DOUBLE))
+                         / ((CAST(clip2 AS DOUBLE) / CAST(c_tot2 AS DOUBLE))
+                            + (CAST(clip2 AS DOUBLE) / CAST(r_tot2 AS DOUBLE))),
+                         6)
+                    ELSE 0.0 END
+                END AS rouge2_f1
+    FROM m
+    """,
+    doc="generation-overlap evaluation (BLEU-2 + ROUGE-2 per candidate/"
+        "reference pair, quality/eval.py::overlap_eval): clipped modified "
+        "n-gram precisions, brevity penalty, ROUGE-2 recall/F1 — the "
+        "reference-based eval leg of the LLM-pipeline tier (pairing: odd "
+        "doc_id is the candidate for the preceding even doc_id, a fixture "
+        "adaptation; production pairs generations with references by key). "
+        "One tagged explode (grams never wider than a bigram) + two "
+        "map-side-combined groupBys; BLEU-2's geometric mean is "
+        "sqrt(p1*p2) so the only transcendental is the brevity-penalty "
+        "exp, rounded 6dp (the quality_model_score sigmoid precedent).",
+)
+def q_generation_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.quality.eval import overlap_eval
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = docs.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") / 2).cast("long").alias("pair_id"),
+        F.col("text").alias("cand_text"),
+    )
+    ref = docs.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") / 2).cast("long").alias("pair_id"),
+        F.col("text").alias("ref_text"),
+    )
+    return overlap_eval(
+        cand.join(ref, "pair_id"), "pair_id", "cand_text", "ref_text"
+    )
+
+
 
 
 @register(
@@ -9469,6 +9643,48 @@ def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_encode_corpus(docs, "doc_id", "text", _BPE_PINNED_MERGES)
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle=(lambda _enc=_bpe_encode_oracle(): f"""
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(e.n_words) AS BIGINT) AS n_words,
+           CAST(SUM(e.n_tokens) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(e.n_tokens) AS DOUBLE)
+                 / CAST(SUM(e.n_words) AS DOUBLE), 6) AS fertility
+    FROM ({_enc}) e JOIN documents d USING (doc_id)
+    GROUP BY 1
+    """)(),
+    doc="tokenizer fertility report (tokens per word under the pinned "
+        "BPE merge table, grouped by language): the standard tokenizer-"
+        "coverage diagnostic for a multilingual corpus — languages the "
+        "merges were not trained on show higher fertility, which is how "
+        "a production pipeline decides when a tokenizer needs retraining "
+        "or a bigger vocab.  Composes the oracle-green bpe_encode_corpus "
+        "(chained codegen replaces, one map-side-combined groupBy) with "
+        "one broadcast-sized lang join; the oracle wraps the SAME encode "
+        "replay SQL and aggregates identically.  Docs with zero words "
+        "drop out of the encode on both engines (no row, not a zero).",
+)
+def q_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.bpe import bpe_encode_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = bpe_encode_corpus(docs, "doc_id", "text", _BPE_PINNED_MERGES)
+    return (
+        enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.sum("n_words").cast("double"), 6
+            ).alias("fertility"),
+        )
+    )
 
 
 @register(

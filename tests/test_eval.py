@@ -1,0 +1,114 @@
+"""quality/eval.py: ROC-AUC (tied-rank Mann-Whitney) and BLEU-2 /
+ROUGE-2 overlap eval — hand-computed truths plus a python replay of
+the rank arithmetic, the catalog queries' unit-level backing."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_tiki_webscraping_spark.quality.eval import overlap_eval, roc_auc_report
+
+
+def _auc(spark, rows):
+    df = spark.createDataFrame(rows, "score double, label int")
+    return roc_auc_report(df, "score", "label").collect()[0]
+
+
+def test_roc_auc_with_ties_hand_computed(spark):
+    # ranks: 0.3 -> 1, the tied 0.8s -> 2.5 each, 0.9 -> 4
+    # sum of positive ranks = 4 + 2.5 = 6.5; U = 6.5 - 3 = 3.5
+    # auc = 3.5 / (2 * 2) = 0.875
+    r = _auc(spark, [(0.9, 1), (0.8, 1), (0.8, 0), (0.3, 0)])
+    assert (r["n_pos"], r["n_neg"]) == (2, 2)
+    assert r["auc"] == pytest.approx(0.875, abs=1e-9)
+
+
+def test_roc_auc_perfect_random_and_inverted(spark):
+    assert _auc(spark, [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)])["auc"] == 1.0
+    # all scores identical: every pair is a tie -> 0.5 exactly
+    assert _auc(spark, [(0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)])["auc"] == 0.5
+    assert _auc(spark, [(0.1, 1), (0.2, 1), (0.8, 0), (0.9, 0)])["auc"] == 0.0
+
+
+def test_roc_auc_null_rows_excluded(spark):
+    r = _auc(
+        spark,
+        [(0.9, 1), (0.1, 0), (None, 1), (0.5, None)],
+    )
+    assert (r["n_pos"], r["n_neg"], r["auc"]) == (1, 1, 1.0)
+
+
+def test_roc_auc_python_replay(spark):
+    # deterministic scores with deliberate tie collisions
+    rows = [
+        (round((i * 7 % 13) / 13.0, 6), 1 if (i * 5 % 11) > 5 else 0)
+        for i in range(200)
+    ]
+    got = _auc(spark, rows)
+    # replay: average ranks over sorted scores
+    from collections import Counter
+
+    cnt = Counter(s for s, _ in rows)
+    below, avg_rank = 0, {}
+    for s in sorted(cnt):
+        avg_rank[s] = below + (cnt[s] + 1) / 2.0
+        below += cnt[s]
+    n_pos = sum(l for _, l in rows)
+    n_neg = len(rows) - n_pos
+    u = sum(avg_rank[s] for s, l in rows if l) - n_pos * (n_pos + 1) / 2.0
+    assert got["auc"] == pytest.approx(round(u / (n_pos * n_neg), 6), abs=1e-9)
+    assert (got["n_pos"], got["n_neg"]) == (n_pos, n_neg)
+
+
+def _eval_pairs(spark, rows):
+    df = spark.createDataFrame(rows, "pair_id long, cand string, ref string")
+    out = overlap_eval(df, "pair_id", "cand", "ref").collect()
+    return {r["pair_id"]: r for r in out}
+
+
+def test_overlap_eval_identical_pair_is_perfect(spark):
+    r = _eval_pairs(spark, [(1, "the cat sat", "the cat sat")])[1]
+    assert r["bleu2"] == 1.0
+    assert r["rouge2_recall"] == 1.0 and r["rouge2_f1"] == 1.0
+    assert r["cand_tokens"] == 3 and r["ref_tokens"] == 3
+
+
+def test_overlap_eval_hand_computed_partial(spark):
+    # cand "the cat the cat" vs ref "the cat sat":
+    #   p1 = (min(2,1)+min(2,1)) / 4 = 0.5
+    #   cand bigrams {the cat:2, cat the:1}, ref {the cat:1, cat sat:1}
+    #   clip2 = 1, p2 = 1/3; bp = 1 (cand longer)
+    #   bleu2 = sqrt(0.5 * 1/3) = sqrt(1/6)
+    #   rouge2: P = 1/3, R = 1/2, F1 = 2PR/(P+R) = 0.4
+    r = _eval_pairs(spark, [(1, "the cat the cat", "the cat sat")])[1]
+    assert r["bleu2"] == pytest.approx(round(math.sqrt(1 / 6), 6), abs=1e-9)
+    assert r["rouge2_recall"] == 0.5
+    assert r["rouge2_f1"] == pytest.approx(0.4, abs=1e-9)
+
+
+def test_overlap_eval_brevity_penalty(spark):
+    # cand "the cat" (2 tokens) vs ref "the cat sat" (3): p1 = 1, p2 = 1
+    # bp = exp(1 - 3/2); bleu2 = bp
+    r = _eval_pairs(spark, [(1, "the cat", "the cat sat")])[1]
+    assert r["bleu2"] == pytest.approx(round(math.exp(1 - 3 / 2), 6), abs=1e-9)
+
+
+def test_overlap_eval_single_token_sides(spark):
+    # no bigrams anywhere: bleu2 hard-zeroes, rouge2 undefined -> NULL
+    r = _eval_pairs(spark, [(1, "hello", "hello")])[1]
+    assert r["bleu2"] == 0.0
+    assert r["rouge2_recall"] is None and r["rouge2_f1"] is None
+
+
+def test_overlap_eval_empty_side_excluded(spark):
+    out = _eval_pairs(spark, [(1, "   ", "the cat"), (2, "the cat", "the cat")])
+    assert set(out) == {2}
+
+
+def test_overlap_eval_disjoint_texts_zero(spark):
+    r = _eval_pairs(spark, [(1, "aa bb cc", "xx yy zz")])[1]
+    assert r["bleu2"] == 0.0
+    assert r["rouge2_recall"] == 0.0 and r["rouge2_f1"] == 0.0
