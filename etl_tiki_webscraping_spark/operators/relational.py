@@ -613,6 +613,63 @@ def deletion_variant_keys(name: Column, max_distance: int) -> Column:
     return F.array_distinct(F.flatten(F.array(*parts)))
 
 
+def _deletion_variant_rows(
+    df: DataFrame,
+    name_col: str,
+    max_distance: int,
+) -> DataFrame:
+    """One Arrow kernel emitting the input row once per DISTINCT
+    deletion variant of its ``name_col`` — the exploded twin of
+    :func:`deletion_variant_keys` (parity unit-tested, see
+    tests/test_deletion_join.py).
+
+    Why a kernel and not the expression: the nested
+    transform/filter/substr/concat tree is INTERPRETED per element by
+    Catalyst — measured 4.4 s just to explode 15k 18-char names
+    (~170 variants each) at sf0.1, dominating the whole deletion join
+    — while per-batch python slicing over the same Arrow batch is
+    ~10x cheaper.  NULL names yield no rows (the explode of a NULL
+    array drops the row, same as the expression form).
+    """
+    import pandas as pd
+
+    if max_distance not in (1, 2):  # the deletion_variant_keys contract
+        raise ValueError(
+            "deletion neighborhoods support max_distance in {1, 2}; "
+            f"got {max_distance} (C(L, k) variants per row explodes past 2)"
+        )
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", _variant string"
+    cols = [f.name for f in df.schema.fields]
+    k = max_distance
+
+    def gen(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            idx: list[int] = []
+            variants: list[str] = []
+            for i, s in enumerate(b[name_col]):
+                if s is None:
+                    continue
+                vs = {s}
+                L = len(s)
+                for a in range(L):
+                    vs.add(s[:a] + s[a + 1:])
+                if k == 2:
+                    for a in range(L):
+                        for c in range(a + 1, L):
+                            vs.add(s[:a] + s[a + 1:c] + s[c + 1:])
+                idx.extend([i] * len(vs))
+                variants.extend(vs)
+            out = b[cols].iloc[idx].reset_index(drop=True)
+            out["_variant"] = variants
+            yield out
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
 def deletion_neighborhood_pairs(
     df: DataFrame,
     id_col: str,
@@ -625,16 +682,18 @@ def deletion_neighborhood_pairs(
     block self-join when blocks are huge.
 
     Plan: each row explodes to its <= C(L, <=k)+L+1 deletion variants
-    (:func:`deletion_variant_keys`), each variant hashed to an 8-byte
-    md5-prefix key so the exchange carries (id, bigint) instead of
-    near-full-length strings; ONE self equi-join on (block key,
-    variant hash) -> distinct candidate pairs -> length-band +
-    thresholded-levenshtein verify (hash collisions are harmless —
-    verification is exact).  Cost is sum over variant-key buckets of
-    |bucket|^2, and bucket membership tracks NEAR-DUPLICATE density
-    (names within distance k of a common subsequence), not block
-    size: growing a block 100x grows this join ~100x, where the block
-    self-join grows 10,000x.
+    (:func:`_deletion_variant_rows`, the Arrow kernel), each variant
+    hashed to an 8-byte md5-prefix key so the exchange carries
+    (id, bigint) instead of near-full-length strings; ONE self
+    equi-join on (block key, variant hash) -> distinct candidate pairs
+    -> length-band + thresholded-levenshtein verify (hash collisions
+    are harmless — verification is exact).  The two join sides are the
+    SAME plan aliased twice, so the shuffle of the variant table is
+    built once and read twice (ReusedExchange), not computed twice.
+    Cost is sum over variant-key buckets of |bucket|^2, and bucket
+    membership tracks NEAR-DUPLICATE density (names within distance k
+    of a common subsequence), not block size: growing a block 100x
+    grows this join ~100x, where the block self-join grows 10,000x.
 
     The sf10 scaling probe (tools/bench_sf10.py) is what surfaced the
     need: customer blocks key on (nation, segment) whose cardinality
@@ -646,35 +705,33 @@ def deletion_neighborhood_pairs(
         F.col(name_col).alias("name"),
         *[F.col(c).alias(f"_bk{i}") for i, c in enumerate(block_cols)],
     )
-    # explode in a SECOND select: a generator referencing a column
-    # aliased in the same projection trips Spark's lateral-column-alias
-    # check (INTERNAL_ERROR: LateralColumnAliasReference)
-    v = base.select(
+    # spread the pre-explode rows across the cluster: the input is
+    # often a handful of scan partitions (one parquet file at small
+    # SF), which would serialize the ~170x variant explode; the rows
+    # being repartitioned are the CHEAP side (pre-explosion)
+    base = base.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    bk = [f"_bk{i}" for i in range(len(block_cols))]
+    v = _deletion_variant_rows(base, "name", max_distance).select(
         "id",
         "name",
-        *[f"_bk{i}" for i in range(len(block_cols))],
-        F.explode(
-            deletion_variant_keys(F.col("name"), max_distance)
-        ).alias("_variant"),
-    ).select(
-        "id",
-        "name",
-        *[f"_bk{i}" for i in range(len(block_cols))],
+        *bk,
         F.conv(F.substring(F.md5("_variant"), 1, 15), 16, 10)
         .cast("bigint")
         .alias("_vh"),
     )
-    bk = [f"_bk{i}" for i in range(len(block_cols))]
-    left = v.select(
-        F.col("id").alias("a_id"), F.col("name").alias("a_name"), *bk, "_vh"
-    )
-    right = v.select(
-        F.col("id").alias("b_id"), F.col("name").alias("b_name"), *bk, "_vh"
-    )
+    left, right = v.alias("l"), v.alias("r")
     cand = (
-        left.join(right, [*bk, "_vh"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_name", "b_name")
+        left.join(
+            right,
+            [F.col(f"l.{c}") == F.col(f"r.{c}") for c in (*bk, "_vh")],
+        )
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("a_id"),
+            F.col("r.id").alias("b_id"),
+            F.col("l.name").alias("a_name"),
+            F.col("r.name").alias("b_name"),
+        )
         .distinct()
     )
     dist = F.levenshtein("a_name", "b_name", int(max_distance))

@@ -74,6 +74,38 @@ def test_variant_keys_match_python_enumeration(spark):
 
 
 @pytest.mark.parametrize("max_d", [1, 2])
+def test_variant_kernel_matches_expression(spark, max_d):
+    # the Arrow kernel (_deletion_variant_rows, the hot path) must emit
+    # exactly the expression form's distinct variant set per row —
+    # including a NULL name (dropped) and the empty string (itself)
+    from etl_tiki_webscraping_spark.operators.relational import (
+        _deletion_variant_rows,
+    )
+
+    rows = ROWS + [(98, None, 1), (99, "", 1)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    # the expression form yields [NULL] for a NULL name (the NULL
+    # variant's NULL _vh never equi-joins, so it is inert downstream);
+    # the kernel just emits no row — compare the non-NULL variant sets
+    expr = {
+        (r["id"], v)
+        for r in df.select(
+            "id", deletion_variant_keys(F.col("name"), max_d).alias("v")
+        ).collect()
+        if r["v"] is not None
+        for v in r["v"]
+        if v is not None
+    }
+    kern = {
+        (r["id"], r["_variant"])
+        for r in _deletion_variant_rows(df, "name", max_d).collect()
+    }
+    assert kern == expr
+    assert not any(i == 98 for i, _ in kern)  # NULL name -> no rows
+    assert (99, "") in kern  # empty string survives as itself
+
+
+@pytest.mark.parametrize("max_d", [1, 2])
 def test_deletion_pairs_exact(spark, max_d):
     df = spark.createDataFrame(ROWS, SCHEMA)
     got = {
