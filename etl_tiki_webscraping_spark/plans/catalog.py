@@ -7810,6 +7810,73 @@ def q_quality_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "conformal_coverage_report",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, score FROM ({_QMS_ORACLE}) q),
+    base AS (
+        SELECT 1.0 - score AS nc, doc_id % 2 = 0 AS is_cal FROM s
+    ),
+    calg AS (SELECT nc, COUNT(*) AS cnt FROM base WHERE is_cal GROUP BY 1),
+    calc AS (
+        SELECT nc, SUM(cnt) OVER (
+            ORDER BY nc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS cum FROM calg
+    ),
+    caln AS (SELECT MAX(cum) AS n_cal FROM calc),
+    testg AS (SELECT nc, COUNT(*) AS cnt FROM base WHERE NOT is_cal GROUP BY 1),
+    testc AS (
+        SELECT nc, SUM(cnt) OVER (
+            ORDER BY nc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS cum FROM testg
+    ),
+    testn AS (SELECT MAX(cum) AS n_test FROM testc),
+    alphas AS (SELECT CAST(unnest([0.1, 0.05]) AS DOUBLE) AS alpha),
+    qh AS (
+        SELECT a.alpha, n.n_cal,
+               MIN(CASE WHEN c.cum >= ceil((n.n_cal + 1) * (1.0 - a.alpha))
+                        THEN c.nc END) AS qhat
+        FROM alphas a, caln n, calc c
+        GROUP BY 1, 2
+    ),
+    cov AS (
+        SELECT q.alpha, q.n_cal, q.qhat,
+               MAX(CASE WHEN t.nc <= q.qhat THEN t.cum END) AS cov_cnt
+        FROM qh q, testc t GROUP BY 1, 2, 3
+    )
+    SELECT alpha,
+           CAST(n_cal AS BIGINT) AS n_cal,
+           CAST((SELECT n_test FROM testn) AS BIGINT) AS n_test,
+           qhat,
+           CASE WHEN qhat IS NULL THEN 1.0
+                ELSE round(CAST(COALESCE(cov_cnt, 0) AS DOUBLE)
+                           / CAST((SELECT n_test FROM testn) AS DOUBLE), 6)
+                END AS coverage
+    FROM cov
+    """,
+    doc="split-conformal calibration audit (Vovk; Angelopoulos & Bates "
+        "2021) — the distribution-free fourth leg of the classifier "
+        "loop (train / score / reliability-bins / CONFORMAL): on the "
+        "even-doc_id calibration split, the ceil((n+1)(1-alpha))-th "
+        "smallest nonconformity (1 - score) is the threshold that "
+        "guarantees >= 1-alpha marginal coverage; the report measures "
+        "that coverage on the odd-doc_id test split for alpha in "
+        "{0.1, 0.05}.  Exact order statistics at 100 TB via the "
+        "roc_auc_report bounded-domain trick: each split partial-"
+        "aggregates to |distinct 6dp scores| rows map-side, running-"
+        "count windows rank only those bounded tables, and the 2 "
+        "threshold rows cross the bounded test table "
+        "(quality/eval.py::conformal_coverage_report).",
+)
+def q_conformal_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.quality.eval import conformal_coverage_report
+
+    scored = q_quality_model_score(spark, sf_dir).select(
+        "doc_id", "score", (F.col("doc_id") % 2 == 0).alias("is_cal")
+    )
+    return conformal_coverage_report(scored, "score", "is_cal")
+
+
+@register(
     "generation_overlap_eval",
     oracle=r"""
     WITH docs2 AS (

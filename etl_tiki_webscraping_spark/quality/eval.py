@@ -79,6 +79,91 @@ def roc_auc_report(
     )
 
 
+def conformal_coverage_report(
+    scored: DataFrame,
+    score_col: str,
+    calib_col: str,
+    alphas: "tuple[float, ...]" = (0.1, 0.05),
+) -> DataFrame:
+    """Split-conformal calibration audit: one row per ``alpha`` with
+    the conformal threshold and its measured test coverage.
+
+    Split conformal prediction (Vovk et al.; Angelopoulos & Bates 2021
+    tutorial): on a held-out CALIBRATION split, take the
+    ``k = ceil((n_cal + 1) * (1 - alpha))``-th smallest nonconformity
+    score (here ``1 - score``); predicting "conforming" for every test
+    row with nonconformity <= that threshold guarantees >= 1 - alpha
+    marginal coverage.  The report MEASURES that coverage on the test
+    split — the distribution-free cousin of the reliability-diagram
+    audit (model_calibration_bins).
+
+    Scale shape: the same bounded-domain trick as
+    :func:`roc_auc_report` — both splits partial-aggregate map-side to
+    |distinct 6dp scores| tables, running-count windows rank those
+    bounded tables, and the <= |alphas| threshold rows broadcast onto
+    the test cumulative table.  Exact order statistics, no sampling;
+    a 100 TB audit costs one scan per split.  ``k > n_cal`` (alpha too
+    small for the split) yields a NULL threshold and coverage 1.0 —
+    the conformal "predict everything" degenerate case, mirrored in
+    SQL.  All comparisons happen on the 6dp-quantized score, so the
+    thresholds and coverages replay bit-for-bit.
+    """
+    nonconf = (F.lit(1.0) - F.col(score_col)).alias("nc")
+    base = scored.filter(F.col(score_col).isNotNull()).select(
+        nonconf, F.col(calib_col).cast("boolean").alias("is_cal")
+    )
+
+    def cum_table(df: DataFrame) -> DataFrame:
+        g = df.groupBy("nc").agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.orderBy("nc").rowsBetween(Window.unboundedPreceding, 0)
+        return g.withColumn("cum", F.sum("cnt").over(w))
+
+    cal = cum_table(base.filter(F.col("is_cal"))).withColumn(
+        "n_cal", F.max("cum").over(Window.partitionBy())
+    )
+    test = cum_table(base.filter(~F.col("is_cal"))).withColumn(
+        "n_test", F.max("cum").over(Window.partitionBy())
+    )
+    spark = scored.sparkSession
+    al = spark.createDataFrame([(float(a),) for a in alphas], "alpha double")
+    # threshold per alpha: smallest nc whose cumulative calibration
+    # count reaches k (NULL when k > n_cal — degenerate full coverage)
+    k_expr = F.ceil((F.col("n_cal") + 1) * (F.lit(1.0) - F.col("alpha")))
+    qhat = (
+        al.crossJoin(cal)
+        .withColumn("k", k_expr)
+        .groupBy("alpha")
+        .agg(
+            F.min(F.when(F.col("cum") >= F.col("k"), F.col("nc"))).alias("qhat"),
+            F.max("n_cal").alias("n_cal"),
+        )
+    )
+    # coverage per alpha: largest test-cum at nc <= qhat, over n_test
+    # (cross of <= |alphas| threshold rows x the bounded test table)
+    cov = (
+        qhat.crossJoin(test)
+        .groupBy("alpha", "n_cal", "qhat")
+        .agg(
+            F.max(
+                F.when(F.col("nc") <= F.col("qhat"), F.col("cum"))
+            ).alias("cov_cnt"),
+            F.max("n_test").alias("n_test"),
+        )
+    )
+    return cov.select(
+        "alpha", "n_cal", "n_test", "qhat",
+        F.when(F.col("qhat").isNull(), F.lit(1.0))
+        .otherwise(
+            F.round(
+                F.coalesce(F.col("cov_cnt"), F.lit(0)).cast("double")
+                / F.col("n_test").cast("double"),
+                6,
+            )
+        )
+        .alias("coverage"),
+    )
+
+
 def _nonempty_tokens(col: Column) -> Column:
     """Lowercased whitespace tokens with empties dropped — the corpus
     tokenization convention (tfidf_top_terms / bpe_encode oracles)."""

@@ -63,6 +63,48 @@ def test_roc_auc_python_replay(spark):
     assert (got["n_pos"], got["n_neg"]) == (n_pos, n_neg)
 
 
+def _conf(spark, rows, alphas):
+    from etl_tiki_webscraping_spark.quality.eval import conformal_coverage_report
+
+    df = spark.createDataFrame(rows, "score double, is_cal boolean")
+    out = conformal_coverage_report(df, "score", "is_cal", alphas).collect()
+    return {round(r["alpha"], 6): r for r in out}
+
+
+def test_conformal_threshold_order_statistic(spark):
+    # calibration nonconformities 0.1..1.0 (n_cal = 10):
+    #   alpha 0.1: k = ceil(11 * 0.9)  = 10 -> qhat = 10th smallest = 1.0
+    #   alpha 0.5: k = ceil(11 * 0.5)  = 6  -> qhat = 0.6
+    cal = [(round(1.0 - i / 10.0, 6), True) for i in range(1, 11)]
+    test = [(0.75, False), (0.25, False)]  # nc 0.25 and 0.75
+    got = _conf(spark, cal + test, (0.1, 0.5))
+    assert got[0.1]["n_cal"] == 10 and got[0.1]["n_test"] == 2
+    assert got[0.1]["qhat"] == pytest.approx(1.0, abs=1e-9)
+    assert got[0.1]["coverage"] == 1.0  # both test ncs <= 1.0
+    assert got[0.5]["qhat"] == pytest.approx(0.6, abs=1e-9)
+    assert got[0.5]["coverage"] == 0.5  # only nc=0.25 conforms
+
+
+def test_conformal_degenerate_alpha_full_coverage(spark):
+    # k = ceil(4 * 0.9999) = 4 > n_cal = 3: no threshold -> coverage 1.0
+    rows = [(0.9, True), (0.8, True), (0.7, True), (0.1, False)]
+    got = _conf(spark, rows, (0.0001,))
+    assert got[0.0001]["qhat"] is None
+    assert got[0.0001]["coverage"] == 1.0
+
+
+def test_conformal_zero_coverage(spark):
+    # threshold below every test nonconformity -> coverage 0.0
+    rows = [(0.99, True), (0.98, True), (0.97, True), (0.96, True),
+            (0.95, True), (0.94, True), (0.93, True), (0.92, True),
+            (0.91, True), (0.90, True),
+            (0.05, False), (0.10, False)]
+    got = _conf(spark, rows, (0.5,))
+    # cal ncs are 0.01..0.10; k = ceil(11*0.5) = 6 -> qhat ~= 0.06
+    assert got[0.5]["qhat"] == pytest.approx(0.06, abs=1e-9)
+    assert got[0.5]["coverage"] == 0.0
+
+
 def _eval_pairs(spark, rows):
     df = spark.createDataFrame(rows, "pair_id long, cand string, ref string")
     out = overlap_eval(df, "pair_id", "cand", "ref").collect()
