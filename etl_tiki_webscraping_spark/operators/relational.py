@@ -719,20 +719,33 @@ def deletion_neighborhood_pairs(
         .cast("bigint")
         .alias("_vh"),
     )
-    left, right = v.alias("l"), v.alias("r")
-    cand = (
+    # bare-id bucket join: the multi-variant explode makes every true
+    # pair meet in MANY buckets (a distance-1 pair shares ~L variants),
+    # so the pre-distinct stream is the dominant shuffle — carry only
+    # (bk, vh, id), never names (the lsh_topk bare-id-pairs rule), and
+    # re-join names onto the deduped pairs afterwards
+    vb = v.select(*bk, "_vh", "id")
+    left, right = vb.alias("l"), vb.alias("r")
+    cand_ids = (
         left.join(
             right,
             [F.col(f"l.{c}") == F.col(f"r.{c}") for c in (*bk, "_vh")],
         )
         .filter(F.col("l.id") < F.col("r.id"))
-        .select(
-            F.col("l.id").alias("a_id"),
-            F.col("r.id").alias("b_id"),
-            F.col("l.name").alias("a_name"),
-            F.col("r.name").alias("b_name"),
-        )
+        .select(F.col("l.id").alias("a_id"), F.col("r.id").alias("b_id"))
         .distinct()
+    )
+    names = base.select("id", "name")
+    cand = (
+        cand_ids.join(
+            names.select(F.col("id").alias("a_id"), F.col("name").alias("a_name")),
+            on="a_id",
+        )
+        .join(
+            names.select(F.col("id").alias("b_id"), F.col("name").alias("b_name")),
+            on="b_id",
+        )
+        .select("a_id", "b_id", "a_name", "b_name")
     )
     dist = F.levenshtein("a_name", "b_name", int(max_distance))
     return (

@@ -183,6 +183,21 @@ NEW_R10 = [
     "tpch_q12",
 ]
 
+NEW_R11 = [
+    # oracle upgrades (SRP Rademacher kernel / quantized IVF assign)
+    "knn_lsh",
+    "knn_ivf",
+    "dedup_embedding_cosine",
+    # deletion-join perf recovery (Arrow variant kernel)
+    "entity_match_blocked",
+    "entity_resolution_clusters",
+    # new eval queries
+    "quality_model_auc",
+    "generation_overlap_eval",
+    "tokenizer_fertility_by_lang",
+    "conformal_coverage_report",
+]
+
 NEW_R7C = [
     "heavy_hitters_exact",
     "table_profile",
@@ -339,7 +354,7 @@ def main() -> None:
         names = {
             "r7": NEW_R7, "r7c": NEW_R7C, "r7d": NEW_R7D, "r8": NEW_R8,
             "r8b": NEW_R8B, "r8c": NEW_R8C, "r8d": NEW_R8D, "r9": NEW_R9,
-            "r10": NEW_R10,
+            "r10": NEW_R10, "r11": NEW_R11,
         }.get(sys.argv[1], FIVE)
     # hoist one-time warehouse staging out of the timed region, exactly
     # as bench.py does (a deployment's snapshot tables already exist) —
