@@ -40,6 +40,12 @@ def get_spark(app_name: str = "etl-tiki-webscraping-spark", shuffle_partitions: 
         # nation, customer, supplier, part) are tiny relative to facts
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode runs executors inside the driver JVM, so eager
+        # localCheckpoint materializations (graph edge lists at the
+        # sf10 probe scale) are accounted as "serialized task results"
+        # and trip the 1g default; on a real cluster those blocks live
+        # on executors and this limit is irrelevant to them
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
         # stage-progress bars flood stderr; the driver records only a
         # fixed-size output tail, and bars crowd out the bench JSON line

@@ -215,7 +215,12 @@ NEW_R7C = [
 def build_scaled(spark) -> str:
     from pyspark.sql import functions as F
 
-    done_marker = os.path.join(SCALED_DIR, "_SCALED_OK_V3")
+    # V4: c_name regenerates from the strided key (V3 kept names
+    # VERBATIM, so every name existed REPLICAS times and any fuzzy
+    # name-matching workload measured the duplication artifact —
+    # sum |bucket|^2 grew REPLICAS^2 — instead of real growth; real
+    # 10x TPC-H data has 10x DISTINCT names)
+    done_marker = os.path.join(SCALED_DIR, "_SCALED_OK_V4")
     if os.path.exists(done_marker):
         return SCALED_DIR
     os.makedirs(SCALED_DIR, exist_ok=True)
@@ -244,7 +249,12 @@ def build_scaled(spark) -> str:
     cust_parts = [
         cust.select(
             (F.col("c_custkey") + i * CUST_STRIDE).alias("c_custkey"),
-            *[c for c in cust.columns if c != "c_custkey"],
+            *[c for c in cust.columns if c not in ("c_custkey", "c_name")],
+        ).withColumn(
+            # names follow the key (TPC-H's own generator rule), so
+            # replicas are DISTINCT entities, not verbatim copies
+            "c_name",
+            F.format_string("Customer#%09d", F.col("c_custkey")),
         )
         for i in range(REPLICAS)
     ]
