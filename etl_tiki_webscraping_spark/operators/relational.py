@@ -725,13 +725,15 @@ def deletion_neighborhood_pairs(
     # (bk, vh, id), never names (the lsh_topk bare-id-pairs rule), and
     # re-join names onto the deduped pairs afterwards
     vb = v.select(*bk, "_vh", "id")
-    # explicit shuffle-hash hint: the mapInPandas explode defeats
+    # explicit sort-merge hint: the mapInPandas explode defeats
     # Catalyst's size estimation (it sees the SMALL pre-explode child
     # and would happily plan a broadcast of the ~170x-exploded variant
-    # table — 32 GiB at the sf10 probe, an instant OOM).  A partitioned
-    # join on (block, variant-hash) is the only plan that survives any
-    # scale, so pin it instead of trusting the estimate.
-    vb = vb.hint("shuffle_hash")
+    # table — 32 GiB at the sf10 probe, an instant OOM; shuffle_hash
+    # OOMs the same probe building 5M-row per-partition hash maps).
+    # A partitioned SPILL-SAFE join on (block, variant-hash) is the
+    # only plan that survives any scale, so pin it instead of trusting
+    # the estimate.
+    vb = vb.hint("merge")
     left, right = vb.alias("l"), vb.alias("r")
     cand_ids = (
         left.join(
