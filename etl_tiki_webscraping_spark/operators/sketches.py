@@ -129,19 +129,26 @@ def _cms_bucket(col: str, depth_col, width: int):
     width``, which is what upgraded cms_frequency_rollup from
     rows-only to a full oracle in round 11.  The value participates
     via its canonical string form — bucket identity must not depend on
-    an engine's integer byte layout."""
+    an engine's integer byte layout.
+
+    Fast path: when ``width`` divides a power of 16 (any power-of-two
+    width does, since 2^k | 16^ceil(k/4)), the mod only depends on the
+    LAST hex digits of the 15-digit prefix — x mod width =
+    (x mod 16^j) mod width where 16^j is the smallest power of 16 the
+    width divides — so only those j trailing digits are parsed.  The
+    bucket VALUE is bit-identical to the full 15-digit parse (same
+    number, fewer parsed digits); the oracle keeps replaying the
+    documented 15-digit form."""
+    h = F.md5(
+        F.concat_ws(":", depth_col.cast("string"), F.col(col).cast("string"))
+    )
+    digits = 15
+    for j in range(1, 15):
+        if (16**j) % width == 0:
+            digits = j
+            break
     return F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(":", depth_col.cast("string"), F.col(col).cast("string"))
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint"),
+        F.conv(F.substring(h, 1 + (15 - digits), digits), 16, 10).cast("bigint"),
         F.lit(width),
     )
 
@@ -161,17 +168,32 @@ def cms_build(
     at most that many rows before the exchange, regardless of input
     row count or column cardinality."""
     gcols = list(group_cols)
-    rows = df.where(F.col(col).isNotNull()).select(
+    # Pre-aggregate (group, value) -> count FIRST so the md5 hash family
+    # runs once per DISTINCT value per depth, not once per raw row per
+    # depth — md5 is ~5x the cost of xxhash64 and the depth-explode
+    # multiplies it; hashing the distinct-value table keeps the oracle's
+    # bucket function bit-identical (same (d, v) inputs) while cutting
+    # the hash work from depth x |rows| to depth x |distinct values|.
+    per_value = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(*gcols, col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rows = per_value.select(
         *gcols,
         F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("depth"),
         F.col(col),
+        "cnt",
     )
     return (
         rows.select(
-            *gcols, "depth", _cms_bucket(col, F.col("depth"), width).alias("bucket")
+            *gcols,
+            "depth",
+            _cms_bucket(col, F.col("depth"), width).alias("bucket"),
+            "cnt",
         )
         .groupBy(*gcols, "depth", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("cnt").alias("cnt"))
     )
 
 

@@ -63,9 +63,11 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failures = []
+    attempted = 0
     for name, spec in QUERIES.items():
         if only and name not in only:
             continue
+        attempted += 1
         try:
             sdf = spec.fn(spark, sf_dir)
             srows = [r.asDict() for r in sdf.collect()]
@@ -106,7 +108,7 @@ def main() -> int:
         else:
             print(f"ok    {name}: {len(srows)} rows hash-match")
 
-    print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} passing")
+    print(f"\n{attempted - len(failures)}/{attempted} passing")
     return 1 if failures else 0
 
 
