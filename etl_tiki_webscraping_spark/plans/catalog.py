@@ -7777,7 +7777,8 @@ def q_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(n_pos AS BIGINT) AS n_pos,
            CAST(n_neg AS BIGINT) AS n_neg,
            round(CAST(pos_rank2 - n_pos * (n_pos + 1) AS DOUBLE)
-                 / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)),
+                 / NULLIF(2.0 * CAST(n_pos AS DOUBLE)
+                          * CAST(n_neg AS DOUBLE), 0),
                  6) AS auc
     FROM a
     """,
@@ -7802,7 +7803,13 @@ def q_quality_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     scored = q_quality_model_score(spark, sf_dir).join(
         docs.select(
-            "doc_id", (F.col("lang") == "en").cast("int").alias("label")
+            "doc_id",
+            # coalesce: a NULL lang is a NEGATIVE label (0), exactly like
+            # the oracle's CASE ... ELSE 0 — without it Spark's NULL label
+            # would drop the row from the ranking while DuckDB counts it
+            F.coalesce(
+                (F.col("lang") == "en").cast("int"), F.lit(0)
+            ).alias("label"),
         ),
         "doc_id",
     )
@@ -7970,12 +7977,15 @@ def q_generation_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_tiki_webscraping_spark.quality.eval import overlap_eval
 
     docs = load_table(spark, sf_dir, "documents")
+    # integer division (div), not float-divide-then-truncate: exact past
+    # 2^53 and the same operation the oracle's // performs (doc_ids are
+    # non-negative by the data contract, where div and // coincide)
     cand = docs.filter(F.col("doc_id") % 2 == 1).select(
-        (F.col("doc_id") / 2).cast("long").alias("pair_id"),
+        F.expr("doc_id div 2").cast("long").alias("pair_id"),
         F.col("text").alias("cand_text"),
     )
     ref = docs.filter(F.col("doc_id") % 2 == 0).select(
-        (F.col("doc_id") / 2).cast("long").alias("pair_id"),
+        F.expr("doc_id div 2").cast("long").alias("pair_id"),
         F.col("text").alias("ref_text"),
     )
     return overlap_eval(

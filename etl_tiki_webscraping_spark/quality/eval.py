@@ -70,10 +70,17 @@ def roc_auc_report(
     return a.select(
         F.col("n_pos").cast("long").alias("n_pos"),
         F.col("n_neg").cast("long").alias("n_neg"),
+        # try_divide (the cosine() convention): a single-class input
+        # (n_pos or n_neg = 0) yields a NULL auc instead of NaN/Inf,
+        # cross-engine stable with the oracle's NULLIF denominator
         F.round(
-            (F.col("pos_rank2") - F.col("n_pos") * (F.col("n_pos") + 1))
-            .cast("double")
-            / (F.lit(2.0) * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")),
+            F.try_divide(
+                (F.col("pos_rank2") - F.col("n_pos") * (F.col("n_pos") + 1))
+                .cast("double"),
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double"),
+            ),
             6,
         ).alias("auc"),
     )

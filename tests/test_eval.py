@@ -33,6 +33,17 @@ def test_roc_auc_perfect_random_and_inverted(spark):
     assert _auc(spark, [(0.1, 1), (0.2, 1), (0.8, 0), (0.9, 0)])["auc"] == 0.0
 
 
+def test_roc_auc_single_class_is_null(spark):
+    # one-class input: the Mann-Whitney denominator 2*n_pos*n_neg is 0;
+    # try_divide yields NULL (not NaN/Inf), matching the oracle's NULLIF
+    r = _auc(spark, [(0.9, 1), (0.8, 1), (0.3, 1)])
+    assert (r["n_pos"], r["n_neg"]) == (3, 0)
+    assert r["auc"] is None
+    r = _auc(spark, [(0.9, 0), (0.3, 0)])
+    assert (r["n_pos"], r["n_neg"]) == (0, 2)
+    assert r["auc"] is None
+
+
 def test_roc_auc_null_rows_excluded(spark):
     r = _auc(
         spark,
