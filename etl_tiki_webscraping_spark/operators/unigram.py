@@ -184,11 +184,31 @@ def unigram_train(
     max_piece_len: int = 4,
     seed_size: int = 1000,
     max_word_len: int = 20,
+    local_piece_limit: int = 2_000_000,
 ) -> "list[tuple[str, int]]":
     """Train the unigram piece table: returns [(piece, lp_units)]
     sorted by piece.  See module docstring for the algorithm and
     determinism contract; every EM iteration is ONE Arrow pass over
-    the vocab plus one piece-table-sized groupBy."""
+    the vocab plus one piece-table-sized groupBy.
+
+    Driver-memory ceiling (the bpe.py ``local_vocab_limit`` pattern):
+    each EM iteration collects the piece-usage table — bounded by
+    ``seed_size`` + the corpus alphabet (the <unk>-per-char fallback
+    can surface characters outside the seed), NOT by corpus rows.
+    That is the standard SentencePiece design (the piece table lives
+    in memory), but it is a real ceiling: ``seed_size`` and each
+    iteration's collected table are checked against
+    ``local_piece_limit`` (2M pieces ~ 100 MB driver-side) and
+    training raises with guidance instead of silently materializing
+    an unbounded vocabulary."""
+    if seed_size > local_piece_limit:
+        raise ValueError(
+            f"seed_size={seed_size} exceeds local_piece_limit="
+            f"{local_piece_limit}: the EM loop collects a piece-usage "
+            f"table of that size to the driver each iteration. Lower "
+            f"seed_size or raise local_piece_limit if the driver has "
+            f"the memory (~50 bytes/piece)."
+        )
     seeds = seed_candidates(vocab, max_piece_len, seed_size)
     total = sum(c for _, c in seeds)
     pieces = {p: _lp_units(c, total) for p, c in seeds}
@@ -214,12 +234,24 @@ def unigram_train(
 
     for it in range(num_iters):
         kernel = _estep_kernel(pieces, max_piece_len, max_word_len)
-        counts_rows = (
+        agg = (
             vocab.mapInPandas(kernel, "piece string, c bigint")
             .groupBy("piece")
             .agg(F.sum("c").cast("bigint").alias("c"))
-            .collect()
         )
+        # bounded probe before the collect (bpe.py pattern): the table
+        # is seed_size + alphabet by construction, but a degenerate
+        # corpus (huge codepoint alphabet via the <unk> fallback) must
+        # fail loudly, not OOM the driver
+        counts_rows = agg.limit(local_piece_limit + 1).collect()
+        if len(counts_rows) > local_piece_limit:
+            raise ValueError(
+                f"EM iteration {it} produced more than local_piece_limit="
+                f"{local_piece_limit} distinct pieces (seed pieces + "
+                f"fallback characters). The corpus alphabet is too large "
+                f"to train driver-local; raise local_piece_limit if the "
+                f"driver has the memory (~50 bytes/piece)."
+            )
         counts = {r["piece"]: int(r["c"]) for r in counts_rows}
         # prune on the LAST iteration only: EM first converges the
         # estimates over the full seed, then the table shrinks once

@@ -7,6 +7,8 @@ from __future__ import annotations
 import math
 from collections import defaultdict
 
+import pytest
+
 
 def _reference_unigram(
     word_counts: "dict[str, int]",
@@ -115,6 +117,23 @@ def test_pinned_pieces_are_the_trainers_output(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     got = unigram_train(build_word_vocab(docs, "text"))
     assert got == _UNIGRAM_PINNED
+
+
+def test_train_driver_collect_ceiling(spark):
+    """local_piece_limit guards every driver-side materialization: a
+    seed_size past the ceiling fails fast, and an EM iteration whose
+    piece table outgrows it raises instead of OOMing the driver."""
+    from etl_tiki_webscraping_spark.operators.bpe import build_word_vocab
+    from etl_tiki_webscraping_spark.operators.unigram import unigram_train
+
+    docs = spark.createDataFrame(
+        [("abcd efgh abcd",), ("ijkl mnop",)], "text string"
+    )
+    vocab = build_word_vocab(docs, "text")
+    with pytest.raises(ValueError, match="seed_size"):
+        unigram_train(vocab, seed_size=100, local_piece_limit=50)
+    with pytest.raises(ValueError, match="local_piece_limit"):
+        unigram_train(vocab, seed_size=5, local_piece_limit=5)
 
 
 def test_viterbi_packed_objective_and_ties():
