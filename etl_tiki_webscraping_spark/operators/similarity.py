@@ -1084,7 +1084,10 @@ def centroid_cosine_outliers(
     at 1e-6 — so sums are exact, order-free, and bit-identical on any
     engine; ranking ties break by id.
     """
-    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # one Cast node, not a transform lambda: same elementwise float ->
+    # double widening, but it codegens and keeps the analyzed tree small
+    # (plan build + analysis is a measurable share of a small query)
+    vd = F.col(vec_col).cast("array<double>")
     base = df.filter(
         F.col(vec_col).isNotNull() & F.col(group_col).isNotNull()
     )
@@ -1095,8 +1098,9 @@ def centroid_cosine_outliers(
     # of the table plus a broadcast join on the fat vector rows):
     # centroids group by (grp, len, i), so off-length vectors aggregate
     # SEPARATELY instead of polluting, and the modal (grp, len) is
-    # picked from the tiny aggregate (count at i=0 = that length's
-    # vector count; ties break to the smaller length).  Zero-length
+    # picked from the tiny aggregate by a join-free max_by (each
+    # length's vector count rides the aggregate; ties break to the
+    # smaller length).  Zero-length
     # vectors never posexplode a row, so they sit out the election —
     # they can't score anyway (no cosine).  The scored pass needs no
     # length filter at all: zip_with NULL-pads against the modal-length
@@ -1107,49 +1111,46 @@ def centroid_cosine_outliers(
         F.posexplode(vd).alias("i", "v"),
     )
     # centroid component c = (exact-integer mean of 1e-9 units) / 1e9;
-    # the two divisions stay in THIS order — the oracle mirrors it
+    # the two divisions stay in THIS order — the oracle mirrors it.
+    # (Heavy expressions here and below are single F.expr strings: one
+    # parser roundtrip each instead of hundreds of py4j Column calls —
+    # plan BUILD time was the largest share of this query's wall.)
     cent_all = (
         dims.groupBy("grp", "__len", "i")
         .agg(
-            (
-                F.sum(F.floor(F.col("v") * F.lit(1e9) + F.lit(0.5)))
-                .cast("double")
-                / F.count(F.lit(1))
-                / F.lit(1e9)
+            F.expr(
+                "CAST(sum(floor(v * 1e9 + 0.5)) AS DOUBLE) / count(1) / 1e9"
             ).alias("c"),
             F.count(F.lit(1)).alias("__n"),
         )
     )
-    modal = (
-        cent_all.filter(F.col("i") == 0)
-        .groupBy("grp")
-        .agg(
-            F.max(F.struct(F.col("__n").alias("__cnt"), (-F.col("__len")).alias("__nl")))
-            .alias("__m")
-        )
-        .select("grp", (-F.col("__m.__nl")).alias("__modal_len"))
-    )
-    cent_dims = (
-        cent_all.join(F.broadcast(modal), "grp")
-        .filter(F.col("__len") == F.col("__modal_len"))
-        .select("grp", "i", "c")
+    # Modal election WITHOUT a join: assemble each (grp, len)'s
+    # centroid array, then ONE max_by per group picks the modal
+    # length's array — __n is the same for every i of a (grp, len)
+    # (the count of that length's vectors) and ties still break to
+    # the smaller length via (-__len).  Replaces the old
+    # filter(i=0) -> groupBy -> broadcast-join -> filter chain: one
+    # fewer aggregate and no join, which matters when plan/codegen
+    # overhead rivals the data (|groups| x |lens| x d rows).
+    per_len = cent_all.groupBy("grp", "__len").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i, c))), s -> s.c)"
+        ).alias("cent"),
+        F.first("__n").alias("__n"),
     )
     cents = (
-        cent_dims.groupBy("grp")
+        per_len.groupBy("grp")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "c"))),
-                lambda s: s["c"],
+            F.expr(
+                "max_by(cent, struct(__n AS __cnt, -__len AS __nl))"
             ).alias("cent")
         )
         .select(
             "grp",
             "cent",
-            F.aggregate(
-                "cent",
-                F.lit(0).cast("long"),
-                lambda acc, x: acc
-                + F.floor(x * x * F.lit(1e12) + F.lit(0.5)),
+            F.expr(
+                "aggregate(cent, CAST(0 AS BIGINT), "
+                "(acc, x) -> acc + floor(x * x * 1e12 + 0.5))"
             ).alias("nc_units"),
         )
     )
@@ -1157,24 +1158,33 @@ def centroid_cosine_outliers(
         base
         .select(F.col(group_col).alias("grp"), F.col(id_col).alias("vid"), vd.alias("v"))
         .join(F.broadcast(cents), "grp")
+        # ONE fused per-element fold (higher-order functions run
+        # interpreted, so element passes are the unit of cost): the
+        # zip carries (x*y, x*x) together and a struct accumulator
+        # sums both.  An off-modal-length vector NULLs the zip's
+        # padded elements, so dot_units goes NULL exactly as the
+        # two-fold version's zip did — the exclusion contract and
+        # every summed unit are bit-identical.
         .select(
             "grp",
             "vid",
             "nc_units",
-            F.aggregate(
-                F.zip_with(
-                    "v", "cent",
-                    lambda x, y: F.floor(x * y * F.lit(1e12) + F.lit(0.5)),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("dot_units"),
-            F.aggregate(
-                "v",
-                F.lit(0).cast("long"),
-                lambda acc, x: acc
-                + F.floor(x * x * F.lit(1e12) + F.lit(0.5)),
-            ).alias("nv_units"),
+            F.expr(
+                "aggregate("
+                "  zip_with(v, cent, (x, y) -> struct("
+                "    floor(x * y * 1e12 + 0.5) AS xy,"
+                "    floor(x * x * 1e12 + 0.5) AS xx)),"
+                "  struct(CAST(0 AS BIGINT) AS dot, CAST(0 AS BIGINT) AS nv),"
+                "  (acc, e) -> struct(acc.dot + e.xy AS dot,"
+                "                     acc.nv + e.xx AS nv))"
+            ).alias("__f"),
+        )
+        .select(
+            "grp",
+            "vid",
+            "nc_units",
+            F.col("__f.dot").alias("dot_units"),
+            F.col("__f.nv").alias("nv_units"),
         )
         # dot_units NULL = the vector's length differs from the group
         # centroid's (zip_with pads with NULL) — exclude it rather than
@@ -1187,15 +1197,12 @@ def centroid_cosine_outliers(
         .select(
             "grp",
             "vid",
-            F.floor(
-                (F.col("dot_units").cast("double") / F.lit(1e12))
-                / F.sqrt(
-                    (F.col("nv_units").cast("double") / F.lit(1e12))
-                    * (F.col("nc_units").cast("double") / F.lit(1e12))
-                )
-                * F.lit(1e6)
-                + F.lit(0.5)
-            ).cast("bigint").alias("cos_units"),
+            F.expr(
+                "floor(CAST(dot_units AS DOUBLE) / 1e12"
+                "      / sqrt((CAST(nv_units AS DOUBLE) / 1e12)"
+                "             * (CAST(nc_units AS DOUBLE) / 1e12))"
+                "      * 1e6 + 0.5)"
+            ).alias("cos_units"),
         )
     )
     return top_k_per_group(
