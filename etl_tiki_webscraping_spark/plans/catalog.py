@@ -181,6 +181,16 @@ def _export_order() -> list[str]:
 # (snapshot builds, bucketed saveAsTable, SQLite load) and memoizes it
 # per process; the DataFrame they return is lazy, so calling fn() and
 # discarding the result runs exactly the staging and none of the query.
+# The left-outer stream-stream join's multibatch input recipe — shared
+# between the query and prepare_fixtures so eager staging builds the
+# SAME memoized dir the query reads (margin = horizon + delay + slack)
+_LOJ_MULTIBATCH_KW = dict(
+    n_batches=3,
+    cache_tag="outer-spacer",
+    spacer_batches=2,
+    spacer_margin_seconds=3600 + 600 + 120,
+)
+
 _EAGER_STAGING_QUERIES = (
     "dbapi_partitioned_read",
     "snapshot_file_skipping",
@@ -223,9 +233,12 @@ def prepare_fixtures(
         read_events_stream_multibatch,
     )
 
-    # stage the shared multi-batch streaming input dir (memoized by
-    # (sf_dir, n_batches, tag)); starting no stream here
+    # stage the shared multi-batch streaming input dirs (memoized by
+    # (sf_dir, n_batches, tag)); starting no stream here.  The spacer
+    # variant is the left-outer join's input — without staging it here
+    # that query's pass-1 pays the 5-file re-stage (r11 ask #8)
     read_events_stream_multibatch(spark, sf_dir, n_batches=3)
+    read_events_stream_multibatch(spark, sf_dir, **_LOJ_MULTIBATCH_KW)
 
 
 def get_queries() -> dict[str, SparkQuery]:
@@ -3750,10 +3763,7 @@ def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def side(kind: str) -> DataFrame:
         return read_events_stream_multibatch(
-            spark, sf_dir, n_batches=3,
-            cache_tag="outer-spacer",
-            spacer_batches=2,
-            spacer_margin_seconds=3600 + 600 + 120,  # horizon+delay+slack
+            spark, sf_dir, **_LOJ_MULTIBATCH_KW
         ).filter(F.col("event_type") == kind)
 
     joined = stream_stream_purchase_views(
