@@ -39,6 +39,77 @@ def tokenize_ws(col: Column | str) -> Column:
     return F.filter(F.split(F.trim(_col(col)), r"\s+"), lambda t: t != F.lit(""))
 
 
+#: Character-class body (no brackets) matching scripts conventionally
+#: written WITHOUT inter-word spaces, where whitespace tokenization
+#: degenerates to one giant token per sentence: CJK ideographs
+#: (unified + extension A + compatibility), kana, hangul syllables,
+#: and the space-less Southeast-Asian scripts (Thai, Lao, Myanmar,
+#: Khmer).  Spelled as explicit ``\x{...}`` codepoint ranges — NOT
+#: ``\p{script=...}`` — because hex escapes are the one syntax shared
+#: verbatim by Java regex (Spark) and RE2 (DuckDB), so the exact same
+#: class string drives both the operator and its oracle.  Hangul does
+#: use spaces in running text, but character-bigram indexing is still
+#: the standard Korean IR treatment (agglutinative morphology defeats
+#: whitespace tokens), so it is included deliberately.
+NO_SPACE_SCRIPT_CLASS = (
+    r"\x{3400}-\x{4DBF}"   # CJK unified ideographs extension A
+    r"\x{4E00}-\x{9FFF}"   # CJK unified ideographs
+    r"\x{F900}-\x{FAFF}"   # CJK compatibility ideographs
+    r"\x{3040}-\x{309F}"   # hiragana
+    r"\x{30A0}-\x{30FF}"   # katakana
+    r"\x{AC00}-\x{D7AF}"   # hangul syllables
+    r"\x{0E00}-\x{0E7F}"   # Thai
+    r"\x{0E80}-\x{0EFF}"   # Lao
+    r"\x{1000}-\x{109F}"   # Myanmar
+    r"\x{1780}-\x{17FF}"   # Khmer
+)
+
+#: full-run pattern: a token that is entirely no-space-script chars.
+_NO_SPACE_RUN_PATTERN = f"^[{NO_SPACE_SCRIPT_CLASS}]+$"
+
+
+def tokenize_mixed(col: Column | str, cjk_ngram: int = 2) -> Column:
+    """Mixed-script tokenization: whitespace tokens for spaced scripts,
+    overlapping character ``cjk_ngram``-grams for no-space-script runs
+    (the standard CJK IR treatment — character bigrams approximate
+    word units without a dictionary segmenter).
+
+    Pipeline (pure built-ins, one codegen'd expression, no UDF, no
+    shuffle — same 100 TB shape as ``tokenize_ws``):
+
+    1. delimit every ``NO_SPACE_SCRIPT_CLASS`` run with spaces
+       (``regexp_replace`` with a capture group),
+    2. whitespace-tokenize,
+    3. per token: if it is entirely a no-space-script run of length
+       >= ``cjk_ngram``, expand to its overlapping character n-grams;
+       shorter runs and spaced-script tokens pass through whole.
+
+    Engine-portable by construction: DuckDB replays it as
+    ``flatten(list_transform(list_filter(string_split_regex(
+    regexp_replace(s, '([CLASS]+)', ' \\1 ', 'g'), '\\s+'),
+    x -> x <> ''), t -> CASE WHEN regexp_matches(t, '^[CLASS]+$')
+    AND length(t) >= 2 THEN list_transform(range(1, length(t)),
+    i -> substring(t, i, 2)) ELSE [t] END))`` with the identical
+    class body (both engines count characters, not bytes).
+    """
+    spaced = F.regexp_replace(
+        _col(col), f"([{NO_SPACE_SCRIPT_CLASS}]+)", " $1 "
+    )
+    toks = tokenize_ws(spaced)
+    return F.flatten(
+        F.transform(
+            toks,
+            lambda t: F.when(
+                t.rlike(_NO_SPACE_RUN_PATTERN) & (F.length(t) >= cjk_ngram),
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t) - (cjk_ngram - 1)),
+                    lambda i: F.substring(t, i, F.lit(cjk_ngram)),
+                ),
+            ).otherwise(F.array(t)),
+        )
+    )
+
+
 def token_count(col: Column | str) -> Column:
     """Whitespace token count (long)."""
     return F.size(tokenize_ws(col)).cast("bigint")

@@ -127,9 +127,19 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # shingling + minhash
 # --------------------------------------------------------------------------
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingle set (distinct)."""
-    toks = tokenize_ws(F.lower(F.col(col) if isinstance(col, str) else col))
+def shingles(col: Column | str, n: int = 3, segment_cjk: bool = False) -> Column:
+    """Word n-gram shingle set (distinct).  ``segment_cjk=True`` routes
+    tokenization through ``functions.text.tokenize_mixed`` so no-space
+    scripts (CJK/Thai/...) shingle over character bigrams instead of
+    collapsing each sentence to ONE token (which would make every
+    same-length CJK doc pair Jaccard-0 and near-dup detection blind)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if segment_cjk:
+        from etl_tiki_webscraping_spark.functions.text import tokenize_mixed
+
+        toks = tokenize_mixed(F.lower(c))
+    else:
+        toks = tokenize_ws(F.lower(c))
     if n == 1:
         # fast path: unigram shingles ARE the distinct tokens — skip the
         # interpreted sequence/slice/concat_ws chain entirely (empty docs

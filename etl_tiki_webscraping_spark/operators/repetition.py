@@ -77,10 +77,25 @@ def _ws_tokens(text_col: Column) -> Column:
     )
 
 
+def _doc_tokens(text_col: Column, segment_cjk: bool) -> Column:
+    """Token stream for the repetition rules.  ``segment_cjk=False``
+    keeps the historical whitespace contract; ``True`` routes through
+    ``functions.text.tokenize_mixed`` so no-space scripts (CJK / Thai /
+    ...) contribute character bigrams instead of one sentence-sized
+    token — without it every repetition mass on such text is trivially
+    0 (a 1-token doc has no 2-gram)."""
+    if not segment_cjk:
+        return _ws_tokens(text_col)
+    from etl_tiki_webscraping_spark.functions.text import tokenize_mixed
+
+    return tokenize_mixed(F.lower(F.coalesce(text_col, F.lit(""))))
+
+
 def repetition_signals(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    segment_cjk: bool = False,
 ) -> DataFrame:
     """Per-document repetition signal table:
 
@@ -95,7 +110,8 @@ def repetition_signals(
     """
     base = (
         docs.select(
-            F.col(id_col).alias("doc_id"), _ws_tokens(F.col(text_col)).alias("toks")
+            F.col(id_col).alias("doc_id"),
+            _doc_tokens(F.col(text_col), segment_cjk).alias("toks"),
         )
         .select(
             "doc_id",
@@ -164,13 +180,14 @@ def repetition_filter(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    segment_cjk: bool = False,
 ) -> DataFrame:
     """Documents SURVIVING the Gopher repetition rules — every
     threshold applied as an integer cross-multiplication
     (``mass * den <= total_chars * num``), so the keep/drop boundary
     is exact on both engines.  Returns the signal columns of the
     survivors (join back to ``docs`` on ``doc_id`` for full rows)."""
-    sig = repetition_signals(docs, text_col, id_col)
+    sig = repetition_signals(docs, text_col, id_col, segment_cjk=segment_cjk)
     cond = F.col("n_words") >= MIN_WORDS
     for n, (num, den) in TOP_NGRAM_LIMITS.items():
         cond = cond & (

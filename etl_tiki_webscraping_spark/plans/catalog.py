@@ -138,30 +138,27 @@ def _driver_covered() -> "frozenset[str]":
 # automatically stalest-first, so forgetting an entry costs at most
 # ~ceil(catalog/50) rounds of evidence age, never unbounded drift.
 _DRIVER_FRESH = frozenset({
-    # r11 code changes (the oracle UPGRADES — minhash pair,
-    # doc_fingerprint, dedup_simhash, cms_frequency_rollup — plus the
-    # brand-new unigram/jpeg queries change driver MODE and therefore
-    # lead the window via `prio` without being listed here):
-    #   - GIF LZW decode vectorized (int-table two-pass)
-    "gif_frame_sampling",
-    #   - BPE train incremental-delta driver-local fast path
-    "bpe_train_merges",
-    #   - centroid outliers: modal-length election folded into the
-    #     centroid aggregate (bench recovery, plan change)
+    # r12 code changes (brand-new queries lead the window via `prio`
+    # without being listed here):
+    #   - cms_frequency_rollup: distinct-value pre-aggregate before
+    #     the depth-explode (bench recovery, plan change)
+    "cms_frequency_rollup",
+    #   - centroid outliers: join-free modal election + fused folds
     "embedding_centroid_outliers",
-    #   - cheaper bit-strict sum_disc_price form (bench recovery)
-    "groupby_agg_metrics",
-    #   - stream-stream join shuffle tuning
-    "streaming_stream_stream_join",
+    #   - cross-engine parity hardening (NULL-lang label coalesce,
+    #     integer-div pair_id, try_divide AUC)
+    "quality_model_auc",
+    "generation_overlap_eval",
+    #   - unigram EM driver-collect ceiling guard
+    "unigram_train",
+    "unigram_encode_corpus",
+    #   - left-outer spacer-batch staging hoisted into
+    #     prepare_fixtures (input recipe shared)
     "streaming_stream_stream_left_outer",
-    #   - JPEG branch added to the shared multimodal decode dispatch
-    "multimodal_image_features",
-    #   - cap-64 + deletion-neighborhood overflow (sf10 probe finding:
-    #     block self-join quadratic in block fatness)
-    "entity_match_blocked",
-    "entity_resolution_clusters",
-    #   - KN scores refactored into the shared _kn_doc_scores helper
-    "doc_kneser_ney_logprob",
+    #   - repetition_signals/filter grew the segment_cjk parameter
+    #     (default path unchanged; re-verify anyway)
+    "gopher_repetition_stats",
+    "gopher_repetition_filter",
 })
 
 
@@ -11797,13 +11794,12 @@ def q_audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round 11: Gopher-style repetition quality rules (operators/repetition.py)
 # ===========================================================================
 
-_GOPHER_STATS_CTES = r"""
-    rep_toks AS (
-        SELECT doc_id,
-               list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
-                           x -> x <> '') AS tok
-        FROM documents
-    ),
+def _gopher_ctes(rep_toks_cte: str) -> str:
+    """Gopher-stats oracle CTE chain over an injectable token source:
+    ``rep_toks_cte`` must define ``rep_toks(doc_id, tok)``.  Shared by
+    the whitespace-token queries and the CJK-segmented variant so the
+    gram/mass/frac replay logic exists exactly once."""
+    return rep_toks_cte + r"""
     rep_base AS (
         SELECT doc_id,
                CAST(len(tok) AS INT) AS n_words,
@@ -11860,6 +11856,16 @@ _GOPHER_STATS_CTES = r"""
 """
 
 
+_GOPHER_STATS_CTES = _gopher_ctes(r"""
+    rep_toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                           x -> x <> '') AS tok
+        FROM documents
+    ),""")
+
+
+
 @register(
     "gopher_repetition_stats",
     oracle=f"""
@@ -11902,6 +11908,109 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_tiki_webscraping_spark.operators.repetition import repetition_filter
 
     return repetition_filter(load_table(spark, sf_dir, "documents"))
+
+
+# --- CJK / no-space-script segmentation (round-11 VERDICT ask #5) ---
+#
+# The fixture corpus is Latin-script even where lang='zh', so the
+# mixed-script corpus is SYNTHESIZED deterministically from doc_id in
+# both engines: md5 hex digits translated to Han / kana alphabets
+# (16 chars each — one per hex digit), appended to the first 40 chars
+# of the real text.  The trailing re-emission of the first 6 Han chars
+# plants genuine intra-document repeated bigrams, so the signal
+# columns are non-trivially exercised, not all-zero.
+_CJK_HAN16 = "日月火水木金土山川田中大小上下人"
+_CJK_KANA16 = "あいうえおかきくけこさしすせそた"
+_CJK_HEX = "0123456789abcdef"
+
+
+def _cjk_mixed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = F.md5(F.col("doc_id").cast("string"))
+    run_han = F.translate(F.substring(h, 1, 12), _CJK_HEX, _CJK_HAN16)
+    run_kana = F.translate(F.substring(h, 13, 8), _CJK_HEX, _CJK_KANA16)
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40),
+            F.lit(" "),
+            run_han,
+            F.lit(" "),
+            run_kana,
+            F.lit(" "),
+            F.substring(run_han, 1, 6),
+        ).alias("text"),
+    )
+
+
+def _cjk_mixed_docs_sql() -> str:
+    return f"""
+    cjk_mixed AS (
+        SELECT doc_id,
+               concat(substring(coalesce(text, ''), 1, 40), ' ',
+                      translate(substring(md5(CAST(doc_id AS VARCHAR)), 1, 12),
+                                '{_CJK_HEX}', '{_CJK_HAN16}'), ' ',
+                      translate(substring(md5(CAST(doc_id AS VARCHAR)), 13, 8),
+                                '{_CJK_HEX}', '{_CJK_KANA16}'), ' ',
+                      translate(substring(md5(CAST(doc_id AS VARCHAR)), 1, 6),
+                                '{_CJK_HEX}', '{_CJK_HAN16}')) AS text
+        FROM documents
+    ),"""
+
+
+def _cjk_rep_toks_cte() -> str:
+    """rep_toks CTE replaying functions.text.tokenize_mixed in DuckDB:
+    space-delimit no-space-script runs (same \\x{{...}} class body as
+    the Spark regex — hex escapes are the Java-regex/RE2-shared
+    syntax), whitespace-split, then expand each full run of length
+    >= 2 into overlapping character bigrams."""
+    from etl_tiki_webscraping_spark.functions.text import NO_SPACE_SCRIPT_CLASS
+
+    cls = NO_SPACE_SCRIPT_CLASS
+    return (
+        _cjk_mixed_docs_sql()
+        + f"""
+    rep_toks AS (
+        SELECT doc_id,
+               flatten(list_transform(
+                   list_filter(string_split_regex(
+                       regexp_replace(lower(text), '([{cls}]+)', ' \\1 ', 'g'),
+                       '\\s+'), x -> x <> ''),
+                   t -> CASE WHEN regexp_matches(t, '^[{cls}]+$')
+                                  AND length(t) >= 2
+                        THEN list_transform(range(1, length(t)::BIGINT),
+                                            i -> substring(t, i::INT, 2))
+                        ELSE [t] END)) AS tok
+        FROM cjk_mixed
+    ),"""
+    )
+
+
+@register(
+    "gopher_repetition_cjk",
+    oracle=f"""
+    WITH {_gopher_ctes(_cjk_rep_toks_cte())}
+    SELECT * FROM rep_stats
+    """,
+    doc="Gopher repetition signals over a MIXED-SCRIPT corpus with "
+        "segment_cjk=True (functions/text.py::tokenize_mixed): "
+        "no-space-script runs (CJK ideographs, kana, hangul, Thai/Lao/"
+        "Myanmar/Khmer — explicit \\x{{...}} codepoint ranges, the one "
+        "regex syntax Java and RE2 share) are space-delimited and "
+        "expanded to overlapping character bigrams before the gram "
+        "counts; spaced-script tokens pass through whole.  Without the "
+        "flag a CJK sentence is ONE whitespace token and every "
+        "repetition mass is degenerately 0.  Corpus synthesized "
+        "deterministically from doc_id (md5-hex -> Han/kana translate) "
+        "so the oracle rebuilds byte-identical input; the oracle "
+        "replays the full segment -> gram -> mass chain via the shared "
+        "_gopher_ctes body.  Same 100 TB shape as gopher_repetition_"
+        "stats: one codegen'd tokenize expression, one tagged explode, "
+        "one map-side-combined groupBy; no UDF.",
+)
+def q_gopher_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.repetition import repetition_signals
+
+    return repetition_signals(_cjk_mixed_docs(spark, sf_dir), segment_cjk=True)
 
 
 @register(

@@ -217,3 +217,88 @@ def test_kneser_ney_catalog_query_matches_python_replay(spark, tmp_path):
         n_b, avg = got[d]
         assert n_b == len(bgs)
         assert abs(avg - want) < 1e-12, (d, avg, want)
+
+
+# --- mixed-script (CJK / no-space) segmentation -----------------------------
+
+def _mixed_toks(spark, text, n=2):
+    from etl_tiki_webscraping_spark.functions.text import tokenize_mixed
+
+    df = _one(spark, text)
+    return df.select(tokenize_mixed(F.col("t"), n).alias("tk")).first()["tk"]
+
+
+def test_tokenize_mixed_expands_runs_to_char_bigrams(spark):
+    toks = _mixed_toks(spark, "hello 世界真好 world こんにちは ok 안녕하세요")
+    assert toks == [
+        "hello", "世界", "界真", "真好", "world",
+        "こん", "んに", "にち", "ちは", "ok",
+        "안녕", "녕하", "하세", "세요",
+    ]
+
+
+def test_tokenize_mixed_single_char_run_passes_whole(spark):
+    # a 1-char run is shorter than the n-gram width: kept as-is
+    assert _mixed_toks(spark, "a 山 b") == ["a", "山", "b"]
+
+
+def test_tokenize_mixed_is_ws_tokenize_on_spaced_scripts(spark):
+    from etl_tiki_webscraping_spark.functions.text import tokenize_ws
+
+    df = _one(spark, "  The quick  brown fox.  ")
+    r = df.select(
+        tokenize_ws(F.col("t")).alias("ws"),
+    ).first()
+    assert _mixed_toks(spark, "  The quick  brown fox.  ") == r["ws"]
+
+
+def test_tokenize_mixed_embedded_run_splits_out(spark):
+    # run glued to Latin text: the spacing step isolates it; adjacent
+    # Han + kana form ONE run (the class is script-union), so bigrams
+    # cross the script boundary — same contract as the DuckDB replay
+    assert _mixed_toks(spark, "abc漢字かなdef") == [
+        "abc", "漢字", "字か", "かな", "def",
+    ]
+
+
+def test_tokenize_mixed_trigram_width(spark):
+    assert _mixed_toks(spark, "世界真好", n=3) == ["世界真", "界真好"]
+
+
+def test_gopher_stats_not_degenerate_on_cjk_with_flag(spark):
+    """A space-less CJK doc with a repeated phrase: whitespace
+    tokenization sees ONE token (no 2-gram exists -> all masses 0);
+    segment_cjk=True sees the repetition."""
+    from etl_tiki_webscraping_spark.operators.repetition import (
+        repetition_signals,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "世界真好世界真好世界真好")], "doc_id long, text string"
+    )
+    ws = repetition_signals(docs).first()
+    mixed = repetition_signals(docs, segment_cjk=True).first()
+    assert ws["n_words"] == 1 and ws["top2gram_mass"] == 0
+    assert mixed["n_words"] == 11  # 11 overlapping bigrams of a 12-char run
+    assert mixed["top2gram_mass"] > 0
+    assert mixed["dup5gram_mass"] > 0
+
+
+def test_shingles_not_degenerate_on_cjk_with_flag(spark):
+    """Near-dup shingling on CJK: without the flag every doc is one
+    whole-doc shingle (pairwise Jaccard blind); with it the two
+    near-identical docs share most character-bigram shingles."""
+    from etl_tiki_webscraping_spark.operators.dedup import shingles
+
+    docs = spark.createDataFrame(
+        [(1, "今日は良い天気ですね"), (2, "今日は良い天気でした")],
+        "doc_id long, text string",
+    )
+    ws = docs.select(shingles("text", n=1).alias("s")).collect()
+    mixed = docs.select(
+        shingles("text", n=1, segment_cjk=True).alias("s")
+    ).collect()
+    assert all(len(r["s"]) == 1 for r in ws)  # degenerate: 1 shingle/doc
+    a, b = (set(r["s"]) for r in mixed)
+    jac = len(a & b) / len(a | b)
+    assert len(a) > 5 and 0.5 < jac < 1.0
