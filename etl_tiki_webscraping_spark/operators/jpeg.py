@@ -1,27 +1,37 @@
-"""Baseline JPEG codec (ITU-T T.81, public spec) in numpy + stdlib —
-the dominant web image format, round-11 VERDICT ask #2.
+"""JPEG codec (ITU-T T.81, public spec) in numpy + stdlib — the
+dominant web image format, round-11 VERDICT ask #2; progressive
+(SOF2) decode is the round-12 extension (r11 VERDICT ask #4).
 
-REAL decoder for baseline sequential DCT JPEG/JFIF: marker parse
-(DQT / SOF0 / DHT / DRI / SOS), interleaved-MCU Huffman entropy
-decode with byte-unstuffing and restart markers, dequantize +
-dezigzag, and a VECTORIZED inverse DCT (all of a component's blocks
-as one (n, 8, 8) tensor, two 8x8 matrix multiplies — never a
-per-pixel Python loop).  Returns the Y (luma) plane only — exactly
-the :func:`..multimodal._decode_image_impl` contract — so chroma
-blocks are entropy-decoded (the stream is interleaved; they must be)
-but never IDCT'd.  Sniffing is strict: SOI signature, baseline-only
-SOF0 (progressive SOF2 etc. reject), 8-bit precision, sampling
-factors in {1, 2}, every segment length in bounds — arbitrary binary
-never mis-routes here, and truncation rejects wholesale (the GIF
-decoder's round-11 contract).
+REAL decoder for baseline sequential (SOF0) AND progressive (SOF2)
+DCT JPEG/JFIF: marker parse (DQT / SOF / DHT / DRI / multi-SOS),
+Huffman entropy decode with byte-unstuffing and restart markers —
+for progressive streams the full Annex G scan machinery: spectral
+selection, successive approximation (DC/AC first + refinement
+passes), EOB runs, interleaved DC scans and non-interleaved
+single-component AC scans — then dequantize + dezigzag and a
+VECTORIZED inverse DCT (all of a component's blocks as one
+(n, 8, 8) tensor, two 8x8 matrix multiplies — never a per-pixel
+Python loop).  Returns the Y (luma) plane only — exactly the
+:func:`..multimodal._decode_image_impl` contract — so chroma blocks
+are entropy-decoded (scan parsing requires it, and refinement scans
+need chroma coefficient HISTORY) but never IDCT'd.  Sniffing is
+strict: SOI signature, SOF0/SOF2 only (hierarchical / arithmetic /
+12-bit frame types reject), 8-bit precision, sampling factors in
+{1, 2}, every segment length in bounds — arbitrary binary never
+mis-routes here, and truncation rejects wholesale (the GIF decoder's
+round-11 contract).
 
-REAL encoder for fixtures and previews: grayscale or RGB input,
+REAL encoders for fixtures and previews: grayscale or RGB input,
 4:4:4 / 4:2:2 / 4:2:0 subsampling, Annex K quantization tables,
-two-pass OPTIMIZED canonical Huffman tables (per-image symbol
-frequencies, length-limited to 16 with the classic bits-adjustment,
-all-ones max-length code reserved) — the `optimize_coding` mode of
-production encoders, so no spec constant beyond Annex K is
-hardcoded.
+per-scan two-pass OPTIMIZED canonical Huffman tables (per-image
+symbol frequencies, length-limited to 16 with the classic
+bits-adjustment, all-ones max-length code reserved) — the
+`optimize_coding` mode of production encoders, so no spec constant
+beyond Annex K is hardcoded.  :func:`encode_jpeg` writes baseline;
+:func:`encode_jpeg_progressive` writes a 4-phase progressive scan
+script (DC first at Al=1, DC refinement, per-component AC first at
+Al=1, per-component AC refinement) that exercises every progressive
+decode path.
 
 Numerics pinned for the catalog oracle: decoded samples round to the
 nearest integer and clamp to [0, 255] (what every production decoder
@@ -253,23 +263,16 @@ def _block_symbols(
     return syms, dc
 
 
-def encode_jpeg(
+def _prepare_blocks(
     pixels: "np.ndarray",
-    subsampling: str = "444",
-    qtable_luma: "np.ndarray" = QTABLE_LUMA,
-    qtable_chroma: "np.ndarray" = QTABLE_CHROMA,
-    restart_interval: int = 0,
-) -> bytes:
-    """Baseline JFIF encoder: ``pixels`` is (h, w) grayscale or
-    (h, w, 3) RGB uint8-valued; ``subsampling`` one of '444' / '422' /
-    '420' (ignored for grayscale); ``restart_interval`` > 0 emits DRI
-    plus RSTn markers every that many MCUs (with the spec's DC-pred
-    reset and byte alignment).  Two passes: symbols are generated
-    once to count frequencies, optimized canonical Huffman tables are
-    built, then the same symbols are written.  Used by the catalog to
-    materialize deterministic JPEG fixtures at query time (the
-    :func:`..multimodal.encode_gif` role) and genuinely useful for
-    writing previews."""
+    subsampling: str,
+    qtable_luma: "np.ndarray",
+    qtable_chroma: "np.ndarray",
+):
+    """Shared encoder front half (color convert, subsample, pad, DCT,
+    quantize): returns ``(gray, h, w, samp, comp_qt, qts, comp_blocks,
+    mcus_x, mcus_y)`` with ``comp_blocks[ci]`` the (by, bx, 8, 8)
+    quantized coefficient grid padded to the full MCU lattice."""
     px = np.asarray(pixels, dtype=np.float64)
     gray = px.ndim == 2
     h, w = px.shape[:2]
@@ -297,9 +300,8 @@ def encode_jpeg(
             samp.append((1, 1))
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = -(-w // mcu_w)
-    mcus_y = -(-h // mcu_h)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
     qts = [qtable_luma] + ([] if gray else [qtable_chroma])
     comp_qt = [0] + ([] if gray else [1, 1])
 
@@ -317,6 +319,55 @@ def encode_jpeg(
         comp_blocks.append(
             np.round(coeff / q[None, None, :, :]).astype(np.int64)
         )
+    return gray, h, w, samp, comp_qt, qts, comp_blocks, mcus_x, mcus_y
+
+
+def _frame_headers(
+    sof_marker: int,
+    h: int,
+    w: int,
+    samp: "list[tuple[int, int]]",
+    comp_qt: "list[int]",
+    qts: "list[np.ndarray]",
+) -> bytearray:
+    """SOI + APP0 JFIF + DQT + SOFn header bytes (shared by the
+    baseline and progressive encoders)."""
+    out = bytearray(b"\xff\xd8")  # SOI
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    dqt = bytearray()
+    for ti, qt in enumerate(qts):
+        dqt += bytes([ti]) + bytes(int(v) for v in qt.reshape(64)[ZIGZAG])
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + bytes(dqt)
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, len(samp)))
+    for ci in range(len(samp)):
+        hs, vs = samp[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, comp_qt[ci]])
+    out += bytes([0xFF, sof_marker]) + struct.pack(">H", 2 + len(sof)) + bytes(sof)
+    return out
+
+
+def encode_jpeg(
+    pixels: "np.ndarray",
+    subsampling: str = "444",
+    qtable_luma: "np.ndarray" = QTABLE_LUMA,
+    qtable_chroma: "np.ndarray" = QTABLE_CHROMA,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF encoder: ``pixels`` is (h, w) grayscale or
+    (h, w, 3) RGB uint8-valued; ``subsampling`` one of '444' / '422' /
+    '420' (ignored for grayscale); ``restart_interval`` > 0 emits DRI
+    plus RSTn markers every that many MCUs (with the spec's DC-pred
+    reset and byte alignment).  Two passes: symbols are generated
+    once to count frequencies, optimized canonical Huffman tables are
+    built, then the same symbols are written.  Used by the catalog to
+    materialize deterministic JPEG fixtures at query time (the
+    :func:`..multimodal.encode_gif` role) and genuinely useful for
+    writing previews."""
+    gray, h, w, samp, comp_qt, qts, comp_blocks, mcus_x, mcus_y = (
+        _prepare_blocks(pixels, subsampling, qtable_luma, qtable_chroma)
+    )
+    planes = comp_blocks  # count only
 
     # MCU-interleaved symbol stream in WRITE ORDER with table class:
     # [(table_kind, is_dc, symbol, extra, n_extra)]; kind -1 marks a
@@ -377,23 +428,7 @@ def encode_jpeg(
             wtr.write(extra, nbits)
     wtr.flush()
 
-    out = bytearray(b"\xff\xd8")  # SOI
-    # APP0 JFIF
-    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
-    # DQT (all tables, 8-bit precision, zigzag order)
-    dqt = bytearray()
-    for ti, qt in enumerate(qts):
-        dqt += bytes([ti]) + bytes(
-            int(v) for v in qt.reshape(64)[ZIGZAG]
-        )
-    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + bytes(dqt)
-    # SOF0
-    sof = bytearray(struct.pack(">BHHB", 8, h, w, len(planes)))
-    for ci in range(len(planes)):
-        hs, vs = samp[ci]
-        sof += bytes([ci + 1, (hs << 4) | vs, comp_qt[ci]])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + bytes(sof)
+    out = _frame_headers(0xC0, h, w, samp, comp_qt, qts)
     # DHT
     out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht_payload)) + bytes(
         dht_payload
@@ -409,6 +444,260 @@ def encode_jpeg(
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + bytes(sos)
     out += wtr.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- progressive encoder (T.81 Annex G) --------------------------------
+#
+# Scan script (the shape libjpeg's default progression uses, reduced to
+# one successive-approximation step): an interleaved DC-first scan at
+# Al=1, a DC refinement scan (raw bits, no Huffman), then per component
+# an AC-first scan (Ss=1..Se=63, Al=1, EOBRUN coding) and an AC
+# refinement scan (Ah=1, Al=0, correction bits).  One approximation
+# step exercises EVERY decode path — DC/AC first and refinement,
+# EOBRUN, ZRL-with-corrections — while keeping the file small.  After
+# all scans the coefficients are exact, so the block-constant
+# bit-exactness argument of the baseline codec carries over verbatim.
+
+
+def _emit_eobrun(emits: list, kind: int, eobrun: int, pending: list) -> None:
+    """Flush a pending EOB run: EOBn symbol (n = bit length - 1, low n
+    bits as extra) followed by the correction bits buffered while the
+    run accumulated (T.81 G.1.2.2-3)."""
+    if eobrun > 0:
+        nb = eobrun.bit_length() - 1
+        emits.append(("s", kind, nb << 4, eobrun & ((1 << nb) - 1), nb))
+        for b in pending:
+            emits.append(("b", b))
+
+
+def _ac_first_emits(blocks_zz: list, ss: int, se: int, al: int, kind: int) -> list:
+    """AC first-pass symbols for one component's blocks (raster order):
+    run/size coding of the point-transformed coefficients
+    (sign * (|v| >> Al)) with cross-block EOB runs."""
+    emits: list = []
+    eobrun = 0
+    for blk in blocks_zz:
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            t = (abs(v) >> al) * (1 if v >= 0 else -1)
+            if t == 0:
+                r += 1
+                continue
+            _emit_eobrun(emits, kind, eobrun, [])
+            eobrun = 0
+            while r > 15:
+                emits.append(("s", kind, 0xF0, 0, 0))
+                r -= 16
+            cat = _magnitude_category(t)
+            extra = t if t >= 0 else t + (1 << cat) - 1
+            emits.append(("s", kind, (r << 4) | cat, extra, cat))
+            r = 0
+        if r > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                _emit_eobrun(emits, kind, eobrun, [])
+                eobrun = 0
+    _emit_eobrun(emits, kind, eobrun, [])
+    return emits
+
+
+def _ac_refine_emits(blocks_zz: list, ss: int, se: int, al: int, kind: int) -> list:
+    """AC refinement symbols (T.81 G.1.2.3, the libjpeg buffered-bits
+    organization): newly-significant coefficients (|v| >> Al == 1) get
+    run/1 symbols + a sign bit; already-nonzero coefficients append
+    correction bits; trailing runs fold into EOBRUN with their
+    correction bits buffered until the run flushes."""
+    emits: list = []
+    eobrun = 0
+    pending: list = []
+    for blk in blocks_zz:
+        absv = [0] * (se + 1)
+        eob = ss - 1  # position of the last NEWLY-significant coeff
+        for k in range(ss, se + 1):
+            a = abs(int(blk[k])) >> al
+            absv[k] = a
+            if a == 1:
+                eob = k
+        r = 0
+        br: list = []
+        for k in range(ss, se + 1):
+            t = absv[k]
+            if t == 0:
+                r += 1
+                continue
+            # ZRLs only inside the newly-significant span; beyond it
+            # the zeros fold into the EOB run
+            while r > 15 and k <= eob:
+                _emit_eobrun(emits, kind, eobrun, pending)
+                eobrun = 0
+                pending = []
+                emits.append(("s", kind, 0xF0, 0, 0))
+                r -= 16
+                for b in br:
+                    emits.append(("b", b))
+                br = []
+            if t > 1:  # history coefficient: one correction bit
+                br.append(t & 1)
+                continue
+            # newly significant (t == 1)
+            _emit_eobrun(emits, kind, eobrun, pending)
+            eobrun = 0
+            pending = []
+            emits.append(("s", kind, (r << 4) | 1, 1 if int(blk[k]) >= 0 else 0, 1))
+            r = 0
+            for b in br:
+                emits.append(("b", b))
+            br = []
+        if r > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF or len(pending) > 900:
+                _emit_eobrun(emits, kind, eobrun, pending)
+                eobrun = 0
+                pending = []
+    _emit_eobrun(emits, kind, eobrun, pending)
+    return emits
+
+
+def _write_scan(
+    out: bytearray,
+    emits: list,
+    scan_comps: "list[tuple[int, int]]",
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    tbl_class: "int | None",
+) -> None:
+    """Emit one progressive scan: optimized DHT (unless the scan is a
+    DC refinement, which is raw bits), SOS header, entropy bytes.
+    ``emits`` interleaves ('s', kind, sym, extra, nbits) Huffman
+    symbols and ('b', bit) raw bits in exact write order;
+    ``scan_comps`` is [(component_index, table_kind)]."""
+    codes_by_kind: dict = {}
+    if tbl_class is not None:
+        freqs: "dict[int, dict[int, int]]" = {}
+        for e in emits:
+            if e[0] == "s":
+                freqs.setdefault(e[1], {})
+                freqs[e[1]][e[2]] = freqs[e[1]].get(e[2], 0) + 1
+        for _, kind in scan_comps:
+            freqs.setdefault(kind, {0: 1})  # all-zero scan still needs a table
+        dht = bytearray()
+        for kind in sorted(freqs):
+            lengths = _huffman_code_lengths(freqs[kind])
+            bits, values, codes = _canonical_codes(lengths)
+            codes_by_kind[kind] = codes
+            dht += bytes([(tbl_class << 4) | kind]) + bytes(bits) + bytes(values)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + bytes(dht)
+    sos = bytearray([len(scan_comps)])
+    for ci, kind in scan_comps:
+        td = kind if tbl_class == 0 else 0
+        ta = kind if tbl_class == 1 else 0
+        sos += bytes([ci + 1, (td << 4) | ta])
+    sos += bytes([ss, se, (ah << 4) | al])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + bytes(sos)
+    wtr = _BitWriter()
+    for e in emits:
+        if e[0] == "b":
+            wtr.write(e[1], 1)
+        else:
+            _, kind, sym, extra, nbits = e
+            code, ln = codes_by_kind[kind][sym]
+            wtr.write(code, ln)
+            if nbits:
+                wtr.write(extra & ((1 << nbits) - 1), nbits)
+    wtr.flush()
+    out += wtr.out
+
+
+def encode_jpeg_progressive(
+    pixels: "np.ndarray",
+    subsampling: str = "444",
+    qtable_luma: "np.ndarray" = QTABLE_LUMA,
+    qtable_chroma: "np.ndarray" = QTABLE_CHROMA,
+) -> bytes:
+    """Progressive JFIF encoder (SOF2): same pixel/subsampling contract
+    as :func:`encode_jpeg`; see the scan-script note above.  Restart
+    markers are a baseline-encoder-only feature here (the decoder
+    handles them in progressive scans regardless)."""
+    gray, h, w, samp, comp_qt, qts, comp_blocks, mcus_x, mcus_y = (
+        _prepare_blocks(pixels, subsampling, qtable_luma, qtable_chroma)
+    )
+    ncomp = len(comp_blocks)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    # zigzag view per comp: (bh, bw, 64)
+    zz = [
+        cb.reshape(cb.shape[0], cb.shape[1], 64)[:, :, ZIGZAG]
+        for cb in comp_blocks
+    ]
+    out = _frame_headers(0xC2, h, w, samp, comp_qt, qts)
+
+    # scan 1: DC first, all components interleaved, Al=1.  Iterates the
+    # FULL padded MCU lattice (interleaved geometry), matching what a
+    # baseline scan covers.
+    emits: list = []
+    dc_pred = [0] * ncomp
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(ncomp):
+                hs, vs = samp[ci]
+                kind = 0 if ci == 0 else 1
+                for by in range(vs):
+                    for bx in range(hs):
+                        dc = int(zz[ci][my * vs + by, mx * hs + bx, 0]) >> 1
+                        diff = dc - dc_pred[ci]
+                        dc_pred[ci] = dc
+                        cat = _magnitude_category(diff)
+                        extra = diff if diff >= 0 else diff + (1 << cat) - 1
+                        emits.append(("s", kind, cat, extra, cat))
+    _write_scan(
+        out, emits, [(ci, 0 if ci == 0 else 1) for ci in range(ncomp)],
+        0, 0, 0, 1, tbl_class=0,
+    )
+
+    # scan 2: DC refinement, Al=0 — one raw bit per block, no Huffman
+    emits = []
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(ncomp):
+                hs, vs = samp[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        emits.append(
+                            ("b", int(zz[ci][my * vs + by, mx * hs + bx, 0]) & 1)
+                        )
+    _write_scan(
+        out, emits, [(ci, 0 if ci == 0 else 1) for ci in range(ncomp)],
+        0, 0, 1, 0, tbl_class=None,
+    )
+
+    # scans 3..: per component AC first (Al=1) then AC refinement
+    # (Ah=1, Al=0), non-interleaved: blocks iterate the component's
+    # ceil(size/8) grid in raster order (T.81 A.2.2 — padding blocks
+    # beyond it are coded only by interleaved scans)
+    for phase in ("first", "refine"):
+        for ci in range(ncomp):
+            hs, vs = samp[ci]
+            kind = 0 if ci == 0 else 1
+            comp_w = -(-(w * hs) // hmax)
+            comp_h = -(-(h * vs) // vmax)
+            wb = -(-comp_w // 8)
+            hb = -(-comp_h // 8)
+            blocks = [
+                zz[ci][by, bx] for by in range(hb) for bx in range(wb)
+            ]
+            if phase == "first":
+                emits = _ac_first_emits(blocks, 1, 63, 1, kind)
+                _write_scan(out, emits, [(ci, kind)], 1, 63, 0, 1, tbl_class=1)
+            else:
+                emits = _ac_refine_emits(blocks, 1, 63, 0, kind)
+                _write_scan(out, emits, [(ci, kind)], 1, 63, 1, 0, tbl_class=1)
+
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -514,12 +803,301 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
+def _ac_first_block(rd, tbl, blk, ss, se, al, eobrun):
+    """Progressive AC first pass for one block (T.81 G.1.2.2): returns
+    the updated EOB run, or None on a malformed stream.  ``blk`` is
+    the block's 64 zigzag coefficients (mutated in place)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _huff_decode(rd, tbl)
+        if sym < 0:
+            return None
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                extra = rd.read_bits(r)
+                if extra < 0:
+                    return None
+                eobrun += extra
+            return eobrun
+        k += r
+        if k > se:
+            return None
+        extra = rd.read_bits(s)
+        if extra < 0:
+            return None
+        blk[k] = _extend(extra, s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(rd, tbl, blk, ss, se, al, eobrun):
+    """Progressive AC refinement for one block (T.81 G.1.2.3): newly
+    significant coefficients arrive as run/1 symbols + sign bit;
+    every already-nonzero coefficient passed on the way consumes one
+    correction bit.  Returns the updated EOB run or None."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _huff_decode(rd, tbl)
+            if sym < 0:
+                return None
+            r, s = sym >> 4, sym & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:  # EOBn: run of blocks with no new coeffs
+                    # full run value — the tail walk below decrements
+                    # for the current block
+                    eobrun = 1 << r
+                    if r:
+                        extra = rd.read_bits(r)
+                        if extra < 0:
+                            return None
+                        eobrun += extra
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    return None  # only +-1 can be newly significant
+                b = rd.read_bit()
+                if b < 0:
+                    return None
+                val = p1 if b else m1
+            # advance: correction bits on nonzero-history coefficients,
+            # count down r zero-history ones
+            while k <= se:
+                if blk[k] != 0:
+                    b = rd.read_bit()
+                    if b < 0:
+                        return None
+                    if b and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val != 0 and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        # inside an EOB run: only correction bits for the block's tail
+        while k <= se:
+            if blk[k] != 0:
+                b = rd.read_bit()
+                if b < 0:
+                    return None
+                if b and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan(
+    d, entropy_start, seg, frame, progressive, qtables, htables,
+    restart_interval, coeffs, comp_dims,
+):
+    """Decode one entropy-coded scan into ``coeffs`` (per-component
+    (n_blocks, 64) int32 arrays in ZIGZAG order).  Returns the byte
+    position of the terminating marker's 0xFF, or None on any
+    malformed input (strict: truncation, bad symbols, bad scan
+    parameters, missing tables all reject)."""
+    fh, fw, comps = frame
+    ns = seg[0] if len(seg) >= 1 else 0
+    if ns < 1 or len(seg) < 1 + 2 * ns + 3:
+        return None
+    cid_index = {c[0]: i for i, c in enumerate(comps)}
+    order = []
+    tbl_ids = []
+    for i in range(ns):
+        cid = seg[1 + 2 * i]
+        tt = seg[2 + 2 * i]
+        if cid not in cid_index:
+            return None
+        order.append(cid_index[cid])
+        tbl_ids.append((tt >> 4, tt & 0x0F))
+    ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
+
+    if not progressive:
+        # baseline: exactly the full interleaved sequential scan
+        if ns != len(comps) or ss != 0 or se != 63 or ah != 0 or al != 0:
+            return None
+        dc_scan, ac_scan, refine = True, True, False
+    else:
+        if ss == 0:
+            if se != 0:
+                return None  # DC scan is Ss=Se=0 only
+            dc_scan, ac_scan = True, False
+        else:
+            if ns != 1 or se < ss or se > 63:
+                return None  # AC scans are single-component
+            dc_scan, ac_scan = False, True
+        refine = ah != 0
+        if al > 13 or ah > 13 or (refine and al != ah - 1):
+            return None
+
+    # baseline parity: every frame component's qtable must exist by
+    # the first scan (table-before-scan, T.81 B.2.4)
+    for _, _, _, tq in comps:
+        if tq not in qtables:
+            return None
+    tables = []
+    for si in range(ns):
+        td, ta = tbl_ids[si]
+        dc_tbl = ac_tbl = None
+        if dc_scan and not refine:
+            dc_tbl = htables.get((0, td))
+            if dc_tbl is None:
+                return None
+        if ac_scan:
+            ac_tbl = htables.get((1, ta))
+            if ac_tbl is None:
+                return None
+        tables.append((dc_tbl, ac_tbl))
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+
+    rd = _BitReader(d, entropy_start)
+    state = {"eobrun": 0, "dc_pred": [0] * len(comps), "rst": 0, "unit": 0}
+
+    def at_restart():
+        """Restart-interval boundary: align + RSTn, reset predictors
+        and the EOB run (T.81 F.2.1.3.1 / G.1.2.2)."""
+        if (
+            restart_interval
+            and state["unit"]
+            and state["unit"] % restart_interval == 0
+        ):
+            if not rd.align_and_expect_rst(state["rst"]):
+                return False
+            state["rst"] = (state["rst"] + 1) & 7
+            state["dc_pred"] = [0] * len(comps)
+            state["eobrun"] = 0
+        return True
+
+    def dec_dc(blk, ci, dc_tbl):
+        if refine:  # successive-approximation bit, no Huffman
+            b = rd.read_bit()
+            if b < 0:
+                return False
+            if b:
+                blk[0] |= 1 << al
+            return True
+        sym = _huff_decode(rd, dc_tbl)
+        if sym < 0 or sym > 15:
+            return False
+        extra = rd.read_bits(sym) if sym else 0
+        if extra < 0:
+            return False
+        state["dc_pred"][ci] += _extend(extra, sym)
+        blk[0] = state["dc_pred"][ci] << al
+        return True
+
+    if progressive and ns == 1:
+        # non-interleaved (T.81 A.2.2): block raster over the
+        # component's ceil(size/8) grid — NOT the padded MCU lattice
+        ci = order[0]
+        bw, _bh, wb, hb = comp_dims[ci]
+        dc_tbl, ac_tbl = tables[0]
+        arr = coeffs[ci]
+        for by in range(hb):
+            for bx in range(wb):
+                if not at_restart():
+                    return None
+                state["unit"] += 1
+                blk = arr[by * bw + bx]
+                if dc_scan:
+                    if not dec_dc(blk, ci, dc_tbl):
+                        return None
+                else:
+                    fn = _ac_refine_block if refine else _ac_first_block
+                    nxt = fn(rd, ac_tbl, blk, ss, se, al, state["eobrun"])
+                    if nxt is None:
+                        return None
+                    state["eobrun"] = nxt
+    else:
+        # interleaved MCU loop (baseline scans; progressive DC, ns > 1)
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if not at_restart():
+                    return None
+                state["unit"] += 1
+                for si in range(ns):
+                    ci = order[si]
+                    _, hs, vs, _tq = comps[ci]
+                    bw = comp_dims[ci][0]
+                    dc_tbl, ac_tbl = tables[si]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            blk = coeffs[ci][
+                                (my * vs + by) * bw + (mx * hs + bx)
+                            ]
+                            if dc_scan and not dec_dc(blk, ci, dc_tbl):
+                                return None
+                            if not ac_scan:
+                                continue
+                            # baseline sequential AC (F.2.2.2)
+                            k = 1
+                            while k < 64:
+                                sym = _huff_decode(rd, ac_tbl)
+                                if sym < 0:
+                                    return None
+                                run, cat = sym >> 4, sym & 0x0F
+                                if cat == 0:
+                                    if run == 0:  # EOB
+                                        break
+                                    if run == 15:  # ZRL
+                                        k += 16
+                                        continue
+                                    return None
+                                k += run
+                                if k > 63:
+                                    return None
+                                extra = rd.read_bits(cat)
+                                if extra < 0:
+                                    return None
+                                blk[k] = _extend(extra, cat)
+                                k += 1
+
+    # find the terminating marker (skip stuffed 0xFF00 remnants)
+    tp = rd.marker_pos if rd.marker_pos >= 0 else rd.pos
+    n = len(d)
+    while tp + 1 < n:
+        if d[tp] == 0xFF and d[tp + 1] != 0x00:
+            break
+        tp += 1
+    if tp + 1 >= n:
+        return None
+    return tp
+
+
 def decode_jpeg_luma(content: bytes) -> "np.ndarray | None":
-    """REAL decoder for baseline sequential JPEG: returns the Y plane
-    as float32 (h, w) with samples rounded to the nearest integer and
-    clamped to [0, 255] (the uint8 every production decoder emits), or
-    None when the bytes are not such a JPEG (strict sniffing,
-    truncation rejects — see module docstring)."""
+    """REAL decoder for baseline-sequential (SOF0) AND progressive
+    (SOF2: spectral selection + successive approximation, DC/AC first
+    and refinement passes, EOB runs — T.81 Annex G) JPEG: returns the
+    Y plane as float32 (h, w) with samples rounded to the nearest
+    integer and clamped to [0, 255] (the uint8 every production
+    decoder emits), or None when the bytes are not such a JPEG
+    (strict sniffing, truncation rejects — see module docstring).
+
+    Every scan's coefficients accumulate per component (refinement
+    passes need the history of chroma too, so all components retain
+    coefficients); only the Y component is dequantized + IDCT'd at
+    the end.  Baseline keeps its strict single-scan trailer contract:
+    the first marker after the entropy segment must be EOI."""
     if content is None or len(content) < 4:
         return None
     if content[0] != 0xFF or content[1] != 0xD8 or content[2] != 0xFF:
@@ -530,14 +1108,25 @@ def decode_jpeg_luma(content: bytes) -> "np.ndarray | None":
     qtables: "dict[int, np.ndarray]" = {}
     htables: "dict[tuple[int, int], dict[tuple[int, int], int]]" = {}
     frame = None  # (h, w, comps) with comps = [(cid, hs, vs, tq)]
+    progressive = False
     restart_interval = 0
+    coeffs: "list[np.ndarray] | None" = None   # per comp (blocks, 64) zigzag
+    comp_dims: "list[tuple[int, int, int, int]] | None" = None
+    nscans = 0
+    expect_eoi = False
+    eoi = False
     while True:
         if pos + 2 > n or d[pos] != 0xFF:
             return None
+        while pos + 1 < n and d[pos + 1] == 0xFF:
+            pos += 1  # fill bytes before a marker are legal (B.1.1.2)
         marker = d[pos + 1]
         pos += 2
-        if marker == 0xD9:  # EOI before SOS: no image
-            return None
+        if marker == 0xD9:  # EOI
+            eoi = True
+            break
+        if expect_eoi:
+            return None  # baseline trailer contract: EOI right after scan
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue  # parameterless
         if pos + 2 > n:
@@ -552,18 +1141,22 @@ def decode_jpeg_luma(content: bytes) -> "np.ndarray | None":
                 pq, tq = seg[sp] >> 4, seg[sp] & 0x0F
                 sp += 1
                 if pq != 0 or tq > 3 or sp + 64 > len(seg):
-                    return None  # 16-bit tables: out of baseline scope
+                    return None  # 16-bit tables: out of 8-bit scope
                 zz = np.frombuffer(seg, np.uint8, 64, sp).astype(np.int32)
                 nat = np.empty(64, dtype=np.int32)
                 nat[ZIGZAG] = zz
                 qtables[tq] = nat.reshape(8, 8)
                 sp += 64
-        elif marker == 0xC0:  # SOF0 — baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if frame is not None:
+                return None  # one frame per stream
+            progressive = marker == 0xC2
             if len(seg) < 6:
                 return None
-            prec, fh, fw, nc = seg[0], (seg[1] << 8) | seg[2], (
-                seg[3] << 8
-            ) | seg[4], seg[5]
+            prec = seg[0]
+            fh = (seg[1] << 8) | seg[2]
+            fw = (seg[3] << 8) | seg[4]
+            nc = seg[5]
             if prec != 8 or fh == 0 or fw == 0 or nc not in (1, 3):
                 return None
             if len(seg) < 6 + 3 * nc:
@@ -578,11 +1171,26 @@ def decode_jpeg_luma(content: bytes) -> "np.ndarray | None":
                     return None
                 comps.append((cid, hs, vs, tq))
             frame = (fh, fw, comps)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-fw // (8 * hmax))
+            mcus_y = -(-fh // (8 * vmax))
+            coeffs = []
+            comp_dims = []
+            for _, hs, vs, _tq in comps:
+                bw = mcus_x * hs   # padded MCU lattice (interleaved)
+                bh = mcus_y * vs
+                comp_w = -(-(fw * hs) // hmax)  # non-interleaved grid
+                comp_h = -(-(fh * vs) // vmax)
+                wb = -(-comp_w // 8)
+                hb = -(-comp_h // 8)
+                comp_dims.append((bw, bh, wb, hb))
+                coeffs.append(np.zeros((bh * bw, 64), dtype=np.int32))
         elif marker in (
-            0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
         ):
-            return None  # non-baseline frame types: out of scope, loud
+            return None  # other frame types: out of scope, loud
         elif marker == 0xC4:  # DHT
             sp = 0
             while sp < len(seg):
@@ -603,117 +1211,29 @@ def decode_jpeg_luma(content: bytes) -> "np.ndarray | None":
                 return None
             restart_interval = (seg[0] << 8) | seg[1]
         elif marker == 0xDA:  # SOS
-            break
+            if frame is None:
+                return None
+            end = _decode_scan(
+                d, pos + ln, seg, frame, progressive, qtables, htables,
+                restart_interval, coeffs, comp_dims,
+            )
+            if end is None:
+                return None
+            nscans += 1
+            expect_eoi = not progressive
+            pos = end
+            continue
         # APPn / COM / others: skip
         pos += ln
-    if frame is None:
-        return None
-    fh, fw, comps = frame
-    ns = seg[0] if len(seg) >= 1 else 0
-    if ns != len(comps) or len(seg) < 1 + 2 * ns + 3:
-        return None
-    scan_tables = []
-    cid_index = {c[0]: i for i, c in enumerate(comps)}
-    order = []
-    for i in range(ns):
-        cid = seg[1 + 2 * i]
-        tt = seg[2 + 2 * i]
-        if cid not in cid_index:
-            return None
-        order.append(cid_index[cid])
-        scan_tables.append((tt >> 4, tt & 0x0F))
-    ss, se, ah_al = seg[1 + 2 * ns : 4 + 2 * ns]
-    if ss != 0 or se != 63 or ah_al != 0:
-        return None  # non-sequential scan parameters
-    entropy_start = pos + ln
-
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcus_x = -(-fw // (8 * hmax))
-    mcus_y = -(-fh // (8 * vmax))
-    for _, _, _, tq in comps:
-        if tq not in qtables:
-            return None
-    for dc_id, ac_id in scan_tables:
-        if (0, dc_id) not in htables or (1, ac_id) not in htables:
-            return None
-
-    # decode all MCUs; keep coefficients only for the FRAME's first
-    # component (Y — JFIF luma IS the contract's luma plane)
-    y_ci = 0
-    yc_hs, yc_vs = comps[y_ci][1], comps[y_ci][2]
-    y_bw = mcus_x * yc_hs
-    y_bh = mcus_y * yc_vs
-    y_coeffs = np.zeros((y_bh * y_bw, 64), dtype=np.int32)
-
-    rd = _BitReader(d, entropy_start)
-    dc_pred = [0] * len(comps)
-    mcu_index = 0
-    rst_n = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
-                if not rd.align_and_expect_rst(rst_n):
-                    return None
-                rst_n = (rst_n + 1) & 7
-                dc_pred = [0] * len(comps)
-            for si in range(ns):
-                ci = order[si]
-                _, hs, vs, tq = comps[ci]
-                dc_tbl = htables[(0, scan_tables[si][0])]
-                ac_tbl = htables[(1, scan_tables[si][1])]
-                for by in range(vs):
-                    for bx in range(hs):
-                        sym = _huff_decode(rd, dc_tbl)
-                        if sym < 0 or sym > 15:
-                            return None
-                        extra = rd.read_bits(sym) if sym else 0
-                        if extra < 0:
-                            return None
-                        dc_pred[ci] += _extend(extra, sym)
-                        blk = None
-                        if ci == y_ci:
-                            row = (my * yc_vs + by) * y_bw + (mx * yc_hs + bx)
-                            blk = y_coeffs[row]
-                            blk[0] = dc_pred[ci]
-                        k = 1
-                        while k < 64:
-                            sym = _huff_decode(rd, ac_tbl)
-                            if sym < 0:
-                                return None
-                            run, cat = sym >> 4, sym & 0x0F
-                            if cat == 0:
-                                if run == 0:  # EOB
-                                    break
-                                if run == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                return None
-                            k += run
-                            if k > 63:
-                                return None
-                            extra = rd.read_bits(cat)
-                            if extra < 0:
-                                return None
-                            if blk is not None:
-                                blk[k] = _extend(extra, cat)
-                            k += 1
-            mcu_index += 1
-
-    # strict-trailer contract (as the GIF decoder): the first real
-    # marker after the entropy segment must be EOI
-    tp = rd.marker_pos if rd.marker_pos >= 0 else rd.pos
-    while tp + 1 < n:
-        if d[tp] == 0xFF and d[tp + 1] != 0x00:
-            break
-        tp += 1
-    if tp + 1 >= n or d[tp + 1] != 0xD9:
+    if frame is None or nscans == 0 or not eoi:
         return None
 
     # dequantize + dezigzag + vectorized IDCT for the Y component:
     # f = M^T F M, all blocks at once
-    q = qtables[comps[y_ci][3]].reshape(64).astype(np.float64)
-    dq = y_coeffs.astype(np.float64)
+    fh, fw, comps = frame
+    y_bw, y_bh, _, _ = comp_dims[0]
+    q = qtables[comps[0][3]].reshape(64).astype(np.float64)
+    dq = coeffs[0].astype(np.float64)
     nat = np.zeros_like(dq)
     nat[:, ZIGZAG] = dq * q[ZIGZAG][None, :]
     blocks = nat.reshape(-1, 8, 8)

@@ -11735,6 +11735,97 @@ def q_jpeg_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jpeg_progressive_stats",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id AS media_id FROM documents WHERE doc_id % 12 = 5
+    ),
+    blk AS (
+        SELECT media_id, bx, by,
+               128 + 2 * ((media_id + 3 * bx + 5 * by) % 50 - 25) AS lvl
+        FROM ids, unnest(range(0, 2)) AS a(bx), unnest(range(0, 2)) AS b(by)
+    )
+    SELECT media_id, 16 AS width, 16 AS height,
+           CAST(SUM(64 * lvl * 1000000) AS BIGINT) AS luma_units
+    FROM blk GROUP BY media_id
+    """,
+    doc="REAL progressive-JPEG (SOF2) decode, oracle-checked end to "
+        "end (round-11 VERDICT ask #4 — the dominant real-web JPEG "
+        "variant): the jpeg_image_stats fixture scheme on a disjoint "
+        "doc_id slice, but encoded with encode_jpeg_progressive — a "
+        "4-phase Annex G scan script (interleaved DC first at Al=1, "
+        "DC refinement raw bits, per-component AC first with EOB "
+        "runs, AC refinement with correction-bit buffering) — and "
+        "decoded back through the multi-scan progressive machinery "
+        "inside the shared _decode_image_impl dispatch.  One "
+        "successive-approximation step is lossless once the "
+        "refinement scans land, so the block-constant DC-grid "
+        "bit-exactness argument carries over verbatim and the DuckDB "
+        "oracle replays the whole trip from first principles.  Scale "
+        "shape identical to jpeg_image_stats: 1->1 mapInPandas, blobs "
+        "never shuffle.",
+)
+def q_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 12 == 5)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def build(d: int) -> bytes:
+        import numpy as np
+
+        from etl_tiki_webscraping_spark.operators.jpeg import (
+            encode_jpeg_progressive,
+        )
+
+        img = np.empty((16, 16), dtype=np.float64)
+        for by in range(2):
+            for bx in range(2):
+                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = 128 + 2 * (
+                    (d + 3 * bx + 5 * by) % 50 - 25
+                )
+        return encode_jpeg_progressive(img)
+
+    blob_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "content": b["media_id"].map(lambda d: build(int(d))),
+                }
+            )
+
+    blobs = ids.mapInPandas(gen, blob_schema)
+    feats = extract_image_features(blobs)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.aggregate(
+            "feature",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        ).alias("luma_units"),
+    )
+
+
+@register(
     "audio_spectral_features",
     oracle=None,  # an FFT has no SQL replay — rows-only; the accuracy
     # gate (tools/gates_report.py) checks synthesized pure tones'

@@ -125,7 +125,7 @@ def test_strict_sniffing_and_truncation_reject():
         assert decode_jpeg_luma(blob[:cut]) is None, cut
 
 
-def test_progressive_and_nonbaseline_reject():
+def test_malformed_progressive_and_nonbaseline_reject():
     from etl_tiki_webscraping_spark.operators.jpeg import (
         decode_jpeg_luma,
         encode_jpeg,
@@ -134,10 +134,93 @@ def test_progressive_and_nonbaseline_reject():
     blob = bytearray(encode_jpeg(_grad(16, 16)))
     sof = blob.find(b"\xff\xc0")
     assert sof > 0
-    blob[sof + 1] = 0xC2  # pretend progressive DCT
+    # SOF2 with a BASELINE scan header (interleaved Ss=0..Se=63) is
+    # malformed progressive: a DC scan must have Se=0
+    blob[sof + 1] = 0xC2
     assert decode_jpeg_luma(bytes(blob)) is None
-    blob[sof + 1] = 0xC1  # extended sequential — also out of scope
+    blob[sof + 1] = 0xC1  # extended sequential — out of scope
     assert decode_jpeg_luma(bytes(blob)) is None
+
+
+def test_progressive_roundtrip_matches_baseline():
+    """The 4-phase progressive scan script reconstructs EXACTLY the
+    coefficients baseline codes (one successive-approximation step is
+    lossless once the refinement scan lands), so the decoded planes
+    must be bit-identical across framings."""
+    import numpy as np
+
+    from etl_tiki_webscraping_spark.operators.jpeg import (
+        decode_jpeg_luma,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(11)
+    for shape in [(16, 16), (24, 33), (8, 50)]:
+        g = (rng.rand(*shape) * 255).round()
+        pb = decode_jpeg_luma(encode_jpeg(g))
+        pp = decode_jpeg_luma(encode_jpeg_progressive(g))
+        assert pp is not None and np.array_equal(pb, pp), shape
+    for sub in ("444", "422", "420"):
+        rgb = (rng.rand(21, 18, 3) * 255).round()
+        pb = decode_jpeg_luma(encode_jpeg(rgb, subsampling=sub))
+        pp = decode_jpeg_luma(encode_jpeg_progressive(rgb, subsampling=sub))
+        assert pp is not None and np.array_equal(pb, pp), sub
+
+
+def test_progressive_block_constant_roundtrips_exactly():
+    import numpy as np
+
+    from etl_tiki_webscraping_spark.operators.jpeg import (
+        decode_jpeg_luma,
+        encode_jpeg_progressive,
+    )
+
+    img = np.empty((16, 16))
+    for by in range(2):
+        for bx in range(2):
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = 128 + 2 * (
+                (7 + 3 * bx + 5 * by) % 50 - 25
+            )
+    dec = decode_jpeg_luma(encode_jpeg_progressive(img))
+    assert dec is not None and np.array_equal(dec, img.astype(np.float32))
+
+
+def test_progressive_eobrun_and_sparse_content():
+    """Flat images with isolated speckles stress the cross-block EOB
+    runs in both AC passes and the correction-bit buffering of the
+    refinement scan."""
+    import numpy as np
+
+    from etl_tiki_webscraping_spark.operators.jpeg import (
+        decode_jpeg_luma,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(3)
+    for _ in range(4):
+        h, w = rng.randint(16, 64), rng.randint(16, 64)
+        g = np.full((h, w), 128.0)
+        for _ in range(5):
+            g[rng.randint(h), rng.randint(w)] = 255
+        pb = decode_jpeg_luma(encode_jpeg(g))
+        pp = decode_jpeg_luma(encode_jpeg_progressive(g))
+        assert pp is not None and np.array_equal(pb, pp)
+
+
+def test_progressive_truncation_rejects():
+    import numpy as np
+
+    from etl_tiki_webscraping_spark.operators.jpeg import (
+        decode_jpeg_luma,
+        encode_jpeg_progressive,
+    )
+
+    blob = encode_jpeg_progressive(_grad(16, 16))
+    assert decode_jpeg_luma(blob) is not None
+    for cut in (10, len(blob) // 3, len(blob) // 2, len(blob) - 1, len(blob) - 2):
+        assert decode_jpeg_luma(blob[:cut]) is None, cut
 
 
 def test_optimized_huffman_tables_are_canonical_and_complete():
