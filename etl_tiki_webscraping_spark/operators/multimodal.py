@@ -764,6 +764,88 @@ def encode_wav_tone(
     return buf.getvalue()
 
 
+def encode_png(
+    img: "np.ndarray",
+    filters: "str | int | list[int]" = "rotate",
+) -> bytes:
+    """Minimal 8-bit non-interlaced PNG WRITER (stdlib ``zlib`` +
+    ``struct``): the synthesis half of :func:`_decode_png`, pairing
+    with :func:`encode_gif` / :func:`encode_wav_tone` as the
+    deterministic still-image fixture synthesizer, and genuinely
+    useful for writing masks/heatmaps losslessly.
+
+    ``img`` is uint8-valued: ``(h, w)`` gray (color type 0),
+    ``(h, w, 2)`` gray+alpha (4), ``(h, w, 3)`` RGB (2) or
+    ``(h, w, 4)`` RGBA (6).  ``filters`` picks the per-scanline filter
+    byte: ``"rotate"`` cycles 0..4 by row (so one image exercises
+    None/Sub/Up/Average/Paeth — the full unfilter surface of the
+    decoder), an int pins one type, a list gives row ``y`` filter
+    ``filters[y]``.  Filtering is exact uint8 arithmetic per the PNG
+    spec (Average uses the floor of the 9-bit sum; Paeth the standard
+    predictor), so encode -> decode roundtrips losslessly — the
+    property the catalog oracle replays from first principles."""
+    import struct
+    import zlib
+
+    arr = np.asarray(img)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nch = arr.shape
+    ct = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    arr = arr.astype(np.int64) & 0xFF
+    flat = arr.reshape(h, w * nch)
+    if filters == "rotate":
+        frow = [y % 5 for y in range(h)]
+    elif isinstance(filters, int):
+        frow = [filters] * h
+    else:
+        frow = list(filters)
+    stride = w * nch
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        cur = flat[y]
+        f = frow[y]
+        left = np.concatenate([np.zeros(nch, dtype=np.int64), cur[:-nch]])
+        upleft = np.concatenate([np.zeros(nch, dtype=np.int64), prev[:-nch]])
+        if f == 0:
+            enc = cur
+        elif f == 1:  # Sub
+            enc = (cur - left) & 0xFF
+        elif f == 2:  # Up
+            enc = (cur - prev) & 0xFF
+        elif f == 3:  # Average
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = (cur - pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        raw.append(f)
+        raw += enc.astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def sample_frames(df: DataFrame, every_n_bytes: int = 16, id_col: str = "media_id", content_col: str = "content") -> DataFrame:
     """Frame-sampling plumbing for video: emits one row per sampled
     'frame' (here: byte-stride chunks from the fake decoder; real impl

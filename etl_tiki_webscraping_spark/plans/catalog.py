@@ -11826,6 +11826,92 @@ def q_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "png_image_stats",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id AS media_id FROM documents WHERE doc_id % 12 = 7
+    ),
+    px AS (
+        SELECT media_id, (media_id + 7 * y + 11 * x) % 256 AS v
+        FROM ids, unnest(range(0, 16)) AS a(y), unnest(range(0, 16)) AS b(x)
+    )
+    SELECT media_id, 16 AS width, 16 AS height,
+           CAST(SUM(v * 1000000) AS BIGINT) AS luma_units
+    FROM px GROUP BY media_id
+    """,
+    doc="REAL PNG decode, oracle-checked end to end through the codec "
+        "— completes the still-image format trio (JPEG baseline + "
+        "progressive, GIF, now PNG): per selected document a 16x16 "
+        "grayscale 8-bit PNG (px(y,x) = (id + 7y + 11x) mod 256) is "
+        "synthesized at query time by the package writer "
+        "(multimodal.py::encode_png) with the ROTATING per-row filter "
+        "schedule — rows cycle None/Sub/Up/Average/Paeth, so every "
+        "image exercises the decoder's full unfilter surface incl. "
+        "the serial Sub/Average/Paeth reconstruction — zlib-deflated, "
+        "then decoded back through the shared _decode_image_impl "
+        "dispatch (strict signature + IHDR + inflated-length sniff) "
+        "and (width, height, luma_units) emit per image.  PNG is "
+        "LOSSLESS and gray luma IS the stored channel, so the DuckDB "
+        "oracle replays the pixel formula directly — no codec, no "
+        "float tolerance (integer-valued float32 is exact under the "
+        "1e-6-unit fold).  Scale shape: 1->1 mapInPandas (Arrow both "
+        "ways), blobs never cross an exchange, the only shuffle "
+        "carries (media_id, 3 ints).",
+)
+def q_png_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 12 == 7)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def build(d: int) -> bytes:
+        import numpy as np
+
+        from etl_tiki_webscraping_spark.operators.multimodal import encode_png
+
+        y, x = np.mgrid[0:16, 0:16]
+        return encode_png(((d + 7 * y + 11 * x) % 256).astype(np.uint8))
+
+    blob_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "content": b["media_id"].map(lambda d: build(int(d))),
+                }
+            )
+
+    blobs = ids.mapInPandas(gen, blob_schema)
+    feats = extract_image_features(blobs)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.aggregate(
+            "feature",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        ).alias("luma_units"),
+    )
+
+
+@register(
     "audio_spectral_features",
     oracle=None,  # an FFT has no SQL replay — rows-only; the accuracy
     # gate (tools/gates_report.py) checks synthesized pure tones'

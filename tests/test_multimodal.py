@@ -700,3 +700,78 @@ def test_audio_spectral_numpy_replay(spark):
     assert abs(got["spectral_centroid_hz"] - c) < 1e-9
     assert abs(got["spectral_bandwidth_hz"] - bw) < 1e-9
     assert abs(got["spectral_rolloff_hz"] - roll) < 1e-9
+
+
+def test_encode_png_roundtrips_every_filter_and_color_type():
+    """The package PNG writer (multimodal.py::encode_png) roundtrips
+    bit-exactly through _decode_png for every filter type and every
+    supported color type — the lossless property the png_image_stats
+    oracle replays from first principles."""
+    import numpy as np
+
+    from etl_tiki_webscraping_spark.operators.multimodal import (
+        _decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(23)
+    cases = [
+        ((16, 16), "gray"),
+        ((16, 16, 2), "gray+alpha"),
+        ((13, 9, 3), "rgb"),
+        ((8, 8, 4), "rgba"),
+    ]
+    for shape, _desc in cases:
+        img = rng.integers(0, 256, size=shape).astype(np.uint8)
+        for filt in ["rotate", 0, 1, 2, 3, 4]:
+            got = _decode_png(encode_png(img, filters=filt))
+            assert got is not None
+            px = (img if img.ndim == 3 else img[:, :, None]).astype(np.float32)
+            if shape[-1] in (3, 4) and img.ndim == 3:
+                exp = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+            else:
+                exp = px[..., 0]
+            assert np.array_equal(got, exp)
+
+
+def test_encode_png_matches_reference_filter_bytes():
+    """encode_png's vectorized per-row filtering is byte-identical to
+    the test-local serial reference encoder (_make_png) for the same
+    explicit filter schedule — pinning the Average floor and Paeth
+    tie-break arithmetic, not just the roundtrip."""
+    import numpy as np
+
+    from etl_tiki_webscraping_spark.operators.multimodal import encode_png
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, size=(5, 7, 3)).astype(np.uint8)
+    sched = [0, 1, 2, 3, 4]
+    # zlib levels may differ between the two writers, so compare the
+    # INFLATED filtered byte stream, which is what the filters produce.
+    import struct
+    import zlib
+
+    def idat_raw(blob):
+        pos = 8
+        out = bytearray()
+        while pos + 8 <= len(blob):
+            (ln,) = struct.unpack_from(">I", blob, pos)
+            ctype = blob[pos + 4 : pos + 8]
+            if ctype == b"IDAT":
+                out += blob[pos + 8 : pos + 8 + ln]
+            pos += 12 + ln
+        return zlib.decompress(bytes(out))
+
+    ours = idat_raw(encode_png(img, filters=sched))
+    ref = idat_raw(_make_png(img.astype(np.int64), color_type=2, filters=sched))
+    assert ours == ref
+
+
+def test_encode_png_rejects_unknown_filter():
+    import numpy as np
+    import pytest
+
+    from etl_tiki_webscraping_spark.operators.multimodal import encode_png
+
+    with pytest.raises(ValueError):
+        encode_png(np.zeros((2, 2), dtype=np.uint8), filters=7)
