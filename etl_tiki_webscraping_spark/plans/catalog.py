@@ -4849,6 +4849,160 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _html_fixture_sql() -> str:
+    """The DuckDB half of the html_text_extract fixture: the SAME page
+    template the Spark side concats, as a SQL expression."""
+    return (
+        "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || "
+        "'</title><style type=\"text/css\"> p { color: #333; } </style>"
+        "<script> var n = ' || CAST(doc_id AS VARCHAR) || "
+        "'; if (n &gt; 0) { track(n); } </script></head><body><h1>Doc ' "
+        "|| CAST(doc_id AS VARCHAR) || '</h1><p>' || COALESCE(text, '') "
+        "|| '</p><!-- crawl id ' || CAST(doc_id AS VARCHAR) || ' -->"
+        "<div class=\"footer\">&amp;copy; Example &nbsp;Corp "
+        "&lt;admin&gt;</div></body></html>'"
+    )
+
+
+def _register_html_text_extract() -> None:
+    from etl_tiki_webscraping_spark.functions.html import html_to_text_sql
+
+    @register(
+        "html_text_extract",
+        oracle=f"""
+        WITH pages AS (
+            SELECT doc_id, {_html_fixture_sql()} AS raw FROM documents
+        )
+        SELECT doc_id,
+               {html_to_text_sql('raw')} AS clean_text,
+               CAST(len(string_split({html_to_text_sql('raw')}, ' '))
+                    AS INT) AS n_words
+        FROM pages
+        """,
+        doc="HTML -> running-text extraction (functions/html.py — the "
+            "first stage of every web-crawl corpus pipeline; the "
+            "reference's pandas HTML readers do this implicitly, here "
+            "it is explicit and oracle-checked): a deterministic page "
+            "template (title/style/script/comment/entities) wraps each "
+            "document at query time IN BOTH ENGINES, then the shared "
+            "strip chain runs — script/style/comment content dropped, "
+            "tags to spaces, entities decoded amp-LAST (so &amp;copy; "
+            "yields the literal '&copy;', the double-decode trap), "
+            "whitespace collapsed.  Every regex is the Java-regex/RE2 "
+            "shared dialect and the oracle SQL is GENERATED from the "
+            "same pattern tables (html_to_text_sql), so the engines "
+            "cannot drift.  Scale shape: codegen'd narrow ops, "
+            "scan-bound, zero shuffle, zero UDF.",
+    )
+    def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from etl_tiki_webscraping_spark.functions.html import html_to_text
+
+        docs = load_table(spark, sf_dir, "documents")
+        page = F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit('</title><style type="text/css"> p { color: #333; } '
+                  "</style><script> var n = "),
+            F.col("doc_id").cast("string"),
+            F.lit("; if (n &gt; 0) { track(n); } </script></head>"
+                  "<body><h1>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("</p><!-- crawl id "),
+            F.col("doc_id").cast("string"),
+            F.lit(' --><div class="footer">&amp;copy; Example &nbsp;Corp '
+                  "&lt;admin&gt;</div></body></html>"),
+        )
+        clean = html_to_text(page)
+        return docs.select(
+            "doc_id",
+            clean.alias("clean_text"),
+            F.size(F.split(clean, " ")).alias("n_words"),
+        )
+
+
+_register_html_text_extract()
+
+
+# The dicttag queries' shared dictionary + its positional-enumeration
+# oracle CTE (every start offset substr-checked — the exact overlapping
+# semantics of the Aho-Corasick output function).
+_DICTTAG_TERMS = ["spark", "window", "data line", "batch batch", "merge sort"]
+_BLOCKLIST_TERMS = ["slow merge", "dup"]
+
+
+def _dicttag_pos_cte(terms: "list[str]") -> str:
+    vals = ", ".join("('" + t + "')" for t in terms)
+    return f"""
+    t(term) AS (VALUES {vals}),
+    d AS (
+        SELECT doc_id, lower(text) AS s FROM documents WHERE text IS NOT NULL
+    ),
+    pos AS (
+        SELECT d.doc_id, t.term
+        FROM d, t,
+             unnest(range(0, greatest(strlen(d.s) - strlen(t.term) + 1, 0)))
+                 AS g(p)
+        WHERE substr(d.s, CAST(p + 1 AS INT), CAST(strlen(t.term) AS INT))
+              = t.term
+    )
+    """
+
+
+@register(
+    "dicttag_term_counts",
+    oracle=f"""
+    WITH {_dicttag_pos_cte(_DICTTAG_TERMS)}
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM pos GROUP BY doc_id, term
+    """,
+    doc="Aho-Corasick dictionary tagging (operators/dicttag.py — "
+        "blocklists, topic tags, contamination probes): ONE automaton "
+        "scan per document finds all (overlapping) occurrences of "
+        "every dictionary term — multi-word terms and repeat-overlaps "
+        "('batch batch' twice inside 'batch batch batch') included.  "
+        "The DuckDB oracle enumerates every start offset and substr-"
+        "compares, replaying the overlap semantics exactly.  Scale "
+        "shape: dictionary broadcast in the task closure, automaton "
+        "built once per task, Arrow-batched mapInPandas, only bare "
+        "(id, term, count) rows ever cross an exchange.",
+)
+def q_dicttag_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.dicttag import tag_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tag_terms(docs, _DICTTAG_TERMS).select(
+        F.col("id").alias("doc_id"), "term", "n_matches"
+    )
+
+
+@register(
+    "blocklist_filter_survivors",
+    oracle=f"""
+    WITH {_dicttag_pos_cte(_BLOCKLIST_TERMS)},
+    offenders AS (
+        SELECT doc_id FROM pos GROUP BY doc_id HAVING COUNT(*) > 1
+    )
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+    FROM documents d LEFT JOIN offenders o ON o.doc_id = d.doc_id
+    WHERE o.doc_id IS NULL
+    """,
+    doc="Blocklist corpus filter over the same Aho-Corasick scan "
+        "(operators/dicttag.py::blocklist_filter): documents whose "
+        "total blocked-term hits exceed the threshold drop via a bare-"
+        "id left-anti join — the C4-style bad-word screen.  Documents "
+        "never shuffle; the offender set is tiny and broadcasts.",
+)
+def q_blocklist_filter_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.dicttag import blocklist_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return blocklist_filter(docs, _BLOCKLIST_TERMS, max_hits=1).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
 @register(
     "exists_subquery_agg",
     oracle="""
