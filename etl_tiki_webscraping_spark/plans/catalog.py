@@ -4940,11 +4940,12 @@ def _dicttag_pos_cte(terms: "list[str]") -> str:
         SELECT doc_id, lower(text) AS s FROM documents WHERE text IS NOT NULL
     ),
     pos AS (
+        -- length() = CHARACTERS (substr is char-indexed); never strlen
         SELECT d.doc_id, t.term
         FROM d, t,
-             unnest(range(0, greatest(strlen(d.s) - strlen(t.term) + 1, 0)))
+             unnest(range(0, greatest(length(d.s) - length(t.term) + 1, 0)))
                  AS g(p)
-        WHERE substr(d.s, CAST(p + 1 AS INT), CAST(strlen(t.term) AS INT))
+        WHERE substr(d.s, CAST(p + 1 AS INT), CAST(length(t.term) AS INT))
               = t.term
     )
     """
@@ -5001,6 +5002,310 @@ def q_blocklist_filter_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocklist_filter(docs, _BLOCKLIST_TERMS, max_hits=1).select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
+
+
+# url_canonicalize's deterministic crawl-URL fixture: scheme/host
+# casing, default + explicit ports, tracking params in varying order,
+# trailing slashes, fragments — every rule the canonicalizer owns.
+def _url_fixture_sql() -> str:
+    return """
+        CASE doc_id % 4
+            WHEN 0 THEN 'https://WWW.Example.COM:443'
+            WHEN 1 THEN 'https://blog.example.org'
+            WHEN 2 THEN 'http://Shop.Example.net:80'
+            ELSE 'https://cdn.example.net:8443'
+        END
+        || '/Posts/' || CAST(doc_id AS VARCHAR)
+        || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+        || CASE doc_id % 5
+            WHEN 0 THEN '?utm_source=feed&b=2&a=1'
+            WHEN 1 THEN '?b=2&a=1&fbclid=xyz'
+            WHEN 2 THEN '?a=1&utm_medium=mail'
+            WHEN 3 THEN '?gclid=123'
+            ELSE ''
+        END
+        || CASE WHEN doc_id % 3 = 0 THEN '#Section-2' ELSE '' END
+    """
+
+
+def _register_url_canonicalize() -> None:
+    from etl_tiki_webscraping_spark.functions.url import (
+        canonicalize_url_sql,
+        extract_host_sql,
+    )
+
+    @register(
+        "url_canonicalize",
+        oracle=f"""
+        WITH crawl AS (
+            SELECT doc_id, {_url_fixture_sql()} AS raw_url FROM documents
+        )
+        SELECT doc_id,
+               {canonicalize_url_sql('raw_url')} AS canon_url,
+               {extract_host_sql('raw_url')} AS host
+        FROM crawl
+        """,
+        doc="URL canonicalization for crawl curation (functions/url.py "
+            "— the inverse of the reference's URL assembly, "
+            "dags/etl.py's category/product path building): host "
+            "casing folded, default ports stripped, fragments dropped, "
+            "tracking params (utm_*/fbclid/gclid) removed and the "
+            "survivors SORTED so parameter order never splits one page "
+            "into two identities, trailing slashes trimmed, plus the "
+            "www-stripped host as the rollup key.  Chain avoids "
+            "capture-group replacements entirely (Java spells them $1, "
+            "RE2 \\\\1 — the one place the shared dialect splits), and "
+            "the DuckDB SQL is generated from the same rules.  Scale "
+            "shape: codegen'd narrow ops, scan-bound, zero shuffle.",
+    )
+    def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from etl_tiki_webscraping_spark.functions.url import (
+            canonicalize_url,
+            extract_host,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        raw = F.concat(
+            F.when(F.col("doc_id") % 4 == 0, F.lit("https://WWW.Example.COM:443"))
+            .when(F.col("doc_id") % 4 == 1, F.lit("https://blog.example.org"))
+            .when(F.col("doc_id") % 4 == 2, F.lit("http://Shop.Example.net:80"))
+            .otherwise(F.lit("https://cdn.example.net:8443")),
+            F.lit("/Posts/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+            .when(F.col("doc_id") % 5 == 1, F.lit("?b=2&a=1&fbclid=xyz"))
+            .when(F.col("doc_id") % 5 == 2, F.lit("?a=1&utm_medium=mail"))
+            .when(F.col("doc_id") % 5 == 3, F.lit("?gclid=123"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("#Section-2")).otherwise(
+                F.lit("")
+            ),
+        )
+        return docs.select(
+            "doc_id",
+            canonicalize_url(raw).alias("canon_url"),
+            extract_host(raw).alias("host"),
+        )
+
+
+_register_url_canonicalize()
+
+
+# mojibake damage injected into a deterministic doc slice (the fixture
+# corpus is clean ASCII): the CP1252 renderings of é / ’ / » / … plus a
+# replacement char — 6 marker hits for the %7=0 slice, 1 for %7=3.
+_MOJIBAKE_TAIL_HEAVY = " donâ€™t cafÃ© Â» costâ€¦ bad�byte"
+_MOJIBAKE_TAIL_LIGHT = " cafÃ©"
+
+
+def _register_encoding_quality() -> None:
+    from etl_tiki_webscraping_spark.functions.encoding import mojibake_hits_sql
+
+    @register(
+        "encoding_quality_report",
+        oracle=f"""
+        WITH damaged AS (
+            SELECT doc_id, source,
+                   COALESCE(text, '') ||
+                   CASE WHEN doc_id % 7 = 0 THEN '{_MOJIBAKE_TAIL_HEAVY}'
+                        WHEN doc_id % 7 = 3 THEN '{_MOJIBAKE_TAIL_LIGHT}'
+                        ELSE '' END AS raw
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, source, {mojibake_hits_sql('raw')} AS hits
+            FROM damaged
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_damaged,
+               CAST(SUM(hits) AS BIGINT) AS total_hits
+        FROM scored GROUP BY source
+        """,
+        doc="Encoding-damage screen (functions/encoding.py — the C4/"
+            "Gopher-style mojibake check the reference's charset-"
+            "guessing scraper never does): deterministic CP1252-"
+            "mojibake tails are injected into a doc_id slice IN BOTH "
+            "ENGINES, then counted via the replace-length identity "
+            "over the shared marker table — literal substring counts, "
+            "zero regex, zero UDF.  The oracle generator uses "
+            "length() (characters) never strlen (bytes): the markers "
+            "are multi-byte UTF-8, the one cross-engine trap here.  "
+            "Scale: scan-bound narrow ops + one tiny groupBy(source).",
+    )
+    def q_encoding_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from etl_tiki_webscraping_spark.functions.encoding import mojibake_hits
+
+        docs = load_table(spark, sf_dir, "documents")
+        raw = F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_MOJIBAKE_TAIL_HEAVY))
+            .when(F.col("doc_id") % 7 == 3, F.lit(_MOJIBAKE_TAIL_LIGHT))
+            .otherwise(F.lit("")),
+        )
+        return (
+            docs.select("source", mojibake_hits(raw).alias("hits"))
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum((F.col("hits") > 0).cast("long")).alias("n_damaged"),
+                F.sum("hits").alias("total_hits"),
+            )
+        )
+
+
+_register_encoding_quality()
+
+
+def _register_corpus_pipeline_v3() -> None:
+    from etl_tiki_webscraping_spark.functions.encoding import mojibake_hits_sql
+    from etl_tiki_webscraping_spark.functions.html import html_to_text_sql
+
+    page_sql = (
+        "'<html><head><title>Crawl Page</title>"
+        "<style> body { margin: 0; } </style>"
+        "<script> trackPage(); </script></head><body><h1>Post</h1><p>' "
+        "|| dtext || '</p><!-- crawler --><div class=\"footer\">"
+        "&amp;copy; Example &nbsp;Corp</div></body></html>'"
+    )
+    bl_vals = ", ".join("('" + t + "')" for t in _BLOCKLIST_TERMS)
+
+    @register(
+        "corpus_pipeline_v3",
+        oracle=f"""
+        WITH damaged AS (
+            SELECT doc_id, lang,
+                   COALESCE(text, '') ||
+                   CASE WHEN doc_id % 7 = 0 THEN '{_MOJIBAKE_TAIL_HEAVY}'
+                        WHEN doc_id % 7 = 3 THEN '{_MOJIBAKE_TAIL_LIGHT}'
+                        ELSE '' END AS dtext
+            FROM documents
+        ),
+        pages AS (
+            SELECT doc_id, lang, {page_sql} AS rawpage FROM damaged
+        ),
+        cleaned AS (
+            SELECT doc_id, lang, {html_to_text_sql('rawpage')} AS clean
+            FROM pages
+        ),
+        screened AS (
+            SELECT * FROM cleaned WHERE {mojibake_hits_sql('clean')} = 0
+        ),
+        bt(term) AS (VALUES {bl_vals}),
+        bl_pos AS (
+            SELECT s.doc_id
+            FROM (SELECT doc_id, lower(clean) AS cl FROM screened) s, bt,
+                 unnest(range(0, greatest(length(s.cl) - length(bt.term) + 1,
+                                          0))) AS g(p)
+            WHERE substr(s.cl, CAST(p + 1 AS INT),
+                         CAST(length(bt.term) AS INT)) = bt.term
+        ),
+        offenders AS (
+            SELECT doc_id FROM bl_pos GROUP BY doc_id HAVING COUNT(*) > 1
+        ),
+        kept AS (
+            SELECT c.* FROM screened c
+            LEFT JOIN offenders o ON o.doc_id = c.doc_id
+            WHERE o.doc_id IS NULL
+        ),
+        deduped AS (
+            SELECT doc_id, lang, clean FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY md5(regexp_replace(lower(trim(clean)),
+                                                    '\\s+', ' ', 'g'))
+                    ORDER BY doc_id ASC) AS rn
+                FROM kept
+            ) WHERE rn = 1
+        ),
+        scored AS (
+            SELECT doc_id, lang,
+                   CAST(len(list_filter(
+                           string_split_regex(lower(trim(clean)), '\\s+'),
+                           t -> t IN ('the','and','of','to','in','is','it',
+                                      'that','for','with'))) AS DOUBLE)
+                       / CAST(greatest(len(string_split_regex(
+                             lower(trim(clean)), '\\s+')), 1) AS DOUBLE)
+                       AS quality,
+                   CAST(len(string_split_regex(trim(clean), '\\s+'))
+                        AS BIGINT) AS n_tokens
+            FROM deduped
+        ),
+        ordered AS (
+            SELECT doc_id, lang, quality, n_tokens,
+                   CAST(SUM(CAST(n_tokens AS DECIMAL(38,6))) OVER (
+                       PARTITION BY lang
+                       ORDER BY quality DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS cum
+            FROM scored
+        )
+        SELECT doc_id, lang, quality, n_tokens
+        FROM ordered WHERE cum <= 1500
+        ORDER BY lang, quality DESC, doc_id
+        """,
+        doc="Corpus-curation capstone v3 — the ROUND-12 STAGES chained "
+            "end to end, every stage oracle-replayed in one CTE tree: "
+            "crawl HTML (with CP1252 mojibake injected into a doc "
+            "slice) -> html_to_text extraction -> encoding-damage "
+            "screen (any marker hit drops) -> Aho-Corasick blocklist "
+            "(>1 total hits drops, positional-enumeration replay) -> "
+            "exact content dedup (md5-normalized, min-id survivor, "
+            "bare 24-byte shuffle rows) -> per-language token-budget "
+            "fill (distributed two-pass prefix sum, quality-ranked, "
+            "DECIMAL-exact).  Scale shape: stages 1-3 are scan-bound "
+            "codegen; the blocklist scan ships only (id, count) rows; "
+            "dedup and budget shuffle bare ids + grouped partials — "
+            "full documents never cross an exchange after extraction.",
+    )
+    def q_corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from etl_tiki_webscraping_spark.functions.encoding import mojibake_hits
+        from etl_tiki_webscraping_spark.functions.html import html_to_text
+        from etl_tiki_webscraping_spark.functions.text import stopword_ratio
+        from etl_tiki_webscraping_spark.operators.dedup import exact_dedup
+        from etl_tiki_webscraping_spark.operators.dicttag import blocklist_filter
+        from etl_tiki_webscraping_spark.operators.relational import (
+            ordered_budget_select,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        dtext = F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_MOJIBAKE_TAIL_HEAVY))
+            .when(F.col("doc_id") % 7 == 3, F.lit(_MOJIBAKE_TAIL_LIGHT))
+            .otherwise(F.lit("")),
+        )
+        page = F.concat(
+            F.lit("<html><head><title>Crawl Page</title>"
+                  "<style> body { margin: 0; } </style>"
+                  "<script> trackPage(); </script></head><body><h1>Post</h1><p>"),
+            dtext,
+            F.lit('</p><!-- crawler --><div class="footer">'
+                  "&amp;copy; Example &nbsp;Corp</div></body></html>"),
+        )
+        cleaned = docs.select(
+            "doc_id", "lang", html_to_text(page).alias("clean")
+        )
+        screened = cleaned.filter(mojibake_hits(F.col("clean")) == 0)
+        kept = blocklist_filter(
+            screened, _BLOCKLIST_TERMS, text_col="clean", id_col="doc_id",
+            max_hits=1,
+        )
+        deduped = exact_dedup(kept, "clean", "doc_id")
+        scored = deduped.select(
+            "doc_id",
+            "lang",
+            stopword_ratio("clean").alias("quality"),
+            F.size(F.split(F.trim(F.col("clean")), r"\s+"))
+            .cast("bigint").alias("n_tokens"),
+        )
+        return ordered_budget_select(
+            scored, "quality", "n_tokens", 1500, "doc_id", group_cols=["lang"]
+        ).orderBy("lang", F.col("quality").desc(), "doc_id")
+
+
+_register_corpus_pipeline_v3()
 
 
 @register(

@@ -1,0 +1,127 @@
+"""Unit tests for URL canonicalization (functions/url.py) and
+encoding-quality signals (functions/encoding.py), including the
+cross-engine byte-identity of their generated DuckDB replays."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+URL_CASES = [
+    # host casing + default https port + tracking strip + param sort
+    (
+        "https://WWW.Example.COM:443/A/b?utm_source=x&b=2&a=1#frag",
+        "https://www.example.com/A/b?a=1&b=2",
+        "example.com",
+    ),
+    # default http port, trailing slash, gclid-only query vanishes
+    ("http://Shop.Net:80/cart/?gclid=99", "http://shop.net/cart", "shop.net"),
+    # non-default port survives; empty path; fragment only
+    ("https://cdn.example.net:8443#x", "https://cdn.example.net:8443", "cdn.example.net"),
+    # params already sorted, no tracking: unchanged
+    ("https://a.org/p?a=1&b=2", "https://a.org/p?a=1&b=2", "a.org"),
+    # path case preserved; multiple trailing slashes
+    ("https://a.org/CaseD///", "https://a.org/CaseD", "a.org"),
+    # no scheme head: trimmed, fragment-less self
+    ("  not-a-url#f  ", "not-a-url", ""),
+]
+
+
+def test_canonicalize_url_cases(spark):
+    from etl_tiki_webscraping_spark.functions.url import (
+        canonicalize_url,
+        extract_host,
+    )
+
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _, _) in enumerate(URL_CASES)] + [(99, None)],
+        "i long, raw string",
+    )
+    got = {
+        r["i"]: (r["canon"], r["host"])
+        for r in df.select(
+            "i",
+            canonicalize_url("raw").alias("canon"),
+            extract_host("raw").alias("host"),
+        ).collect()
+    }
+    for i, (_, canon, host) in enumerate(URL_CASES):
+        assert got[i] == (canon, host), (i, got[i], (canon, host))
+    assert got[99] == (None, None)
+
+
+def test_url_sql_replay_matches_spark(spark):
+    from etl_tiki_webscraping_spark.functions.url import (
+        canonicalize_url,
+        canonicalize_url_sql,
+        extract_host,
+        extract_host_sql,
+    )
+
+    rows = [(i, raw) for i, (raw, _, _) in enumerate(URL_CASES)]
+    df = spark.createDataFrame(rows, "i long, raw string")
+    spark_out = {
+        r["i"]: (r["canon"], r["host"])
+        for r in df.select(
+            "i",
+            canonicalize_url("raw").alias("canon"),
+            extract_host("raw").alias("host"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u (i BIGINT, raw VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?, ?)", rows)
+    duck_out = {
+        i: (c, h)
+        for i, c, h in con.execute(
+            f"SELECT i, {canonicalize_url_sql('raw')}, "
+            f"{extract_host_sql('raw')} FROM u"
+        ).fetchall()
+    }
+    assert spark_out == duck_out
+
+
+MOJI_CASES = [
+    ("clean ascii text", 0),
+    ("cafÃ©", 1),  # CP1252 rendering of é
+    ("donâ€™t costâ€¦", 2),  # â€ twice
+    ("Â» quoted Â«", 2),  # Â twice (inside Ã? no — distinct)
+    ("bad�byte�", 2),  # replacement chars
+    ("cafÃ© donâ€™t Â» x�", 4),  # one of each
+]
+
+
+def test_mojibake_hits_cases(spark):
+    from etl_tiki_webscraping_spark.functions.encoding import mojibake_hits
+
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(MOJI_CASES)], "i long, s string"
+    )
+    got = {
+        r["i"]: r["h"]
+        for r in df.select("i", mojibake_hits("s").alias("h")).collect()
+    }
+    for i, (_, want) in enumerate(MOJI_CASES):
+        assert got[i] == want, (i, MOJI_CASES[i], got[i])
+
+
+def test_mojibake_sql_replay_matches_spark(spark):
+    """Chars-not-bytes: the markers are multi-byte UTF-8, so the DuckDB
+    replay must count with length() (characters).  Byte counting
+    (strlen) would inflate every count and this test would fail."""
+    from etl_tiki_webscraping_spark.functions.encoding import (
+        mojibake_hits,
+        mojibake_hits_sql,
+    )
+
+    rows = [(i, s) for i, (s, _) in enumerate(MOJI_CASES)]
+    df = spark.createDataFrame(rows, "i long, s string")
+    spark_out = {
+        r["i"]: r["h"]
+        for r in df.select("i", mojibake_hits("s").alias("h")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE m (i BIGINT, s VARCHAR)")
+    con.executemany("INSERT INTO m VALUES (?, ?)", rows)
+    duck_out = dict(
+        con.execute(f"SELECT i, {mojibake_hits_sql('s')} FROM m").fetchall()
+    )
+    assert spark_out == duck_out
