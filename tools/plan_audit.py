@@ -709,6 +709,47 @@ def main() -> int:
           "never full document text; gram counts partial-aggregate "
           "map-side before the exchange")
 
+    # --- round 12: html/url/encoding scan-bound chains + dicttag kernel ------
+    p = plan_of("html_text_extract")
+    check("html_text_extract",
+          "Exchange" not in p and "EvalPython" not in p
+          and "*(" in p,
+          "extraction chain is pure codegen'd narrow ops: zero "
+          "exchanges, zero Python, whole-stage compiled ('*(n)')")
+    p = plan_of("url_canonicalize")
+    check("url_canonicalize",
+          "Exchange" not in p and "EvalPython" not in p
+          and "*(" in p,
+          "canonicalization is pure codegen'd narrow ops: zero "
+          "exchanges, zero Python eval, whole-stage compiled")
+    p = plan_of("dicttag_term_counts")
+    check("dicttag_term_counts",
+          "MapInPandas" in p and "Exchange" not in p,
+          "Aho-Corasick scan is one Arrow mapInPandas pass with NO "
+          "shuffle at all (counts emit pre-aggregated per doc)")
+    p = plan_of("blocklist_filter_survivors")
+    check("blocklist_filter_survivors",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+          and _no_text_in_exchanges(p),
+          "offender ids anti-join back; no exchange carries document "
+          "text")
+    p = plan_of("corpus_pipeline_v3")
+    check("corpus_pipeline_v3",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+          and all("clean#" not in e for e in p.split("\n") if "Exchange" in e),
+          "after extraction no exchange carries the cleaned text — "
+          "dedup ships md5+id, budget ships (id, lang, 2 numbers)")
+    p = plan_of("encoding_quality_report")
+    check("encoding_quality_report",
+          "Exchange" not in p or "partial" in p.lower(),
+          "marker counts partial-aggregate map-side; only (source, "
+          "3 counts) rows reach the exchange")
+    p = plan_of("png_image_stats")
+    check("png_image_stats",
+          "MapInPandas" in p and "Exchange" not in p,
+          "encode/decode is 1->1 mapInPandas; blobs never shuffle "
+          "(no exchange in the whole plan)")
+
     print()
     if failures:
         print(f"{len(failures)} plan check(s) FAILED")
