@@ -93,61 +93,30 @@ def _decode_bmp(content: bytes) -> "np.ndarray | None":
     return 0.114 * bgr[..., 0] + 0.587 * bgr[..., 1] + 0.299 * bgr[..., 2]
 
 
-def _decode_png(content: bytes) -> "np.ndarray | None":
-    """REAL decoder for 8-bit-depth non-interlaced PNG (stdlib ``zlib``
-    + numpy, no codec libraries): gray, gray+alpha, RGB, and RGBA color
-    types; all five scanline filters (None/Sub/Up/Average/Paeth).
-    Returns the luma plane as float32 (h, w) — same contract as
-    :func:`_decode_bmp` — or None when the bytes are not such a PNG.
-    Sniffing is strict (signature, IHDR fields, exact inflated length)
-    so arbitrary binary never mis-routes here.
+# Adam7 interlace pass geometry: (x0, y0, dx, dy) per pass, in spec
+# order.  Shared by the decoder and :func:`encode_png`.
+_ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, nch: int) -> "np.ndarray | None":
+    """Reverse the per-scanline filters over one (sub-)image of exactly
+    ``(w*nch + 1) * h`` bytes; returns the reconstructed (h, w*nch)
+    int64 sample matrix or None on an unknown filter byte.
 
     Filters None/Up reconstruct vectorized; Sub/Average/Paeth carry a
     per-byte serial dependency along the scanline, so those rows
     reconstruct in a Python loop — fine for thumbnail-scale fixtures;
     a production deployment swaps in a codec library at
     :func:`_decode_image_impl` and none of this runs."""
-    import struct
-    import zlib
-
-    sig = b"\x89PNG\r\n\x1a\n"
-    if content is None or len(content) < len(sig) + 25 or not content.startswith(sig):
-        return None
-    pos = len(sig)
-    w = h = None
-    ct = 0
-    idat = bytearray()
-    try:
-        while pos + 8 <= len(content):
-            (ln,) = struct.unpack_from(">I", content, pos)
-            ctype = content[pos + 4 : pos + 8]
-            data = content[pos + 8 : pos + 8 + ln]
-            if len(data) < ln:
-                return None
-            if ctype == b"IHDR":
-                w, h, bitd, ct, comp, filt, interlace = struct.unpack(
-                    ">IIBBBBB", data
-                )
-                if (
-                    comp != 0 or filt != 0 or interlace != 0 or bitd != 8
-                    or ct not in (0, 2, 4, 6)
-                    or w == 0 or h == 0 or w > 1 << 16 or h > 1 << 16
-                ):
-                    return None
-            elif ctype == b"IDAT":
-                idat += data
-            elif ctype == b"IEND":
-                break
-            pos += 12 + ln  # length + type + data + crc32
-        if w is None or not idat:
-            return None
-        raw = zlib.decompress(bytes(idat))
-    except Exception:
-        return None
-    nch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
     stride = w * nch
-    if len(raw) != (stride + 1) * h:
-        return None
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     out = np.zeros((h, stride), dtype=np.int64)
     for y in range(h):
@@ -175,6 +144,90 @@ def _decode_png(content: bytes) -> "np.ndarray | None":
         else:
             return None
         out[y] = rec
+    return out
+
+
+def _decode_png(content: bytes) -> "np.ndarray | None":
+    """REAL decoder for 8-bit-depth PNG (stdlib ``zlib`` + numpy, no
+    codec libraries): gray, gray+alpha, RGB, and RGBA color types; all
+    five scanline filters (None/Sub/Up/Average/Paeth); BOTH
+    non-interlaced and Adam7-interlaced layouts (interlace=1 is the
+    progressive-rendering variant real crawls carry, the PNG analogue
+    of progressive JPEG — seven sub-images with independent filtering,
+    scattered on the (x0, y0, dx, dy) pass grid).  Returns the luma
+    plane as float32 (h, w) — same contract as :func:`_decode_bmp` —
+    or None when the bytes are not such a PNG.  Sniffing is strict
+    (signature, IHDR fields, exact inflated length) so arbitrary
+    binary never mis-routes here."""
+    import struct
+    import zlib
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    if content is None or len(content) < len(sig) + 25 or not content.startswith(sig):
+        return None
+    pos = len(sig)
+    w = h = None
+    ct = 0
+    interlace = 0
+    idat = bytearray()
+    try:
+        while pos + 8 <= len(content):
+            (ln,) = struct.unpack_from(">I", content, pos)
+            ctype = content[pos + 4 : pos + 8]
+            data = content[pos + 8 : pos + 8 + ln]
+            if len(data) < ln:
+                return None
+            if ctype == b"IHDR":
+                w, h, bitd, ct, comp, filt, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                if (
+                    comp != 0 or filt != 0 or interlace not in (0, 1)
+                    or bitd != 8
+                    or ct not in (0, 2, 4, 6)
+                    or w == 0 or h == 0 or w > 1 << 16 or h > 1 << 16
+                ):
+                    return None
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+            pos += 12 + ln  # length + type + data + crc32
+        if w is None or not idat:
+            return None
+        raw = zlib.decompress(bytes(idat))
+    except Exception:
+        return None
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+    if interlace == 0:
+        if len(raw) != (w * nch + 1) * h:
+            return None
+        out = _png_unfilter(raw, h, w, nch)
+        if out is None:
+            return None
+    else:  # Adam7: 7 independently-filtered sub-images, scattered
+        expect = sum(
+            (-(-(w - x0) // dx) * nch + 1) * (-(-(h - y0) // dy))
+            for x0, y0, dx, dy in _ADAM7_PASSES
+            if w > x0 and h > y0
+        )
+        if len(raw) != expect:
+            return None
+        out = np.zeros((h, w * nch), dtype=np.int64)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            if w <= x0 or h <= y0:
+                continue
+            wp = -(-(w - x0) // dx)
+            hp = -(-(h - y0) // dy)
+            nbytes = (wp * nch + 1) * hp
+            sub = _png_unfilter(raw[off : off + nbytes], hp, wp, nch)
+            if sub is None:
+                return None
+            off += nbytes
+            sub3 = sub.reshape(hp, wp, nch)
+            full = out.reshape(h, w, nch)
+            full[y0::dy, x0::dx, :] = sub3
     px = out.reshape(h, w, nch).astype(np.float32)
     if ct in (0, 4):  # gray / gray+alpha: channel 0 IS the luma
         return px[..., 0]
@@ -764,43 +817,14 @@ def encode_wav_tone(
     return buf.getvalue()
 
 
-def encode_png(
-    img: "np.ndarray",
-    filters: "str | int | list[int]" = "rotate",
-) -> bytes:
-    """Minimal 8-bit non-interlaced PNG WRITER (stdlib ``zlib`` +
-    ``struct``): the synthesis half of :func:`_decode_png`, pairing
-    with :func:`encode_gif` / :func:`encode_wav_tone` as the
-    deterministic still-image fixture synthesizer, and genuinely
-    useful for writing masks/heatmaps losslessly.
-
-    ``img`` is uint8-valued: ``(h, w)`` gray (color type 0),
-    ``(h, w, 2)`` gray+alpha (4), ``(h, w, 3)`` RGB (2) or
-    ``(h, w, 4)`` RGBA (6).  ``filters`` picks the per-scanline filter
-    byte: ``"rotate"`` cycles 0..4 by row (so one image exercises
-    None/Sub/Up/Average/Paeth — the full unfilter surface of the
-    decoder), an int pins one type, a list gives row ``y`` filter
-    ``filters[y]``.  Filtering is exact uint8 arithmetic per the PNG
-    spec (Average uses the floor of the 9-bit sum; Paeth the standard
-    predictor), so encode -> decode roundtrips losslessly — the
-    property the catalog oracle replays from first principles."""
-    import struct
-    import zlib
-
-    arr = np.asarray(img)
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
-    h, w, nch = arr.shape
-    ct = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
-    arr = arr.astype(np.int64) & 0xFF
-    flat = arr.reshape(h, w * nch)
-    if filters == "rotate":
-        frow = [y % 5 for y in range(h)]
-    elif isinstance(filters, int):
-        frow = [filters] * h
-    else:
-        frow = list(filters)
-    stride = w * nch
+def _png_filter_rows(
+    flat: "np.ndarray", nch: int, frow: "list[int]"
+) -> bytearray:
+    """Apply the per-scanline filter schedule ``frow`` FORWARD over one
+    (sub-)image of shape (h, w*nch); exact uint8 arithmetic per the
+    spec (Average floors the 9-bit sum, Paeth uses the standard
+    predictor), the inverse of :func:`_png_unfilter`."""
+    h, stride = flat.shape
     raw = bytearray()
     prev = np.zeros(stride, dtype=np.int64)
     for y in range(h):
@@ -828,6 +852,63 @@ def encode_png(
         raw.append(f)
         raw += enc.astype(np.uint8).tobytes()
         prev = cur
+    return raw
+
+
+def encode_png(
+    img: "np.ndarray",
+    filters: "str | int | list[int]" = "rotate",
+    interlace: bool = False,
+) -> bytes:
+    """Minimal 8-bit PNG WRITER (stdlib ``zlib`` +
+    ``struct``): the synthesis half of :func:`_decode_png`, pairing
+    with :func:`encode_gif` / :func:`encode_wav_tone` as the
+    deterministic still-image fixture synthesizer, and genuinely
+    useful for writing masks/heatmaps losslessly.
+
+    ``img`` is uint8-valued: ``(h, w)`` gray (color type 0),
+    ``(h, w, 2)`` gray+alpha (4), ``(h, w, 3)`` RGB (2) or
+    ``(h, w, 4)`` RGBA (6).  ``filters`` picks the per-scanline filter
+    byte: ``"rotate"`` cycles 0..4 by row (so one image exercises
+    None/Sub/Up/Average/Paeth — the full unfilter surface of the
+    decoder), an int pins one type, a list gives row ``y`` filter
+    ``filters[y]`` (non-interlaced only).  ``interlace=True`` writes
+    the Adam7 layout: seven sub-images in pass order, each filtered
+    independently (its own row schedule, its own prev-row chain).
+    Filtering is exact uint8 arithmetic per the PNG spec (Average
+    uses the floor of the 9-bit sum; Paeth the standard predictor),
+    so encode -> decode roundtrips losslessly — the property the
+    catalog oracle replays from first principles."""
+    import struct
+    import zlib
+
+    arr = np.asarray(img)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nch = arr.shape
+    ct = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    arr = arr.astype(np.int64) & 0xFF
+    def schedule(n: int) -> "list[int]":
+        if filters == "rotate":
+            return [y % 5 for y in range(n)]
+        if isinstance(filters, int):
+            return [filters] * n
+        return list(filters)
+
+    if not interlace:
+        raw = _png_filter_rows(arr.reshape(h, w * nch), nch, schedule(h))
+    else:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            if w <= x0 or h <= y0:
+                continue
+            sub = arr[y0::dy, x0::dx, :]
+            hp, wp = sub.shape[0], sub.shape[1]
+            raw += _png_filter_rows(
+                np.ascontiguousarray(sub).reshape(hp, wp * nch),
+                nch,
+                schedule(hp),
+            )
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -837,7 +918,8 @@ def encode_png(
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0,
+                       1 if interlace else 0)
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)

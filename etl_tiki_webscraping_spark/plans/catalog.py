@@ -12371,6 +12371,87 @@ def q_png_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "png_interlaced_stats",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id AS media_id FROM documents WHERE doc_id % 12 = 11
+    ),
+    px AS (
+        SELECT media_id, (media_id + 7 * y + 11 * x) % 256 AS v
+        FROM ids, unnest(range(0, 16)) AS a(y), unnest(range(0, 16)) AS b(x)
+    )
+    SELECT media_id, 16 AS width, 16 AS height,
+           CAST(SUM(v * 1000000) AS BIGINT) AS luma_units
+    FROM px GROUP BY media_id
+    """,
+    doc="REAL Adam7-INTERLACED PNG decode, oracle-checked end to end — "
+        "the PNG analogue of the progressive-JPEG coverage (interlaced "
+        "is the progressive-rendering variant real crawls carry): the "
+        "png_image_stats pixel scheme on a disjoint doc_id slice, but "
+        "written with encode_png(interlace=True) — seven Adam7 "
+        "sub-images, each with its OWN rotating filter schedule and "
+        "prev-row chain — and decoded back through the multi-pass "
+        "scatter in the shared dispatch.  Lossless, so the same "
+        "first-principles DuckDB oracle replays the pixel formula "
+        "directly.  Scale shape identical to png_image_stats: 1->1 "
+        "mapInPandas, blobs never shuffle.",
+)
+def q_png_interlaced_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 12 == 11)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def build(d: int) -> bytes:
+        import numpy as np
+
+        from etl_tiki_webscraping_spark.operators.multimodal import encode_png
+
+        y, x = np.mgrid[0:16, 0:16]
+        return encode_png(
+            ((d + 7 * y + 11 * x) % 256).astype(np.uint8), interlace=True
+        )
+
+    blob_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "content": b["media_id"].map(lambda d: build(int(d))),
+                }
+            )
+
+    blobs = ids.mapInPandas(gen, blob_schema)
+    feats = extract_image_features(blobs)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.aggregate(
+            "feature",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        ).alias("luma_units"),
+    )
+
+
+@register(
     "audio_spectral_features",
     oracle=None,  # an FFT has no SQL replay — rows-only; the accuracy
     # gate (tools/gates_report.py) checks synthesized pure tones'

@@ -775,3 +775,60 @@ def test_encode_png_rejects_unknown_filter():
 
     with pytest.raises(ValueError):
         encode_png(np.zeros((2, 2), dtype=np.uint8), filters=7)
+
+
+def test_adam7_interlaced_roundtrip_and_parity():
+    """Adam7 layout roundtrips bit-exactly for every color type and for
+    edge dimensions where whole passes are empty (w or h < pass
+    origin), and the interlaced decode equals the sequential decode of
+    the same pixels."""
+    import numpy as np
+
+    from etl_tiki_webscraping_spark.operators.multimodal import (
+        _decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(41)
+    for shape in [(16, 16), (13, 9, 3), (7, 5, 4), (1, 1), (2, 3), (8, 1, 2)]:
+        img = rng.integers(0, 256, size=shape).astype(np.uint8)
+        seq = _decode_png(encode_png(img, filters="rotate"))
+        inter = _decode_png(encode_png(img, filters="rotate", interlace=True))
+        assert inter is not None
+        assert np.array_equal(seq, inter), shape
+
+
+def test_adam7_strict_length_check():
+    """A truncated interlaced stream (exact-length sniff) decodes to
+    None, never to garbage."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from etl_tiki_webscraping_spark.operators.multimodal import (
+        _decode_png,
+        encode_png,
+    )
+
+    img = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    blob = bytearray(encode_png(img, interlace=True))
+    # rebuild with one raw byte chopped: locate IDAT, re-deflate short
+    pos = 8
+    while bytes(blob[pos + 4 : pos + 8]) != b"IDAT":
+        (ln,) = struct.unpack_from(">I", blob, pos)
+        pos += 12 + ln
+    (ln,) = struct.unpack_from(">I", blob, pos)
+    raw = zlib.decompress(bytes(blob[pos + 8 : pos + 8 + ln]))
+    short = zlib.compress(raw[:-1])
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    trunc = bytes(blob[:pos]) + chunk(b"IDAT", short) + chunk(b"IEND", b"")
+    assert _decode_png(trunc) is None
