@@ -5159,6 +5159,249 @@ def _register_encoding_quality() -> None:
 _register_encoding_quality()
 
 
+@register(
+    "heaps_law_report",
+    oracle=r"""
+    WITH toks AS (
+        SELECT source, u.t AS tok
+        FROM (SELECT source,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents WHERE text IS NOT NULL),
+             unnest(tk) AS u(t)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct,
+           CAST(ln(CAST(COUNT(DISTINCT tok) AS DOUBLE))
+                / ln(CAST(COUNT(*) AS DOUBLE)) AS DOUBLE) AS heaps_beta
+    FROM toks GROUP BY source
+    """,
+    doc="Heaps'-law vocabulary-growth report per source: total token "
+        "occurrences, distinct vocabulary, and the empirical exponent "
+        "beta = ln V / ln N (V ~ N^beta) — the standard check that a "
+        "corpus slice isn't degenerate (template spam shows beta near "
+        "0; random noise near 1).  Scale shape: one explode into one "
+        "map-side-combined groupBy carrying (source, token); the "
+        "distinct count is exact here — swap in the HLL sketch rollup "
+        "(operators/sketches.py) when vocabulary cardinality itself "
+        "is the bottleneck at 100 TB.",
+)
+def q_heaps_law_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.functions.text import tokenize_ws
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        "source", F.explode(tokenize_ws(F.lower(F.col("text")))).alias("tok")
+    )
+    return toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+        (
+            F.log(F.countDistinct("tok").cast("double"))
+            / F.log(F.count(F.lit(1)).cast("double"))
+        ).alias("heaps_beta"),
+    )
+
+
+@register(
+    "doc_token_entropy",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, u.t AS tok
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents WHERE text IS NOT NULL),
+             unnest(tk) AS u(t)
+    ),
+    tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM toks GROUP BY doc_id, tok
+    ),
+    n AS (
+        SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n FROM tf GROUP BY doc_id
+    )
+    SELECT tf.doc_id,
+           CAST(n.n AS BIGINT) AS n_tokens,
+           round(-SUM((tf.c / n.n) * ln(tf.c / n.n) / ln(2.0)), 9)
+               AS entropy_bits
+    FROM tf JOIN n ON n.doc_id = tf.doc_id
+    GROUP BY tf.doc_id, n.n
+    """,
+    doc="Per-document Shannon entropy of the in-doc token distribution "
+        "(bits/token) — the Gopher-family repetition/diversity signal: "
+        "near-zero entropy is a one-token spam page, maximal entropy "
+        "is all-distinct tokens.  Both engines evaluate the identical "
+        "-(c/n) ln(c/n)/ln 2 expression tree over identical (count, "
+        "total) integers and round to 9 digits (the ranking "
+        "convention).  Scale shape: one explode, one map-side-combined "
+        "(doc, token) count, one (doc) rollup — exchanges carry single "
+        "tokens at most.",
+)
+def q_doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.functions.text import tokenize_ws
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(tokenize_ws(F.lower(F.col("text")))).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    n = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    return (
+        tf.join(n, on="doc_id")
+        .groupBy("doc_id", "n")
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("c") / F.col("n"))
+                    * F.log(F.col("c") / F.col("n"))
+                    / F.log(F.lit(2.0))
+                ),
+                9,
+            ).alias("entropy_bits")
+        )
+        .select(
+            "doc_id", F.col("n").cast("bigint").alias("n_tokens"), "entropy_bits"
+        )
+    )
+
+
+@register(
+    "export_shard_manifest",
+    oracle=r"""
+    WITH assigned AS (
+        SELECT doc_id, n_chars,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 16 AS shard
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM assigned GROUP BY shard
+    """,
+    doc="Training-export shard manifest: every document maps to one of "
+        "16 shards by md5(doc_id) — deterministic across engines, "
+        "cluster sizes and reruns (the stratified_hash_sample rule), "
+        "which is what makes dataloader resume and cross-run diffing "
+        "possible — and the manifest reports per-shard doc/token/char "
+        "totals, the numbers a training job's data plan is signed off "
+        "against.  At scale the same assignment column feeds "
+        "DataFrameWriter.partitionBy for the physical export; the "
+        "manifest is one map-side-combined 16-group aggregate.",
+)
+def q_export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    assigned = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias(
+            "n_tokens"
+        ),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint") % 16
+        ).alias("shard"),
+    )
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+def _register_host_quality_rollup() -> None:
+    from etl_tiki_webscraping_spark.functions.url import extract_host_sql
+
+    @register(
+        "host_quality_rollup",
+        oracle=f"""
+        WITH crawl AS (
+            SELECT doc_id, text, {_url_fixture_sql()} AS raw_url
+            FROM documents
+        ),
+        scored AS (
+            SELECT {extract_host_sql('raw_url')} AS host,
+                   CAST(len(list_filter(
+                           string_split_regex(lower(trim(text)), '\\s+'),
+                           t -> t IN ('the','and','of','to','in','is','it',
+                                      'that','for','with'))) AS DOUBLE)
+                       / CAST(greatest(len(string_split_regex(
+                             lower(trim(text)), '\\s+')), 1) AS DOUBLE)
+                       AS quality
+            FROM crawl WHERE text IS NOT NULL
+        )
+        SELECT host,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               round(AVG(quality), 9) AS avg_quality
+        FROM scored GROUP BY host
+        """,
+        doc="Per-host crawl-quality rollup — the composition the "
+            "curation loop actually runs (bad hosts get domain-level "
+            "blocks, not per-doc filters): canonical host extraction "
+            "(functions/url.py) x stopword-ratio quality (functions/"
+            "text.py), one map-side-combined groupBy over a handful of "
+            "hosts.  AVG is replayed with identical double summation "
+            "order via round-9 (the ranking convention).",
+    )
+    def q_host_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from etl_tiki_webscraping_spark.functions.text import stopword_ratio
+        from etl_tiki_webscraping_spark.functions.url import extract_host
+
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()
+        )
+        raw = F.concat(
+            F.when(F.col("doc_id") % 4 == 0, F.lit("https://WWW.Example.COM:443"))
+            .when(F.col("doc_id") % 4 == 1, F.lit("https://blog.example.org"))
+            .when(F.col("doc_id") % 4 == 2, F.lit("http://Shop.Example.net:80"))
+            .otherwise(F.lit("https://cdn.example.net:8443")),
+            F.lit("/Posts/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+            .when(F.col("doc_id") % 5 == 1, F.lit("?b=2&a=1&fbclid=xyz"))
+            .when(F.col("doc_id") % 5 == 2, F.lit("?a=1&utm_medium=mail"))
+            .when(F.col("doc_id") % 5 == 3, F.lit("?gclid=123"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("#Section-2")).otherwise(
+                F.lit("")
+            ),
+        )
+        return (
+            docs.select(
+                extract_host(raw).alias("host"),
+                stopword_ratio("text").alias("quality"),
+            )
+            .groupBy("host")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.round(F.avg("quality"), 9).alias("avg_quality"),
+            )
+        )
+
+
+_register_host_quality_rollup()
+
+
 def _register_corpus_pipeline_v3() -> None:
     from etl_tiki_webscraping_spark.functions.encoding import mojibake_hits_sql
     from etl_tiki_webscraping_spark.functions.html import html_to_text_sql
