@@ -200,6 +200,22 @@ HEADLINE = [
     ("quality_model_auc", "collect"),
     ("generation_overlap_eval", "count"),
     ("tokenizer_fertility_by_lang", "collect"),
+    ("jpeg_progressive_stats", "collect"),
+    ("gopher_repetition_cjk", "count"),
+    ("png_image_stats", "collect"),
+    ("png_interlaced_stats", "collect"),
+    ("html_text_extract", "count"),
+    ("dicttag_term_counts", "count"),
+    ("blocklist_filter_survivors", "count"),
+    ("url_canonicalize", "count"),
+    ("encoding_quality_report", "collect"),
+    ("corpus_pipeline_v3", "count"),
+    ("heaps_law_report", "collect"),
+    ("doc_token_entropy", "count"),
+    ("export_shard_manifest", "collect"),
+    ("host_quality_rollup", "collect"),
+    ("langid_confusion_matrix", "collect"),
+    ("tpch_refresh_rf1_rf2", "collect"),
 ]
 
 

@@ -159,6 +159,12 @@ _DRIVER_FRESH = frozenset({
     #     (default path unchanged; re-verify anyway)
     "gopher_repetition_stats",
     "gopher_repetition_filter",
+    #   - _decode_png rewritten for Adam7 (shared dispatch: every query
+    #     whose decode may route through the PNG sniff re-verifies)
+    "jpeg_image_stats",
+    "multimodal_image_features",
+    "multimodal_image_resize",
+    "image_dedup_ahash",
 })
 
 
@@ -208,6 +214,7 @@ _EAGER_STAGING_QUERIES = (
     "knn_pq_adc",  # trains + memoizes the PQ codebooks (index build)
     "knn_ivf_pq",  # trains + memoizes coarse centroids + PQ codebooks
     "snapshot_compaction",  # stages 5 micro-batch commits + compacts
+    "tpch_refresh_rf1_rf2",  # stages the orders table + RF1/RF2 commits
     "contamination_new_docs",  # builds + memoizes the base winnow store
 )
 
@@ -948,6 +955,38 @@ def q_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return load_table(spark, sf_dir, "documents").select(
         "doc_id", language_id("text").alias("pred_lang")
+    )
+
+
+@register(
+    "langid_confusion_matrix",
+    oracle=f"""
+    WITH pred AS ({_language_id_oracle()})
+    SELECT d.lang AS label_lang, p.pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+    GROUP BY d.lang, p.pred_lang
+    """,
+    doc="Language-ID confusion matrix against the fixture's labeled "
+        "lang column — the evaluation loop a corpus pipeline runs "
+        "before trusting a router: predicted x labeled counts, built "
+        "on the SAME oracle-green classifier CTE as language_id (one "
+        "source of truth, so the matrix and the per-doc query can "
+        "never disagree).  Scale shape: the classifier is a narrow "
+        "array expression; the matrix is one map-side-combined "
+        "groupBy over |langs|^2 cells.",
+)
+def q_langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.functions.text import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("label_lang"),
+            language_id("text").alias("pred_lang"),
+        )
+        .groupBy("label_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )
 
 
@@ -4526,6 +4565,87 @@ def q_snapshot_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DELETE_TABLES: dict[str, str] = {}  # sf_dir -> table path (memoized)
+
+
+@register(
+    "tpch_refresh_rf1_rf2",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DOUBLE) AS price
+        FROM orders
+    ),
+    rf1 AS (
+        SELECT o_orderkey + 600000000 AS o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DOUBLE) + 100.0 AS price
+        FROM orders WHERE o_orderkey % 10 = 1
+    ),
+    v2 AS (
+        SELECT * FROM base UNION ALL SELECT * FROM rf1
+    ),
+    v3 AS (
+        SELECT * FROM v2 WHERE o_orderkey % 37 <> 0
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM v3 GROUP BY o_orderstatus
+    """,
+    doc="TPC-H refresh functions against the snapshot store — the "
+        "benchmark's own update model, completing the 22/22 query "
+        "suite with its write side: RF1 (new-order batch, keys offset "
+        "beyond the key space) lands through upsert_parquet's MERGE "
+        "path, RF2 (old-order deletions, the %37 slice) through "
+        "delete_where's pruned rewrite, and the report aggregates the "
+        "surviving table by status with cent-exact totals (the floor-"
+        "quantize recipe).  The oracle replays both refreshes as pure "
+        "CTE algebra over the same parquet.  Scale shape: both "
+        "refreshes rewrite only touched files (manifest carry-"
+        "forward); the report is one map-side-combined 3-group "
+        "aggregate.",
+)
+def q_tpch_refresh_rf1_rf2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from etl_tiki_webscraping_spark.sinks.upsert import (
+        delete_where,
+        read_parquet_table,
+        upsert_parquet,
+    )
+
+    path = _RF_TABLES.get(sf_dir)
+    if path is None:
+        base = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("price"),
+        )
+        path = tempfile.mkdtemp(prefix="tpch-rf-") + "/orders"
+        upsert_parquet(spark, base, path, ["o_orderkey"])
+        rf1 = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderkey") % 10 == 1
+        ).select(
+            (F.col("o_orderkey") + 600000000).alias("o_orderkey"),
+            "o_orderstatus",
+            (F.col("o_totalprice").cast("double") + 100.0).alias("price"),
+        )
+        upsert_parquet(spark, rf1, path, ["o_orderkey"])
+        delete_where(spark, path, F.col("o_orderkey") % 37 == 0)
+        _RF_TABLES[sf_dir] = path
+    return (
+        read_parquet_table(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("price") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("total_cents"),
+        )
+    )
+
+
+_RF_TABLES: dict[str, str] = {}  # sf_dir -> table path (memoized)
 
 
 @register(
