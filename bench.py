@@ -216,6 +216,7 @@ HEADLINE = [
     ("host_quality_rollup", "collect"),
     ("langid_confusion_matrix", "collect"),
     ("tpch_refresh_rf1_rf2", "collect"),
+    ("streaming_corpus_screen", "collect"),
 ]
 
 

@@ -215,6 +215,7 @@ _EAGER_STAGING_QUERIES = (
     "knn_ivf_pq",  # trains + memoizes coarse centroids + PQ codebooks
     "snapshot_compaction",  # stages 5 micro-batch commits + compacts
     "tpch_refresh_rf1_rf2",  # stages the orders table + RF1/RF2 commits
+    "streaming_corpus_screen",  # runs the multi-batch screen to its sink
     "contamination_new_docs",  # builds + memoizes the base winnow store
 )
 
@@ -7260,6 +7261,122 @@ def q_streaming_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.schema(_INGEST_SCHEMA).parquet(out + "/good")
         .select("o_orderkey", "o_custkey", "price", "prio")
     )
+
+
+_STREAM_SCREEN: dict[str, str] = {}  # sf_dir -> survivors dir (memoized)
+
+
+def _register_streaming_corpus_screen() -> None:
+    from etl_tiki_webscraping_spark.functions.encoding import mojibake_hits_sql
+
+    bl_vals = ", ".join("('" + t + "')" for t in _BLOCKLIST_TERMS)
+
+    @register(
+        "streaming_corpus_screen",
+        oracle=f"""
+        WITH damaged AS (
+            SELECT doc_id, lang, n_chars,
+                   COALESCE(text, '') ||
+                   CASE WHEN doc_id % 7 = 0 THEN '{_MOJIBAKE_TAIL_HEAVY}'
+                        WHEN doc_id % 7 = 3 THEN '{_MOJIBAKE_TAIL_LIGHT}'
+                        ELSE '' END AS raw
+            FROM documents
+        ),
+        screened AS (
+            SELECT doc_id, lang, n_chars, lower(raw) AS lraw FROM damaged
+            WHERE {mojibake_hits_sql('raw')} = 0
+        ),
+        bt(term) AS (VALUES {bl_vals}),
+        pos AS (
+            SELECT s.doc_id
+            FROM screened s, bt,
+                 unnest(range(0, greatest(length(s.lraw) - length(bt.term)
+                                          + 1, 0))) AS g(p)
+            WHERE substr(s.lraw, CAST(p + 1 AS INT),
+                         CAST(length(bt.term) AS INT)) = bt.term
+        ),
+        offenders AS (
+            SELECT doc_id FROM pos GROUP BY doc_id HAVING COUNT(*) > 1
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM screened s
+        LEFT JOIN offenders o ON o.doc_id = s.doc_id
+        WHERE o.doc_id IS NULL
+        GROUP BY lang
+        """,
+        doc="STREAMING twin of the corpus quality screen: a REAL "
+            "multi-micro-batch run (maxFilesPerTrigger=1, AvailableNow "
+            "over a 3-file staged copy of documents); each micro-batch "
+            "injects the deterministic mojibake slice, drops any "
+            "marker hit, runs the Aho-Corasick blocklist (>1 hits "
+            "drops — the screen is per-document, so batch boundaries "
+            "cannot change the answer, which is exactly why it "
+            "streams safely stateless), and appends survivors.  The "
+            "committed sink aggregate must equal the batch replay "
+            "(the oracle) — identical semantics in batch and "
+            "streaming, the quarantine-ingest contract applied to "
+            "corpus curation.",
+    )
+    def q_streaming_corpus_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from etl_tiki_webscraping_spark.functions.encoding import mojibake_hits
+        from etl_tiki_webscraping_spark.operators.dicttag import blocklist_filter
+
+        out = _STREAM_SCREEN.get(sf_dir)
+        if out is None:
+            import tempfile
+
+            root = tempfile.mkdtemp(prefix="stream-screen-")
+            src, sink_dir = root + "/src", root + "/survivors"
+            docs = load_table(spark, sf_dir, "documents").select(
+                "doc_id", "text", "lang", "n_chars"
+            )
+            docs.repartition(3).write.parquet(src)
+
+            def screen(batch_df, _batch_id: int) -> None:
+                raw = F.concat(
+                    F.coalesce(F.col("text"), F.lit("")),
+                    F.when(F.col("doc_id") % 7 == 0, F.lit(_MOJIBAKE_TAIL_HEAVY))
+                    .when(F.col("doc_id") % 7 == 3, F.lit(_MOJIBAKE_TAIL_LIGHT))
+                    .otherwise(F.lit("")),
+                )
+                screened = batch_df.withColumn("raw", raw).filter(
+                    mojibake_hits(F.col("raw")) == 0
+                )
+                kept = blocklist_filter(
+                    screened, _BLOCKLIST_TERMS, text_col="raw",
+                    id_col="doc_id", max_hits=1,
+                )
+                kept.select("doc_id", "lang", "n_chars").write.mode(
+                    "append"
+                ).parquet(sink_dir)
+
+            q = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .writeStream.foreachBatch(screen)
+                .option("checkpointLocation", root + "/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("streaming corpus screen did not finish")
+            out = sink_dir
+            _STREAM_SCREEN[sf_dir] = out
+        return (
+            spark.read.parquet(out)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+            )
+        )
+
+
+_register_streaming_corpus_screen()
 
 
 @register(
