@@ -314,6 +314,15 @@ def main() -> None:
             else:
                 df.count()
             timings[name] = round(time.perf_counter() - t0, 3)
+            # Each fn() call builds FRESH lineage, so persisted blocks
+            # from a finished query are pure dead weight to every later
+            # one — 176 headliners of accumulated MEMORY_AND_DISK blocks
+            # turn pass 2 into GC thrash (measured: untouched queries
+            # ran 3-5x their pass-1 time LATE in pass 2; the r12 sf10
+            # probe isolated the same mechanism at 345 s vs 29 s).  All
+            # cross-query staging is memoized as PATHS/plain lists, so
+            # dropping the cache between queries is free and honest.
+            spark.catalog.clearCache()
         return timings
 
     pass1 = run_pass()
@@ -328,7 +337,34 @@ def main() -> None:
     # enough to matter at headline scale get flagged.  A query whose
     # cost changed for a KNOWN, deliberate reason is still flagged but
     # carries the explanation.
+    # r12 methodology change: the cache is CLEARED between timed
+    # queries (see run_pass), so pass 2 no longer reuses pass 1's
+    # persisted sub-plans via CacheManager plan-dedup.  Queries that
+    # persist their inputs (budget select, set-sim/winnowing indexes,
+    # LM gram tables, the corpus capstones) recorded artificially fast
+    # pass-2 bests under the old semantics; their first clean-cache
+    # rounds flag against those bests until best-of-last-5 rolls over.
+    _R12_CACHE_NOTE = (
+        "r12: bench now clears the cache between timed queries (the sf10 "
+        "probe isolated accumulated dead cache blocks turning late pass-2 "
+        "entries into 3-5x GC-thrash outliers); this query persists its "
+        "input, so its old pass-2 best was a cross-pass CacheManager "
+        "plan-dedup artifact, not steady-state plan cost"
+    )
     known_causes = {
+        name: _R12_CACHE_NOTE
+        for name in (
+            "dedup_minhash_lsh", "cms_frequency_rollup", "setsim_prefix_join",
+            "substring_dup_spans", "token_bigram_pmi", "contamination_new_docs",
+            "token_budget_cutoff", "token_budget_per_lang", "doc_bigram_logprob",
+            "doc_kneser_ney_logprob", "retrieval_quality_metrics",
+            "perplexity_terciles", "tokenizer_fertility_by_lang",
+            "gopher_repetition_cjk", "corpus_pipeline_v2", "corpus_pipeline_v3",
+            "corpus_pipeline_e2e", "corpus_pipeline_neardup",
+            "incremental_postings_bm25", "hybrid_search_rrf", "bm25_search",
+        )
+    }
+    known_causes |= {
         "streaming_windowed_counts": (
             "r3: runs as a REAL 3-micro-batch stream (time-range-split files, "
             "maxFilesPerTrigger=1) instead of one batch — cross-batch state and "
@@ -419,6 +455,7 @@ def main() -> None:
     full = {
         "sf": sf_str,
         "cpus": cpus,
+        "cache_policy": "clear_between_queries",  # since r12
         "value": round(sum(pass1.values()), 3),
         "value_pass2": round(sum(pass2.values()), 3),
         "queries": pass1,

@@ -5648,14 +5648,24 @@ def _register_corpus_pipeline_v3() -> None:
             F.lit('</p><!-- crawler --><div class="footer">'
                   "&amp;copy; Example &nbsp;Corp</div></body></html>"),
         )
+        # PERSIST the extraction projection: Catalyst collapses a
+        # projection into the consuming filter, re-inlining the big
+        # regexp chain once per reference — mojibake_hits alone
+        # references `clean` 9 times, so the unpinned plan evaluated
+        # the whole extraction ~9x per row (measured: 4.0 s for the
+        # screen vs 0.4 s for the extraction itself), and the chain
+        # additionally feeds four downstream executions (blocklist
+        # scan + anti-join, dedup election + semi join).  The persist
+        # is the projection barrier; at 100 TB the same role is played
+        # by checkpointing the extracted corpus to parquet once.
         cleaned = docs.select(
             "doc_id", "lang", html_to_text(page).alias("clean")
-        )
+        ).persist()
         screened = cleaned.filter(mojibake_hits(F.col("clean")) == 0)
         kept = blocklist_filter(
             screened, _BLOCKLIST_TERMS, text_col="clean", id_col="doc_id",
             max_hits=1,
-        )
+        ).persist()
         deduped = exact_dedup(kept, "clean", "doc_id")
         scored = deduped.select(
             "doc_id",
