@@ -204,10 +204,10 @@ HEADLINE = [
     ("gopher_repetition_cjk", "count"),
     ("png_image_stats", "collect"),
     ("png_interlaced_stats", "collect"),
-    ("html_text_extract", "count"),
+    ("html_text_extract", "collect"),  # count() would prune the pure projection
     ("dicttag_term_counts", "count"),
     ("blocklist_filter_survivors", "count"),
-    ("url_canonicalize", "count"),
+    ("url_canonicalize", "collect"),  # count() would prune the pure projection
     ("encoding_quality_report", "collect"),
     ("corpus_pipeline_v3", "count"),
     ("heaps_law_report", "collect"),
@@ -365,6 +365,16 @@ def main() -> None:
         )
     }
     known_causes |= {
+        "html_text_extract": (
+            "r12: action fixed count -> collect; count() let Catalyst prune "
+            "the pure-projection extraction entirely, so prior entries timed "
+            "a bare scan — the collect number is the first honest one"
+        ),
+        "url_canonicalize": (
+            "r12: action fixed count -> collect; count() let Catalyst prune "
+            "the pure-projection canonicalization entirely, so prior entries "
+            "timed a bare scan — the collect number is the first honest one"
+        ),
         "streaming_windowed_counts": (
             "r3: runs as a REAL 3-micro-batch stream (time-range-split files, "
             "maxFilesPerTrigger=1) instead of one batch — cross-batch state and "

@@ -198,6 +198,27 @@ NEW_R11 = [
     "conformal_coverage_report",
 ]
 
+NEW_R12 = [
+    # the format trio completion + crawl-curation surface
+    "jpeg_progressive_stats",
+    "gopher_repetition_cjk",
+    "png_image_stats",
+    "png_interlaced_stats",
+    "html_text_extract",
+    "dicttag_term_counts",
+    "blocklist_filter_survivors",
+    "url_canonicalize",
+    "encoding_quality_report",
+    "corpus_pipeline_v3",
+    "heaps_law_report",
+    "doc_token_entropy",
+    "export_shard_manifest",
+    "host_quality_rollup",
+    "langid_confusion_matrix",
+    "tpch_refresh_rf1_rf2",
+    "streaming_corpus_screen",
+]
+
 NEW_R7C = [
     "heavy_hitters_exact",
     "table_profile",
@@ -361,11 +382,14 @@ def main() -> None:
 
     names = FIVE
     if len(sys.argv) > 1:
-        names = {
+        lists = {
             "r7": NEW_R7, "r7c": NEW_R7C, "r7d": NEW_R7D, "r8": NEW_R8,
             "r8b": NEW_R8B, "r8c": NEW_R8C, "r8d": NEW_R8D, "r9": NEW_R9,
-            "r10": NEW_R10, "r11": NEW_R11,
-        }.get(sys.argv[1], FIVE)
+            "r10": NEW_R10, "r11": NEW_R11, "r12": NEW_R12,
+        }
+        names = lists.get(sys.argv[1]) or [
+            a for a in sys.argv[1:] if a in QUERIES
+        ] or FIVE
     # hoist one-time warehouse staging out of the timed region, exactly
     # as bench.py does (a deployment's snapshot tables already exist) —
     # without this, whichever query runs FIRST absorbs the staging cost
@@ -380,16 +404,29 @@ def main() -> None:
     )
     for name in names:  # non-eager staged deps (e.g. the shared CDF table)
         QUERIES[name].fn(spark, sf_dir)
+    # action per query from bench.py's HEADLINE map: count() on a pure
+    # projection lets Catalyst PRUNE the whole computation (caught r12:
+    # html_text_extract's "count" timed a bare scan), so collect-typed
+    # headliners collect here too
+    from bench import HEADLINE as _HL
+
+    actions = dict(_HL)
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
-        QUERIES[name].fn(spark, sf_dir).count()
+        df = QUERIES[name].fn(spark, sf_dir)
+        if actions.get(name) == "collect":
+            df.collect()
+        else:
+            df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"{name}: {timings[name]}s", flush=True)
+        spark.catalog.clearCache()  # r12 bench policy: no dead-block GC drag
 
     entry = {
         "sf": "1",
         "staging_hoisted": True,  # entries before r8 timed first-touch staging
+        "cache_policy": "clear_between_queries",  # since r12
         "synthetic_scale": f"{REPLICAS}x sf0.1, replica-salted (tools/bench_sf1.py)",
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         "value": round(sum(timings.values()), 3),
