@@ -217,6 +217,7 @@ HEADLINE = [
     ("langid_confusion_matrix", "collect"),
     ("tpch_refresh_rf1_rf2", "collect"),
     ("streaming_corpus_screen", "collect"),
+    ("variant_semistructured_extract", "collect"),  # count() would prune the pure projection
 ]
 
 

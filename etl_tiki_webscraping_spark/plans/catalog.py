@@ -5281,6 +5281,62 @@ _register_encoding_quality()
 
 
 @register(
+    "variant_semistructured_extract",
+    oracle="""
+    WITH payloads AS (
+        SELECT doc_id,
+               '{"doc": {"id": ' || CAST(doc_id AS VARCHAR) ||
+               ', "lang": "' || lang || '"}, "metrics": {"chars": ' ||
+               CAST(n_chars AS VARCHAR) || ', "flags": [' ||
+               CAST(doc_id % 2 AS VARCHAR) || ', ' ||
+               CAST(doc_id % 3 AS VARCHAR) || ']}}' AS js
+        FROM documents
+    )
+    SELECT doc_id,
+           json_extract_string(js, '$.doc.lang') AS lang_v,
+           CAST(json_extract(js, '$.metrics.chars') AS BIGINT) AS chars_v,
+           CAST(json_extract(js, '$.metrics.flags[1]') AS INT) AS flag1,
+           json_extract_string(js, '$.metrics.absent') AS absent_v
+    FROM payloads
+    """,
+    doc="Schema-on-read semi-structured ingestion via Spark 4's "
+        "VARIANT type (parse_json -> variant_get / try_variant_get): "
+        "the modern engine path for ragged crawl metadata where "
+        "from_json's fixed StructType can't follow drifting payloads.  "
+        "A deterministic JSON document wraps each row IN BOTH ENGINES; "
+        "extraction pulls a nested string, a nested bigint, an array "
+        "index (0-based in variant paths AND DuckDB json paths), and "
+        "a MISSING path (try_variant_get -> NULL, json_extract_string "
+        "-> NULL — the two engines agree on absence).  Scale shape: "
+        "variant parse + typed gets are codegen'd narrow ops over the "
+        "binary variant encoding; zero shuffle, zero UDF.",
+)
+def q_variant_semistructured_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    js = F.concat(
+        F.lit('{"doc": {"id": '),
+        F.col("doc_id").cast("string"),
+        F.lit(', "lang": "'),
+        F.col("lang"),
+        F.lit('"}, "metrics": {"chars": '),
+        F.col("n_chars").cast("string"),
+        F.lit(', "flags": ['),
+        (F.col("doc_id") % 2).cast("string"),
+        F.lit(", "),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("]}}"),
+    )
+    v = docs.select("doc_id", F.parse_json(js).alias("v"))
+    return v.select(
+        "doc_id",
+        F.variant_get("v", "$.doc.lang", "string").alias("lang_v"),
+        F.variant_get("v", "$.metrics.chars", "long").alias("chars_v"),
+        F.variant_get("v", "$.metrics.flags[1]", "int").alias("flag1"),
+        F.try_variant_get("v", "$.metrics.absent", "string").alias("absent_v"),
+    )
+
+
+@register(
     "heaps_law_report",
     oracle=r"""
     WITH toks AS (

@@ -832,3 +832,41 @@ def test_adam7_strict_length_check():
 
     trunc = bytes(blob[:pos]) + chunk(b"IDAT", short) + chunk(b"IEND", b"")
     assert _decode_png(trunc) is None
+
+
+def test_png_roundtrip_property():
+    """Hypothesis: encode_png -> _decode_png is the identity on the
+    luma plane for arbitrary small images across color types, filter
+    schedules, and BOTH layouts (sequential + Adam7)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_tiki_webscraping_spark.operators.multimodal import (
+        _decode_png,
+        encode_png,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        nch=st.sampled_from([1, 2, 3, 4]),
+        interlace=st.booleans(),
+        filt=st.sampled_from(["rotate", 0, 1, 2, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def roundtrip(h, w, nch, interlace, filt, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if nch == 1 else (h, w, nch)
+        img = rng.integers(0, 256, size=shape).astype(np.uint8)
+        got = _decode_png(encode_png(img, filters=filt, interlace=interlace))
+        assert got is not None
+        px = (img if img.ndim == 3 else img[:, :, None]).astype(np.float32)
+        if nch in (3, 4):
+            exp = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+        else:
+            exp = px[..., 0]
+        assert np.array_equal(got, exp)
+
+    roundtrip()

@@ -125,3 +125,44 @@ def test_mojibake_sql_replay_matches_spark(spark):
         con.execute(f"SELECT i, {mojibake_hits_sql('s')} FROM m").fetchall()
     )
     assert spark_out == duck_out
+
+
+def test_canonicalize_idempotent_property(spark):
+    """canonicalize(canonicalize(u)) == canonicalize(u) over a URL
+    grammar covering every rule (hypothesis): a canonical form must be
+    a fixed point or URL-level dedup double-counts pages."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_tiki_webscraping_spark.functions.url import canonicalize_url
+
+    host = st.sampled_from(
+        ["Example.COM", "www.Shop.net", "a.b.org", "CDN.example.net"]
+    )
+    port = st.sampled_from(["", ":80", ":443", ":8443"])
+    path = st.lists(
+        st.sampled_from(["Posts", "a", "B2", "x-y"]), max_size=3
+    ).map(lambda seg: "".join("/" + s for s in seg))
+    slash = st.sampled_from(["", "/", "//"])
+    params = st.lists(
+        st.sampled_from(["a=1", "b=2", "utm_source=x", "fbclid=z", "c=3&d=4"]),
+        max_size=3,
+    ).map(lambda ps: "?" + "&".join(ps) if ps else "")
+    frag = st.sampled_from(["", "#f", "#Sec-2"])
+    urls = st.tuples(
+        st.sampled_from(["http", "https"]), host, port, path, slash, params, frag
+    ).map(lambda t: f"{t[0]}://{t[1]}{t[2]}{t[3]}{t[4]}{t[5]}{t[6]}")
+
+    collected: list[str] = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(urls)
+    def gen(u):
+        collected.append(u)
+
+    gen()
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(collected)], "i long, u string")
+    once = df.select("i", canonicalize_url("u").alias("c1"))
+    twice = once.select("i", "c1", canonicalize_url("c1").alias("c2"))
+    for r in twice.collect():
+        assert r["c1"] == r["c2"], (r["c1"], r["c2"])
