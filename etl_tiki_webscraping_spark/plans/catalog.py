@@ -5351,7 +5351,8 @@ def q_variant_semistructured_extract(spark: SparkSession, sf_dir: str) -> DataFr
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
            CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct,
            CAST(ln(CAST(COUNT(DISTINCT tok) AS DOUBLE))
-                / ln(CAST(COUNT(*) AS DOUBLE)) AS DOUBLE) AS heaps_beta
+                / NULLIF(ln(CAST(COUNT(*) AS DOUBLE)), 0.0) AS DOUBLE)
+               AS heaps_beta
     FROM toks GROUP BY source
     """,
     doc="Heaps'-law vocabulary-growth report per source: total token "
@@ -5376,9 +5377,11 @@ def q_heaps_law_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.countDistinct("tok").alias("n_distinct"),
-        (
-            F.log(F.countDistinct("tok").cast("double"))
-            / F.log(F.count(F.lit(1)).cast("double"))
+        # try_divide: a 1-token source has ln(N)=0 — NULL in both
+        # engines (mirrors the oracle's NULLIF), never Inf/NaN
+        F.try_divide(
+            F.log(F.countDistinct("tok").cast("double")),
+            F.log(F.count(F.lit(1)).cast("double")),
         ).alias("heaps_beta"),
     )
 
@@ -5403,7 +5406,10 @@ def q_heaps_law_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT tf.doc_id,
            CAST(n.n AS BIGINT) AS n_tokens,
-           round(-SUM((tf.c / n.n) * ln(tf.c / n.n) / ln(2.0)), 9)
+           -- + 0.0 normalizes -0.0 (an all-one-token doc sums to 0;
+           -- IEEE negation gives -0.0, whose BIT pattern could differ
+           -- across engines under the full-precision comparator)
+           round(-SUM((tf.c / n.n) * ln(tf.c / n.n) / ln(2.0)) + 0.0, 9)
                AS entropy_bits
     FROM tf JOIN n ON n.doc_id = tf.doc_id
     GROUP BY tf.doc_id, n.n
@@ -5442,7 +5448,8 @@ def q_doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("c") / F.col("n"))
                     * F.log(F.col("c") / F.col("n"))
                     / F.log(F.lit(2.0))
-                ),
+                )
+                + F.lit(0.0),  # -0.0 -> +0.0, mirrored in the oracle
                 9,
             ).alias("entropy_bits")
         )
