@@ -218,6 +218,8 @@ HEADLINE = [
     ("tpch_refresh_rf1_rf2", "collect"),
     ("streaming_corpus_screen", "collect"),
     ("variant_semistructured_extract", "collect"),  # count() would prune the pure projection
+    ("contrastive_negatives_sample", "count"),
+    ("attribution_last_touch", "collect"),  # count() would prune the window column
 ]
 
 

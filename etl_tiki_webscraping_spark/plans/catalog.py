@@ -5337,6 +5337,153 @@ def q_variant_semistructured_extract(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
+    "attribution_last_touch",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events
+    ),
+    w AS (
+        SELECT *,
+               MAX(CASE WHEN event_type = 'view' THEN ms END) OVER (
+                   PARTITION BY user_id ORDER BY ms, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv
+        FROM e
+    )
+    SELECT event_id AS purchase_id, user_id,
+           (lv IS NOT NULL AND ms - lv <= 3600000) AS attributed,
+           CASE WHEN lv IS NOT NULL AND ms - lv <= 3600000
+                THEN CAST((ms - lv) // 60000 AS INT) END AS mins_since_view
+    FROM w WHERE event_type = 'purchase'
+    """,
+    doc="Last-touch attribution: each purchase credits the user's most "
+        "recent preceding view within a 1-hour window — the classic "
+        "marketing-attribution shape, expressed as ONE conditional-max "
+        "window over the event stream instead of a purchases-to-views "
+        "self-join (one shuffle on user_id; the as-of join twin is "
+        "asof_join_events_orders).  The frame is ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND 1 PRECEDING over (ms, event_id) — a "
+        "deterministic total order, so a view and purchase sharing a "
+        "millisecond resolve identically in both engines.  ms "
+        "arithmetic is exact integer math.",
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_millis("ts").alias("ms"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lv = F.max(
+        F.when(F.col("event_type") == "view", F.col("ms"))
+    ).over(w)
+    flagged = ev.withColumn("lv", lv).filter(
+        F.col("event_type") == "purchase"
+    )
+    attributed = F.col("lv").isNotNull() & (
+        F.col("ms") - F.col("lv") <= 3600000
+    )
+    return flagged.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        attributed.alias("attributed"),
+        F.when(
+            attributed,
+            F.floor((F.col("ms") - F.col("lv")) / 60000).cast("int"),
+        ).alias("mins_since_view"),
+    )
+
+
+@register(
+    "contrastive_negatives_sample",
+    oracle="""
+    WITH anchors AS (
+        SELECT doc_id AS anchor_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 16 AS bucket
+        FROM documents WHERE doc_id % 25 = 0
+    ),
+    pool AS (
+        SELECT doc_id AS neg_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 16 AS bucket
+        FROM documents WHERE doc_id % 25 <> 0 AND text IS NOT NULL
+    ),
+    scored AS (
+        SELECT a.anchor_id, p.neg_id,
+               CAST(('0x' || substr(md5(CAST(a.anchor_id AS VARCHAR) || ':'
+                                        || CAST(p.neg_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM anchors a JOIN pool p ON p.bucket = a.bucket
+    ),
+    ranked AS (
+        SELECT anchor_id, neg_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                       ORDER BY h, neg_id) AS INT) AS rank
+        FROM scored
+    )
+    SELECT anchor_id, neg_id, rank FROM ranked WHERE rank <= 3
+    """,
+    doc="Deterministic negative mining for contrastive training: each "
+        "anchor draws 3 pseudo-random negatives ranked by a 60-bit md5 "
+        "of the (anchor, candidate) pair — reproducible across "
+        "engines, cluster sizes and reruns (the md5-determinism rule), "
+        "so a resumed training job regenerates the SAME pairs.  The "
+        "candidate pool is pre-bucketed by md5(doc_id)%16 and anchors "
+        "join only their own bucket — an EQUI join (plan-audited: no "
+        "cartesian), which is the scale shape: the per-anchor "
+        "candidate set is |pool|/16 regardless of corpus size, and "
+        "widening the draw is a bucket-count knob, not a quadratic "
+        "blow-up.  Top-3 per anchor is a bounded per-group window over "
+        "the bucket-restricted candidates.",
+)
+def q_contrastive_negatives_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 16
+    )
+    anchors = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("anchor_id"), bucket.alias("bucket")
+    )
+    pool = docs.filter(
+        (F.col("doc_id") % 25 != 0) & F.col("text").isNotNull()
+    ).select(F.col("doc_id").alias("neg_id"), bucket.alias("bucket"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("anchor_id").cast("string"),
+                    F.lit(":"),
+                    F.col("neg_id").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    scored = anchors.join(pool, on="bucket").select(
+        "anchor_id", "neg_id", h.alias("h")
+    )
+    w = Window.partitionBy("anchor_id").orderBy("h", "neg_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("anchor_id", "neg_id", "rank")
+    )
+
+
+@register(
     "heaps_law_report",
     oracle=r"""
     WITH toks AS (
