@@ -165,6 +165,8 @@ _DRIVER_FRESH = frozenset({
     "multimodal_image_features",
     "multimodal_image_resize",
     "image_dedup_ahash",
+    #   - winnow base store moved from a cached DataFrame to parquet
+    "contamination_new_docs",
 })
 
 
