@@ -20,6 +20,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _md5_prefix_long(key_col: str) -> Column:
@@ -137,6 +138,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_cols: Sequence[str] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of (backward) join: for every left row, attach the right row
     with the greatest ``right_ts`` <= ``left_ts`` within the same key —
@@ -154,6 +156,20 @@ def asof_join(
     NULL keys never match and a NULL value in the matched row comes
     through as NULL, not an older row's value (DuckDB/pandas
     ``merge_asof`` backward semantics — see the inline comment).
+
+    ``direction`` extends the same merge-scan to the other pandas
+    ``merge_asof`` modes at identical cost shape:
+
+    - ``"forward"``: smallest ``right_ts`` >= ``left_ts`` — the sort
+      flips to descending (right still before left at equal ts, so
+      ts-equal matches stay included) and the running ``last`` now
+      forward-fills the nearest FUTURE right row.  One shuffle + one
+      sort, as before.
+    - ``"nearest"``: both fills run over the SAME exchange (Catalyst
+      reuses the shuffle; the second window adds only a sort) and each
+      left row keeps whichever side is closer in time, ties preferring
+      the backward (earlier) row.  Distances compare on exact integer
+      micros (timestamps) or the raw numeric, never floats.
     """
     on = [on] if isinstance(on, str) else list(on)
     rcols = list(right_cols) if right_cols is not None else [
@@ -183,18 +199,65 @@ def asof_join(
         )
         .withColumn("__side", F.lit(0))
     )
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction {direction!r}")
+    if direction == "nearest":
+        # carry the matched right ts inside the struct so the two
+        # fills can compare distances without a re-join
+        r = r.withColumn(
+            "__r", F.struct(F.col("__r").alias("row"), F.col("__t").alias("rt"))
+        )
     u = l.unionByName(r, allowMissingColumns=True)
-    w = (
+    back = (
         Window.partitionBy(*on)
         .orderBy(F.col("__t").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    fwd = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__t").desc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    if direction in ("backward", "forward"):
+        w = back if direction == "backward" else fwd
+        filled = u.select(
+            "*", F.last("__r", ignorenulls=True).over(w).alias("__f")
+        )
+        return (
+            filled.filter(F.col("__side") == 1)
+            .select(*left.columns, *[F.col(f"__f.{c}").alias(c) for c in rcols])
+        )
+    ts_type = u.schema["__t"].dataType
+    tn = (
+        F.unix_micros(F.col("__t"))
+        if isinstance(ts_type, T.TimestampType)
+        else F.col("__t").cast("long")
+    )
+    tn_of = (
+        (lambda c: F.unix_micros(c))
+        if isinstance(ts_type, T.TimestampType)
+        else (lambda c: c.cast("long"))
+    )
     filled = u.select(
-        "*", F.last("__r", ignorenulls=True).over(w).alias("__f")
+        "*",
+        F.last("__r", ignorenulls=True).over(back).alias("__b"),
+        F.last("__r", ignorenulls=True).over(fwd).alias("__ff"),
+        tn.alias("__tn"),
+    )
+    d_b = F.col("__tn") - tn_of(F.col("__b.rt"))
+    d_f = tn_of(F.col("__ff.rt")) - F.col("__tn")
+    pick = (
+        F.when(F.col("__b").isNull(), F.col("__ff"))
+        .when(F.col("__ff").isNull(), F.col("__b"))
+        .when(d_b <= d_f, F.col("__b"))  # tie -> backward (earlier) row
+        .otherwise(F.col("__ff"))
     )
     return (
         filled.filter(F.col("__side") == 1)
-        .select(*left.columns, *[F.col(f"__f.{c}").alias(c) for c in rcols])
+        .withColumn("__f", pick)
+        .select(
+            *left.columns, *[F.col(f"__f.row.{c}").alias(c) for c in rcols]
+        )
     )
 
 

@@ -2296,6 +2296,102 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "matched_order_ts", "order_price")
 
 
+def _asof_orders_cte() -> str:
+    return """
+    o AS (
+        SELECT o_custkey, o_orderdate,
+               CAST(MAX(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS order_price
+        FROM orders GROUP BY 1, 2
+    )
+    """
+
+
+@register(
+    "asof_join_forward",
+    oracle=f"""
+    WITH {_asof_orders_cte()}
+    SELECT e.event_id, e.user_id,
+           m.order_ts AS matched_order_ts, m.order_price
+    FROM events e
+    LEFT JOIN LATERAL (
+        SELECT o.o_orderdate AS order_ts, o.order_price
+        FROM o
+        WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+        ORDER BY o.o_orderdate LIMIT 1
+    ) m ON true
+    """,
+    doc="as-of FORWARD join (pandas merge_asof direction='forward'): "
+        "each event matched to the same customer's NEXT order at-or-"
+        "after the event.  Same merge-scan as the backward form with "
+        "the sort flipped — one shuffle, one sort, no |L|x|R| range "
+        "explosion.  The oracle replays per-row via LATERAL argmin "
+        "(fine at oracle scale; the merge-scan is the 100 TB shape).",
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.relational import asof_join
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("order_ts"),
+        )
+        .agg(F.max(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("order_price"))
+        .select("user_id", F.col("order_ts").alias("matched_order_ts"), "order_price")
+    )
+    return asof_join(
+        events, orders, on="user_id", left_ts="ts", right_ts="matched_order_ts",
+        right_cols=["matched_order_ts", "order_price"], direction="forward",
+    ).select("event_id", "user_id", "matched_order_ts", "order_price")
+
+
+@register(
+    "asof_join_nearest",
+    oracle=f"""
+    WITH {_asof_orders_cte()}
+    SELECT e.event_id, e.user_id,
+           m.order_ts AS matched_order_ts, m.order_price
+    FROM events e
+    LEFT JOIN LATERAL (
+        SELECT o.o_orderdate AS order_ts, o.order_price
+        FROM o
+        WHERE o.o_custkey = e.user_id
+        ORDER BY CASE WHEN epoch_us(e.ts) >= epoch_us(o.o_orderdate)
+                      THEN epoch_us(e.ts) - epoch_us(o.o_orderdate)
+                      ELSE epoch_us(o.o_orderdate) - epoch_us(e.ts) END,
+                 o.o_orderdate
+        LIMIT 1
+    ) m ON true
+    """,
+    doc="as-of NEAREST join (pandas merge_asof direction='nearest'): "
+        "each event matched to the same customer's closest order in "
+        "time, ties preferring the earlier (backward) order.  Both "
+        "directional fills run over ONE exchange (the second window "
+        "re-sorts the same shuffle output) and distances compare on "
+        "exact integer microseconds.  Oracle: LATERAL argmin over "
+        "(|us delta|, order_ts) — the same tie rule spelled out.",
+)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.relational import asof_join
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("order_ts"),
+        )
+        .agg(F.max(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("order_price"))
+        .select("user_id", F.col("order_ts").alias("matched_order_ts"), "order_price")
+    )
+    return asof_join(
+        events, orders, on="user_id", left_ts="ts", right_ts="matched_order_ts",
+        right_cols=["matched_order_ts", "order_price"], direction="nearest",
+    ).select("event_id", "user_id", "matched_order_ts", "order_price")
+
+
 @register(
     "cube_agg",
     oracle="""
@@ -3251,15 +3347,22 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM grams
     """,
     doc="intra-document repetition ratio (boilerplate/spam signal): 1 - "
-        "distinct/total word 3-grams per doc — a pure codegen'd expression, "
-        "zero shuffle, zero UDF (operators/decontaminate.py::repetition_ratio)",
+        "distinct/total word 3-grams per doc, as ONE explode into a "
+        "map-side-combined (doc, gram) aggregate + per-doc rollup "
+        "(operators/decontaminate.py::repetition_report — the Column "
+        "form's triple grams reference made Catalyst inline the "
+        "interpreted HOF chain 3x: 12 s vs 1.5 s measured at sf0.1, "
+        "found when r12's hash-fold bench action stopped count() from "
+        "pruning the whole computation)",
 )
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_tiki_webscraping_spark.operators.decontaminate import repetition_ratio
+    from etl_tiki_webscraping_spark.operators.decontaminate import (
+        repetition_report,
+    )
 
-    return (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.round(repetition_ratio("text", 3), 6).alias("repetition"))
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_report(docs, "text", "doc_id", 3).select(
+        "doc_id", F.round("repetition", 6).alias("repetition")
     )
 
 

@@ -203,3 +203,40 @@ def test_dsir_tokenless_target_degrades_to_uniform(spark):
     assert all(v is not None for v in rows.values())
     # per-token weight of the rarer token is higher under uniform target
     assert rows[2] / 1 > rows[1] / 3
+
+
+def test_repetition_report_matches_column_form(spark):
+    """The aggregate-shaped operator equals the Column expression on
+    every case incl. NULL text and too-short docs (both 0.0)."""
+    from pyspark.sql import functions as F
+
+    from etl_tiki_webscraping_spark.operators.decontaminate import (
+        repetition_ratio,
+        repetition_report,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),  # heavy repetition
+            (2, "all distinct words here now truly"),
+            (3, "a b"),  # too short for 3-grams
+            (4, None),
+            (5, "x y z x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    via_col = {
+        r["doc_id"]: r["r"]
+        for r in df.select(
+            "doc_id", F.round(repetition_ratio("text", 3), 9).alias("r")
+        ).collect()
+    }
+    via_agg = {
+        r["doc_id"]: r["r"]
+        for r in repetition_report(df, "text", "doc_id", 3)
+        .select("doc_id", F.round("repetition", 9).alias("r"))
+        .collect()
+    }
+    assert via_col == via_agg
+    assert via_agg[3] == 0.0 and via_agg[4] == 0.0
+    assert via_agg[1] > 0.5

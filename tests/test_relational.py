@@ -615,3 +615,55 @@ class TestOrderedBudgetSelect:
         # each group fills its own budget: en takes id 1; the NULL
         # group takes its best row (id 2) and stops at the budget
         assert got == {1, 2}
+
+
+def test_asof_join_forward_and_nearest_semantics(spark):
+    """Directional variants against hand-computed expectations:
+    forward = next at-or-after; nearest = min |delta| with ties to the
+    backward (earlier) row; missing side falls through to the other."""
+    from pyspark.sql import functions as F
+
+    from etl_tiki_webscraping_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 21), (1, 35), (2, 5), (3, 7)],
+        "k long, lt long",
+    )
+    right = spark.createDataFrame(
+        [(1, 12), (1, 30), (2, 50), (4, 1)], "k long, rt long"
+    ).select("k", "rt", (F.col("rt") * 100).alias("v"))
+
+    fwd = {
+        (r["k"], r["lt"]): r["v"]
+        for r in asof_join(
+            left, right, "k", "lt", "rt", right_cols=["v"],
+            direction="forward",
+        ).collect()
+    }
+    assert fwd == {
+        (1, 10): 1200, (1, 20): 3000, (1, 21): 3000, (1, 35): None,
+        (2, 5): 5000, (3, 7): None,
+    }
+
+    near = {
+        (r["k"], r["lt"]): r["v"]
+        for r in asof_join(
+            left, right, "k", "lt", "rt", right_cols=["v"],
+            direction="nearest",
+        ).collect()
+    }
+    # (1,21): dist 9 to both 12 and 30 -> tie -> backward (12)
+    assert near == {
+        (1, 10): 1200, (1, 20): 1200, (1, 21): 1200, (1, 35): 3000,
+        (2, 5): 5000, (3, 7): None,
+    }
+
+
+def test_asof_join_unknown_direction_raises(spark):
+    import pytest
+
+    from etl_tiki_webscraping_spark.operators.relational import asof_join
+
+    df = spark.createDataFrame([(1, 1)], "k long, t long")
+    with pytest.raises(ValueError):
+        asof_join(df, df, "k", "t", "t", direction="sideways")

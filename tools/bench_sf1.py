@@ -415,8 +415,15 @@ def main() -> None:
     for name in names:
         t0 = time.perf_counter()
         df = QUERIES[name].fn(spark, sf_dir)
-        if actions.get(name) == "collect":
+        act = actions.get(name)
+        if act == "collect":
             df.collect()
+        elif act == "hash":
+            from pyspark.sql import functions as F
+
+            df.select(F.xxhash64(*df.columns).alias("h")).agg(
+                F.expr("bit_xor(h)")
+            ).collect()
         else:
             df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
