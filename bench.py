@@ -222,6 +222,8 @@ HEADLINE = [
     ("attribution_last_touch", "hash"),
     ("asof_join_forward", "hash"),
     ("asof_join_nearest", "hash"),
+    ("histogram_equi_depth", "collect"),
+    ("dau_wau_stickiness", "collect"),
 ]
 
 

@@ -8819,6 +8819,113 @@ def q_entity_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "histogram_equi_depth",
+    oracle="""
+    WITH t AS (
+        SELECT o_totalprice,
+               NTILE(8) OVER (ORDER BY CAST(o_totalprice AS DOUBLE),
+                              o_orderkey) AS tile
+        FROM orders WHERE o_totalprice IS NOT NULL
+    )
+    SELECT tile,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(MIN(CAST(o_totalprice AS DOUBLE)) AS DOUBLE) AS lo,
+           CAST(MAX(CAST(o_totalprice AS DOUBLE)) AS DOUBLE) AS hi
+    FROM t GROUP BY tile
+    """,
+    doc="equi-DEPTH histogram (the profiling twin of the equi-width "
+        "one): 8 equal-population bands over order totals with each "
+        "band's exact [lo, hi] — what an optimizer's depth histogram "
+        "or a feature-binning step actually stores.  Built on "
+        "distributed_ntile (the two-pass range-bucket prefix shape — "
+        "no single-partition global sort; the window in the ORACLE is "
+        "DuckDB's problem, not the engine's plan), with the "
+        "(order, tie) total order making tile assignment engine-"
+        "independent.  One bounded rollup per tile follows.",
+)
+def q_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.relational import (
+        distributed_ntile,
+    )
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(
+            "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+        )
+    )
+    tiled = distributed_ntile(
+        orders, "price", "o_orderkey", n=8, out_col="tile"
+    )
+    return tiled.groupBy("tile").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("price").alias("lo"),
+        F.max("price").alias("hi"),
+    )
+
+
+@register(
+    "dau_wau_stickiness",
+    oracle="""
+    WITH activity AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM activity),
+    dau AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM activity GROUP BY d
+    ),
+    wau AS (
+        SELECT days.d, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS wau
+        FROM days JOIN activity a
+          ON a.d <= days.d AND a.d >= days.d - INTERVAL 6 DAY
+        GROUP BY days.d
+    )
+    SELECT dau.d AS day, dau.dau, wau.wau,
+           round(CAST(dau.dau AS DOUBLE) / wau.wau, 9) AS stickiness
+    FROM dau JOIN wau ON wau.d = dau.d
+    """,
+    doc="DAU/WAU stickiness (the engagement ratio product analytics "
+        "reports): daily actives over trailing-7-day actives per day.  "
+        "COUNT(DISTINCT) over a RANGE frame is unsupported in Spark "
+        "windows, so the trailing window is a bounded day-grid range "
+        "join — the (day x active-day) pairs blow up by at most 7x the "
+        "distinct (day, user) table, NOT the event table, because "
+        "activity is de-duplicated to day grain first (events collapse "
+        "~100x before any join).  Ratio rounds at 9 (the ranking "
+        "convention).",
+)
+def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = activity.select("d").distinct()
+    dau = activity.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        days.alias("g")
+        .join(
+            activity.alias("a"),
+            (F.col("a.d") <= F.col("g.d"))
+            & (F.col("a.d") >= F.date_sub(F.col("g.d"), 6)),
+        )
+        .groupBy(F.col("g.d").alias("d"))
+        .agg(F.countDistinct("a.user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, on="d")
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 9).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+@register(
     "histogram_equi_width",
     oracle="""
     WITH b AS (
