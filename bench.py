@@ -224,6 +224,7 @@ HEADLINE = [
     ("asof_join_nearest", "hash"),
     ("histogram_equi_depth", "collect"),
     ("dau_wau_stickiness", "collect"),
+    ("quantile_normalize_scores", "hash"),
 ]
 
 

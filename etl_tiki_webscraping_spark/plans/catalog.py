@@ -8925,6 +8925,81 @@ def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QNORM_FRACTIONS = [i / 100.0 for i in range(101)]
+_QNORM_STOPWORD_SQL = (
+    "CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+    "t -> t IN ('the','and','of','to','in','is','it','that','for','with')))"
+    " AS DOUBLE) / CAST(greatest(len(string_split_regex(lower(trim(text)),"
+    " '\\s+')), 1) AS DOUBLE)"
+)
+
+
+@register(
+    "quantile_normalize_scores",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source, {_QNORM_STOPWORD_SQL} AS q
+        FROM documents WHERE text IS NOT NULL
+    ),
+    pr AS (
+        SELECT doc_id, source, q,
+               percent_rank() OVER (PARTITION BY source
+                                    ORDER BY q, doc_id) AS pr
+        FROM scored
+    ),
+    grid AS (
+        SELECT quantile_cont(q, [{", ".join(repr(f) for f in _QNORM_FRACTIONS)}]) AS g
+        FROM scored
+    )
+    SELECT doc_id, source, round(q, 9) AS raw_q,
+           round(g[CAST(floor(pr * 100 + 0.5) AS INT) + 1], 9) AS norm_q
+    FROM pr, grid
+    """,
+    doc="Cross-source quantile normalization of quality scores (batch-"
+        "effect correction before corpus mixing: a lenient scorer on "
+        "one source must not flood the budget): each document's "
+        "within-source percent_rank maps onto the GLOBAL score "
+        "distribution via a 101-point exact-percentile grid.  Scale "
+        "shape: per-source windows (bounded partitions), ONE global "
+        "percentile aggregate whose 101-double result broadcasts, "
+        "pure arithmetic lookup after — no global sort, no global "
+        "window.  Cross-engine exactness: Spark percentile == DuckDB "
+        "quantile_cont (linear interpolation at p*(n-1), proven by "
+        "exact_percentiles), the grid FRACTIONS are generated from "
+        "the same Python doubles into both engines, and the grid "
+        "index uses the floor(x+0.5) recipe, never round().",
+)
+def q_quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from etl_tiki_webscraping_spark.functions.text import stopword_ratio
+
+    scored = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "source", stopword_ratio("text").alias("q"))
+    )
+    w = Window.partitionBy("source").orderBy("q", "doc_id")
+    pr = scored.withColumn("pr", F.percent_rank().over(w))
+    grid = scored.agg(
+        F.percentile("q", F.array(*[F.lit(f) for f in _QNORM_FRACTIONS])).alias(
+            "g"
+        )
+    )
+    return pr.crossJoin(F.broadcast(grid)).select(
+        "doc_id",
+        "source",
+        F.round("q", 9).alias("raw_q"),
+        F.round(
+            F.element_at(
+                "g",
+                (F.floor(F.col("pr") * 100 + F.lit(0.5)) + 1).cast("int"),
+            ),
+            9,
+        ).alias("norm_q"),
+    )
+
+
 @register(
     "histogram_equi_width",
     oracle="""
