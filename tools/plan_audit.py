@@ -750,6 +750,35 @@ def main() -> int:
           "encode/decode is 1->1 mapInPandas; blobs never shuffle "
           "(no exchange in the whole plan)")
 
+    # --- round 12 second batch: asof directions, depth histogram, qnorm ----
+    for q in ("asof_join_forward", "asof_join_nearest"):
+        p = plan_of(q)
+        n_ex = sum(1 for seg in p.split("\n") if "Exchange hashpartitioning" in seg)
+        check(q,
+              n_ex <= 2 and "CartesianProduct" not in p
+              and "BroadcastNestedLoopJoin" not in p,
+              f"merge-scan asof: {n_ex} key exchange(s), no range-join "
+              "explosion (nearest's 2nd window reuses the shuffle)")
+    p = plan_of("histogram_equi_depth")
+    check("histogram_equi_depth",
+          "windowspecdefinition(__bucket" in p
+          and "rangepartitioning" not in p,
+          "depth histogram via distributed_ntile: the data-sized "
+          "row_number window is PARTITIONED BY range bucket and no "
+          "global-sort (rangepartitioning) exchange exists; single-"
+          "partition exchanges carry only the <=256-row prefix table")
+    p = plan_of("quantile_normalize_scores")
+    check("quantile_normalize_scores",
+          "BroadcastExchange" in p and "CartesianProduct" not in p,
+          "101-double global percentile grid broadcasts; per-source "
+          "windows only, no global window")
+    p = plan_of("dau_wau_stickiness")
+    check("dau_wau_stickiness",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" in p,
+          "trailing-week range join runs on the DAY-GRAIN deduplicated "
+          "activity (bounded 7x of day-user pairs; the nested-loop is "
+          "over the tiny day grid, not events)")
+
     print()
     if failures:
         print(f"{len(failures)} plan check(s) FAILED")
