@@ -167,6 +167,8 @@ _DRIVER_FRESH = frozenset({
     "image_dedup_ahash",
     #   - winnow base store moved from a cached DataFrame to parquet
     "contamination_new_docs",
+    #   - rebuilt on the explode+aggregate repetition_report operator
+    "doc_repetition_score",
 })
 
 
