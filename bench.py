@@ -225,6 +225,7 @@ HEADLINE = [
     ("histogram_equi_depth", "collect"),
     ("dau_wau_stickiness", "collect"),
     ("quantile_normalize_scores", "hash"),
+    ("mjpeg_video_stats", "collect"),
 ]
 
 

@@ -929,9 +929,12 @@ def encode_png(
 
 
 def sample_frames(df: DataFrame, every_n_bytes: int = 16, id_col: str = "media_id", content_col: str = "content") -> DataFrame:
-    """Frame-sampling plumbing for video: emits one row per sampled
-    'frame' (here: byte-stride chunks from the fake decoder; real impl
-    would use a demuxer).  Demonstrates the 1->N mapInPandas shape.
+    """Frame-sampling plumbing over OPAQUE bytes: one row per
+    byte-stride chunk — the 1->N mapInPandas shape for containers the
+    package cannot demux.  For formats it CAN, use the real samplers:
+    :func:`sample_gif_frames` (LZW decode) and
+    :func:`sample_video_frames` (MJPEG AVI: RIFF demux + real JPEG
+    decode per frame).
     """
     schema = T.StructType(
         [
@@ -1064,6 +1067,166 @@ def sample_gif_frames(
             out = []
             for mid, content in zip(batch[id_col], batch[content_col]):
                 frames = _decode_gif_frames(
+                    bytes(content) if content is not None else None
+                )
+                if not frames:
+                    out.append(
+                        {"media_id": int(mid), "frame_index": -1,
+                         "height": None, "width": None, "mean_luma": None,
+                         "luma_units": None}
+                    )
+                    continue
+                for i in range(0, len(frames), every_n):
+                    f = frames[i]
+                    units = int(
+                        np.floor(f.astype(np.float64) * 1e6 + 0.5).sum()
+                    )
+                    out.append(
+                        {"media_id": int(mid), "frame_index": i,
+                         "height": int(f.shape[0]), "width": int(f.shape[1]),
+                         "mean_luma": float(f.mean()),
+                         "luma_units": units}
+                    )
+            if out:
+                yield pd.DataFrame.from_records(out)
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=schema)
+
+
+def encode_mjpeg_avi(frames: "list[np.ndarray]", fps: int = 10) -> bytes:
+    """Minimal MJPEG-in-AVI WRITER (stdlib ``struct`` + the package's
+    REAL JPEG encoder): a spec-shaped RIFF tree — ``hdrl`` with
+    MainAVIHeader + one ``vids/MJPG`` stream, ``movi`` with one
+    ``00dc`` chunk per frame, even-padded per the RIFF rule — whose
+    frame payloads are genuine baseline JPEGs from :func:`encode_jpeg`.
+    The synthesis half of :func:`_decode_avi_frames`, making the VIDEO
+    leg of the multimodal surface real end to end (container demux +
+    actual codec), as :func:`encode_gif` did for animation."""
+    import struct
+
+    from etl_tiki_webscraping_spark.operators.jpeg import encode_jpeg
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    blobs = [encode_jpeg(np.asarray(f, dtype=np.float64)) for f in frames]
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # us per frame
+        0, 0, 0,           # max bytes/sec, padding, flags
+        len(blobs), 0, 1,  # total frames, initial frames, streams
+        max(len(b) for b in blobs),
+        w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(blobs),
+                      max(len(b) for b in blobs), 0xFFFFFFFF, 0, 0)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", b) for b in blobs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_avi_frames(content: bytes) -> "list[np.ndarray] | None":
+    """REAL demux + decode for MJPEG AVI: walk the RIFF chunk tree to
+    the ``movi`` list, decode every ``00dc``/``00db`` payload through
+    the package's baseline/progressive JPEG decoder, and return the
+    per-frame float32 luma planes.  Strict contract (the GIF
+    truncation rule): malformed RIFF structure, a declared size past
+    the buffer, or ANY frame that fails to decode returns None —
+    coverage loss must be observable, never a silently shortened
+    video."""
+    import struct
+
+    from etl_tiki_webscraping_spark.operators.jpeg import decode_jpeg_luma
+
+    if (
+        content is None
+        or len(content) < 12
+        or content[:4] != b"RIFF"
+        or content[8:12] != b"AVI "
+    ):
+        return None
+    (riff_size,) = struct.unpack_from("<I", content, 4)
+    if 8 + riff_size > len(content):
+        return None
+
+    def walk(buf: bytes, pos: int, end: int) -> "list[bytes] | None":
+        payloads: "list[bytes]" = []
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            body_end = pos + 8 + size
+            if body_end > end:
+                return None
+            if fourcc == b"LIST":
+                kind = buf[pos + 8 : pos + 12]
+                if kind in (b"movi", b"hdrl", b"strl", b"rec "):
+                    sub = walk(buf, pos + 12, body_end)
+                    if sub is None:
+                        return None
+                    payloads.extend(sub)
+            elif fourcc in (b"00dc", b"00db"):
+                payloads.append(buf[pos + 8 : body_end])
+            pos = body_end + (size & 1)  # even padding
+        return payloads
+
+    blobs = walk(content, 12, 8 + riff_size)
+    if not blobs:
+        return None
+    frames: "list[np.ndarray]" = []
+    for b in blobs:
+        f = decode_jpeg_luma(bytes(b))
+        if f is None:
+            return None
+        frames.append(f)
+    return frames
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_n: int = 2,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """REAL frame sampling over MJPEG AVI — the video twin of
+    :func:`sample_gif_frames` (same 1->N mapInPandas shape, same
+    quarantine convention: undecodable content emits frame_index = -1
+    with NULL stats), with every demuxed frame going through the REAL
+    JPEG decoder."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_index", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("mean_luma", T.DoubleType()),
+            T.StructField("luma_units", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for mid, content in zip(batch[id_col], batch[content_col]):
+                frames = _decode_avi_frames(
                     bytes(content) if content is not None else None
                 )
                 if not frames:

@@ -13447,6 +13447,95 @@ def q_png_interlaced_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mjpeg_video_stats",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id AS media_id FROM documents WHERE doc_id % 12 = 9
+    ),
+    blk AS (
+        SELECT media_id, fi, bx, by,
+               128 + 2 * ((media_id + 3 * bx + 5 * by + 7 * fi) % 50 - 25)
+                   AS lvl
+        FROM ids,
+             (SELECT unnest([0, 2]) AS fi),
+             (SELECT unnest(range(0, 2)) AS bx),
+             (SELECT unnest(range(0, 2)) AS by)
+    )
+    SELECT media_id, CAST(fi AS INT) AS frame_index,
+           16 AS height, 16 AS width,
+           CAST(SUM(64 * lvl * 1000000) AS BIGINT) AS luma_units
+    FROM blk GROUP BY media_id, fi
+    """,
+    doc="REAL video decode, oracle-checked end to end — the VIDEO leg "
+        "of the multimodal surface is no longer the byte-stride fake: "
+        "per selected document a 3-frame MJPEG AVI (RIFF hdrl/movi "
+        "tree, one 00dc chunk per frame, each payload a genuine "
+        "baseline JPEG of the block-constant DC-grid scheme with a "
+        "per-frame term) is synthesized at query time by "
+        "multimodal.py::encode_mjpeg_avi, demuxed by the strict RIFF "
+        "walker, every frame decoded through the real JPEG pipeline, "
+        "and every 2nd frame's (height, width, luma_units) emitted.  "
+        "Block-constant levels on the DC quantization grid roundtrip "
+        "BIT-EXACTLY (the jpeg_image_stats argument), so the DuckDB "
+        "oracle replays container + codec from first principles.  "
+        "Scale shape: 1->N mapInPandas, blobs never shuffle.",
+)
+def q_mjpeg_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 12 == 9)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def build(d: int) -> bytes:
+        import numpy as np
+
+        from etl_tiki_webscraping_spark.operators.multimodal import (
+            encode_mjpeg_avi,
+        )
+
+        frames = []
+        for fi in range(3):
+            img = np.empty((16, 16), dtype=np.float64)
+            for by in range(2):
+                for bx in range(2):
+                    img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        128 + 2 * ((d + 3 * bx + 5 * by + 7 * fi) % 50 - 25)
+                    )
+            frames.append(img)
+        return encode_mjpeg_avi(frames)
+
+    blob_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "content": b["media_id"].map(lambda d: build(int(d))),
+                }
+            )
+
+    blobs = ids.mapInPandas(gen, blob_schema)
+    return sample_video_frames(blobs, every_n=2).select(
+        "media_id", "frame_index", "height", "width", "luma_units"
+    )
+
+
+@register(
     "audio_spectral_features",
     oracle=None,  # an FFT has no SQL replay — rows-only; the accuracy
     # gate (tools/gates_report.py) checks synthesized pure tones'

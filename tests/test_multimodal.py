@@ -870,3 +870,62 @@ def test_png_roundtrip_property():
         assert np.array_equal(got, exp)
 
     roundtrip()
+
+
+def test_mjpeg_avi_roundtrip_and_strictness():
+    """The RIFF walker + real JPEG decode roundtrips DC-grid frames
+    bit-exactly; truncation, non-AVI bytes, and an undecodable frame
+    all yield None (the GIF strictness contract for video)."""
+    import numpy as np
+
+    from etl_tiki_webscraping_spark.operators.multimodal import (
+        _decode_avi_frames,
+        encode_mjpeg_avi,
+    )
+
+    def block_img(d, fi):
+        img = np.empty((16, 16))
+        for by in range(2):
+            for bx in range(2):
+                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    128 + 2 * ((d + 3 * bx + 5 * by + 7 * fi) % 50 - 25)
+                )
+        return img
+
+    frames = [block_img(4, fi) for fi in range(3)]
+    avi = encode_mjpeg_avi(frames)
+    dec = _decode_avi_frames(avi)
+    assert dec is not None and len(dec) == 3
+    for f, src in zip(dec, frames):
+        assert np.array_equal(f, src.astype(np.float32))
+    assert _decode_avi_frames(avi[:-5]) is None  # truncated
+    assert _decode_avi_frames(b"not an avi at all") is None
+    # corrupt ONE frame payload: strict -> whole video quarantines
+    import struct
+
+    pos = avi.index(b"00dc")
+    (sz,) = struct.unpack_from("<I", avi, pos + 4)
+    bad = avi[: pos + 8] + b"\xff" * sz + avi[pos + 8 + sz :]
+    assert _decode_avi_frames(bad) is None
+
+
+def test_sample_video_frames_through_mapinpandas(spark):
+    import numpy as np
+
+    from etl_tiki_webscraping_spark.operators.multimodal import (
+        encode_mjpeg_avi,
+        sample_video_frames,
+    )
+
+    img = np.full((16, 16), 128.0)
+    avi = encode_mjpeg_avi([img, img + 2, img + 4, img - 2])
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(b"garbage"))],
+        "media_id long, content binary",
+    )
+    rows = sample_video_frames(df, every_n=2).collect()
+    got = {(r["media_id"], r["frame_index"]): r["luma_units"] for r in rows}
+    assert (1, 0) in got and (1, 2) in got and (1, 1) not in got
+    assert got[(1, 0)] == 256 * 128_000_000
+    assert got[(1, 2)] == 256 * 132_000_000
+    assert got[(2, -1)] is None  # quarantine row
