@@ -6,13 +6,16 @@ as Arrow-batched pandas iterators over ``mapInPandas`` so each task
 streams batches without materializing a partition of blobs in memory.
 
 No codec LIBRARY ships in this container, but the dominant formats
-decode for real with the stdlib alone: 8-bit PNG (zlib inflate +
-scanline unfilter), uncompressed 24-bit BMP (struct + numpy), and
-16-bit PCM WAV (``wave``).  Anything else falls back to clearly-marked
-deterministic fakes behind ``_decode_image_impl`` /
-``_decode_audio_impl``; swapping in Pillow/torchcodec changes only
-those two private functions.  The Spark-side contract (schemas, batch
-shapes, partitioning) is real and tested.
+decode for real with the stdlib alone: baseline + progressive JPEG
+(operators/jpeg.py), 8-bit PNG incl. Adam7 interlace (zlib inflate +
+scanline unfilter), GIF87a/89a (pure-python LZW), uncompressed 24-bit
+BMP (struct + numpy), 16-bit PCM WAV (``wave``), and MJPEG-in-AVI
+video (RIFF demux + the JPEG codec per frame).  Anything else falls
+back to clearly-marked deterministic fakes behind
+``_decode_image_impl`` / ``_decode_audio_impl``; swapping in
+Pillow/torchcodec changes only those two private functions.  The
+Spark-side contract (schemas, batch shapes, partitioning) is real and
+tested.
 
 Scale notes: blobs make row-group sizing the bottleneck — keep media
 tables partitioned by a content-size bucket, set
