@@ -312,26 +312,27 @@ def main() -> None:
     # silently billed new queries' staging to pass 1)
     prepare_fixtures(spark, SF_DIR)
 
+    def run_action(df, action: str) -> None:
+        if action == "collect":
+            df.collect()
+        elif action == "hash":
+            # force EVERY output column (count() lets Catalyst prune
+            # unreferenced projections/windows — r12 found 11
+            # headliners timing bare scans) with O(1) driver
+            # transfer; bit_xor cannot overflow
+            df.select(
+                F.xxhash64(*df.columns).alias("h")
+            ).agg(F.expr("bit_xor(h)")).collect()
+        else:
+            df.count()
+
     def run_pass() -> dict[str, float]:
         timings: dict[str, float] = {}
         for name, action in HEADLINE:
             fn = QUERIES[name].fn
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
-            if action == "collect":
-                df.collect()
-            elif action == "hash":
-                # force EVERY output column (count() lets Catalyst prune
-                # unreferenced projections/windows — r12 found 11
-                # headliners timing bare scans) with O(1) driver
-                # transfer; bit_xor cannot overflow
-                from pyspark.sql import functions as F
-
-                df.select(
-                    F.xxhash64(*df.columns).alias("h")
-                ).agg(F.expr("bit_xor(h)")).collect()
-            else:
-                df.count()
+            run_action(df, action)
             timings[name] = round(time.perf_counter() - t0, 3)
             # Each fn() call builds FRESH lineage, so persisted blocks
             # from a finished query are pure dead weight to every later
@@ -400,14 +401,16 @@ def main() -> None:
     }
     known_causes |= {
         "html_text_extract": (
-            "r12: action fixed count -> collect; count() let Catalyst prune "
-            "the pure-projection extraction entirely, so prior entries timed "
-            "a bare scan — the collect number is the first honest one"
+            "r12: action fixed count -> hash (xxhash64 fold over all output "
+            "columns, O(1) driver transfer); count() let Catalyst prune the "
+            "pure-projection extraction entirely, so prior entries timed a "
+            "bare scan — the hash-fold number is the first honest one"
         ),
         "url_canonicalize": (
-            "r12: action fixed count -> collect; count() let Catalyst prune "
-            "the pure-projection canonicalization entirely, so prior entries "
-            "timed a bare scan — the collect number is the first honest one"
+            "r12: action fixed count -> hash (xxhash64 fold over all output "
+            "columns, O(1) driver transfer); count() let Catalyst prune the "
+            "pure-projection canonicalization entirely, so prior entries "
+            "timed a bare scan — the hash-fold number is the first honest one"
         ),
         "streaming_windowed_counts": (
             "r3: runs as a REAL 3-micro-batch stream (time-range-split files, "
@@ -493,6 +496,44 @@ def main() -> None:
                         entry["note"] = known_causes[name]
                     regressions[name] = entry
             break
+
+    # Auto-convergence re-run (r12 VERDICT "what's wrong" #1): a flag
+    # with no note erodes the gate's signal — zscore_outlier_report
+    # shipped a bare 4.05x flag in r12 whose same-run pass-1 sat at its
+    # historical band.  Every flagged query lacking a known-cause note
+    # now gets the asof-note methodology applied AUTOMATICALLY: three
+    # isolated back-to-back runs (fresh lineage, cache cleared between,
+    # no 180-query position pressure).  If the best isolated run falls
+    # back inside the flag threshold vs prior, the flag is annotated as
+    # position/run-to-run noise with the evidence inline; if it does
+    # not, it is annotated as a convergent (real) regression — either
+    # way no flag ships unexplained.
+    actions = dict(HEADLINE)
+    for name, entry in regressions.items():
+        if "note" in entry:
+            continue
+        runs: list[float] = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run_action(QUERIES[name].fn(spark, SF_DIR), actions.get(name, "count"))
+            runs.append(round(time.perf_counter() - t0, 3))
+            spark.catalog.clearCache()
+        entry["converged"] = runs
+        best = min(runs)
+        prior_t = float(entry["prior"])  # type: ignore[arg-type]
+        if best <= 1.5 * prior_t or best - prior_t <= 0.5:
+            entry["note"] = (
+                f"auto convergence re-run: 3 isolated runs {runs} converge to "
+                f"{best}s vs prior {prior_t}s — inside the flag threshold, so "
+                "the in-pass number was position/run-to-run noise, not a plan "
+                "regression"
+            )
+        else:
+            entry["note"] = (
+                f"auto convergence re-run: 3 isolated runs {runs} stay at "
+                f"{best}s vs prior {prior_t}s — the slowdown persists in "
+                "isolation; treat as a REAL regression candidate"
+            )
 
     # Persist the full result locally so future regression gates don't
     # depend on the driver artifact surviving tail truncation.
