@@ -138,37 +138,15 @@ def _driver_covered() -> "frozenset[str]":
 # automatically stalest-first, so forgetting an entry costs at most
 # ~ceil(catalog/50) rounds of evidence age, never unbounded drift.
 _DRIVER_FRESH = frozenset({
-    # r12 code changes (brand-new queries lead the window via `prio`
+    # r13 code changes (brand-new queries lead the window via `prio`
     # without being listed here):
-    #   - cms_frequency_rollup: distinct-value pre-aggregate before
-    #     the depth-explode (bench recovery, plan change)
-    "cms_frequency_rollup",
-    #   - centroid outliers: join-free modal election + fused folds
-    "embedding_centroid_outliers",
-    #   - cross-engine parity hardening (NULL-lang label coalesce,
-    #     integer-div pair_id, try_divide AUC)
-    "quality_model_auc",
-    "generation_overlap_eval",
-    #   - unigram EM driver-collect ceiling guard
-    "unigram_train",
-    "unigram_encode_corpus",
-    #   - left-outer spacer-batch staging hoisted into
-    #     prepare_fixtures (input recipe shared)
-    "streaming_stream_stream_left_outer",
-    #   - repetition_signals/filter grew the segment_cjk parameter
-    #     (default path unchanged; re-verify anyway)
-    "gopher_repetition_stats",
-    "gopher_repetition_filter",
-    #   - _decode_png rewritten for Adam7 (shared dispatch: every query
-    #     whose decode may route through the PNG sniff re-verifies)
-    "jpeg_image_stats",
-    "multimodal_image_features",
-    "multimodal_image_resize",
-    "image_dedup_ahash",
-    #   - winnow base store moved from a cached DataFrame to parquet
-    "contamination_new_docs",
-    #   - rebuilt on the explode+aggregate repetition_report operator
-    "doc_repetition_score",
+    #   - the three sketch queries rebuilt on the portable md5
+    #     constructions (rows-only -> bit-strict oracles, r12 VERDICT
+    #     ask #3): these MUST get r13 driver rows to flip their
+    #     correctness evidence from the old rows-only contract
+    "hll_sketch_rollup",
+    "kll_quantile_rollup",
+    "theta_sketch_set_ops",
 })
 
 
@@ -4913,32 +4891,61 @@ def q_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_history(spark, path).select("version", "n_rows", "has_change_feed")
 
 
+def _hll_rollup_oracle() -> str:
+    from etl_tiki_webscraping_spark.operators.sketches import hll_oracle_sql
+
+    return "WITH " + hll_oracle_sql(
+        "SELECT event_type, user_id FROM events",
+        "user_id",
+        ["event_type"],
+        lg_k=8,
+        out_col="approx_users",
+    )
+
+
 @register(
     "hll_sketch_rollup",
-    oracle=None,  # approximate by design; tolerance-gated in unit tests
-    doc="mergeable distinct-count sketches (Apache DataSketches HLL via "
-        "hll_sketch_agg/hll_union_agg): per-day user sketches roll up to "
-        "per-event-type totals WITHOUT rescanning raw events — the "
-        "re-aggregatable form a 100 TB metrics table needs (store the "
-        "daily sketch column once; any coarser grain is a sketch merge, "
-        "exact-distinct would need the raw data again).  Rows-only driver "
-        "check by contract; relative error vs exact count_distinct is "
-        "asserted <=5% in tests/test_plans.py.",
+    oracle=_hll_rollup_oracle(),
+    doc="mergeable distinct-count sketches — PORTABLE HyperLogLog "
+        "(operators/sketches.py::hll_build/hll_merge/hll_estimate, the "
+        "round-11 CMS md5 playbook applied to distinct counting, r12 "
+        "VERDICT ask #3): per-day (day, event_type) register tables "
+        "(md5-derived index + leading-zero rank, at most 2^8 rows per "
+        "group) roll up to per-event-type totals by register MAX — "
+        "never rescanning raw events, the re-aggregatable form a "
+        "100 TB metrics table needs.  Upgraded from rows-only: the "
+        "estimator is arranged so every step is engine-portable (exact "
+        "bigint harmonic denominator, ONE IEEE division by a "
+        "Python-precomputed literal, linear-counting correction as a "
+        "precomputed literal table because ln() differs across engines "
+        "in the last ulp), so the DuckDB oracle — GENERATED from the "
+        "same constants via hll_oracle_sql — replays the FULL sketch "
+        "bit-exactly: register grid, day->global max-merge (equal to a "
+        "direct global build by max-associativity), branch select, "
+        "estimate.  Accuracy vs exact count_distinct stays gated in "
+        "tests/test_plans.py; Spark's built-in DataSketches HLL "
+        "(hll_sketch_agg/hll_union_agg) remains exercised in "
+        "tests/test_sketches.py as the cross-check.",
 )
 def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.sketches import (
+        hll_build,
+        hll_estimate,
+        hll_merge,
+    )
+
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.to_date("ts").alias("day"), F.col("event_type")
-    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
-    # the rollup re-aggregates SKETCHES, not events: this stage's input
-    # is |days x types| rows regardless of raw volume
-    return (
-        daily.groupBy("event_type")
-        .agg(F.hll_union_agg("sk").alias("sk"))
-        .select(
-            "event_type",
-            F.hll_sketch_estimate("sk").alias("approx_users"),
-        )
+    daily = hll_build(
+        ev.withColumn("day", F.to_date("ts")),
+        "user_id",
+        group_cols=["day", "event_type"],
+        lg_k=8,
+    )
+    # the rollup re-aggregates REGISTER TABLES, not events: this
+    # stage's input is |days x types x 256| rows regardless of volume
+    merged = hll_merge(daily, drop_cols=["day"])
+    return hll_estimate(
+        merged, group_cols=["event_type"], lg_k=8, out_col="approx_users"
     )
 
 
@@ -6860,42 +6867,74 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "kll_quantile_rollup",
-    oracle=None,  # approximate by design; rank-tolerance gated in unit tests
-    doc="mergeable quantile sketches (Apache DataSketches KLL via "
-        "kll_sketch_agg_double / kll_sketch_merge_double): per-day value "
-        "sketches roll up to per-event-type p50/p95/p99 WITHOUT "
-        "rescanning raw events — the re-aggregatable percentile form a "
-        "100 TB metrics store needs (exact percentiles cannot merge; "
-        "store the daily sketch column once and any coarser grain is a "
-        "sketch merge).  Rows-only driver check by contract; the "
-        "estimates are rank-tolerance gated against exact percentiles "
-        "in tests/test_sketches.py.",
+    oracle=r"""
+    WITH qs AS (
+        SELECT event_type, value, event_id FROM events
+        WHERE value IS NOT NULL AND event_id IS NOT NULL
+          AND CAST(('0x' || substr(md5('q:' || event_id), 1, 15)) AS BIGINT)
+              < 144115188075855872
+    ),
+    qr AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rnk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM qs
+    )
+    SELECT event_type,
+           MAX(CASE WHEN rnk = GREATEST(CAST(CEIL(0.5 * n) AS BIGINT), 1)
+                    THEN value END) AS p50,
+           MAX(CASE WHEN rnk = GREATEST(CAST(CEIL(0.95 * n) AS BIGINT), 1)
+                    THEN value END) AS p95,
+           MAX(CASE WHEN rnk = GREATEST(CAST(CEIL(0.99 * n) AS BIGINT), 1)
+                    THEN value END) AS p99
+    FROM qr GROUP BY event_type
+    """,
+    doc="mergeable quantile summaries — PORTABLE deterministic "
+        "md5-Bernoulli sample (operators/sketches.py::"
+        "quantile_sample_build/merge/quantiles, the round-11 CMS md5 "
+        "playbook applied to quantiles, r12 VERDICT ask #3): per-day "
+        "(day, event_type) samples retain rows whose 60-bit md5 hash "
+        "of the event id falls below 2^57 (rate 1/8), roll up to "
+        "per-event-type p50/p95/p99 by plain union — the predicate is "
+        "row-intrinsic, so merged per-day samples ARE the global "
+        "sample, the mergeability KLL provides with none of its "
+        "randomized compaction (which no external engine can replay).  "
+        "Upgraded from rows-only: the quantile is the value at rank "
+        "max(ceil(p*n), 1) under the total order (value, event_id) — "
+        "integer ranks, one correctly rounded double product — so the "
+        "DuckDB oracle replays every retained row and every rank "
+        "decision bit-exactly.  Rank accuracy vs exact percentiles "
+        "stays gated in tests/test_sketches.py; Spark's built-in "
+        "DataSketches KLL (kll_sketch_agg_double) remains exercised "
+        "there as the cross-check.  Scale shape: the sample predicate "
+        "is scan-side (12.5% of rows survive), the window shuffles "
+        "only sample rows.",
 )
 def q_kll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.to_date("ts").alias("day"), F.col("event_type")
-    ).agg(F.kll_sketch_agg_double("value").alias("sk"))
-    # the rollup merges SKETCHES: this stage's input is |days x types|
-    # rows regardless of raw event volume.  kll_sketch_merge_double is
-    # a pairwise scalar merge, so the per-type fold collects the (few)
-    # daily sketches and reduces them with F.aggregate — still bounded
-    # by |days| compact sketches per group, never raw values
-    per_type = daily.groupBy("event_type").agg(
-        F.collect_list("sk").alias("sks")
-    ).select(
-        "event_type",
-        F.aggregate(
-            F.slice("sks", F.lit(2), F.greatest(F.size("sks") - 1, F.lit(0))),
-            F.element_at("sks", F.lit(1)),
-            lambda acc, x: F.kll_sketch_merge_double(acc, x),
-        ).alias("sk"),
+    from etl_tiki_webscraping_spark.operators.sketches import (
+        quantile_sample_build,
+        quantile_sample_merge,
+        quantile_sample_quantiles,
     )
-    return per_type.select(
-        "event_type",
-        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50"),
-        F.kll_sketch_get_quantile_double("sk", F.lit(0.95)).alias("p95"),
-        F.kll_sketch_get_quantile_double("sk", F.lit(0.99)).alias("p99"),
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = quantile_sample_build(
+        ev.withColumn("day", F.to_date("ts")),
+        "value",
+        "event_id",
+        group_cols=["day", "event_type"],
+        sample_shift=3,
+    )
+    # the rollup merges SAMPLES: dropping the day column IS the merge
+    # (row-intrinsic predicate), bounded by 2^-shift of the raw volume
+    merged = quantile_sample_merge(daily, drop_cols=["day"])
+    return quantile_sample_quantiles(
+        merged,
+        "value",
+        "event_id",
+        {"p50": 0.5, "p95": 0.95, "p99": 0.99},
+        group_cols=["event_type"],
     )
 
 
@@ -7234,39 +7273,100 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "theta_sketch_set_ops",
-    oracle=None,  # approximate by design; tolerance-gated in unit tests
-    doc="distinct-set ALGEBRA via mergeable theta sketches "
-        "(theta_sketch_agg / theta_union / theta_intersection / "
-        "theta_difference): per-event-type distinct-user sketches "
-        "combine into |view ∪ purchase|, |view ∩ purchase| and "
-        "|view \\ purchase| estimates — set operations HLL cannot "
-        "express (HLL only unions).  Audience-overlap arithmetic over a "
-        "100 TB event log becomes algebra over KB-sized sketches stored "
-        "per segment; rows-only driver check, <=5% relative error vs "
-        "exact distinct counts asserted in tests/test_sketches.py.",
+    oracle=r"""
+    WITH th_h AS (
+        SELECT event_type,
+               CAST(('0x' || substr(md5('t:' || user_id), 1, 15)) AS BIGINT)
+                   AS hv
+        FROM (SELECT DISTINCT event_type, user_id FROM events
+              WHERE user_id IS NOT NULL)
+        WHERE event_type IN ('view', 'purchase')
+    ),
+    th_rk AS (
+        SELECT event_type, hv,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rnk
+        FROM (SELECT DISTINCT event_type, hv FROM th_h)
+    ),
+    sk AS (SELECT event_type, hv FROM th_rk WHERE rnk <= 65),
+    th AS (
+        SELECT event_type,
+               CASE WHEN COUNT(*) = 65 THEN MAX(hv)
+                    ELSE 1152921504606846976 END AS theta
+        FROM sk GROUP BY event_type
+    ),
+    thetas AS (
+        SELECT a.theta AS theta_a, b.theta AS theta_b,
+               LEAST(a.theta, b.theta) AS theta_u
+        FROM (SELECT theta FROM th WHERE event_type = 'view') a,
+             (SELECT theta FROM th WHERE event_type = 'purchase') b
+    ),
+    marked AS (
+        SELECT hv,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b
+        FROM sk GROUP BY hv
+    ),
+    counts AS (
+        SELECT t.theta_a, t.theta_b, t.theta_u,
+               SUM(CASE WHEN in_a = 1 AND hv < theta_a THEN 1 ELSE 0 END) AS ca,
+               SUM(CASE WHEN in_b = 1 AND hv < theta_b THEN 1 ELSE 0 END) AS cb,
+               SUM(CASE WHEN hv < theta_u THEN 1 ELSE 0 END) AS cu,
+               SUM(CASE WHEN in_a = 1 AND in_b = 1 AND hv < theta_u
+                        THEN 1 ELSE 0 END) AS ci,
+               SUM(CASE WHEN in_a = 1 AND in_b = 0 AND hv < theta_u
+                        THEN 1 ELSE 0 END) AS cd
+        FROM marked, thetas t
+        GROUP BY 1, 2, 3
+    )
+    SELECT (CAST(ca AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE))
+               / CAST(theta_a AS DOUBLE) AS n_view,
+           (CAST(cb AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE))
+               / CAST(theta_b AS DOUBLE) AS n_buy,
+           (CAST(cu AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE))
+               / CAST(theta_u AS DOUBLE) AS n_union,
+           (CAST(ci AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE))
+               / CAST(theta_u AS DOUBLE) AS n_intersect,
+           (CAST(cd AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE))
+               / CAST(theta_u AS DOUBLE) AS n_view_only
+    FROM counts
+    """,
+    doc="distinct-set ALGEBRA via PORTABLE KMV/theta sketches "
+        "(operators/sketches.py::theta_sketch/theta_set_estimates, the "
+        "round-11 CMS md5 playbook applied to set algebra, r12 VERDICT "
+        "ask #3): per-event-type sketches keep the k+1 = 65 smallest "
+        "distinct 60-bit md5 user hashes; |view ∪ purchase|, "
+        "|view ∩ purchase| and |view \\ purchase| evaluate at theta_u "
+        "= min of the two theta boundaries, where every sketch retains "
+        "ALL hashes below its own theta so membership below theta_u is "
+        "exact — set operations HLL cannot express.  Upgraded from "
+        "rows-only: each estimate is cnt * 2^60 / theta as two "
+        "correctly rounded IEEE ops on exactly representable operands, "
+        "so the DuckDB oracle replays every retained hash, both theta "
+        "decisions, and the arithmetic bit-exactly.  The build plans "
+        "as TakeOrderedAndProject (per-partition top-k then a k-sized "
+        "merge — no global sort at any scale); accuracy vs exact "
+        "distinct counts stays gated in tests/test_sketches.py, where "
+        "Spark's built-in DataSketches theta family remains exercised "
+        "as the cross-check.",
 )
 def q_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.sketches import (
+        theta_set_estimates,
+        theta_sketch,
+    )
+
     ev = load_table(spark, sf_dir, "events")
-    sks = ev.groupBy("event_type").agg(F.theta_sketch_agg("user_id").alias("sk"))
-    view = sks.filter(F.col("event_type") == "view").select(
-        F.col("sk").alias("sk_view")
+    view = theta_sketch(
+        ev.filter(F.col("event_type") == "view"), "user_id", k=64
     )
-    buy = sks.filter(F.col("event_type") == "purchase").select(
-        F.col("sk").alias("sk_buy")
+    buy = theta_sketch(
+        ev.filter(F.col("event_type") == "purchase"), "user_id", k=64
     )
-    pair = view.crossJoin(buy)  # two single-row sides
-    return pair.select(
-        F.theta_sketch_estimate(F.col("sk_view")).alias("n_view"),
-        F.theta_sketch_estimate(F.col("sk_buy")).alias("n_buy"),
-        F.theta_sketch_estimate(
-            F.theta_union(F.col("sk_view"), F.col("sk_buy"))
-        ).alias("n_union"),
-        F.theta_sketch_estimate(
-            F.theta_intersection(F.col("sk_view"), F.col("sk_buy"))
-        ).alias("n_intersect"),
-        F.theta_sketch_estimate(
-            F.theta_difference(F.col("sk_view"), F.col("sk_buy"))
-        ).alias("n_view_only"),
+    return theta_set_estimates(
+        view,
+        buy,
+        k=64,
+        names=("n_view", "n_buy", "n_union", "n_intersect", "n_view_only"),
     )
 
 

@@ -134,33 +134,77 @@ class TestThetaSetOps:
 
 class TestKllRollup:
     def test_rollup_quantiles_within_rank_tolerance(self, spark, sf_dir):
+        """The catalog query's quantile estimates must sit within the
+        sample estimator's own 3-sigma rank guarantee: the p-quantile of
+        an n_s-row uniform sample has rank error stdev sqrt(p(1-p)/n_s),
+        plus 1/n_s rank granularity.  (The old fixed +-4% gate was sized
+        for KLL k=200; the portable md5-Bernoulli sample's width depends
+        on the realized per-group sample size, tiny at sf0.001.)"""
+        from etl_tiki_webscraping_spark.io import load_table
+        from etl_tiki_webscraping_spark.operators.sketches import (
+            quantile_sample_build,
+        )
         from etl_tiki_webscraping_spark.plans.catalog import QUERIES
 
         est = {
             r["event_type"]: r
             for r in QUERIES["kll_quantile_rollup"].fn(spark, sf_dir).collect()
         }
-        from etl_tiki_webscraping_spark.io import load_table
-
         ev = load_table(spark, sf_dir, "events")
-        # rank tolerance: KLL k=200 normalized rank error ~1.65%; the
-        # estimate at rank q must lie between exact quantiles q -/+ 4%
-        for q, name in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
-            lo_q, hi_q = max(0.0, q - 0.04), min(1.0, q + 0.04)
-            bounds = (
-                ev.groupBy("event_type")
-                .agg(
-                    F.expr(f"percentile(value, {lo_q})").alias("lo"),
-                    F.expr(f"percentile(value, {hi_q})").alias("hi"),
-                )
-                .collect()
+        n_s = {
+            r["event_type"]: r["n"]
+            for r in quantile_sample_build(
+                ev, "value", "event_id", group_cols=["event_type"]
             )
-            for r in bounds:
-                got = est[r["event_type"]][name]
-                assert r["lo"] <= got <= r["hi"], (
-                    f"{r['event_type']} {name}: {got} outside "
-                    f"[{r['lo']}, {r['hi']}]"
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for q, name in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            for etype, ns in n_s.items():
+                tol = 3.0 * math.sqrt(q * (1.0 - q) / ns) + 1.0 / ns
+                lo_q, hi_q = max(0.0, q - tol), min(1.0, q + tol)
+                r = (
+                    ev.filter(F.col("event_type") == etype)
+                    .agg(
+                        F.expr(f"percentile(value, {lo_q})").alias("lo"),
+                        F.expr(f"percentile(value, {hi_q})").alias("hi"),
+                    )
+                    .collect()[0]
                 )
+                got = est[etype][name]
+                assert r["lo"] <= got <= r["hi"], (
+                    f"{etype} {name}: {got} outside [{r['lo']}, {r['hi']}] "
+                    f"(n_s={ns}, tol={tol:.3f})"
+                )
+
+    def test_sample_quantiles_tight_at_scale(self, spark):
+        """Real accuracy pin on a sample big enough to matter: 40k rows
+        at rate 1/8 -> ~5k samples, 3-sigma rank tolerance ~2.2% at p50
+        — the regime the 100 TB rollup actually runs in.  Values are a
+        deterministic permuted ramp so exact quantiles are known."""
+        from etl_tiki_webscraping_spark.operators.sketches import (
+            quantile_sample_build,
+            quantile_sample_quantiles,
+        )
+
+        df = spark.range(40_000).select(
+            F.col("id").alias("event_id"),
+            # value = a pseudo-random permutation of 0..39999
+            ((F.col("id") * 48271) % 40_000).cast("double").alias("value"),
+        )
+        sample = quantile_sample_build(df, "value", "event_id")
+        n_s = sample.count()
+        assert 3_000 <= n_s <= 7_000  # rate 1/8 of 40k, wide 3-sigma band
+        row = quantile_sample_quantiles(
+            sample, "value", "event_id", {"p50": 0.5, "p95": 0.95}
+        ).collect()[0]
+        for q, name in ((0.5, "p50"), (0.95, "p95")):
+            tol = 3.0 * math.sqrt(q * (1.0 - q) / n_s) + 1.0 / n_s
+            true_val = q * 39_999
+            assert abs(row[name] - true_val) <= tol * 40_000, (
+                name, row[name], true_val, tol,
+            )
 
 
 class TestSketchGuards:
@@ -233,3 +277,104 @@ class TestThetaEstimationRegime:
             # intersections compound both sketches' error: wider gate
             tol = 0.10 if k == "n_intersect" else 0.05
             assert abs(got - t) <= tol * t, (k, got, t)
+
+
+class TestPortableHll:
+    """Portable md5 HLL (r12 VERDICT ask #3): merge identity, raw-branch
+    accuracy at scale, and cross-check vs Spark's built-in DataSketches
+    HLL (which stays the reference implementation)."""
+
+    def test_build_then_merge_equals_direct_build(self, spark, sf_dir):
+        """Register max is associative and assignment is group-blind, so
+        per-day sketches merged to per-type must equal a direct per-type
+        build EXACTLY — the identity the catalog oracle replays."""
+        from etl_tiki_webscraping_spark.io import load_table
+        from etl_tiki_webscraping_spark.operators.sketches import (
+            hll_build,
+            hll_merge,
+        )
+
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "day", F.to_date("ts")
+        )
+        merged = hll_merge(
+            hll_build(ev, "user_id", group_cols=["day", "event_type"]),
+            drop_cols=["day"],
+        )
+        direct = hll_build(ev, "user_id", group_cols=["event_type"])
+        assert merged.exceptAll(direct).count() == 0
+        assert direct.exceptAll(merged).count() == 0
+
+    def test_raw_branch_accuracy_at_scale(self, spark):
+        """10k distinct values with m=256 registers sits squarely in the
+        raw-estimator regime (n >= 2.5m); HLL RSE = 1.04/sqrt(256) =
+        6.5%, so 20% is a 3-sigma gate."""
+        from etl_tiki_webscraping_spark.operators.sketches import (
+            hll_build,
+            hll_estimate,
+        )
+
+        df = spark.range(10_000).select(F.col("id").alias("u"))
+        est = hll_estimate(hll_build(df, "u"), out_col="e").collect()[0]["e"]
+        assert abs(est - 10_000) <= 2_000, est
+
+    def test_matches_builtin_datasketches_hll(self, spark):
+        """The portable estimator and Spark's DataSketches HLL must
+        agree within their combined error bands — the built-in stays
+        exercised as the cross-check (both at default precision on the
+        same 10k distinct input)."""
+        from etl_tiki_webscraping_spark.operators.sketches import (
+            hll_build,
+            hll_estimate,
+        )
+
+        df = spark.range(10_000).select(F.col("id").alias("u"))
+        portable = hll_estimate(hll_build(df, "u"), out_col="e").collect()[0][
+            "e"
+        ]
+        builtin = df.agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("u")).alias("e")
+        ).collect()[0]["e"]
+        assert abs(portable - builtin) <= 0.25 * builtin, (portable, builtin)
+
+
+class TestPortableThetaKmv:
+    def test_estimation_path_at_scale(self, spark):
+        """Forces TRUE KMV estimation (far beyond k+1 retained hashes):
+        100k and 60k distinct keys with 20k overlap, k=4096 -> RSE
+        ~1.6%, gate 6% (>3 sigma; intersection compounds both thetas so
+        it gets absolute slack too)."""
+        from etl_tiki_webscraping_spark.operators.sketches import (
+            theta_set_estimates,
+            theta_sketch,
+        )
+
+        a = spark.range(0, 100_000).select(F.col("id").alias("u"))
+        b = spark.range(80_000, 140_000).select(F.col("id").alias("u"))
+        row = theta_set_estimates(
+            theta_sketch(a, "u", k=4096), theta_sketch(b, "u", k=4096), k=4096
+        ).collect()[0]
+        exact = {
+            "n_a": 100_000, "n_b": 60_000,
+            "n_union": 140_000, "n_intersect": 20_000, "n_a_only": 80_000,
+        }
+        for name, t in exact.items():
+            assert abs(row[name] - t) <= max(0.06 * t, 1500), (
+                name, row[name], t,
+            )
+
+    def test_exact_below_k(self, spark):
+        """Fewer than k+1 distinct values: theta = 2^60 and every
+        estimate is the EXACT count (the sf0.001 regime)."""
+        from etl_tiki_webscraping_spark.operators.sketches import (
+            theta_set_estimates,
+            theta_sketch,
+        )
+
+        a = spark.range(0, 40).select(F.col("id").alias("u"))
+        b = spark.range(30, 50).select(F.col("id").alias("u"))
+        row = theta_set_estimates(
+            theta_sketch(a, "u"), theta_sketch(b, "u")
+        ).collect()[0]
+        assert (row["n_a"], row["n_b"], row["n_union"],
+                row["n_intersect"], row["n_a_only"]) == (40, 20, 50, 10, 30)
