@@ -226,6 +226,9 @@ HEADLINE = [
     ("dau_wau_stickiness", "collect"),
     ("quantile_normalize_scores", "hash"),
     ("mjpeg_video_stats", "collect"),
+    # round-13 additions
+    ("dedup_minhash_cjk", "count"),
+    ("bm25_search_cjk", "collect"),
 ]
 
 

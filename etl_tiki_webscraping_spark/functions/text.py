@@ -110,6 +110,53 @@ def tokenize_mixed(col: Column | str, cjk_ngram: int = 2) -> Column:
     )
 
 
+def _mixed_res():
+    """Compiled (run, full-run) Python regexes for the no-space-script
+    class — built once per process from the same ``\\x{...}`` source
+    string the Spark/DuckDB expressions use."""
+    global _MIXED_RES
+    try:
+        return _MIXED_RES
+    except NameError:
+        pass
+    import re
+
+    cls = re.sub(
+        r"\\x\{([0-9A-Fa-f]+)\}",
+        lambda m: chr(int(m.group(1), 16)),
+        NO_SPACE_SCRIPT_CLASS,
+    )
+    _MIXED_RES = (re.compile(f"([{cls}]+)"), re.compile(f"^[{cls}]+$"))
+    return _MIXED_RES
+
+
+def tokenize_mixed_py(text: str, cjk_ngram: int = 2) -> "list[str]":
+    """Python twin of :func:`tokenize_mixed` for Arrow kernels (the
+    MinHash signature kernel tokenizes inside mapInPandas, where the
+    column expression cannot reach).  MUST stay semantically identical
+    to the Spark/DuckDB expression — same codepoint class, ASCII-only
+    whitespace split (Java regex ``\\s`` and RE2 ``\\s`` are ASCII
+    ``[ \\t\\n\\x0B\\f\\r]``; Python's default ``str.split`` is
+    Unicode-aware and would diverge on U+3000 ideographic space), same
+    full-run n-gram expansion.  Lowercasing is the CALLER's job (as
+    with the expression form)."""
+    import re
+
+    run_re, full_re = _mixed_res()
+    toks = [
+        t
+        for t in re.split("[ \t\n\x0b\f\r]+", run_re.sub(r" \1 ", text))
+        if t
+    ]
+    out: "list[str]" = []
+    for t in toks:
+        if full_re.match(t) and len(t) >= cjk_ngram:
+            out.extend(t[i : i + cjk_ngram] for i in range(len(t) - cjk_ngram + 1))
+        else:
+            out.append(t)
+    return out
+
+
 def token_count(col: Column | str) -> Column:
     """Whitespace token count (long)."""
     return F.size(tokenize_ws(col)).cast("bigint")

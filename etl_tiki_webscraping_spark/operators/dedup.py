@@ -185,7 +185,9 @@ def minhash_hash_params(num_hashes: int = 64) -> "tuple[np.ndarray, np.ndarray]"
     return a, b
 
 
-def minhash_analysis_udf(num_hashes: int = 64, shingle_n: int = 3):
+def minhash_analysis_udf(
+    num_hashes: int = 64, shingle_n: int = 3, segment_cjk: bool = False
+):
     """Arrow-vectorized tokenize→shingle→hash→signature kernel (the
     scale path): text → struct<sig: array<bigint>, hset: array<bigint>>.
 
@@ -208,8 +210,19 @@ def minhash_analysis_udf(num_hashes: int = 64, shingle_n: int = 3):
     ~n_shingles/2^31 per doc); md5 costs ~3x crc32 per shingle but the
     kernel is embarrassingly parallel and hashing is <10%% of its
     wall-clock.
+
+    ``segment_cjk=True`` routes tokenization through the Python twin of
+    ``functions.text.tokenize_mixed`` (r12 VERDICT ask #5): no-space
+    scripts expand to overlapping character bigrams instead of
+    collapsing each sentence to ONE token — without it, a CJK document
+    pair differing by one sentence shares zero word-level shingles and
+    near-dup detection is blind.  The twin is semantically identical to
+    the Spark/DuckDB expression form, so the LSH oracles replay the CJK
+    path too.
     """
     from hashlib import md5 as _md5
+
+    from etl_tiki_webscraping_spark.functions.text import tokenize_mixed_py
 
     p = MINHASH_PRIME
     a, b = minhash_hash_params(num_hashes)
@@ -220,7 +233,10 @@ def minhash_analysis_udf(num_hashes: int = 64, shingle_n: int = 3):
     def analyze(texts: pd.Series) -> pd.DataFrame:
         sigs, hsets = [], []
         for t in texts:
-            toks = (t or "").lower().split()
+            if segment_cjk:
+                toks = tokenize_mixed_py((t or "").lower())
+            else:
+                toks = (t or "").lower().split()
             if len(toks) >= shingle_n:
                 sh = {
                     " ".join(toks[i : i + shingle_n])
@@ -254,6 +270,7 @@ def minhash_analysis(
     num_hashes: int = 64,
     shingle_n: int = 3,
     target_partitions: int | None = None,
+    segment_cjk: bool = False,
 ) -> DataFrame:
     """(id, sig, hset) per document — the shared input of candidate
     generation and verification.  At pipeline scale, checkpoint this to
@@ -267,7 +284,7 @@ def minhash_analysis(
     more than the compute."""
     if target_partitions:
         df = df.repartition(target_partitions)
-    udf = minhash_analysis_udf(num_hashes, shingle_n)
+    udf = minhash_analysis_udf(num_hashes, shingle_n, segment_cjk)
     return df.select(
         F.col(id_col).alias("id"), udf(F.col(text_col)).alias("a")
     ).select("id", F.col("a.sig").alias("sig"), F.col("a.hset").alias("hset"))
@@ -433,9 +450,12 @@ def minhash_duplicate_edges(
     bands: int = 16,
     shingle_n: int = 3,
     bucket_cap: int | None = 1024,
+    segment_cjk: bool = False,
 ) -> DataFrame:
     """Verified near-duplicate edges ``(id_a < id_b)``: MinHash-LSH
     candidates filtered by exact n-gram Jaccard >= threshold.
+    ``segment_cjk=True`` shingles over mixed-script tokens (character
+    bigrams for no-space-script runs) — see :func:`minhash_analysis_udf`.
 
     Scale shape: the band explode and bucket self-join shuffle BARE IDS
     (8-byte hashes + ids, never documents or shingle sets); buckets
@@ -452,9 +472,9 @@ def minhash_duplicate_edges(
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     r = num_hashes // bands
-    analysis = minhash_analysis(df, text_col, id_col, num_hashes, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    analysis = minhash_analysis(
+        df, text_col, id_col, num_hashes, shingle_n, segment_cjk=segment_cjk
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     buckets = analysis.select(
         "id", F.explode(_band_buckets(F.col("sig"), bands, r)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
@@ -489,8 +509,12 @@ def minhash_dedup(
     shingle_n: int = 3,
     exact_components: bool = False,
     bucket_cap: int | None = 1024,
+    segment_cjk: bool = False,
 ) -> DataFrame:
     """Near-dup removal over verified MinHash-LSH duplicate edges.
+    ``segment_cjk=True`` makes the shingle stream CJK-aware (see
+    :func:`minhash_analysis_udf`) so no-space-script near-dup pairs are
+    actually caught.
 
     Two survivor rules:
 
@@ -506,7 +530,8 @@ def minhash_dedup(
       O(diameter) extra bare-id shuffles (see connected_components).
     """
     edges = minhash_duplicate_edges(
-        df, text_col, id_col, threshold, num_hashes, bands, shingle_n, bucket_cap
+        df, text_col, id_col, threshold, num_hashes, bands, shingle_n,
+        bucket_cap, segment_cjk=segment_cjk,
     )
     if exact_components:
         comps = connected_components(edges)

@@ -1027,7 +1027,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load_table(spark, sf_dir, "documents"), "text", "doc_id")
 
 
-def _minhash_sig_ctes(src: str = "documents") -> str:
+def _minhash_sig_ctes(src: str = "documents", segment_cjk: bool = False) -> str:
     """MinHash signature/banding replay as DuckDB CTEs through
     ``mh_buckets`` (plus ``mh_sh`` raw shingle sets for string-level
     Jaccard verification) over relation ``src(doc_id, text)`` — the
@@ -1037,7 +1037,13 @@ def _minhash_sig_ctes(src: str = "documents") -> str:
     constants as literals (the language_id pattern): tokenize ->
     distinct 3-shingles -> 31-bit md5-prefix base hash -> (a*h + b)
     mod p column-min signature -> 16 x 4 bands -> 15-hex-md5 bucket
-    ids."""
+    ids.  ``segment_cjk=True`` swaps the tokenizer for the
+    tokenize_mixed replay (no-space-script runs -> character bigrams,
+    the shared ``\\x{...}`` class body), matching the kernel's
+    segment_cjk flag (r12 VERDICT ask #5)."""
+    from etl_tiki_webscraping_spark.functions.text import (
+        NO_SPACE_SCRIPT_CLASS,
+    )
     from etl_tiki_webscraping_spark.operators.dedup import (
         minhash_hash_params,
     )
@@ -1046,14 +1052,33 @@ def _minhash_sig_ctes(src: str = "documents") -> str:
     ab_values = ", ".join(
         f"({i}, {int(a[i])}, {int(b[i])})" for i in range(64)
     )
-    return rf"""
-    ab(i, a, b) AS (VALUES {ab_values}),
+    cls = NO_SPACE_SCRIPT_CLASS
+    if segment_cjk:
+        toks_cte = rf"""
+    mh_toks AS (
+        SELECT doc_id,
+               flatten(list_transform(
+                   list_filter(string_split_regex(
+                       regexp_replace(lower(coalesce(text, '')),
+                                      '([{cls}]+)', ' \1 ', 'g'),
+                       '\s+'), x -> x <> ''),
+                   t -> CASE WHEN regexp_matches(t, '^[{cls}]+$')
+                                  AND length(t) >= 2
+                        THEN list_transform(range(1, length(t)::BIGINT),
+                                            i -> substring(t, i::INT, 2))
+                        ELSE [t] END)) AS tok
+        FROM {src}
+    ),"""
+    else:
+        toks_cte = rf"""
     mh_toks AS (
         SELECT doc_id,
                list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
                            x -> x <> '') AS tok
         FROM {src}
-    ),
+    ),"""
+    return rf"""
+    ab(i, a, b) AS (VALUES {ab_values}),{toks_cte}
     mh_sh AS (
         SELECT doc_id,
                CASE WHEN len(tok) >= 3
@@ -1089,13 +1114,14 @@ def _minhash_sig_ctes(src: str = "documents") -> str:
     """
 
 
-def _minhash_lsh_ctes(src: str = "documents") -> str:
+def _minhash_lsh_ctes(src: str = "documents", segment_cjk: bool = False) -> str:
     """The full MinHash-LSH replay ending in ``edges`` (verified
     duplicate pairs, id_a < id_b): :func:`_minhash_sig_ctes` plus
     cap-1024 bucket join -> exact hset-Jaccard >= 0.8 — shared by
-    dedup_minhash_lsh, dedup_minhash_clusters, and (via ``src``) the
+    dedup_minhash_lsh, dedup_minhash_clusters, dedup_minhash_cjk
+    (``segment_cjk=True``), and (via ``src``) the
     corpus_pipeline_neardup oracle."""
-    return rf"""{_minhash_sig_ctes(src)},
+    return rf"""{_minhash_sig_ctes(src, segment_cjk)},
     mh_keep AS (
         SELECT band, bucket FROM mh_buckets
         GROUP BY band, bucket HAVING COUNT(*) <= 1024
@@ -13958,3 +13984,173 @@ def q_perplexity_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("band"),
     )
+
+
+# ===========================================================================
+# Round 13: CJK-aware dedup/search wiring (r12 VERDICT ask #5) — the
+# tokenize_mixed segmentation reaches the MinHash shingle and BM25
+# posting paths, each behind a segment_cjk flag with a full oracle.
+# ===========================================================================
+
+# the shared Java-regex/RE2 class body, embedded in oracle SQL below
+from etl_tiki_webscraping_spark.functions.text import (  # noqa: E402
+    NO_SPACE_SCRIPT_CLASS as NO_SPACE_SCRIPT_CLASS_SQL,
+)
+
+def _cjk_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic CJK near-duplicate corpus: docs pair on
+    ``doc_id div 2`` — both halves share a 24-char Han + 8-char kana
+    body derived from md5 of the pair id, and the ODD half appends a
+    4-char Han suffix (md5 of its own id), so each pair's bigram-
+    shingle Jaccard is ~0.90 (>= the 0.8 threshold) while cross-pair
+    similarity is ~0.  Without CJK segmentation each run is ONE
+    whitespace token and the pair shares NOTHING (the blindness the
+    segment_cjk flag fixes — pinned in tests/test_dedup.py)."""
+    pair = F.expr("doc_id div 2").cast("string")
+    hp = F.md5(F.concat(F.lit("p:"), pair))
+    hs = F.md5(F.concat(F.lit("s:"), F.col("doc_id").cast("string")))
+    body = F.concat(
+        F.translate(F.substring(hp, 1, 24), _CJK_HEX, _CJK_HAN16),
+        F.lit(" "),
+        F.translate(F.substring(hp, 25, 8), _CJK_HEX, _CJK_KANA16),
+    )
+    suffix = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.concat(
+            F.lit(" "),
+            F.translate(F.substring(hs, 1, 4), _CJK_HEX, _CJK_HAN16),
+        ),
+    ).otherwise(F.lit(""))
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(body, suffix).alias("text")
+    )
+
+
+def _cjk_neardup_docs_sql() -> str:
+    return f"""
+    cjk_pairs AS (
+        SELECT doc_id,
+               translate(substring(md5('p:' || (doc_id // 2)), 1, 24),
+                         '{_CJK_HEX}', '{_CJK_HAN16}')
+               || ' ' ||
+               translate(substring(md5('p:' || (doc_id // 2)), 25, 8),
+                         '{_CJK_HEX}', '{_CJK_KANA16}')
+               || CASE WHEN doc_id % 2 = 1
+                       THEN ' ' || translate(
+                           substring(md5('s:' || doc_id), 1, 4),
+                           '{_CJK_HEX}', '{_CJK_HAN16}')
+                       ELSE '' END AS text
+        FROM documents
+    )"""
+
+
+@register(
+    "dedup_minhash_cjk",
+    oracle=f"""
+    WITH {_cjk_neardup_docs_sql()},
+    {_minhash_lsh_ctes(src="cjk_pairs", segment_cjk=True)},
+    dup AS (SELECT DISTINCT id_b FROM edges)
+    SELECT d.doc_id
+    FROM cjk_pairs d LEFT JOIN dup ON dup.id_b = d.doc_id
+    WHERE dup.id_b IS NULL
+    """,
+    doc="MinHash+LSH near-dup removal over a NO-SPACE-SCRIPT corpus "
+        "with segment_cjk=True (r12 VERDICT ask #5): the signature "
+        "kernel tokenizes through the Python twin of functions.text."
+        "tokenize_mixed (character bigrams for CJK runs; "
+        "dedup.py::minhash_analysis_udf), then the standard shingle -> "
+        "64-hash signature -> 16-band bucket join -> exact-Jaccard "
+        ">= 0.8 -> drop-higher-id chain.  The corpus pairs docs on "
+        "doc_id div 2 (~0.90 pair Jaccard under bigram shingles); "
+        "WITHOUT the flag every Han/kana run is one whitespace token "
+        "and zero pairs are caught — the blindness this closes.  The "
+        "DuckDB oracle replays the ENTIRE pipeline (fixture synthesis, "
+        "mixed tokenization with the shared \\x{{...}} class body, "
+        "md5-prefix base hashes, seeded universal-hash literals, band "
+        "buckets, cap-1024, hset Jaccard).  Same 100 TB shape as "
+        "dedup_minhash_lsh: bare (bucket, id) exchanges, blobs/text "
+        "never shuffle.",
+)
+def q_minhash_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.dedup import minhash_dedup
+
+    docs = _cjk_neardup_docs(spark, sf_dir)
+    return minhash_dedup(
+        docs, "text", "doc_id", threshold=0.8, segment_cjk=True
+    ).select("doc_id")
+
+
+@register(
+    "bm25_search_cjk",
+    oracle=rf"""
+    WITH {_cjk_mixed_docs_sql().rstrip().rstrip(',')},
+    d AS (
+        SELECT doc_id,
+               flatten(list_transform(
+                   list_filter(string_split_regex(
+                       regexp_replace(lower(text),
+                           '[^a-z0-9{NO_SPACE_SCRIPT_CLASS_SQL}]+', ' ', 'g'),
+                       '\s+'), x -> x <> ''),
+                   t -> CASE WHEN regexp_matches(
+                                      t, '^[{NO_SPACE_SCRIPT_CLASS_SQL}]+$')
+                                  AND length(t) >= 2
+                        THEN list_transform(range(1, length(t)::BIGINT),
+                                            i -> substring(t, i::INT, 2))
+                        ELSE [t] END)) AS toks
+        FROM cjk_mixed
+    ),
+    dd AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM dd),
+    postings AS (
+        SELECT doc_id, dl, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dd)
+        GROUP BY doc_id, dl, term
+    ),
+    dft AS (SELECT term, COUNT(*) AS dft FROM postings GROUP BY term),
+    q(query_id, term) AS (VALUES
+        ('q1','日月'),('q1','火水'),('q2','あい'),('q2','かき'),
+        ('q3','the'),('q3','田中'),('q4','山川')),
+    scored AS (
+        SELECT q.query_id, p.doc_id,
+               SUM(CAST(ln(1 + (s.n_docs - f.dft + 0.5)/(f.dft + 0.5))
+                   * (p.tf * 2.2) / (p.tf + 1.2*(0.25 + 0.75*p.dl/s.avgdl))
+                   AS DECIMAL(18,8))) AS score_dec
+        FROM postings p JOIN q ON p.term = q.term
+        JOIN dft f ON f.term = p.term CROSS JOIN stats s
+        GROUP BY q.query_id, p.doc_id
+    )
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score_dec DESC, doc_id) AS rank,
+           CAST(score_dec AS DOUBLE) AS score
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+    doc="BM25 ranked retrieval over a MIXED-SCRIPT corpus with "
+        "segment_cjk=True (operators/retrieval.py::tokenize_cjk, r12 "
+        "VERDICT ask #5): non-alnum/non-CJK characters become "
+        "separators, then no-space-script runs index as overlapping "
+        "character bigrams — the standard CJK IR treatment — so Han/"
+        "kana query terms actually match postings (under whitespace "
+        "tokenization a CJK sentence is ONE term and recall is zero).  "
+        "Query mixes Han bigrams, kana bigrams, and an English "
+        "stopword over the gopher_repetition_cjk fixture corpus "
+        "(deterministic md5 -> Han/kana translate, so the oracle "
+        "rebuilds byte-identical input).  Same plan shape as "
+        "bm25_search: one explode+groupBy postings shuffle, broadcast "
+        "corpus stats and query terms, DECIMAL(18,8) order-free "
+        "contributions, row_number top-10.",
+)
+def q_bm25_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.retrieval import bm25_topk
+
+    docs = _cjk_mixed_docs(spark, sf_dir)
+    queries = spark.createDataFrame(
+        [
+            ("q1", "日月"), ("q1", "火水"), ("q2", "あい"), ("q2", "かき"),
+            ("q3", "the"), ("q3", "田中"), ("q4", "山川"),
+        ],
+        "query_id string, term string",
+    )
+    return bm25_topk(docs, queries, segment_cjk=True)

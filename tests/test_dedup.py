@@ -571,3 +571,29 @@ def test_simhash_rejects_unguaranteed_hamming(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="max_hamming"):
         simhash_candidate_pairs(df, "text", "doc_id", max_hamming=4)
+
+
+def test_minhash_cjk_pair_caught_only_with_segment_cjk(spark):
+    """r12 VERDICT ask #5 pin: a CJK near-dup pair (same 20-ideograph
+    body, one 2-char suffix difference) is INVISIBLE to whitespace
+    shingling (each doc is 1-2 giant tokens -> whole-doc fallback
+    shingles, Jaccard 0) and CAUGHT with segment_cjk=True (character
+    bigrams share ~90% of shingles)."""
+    from etl_tiki_webscraping_spark.operators.dedup import minhash_dedup
+
+    body = "日月火水木金土山川田中大小上下人日月火水"
+    docs = spark.createDataFrame(
+        [
+            (0, body),
+            (1, body + " 木金"),   # near-dup of 0
+            (2, "あいうえおかきくけこさしすせそたあいうえ"),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    blind = minhash_dedup(docs, "text", "doc_id", threshold=0.8)
+    assert blind.count() == 3  # nothing caught: every doc survives
+    aware = minhash_dedup(
+        docs, "text", "doc_id", threshold=0.8, segment_cjk=True
+    )
+    survivors = sorted(r["doc_id"] for r in aware.collect())
+    assert survivors == [0, 2]  # doc 1 dropped as near-dup of doc 0

@@ -302,3 +302,35 @@ def test_shingles_not_degenerate_on_cjk_with_flag(spark):
     a, b = (set(r["s"]) for r in mixed)
     jac = len(a & b) / len(a | b)
     assert len(a) > 5 and 0.5 < jac < 1.0
+
+
+def test_tokenize_mixed_py_matches_expression_form(spark):
+    """The Arrow-kernel twin (tokenize_mixed_py) must produce the SAME
+    token stream as the Spark expression for mixed scripts, ASCII-only
+    whitespace, and the U+3000 ideographic-space edge the Python
+    default split would mishandle."""
+    from etl_tiki_webscraping_spark.functions.text import (
+        tokenize_mixed,
+        tokenize_mixed_py,
+    )
+
+    samples = [
+        "hello 世界平和 world",
+        "日月火 mixed かな and ascii",
+        "a\tb\nc 山川",
+        "ideographic　space 田中大",  # U+3000 is NOT a separator
+        "한국어 텍스트 spaced hangul",
+        "ไทยข้อความ thai run",
+        "",
+        "no cjk at all",
+        "単",  # single-char run passes whole
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    from pyspark.sql import functions as F
+
+    got_expr = [
+        r["tk"]
+        for r in df.select(tokenize_mixed(F.col("t")).alias("tk")).collect()
+    ]
+    got_py = [tokenize_mixed_py(s) for s in samples]
+    assert got_expr == got_py, list(zip(samples, got_expr, got_py))
