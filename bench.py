@@ -229,6 +229,7 @@ HEADLINE = [
     # round-13 additions
     ("dedup_minhash_cjk", "count"),
     ("bm25_search_cjk", "collect"),
+    ("udtf_sliding_chunks", "hash"),
 ]
 
 

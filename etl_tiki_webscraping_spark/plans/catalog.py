@@ -14154,3 +14154,48 @@ def q_bm25_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id string, term string",
     )
     return bm25_topk(docs, queries, segment_cjk=True)
+
+
+@register(
+    "udtf_sliding_chunks",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    sized AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+    win AS (
+        SELECT doc_id, toks, n, CAST(r.i AS INT) AS chunk_idx,
+               CAST(r.i * 24 AS INT) AS start_tok
+        FROM sized, unnest(range(0, (n - 1) // 24 + 1)) AS r(i)
+    )
+    SELECT doc_id, chunk_idx, start_tok,
+           CAST(LEAST(start_tok + 32, n) - start_tok AS INT) AS n_tokens,
+           array_to_string(
+               list_slice(toks, start_tok + 1, LEAST(start_tok + 32, n)),
+               ' ') AS chunk_text
+    FROM win
+    """,
+    doc="Spark-4 Python UDTF tier (operators/udtf.py, r12 VERDICT ask "
+        "#7 — probed working in this container: plain, Arrow-optimized, "
+        "LATERAL, and TABLE-argument forms, unlike the blocked "
+        "transformWithStateInPandas): the idiomatic port of the "
+        "reference's PythonOperator-as-row-producer framing (dags/"
+        "etl.py:25-120) — a table-in/table-out Python function INSIDE "
+        "the query plan.  The function is the RAG/embedding context-"
+        "window chunker: overlapping 32-token windows every 24 tokens "
+        "(8-token overlap, trailing partial window kept — the R1 "
+        "tail-loss-free contract), 1->N fan-out streamed through the "
+        "Arrow channel (useArrow=True).  The DuckDB oracle replays the "
+        "window arithmetic and slicing exactly (strings, integer "
+        "ranks).  Scale shape: fully distributed per-partition "
+        "evaluation, no shuffle at all in the chunk stage; Catalyst "
+        "sees a black box, so the projection happens BEFORE the call.",
+)
+def q_udtf_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.udtf import sliding_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sliding_chunks(spark, docs, chunk_tokens=32, stride=24)
