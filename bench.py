@@ -230,6 +230,7 @@ HEADLINE = [
     ("dedup_minhash_cjk", "count"),
     ("bm25_search_cjk", "collect"),
     ("udtf_sliding_chunks", "hash"),
+    ("webp_image_stats", "collect"),
 ]
 
 

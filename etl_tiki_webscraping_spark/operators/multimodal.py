@@ -8,9 +8,10 @@ streams batches without materializing a partition of blobs in memory.
 No codec LIBRARY ships in this container, but the dominant formats
 decode for real with the stdlib alone: baseline + progressive JPEG
 (operators/jpeg.py), 8-bit PNG incl. Adam7 interlace (zlib inflate +
-scanline unfilter), GIF87a/89a (pure-python LZW), uncompressed 24-bit
-BMP (struct + numpy), 16-bit PCM WAV (``wave``), and MJPEG-in-AVI
-video (RIFF demux + the JPEG codec per frame).  Anything else falls
+scanline unfilter), WebP-lossless/VP8L (operators/webp.py — Huffman +
+transforms, round-13), GIF87a/89a (pure-python LZW), uncompressed
+24-bit BMP (struct + numpy), 16-bit PCM WAV (``wave``), and
+MJPEG-in-AVI video (RIFF demux + the JPEG codec per frame).  Anything else falls
 back to clearly-marked deterministic fakes behind
 ``_decode_image_impl`` / ``_decode_audio_impl``; swapping in
 Pillow/torchcodec changes only those two private functions.  The
@@ -549,6 +550,14 @@ def _decode_image_impl(content: bytes) -> np.ndarray:
     gif = _decode_gif(content)
     if gif is not None:
         return gif
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":  # cheap sniff
+        from etl_tiki_webscraping_spark.operators.webp import (
+            decode_webp_luma,
+        )
+
+        webp = decode_webp_luma(content)
+        if webp is not None:
+            return webp
     arr = np.frombuffer(content[:64].ljust(64, b"\0"), dtype=np.uint8)
     return arr.reshape(8, 8).astype(np.float32)
 

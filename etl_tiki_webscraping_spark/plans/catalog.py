@@ -147,6 +147,10 @@ _DRIVER_FRESH = frozenset({
     "hll_sketch_rollup",
     "kll_quantile_rollup",
     "theta_sketch_set_ops",
+    #   - the image dispatch gained the WebP sniff branch (additive,
+    #     after all existing sniffs) — re-verify the generic dispatch
+    #     user as the canary
+    "multimodal_image_features",
 })
 
 
@@ -14199,3 +14203,95 @@ def q_udtf_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return sliding_chunks(spark, docs, chunk_tokens=32, stride=24)
+
+
+@register(
+    "webp_image_stats",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id AS media_id FROM documents WHERE doc_id % 12 = 2
+    ),
+    px AS (
+        SELECT media_id, (media_id + 7 * y + 11 * x) % 256 AS v
+        FROM ids, unnest(range(0, 16)) AS a(y), unnest(range(0, 16)) AS b(x)
+    )
+    SELECT media_id, 16 AS width, 16 AS height,
+           CAST(SUM(v * 1000000) AS BIGINT) AS luma_units
+    FROM px GROUP BY media_id
+    """,
+    doc="REAL WebP-lossless (VP8L) decode, oracle-checked end to end "
+        "through the codec (r12 VERDICT ask #1 — WebP is a large and "
+        "growing share of modern web crawls and previously landed in "
+        "the generic quarantine): per selected document a 16x16 gray "
+        "image (px(y,x) = (id + 7y + 11x) mod 256, the png_image_stats "
+        "scheme on a disjoint doc_id slice) is synthesized at query "
+        "time by the package's own VP8L writer (operators/webp.py::"
+        "encode_webp_lossless with the SUBTRACT-GREEN transform, so a "
+        "real transform sits in the verified path) — canonical Huffman "
+        "literal streams inside a spec-shaped RIFF/WEBP/VP8L container "
+        "— then decoded back through the shared _decode_image_impl "
+        "dispatch (strict RIFF + signature + version sniff, full "
+        "Huffman/transform machinery).  VP8L is LOSSLESS and the gray "
+        "luma is exactly the stored value, so the DuckDB oracle "
+        "replays the pixel formula directly — no codec, no float "
+        "tolerance (integer-valued float32 is exact under the "
+        "1e-6-unit fold).  Scale shape identical to png_image_stats: "
+        "1->1 mapInPandas (Arrow both ways), blobs never cross an "
+        "exchange, the only shuffle carries (media_id, 3 ints).",
+)
+def q_webp_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 12 == 2)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def build(d: int) -> bytes:
+        import numpy as np
+
+        from etl_tiki_webscraping_spark.operators.webp import (
+            encode_webp_lossless,
+        )
+
+        y, x = np.mgrid[0:16, 0:16]
+        return encode_webp_lossless(
+            ((d + 7 * y + 11 * x) % 256).astype(np.uint8),
+            subtract_green=True,
+        )
+
+    blob_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "content": b["media_id"].map(lambda d: build(int(d))),
+                }
+            )
+
+    blobs = ids.mapInPandas(gen, blob_schema)
+    feats = extract_image_features(blobs)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.aggregate(
+            "feature",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        ).alias("luma_units"),
+    )
