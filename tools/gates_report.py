@@ -36,17 +36,18 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 GATED_QUERIES = frozenset({
     "ann_recall_report", "knn_ivf_kmeans",
     "knn_pq_adc", "knn_ivf_pq",
-    "approx_distinct_users", "hll_sketch_rollup",
-    "streaming_sketch_maintenance", "kll_quantile_rollup",
-    "theta_sketch_set_ops",
+    "approx_distinct_users",
+    "streaming_sketch_maintenance",
     "embedding_pca_variance", "bpe_train_merges",
     "logreg_quality_train", "audio_spectral_features",
     "unigram_train",
     # r11 upgraded doc_fingerprint / dedup_minhash_lsh /
     # dedup_minhash_clusters / dedup_simhash / cms_frequency_rollup /
     # lsh_pair_quality / corpus_pipeline_neardup /
-    # crosscorpus_neardup_lsh to full DuckDB oracles; their gates below
-    # still run as bonus evidence, but they are no longer rows-only
+    # crosscorpus_neardup_lsh to full DuckDB oracles; r13 upgraded
+    # hll_sketch_rollup / kll_quantile_rollup / theta_sketch_set_ops
+    # (portable md5 constructions).  Their gates below still run as
+    # bonus evidence, but they are no longer rows-only.
 })
 
 ROWS: list[tuple[str, str, str, str, bool]] = []  # query, gate, measured, bound, ok

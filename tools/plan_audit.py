@@ -779,6 +779,42 @@ def main() -> int:
           "activity (bounded 7x of day-user pairs; the nested-loop is "
           "over the tiny day grid, not events)")
 
+    # --- round 13: portable sketches, CJK wiring, UDTF, WebP, FLAC ---------
+    p = plan_of("hll_sketch_rollup")
+    check("hll_sketch_rollup",
+          "partial" in p.lower() and "CartesianProduct" not in p,
+          "register build partial-aggregates map-side (each task ships "
+          "at most |groups| x 256 register rows, never raw events)")
+    p = plan_of("kll_quantile_rollup")
+    check("kll_quantile_rollup",
+          "PushedFilters" in p and "rangepartitioning" not in p,
+          "the md5-Bernoulli retain predicate evaluates scan-side and "
+          "the rank window shuffles only sample rows hash-partitioned "
+          "by event_type (no global sort)")
+    p = plan_of("theta_sketch_set_ops")
+    check("theta_sketch_set_ops",
+          "TakeOrderedAndProject" in p,
+          "KMV build plans as TakeOrderedAndProject (per-partition "
+          "top-(k+1) + bounded merge, never a global sort)")
+    p = plan_of("dedup_minhash_cjk")
+    check("dedup_minhash_cjk",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+          and _no_text_in_exchanges(p),
+          "CJK-segmented LSH keeps the standard shape: bare (bucket, "
+          "id) exchanges, no text payload, no cartesian")
+    p = plan_of("udtf_sliding_chunks")
+    check("udtf_sliding_chunks",
+          ("PythonUDTF" in p or "UDTF" in p) and "Exchange" not in p,
+          "UDTF evaluates per-partition inside the plan; the chunk "
+          "stage has NO shuffle at all")
+    for q in ("webp_image_stats", "flac_audio_features",
+              "audio_format_quarantine"):
+        p = plan_of(q)
+        check(q,
+              "MapInPandas" in p and "Exchange" not in p,
+              "encode/decode is 1->1 mapInPandas; blobs never shuffle "
+              "(no exchange in the whole plan)")
+
     print()
     if failures:
         print(f"{len(failures)} plan check(s) FAILED")
