@@ -198,6 +198,20 @@ NEW_R11 = [
     "conformal_coverage_report",
 ]
 
+NEW_R13 = [
+    # round-13: portable sketches (rows-only -> bit-strict rewrites),
+    # CJK dedup/search wiring, the UDTF tier, WebP/FLAC codecs
+    "hll_sketch_rollup",
+    "kll_quantile_rollup",
+    "theta_sketch_set_ops",
+    "dedup_minhash_cjk",
+    "bm25_search_cjk",
+    "udtf_sliding_chunks",
+    "webp_image_stats",
+    "flac_audio_features",
+    "audio_format_quarantine",
+]
+
 NEW_R12 = [
     # the format trio completion + crawl-curation surface
     "jpeg_progressive_stats",
@@ -385,7 +399,7 @@ def main() -> None:
         lists = {
             "r7": NEW_R7, "r7c": NEW_R7C, "r7d": NEW_R7D, "r8": NEW_R8,
             "r8b": NEW_R8B, "r8c": NEW_R8C, "r8d": NEW_R8D, "r9": NEW_R9,
-            "r10": NEW_R10, "r11": NEW_R11, "r12": NEW_R12,
+            "r10": NEW_R10, "r11": NEW_R11, "r12": NEW_R12, "r13": NEW_R13,
         }
         names = lists.get(sys.argv[1]) or [
             a for a in sys.argv[1:] if a in QUERIES
