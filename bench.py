@@ -425,6 +425,23 @@ def main() -> None:
             "per-batch watermark advancement are now exercised; the extra trigger "
             "rounds are the cost of that realism, not a plan regression"
         ),
+        "hll_sketch_rollup": (
+            "r13: rewritten from the DataSketches built-in to the portable md5 "
+            "HLL (rows-only -> bit-strict oracle); the md5 hash family + "
+            "register fold costs ~0.3-0.4s more than hll_sketch_agg at sf0.1 — "
+            "an accepted trade for full cross-engine replayability (isolated "
+            "converged ~0.66s vs the built-in's 0.31s best)"
+        ),
+        "kll_quantile_rollup": (
+            "r13: rewritten from the DataSketches KLL built-in to the portable "
+            "md5-Bernoulli quantile sample (rows-only -> bit-strict oracle); "
+            "prior bests timed the built-in"
+        ),
+        "theta_sketch_set_ops": (
+            "r13: rewritten from the DataSketches theta built-ins to the "
+            "portable KMV sketch (rows-only -> bit-strict oracle); prior bests "
+            "timed the built-ins (isolated converged ~0.52s vs 0.26s)"
+        ),
         "asof_join_events_orders": (
             "flags intermittently vs r02's 0.41 s: isolated re-runs converge to "
             "~0.45-0.50 s (measured r5, 4 consecutive runs: 2.15/0.81/0.46/0.50) "
@@ -517,7 +534,9 @@ def main() -> None:
     # way no flag ships unexplained.
     actions = dict(HEADLINE)
     for name, entry in regressions.items():
-        if "note" in entry:
+        # a known-cause note explains the stale PRIOR, not today's
+        # number — a >=2x flag still gets isolated evidence attached
+        if "note" in entry and float(entry["ratio"]) < 2.0:  # type: ignore[arg-type]
             continue
         runs: list[float] = []
         for _ in range(3):
@@ -529,18 +548,19 @@ def main() -> None:
         best = min(runs)
         prior_t = float(entry["prior"])  # type: ignore[arg-type]
         if best <= 1.5 * prior_t or best - prior_t <= 0.5:
-            entry["note"] = (
+            auto = (
                 f"auto convergence re-run: 3 isolated runs {runs} converge to "
                 f"{best}s vs prior {prior_t}s — inside the flag threshold, so "
                 "the in-pass number was position/run-to-run noise, not a plan "
                 "regression"
             )
         else:
-            entry["note"] = (
+            auto = (
                 f"auto convergence re-run: 3 isolated runs {runs} stay at "
                 f"{best}s vs prior {prior_t}s — the slowdown persists in "
                 "isolation; treat as a REAL regression candidate"
             )
+        entry["note"] = f"{entry['note']} | {auto}" if "note" in entry else auto
 
     # Persist the full result locally so future regression gates don't
     # depend on the driver artifact surviving tail truncation.
