@@ -233,6 +233,7 @@ HEADLINE = [
     ("webp_image_stats", "collect"),
     ("flac_audio_features", "collect"),
     ("audio_format_quarantine", "collect"),
+    ("audio_stream_metadata", "collect"),
 ]
 
 

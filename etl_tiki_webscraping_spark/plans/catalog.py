@@ -14499,3 +14499,101 @@ def q_audio_format_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = ids.mapInPandas(gen, blob_schema)
     return sniff_audio_formats(blobs)
+
+
+@register(
+    "audio_stream_metadata",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id, (doc_id // 12) % 4 AS k
+        FROM documents WHERE doc_id % 12 = 6
+    )
+    SELECT doc_id AS media_id,
+           CASE WHEN k = 2 THEN 'ogg' ELSE 'mp3' END AS container,
+           CAST(CASE k WHEN 0 THEN 8 + doc_id % 7
+                       WHEN 1 THEN 2 * (4 + doc_id % 5)
+                       WHEN 2 THEN 3 + doc_id % 5 END AS INT) AS n_units,
+           CAST(CASE k WHEN 0 THEN
+                           CASE doc_id % 3 WHEN 0 THEN 44100
+                                WHEN 1 THEN 48000 ELSE 32000 END
+                       WHEN 1 THEN 44100 END AS INT) AS sample_rate,
+           CAST(CASE k WHEN 0 THEN ((8 + doc_id % 7) * 1152 * 1000)
+                           // (CASE doc_id % 3 WHEN 0 THEN 44100
+                                    WHEN 1 THEN 48000 ELSE 32000 END)
+                       WHEN 1 THEN (2 * (4 + doc_id % 5) * 1152 * 1000)
+                           // 44100 END AS BIGINT) AS duration_ms,
+           CASE k WHEN 0 THEN FALSE WHEN 1 THEN TRUE END AS vbr,
+           CAST(CASE WHEN k = 2 THEN doc_id * 441 + 17 END
+                AS BIGINT) AS last_granule
+    FROM ids
+    """,
+    doc="Header-only compressed-audio STREAM METADATA (operators/"
+        "audiometa.py, round-13): the triage a 100 TB crawl runs on "
+        "audio it will not decode — MP3 frame walks (strict MPEG-1 "
+        "Layer III headers, frame sizes tiling the buffer, ID3v2 "
+        "syncsafe skip) yield n_frames / sample_rate / duration_ms / "
+        "VBR-ness; Ogg page walks (27-byte headers, lacing tables, "
+        "per-page CRC-32 VERIFIED) yield n_pages / last granule.  The "
+        "fixture cycles CBR MP3, VBR MP3 with an ID3 tag, CRC-correct "
+        "Ogg pages, and a TRUNCATED MP3 the strict parser must reject "
+        "into the per-format NULL quarantine row.  Ground truth is "
+        "pure doc_id arithmetic, so the oracle replays what every "
+        "walk must conclude — bit-strict, all integers.  Scale shape: "
+        "one Arrow-batched mapInPandas pass, blobs never shuffle.",
+)
+def q_audio_stream_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.operators.audiometa import (
+        extract_audio_stream_metadata,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 12 == 6)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def build(d: int) -> bytes:
+        from etl_tiki_webscraping_spark.operators.audiometa import (
+            encode_mp3_frames,
+            encode_ogg_pages,
+        )
+
+        k = (d // 12) % 4
+        if k == 0:
+            return encode_mp3_frames(
+                [1 + d % 14] * (8 + d % 7), sr_idx=d % 3, seed=d
+            )
+        if k == 1:
+            return encode_mp3_frames(
+                [5, 10] * (4 + d % 5), sr_idx=0,
+                id3_size=50 + d % 100, seed=d,
+            )
+        if k == 2:
+            return encode_ogg_pages(
+                3 + d % 5, serial=d & 0xFFFFFFFF,
+                final_granule=d * 441 + 17, seed=d,
+            )
+        return encode_mp3_frames([9] * 6, seed=d)[:-3]  # truncated
+
+    blob_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "content": b["media_id"].map(lambda d: build(int(d))),
+                }
+            )
+
+    blobs = ids.mapInPandas(gen, blob_schema)
+    return extract_audio_stream_metadata(blobs)

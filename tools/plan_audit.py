@@ -808,7 +808,7 @@ def main() -> int:
           "UDTF evaluates per-partition inside the plan; the chunk "
           "stage has NO shuffle at all")
     for q in ("webp_image_stats", "flac_audio_features",
-              "audio_format_quarantine"):
+              "audio_format_quarantine", "audio_stream_metadata"):
         p = plan_of(q)
         check(q,
               "MapInPandas" in p and "Exchange" not in p,
