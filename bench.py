@@ -234,6 +234,8 @@ HEADLINE = [
     ("flac_audio_features", "collect"),
     ("audio_format_quarantine", "collect"),
     ("audio_stream_metadata", "collect"),
+    ("udtf_mp3_frames", "hash"),
+    ("streaming_media_triage", "collect"),
 ]
 
 

@@ -318,3 +318,41 @@ def extract_audio_stream_metadata(df, id_col="media_id", content_col="content"):
     return df.select(id_col, content_col).mapInPandas(
         run, schema=AUDIO_STREAM_META_SCHEMA
     )
+
+
+def iter_mp3_frames(content: bytes) -> "list[tuple[int, int, int]] | None":
+    """Per-frame walk: [(frame_idx, bitrate_kbps, frame_bytes), ...]
+    under the same strict rules as :func:`parse_mp3_stream` (None on
+    any malformation) — the 1->N form the UDTF tier exposes."""
+    if content is None or len(content) < 4:
+        return None
+    skip = parse_id3v2_size(content)
+    if skip < 0 or skip >= len(content):
+        return None
+    pos = skip
+    rate = None
+    out: "list[tuple[int, int, int]]" = []
+    while pos < len(content):
+        if pos + 4 > len(content):
+            return None
+        (hdr,) = struct.unpack_from(">I", content, pos)
+        if (hdr >> 21) & 0x7FF != 0x7FF or (hdr >> 19) & 3 != 3 \
+                or (hdr >> 17) & 3 != 1:
+            return None
+        br_idx = (hdr >> 12) & 0xF
+        sr_idx = (hdr >> 10) & 3
+        padding = (hdr >> 9) & 1
+        if br_idx in (0, 15) or sr_idx == 3:
+            return None
+        this_rate = _MP3_RATES[sr_idx]
+        if rate is None:
+            rate = this_rate
+        elif this_rate != rate:
+            return None
+        kbps = _MP3_BITRATES[br_idx]
+        frame_len = (144_000 * kbps) // rate + padding
+        if frame_len < 4 or pos + frame_len > len(content):
+            return None
+        out.append((len(out), kbps, frame_len))
+        pos += frame_len
+    return out or None

@@ -86,3 +86,49 @@ def sliding_chunks(
     return spark.sql(
         f"SELECT * FROM udtf_sliding_chunks(TABLE({view_name}))"
     )
+
+
+def mp3_frames_udtf():
+    """UDTF: expand each MP3 blob into one row PER FRAME — the 1->N
+    lateral form over BINARY media (the sliding-chunk UDTF's text
+    sibling), backed by the strict frame walk in
+    :mod:`..operators.audiometa`.  A blob the walk rejects emits the
+    frame_idx = -1 quarantine row (the sample_gif_frames convention)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "media_id: bigint, frame_idx: int, bitrate_kbps: int, "
+            "frame_bytes: int"
+        ),
+        useArrow=True,
+    )
+    class Mp3Frames:
+        def eval(self, row):
+            from etl_tiki_webscraping_spark.operators.audiometa import (
+                iter_mp3_frames,
+            )
+
+            content = row["content"]
+            frames = iter_mp3_frames(
+                bytes(content) if content is not None else None
+            )
+            if frames is None:
+                yield (row["media_id"], -1, None, None)
+                return
+            for idx, kbps, size in frames:
+                yield (row["media_id"], idx, kbps, size)
+
+    return Mp3Frames
+
+
+def mp3_frames(
+    spark: SparkSession,
+    blobs: DataFrame,
+    view_name: str = "udtf_mp3_frames_src",
+) -> DataFrame:
+    """Run the per-frame MP3 expansion over ``blobs(media_id,
+    content)`` via the TABLE(...) argument form."""
+    spark.udtf.register("udtf_mp3_frames", mp3_frames_udtf())
+    blobs.select("media_id", "content").createOrReplaceTempView(view_name)
+    return spark.sql(f"SELECT * FROM udtf_mp3_frames(TABLE({view_name}))")

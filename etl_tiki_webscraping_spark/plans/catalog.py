@@ -202,6 +202,7 @@ _EAGER_STAGING_QUERIES = (
     "snapshot_compaction",  # stages 5 micro-batch commits + compacts
     "tpch_refresh_rf1_rf2",  # stages the orders table + RF1/RF2 commits
     "streaming_corpus_screen",  # runs the multi-batch screen to its sink
+    "streaming_media_triage",  # runs the multi-batch triage to its sink
     "contamination_new_docs",  # builds + memoizes the base winnow store
 )
 
@@ -14405,6 +14406,43 @@ def q_flac_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_audio_pcm_features(blobs)
 
 
+def _audio_quarantine_blob(d: int) -> bytes:
+    """The audio_format_quarantine fixture builder (module-level so the
+    streaming twin synthesizes byte-identical blobs per micro-batch)."""
+    from hashlib import md5 as _md5
+
+    import numpy as np
+
+    from etl_tiki_webscraping_spark.operators.flac import encode_flac
+    from etl_tiki_webscraping_spark.operators.multimodal import (
+        encode_wav_tone,
+    )
+
+    j = (d // 12) % 7
+    if j == 0:
+        return encode_wav_tone(200 + (d % 20) * 10, n_samples=256)
+    if j in (1, 5):
+        t = np.arange(256, dtype=np.int64)
+        pcm = np.abs(((t * 389 + d * 7) % 2048) - 1024) * 20 - 10240
+        enc = encode_flac(pcm)
+        if j == 5:
+            ba = bytearray(enc)
+            ba[60] ^= 0x40  # inside frame 1: CRC/MD5 must reject
+            return bytes(ba)
+        return enc
+    junk = b"".join(
+        _md5(f"j:{d}:{i}".encode()).digest() for i in range(4)
+    )
+    if j == 2:
+        return b"ID3\x03\x00" + junk
+    if j == 3:
+        return b"\xff\xfb" + junk
+    if j == 4:
+        return b"OggS" + junk
+    return b"\x00\x01" + junk  # unsniffable
+
+
+
 @register(
     "audio_format_quarantine",
     oracle="""
@@ -14446,38 +14484,7 @@ def q_audio_format_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("media_id"))
     )
 
-    def build(d: int) -> bytes:
-        from hashlib import md5 as _md5
-
-        import numpy as np
-
-        from etl_tiki_webscraping_spark.operators.flac import encode_flac
-        from etl_tiki_webscraping_spark.operators.multimodal import (
-            encode_wav_tone,
-        )
-
-        j = (d // 12) % 7
-        if j == 0:
-            return encode_wav_tone(200 + (d % 20) * 10, n_samples=256)
-        if j in (1, 5):
-            t = np.arange(256, dtype=np.int64)
-            pcm = np.abs(((t * 389 + d * 7) % 2048) - 1024) * 20 - 10240
-            enc = encode_flac(pcm)
-            if j == 5:
-                ba = bytearray(enc)
-                ba[60] ^= 0x40  # inside frame 1: CRC/MD5 must reject
-                return bytes(ba)
-            return enc
-        junk = b"".join(
-            _md5(f"j:{d}:{i}".encode()).digest() for i in range(4)
-        )
-        if j == 2:
-            return b"ID3\x03\x00" + junk
-        if j == 3:
-            return b"\xff\xfb" + junk
-        if j == 4:
-            return b"OggS" + junk
-        return b"\x00\x01" + junk  # unsniffable
+    build = _audio_quarantine_blob
 
     blob_schema = T.StructType(
         [
@@ -14597,3 +14604,185 @@ def q_audio_stream_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = ids.mapInPandas(gen, blob_schema)
     return extract_audio_stream_metadata(blobs)
+
+
+@register(
+    "udtf_mp3_frames",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id AS media_id FROM documents WHERE doc_id % 12 = 8
+    ),
+    br(idx, kbps) AS (VALUES (1,32),(2,40),(3,48),(4,56),(5,64),(6,80),
+        (7,96),(8,112),(9,128),(10,160),(11,192),(12,224),(13,256),
+        (14,320)),
+    fr AS (
+        SELECT media_id, CAST(r.i AS INT) AS frame_idx,
+               1 + (media_id + r.i) % 14 AS bidx,
+               CAST(r.i % 2 AS INT) AS pad
+        FROM ids, unnest(range(0, 6 + media_id % 5)) AS r(i)
+    )
+    SELECT media_id, frame_idx, CAST(b.kbps AS INT) AS bitrate_kbps,
+           CAST((144000 * b.kbps) // 44100 + pad AS INT) AS frame_bytes
+    FROM fr JOIN br b ON b.idx = fr.bidx
+    """,
+    doc="Python UDTF over BINARY media (the sliding-chunk UDTF's 1->N "
+        "sibling, round-13): each MP3 blob lateral-expands into one row "
+        "per FRAME — (frame_idx, bitrate_kbps, frame_bytes) from the "
+        "strict MPEG-1 Layer III walk in operators/audiometa.py, "
+        "streamed through the Arrow UDTF channel (TABLE(...) form).  "
+        "The fixture gives every doc a per-frame bitrate schedule "
+        "1 + (doc_id + i) mod 14 with alternating padding, so the "
+        "DuckDB oracle replays every frame size from the bitrate "
+        "table — a parser that mis-walks one boundary shifts every "
+        "later frame and hash-mismatches.  Scale shape: fully "
+        "distributed per-partition evaluation, no shuffle.",
+)
+def q_udtf_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.operators.udtf import mp3_frames
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 12 == 8)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def build(d: int) -> bytes:
+        from etl_tiki_webscraping_spark.operators.audiometa import (
+            encode_mp3_frames,
+        )
+
+        return encode_mp3_frames(
+            [1 + (d + i) % 14 for i in range(6 + d % 5)], sr_idx=0, seed=d
+        )
+
+    blob_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "content": b["media_id"].map(lambda d: build(int(d))),
+                }
+            )
+
+    blobs = ids.mapInPandas(gen, blob_schema)
+    return mp3_frames(spark, blobs)
+
+
+_STREAM_TRIAGE: dict = {}
+
+
+@register(
+    "streaming_media_triage",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id, (doc_id // 12) % 7 AS k
+        FROM documents WHERE doc_id % 12 = 4
+    ),
+    cls AS (
+        SELECT CASE k WHEN 0 THEN 'wav' WHEN 1 THEN 'flac'
+                      WHEN 2 THEN 'mp3' WHEN 3 THEN 'mp3'
+                      WHEN 4 THEN 'ogg' WHEN 5 THEN 'flac'
+                      ELSE 'unknown' END AS container,
+               k IN (0, 1) AS decodable,
+               CASE WHEN k IN (0, 1) THEN 256 ELSE 0 END AS ns
+        FROM ids
+    )
+    SELECT container, decodable,
+           CAST(COUNT(*) AS BIGINT) AS n_blobs,
+           CAST(SUM(ns) AS BIGINT) AS n_samples_total
+    FROM cls GROUP BY container, decodable
+    """,
+    doc="STREAMING twin of the per-format audio triage: a REAL "
+        "multi-micro-batch run (maxFilesPerTrigger=1, AvailableNow "
+        "over a 3-file staged copy of the media ids); each micro-batch "
+        "synthesizes its blobs (the audio_format_quarantine fixture "
+        "classes), runs the strict sniff + decode triage "
+        "(multimodal.py::sniff_audio_formats), and appends per-blob "
+        "verdicts.  Triage is per-document, so batch boundaries cannot "
+        "change the answer — exactly why it streams safely stateless — "
+        "and the committed sink rollup (blobs + decoded samples per "
+        "(container, decodable)) must equal the batch ground-truth "
+        "replay (the oracle).  The crawl-ingest shape: media arrives "
+        "continuously, triage/quarantine accounting runs incrementally.",
+)
+def q_streaming_media_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _STREAM_TRIAGE.get(sf_dir)
+    if out is None:
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        from etl_tiki_webscraping_spark.operators.multimodal import (
+            sniff_audio_formats,
+        )
+
+        root = tempfile.mkdtemp(prefix="stream-triage-")
+        src, sink_dir = root + "/src", root + "/verdicts"
+        ids = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 12 == 4)
+            .select(F.col("doc_id").alias("media_id"))
+        )
+        ids.repartition(3).write.parquet(src)
+
+        blob_schema = T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("content", T.BinaryType(), False),
+            ]
+        )
+
+        def triage(batch_df, _batch_id: int) -> None:
+            # same deterministic fixture builder as audio_format_quarantine
+            def gen(batches):
+                import pandas as pd
+
+                build = _audio_quarantine_blob
+                for b in batches:
+                    yield pd.DataFrame(
+                        {
+                            "media_id": b["media_id"],
+                            "content": b["media_id"].map(
+                                lambda d: build(int(d))
+                            ),
+                        }
+                    )
+
+            blobs = batch_df.mapInPandas(gen, blob_schema)
+            sniff_audio_formats(blobs).write.mode("append").parquet(sink_dir)
+
+        q = (
+            spark.readStream.schema("media_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(triage)
+            .option("checkpointLocation", root + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming media triage did not finish")
+        out = sink_dir
+        _STREAM_TRIAGE[sf_dir] = out
+    return (
+        spark.read.parquet(out)
+        .groupBy("container", "decodable")
+        .agg(
+            F.count(F.lit(1)).alias("n_blobs"),
+            F.sum(F.coalesce(F.col("n_samples"), F.lit(0))).alias(
+                "n_samples_total"
+            ),
+        )
+    )

@@ -685,3 +685,35 @@ def test_stream_stream_join_rejects_unknown_how(spark):
     df = spark.createDataFrame([], "event_id string, ts timestamp, user_id bigint")
     with pytest.raises(ValueError, match="leftOuter"):
         stream_stream_purchase_views(df, df, how="full")
+
+
+def test_streaming_media_triage_equals_batch_triage(spark, sf_dir):
+    """The streaming triage's committed rollup must equal the batch
+    query's rollup — per-document triage is stateless, so batch
+    boundaries cannot change verdicts."""
+    from pyspark.sql import functions as F
+
+    from etl_tiki_webscraping_spark.plans.catalog import QUERIES
+
+    streaming = {
+        (r["container"], r["decodable"]): (r["n_blobs"], r["n_samples_total"])
+        for r in QUERIES["streaming_media_triage"].fn(spark, sf_dir).collect()
+    }
+    batch = {
+        (r["container"], r["decodable"]): (
+            r["n_blobs"],
+            r["n_samples_total"],
+        )
+        for r in (
+            QUERIES["audio_format_quarantine"].fn(spark, sf_dir)
+            .groupBy("container", "decodable")
+            .agg(
+                F.count(F.lit(1)).alias("n_blobs"),
+                F.sum(F.coalesce(F.col("n_samples"), F.lit(0))).alias(
+                    "n_samples_total"
+                ),
+            )
+            .collect()
+        )
+    }
+    assert streaming == batch and streaming

@@ -89,3 +89,33 @@ def test_lateral_scalar_form_matches_table_form(spark):
         ).collect()
     )
     assert lateral == table_form
+
+
+def test_mp3_frames_udtf_expansion_and_quarantine(spark):
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.operators.audiometa import (
+        encode_mp3_frames,
+    )
+    from etl_tiki_webscraping_spark.operators.udtf import mp3_frames
+
+    blobs = spark.createDataFrame(
+        [
+            (1, bytearray(encode_mp3_frames([9, 5, 14]))),
+            (2, bytearray(b"\xffjunk-not-mp3")),
+        ],
+        T.StructType([
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]),
+    )
+    rows = sorted(
+        tuple(r) for r in mp3_frames(spark, blobs, "udtf_mp3_test").collect()
+    )
+    # frame sizes: 144000*kbps//44100 (+pad on odd frames)
+    assert rows == [
+        (1, 0, 128, 144000 * 128 // 44100),
+        (1, 1, 64, 144000 * 64 // 44100 + 1),
+        (1, 2, 320, 144000 * 320 // 44100),
+        (2, -1, None, None),
+    ], rows

@@ -807,6 +807,11 @@ def main() -> int:
           ("PythonUDTF" in p or "UDTF" in p) and "Exchange" not in p,
           "UDTF evaluates per-partition inside the plan; the chunk "
           "stage has NO shuffle at all")
+    p = plan_of("udtf_mp3_frames")
+    check("udtf_mp3_frames",
+          ("PythonUDTF" in p or "UDTF" in p) and "Exchange" not in p,
+          "binary-media UDTF expansion evaluates per-partition; no "
+          "shuffle, blobs never cross an exchange")
     for q in ("webp_image_stats", "flac_audio_features",
               "audio_format_quarantine", "audio_stream_metadata"):
         p = plan_of(q)
