@@ -602,9 +602,11 @@ def decode_webp_lossless(content: bytes) -> "np.ndarray | None":
     container, wrong signature/version, truncated stream, invalid
     Huffman code, out-of-range reference/index, trailing-size
     mismatch...)."""
+    # minimum: RIFF(12) + VP8L chunk header(8) + signature(1) + the
+    # 4-byte stream header — a 1x1 single-symbol image is ~30 bytes
     if (
         content is None
-        or len(content) < 31
+        or len(content) < 25
         or content[:4] != b"RIFF"
         or content[8:12] != b"WEBP"
         or content[12:16] != b"VP8L"

@@ -862,3 +862,95 @@ def test_ordered_budget_select_equals_definition(spark, rows, budget,
         acc += w
         keep.add(i)
     assert got == keep
+
+
+# ---------------------------------------------------------------------------
+# round-13 codec invariants: encode -> decode is the identity for ANY
+# input in domain (not just the hand-picked fixtures), and the strict
+# decoders never misreport a truncation as success.
+# ---------------------------------------------------------------------------
+
+_CODEC_SETTINGS = settings(
+    max_examples=25, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@given(
+    data=st.lists(
+        st.integers(min_value=0, max_value=255), min_size=1, max_size=96
+    ),
+    w=st.integers(min_value=1, max_value=12),
+    subtract_green=st.booleans(),
+    cache_bits=st.sampled_from([0, 0, 4]),
+)
+@_CODEC_SETTINGS
+def test_webp_roundtrip_is_identity(data, w, subtract_green, cache_bits):
+    import numpy as np
+
+    from etl_tiki_webscraping_spark.operators.webp import (
+        decode_webp_lossless,
+        encode_webp_lossless,
+    )
+
+    w = min(w, len(data))
+    h = max(1, len(data) // w)
+    img = np.array(data[: h * w], dtype=np.uint8).reshape(h, w)
+    enc = encode_webp_lossless(
+        img, subtract_green=subtract_green, cache_bits=cache_bits
+    )
+    dec = decode_webp_lossless(enc)
+    assert dec is not None
+    assert (dec[..., 2] == img).all()  # green channel == gray value
+    # truncation anywhere in the stream must reject, never mis-decode
+    assert decode_webp_lossless(enc[: len(enc) // 2]) is None
+
+
+@given(
+    pcm=st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=1, max_size=600,
+    ),
+    blocksize=st.sampled_from([256, 512]),
+    mode=st.sampled_from(["fixed", "verbatim", "lpc1"]),
+)
+@_CODEC_SETTINGS
+def test_flac_roundtrip_is_identity(pcm, blocksize, mode):
+    import numpy as np
+
+    from etl_tiki_webscraping_spark.operators.flac import (
+        decode_flac_pcm,
+        encode_flac,
+    )
+
+    arr = np.array(pcm, dtype=np.int64)
+    if mode == "lpc1" and arr.size < 2:
+        mode = "fixed"
+    enc = encode_flac(arr, blocksize=blocksize, subframe=mode)
+    dec = decode_flac_pcm(enc)
+    assert dec is not None and (dec == arr).all()
+    assert decode_flac_pcm(enc[:-1]) is None  # truncation rejects
+
+
+@given(
+    indices=st.lists(
+        st.integers(min_value=1, max_value=14), min_size=1, max_size=20
+    ),
+    sr_idx=st.integers(min_value=0, max_value=2),
+)
+@_CODEC_SETTINGS
+def test_mp3_walk_reconstructs_schedule(indices, sr_idx):
+    from etl_tiki_webscraping_spark.operators.audiometa import (
+        _MP3_BITRATES,
+        encode_mp3_frames,
+        iter_mp3_frames,
+        parse_mp3_stream,
+    )
+
+    enc = encode_mp3_frames(indices, sr_idx=sr_idx)
+    frames = iter_mp3_frames(enc)
+    assert frames is not None and len(frames) == len(indices)
+    assert [k for _, k, _ in frames] == [_MP3_BITRATES[i] for i in indices]
+    m = parse_mp3_stream(enc)
+    assert m["n_frames"] == len(indices)
+    assert parse_mp3_stream(enc[:-1]) is None
