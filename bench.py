@@ -236,6 +236,7 @@ HEADLINE = [
     ("audio_stream_metadata", "collect"),
     ("udtf_mp3_frames", "hash"),
     ("streaming_media_triage", "collect"),
+    ("png_palette_stats", "collect"),
 ]
 
 

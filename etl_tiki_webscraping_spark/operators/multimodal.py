@@ -110,17 +110,21 @@ _ADAM7_PASSES = (
 )
 
 
-def _png_unfilter(raw: bytes, h: int, w: int, nch: int) -> "np.ndarray | None":
+def _png_unfilter(
+    raw: bytes, h: int, stride: int, bpp: int
+) -> "np.ndarray | None":
     """Reverse the per-scanline filters over one (sub-)image of exactly
-    ``(w*nch + 1) * h`` bytes; returns the reconstructed (h, w*nch)
-    int64 sample matrix or None on an unknown filter byte.
+    ``(stride + 1) * h`` bytes; returns the reconstructed (h, stride)
+    int64 byte matrix or None on an unknown filter byte.  ``stride`` is
+    the scanline width in BYTES and ``bpp`` the filter's left-neighbor
+    distance (bytes per pixel; 1 for sub-byte paletted depths, per the
+    PNG spec's filtering-on-bytes rule).
 
     Filters None/Up reconstruct vectorized; Sub/Average/Paeth carry a
     per-byte serial dependency along the scanline, so those rows
     reconstruct in a Python loop — fine for thumbnail-scale fixtures;
     a production deployment swaps in a codec library at
     :func:`_decode_image_impl` and none of this runs."""
-    stride = w * nch
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     out = np.zeros((h, stride), dtype=np.int64)
     for y in range(h):
@@ -134,13 +138,13 @@ def _png_unfilter(raw: bytes, h: int, w: int, nch: int) -> "np.ndarray | None":
         elif f in (1, 3, 4):  # Sub / Average / Paeth: serial in x
             rec = cur
             for x in range(stride):
-                a = rec[x - nch] if x >= nch else 0
+                a = rec[x - bpp] if x >= bpp else 0
                 if f == 1:
                     pred = a
                 elif f == 3:
                     pred = (a + prev[x]) >> 1
                 else:
-                    b, c = prev[x], prev[x - nch] if x >= nch else 0
+                    b, c = prev[x], prev[x - bpp] if x >= bpp else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -151,18 +155,34 @@ def _png_unfilter(raw: bytes, h: int, w: int, nch: int) -> "np.ndarray | None":
     return out
 
 
+def _png_unpack_indices(
+    rows: "np.ndarray", w: int, bitd: int
+) -> "np.ndarray":
+    """Unpack sub-byte palette indices from unfiltered scanline bytes
+    (MSB-first within each byte, per the PNG spec): (h, stride) bytes
+    -> (h, w) indices."""
+    if bitd == 8:
+        return rows[:, :w]
+    h = rows.shape[0]
+    bits = np.unpackbits(rows.astype(np.uint8), axis=1)  # (h, stride*8)
+    per = bits[:, : (w * bitd)].reshape(h, w, bitd)
+    weights = 1 << np.arange(bitd - 1, -1, -1)
+    return (per * weights).sum(axis=2)
+
+
 def _decode_png(content: bytes) -> "np.ndarray | None":
-    """REAL decoder for 8-bit-depth PNG (stdlib ``zlib`` + numpy, no
-    codec libraries): gray, gray+alpha, RGB, and RGBA color types; all
-    five scanline filters (None/Sub/Up/Average/Paeth); BOTH
-    non-interlaced and Adam7-interlaced layouts (interlace=1 is the
-    progressive-rendering variant real crawls carry, the PNG analogue
-    of progressive JPEG — seven sub-images with independent filtering,
-    scattered on the (x0, y0, dx, dy) pass grid).  Returns the luma
+    """REAL PNG decoder (stdlib ``zlib`` + numpy, no codec libraries):
+    8-bit gray, gray+alpha, RGB, RGBA, AND paletted (color type 3,
+    bit depths 1/2/4/8 — the GIF-converted-PNG variant real crawls
+    carry; sub-byte indices unpack MSB-first and filtering runs on the
+    packed BYTES with bpp=1 per the spec); all five scanline filters
+    (None/Sub/Up/Average/Paeth); BOTH non-interlaced and
+    Adam7-interlaced layouts for every color type.  Returns the luma
     plane as float32 (h, w) — same contract as :func:`_decode_bmp` —
     or None when the bytes are not such a PNG.  Sniffing is strict
-    (signature, IHDR fields, exact inflated length) so arbitrary
-    binary never mis-routes here."""
+    (signature, IHDR fields, exact inflated length, PLTE present and
+    large enough for every index used) so arbitrary binary never
+    mis-routes here."""
     import struct
     import zlib
 
@@ -172,8 +192,10 @@ def _decode_png(content: bytes) -> "np.ndarray | None":
     pos = len(sig)
     w = h = None
     ct = 0
+    bitd = 8
     interlace = 0
     idat = bytearray()
+    plte = None
     try:
         while pos + 8 <= len(content):
             (ln,) = struct.unpack_from(">I", content, pos)
@@ -187,11 +209,16 @@ def _decode_png(content: bytes) -> "np.ndarray | None":
                 )
                 if (
                     comp != 0 or filt != 0 or interlace not in (0, 1)
-                    or bitd != 8
-                    or ct not in (0, 2, 4, 6)
+                    or ct not in (0, 2, 3, 4, 6)
+                    or (ct != 3 and bitd != 8)
+                    or (ct == 3 and bitd not in (1, 2, 4, 8))
                     or w == 0 or h == 0 or w > 1 << 16 or h > 1 << 16
                 ):
                     return None
+            elif ctype == b"PLTE":
+                if ln % 3 or ln == 0:
+                    return None
+                plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
             elif ctype == b"IDAT":
                 idat += data
             elif ctype == b"IEND":
@@ -202,16 +229,27 @@ def _decode_png(content: bytes) -> "np.ndarray | None":
         raw = zlib.decompress(bytes(idat))
     except Exception:
         return None
-    nch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+    if ct == 3 and plte is None:
+        return None
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct]
+
+    def stride_of(width: int) -> int:
+        return -(-(width * bitd) // 8) if ct == 3 else width * nch
+
+    bpp = 1 if ct == 3 else nch
     if interlace == 0:
-        if len(raw) != (w * nch + 1) * h:
+        if len(raw) != (stride_of(w) + 1) * h:
             return None
-        out = _png_unfilter(raw, h, w, nch)
-        if out is None:
+        rows = _png_unfilter(raw, h, stride_of(w), bpp)
+        if rows is None:
             return None
+        if ct == 3:
+            out = _png_unpack_indices(rows, w, bitd)
+        else:
+            out = rows
     else:  # Adam7: 7 independently-filtered sub-images, scattered
         expect = sum(
-            (-(-(w - x0) // dx) * nch + 1) * (-(-(h - y0) // dy))
+            (stride_of(-(-(w - x0) // dx)) + 1) * (-(-(h - y0) // dy))
             for x0, y0, dx, dy in _ADAM7_PASSES
             if w > x0 and h > y0
         )
@@ -224,14 +262,28 @@ def _decode_png(content: bytes) -> "np.ndarray | None":
                 continue
             wp = -(-(w - x0) // dx)
             hp = -(-(h - y0) // dy)
-            nbytes = (wp * nch + 1) * hp
-            sub = _png_unfilter(raw[off : off + nbytes], hp, wp, nch)
+            nbytes = (stride_of(wp) + 1) * hp
+            sub = _png_unfilter(raw[off : off + nbytes], hp, stride_of(wp), bpp)
             if sub is None:
                 return None
             off += nbytes
+            if ct == 3:
+                sub = _png_unpack_indices(sub, wp, bitd)
             sub3 = sub.reshape(hp, wp, nch)
             full = out.reshape(h, w, nch)
             full[y0::dy, x0::dx, :] = sub3
+    if ct == 3:
+        idx = out.reshape(h, w)
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            return None
+        if (plte[:, 0] == plte[:, 1]).all() and (plte[:, 2] == plte[:, 1]).all():
+            # gray palette: the stored value IS the luma (the float32
+            # weights don't sum to exactly 1.0 — the WebP gray rule)
+            return plte[idx, 0].astype(np.float32)
+        rgb = plte[idx].astype(np.float32)
+        return (
+            0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        )
     px = out.reshape(h, w, nch).astype(np.float32)
     if ct in (0, 4):  # gray / gray+alpha: channel 0 IS the luma
         return px[..., 0]
@@ -402,9 +454,9 @@ def _decode_gif_frames(content: bytes) -> "list[np.ndarray] | None":
     sniffing INCLUDING truncation (a stream cut off mid-sub-block or
     missing its trailer rejects even if earlier frames decoded), so
     arbitrary binary never mis-routes here.
-    Interlaced frames reject (returns None): fixtures are sequential;
-    a production deployment swaps a codec library into
-    :func:`_decode_image_impl` and none of this runs."""
+    Interlaced frames (GIF's 4-pass progressive row order, flag 0x40)
+    decode for real: rows arrive pass-major and scatter back to their
+    display positions."""
     import struct
 
     if content is None or len(content) < 13:
@@ -461,8 +513,7 @@ def _decode_gif_frames(content: bytes) -> "list[np.ndarray] | None":
         except struct.error:
             return None
         pos += 9
-        if ipacked & 0x40:  # interlaced: out of scope, reject loudly
-            return None
+        interlaced = bool(ipacked & 0x40)
         ct = gct
         if ipacked & 0x80:
             n = 2 << (ipacked & 0x07)
@@ -492,6 +543,16 @@ def _decode_gif_frames(content: bytes) -> "list[np.ndarray] | None":
         if idx is None:
             return None
         px = idx.reshape(ih, iw)  # int32 — indexes the color table directly
+        if interlaced:
+            # GIF89a 4-pass interlace: decoded rows arrive pass-major
+            # (0::8, 4::8, 2::4, 1::2 of the image) — scatter them back
+            order = (
+                list(range(0, ih, 8)) + list(range(4, ih, 8))
+                + list(range(2, ih, 4)) + list(range(1, ih, 2))
+            )
+            de = np.empty_like(px)
+            de[order] = px
+            px = de
         if int(px.max()) >= len(ct):
             return None
         rgb = ct[px].astype(np.float32)
@@ -1029,6 +1090,8 @@ def encode_png(
     img: "np.ndarray",
     filters: "str | int | list[int]" = "rotate",
     interlace: bool = False,
+    palette: "list[tuple[int, int, int]] | None" = None,
+    bit_depth: int = 8,
 ) -> bytes:
     """Minimal 8-bit PNG WRITER (stdlib ``zlib`` +
     ``struct``): the synthesis half of :func:`_decode_png`, pairing
@@ -1048,16 +1111,52 @@ def encode_png(
     Filtering is exact uint8 arithmetic per the PNG spec (Average
     uses the floor of the 9-bit sum; Paeth the standard predictor),
     so encode -> decode roundtrips losslessly — the property the
-    catalog oracle replays from first principles."""
+    catalog oracle replays from first principles.
+
+    ``palette`` switches to color type 3: ``img`` is then ``(h, w)``
+    palette INDICES, ``bit_depth`` in (1, 2, 4, 8) packs them
+    MSB-first per scanline (the GIF-converted-PNG layout), PLTE is
+    written, and filtering runs on the packed bytes with bpp=1."""
     import struct
     import zlib
 
     arr = np.asarray(img)
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
-    h, w, nch = arr.shape
-    ct = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    if palette is not None:
+        if arr.ndim != 2:
+            raise ValueError("paletted encode takes (h, w) indices")
+        if bit_depth not in (1, 2, 4, 8):
+            raise ValueError("palette bit depth must be 1, 2, 4 or 8")
+        if int(arr.max(initial=0)) >= min(len(palette), 1 << bit_depth):
+            raise ValueError("palette index out of range for bit depth")
+        h, w = arr.shape
+        ct, nch, bpp = 3, 1, 1
+    else:
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        h, w, nch = arr.shape
+        ct = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+        bpp = nch
+        bit_depth = 8
     arr = arr.astype(np.int64) & 0xFF
+
+    def pack_rows(sub: "np.ndarray") -> "np.ndarray":
+        """(hp, wp[, nch]) samples -> (hp, stride) scanline bytes."""
+        if palette is None:
+            hp = sub.shape[0]
+            return sub.reshape(hp, -1)
+        hp, wp = sub.shape
+        if bit_depth == 8:
+            return sub
+        bits = (
+            (sub[:, :, None] >> np.arange(bit_depth - 1, -1, -1)) & 1
+        ).reshape(hp, wp * bit_depth)
+        pad = (-bits.shape[1]) % 8
+        if pad:
+            bits = np.concatenate(
+                [bits, np.zeros((hp, pad), dtype=bits.dtype)], axis=1
+            )
+        return np.packbits(bits.astype(np.uint8), axis=1).astype(np.int64)
+
     def schedule(n: int) -> "list[int]":
         if filters == "rotate":
             return [y % 5 for y in range(n)]
@@ -1066,18 +1165,16 @@ def encode_png(
         return list(filters)
 
     if not interlace:
-        raw = _png_filter_rows(arr.reshape(h, w * nch), nch, schedule(h))
+        raw = _png_filter_rows(pack_rows(arr), bpp, schedule(h))
     else:
         raw = bytearray()
         for x0, y0, dx, dy in _ADAM7_PASSES:
             if w <= x0 or h <= y0:
                 continue
-            sub = arr[y0::dy, x0::dx, :]
-            hp, wp = sub.shape[0], sub.shape[1]
+            sub = arr[y0::dy, x0::dx] if palette is not None else arr[y0::dy, x0::dx, :]
+            hp = sub.shape[0]
             raw += _png_filter_rows(
-                np.ascontiguousarray(sub).reshape(hp, wp * nch),
-                nch,
-                schedule(hp),
+                pack_rows(np.ascontiguousarray(sub)), bpp, schedule(hp)
             )
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
@@ -1088,11 +1185,13 @@ def encode_png(
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0,
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, ct, 0, 0,
                        1 if interlace else 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", b"".join(bytes(p[:3]) for p in palette))
     return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
+        out
         + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
         + chunk(b"IEND", b"")
     )
@@ -1133,6 +1232,7 @@ def encode_gif(
     palette: "list[tuple[int, int, int]]",
     w: int,
     h: int,
+    interlace: bool = False,
 ) -> bytes:
     """Minimal GIF89a WRITER (global color table, one full-canvas image
     per frame, spec-correct LZW with code-width growth and table-full
@@ -1154,8 +1254,16 @@ def encode_gif(
     clear = 1 << min_code
     eoi = clear + 1
     for frame in frames:
-        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        out += struct.pack(
+            "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0
+        )
         out += bytes([min_code])
+        if interlace:  # emit rows in 4-pass order (0::8, 4::8, 2::4, 1::2)
+            order = (
+                list(range(0, h, 8)) + list(range(4, h, 8))
+                + list(range(2, h, 4)) + list(range(1, h, 2))
+            )
+            frame = [frame[r] for r in order]
         table = {bytes([i]): i for i in range(clear)}
         next_code = eoi + 1
         code_size = min_code + 1

@@ -147,10 +147,14 @@ _DRIVER_FRESH = frozenset({
     "hll_sketch_rollup",
     "kll_quantile_rollup",
     "theta_sketch_set_ops",
-    #   - the image dispatch gained the WebP sniff branch (additive,
-    #     after all existing sniffs) — re-verify the generic dispatch
-    #     user as the canary
+    #   - the image dispatch gained the WebP sniff branch (additive),
+    #     and _decode_png/_png_unfilter were reworked for paletted PNG
+    #     (stride/bpp generalization touches every PNG decode) — the
+    #     PNG-family queries and the generic dispatch user re-verify
     "multimodal_image_features",
+    "png_image_stats",
+    "png_interlaced_stats",
+    "gif_frame_sampling",
 })
 
 
@@ -14785,4 +14789,90 @@ def q_streaming_media_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_samples_total"
             ),
         )
+    )
+
+
+@register(
+    "png_palette_stats",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id AS media_id FROM documents WHERE doc_id % 12 = 10
+    ),
+    px AS (
+        SELECT media_id,
+               (media_id * 31 + ((y * 3 + x * 5 + media_id) % 16) * 17)
+                   % 256 AS v
+        FROM ids, unnest(range(0, 16)) AS a(y), unnest(range(0, 16)) AS b(x)
+    )
+    SELECT media_id, 16 AS width, 16 AS height,
+           CAST(SUM(v * 1000000) AS BIGINT) AS luma_units
+    FROM px GROUP BY media_id
+    """,
+    doc="REAL PALETTED PNG decode (color type 3, 4-bit sub-byte "
+        "indices — the GIF-converted-PNG variant real crawls carry), "
+        "oracle-checked end to end through the codec: per selected "
+        "document a 16x16 image is synthesized at query time as 4-bit "
+        "palette indices idx(y,x) = (3y + 5x + id) mod 16 over a "
+        "16-entry GRAY palette v_k = (31*id + 17*k) mod 256, written "
+        "by encode_png(palette=..., bit_depth=4) — MSB-first bit "
+        "packing, filtering on the packed bytes with bpp=1, PLTE — "
+        "and decoded back through the shared dispatch (strict PLTE "
+        "presence + index-range checks).  Gray palettes return the "
+        "stored value exactly (the WebP gray-luma rule), so the DuckDB "
+        "oracle replays the palette formula directly — lossless, no "
+        "float tolerance.  Scale shape identical to png_image_stats: "
+        "1->1 mapInPandas, blobs never shuffle.",
+)
+def q_png_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 12 == 10)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def build(d: int) -> bytes:
+        import numpy as np
+
+        from etl_tiki_webscraping_spark.operators.multimodal import encode_png
+
+        pal = [((d * 31 + k * 17) % 256,) * 3 for k in range(16)]
+        y, x = np.mgrid[0:16, 0:16]
+        idx = ((y * 3 + x * 5 + d) % 16).astype(np.uint8)
+        return encode_png(idx, palette=pal, bit_depth=4)
+
+    blob_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "content": b["media_id"].map(lambda d: build(int(d))),
+                }
+            )
+
+    blobs = ids.mapInPandas(gen, blob_schema)
+    feats = extract_image_features(blobs)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.aggregate(
+            "feature",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        ).alias("luma_units"),
     )

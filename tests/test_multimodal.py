@@ -533,19 +533,32 @@ def test_gif_multiframe_composites_and_transparency():
     assert np.allclose(frames[1], 255.0)  # transparent paint = no-op
 
 
-def test_gif_decoder_rejects_garbage_and_interlace():
+def test_gif_decoder_rejects_garbage_and_reorders_interlace():
+    import numpy as np
+
     from etl_tiki_webscraping_spark.operators.multimodal import _decode_gif
 
     assert _decode_gif(b"not a gif at all") is None
     assert _decode_gif(b"GIF89a\x00\x00") is None
-    # interlace flag set -> loud rejection (documented out of scope)
+    # interlace flag no longer rejects (round 13): decoded rows scatter
+    # from pass order back to display order.  Flipping the flag on a
+    # SEQUENTIALLY-written 4-row stream permutes rows per the 4-pass
+    # map (0,8.. / 4,12.. / 2,6.. / 1,3..) -> stored rows land at
+    # display rows [0, 2, 1, 3].
     palette = [(0, 0, 0), (255, 255, 255)]
-    blob = bytearray(_make_gif([[[0, 1], [1, 0]]], palette, 2, 2))
-    # image descriptor: header(6) + lsd(7) + gct(2 colors x 3) = 19
+    rows = [[0, 0], [1, 1], [0, 1], [1, 0]]
+    blob = bytearray(_make_gif([rows], palette, 2, 4))
     desc = 6 + 7 + 3 * 2
     assert blob[desc] == 0x2C
     blob[desc + 9] = blob[desc + 9] | 0x40  # set interlace bit in ipacked
-    assert _decode_gif(bytes(blob)) is None
+    laced = _decode_gif(bytes(blob))
+    seq = _decode_gif(bytes(_make_gif([rows], palette, 2, 4)))
+    assert laced is not None
+    # decoder scatters stored row i to display row order[i], so
+    # gathering the laced decode back through `order` recovers the
+    # sequential decode — scatter is the inverse of the encoder gather
+    order = [0, 2, 1, 3]
+    assert np.array_equal(laced[order], seq)
 
 
 def test_gif_large_frame_vectorized_expansion_roundtrip():
@@ -929,3 +942,101 @@ def test_sample_video_frames_through_mapinpandas(spark):
     assert got[(1, 0)] == 256 * 128_000_000
     assert got[(1, 2)] == 256 * 132_000_000
     assert got[(2, -1)] is None  # quarantine row
+
+
+class TestPalettePngAndGifInterlace:
+    """Round-13 format completions: paletted PNG (color type 3, all
+    sub-byte depths, both layouts) and interlaced GIF."""
+
+    def test_palette_png_all_depths_both_layouts(self):
+        import numpy as np
+
+        from etl_tiki_webscraping_spark.operators.multimodal import (
+            _decode_png,
+            encode_png,
+        )
+
+        rng = np.random.default_rng(3)
+        for bd, ncol in ((1, 2), (2, 4), (4, 16), (8, 200)):
+            pal = [tuple(int(v) for v in row)
+                   for row in rng.integers(0, 256, (ncol, 3))]
+            idx = rng.integers(0, ncol, (13, 11)).astype(np.uint8)
+            parr = np.array(pal, dtype=np.float32)
+            exp = (0.299 * parr[idx][..., 0] + 0.587 * parr[idx][..., 1]
+                   + 0.114 * parr[idx][..., 2])
+            for interlace in (False, True):
+                enc = encode_png(
+                    idx, palette=pal, bit_depth=bd, interlace=interlace
+                )
+                luma = _decode_png(enc)
+                assert luma is not None and np.array_equal(luma, exp), (
+                    bd, interlace,
+                )
+
+    def test_gray_palette_returns_stored_value_exactly(self):
+        import numpy as np
+
+        from etl_tiki_webscraping_spark.operators.multimodal import (
+            _decode_png,
+            encode_png,
+        )
+
+        pal = [(v, v, v) for v in range(0, 256, 16)]
+        idx = (np.arange(64).reshape(8, 8) % 16).astype(np.uint8)
+        luma = _decode_png(encode_png(idx, palette=pal, bit_depth=4))
+        exp = np.array([p[0] for p in pal], dtype=np.float32)[idx]
+        assert (luma == exp).all()
+
+    def test_palette_strictness(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from etl_tiki_webscraping_spark.operators.multimodal import (
+            _decode_png,
+            encode_png,
+        )
+
+        pal = [(0, 0, 0), (255, 255, 255)]
+        enc = encode_png(
+            np.zeros((8, 8), np.uint8), palette=pal, bit_depth=8
+        )
+        assert _decode_png(enc[: len(enc) // 2]) is None
+
+        def chunk(t, d):
+            return (struct.pack(">I", len(d)) + t + d
+                    + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+        # an index beyond PLTE must reject (handcrafted 2x1, index 5)
+        ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+        bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"PLTE", b"\x00\x00\x00\xff\xff\xff")
+               + chunk(b"IDAT", zlib.compress(bytes([0, 0, 5])))
+               + chunk(b"IEND", b""))
+        assert _decode_png(bad) is None
+        # ct=3 without PLTE must reject
+        noplte = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                  + chunk(b"IDAT", zlib.compress(bytes([0, 0, 1])))
+                  + chunk(b"IEND", b""))
+        assert _decode_png(noplte) is None
+        with pytest.raises(ValueError):
+            encode_png(np.full((2, 2), 9, np.uint8), palette=pal,
+                       bit_depth=8)  # index out of palette range
+
+    def test_gif_interlaced_equals_sequential(self):
+        import numpy as np
+
+        from etl_tiki_webscraping_spark.operators.multimodal import (
+            _decode_gif_frames,
+            encode_gif,
+        )
+
+        pal = [((i * 16) % 256, 0, 0) for i in range(16)]
+        for h in (1, 2, 5, 9, 16):  # odd heights stress the pass maths
+            frame = [[(x + y) % 16 for x in range(10)] for y in range(h)]
+            seq = _decode_gif_frames(encode_gif([frame], pal, 10, h))
+            lace = _decode_gif_frames(
+                encode_gif([frame], pal, 10, h, interlace=True)
+            )
+            assert seq and lace and np.array_equal(seq[0], lace[0]), h

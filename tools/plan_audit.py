@@ -813,7 +813,8 @@ def main() -> int:
           "binary-media UDTF expansion evaluates per-partition; no "
           "shuffle, blobs never cross an exchange")
     for q in ("webp_image_stats", "flac_audio_features",
-              "audio_format_quarantine", "audio_stream_metadata"):
+              "audio_format_quarantine", "audio_stream_metadata",
+              "png_palette_stats"):
         p = plan_of(q)
         check(q,
               "MapInPandas" in p and "Exchange" not in p,
