@@ -237,6 +237,7 @@ HEADLINE = [
     ("udtf_mp3_frames", "hash"),
     ("streaming_media_triage", "collect"),
     ("png_palette_stats", "collect"),
+    ("langid_script_mixed", "hash"),
 ]
 
 

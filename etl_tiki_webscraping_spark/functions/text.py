@@ -362,3 +362,54 @@ def bigram_pmi(
             ).alias("pmi"),
         )
     )
+
+
+#: per-language script-range class bodies (the NO_SPACE_SCRIPT_CLASS
+#: vocabulary, split by language): shared \x{...} syntax, so the same
+#: strings drive Spark AND the DuckDB oracle.
+SCRIPT_RANGES = {
+    "zh": r"\x{4E00}-\x{9FFF}\x{3400}-\x{4DBF}\x{F900}-\x{FAFF}",  # Han
+    "ja": r"\x{3040}-\x{309F}\x{30A0}-\x{30FF}",                   # kana
+    "ko": r"\x{AC00}-\x{D7AF}",                                    # hangul
+    "th": r"\x{0E00}-\x{0E7F}",                                    # Thai
+}
+
+
+def script_char_count(col: Column | str, ranges: str) -> Column:
+    """Characters of ``col`` inside the ``\\x{...}`` class body —
+    length minus length-after-strip, chars not bytes (both engines
+    count codepoints)."""
+    c = _col(col)
+    return (
+        F.length(c) - F.length(F.regexp_replace(c, f"[{ranges}]", ""))
+    ).cast("bigint")
+
+
+def language_id_script(col: Column | str) -> Column:
+    """Script-aware language ID — closes the stopword classifier's CJK
+    blindspot (no-space scripts have no whitespace-token stopwords, so
+    :func:`language_id` returns 'und' for ALL CJK text):
+
+    1. kana anywhere above 5% of chars -> 'ja' (Japanese mixes Han +
+       kana, so kana presence outranks a Han majority — the standard
+       heuristic);
+    2. else the first of hangul/'ko', Thai/'th', Han/'zh' whose script
+       covers > 30% of chars;
+    3. else fall back to the stopword classifier.
+
+    One codegen'd CASE chain over regexp strip-counts — no UDF, no
+    shuffle, and the identical expression replays in DuckDB with the
+    shared ``\\x{...}`` class bodies."""
+    c = _col(col)
+    n = F.greatest(F.length(c), F.lit(1)).cast("double")
+    kana = script_char_count(c, SCRIPT_RANGES["ja"]).cast("double")
+    ko = script_char_count(c, SCRIPT_RANGES["ko"]).cast("double")
+    th = script_char_count(c, SCRIPT_RANGES["th"]).cast("double")
+    zh = script_char_count(c, SCRIPT_RANGES["zh"]).cast("double")
+    return (
+        F.when(kana / n > 0.05, F.lit("ja"))
+        .when(ko / n > 0.3, F.lit("ko"))
+        .when(th / n > 0.3, F.lit("th"))
+        .when(zh / n > 0.3, F.lit("zh"))
+        .otherwise(language_id(c))
+    )

@@ -14876,3 +14876,144 @@ def q_png_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long"),
         ).alias("luma_units"),
     )
+
+
+_CJK_HANG16 = "가나다라마바사아자차카타파하거너"
+_CJK_THAI16 = "กขคงจฉชซญดตถทนบป"
+
+
+def _langid_script_oracle() -> str:
+    """Script-aware classifier replay: the mixed fixture, the script
+    strip-counts with the SAME \\x{...} range strings as the Spark
+    expression, and the stopword fallback from the SAME STOPWORDS
+    table (both single sources of truth)."""
+    from etl_tiki_webscraping_spark.functions.text import (
+        SCRIPT_RANGES,
+        STOPWORDS,
+    )
+
+    lang_values = ", ".join(
+        "('{}', [{}])".format(lang, ", ".join(f"'{w}'" for w in words))
+        for lang, words in STOPWORDS.items()
+    )
+    r = SCRIPT_RANGES
+    return rf"""
+    WITH langid_mix AS (
+        SELECT doc_id,
+               CASE doc_id % 5
+                 WHEN 0 THEN translate(substring(md5('L:' || doc_id), 1, 24),
+                                       '{_CJK_HEX}', '{_CJK_HAN16}')
+                 WHEN 1 THEN translate(substring(md5('L:' || doc_id), 1, 12),
+                                       '{_CJK_HEX}', '{_CJK_HAN16}')
+                          || translate(substring(md5('L:' || doc_id), 13, 8),
+                                       '{_CJK_HEX}', '{_CJK_KANA16}')
+                 WHEN 2 THEN translate(substring(md5('L:' || doc_id), 1, 24),
+                                       '{_CJK_HEX}', '{_CJK_HANG16}')
+                 WHEN 3 THEN translate(substring(md5('L:' || doc_id), 1, 24),
+                                       '{_CJK_HEX}', '{_CJK_THAI16}')
+                 ELSE 'the quick brown fox and the lazy dog '
+                      || substring(coalesce(text, ''), 1, 30)
+               END AS text
+        FROM documents
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         t -> t <> '') AS tok
+      FROM langid_mix
+    ),
+    langs(lang, words) AS (VALUES {lang_values}),
+    scores AS (
+      SELECT doc_id, lang,
+             len(list_filter(tok, t -> list_contains(words, t))) AS v
+      FROM toks CROSS JOIN langs
+    ),
+    best AS (
+      SELECT doc_id, lang, v,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY v DESC, lang DESC) AS rn
+      FROM scores
+    ),
+    sw AS (
+      SELECT doc_id, CASE WHEN v > 0 THEN lang ELSE 'und' END AS sp
+      FROM best WHERE rn = 1
+    ),
+    cnts AS (
+      SELECT doc_id,
+             CAST(greatest(length(text), 1) AS DOUBLE) AS n,
+             CAST(length(text) - length(regexp_replace(text,
+                  '[{r["ja"]}]', '', 'g')) AS DOUBLE) AS kana,
+             CAST(length(text) - length(regexp_replace(text,
+                  '[{r["ko"]}]', '', 'g')) AS DOUBLE) AS ko,
+             CAST(length(text) - length(regexp_replace(text,
+                  '[{r["th"]}]', '', 'g')) AS DOUBLE) AS th,
+             CAST(length(text) - length(regexp_replace(text,
+                  '[{r["zh"]}]', '', 'g')) AS DOUBLE) AS zh
+      FROM langid_mix
+    )
+    SELECT c.doc_id,
+           CASE WHEN c.kana / c.n > 0.05 THEN 'ja'
+                WHEN c.ko / c.n > 0.3 THEN 'ko'
+                WHEN c.th / c.n > 0.3 THEN 'th'
+                WHEN c.zh / c.n > 0.3 THEN 'zh'
+                ELSE s.sp END AS pred_lang
+    FROM cnts c JOIN sw s USING (doc_id)
+    """
+
+
+@register(
+    "langid_script_mixed",
+    oracle=_langid_script_oracle(),
+    doc="script-aware language ID (functions/text.py::language_id_"
+        "script, round-13): closes the stopword classifier's CJK "
+        "blindspot — no-space scripts have NO whitespace-token "
+        "stopwords, so plain language_id returns 'und' for every CJK/"
+        "Thai document.  The script tier counts characters per "
+        "codepoint range (the shared \\x{...} class strings) via one "
+        "regexp strip per script: kana presence above 5% -> 'ja' "
+        "(Japanese mixes Han + kana, so kana outranks the Han "
+        "majority), then hangul/Thai/Han majorities, then the "
+        "stopword fallback for spaced scripts.  The fixture cycles "
+        "Han-only, Han+kana, hangul, Thai, and English texts "
+        "(deterministic md5 -> translate), so every branch of the "
+        "CASE chain is exercised; the oracle replays strip-counts, "
+        "thresholds, and the stopword argmax from the same constant "
+        "tables.  One codegen'd expression, no UDF, no shuffle.",
+)
+def q_langid_script_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.functions.text import language_id_script
+
+    h = F.md5(F.concat(F.lit("L:"), F.col("doc_id").cast("string")))
+    text = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.translate(F.substring(h, 1, 24), _CJK_HEX, _CJK_HAN16),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(
+                F.translate(F.substring(h, 1, 12), _CJK_HEX, _CJK_HAN16),
+                F.translate(F.substring(h, 13, 8), _CJK_HEX, _CJK_KANA16),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.translate(F.substring(h, 1, 24), _CJK_HEX, _CJK_HANG16),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.translate(F.substring(h, 1, 24), _CJK_HEX, _CJK_THAI16),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("the quick brown fox and the lazy dog "),
+                F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 30),
+            )
+        )
+    )
+    mix = load_table(spark, sf_dir, "documents").select(
+        "doc_id", text.alias("text")
+    )
+    return mix.select(
+        "doc_id", language_id_script("text").alias("pred_lang")
+    )

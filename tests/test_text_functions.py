@@ -334,3 +334,37 @@ def test_tokenize_mixed_py_matches_expression_form(spark):
     ]
     got_py = [tokenize_mixed_py(s) for s in samples]
     assert got_expr == got_py, list(zip(samples, got_expr, got_py))
+
+
+def test_language_id_script_closes_cjk_blindspot(spark):
+    """The stopword classifier alone returns 'und' for every no-space-
+    script text; the script tier classifies them and still defers to
+    stopwords for spaced scripts."""
+    from pyspark.sql import functions as F
+
+    from etl_tiki_webscraping_spark.functions.text import (
+        language_id,
+        language_id_script,
+    )
+
+    samples = [
+        ("zh", "日月火水木金土山川田中大小上下人日月火水"),
+        ("ja", "日月火水木金土あいうえお山川田中"),   # Han + kana -> ja
+        ("ko", "가나다라마바사아자차카타파하거너가나다라"),
+        ("th", "กขคงจฉชซญดตถทนบปกขคง"),
+        ("en", "the cat sat on the mat and it was good"),
+        ("und", "zxqv wvut 12345"),
+    ]
+    df = spark.createDataFrame([(e, t) for e, t in samples], "exp string, t string")
+    rows = df.select(
+        "exp",
+        language_id_script(F.col("t")).alias("script_pred"),
+        language_id(F.col("t")).alias("stopword_pred"),
+    ).collect()
+    for r in rows:
+        assert r["script_pred"] == r["exp"], (r["exp"], r["script_pred"])
+    # the blindspot itself: stopword-only says 'und' for all CJK rows
+    assert all(
+        r["stopword_pred"] == "und"
+        for r in rows if r["exp"] in ("zh", "ja", "ko", "th")
+    )
