@@ -238,6 +238,7 @@ HEADLINE = [
     ("streaming_media_triage", "collect"),
     ("png_palette_stats", "collect"),
     ("langid_script_mixed", "hash"),
+    ("webp_variants_stats", "collect"),
 ]
 
 

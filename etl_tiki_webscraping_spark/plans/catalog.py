@@ -15017,3 +15017,102 @@ def q_langid_script_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix.select(
         "doc_id", language_id_script("text").alias("pred_lang")
     )
+
+
+@register(
+    "webp_variants_stats",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id AS media_id FROM documents WHERE doc_id % 14 = 9
+    ),
+    px AS (
+        SELECT media_id,
+               CASE WHEN media_id % 2 = 0
+                    THEN (media_id * 29
+                          + ((y * 5 + x * 7 + media_id) % 16) * 13) % 256
+                    ELSE (media_id + 7 * y + 11 * x) % 256
+               END AS v
+        FROM ids, unnest(range(0, 16)) AS a(y), unnest(range(0, 16)) AS b(x)
+    )
+    SELECT media_id, 16 AS width, 16 AS height,
+           CAST(SUM(v * 1000000) AS BIGINT) AS luma_units
+    FROM px GROUP BY media_id
+    """,
+    doc="VP8L decoder VARIANT coverage in the VERIFIED path (round-13; "
+        "webp_image_stats covers subtract-green only): EVEN docs "
+        "encode as COLOR-INDEXED WebP (16-entry gray palette, 4-bit "
+        "sub-byte bundling — the palette transform + unbundling "
+        "branches), ODD docs as subtract-green + CONSTANT-MODE "
+        "PREDICTOR (mode 2/Up) + COLOR CACHE (6 bits) + LZ77 LEFT "
+        "RUNS (the backward-reference + cache-hit + predictor-inverse "
+        "branches) — together with webp_image_stats, every encoder-"
+        "reachable VP8L branch now sits under the driver's oracle "
+        "gate, not just unit tests.  Both variants are LOSSLESS over "
+        "gray pixels (stored-channel luma), so the DuckDB oracle "
+        "replays the two pixel formulas directly.  Scale shape: 1->1 "
+        "mapInPandas, blobs never shuffle.",
+)
+def q_webp_variants_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 14 == 9)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def build(d: int) -> bytes:
+        import numpy as np
+
+        from etl_tiki_webscraping_spark.operators.webp import (
+            encode_webp_lossless,
+        )
+
+        y, x = np.mgrid[0:16, 0:16]
+        if d % 2 == 0:
+            idx = ((y * 5 + x * 7 + d) % 16).astype(np.uint8)
+            pal = np.array(
+                [[(d * 29 + k * 13) % 256] * 3 for k in range(16)],
+                dtype=np.uint8,
+            )
+            return encode_webp_lossless(pal[idx], palette=True)
+        img = ((d + 7 * y + 11 * x) % 256).astype(np.uint8)
+        return encode_webp_lossless(
+            img, subtract_green=True, predictor_mode=2,
+            cache_bits=6, lz77_left_runs=True,
+        )
+
+    blob_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "content": b["media_id"].map(lambda d: build(int(d))),
+                }
+            )
+
+    blobs = ids.mapInPandas(gen, blob_schema)
+    feats = extract_image_features(blobs)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.aggregate(
+            "feature",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        ).alias("luma_units"),
+    )

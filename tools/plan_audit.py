@@ -814,7 +814,7 @@ def main() -> int:
           "shuffle, blobs never cross an exchange")
     for q in ("webp_image_stats", "flac_audio_features",
               "audio_format_quarantine", "audio_stream_metadata",
-              "png_palette_stats"):
+              "png_palette_stats", "webp_variants_stats"):
         p = plan_of(q)
         check(q,
               "MapInPandas" in p and "Exchange" not in p,
