@@ -954,3 +954,51 @@ def test_mp3_walk_reconstructs_schedule(indices, sr_idx):
     m = parse_mp3_stream(enc)
     assert m["n_frames"] == len(indices)
     assert parse_mp3_stream(enc[:-1]) is None
+
+
+@given(blob=st.binary(min_size=0, max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_no_decoder_ever_raises_on_arbitrary_bytes(blob):
+    """A decoder exception inside a mapInPandas kernel kills the whole
+    task — every strict parser must return None (or route to the
+    deterministic fake) on ANY input, never raise.  Also fuzzes with
+    real-magic prefixes so the post-sniff parse paths are reached."""
+    import numpy as np
+
+    from etl_tiki_webscraping_spark.operators.audiometa import (
+        parse_mp3_stream,
+        parse_ogg_stream,
+    )
+    from etl_tiki_webscraping_spark.operators.flac import decode_flac_pcm
+    from etl_tiki_webscraping_spark.operators.jpeg import decode_jpeg_luma
+    from etl_tiki_webscraping_spark.operators.multimodal import (
+        _decode_audio_impl,
+        _decode_bmp,
+        _decode_gif_frames,
+        _decode_image_impl,
+        _decode_png,
+        _decode_wav,
+        sniff_audio_container,
+    )
+    from etl_tiki_webscraping_spark.operators.webp import (
+        decode_webp_lossless,
+    )
+
+    prefixes = [
+        b"", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"BM", b"\xff\xd8\xff",
+        b"RIFF\x20\x00\x00\x00WEBPVP8L", b"fLaC", b"OggS", b"ID3\x04\x00",
+        b"\xff\xfb", b"RIFF\x20\x00\x00\x00WAVE",
+        b"RIFF\x20\x00\x00\x00AVI ",
+    ]
+    for pre in prefixes:
+        data = pre + blob
+        for fn in (
+            _decode_png, _decode_bmp, _decode_gif_frames, _decode_wav,
+            decode_webp_lossless, decode_flac_pcm, decode_jpeg_luma,
+            parse_mp3_stream, parse_ogg_stream, sniff_audio_container,
+        ):
+            fn(data)  # must not raise; return value unconstrained here
+        img = _decode_image_impl(data)       # falls back to the 8x8 fake
+        assert isinstance(img, np.ndarray)
+        wav = _decode_audio_impl(data)
+        assert isinstance(wav, np.ndarray)
