@@ -1,4 +1,4 @@
-"""Pure-python FLAC codec (mono, 16-bit) — the compressed-audio leg
+"""Pure-python FLAC codec (mono + stereo, 16-bit) — the compressed-audio leg
 of the multimodal surface (round-12 VERDICT ask #4: real crawls carry
 MP3/FLAC/Ogg; audio was 16-bit PCM WAV only).  Like
 :mod:`.jpeg`/:mod:`.webp`, everything is stdlib + numpy from the
@@ -11,16 +11,21 @@ a final MD5 signature over the raw PCM) — no libFLAC lineage.
 Decoder scope (strict — the GIF truncation rule: malformed bytes,
 a failed CRC, a sample-count or MD5 mismatch all return None, so
 arbitrary binary never mis-routes and corruption is never silently
-truncated): mono 16-bit streams, all subframe types, both Rice
-methods, any partition order, wasted-bits.  Multi-channel /
-other-depth streams are out of the fixture scope and rejected
-(observable per-format quarantine, the WAV 16-bit rule).
+truncated): mono and STEREO 16-bit streams — stereo under all four
+channel assignments (independent, left/side, right/side, mid/side;
+side channels carry bps + 1 bits, mid/side keeps the parity bit in
+the side channel) — all subframe types, both Rice methods, any
+partition order, wasted-bits.  >2 channels / other depths are out of
+scope and rejected (observable per-format quarantine, the WAV 16-bit
+rule).
 
 Encoder scope (:func:`encode_flac`): frame splitting, best-of
 fixed-predictor orders 0-2 with per-partition Rice parameter search,
-plus option flags that force specific decoder branches (verbatim,
-constant, an order-1 LPC equivalent, the escape coding, higher
-partition orders) so tests exercise every path end to end.
+all four stereo channel assignments (left/side genuinely beats
+independent on correlated channels — measured in tests), plus option
+flags that force specific decoder branches (verbatim, constant, an
+order-1 LPC equivalent, the escape coding, higher partition orders)
+so tests exercise every path end to end.
 
 FLAC is LOSSLESS, so decode(encode(pcm)) == pcm exactly — integer
 samples an external engine can replay from first principles, which is
@@ -350,9 +355,20 @@ _BLOCKSIZE_CODE = {1: 192, **{n: 576 << (n - 2) for n in range(2, 6)},
 
 
 def decode_flac_pcm(content: bytes) -> "np.ndarray | None":
-    """Strict mono 16-bit FLAC decode: returns the int32 PCM samples
-    or None (wrong magic, unsupported layout, CRC/MD5/sample-count
-    mismatch, truncation)."""
+    """Strict 16-bit FLAC decode, FIRST channel as 1-D int32 (the
+    ``_decode_wav`` first-channel convention) — see
+    :func:`decode_flac_pcm_multi` for all channels."""
+    multi = decode_flac_pcm_multi(content)
+    return multi[:, 0].copy() if multi is not None else None
+
+
+def decode_flac_pcm_multi(content: bytes) -> "np.ndarray | None":
+    """Strict 16-bit FLAC decode: returns the int32 PCM samples as
+    ``(n_samples, channels)`` — mono and STEREO, the latter under all
+    four channel assignments (independent, left/side, right/side,
+    mid/side; side channels carry bps+1 bits and the standard
+    decorrelation inverses) — or None (wrong magic, unsupported
+    layout, CRC/MD5/sample-count mismatch, truncation)."""
     if content is None or len(content) < 42 or content[:4] != b"fLaC":
         return None
     pos = 4
@@ -383,7 +399,7 @@ def decode_flac_pcm(content: bytes) -> "np.ndarray | None":
     bps = si.read(5) + 1
     total = si.read(36)
     md5_sig = streaminfo[18:34]
-    if channels != 1 or bps != 16 or sample_rate == 0 or total == 0:
+    if channels not in (1, 2) or bps != 16 or sample_rate == 0 or total == 0:
         return None
     samples: "list[np.ndarray]" = []
     got = 0
@@ -403,7 +419,12 @@ def decode_flac_pcm(content: bytes) -> "np.ndarray | None":
         ss_code = br.read(3)
         if br.read(1) != 0:
             return None
-        if ch_code != 0 or ss_code != 0b100:  # mono, 16-bit
+        if ss_code != 0b100:  # 16-bit only
+            return None
+        if channels == 1:
+            if ch_code != 0:
+                return None
+        elif ch_code not in (1, 8, 9, 10):  # 2ch indep / L-S / R-S / M-S
             return None
         if _utf8_number_decode(br) is None:
             return None
@@ -437,9 +458,30 @@ def decode_flac_pcm(content: bytes) -> "np.ndarray | None":
         crc8 = br.read(8)
         if crc8 is None or _crc8(content[pos : hdr_end_bits // 8]) != crc8:
             return None
-        sub = _decode_subframe(br, blocksize, 16)
-        if sub is None:
-            return None
+        if channels == 1:
+            sub = _decode_subframe(br, blocksize, 16)
+            if sub is None:
+                return None
+            frame = sub[:, None]
+        else:
+            # per-channel bits: the SIDE channel carries bps + 1
+            bits0 = 17 if ch_code == 9 else 16
+            bits1 = 17 if ch_code in (8, 10) else 16
+            c0 = _decode_subframe(br, blocksize, bits0)
+            c1 = _decode_subframe(br, blocksize, bits1) if c0 is not None else None
+            if c0 is None or c1 is None:
+                return None
+            if ch_code == 1:  # independent L, R
+                left, right = c0, c1
+            elif ch_code == 8:  # left / side
+                left, right = c0, c0 - c1
+            elif ch_code == 9:  # side / right
+                left, right = c1 + c0, c1
+            else:  # mid / side: mid = (l+r)>>1 with the parity bit in side
+                mid2 = (c0 << 1) | (c1 & 1)
+                left = (mid2 + c1) >> 1
+                right = (mid2 - c1) >> 1
+            frame = np.stack([left, right], axis=1)
         br.align()
         crc16 = br.read(16)
         if crc16 is None:
@@ -447,14 +489,16 @@ def decode_flac_pcm(content: bytes) -> "np.ndarray | None":
         frame_end = br.bitpos // 8
         if _crc16(content[pos : frame_end - 2]) != crc16:
             return None
-        if sub.size and (int(sub.max()) > 32767 or int(sub.min()) < -32768):
+        if frame.size and (
+            int(frame.max()) > 32767 or int(frame.min()) < -32768
+        ):
             return None
-        samples.append(sub)
+        samples.append(frame)
         got += blocksize
         pos = frame_end
     if got != total or pos != len(content):  # no trailing garbage
         return None
-    pcm = np.concatenate(samples).astype(np.int32)
+    pcm = np.concatenate(samples).astype(np.int32)  # (n, channels)
     if _md5(pcm.astype("<i2").tobytes()).digest() != md5_sig:
         return None
     return pcm
@@ -515,6 +559,11 @@ def _write_residual(
                     bw.write(z & ((1 << param) - 1), param)
 
 
+_STEREO_CH_CODE = {
+    "independent": 1, "left_side": 8, "right_side": 9, "mid_side": 10,
+}
+
+
 def encode_flac(
     pcm: "np.ndarray",
     sample_rate: int = 16_000,
@@ -523,19 +572,28 @@ def encode_flac(
     fixed_order: "int | None" = None,
     partition_order: int = 0,
     force_escape: bool = False,
+    stereo_mode: str = "mid_side",
 ) -> bytes:
-    """Mono 16-bit FLAC writer.  ``subframe``: 'fixed' (best of orders
-    0-2, or ``fixed_order`` pinned), 'verbatim', 'constant' (requires
-    constant input), or 'lpc1' (an LPC subframe with coefficient 32 /
-    shift 5 — numerically order-1 fixed, but through the decoder's LPC
-    path).  ``partition_order``/``force_escape`` steer the residual
-    coder into specific decoder branches."""
+    """16-bit FLAC writer — mono ``(n,)`` or STEREO ``(n, 2)`` input.
+    ``subframe``: 'fixed' (best of orders 0-2, or ``fixed_order``
+    pinned), 'verbatim', 'constant' (requires constant input), or
+    'lpc1' (an LPC subframe with coefficient 32 / shift 5 —
+    numerically order-1 fixed, but through the decoder's LPC path).
+    ``partition_order``/``force_escape`` steer the residual coder into
+    specific decoder branches.  ``stereo_mode`` picks the channel
+    assignment ('independent', 'left_side', 'right_side', 'mid_side' —
+    side channels carry bps + 1 bits per the spec)."""
     pcm = np.asarray(pcm, dtype=np.int64)
-    if pcm.ndim != 1 or pcm.size == 0:
-        raise ValueError("pcm must be a non-empty 1-D array")
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    if pcm.ndim != 2 or pcm.shape[1] not in (1, 2) or pcm.shape[0] == 0:
+        raise ValueError("pcm must be non-empty (n,) mono or (n, 2) stereo")
     if int(pcm.max()) > 32767 or int(pcm.min()) < -32768:
         raise ValueError("16-bit PCM required")
-    total = pcm.size
+    channels = pcm.shape[1]
+    if channels == 2 and stereo_mode not in _STEREO_CH_CODE:
+        raise ValueError(f"unknown stereo_mode {stereo_mode!r}")
+    total = pcm.shape[0]
     out = bytearray(b"fLaC")
     si = _BitWriterMSB()
     last_bs = total % blocksize or blocksize
@@ -544,7 +602,7 @@ def encode_flac(
     si.write(0, 24)
     si.write(0, 24)
     si.write(sample_rate, 20)
-    si.write(0, 3)   # channels - 1
+    si.write(channels - 1, 3)
     si.write(15, 5)  # bps - 1
     si.write(total, 36)
     body = si.getvalue() + _md5(pcm.astype("<i2").tobytes()).digest()
@@ -553,8 +611,8 @@ def encode_flac(
     out += body
 
     for fi, start in enumerate(range(0, total, blocksize)):
-        block = pcm[start : start + blocksize]
-        bs = block.size
+        block2 = pcm[start : start + blocksize]
+        bs = block2.shape[0]
         bw = _BitWriterMSB()
         bw.write(0b11111111111110, 14)
         bw.write(0, 1)
@@ -568,7 +626,8 @@ def encode_flac(
             bs_code, bs_tail = 7, (bs - 1, 16)
         bw.write(bs_code, 4)
         bw.write(0, 4)      # sample rate: from STREAMINFO
-        bw.write(0, 4)      # mono
+        ch_code = 0 if channels == 1 else _STEREO_CH_CODE[stereo_mode]
+        bw.write(ch_code, 4)
         bw.write(0b100, 3)  # 16-bit
         bw.write(0, 1)
         for b in _utf8_number_encode(fi):
@@ -578,58 +637,92 @@ def encode_flac(
         hdr = bw.out[:]
         assert bw.nbits == 0
         bw.write(_crc8(bytes(hdr)), 8)
-        # subframe
-        mode = subframe
-        if mode == "constant" and not (block == block[0]).all():
-            raise ValueError("constant subframe needs constant input")
-        if mode == "fixed":
-            orders = [fixed_order] if fixed_order is not None else [0, 1, 2]
-            best_order, best_cost = 0, None
-            for o in orders:
-                if o >= bs:
-                    continue
-                res = _fixed_residual(block, o)
-                cost = sum(_zigzag_encode(v).bit_length() for v in res)
-                if best_cost is None or cost < best_cost:
-                    best_order, best_cost = o, cost
-            o = best_order
-            bw.write(0, 1)
-            bw.write(8 + o, 6)
-            bw.write(0, 1)  # no wasted bits
-            for v in block[:o]:
-                bw.write(int(v) & 0xFFFF, 16)
-            _write_residual(
-                bw, _fixed_residual(block, o), o, bs, partition_order,
+        # channel streams + per-channel bit widths
+        if channels == 1:
+            streams = [(block2[:, 0], 16)]
+        else:
+            left, right = block2[:, 0], block2[:, 1]
+            side = left - right
+            if stereo_mode == "independent":
+                streams = [(left, 16), (right, 16)]
+            elif stereo_mode == "left_side":
+                streams = [(left, 16), (side, 17)]
+            elif stereo_mode == "right_side":
+                streams = [(side, 17), (right, 16)]
+            else:  # mid_side
+                mid = (left + right) >> 1
+                streams = [(mid, 16), (side, 17)]
+        for block, bits in streams:
+            _write_channel_subframe(
+                bw, block, bits, subframe, fixed_order, partition_order,
                 force_escape,
             )
-        elif mode == "verbatim":
-            bw.write(0, 1)
-            bw.write(1, 6)
-            bw.write(0, 1)
-            for v in block:
-                bw.write(int(v) & 0xFFFF, 16)
-        elif mode == "constant":
-            bw.write(0, 1)
-            bw.write(0, 6)
-            bw.write(0, 1)
-            bw.write(int(block[0]) & 0xFFFF, 16)
-        elif mode == "lpc1":
-            bw.write(0, 1)
-            bw.write(32, 6)  # LPC order 1
-            bw.write(0, 1)
-            bw.write(int(block[0]) & 0xFFFF, 16)
-            bw.write(6, 4)   # precision - 1 = 6 -> 7 bits (+32 needs 7 signed)
-            bw.write(5, 5)   # shift 5
-            bw.write(32, 7)  # coefficient 32: (32*prev)>>5 = prev
-            res = [int(block[i]) - int(block[i - 1]) for i in range(1, bs)]
-            _write_residual(bw, res, 1, bs, partition_order, force_escape)
-        else:
-            raise ValueError(f"unknown subframe mode {mode!r}")
         bw.align()
         frame = bytes(bw.out)
         out += frame
         out += struct.pack(">H", _crc16(frame))
     return bytes(out)
+
+
+def _write_channel_subframe(
+    bw: "_BitWriterMSB",
+    block: "np.ndarray",
+    bits: int,
+    subframe: str,
+    fixed_order: "int | None",
+    partition_order: int,
+    force_escape: bool,
+) -> None:
+    """One subframe at ``bits`` sample width (17 for side channels)."""
+    bs = block.size
+    mask = (1 << bits) - 1
+
+    mode = subframe
+    if mode == "constant" and not (block == block[0]).all():
+        raise ValueError("constant subframe needs constant input")
+    if mode == "fixed":
+        orders = [fixed_order] if fixed_order is not None else [0, 1, 2]
+        best_order, best_cost = 0, None
+        for o in orders:
+            if o >= bs:
+                continue
+            res = _fixed_residual(block, o)
+            cost = sum(_zigzag_encode(v).bit_length() for v in res)
+            if best_cost is None or cost < best_cost:
+                best_order, best_cost = o, cost
+        o = best_order
+        bw.write(0, 1)
+        bw.write(8 + o, 6)
+        bw.write(0, 1)  # no wasted bits
+        for v in block[:o]:
+            bw.write(int(v) & mask, bits)
+        _write_residual(
+            bw, _fixed_residual(block, o), o, bs, partition_order,
+            force_escape,
+        )
+    elif mode == "verbatim":
+        bw.write(0, 1)
+        bw.write(1, 6)
+        bw.write(0, 1)
+        for v in block:
+            bw.write(int(v) & mask, bits)
+    elif mode == "constant":
+        bw.write(0, 1)
+        bw.write(0, 6)
+        bw.write(0, 1)
+        bw.write(int(block[0]) & mask, bits)
+    elif mode == "lpc1":
+        bw.write(0, 1)
+        bw.write(32, 6)  # LPC order 1
+        bw.write(0, 1)
+        bw.write(int(block[0]) & mask, bits)
+        bw.write(6, 4)   # precision - 1 = 6 -> 7 bits (+32 needs 7 signed)
+        bw.write(5, 5)   # shift 5
+        bw.write(32, 7)  # coefficient 32: (32*prev)>>5 = prev
+        res = [int(block[i]) - int(block[i - 1]) for i in range(1, bs)]
+        _write_residual(bw, res, 1, bs, partition_order, force_escape)
+    else:
+        raise ValueError(f"unknown subframe mode {mode!r}")
 
 
 def _fixed_residual(block: "np.ndarray", order: int) -> "list[int]":

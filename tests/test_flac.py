@@ -152,3 +152,84 @@ def test_pcm_features_quarantine_row(spark):
     assert rows[1]["sum_abs_units"] == int(np.abs(TRI).sum())
     assert rows[2]["n_samples"] is None  # corrupt FLAC quarantined
     assert rows[3]["n_samples"] is None
+
+
+class TestStereo:
+    """Stereo FLAC (round-13 second pass): all four channel
+    assignments roundtrip exactly; side channels carry 17 bits."""
+
+    L = _RNG.integers(-32768, 32768, 700).astype(np.int64)
+    R = (L + _RNG.integers(-2000, 2000, 700)).clip(-32768, 32767).astype(
+        np.int64
+    )
+    STEREO = np.stack([L, R], axis=1)
+
+    @pytest.mark.parametrize(
+        "mode", ["independent", "left_side", "right_side", "mid_side"]
+    )
+    def test_roundtrip_all_assignments(self, mode):
+        from etl_tiki_webscraping_spark.operators.flac import (
+            decode_flac_pcm,
+            decode_flac_pcm_multi,
+            encode_flac,
+        )
+
+        enc = encode_flac(self.STEREO, stereo_mode=mode)
+        out = decode_flac_pcm_multi(enc)
+        assert out is not None and (out == self.STEREO).all()
+        # the 1-D contract returns the FIRST channel
+        assert (decode_flac_pcm(enc) == self.L).all()
+
+    def test_side_channel_extremes_need_17_bits(self):
+        from etl_tiki_webscraping_spark.operators.flac import (
+            decode_flac_pcm_multi,
+            encode_flac,
+        )
+
+        ext = np.array(
+            [[-32768, 32767], [32767, -32768], [0, 0], [-1, 1]],
+            dtype=np.int64,
+        )  # side = ±65535: overflows 16 bits, exercises bps+1
+        for mode in ("left_side", "right_side", "mid_side"):
+            out = decode_flac_pcm_multi(
+                encode_flac(ext, stereo_mode=mode, subframe="verbatim")
+            )
+            assert out is not None and (out == ext).all(), mode
+
+    def test_decorrelation_beats_independent_on_correlated_input(self):
+        from etl_tiki_webscraping_spark.operators.flac import encode_flac
+
+        indep = len(encode_flac(self.STEREO, stereo_mode="independent"))
+        ls = len(encode_flac(self.STEREO, stereo_mode="left_side"))
+        assert ls < indep  # the point of stereo decorrelation
+
+    def test_stereo_strictness_and_md5(self):
+        from etl_tiki_webscraping_spark.operators.flac import (
+            decode_flac_pcm_multi,
+            encode_flac,
+        )
+
+        enc = encode_flac(self.STEREO, stereo_mode="mid_side")
+        assert decode_flac_pcm_multi(enc[:-2]) is None
+        bad = bytearray(enc)
+        bad[80] ^= 0x10
+        assert decode_flac_pcm_multi(bytes(bad)) is None
+
+    def test_audio_dispatch_takes_first_channel(self, spark):
+        from pyspark.sql import types as T
+
+        from etl_tiki_webscraping_spark.operators.flac import encode_flac
+        from etl_tiki_webscraping_spark.operators.multimodal import (
+            extract_audio_features,
+        )
+
+        enc = encode_flac(self.STEREO, stereo_mode="left_side")
+        df = spark.createDataFrame(
+            [(1, bytearray(enc))],
+            T.StructType([
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("content", T.BinaryType(), False),
+            ]),
+        )
+        row = extract_audio_features(df).collect()[0]
+        assert row["n_samples"] == self.STEREO.shape[0]
