@@ -19,9 +19,10 @@ cache, and all four transforms (all 14 predictor modes).
 
 Encoder scope (:func:`encode_webp_lossless`): the fixture-synthesis
 half — literal streams under real canonical Huffman codes, optional
-subtract-green / constant-mode predictor / palette (with bundling)
-transforms, optional color cache, and optional left-run LZ77 — enough
-to exercise every decoder branch end to end in tests and to let the
+subtract-green / constant-mode predictor / cross-color / palette
+(with bundling) transforms, optional color cache, optional left-run
+LZ77, and an optional two-group META-HUFFMAN split — enough to
+exercise every decoder branch end to end in tests and to let the
 catalog oracle replay a lossless roundtrip from first principles.
 
 The 120-entry distance map is GENERATED from the spec's ordering rule
@@ -805,6 +806,7 @@ def encode_webp_lossless(
     cache_bits: int = 0,
     lz77_left_runs: bool = False,
     cross_color: "tuple[int, int, int] | None" = None,
+    meta_split: bool = False,
 ) -> bytes:
     """Minimal VP8L WRITER: ``img`` is uint8-valued ``(h, w)`` gray,
     ``(h, w, 3)`` RGB, or ``(h, w, 4)`` RGBA.  Literal streams under
@@ -819,7 +821,11 @@ def encode_webp_lossless(
     - ``cache_bits``: emit color-cache hits (the encoder maintains the
       same 0x1e35a7bd cache the decoder does);
     - ``lz77_left_runs``: emit a backward reference (plane code for
-      (dx=1, dy=0)) for runs of >= 4 identical consecutive pixels.
+      (dx=1, dy=0)) for runs of >= 4 identical consecutive pixels;
+    - ``meta_split``: TWO Huffman groups selected by a meta-Huffman
+      image (8-px blocks; the left half of the block grid is group 0,
+      the right half group 1) — the multi-group decoder path no other
+      option reaches.  Mutually exclusive with cache/lz77/palette.
 
     Lossless by construction: encode -> decode roundtrips exactly (the
     property the catalog oracle replays from first principles)."""
@@ -957,8 +963,84 @@ def encode_webp_lossless(
                 res[y, x] = (img4[y, x] - pred) & 0xFF
         px = res.reshape(-1, 4)
     bw.write(0, 1)  # end of transforms
-    _write_entropy_literals(bw, px, cache_bits, lz77_left_runs, coded_w, level0=True)
+    if meta_split:
+        if cache_bits or lz77_left_runs or palette:
+            raise ValueError("meta_split composes with transforms only")
+        _write_entropy_meta_groups(bw, px, w, h)
+    else:
+        _write_entropy_literals(
+            bw, px, cache_bits, lz77_left_runs, coded_w, level0=True
+        )
     return _wrap_container(bw.getvalue())
+
+
+def _write_entropy_meta_groups(
+    bw: _BitWriter, px: np.ndarray, w: int, h: int
+) -> None:
+    """Write a level-0 spatially-coded image with TWO Huffman groups
+    via a meta-Huffman image (huffman_bits = 3, i.e. 8-px blocks;
+    group = 0 for the left half of the block grid, 1 for the right) —
+    literals only.  Exercises the decoder's meta-image recursion and
+    per-pixel group routing."""
+    bw.write(0, 1)  # no color cache
+    bw.write(1, 1)  # meta-Huffman present
+    bw.write(3 - 2, 3)  # huffman_bits = 3
+    hw = -(-w // 8)
+    hh = -(-h // 8)
+    # meta pixels: group index in (red << 8) | green -> red 0, green g;
+    # a single-column block grid degenerates to one group (the decoder
+    # reads max-index + 1 tree groups, so the write must match)
+    split = max(1, hw // 2)
+    n_groups = 2 if split < hw else 1
+    meta = np.zeros((hh * hw, 4), dtype=np.int64)
+    meta[:, 0] = 255
+    for by in range(hh):
+        for bx in range(hw):
+            meta[by * hw + bx, 2] = 0 if bx < split else 1
+    _write_entropy_literals(bw, meta, 0, False)
+
+    def group_of(i: int) -> int:
+        y, x = divmod(i, w)
+        return 0 if (x >> 3) < split else 1
+
+    n = px.shape[0]
+    freqs = [
+        {"g": {}, "r": {}, "b": {}, "a": {}} for _ in range(n_groups)
+    ]
+    for i in range(n):
+        a, r, g, b = (int(v) for v in px[i])
+        f = freqs[group_of(i)]
+        f["g"][g] = f["g"].get(g, 0) + 1
+        f["r"][r] = f["r"].get(r, 0) + 1
+        f["b"][b] = f["b"].get(b, 0) + 1
+        f["a"][a] = f["a"].get(a, 0) + 1
+    groups = []
+    for f in freqs:
+        for key, alpha_size in (("g", 256 + _NUM_LENGTH_CODES), ("r", 256),
+                                ("b", 256), ("a", 256)):
+            if not f[key]:
+                f[key][0] = 1
+        lens = {k: _huffman_lengths(f[k]) for k in ("g", "r", "b", "a")}
+        lens_d = _huffman_lengths({0: 1})
+        _write_huffman_code(bw, lens["g"], 256 + _NUM_LENGTH_CODES)
+        _write_huffman_code(bw, lens["r"], 256)
+        _write_huffman_code(bw, lens["b"], 256)
+        _write_huffman_code(bw, lens["a"], 256)
+        _write_huffman_code(bw, lens_d, 40)
+        groups.append({k: _canonical_codes(lens[k]) for k in ("g", "r", "b", "a")})
+
+    def emit(codes, s: int) -> None:
+        if len(codes) > 1:
+            c, ln = codes[s]
+            _write_code_msb(bw, c, ln)
+
+    for i in range(n):
+        a, r, g, b = (int(v) for v in px[i])
+        cs = groups[group_of(i)]
+        emit(cs["g"], g)
+        emit(cs["r"], r)
+        emit(cs["b"], b)
+        emit(cs["a"], a)
 
 
 def _write_entropy_literals(

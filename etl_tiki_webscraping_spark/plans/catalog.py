@@ -15027,7 +15027,7 @@ def q_langid_script_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     px AS (
         SELECT media_id,
-               CASE WHEN media_id % 2 = 0
+               CASE WHEN media_id % 3 = 0
                     THEN (media_id * 29
                           + ((y * 5 + x * 7 + media_id) % 16) * 13) % 256
                     ELSE (media_id + 7 * y + 11 * x) % 256
@@ -15039,18 +15039,21 @@ def q_langid_script_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM px GROUP BY media_id
     """,
     doc="VP8L decoder VARIANT coverage in the VERIFIED path (round-13; "
-        "webp_image_stats covers subtract-green only): EVEN docs "
-        "encode as COLOR-INDEXED WebP (16-entry gray palette, 4-bit "
-        "sub-byte bundling — the palette transform + unbundling "
-        "branches), ODD docs as subtract-green + CONSTANT-MODE "
-        "PREDICTOR (mode 2/Up) + COLOR CACHE (6 bits) + LZ77 LEFT "
-        "RUNS (the backward-reference + cache-hit + predictor-inverse "
-        "branches) — together with webp_image_stats, every encoder-"
-        "reachable VP8L branch now sits under the driver's oracle "
-        "gate, not just unit tests.  Both variants are LOSSLESS over "
-        "gray pixels (stored-channel luma), so the DuckDB oracle "
-        "replays the two pixel formulas directly.  Scale shape: 1->1 "
-        "mapInPandas, blobs never shuffle.",
+        "webp_image_stats covers subtract-green only): docs cycle "
+        "THREE encodings by media_id mod 3 — (0) COLOR-INDEXED "
+        "(16-entry gray palette, 4-bit sub-byte bundling: the palette "
+        "transform + unbundling branches), (1) subtract-green + "
+        "CONSTANT-MODE PREDICTOR (mode 2/Up) + COLOR CACHE (6 bits) + "
+        "LZ77 LEFT RUNS (backward-reference + cache-hit + "
+        "predictor-inverse branches), (2) subtract-green + META-"
+        "HUFFMAN (two Huffman groups routed by the 8-px-block meta "
+        "image — the multi-group recursion) — together with "
+        "webp_image_stats, every encoder-reachable VP8L branch now "
+        "sits under the driver's oracle gate, not just unit tests.  "
+        "All variants are LOSSLESS over gray pixels (stored-channel "
+        "luma), so the DuckDB oracle replays the pixel formulas "
+        "directly.  Scale shape: 1->1 mapInPandas, blobs never "
+        "shuffle.",
 )
 def q_webp_variants_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
@@ -15073,7 +15076,7 @@ def q_webp_variants_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         y, x = np.mgrid[0:16, 0:16]
-        if d % 2 == 0:
+        if d % 3 == 0:
             idx = ((y * 5 + x * 7 + d) % 16).astype(np.uint8)
             pal = np.array(
                 [[(d * 29 + k * 13) % 256] * 3 for k in range(16)],
@@ -15081,10 +15084,12 @@ def q_webp_variants_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             return encode_webp_lossless(pal[idx], palette=True)
         img = ((d + 7 * y + 11 * x) % 256).astype(np.uint8)
-        return encode_webp_lossless(
-            img, subtract_green=True, predictor_mode=2,
-            cache_bits=6, lz77_left_runs=True,
-        )
+        if d % 3 == 1:
+            return encode_webp_lossless(
+                img, subtract_green=True, predictor_mode=2,
+                cache_bits=6, lz77_left_runs=True,
+            )
+        return encode_webp_lossless(img, subtract_green=True, meta_split=True)
 
     blob_schema = T.StructType(
         [

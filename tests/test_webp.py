@@ -170,3 +170,24 @@ def test_spark_dispatch_end_to_end(spark):
     for i, img in imgs.items():
         assert (feats[i]["width"], feats[i]["height"]) == (16, 16)
         assert feats[i]["mean_luma"] == pytest.approx(float(img.mean()))
+
+
+def test_meta_huffman_groups_roundtrip():
+    """meta_split writes TWO Huffman groups routed by a meta-Huffman
+    image (the only reachable multi-group path) — roundtrip across
+    shapes incl. the single-block-column degenerate case."""
+    for shape in ((16, 16), (13, 9, 3), (24, 17), (8, 8), (7, 5)):
+        img = _RNG.integers(0, 256, shape).astype(np.uint8)
+        enc = encode_webp_lossless(img, meta_split=True)
+        dec = decode_webp_lossless(enc)
+        assert dec is not None, shape
+        a = _rgba(img)
+        got = np.stack(
+            [dec[..., 1], dec[..., 2], dec[..., 3], dec[..., 0]], -1
+        )
+        assert (got == a).all(), shape
+    with pytest.raises(ValueError):
+        encode_webp_lossless(
+            _RNG.integers(0, 256, (8, 8)).astype(np.uint8),
+            meta_split=True, cache_bits=4,
+        )
