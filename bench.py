@@ -242,24 +242,32 @@ HEADLINE = [
 ]
 
 
-def _final_line(pass1: dict, pass2: dict, regressions: dict, sf_str: str) -> str:
+def _final_line(
+    pass1: dict, pass2: dict, regressions: dict, sf_str: str,
+    sentinel: "dict | None" = None,
+) -> str:
     """Totals-only final stdout line.  MUST stay under the driver's
     2000-char tail window regardless of how many queries run — only
-    the 5 slowest appear by name (full dicts go on the detail line)."""
+    the 5 slowest appear by name (full dicts go on the detail line).
+    ``sentinel`` carries the fixed-work host-contention probe
+    (start/mid/end seconds + drift ratio) so a slow headline total is
+    attributable to a slow HOST in the record itself."""
     top5 = dict(sorted(pass2.items(), key=lambda kv: -kv[1])[:5])
-    return json.dumps(
-        {
-            "metric": "headline_queries_total_wall",
-            "value": round(sum(pass1.values()), 3),
-            "unit": "sec",
-            "value_pass2": round(sum(pass2.values()), 3),
-            "sf": float(sf_str),
-            "n_queries": len(pass1),
-            "regressions_count": len(regressions),
-            "queries": top5,
-        },
-        separators=(",", ":"),
-    )
+    rec = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(pass1.values()), 3),
+        "unit": "sec",
+        "value_pass2": round(sum(pass2.values()), 3),
+        "sf": float(sf_str),
+        "n_queries": len(pass1),
+        "regressions_count": len(regressions),
+        "queries": top5,
+    }
+    if sentinel is not None:
+        rec["sentinel"] = {
+            k: sentinel[k] for k in ("start", "mid", "end", "drift")
+        }
+    return json.dumps(rec, separators=(",", ":"))
 
 
 def main() -> None:
@@ -358,8 +366,30 @@ def main() -> None:
             spark.catalog.clearCache()
         return timings
 
+    # Host-contention sentinel (VERDICT r13 "what's wrong" #1): the
+    # same fixed work — a full parquet scan of lineitem folded through
+    # xxhash64 plus a pure-CPU range fold — timed at run start, between
+    # the passes, and at run end.  Identical code across rounds, so a
+    # 280-vs-200s headline is attributable IN THE RECORD: if the
+    # sentinel moved, the host was slow, not the engine.
+    def run_sentinel() -> float:
+        t0 = time.perf_counter()
+        li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+        li.select(F.xxhash64(*li.columns).alias("h")).agg(
+            F.expr("bit_xor(h)")
+        ).collect()
+        spark.range(50_000_000).select(
+            F.xxhash64("id").alias("h")
+        ).agg(F.expr("bit_xor(h)")).collect()
+        return round(time.perf_counter() - t0, 3)
+
+    sentinel = {"start": run_sentinel()}
     pass1 = run_pass()
+    sentinel["mid"] = run_sentinel()
     pass2 = run_pass()
+    sentinel["end"] = run_sentinel()
+    _sent_vals = [sentinel["start"], sentinel["mid"], sentinel["end"]]
+    sentinel["drift"] = round(max(_sent_vals) / max(min(_sent_vals), 1e-9), 2)
 
     # Regression gate: diff steady-state (pass 2) timings against the
     # newest prior round's recorded bench. >1.5x AND >0.5s absolute is
@@ -539,10 +569,27 @@ def main() -> None:
     # not, it is annotated as a convergent (real) regression — either
     # way no flag ships unexplained.
     actions = dict(HEADLINE)
+    from etl_tiki_webscraping_spark.plans.catalog import (
+        _EAGER_STAGING_QUERIES,
+    )
+
     for name, entry in regressions.items():
         # a known-cause note explains the stale PRIOR, not today's
         # number — a >=2x flag still gets isolated evidence attached
         if "note" in entry and float(entry["ratio"]) < 2.0:  # type: ignore[arg-type]
+            continue
+        # A memoized/eagerly-staged query re-executes against its
+        # in-process memo here, so the three "isolated" runs would time
+        # only the final read and trivially converge (ADVICE r13) —
+        # annotate instead of faking convergence evidence.
+        if name in _EAGER_STAGING_QUERIES:
+            skip = (
+                "convergence re-run skipped: this query reads a memoized "
+                "staged fixture, so in-process isolated re-runs time only "
+                "the final read, not the flagged work — investigate via a "
+                "fresh-process run if the flag recurs"
+            )
+            entry["note"] = f"{entry['note']} | {skip}" if "note" in entry else skip
             continue
         runs: list[float] = []
         for _ in range(3):
@@ -553,7 +600,10 @@ def main() -> None:
         entry["converged"] = runs
         best = min(runs)
         prior_t = float(entry["prior"])  # type: ignore[arg-type]
-        if best <= 1.5 * prior_t or best - prior_t <= 0.5:
+        # absolute allowance scales with the prior (ADVICE r13: a flat
+        # 0.5s auto-dismissed any sub-0.5s slowdown, even a consistent
+        # multi-x regression on a fast query)
+        if best <= 1.5 * prior_t or best - prior_t <= max(0.1, 0.2 * prior_t):
             auto = (
                 f"auto convergence re-run: 3 isolated runs {runs} converge to "
                 f"{best}s vs prior {prior_t}s — inside the flag threshold, so "
@@ -570,12 +620,20 @@ def main() -> None:
 
     # Persist the full result locally so future regression gates don't
     # depend on the driver artifact surviving tail truncation.
+    if sentinel["drift"] > 1.5:
+        sentinel["note"] = (
+            f"host contention moved the fixed sentinel {sentinel['drift']}x "
+            "within this run — per-query and headline numbers from this run "
+            "carry that host noise; compare pass-2 per-query vs "
+            "bench_history bests, not run totals"
+        )
     full = {
         "sf": sf_str,
         "cpus": cpus,
         "cache_policy": "clear_between_queries",  # since r12
         "value": round(sum(pass1.values()), 3),
         "value_pass2": round(sum(pass2.values()), 3),
+        "sentinel": sentinel,
         "queries": pass1,
         "queries_pass2": pass2,
         "regressions": regressions,
@@ -602,11 +660,12 @@ def main() -> None:
         "detail": "bench_per_query",
         "queries": pass1,
         "queries_pass2": pass2,
+        "sentinel": sentinel,
         "regressions": regressions,
         "regressions_vs": prior_file,
     }
     print(json.dumps(detail, separators=(",", ":")), flush=True)
-    print(_final_line(pass1, pass2, regressions, sf_str), flush=True)
+    print(_final_line(pass1, pass2, regressions, sf_str, sentinel), flush=True)
 
 
 if __name__ == "__main__":

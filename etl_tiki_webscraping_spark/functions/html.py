@@ -81,10 +81,14 @@ def decode_entities(col: Column | str) -> Column:
 
 def html_to_text(col: Column | str) -> Column:
     """The full HTML -> running-text chain: strip markup, decode
-    entities, collapse ``\\s+`` runs to single spaces, trim.  NULL
-    propagates (a NULL page stays NULL rather than becoming '')."""
+    entities, collapse whitespace runs to single spaces, trim.  NULL
+    propagates (a NULL page stays NULL rather than becoming '').
+
+    The run class is the explicit ``[ \\t\\n\\f\\r]`` — Java ``\\s``
+    additionally matches U+000B, which RE2 (the oracle twin below)
+    does not (ADVICE r13)."""
     return F.trim(
-        F.regexp_replace(decode_entities(strip_tags(col)), r"\s+", " ")
+        F.regexp_replace(decode_entities(strip_tags(col)), "[ \t\n\f\r]+", " ")
     )
 
 

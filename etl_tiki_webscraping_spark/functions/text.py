@@ -35,8 +35,17 @@ def _col(c: Column | str) -> Column:
 
 def tokenize_ws(col: Column | str) -> Column:
     """Whitespace tokenization; empty strings filtered so repeated
-    spaces don't yield ghost tokens."""
-    return F.filter(F.split(F.trim(_col(col)), r"\s+"), lambda t: t != F.lit(""))
+    spaces don't yield ghost tokens.
+
+    Splits on the EXPLICIT class ``[ \\t\\n\\f\\r]`` rather than ``\\s``:
+    Java regex ``\\s`` includes U+000B (vertical tab) but RE2's — the
+    engine behind the DuckDB oracles — does not, so ``\\s`` here would
+    diverge from every oracle on \\x0B-containing text (ADVICE r13).
+    The explicit class is the one spelling with identical semantics in
+    Java, RE2, and Python."""
+    return F.filter(
+        F.split(F.trim(_col(col)), "[ \t\n\f\r]+"), lambda t: t != F.lit("")
+    )
 
 
 #: Character-class body (no brackets) matching scripts conventionally
@@ -134,10 +143,11 @@ def tokenize_mixed_py(text: str, cjk_ngram: int = 2) -> "list[str]":
     """Python twin of :func:`tokenize_mixed` for Arrow kernels (the
     MinHash signature kernel tokenizes inside mapInPandas, where the
     column expression cannot reach).  MUST stay semantically identical
-    to the Spark/DuckDB expression — same codepoint class, ASCII-only
-    whitespace split (Java regex ``\\s`` and RE2 ``\\s`` are ASCII
-    ``[ \\t\\n\\x0B\\f\\r]``; Python's default ``str.split`` is
-    Unicode-aware and would diverge on U+3000 ideographic space), same
+    to the Spark/DuckDB expression — same codepoint class, the same
+    EXPLICIT ASCII whitespace class ``[ \\t\\n\\f\\r]`` (RE2's ``\\s``;
+    Java's ``\\s`` additionally matches U+000B and Python's default
+    ``str.split`` is fully Unicode-aware — both would diverge from the
+    DuckDB oracle, so all three sides spell the class out), same
     full-run n-gram expansion.  Lowercasing is the CALLER's job (as
     with the expression form)."""
     import re
@@ -145,7 +155,7 @@ def tokenize_mixed_py(text: str, cjk_ngram: int = 2) -> "list[str]":
     run_re, full_re = _mixed_res()
     toks = [
         t
-        for t in re.split("[ \t\n\x0b\f\r]+", run_re.sub(r" \1 ", text))
+        for t in re.split("[ \t\n\f\r]+", run_re.sub(r" \1 ", text))
         if t
     ]
     out: "list[str]" = []

@@ -48,7 +48,7 @@ def word_ngrams(col: Column | str, n: int) -> Column:
     (lowercase, whitespace-split) — a codegen'd expression, no UDF.
     Documents with fewer than ``n`` tokens yield an empty array."""
     c = F.col(col) if isinstance(col, str) else col
-    return ngrams_of_tokens(F.split(F.lower(F.trim(c)), r"\s+"), n)
+    return ngrams_of_tokens(F.split(F.lower(F.trim(c)), "[ \t\n\f\r]+"), n)
 
 
 def repetition_ratio(col: Column | str, n: int = 3) -> Column:
@@ -130,7 +130,7 @@ def decontaminate(
         # tokenize in its own projection so the split runs once per row
         # (inlined, every gram slice would re-split the text)
         t = df.select(
-            *keep, F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__tok")
+            *keep, F.split(F.lower(F.trim(F.col(text_col))), "[ \t\n\f\r]+").alias("__tok")
         )
         return t.select(
             *[c for c in t.columns if c != "__tok"],

@@ -20,6 +20,7 @@ does not.
 
 from __future__ import annotations
 
+import re as _re
 from collections.abc import Iterable, Iterator, Sequence
 
 import numpy as np
@@ -30,15 +31,26 @@ from pyspark.storagelevel import StorageLevel
 
 from etl_tiki_webscraping_spark.functions.text import tokenize_ws
 
+# ASCII whitespace split for Python kernels — the explicit RE2-\s class
+# the DuckDB oracles use; str.split() would split on U+3000/NBSP and
+# Java \s additionally matches U+000B (the udtf.py pitfall, ADVICE r13)
+_WS_ASCII = _re.compile("[ \t\n\f\r]+")
+
+
+def _ws_split_ascii(text: str) -> "list[str]":
+    return [t for t in _WS_ASCII.split(text) if t]
+
 
 # --------------------------------------------------------------------------
 # exact dedup
 # --------------------------------------------------------------------------
 
 def normalize_text(col: Column | str) -> Column:
-    """Canonical form for exact dedup: lowercase, collapse whitespace."""
+    """Canonical form for exact dedup: lowercase, collapse whitespace
+    (explicit ``[ \\t\\n\\f\\r]`` class — RE2 ``\\s`` semantics, matching
+    the DuckDB oracles; Java ``\\s`` also matches U+000B, ADVICE r13)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.regexp_replace(F.lower(F.trim(c)), "[ \t\n\f\r]+", " ")
 
 
 def cap_bucket_membership(
@@ -236,7 +248,7 @@ def minhash_analysis_udf(
             if segment_cjk:
                 toks = tokenize_mixed_py((t or "").lower())
             else:
-                toks = (t or "").lower().split()
+                toks = _ws_split_ascii((t or "").lower())
             if len(toks) >= shingle_n:
                 sh = {
                     " ".join(toks[i : i + shingle_n])
@@ -754,7 +766,7 @@ def simhash64_udf():
     def sh(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            toks = (t or "").lower().split()
+            toks = _ws_split_ascii((t or "").lower())
             if not toks:
                 out.append(0)
                 continue

@@ -593,11 +593,16 @@ def encode_flac(
     channels = pcm.shape[1]
     if channels == 2 and stereo_mode not in _STEREO_CH_CODE:
         raise ValueError(f"unknown stereo_mode {stereo_mode!r}")
+    if blocksize < 16:
+        raise ValueError("FLAC blocksize must be >= 16 (spec minimum)")
     total = pcm.shape[0]
     out = bytearray(b"fLaC")
     si = _BitWriterMSB()
-    last_bs = total % blocksize or blocksize
-    si.write(min(blocksize, last_bs), 16)
+    # min == max == blocksize: the spec's fixed-blocksize signal (a
+    # shorter FINAL frame is allowed and does NOT make the stream
+    # variable-blocksize; writing the short tail as min_blocksize would
+    # mislead conforming external decoders — ADVICE r13)
+    si.write(blocksize, 16)
     si.write(blocksize, 16)
     si.write(0, 24)
     si.write(0, 24)

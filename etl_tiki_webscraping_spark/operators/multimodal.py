@@ -662,8 +662,24 @@ def sniff_audio_container(content: "bytes | None") -> str:
         return "ogg"
     if content[:3] == b"ID3":
         return "mp3"
+    # MPEG audio frame sync (11 set bits) PLUS the header validity
+    # bits — a bare FF Ex sniff also matches a UTF-16LE BOM (FF FE)
+    # and arbitrary binary, skewing the per-format quarantine counts
+    # (ADVICE r13): version 1 is reserved, layer 0 is reserved,
+    # bitrate indices 0 (free-format) and 15 and sample-rate index 3
+    # are invalid — the same checks parse_mp3_stream enforces per
+    # frame (a UTF-16LE BOM FF FE reads as Layer I free-format and
+    # dies on the bitrate index).
     if content[0] == 0xFF and (content[1] & 0xE0) == 0xE0:
-        return "mp3"  # MPEG audio frame sync (11 set bits)
+        version = (content[1] >> 3) & 3
+        layer = (content[1] >> 1) & 3
+        br_idx = (content[2] >> 4) & 0xF
+        sr_idx = (content[2] >> 2) & 3
+        if (
+            version != 1 and layer != 0
+            and br_idx not in (0, 15) and sr_idx != 3
+        ):
+            return "mp3"
     return "unknown"
 
 

@@ -70,9 +70,11 @@ def _ws_tokens(text_col: Column) -> Column:
     """Lowercased whitespace tokens, empties dropped — the same
     tokenization contract as the MinHash/SimHash kernels, replayable
     as ``list_filter(string_split_regex(lower(coalesce(text, '')),
-    '\\s+'), x -> x <> '')``."""
+    '\\s+'), x -> x <> '')``.  The split class is the explicit
+    ``[ \\t\\n\\f\\r]`` (RE2 ``\\s``, which the oracle uses; Java ``\\s``
+    also matches U+000B — ADVICE r13)."""
     return F.filter(
-        F.split(F.lower(F.coalesce(text_col, F.lit(""))), r"\s+"),
+        F.split(F.lower(F.coalesce(text_col, F.lit(""))), "[ \t\n\f\r]+"),
         lambda x: x != "",
     )
 

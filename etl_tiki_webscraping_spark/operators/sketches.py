@@ -440,8 +440,14 @@ def hll_oracle_sql(
     m = 1 << lg_k
     scale = 1 << (HLL_W + 1)
     numer = hll_alpha(m) * m * m * float(scale)
+    # the e0 suffix forces DOUBLE literal inference: a bare decimal
+    # literal in a VALUES table is unified to one DECIMAL type across
+    # ALL rows, and at lg_k >= 11 the shared scale rounds the 17th
+    # significant digit of some entries (measured: one-ulp oracle
+    # drift at m=2048) — scientific notation parses as DOUBLE per
+    # literal, bit-exact by repr round-trip
     lc_values = ", ".join(
-        f"({v}, {x!r})" for v, x in enumerate(hll_linear_counting_table(lg_k), 1)
+        f"({v}, {x!r}e0)" for v, x in enumerate(hll_linear_counting_table(lg_k), 1)
     )
     g = ", ".join(group_cols)
     return f"""

@@ -34,8 +34,17 @@ def sliding_chunk_udtf(chunk_tokens: int = 32, stride: int = 24):
     empty/NULL documents emit nothing.
 
     Arrow-optimized (``useArrow=True``): rows stream through the same
-    Arrow channel as the pandas kernels, not pickled one by one."""
+    Arrow channel as the pandas kernels, not pickled one by one.
+
+    Tokenization splits on the explicit ASCII class ``[ \\t\\n\\f\\r]``
+    (RE2 ``\\s`` — what the DuckDB oracle uses; NOT ``str.split()``,
+    whose Unicode whitespace — U+3000, NBSP — would diverge from the
+    ``\\s+``-based oracle; the tokenize_mixed_py pitfall, ADVICE r13)."""
+    import re
+
     from pyspark.sql.functions import udtf
+
+    ws = re.compile("[ \t\n\f\r]+")
 
     if chunk_tokens < 1 or stride < 1:
         raise ValueError(
@@ -52,7 +61,7 @@ def sliding_chunk_udtf(chunk_tokens: int = 32, stride: int = 24):
     )
     class SlidingChunks:
         def eval(self, row):
-            toks = (row["text"] or "").split()
+            toks = [t for t in ws.split(row["text"] or "") if t]
             n = len(toks)
             idx = 0
             for start in range(0, n, stride):

@@ -873,7 +873,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.length("text").cast("bigint").alias("n_chars"),
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n_tokens"),
+        F.size(F.split(F.trim(F.col("text")), "[ \t\n\f\r]+")).cast("bigint").alias("n_tokens"),
         (alnum_runs + punct_chars).cast("bigint").alias("n_bpe_ish"),
     )
 
@@ -2565,17 +2565,47 @@ def q_url_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _approx_distinct_oracle() -> str:
+    from etl_tiki_webscraping_spark.operators.sketches import hll_oracle_sql
+
+    return "WITH " + hll_oracle_sql(
+        "SELECT event_type, user_id FROM events",
+        "user_id",
+        ["event_type"],
+        lg_k=11,
+        out_col="approx_users",
+    )
+
+
 @register(
     "approx_distinct_users",
-    oracle=None,  # HLL sketch — approximate by construction, rows-only
-    doc="approx_count_distinct (HyperLogLog++) per event_type: the constant-memory "
-        "distinct sketch for 100 TB cardinalities; exact twin is `count_distinct`",
+    oracle=_approx_distinct_oracle(),
+    doc="approx-distinct users per event_type on the PORTABLE HLL "
+        "(operators/sketches.py::hll_build/hll_estimate — rows-only -> "
+        "bit-strict, r13 VERDICT ask #3): the r13 sketch machinery that "
+        "made hll_sketch_rollup hash-strict applied to the original "
+        "approx_count_distinct query, at lg_k=11 so a second, larger "
+        "register grid sits under the driver's oracle gate (the "
+        "rollup query covers lg_k=8; 2048 registers keep the worst "
+        "per-type error under 1% at every fixture scale).  Every "
+        "step replays in DuckDB: md5 register index + leading-zero "
+        "rank, exact bigint harmonic denominator, ONE IEEE division by "
+        "a Python-precomputed literal, linear-counting correction from "
+        "a precomputed table.  Spark's built-in HLL++ "
+        "(approx_count_distinct) remains the accuracy cross-check in "
+        "tests/test_sketches.py.  Scale shape: distinct pre-aggregate "
+        "-> bounded |types| x 2048 register rows -> tiny estimate.",
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load_table(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+    from etl_tiki_webscraping_spark.operators.sketches import (
+        hll_build,
+        hll_estimate,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    reg = hll_build(ev, "user_id", group_cols=["event_type"], lg_k=11)
+    return hll_estimate(
+        reg, group_cols=["event_type"], lg_k=11, out_col="approx_users"
     )
 
 
@@ -4241,7 +4271,7 @@ def q_quality_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "plus a broadcast single-row total; no window, no second scan",
 )
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = F.size(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")).cast("bigint")
+    toks = F.size(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), "[ \t\n\f\r]+")).cast("bigint")
     lang_tok = (
         load_table(spark, sf_dir, "documents")
         .groupBy("lang")
@@ -4343,7 +4373,7 @@ def q_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_corpus_mix_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.size(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")).cast("bigint")
+    toks = F.size(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), "[ \t\n\f\r]+")).cast("bigint")
     lang_tok = docs.groupBy("lang").agg(F.sum(toks).cast("bigint").alias("tok_sum"))
     tot = lang_tok.agg(
         F.sum("tok_sum").cast("double").alias("t"), F.count("*").cast("bigint").alias("k")
@@ -5791,7 +5821,7 @@ def q_export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = docs.select(
         "doc_id",
         "n_chars",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias(
+        F.size(F.split(F.trim(F.col("text")), "[ \t\n\f\r]+")).cast("bigint").alias(
             "n_tokens"
         ),
         (
@@ -6030,7 +6060,7 @@ def _register_corpus_pipeline_v3() -> None:
             "doc_id",
             "lang",
             stopword_ratio("clean").alias("quality"),
-            F.size(F.split(F.trim(F.col("clean")), r"\s+"))
+            F.size(F.split(F.trim(F.col("clean")), "[ \t\n\f\r]+"))
             .cast("bigint").alias("n_tokens"),
         )
         return ordered_budget_select(
@@ -12258,7 +12288,7 @@ def q_token_budget_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         stopword_ratio("text").alias("quality"),
-        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        F.size(F.split(F.trim(F.col("text")), "[ \t\n\f\r]+"))
         .cast("bigint").alias("n_tokens"),
     )
     return ordered_budget_select(
@@ -12312,7 +12342,7 @@ def q_token_budget_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         stopword_ratio("text").alias("quality"),
-        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        F.size(F.split(F.trim(F.col("text")), "[ \t\n\f\r]+"))
         .cast("bigint").alias("n_tokens"),
     )
     return ordered_budget_select(
@@ -12460,7 +12490,7 @@ def q_logreg_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         stopword_ratio("text").alias("stopword_ratio"),
         punct_ratio("text").alias("punct_ratio"),
         F.log10(
-            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
+            F.size(F.split(F.trim(F.col("text")), "[ \t\n\f\r]+")).cast("double")
         ).alias("log10_tokens"),
     )
     return logreg_train_report(
@@ -12530,7 +12560,7 @@ def q_model_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     n_tok = F.size(
-        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+        F.filter(F.split(F.trim(F.col("text")), "[ \t\n\f\r]+"), lambda t: t != "")
     )
     z = (
         F.lit(-0.8)
@@ -14440,7 +14470,11 @@ def _audio_quarantine_blob(d: int) -> bytes:
     if j == 2:
         return b"ID3\x03\x00" + junk
     if j == 3:
-        return b"\xff\xfb" + junk
+        # FF FB (MPEG-1 Layer III) + a VALID third byte (bitrate idx 9,
+        # sample-rate idx 0): the r14 sniff validates version/layer/
+        # bitrate/samplerate bits (ADVICE r13), so md5 junk in byte 2
+        # would flip ~30% of these to 'unknown' against the oracle
+        return b"\xff\xfb\x92" + junk
     if j == 4:
         return b"OggS" + junk
     return b"\x00\x01" + junk  # unsniffable

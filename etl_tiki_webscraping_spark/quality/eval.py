@@ -175,7 +175,7 @@ def _nonempty_tokens(col: Column) -> Column:
     """Lowercased whitespace tokens with empties dropped — the corpus
     tokenization convention (tfidf_top_terms / bpe_encode oracles)."""
     return F.filter(
-        F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != ""
+        F.split(F.lower(F.trim(col)), "[ \t\n\f\r]+"), lambda t: t != ""
     )
 
 

@@ -104,6 +104,31 @@ def test_sniff_audio_container():
     assert sniff_audio_container(b"\x00\x01\x02\x03") == "unknown"
     assert sniff_audio_container(None) == "unknown"
     assert sniff_audio_container(b"") == "unknown"
+    # r14 validity bits (ADVICE r13): a bare FF Ex sync is not enough
+    assert sniff_audio_container(b"\xff\xfe\x00\x00abcd") == "unknown"  # UTF-16LE BOM (version 1 reserved)
+    assert sniff_audio_container(b"\xff\xf9\x90\x00") == "unknown"  # layer 0 reserved
+    assert sniff_audio_container(b"\xff\xeb\x90\x00") == "unknown"  # version 1 reserved
+    assert sniff_audio_container(b"\xff\xfb\xf0\x00") == "unknown"  # bitrate idx 15
+    assert sniff_audio_container(b"\xff\xfb\x9c\x00") == "unknown"  # sample-rate idx 3
+
+
+def test_flac_streaminfo_fixed_blocksize_fields():
+    """STREAMINFO min/max blocksize both carry the stream blocksize
+    (fixed-blocksize signal; the short FINAL frame does not demote the
+    stream to variable-blocksize — ADVICE r13), and sub-16 blocksizes
+    are rejected per spec."""
+    enc = encode_flac(TRI, blocksize=256)  # 512 samples -> 2 frames
+    # STREAMINFO body starts at byte 8 (4 magic + 4 block header)
+    min_bs = int.from_bytes(enc[8:10], "big")
+    max_bs = int.from_bytes(enc[10:12], "big")
+    assert min_bs == max_bs == 256
+    # short final frame: 700 % 256 = 188 — STREAMINFO still 256/256
+    enc2 = encode_flac(RAMP, blocksize=256)
+    assert int.from_bytes(enc2[8:10], "big") == 256
+    assert int.from_bytes(enc2[10:12], "big") == 256
+    assert decode_flac_pcm(enc2) is not None
+    with pytest.raises(ValueError):
+        encode_flac(TRI, blocksize=8)
 
 
 def test_audio_decode_dispatch_routes_flac(spark):
