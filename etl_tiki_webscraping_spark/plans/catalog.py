@@ -8204,23 +8204,43 @@ def q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SKETCH_TABLES: dict[str, str] = {}  # sf_dir -> sketch table path (memoized)
 
 
+def _sketch_maintenance_oracle() -> str:
+    from etl_tiki_webscraping_spark.operators.sketches import hll_oracle_sql
+
+    return "WITH " + hll_oracle_sql(
+        "SELECT CAST(ts AS DATE) AS day, user_id FROM events",
+        "user_id",
+        ["day"],
+        lg_k=8,
+        out_col="approx_users",
+    )
+
+
 @register(
     "streaming_sketch_maintenance",
-    oracle=None,  # approximate by design; tolerance-gated in unit tests
-    doc="STREAMING mergeable-sketch table maintenance (streaming/"
-        "events.py::foreach_batch_hll_union): a REAL 3-micro-batch run "
-        "folds each batch's per-day HLL user sketches into a stored "
-        "sketch table (scalar hll_union on overlapping days, "
-        "pass-through on novel ones) through the ordinary snapshot "
-        "upsert — the distinct-users dashboard pattern where a 100 TB "
-        "stream's state is |days| compact sketches, never raw ids, and "
-        "weekly-from-daily stays one sketch union away.  Rows-only "
-        "driver check; <=5% relative error vs exact per-day distincts "
-        "asserted in tests/test_streaming.py.",
+    oracle=_sketch_maintenance_oracle(),
+    doc="STREAMING mergeable-sketch table maintenance on the PORTABLE "
+        "HLL (streaming/events.py::foreach_batch_portable_hll — r13 "
+        "VERDICT ask #4, upgraded from the DataSketches rows-only form "
+        "that carried the repo's stalest driver evidence): a REAL "
+        "3-micro-batch run folds each batch's per-day md5 register "
+        "rows into a stored register table by per-register MAX "
+        "(batch-sized LEFT-join update set; stored-only registers "
+        "carry forward through the snapshot upsert), then estimates "
+        "per-day distinct users from the final table.  Register "
+        "assignment is row-intrinsic and max is associative, so the "
+        "maintained table is BIT-IDENTICAL to a one-shot build over "
+        "all events — the DuckDB oracle (generated from the same "
+        "constants via hll_oracle_sql) replays the whole estimator "
+        "hash-strict, turning the old <=5%-tolerance rows-only check "
+        "into an exact gate.  The distinct-users dashboard pattern: a "
+        "100 TB stream's state is |days| x 256 register rows, never "
+        "raw ids, and weekly-from-daily stays one register-MAX away.",
 )
 def q_streaming_sketch_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.operators.sketches import hll_estimate
     from etl_tiki_webscraping_spark.streaming.events import (
-        foreach_batch_hll_union,
+        foreach_batch_portable_hll,
         read_events_stream_multibatch,
     )
 
@@ -8233,8 +8253,8 @@ def q_streaming_sketch_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
         stream = read_events_stream_multibatch(spark, sf_dir, n_batches=3)
         stream = stream.withColumn("day", F.to_date("ts"))
         q = (
-            foreach_batch_hll_union(
-                stream, path, ["day"], "user_id", root + "/ckpt"
+            foreach_batch_portable_hll(
+                stream, path, ["day"], "user_id", root + "/ckpt", lg_k=8
             )
             .trigger(availableNow=True)
             .start()
@@ -8245,8 +8265,9 @@ def q_streaming_sketch_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
         _SKETCH_TABLES[sf_dir] = path
     from etl_tiki_webscraping_spark.sinks.upsert import read_parquet_table
 
-    return read_parquet_table(spark, path).select(
-        "day", F.hll_sketch_estimate("sk").alias("approx_users")
+    reg = read_parquet_table(spark, path).select("day", "idx", "rho")
+    return hll_estimate(
+        reg, group_cols=["day"], lg_k=8, out_col="approx_users"
     )
 
 

@@ -534,6 +534,72 @@ def foreach_batch_hll_union(
     )
 
 
+def foreach_batch_portable_hll(
+    stream: DataFrame,
+    target_path: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    checkpoint_dir: str,
+    lg_k: int = 8,
+) -> "DataStreamWriter":
+    """``foreachBatch`` sink maintaining a PORTABLE-HLL register table
+    (operators/sketches.py::hll_build) — the engine-replayable twin of
+    :func:`foreach_batch_hll_union` (r13 VERDICT ask #4: the portable
+    sketches make the maintained state itself bit-strict against a SQL
+    oracle, where the DataSketches binary blobs could only ever be
+    rows-only).
+
+    Each micro-batch builds its own ``(keys..., idx, rho)`` register
+    rows, folds them into the stored table by per-register MAX (LEFT
+    join keeps the update set batch-sized; stored-only registers
+    survive via the upsert's anti-join carry-forward), and commits
+    through the ordinary snapshot upsert keyed on ``(keys..., idx)``.
+    Because register assignment is row-intrinsic and max is
+    associative, the final table is IDENTICAL to a one-shot build over
+    the full event set — any batch split replays to the same bits,
+    which is exactly what the catalog oracle asserts.  State is
+    bounded: ``|keys| x 2^lg_k`` rows regardless of stream volume."""
+    from etl_tiki_webscraping_spark.operators.sketches import hll_build
+    from etl_tiki_webscraping_spark.sinks.upsert import (
+        read_parquet_table,
+        upsert_parquet,
+    )
+
+    keys = list(key_cols)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        fresh = hll_build(batch_df, value_col, group_cols=keys, lg_k=lg_k)
+        import os
+
+        # emptiness check, not bare exists(): a pre-created empty sink
+        # dir would hit a schema-less parquet read (the
+        # foreach_batch_hll_union guard)
+        if os.path.isdir(target_path) and any(
+            not e.startswith((".", "_")) for e in os.listdir(target_path)
+        ):
+            stored = read_parquet_table(spark, target_path).select(
+                *keys, "idx", F.col("rho").alias("__old")
+            )
+            fresh = (
+                fresh.join(stored, on=[*keys, "idx"], how="left")
+                .select(
+                    *keys,
+                    "idx",
+                    F.greatest(F.col("rho"), F.col("__old")).alias("rho"),
+                )
+            )
+        upsert_parquet(spark, fresh, target_path, [*keys, "idx"])
+
+    return (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(merge)
+    )
+
+
 def stream_stream_purchase_views(
     views: DataFrame,
     purchases: DataFrame,

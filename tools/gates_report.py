@@ -36,7 +36,6 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 GATED_QUERIES = frozenset({
     "ann_recall_report", "knn_ivf_kmeans",
     "knn_pq_adc", "knn_ivf_pq",
-    "streaming_sketch_maintenance",
     "embedding_pca_variance", "bpe_train_merges",
     "logreg_quality_train", "audio_spectral_features",
     "unigram_train",
@@ -46,8 +45,10 @@ GATED_QUERIES = frozenset({
     # crosscorpus_neardup_lsh to full DuckDB oracles; r13 upgraded
     # hll_sketch_rollup / kll_quantile_rollup / theta_sketch_set_ops
     # (portable md5 constructions); r14 upgraded approx_distinct_users
-    # (portable HLL at lg_k=11).  Their gates below still run as
-    # bonus evidence, but they are no longer rows-only.
+    # (portable HLL at lg_k=11) and streaming_sketch_maintenance
+    # (portable register-table maintenance in foreachBatch).  Their
+    # gates below still run as bonus evidence, but they are no longer
+    # rows-only.
 })
 
 ROWS: list[tuple[str, str, str, str, bool]] = []  # query, gate, measured, bound, ok
