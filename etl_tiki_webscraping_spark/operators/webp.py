@@ -40,6 +40,7 @@ this module is pure per-blob compute.
 from __future__ import annotations
 
 import struct
+from hashlib import md5 as _md5
 
 import numpy as np
 
@@ -1174,3 +1175,321 @@ def _wrap_container(stream: bytes) -> bytes:
         chunk += b"\x00"
     body = b"WEBP" + chunk
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# --------------------------------------------------------------------------
+# container / header TRIAGE (round-14): lossy VP8 + extended VP8X
+# --------------------------------------------------------------------------
+#
+# The majority of real-crawl WebP is LOSSY (VP8), which the decoder
+# above deliberately does not touch — but a 100 TB crawl still needs
+# dimensions and per-variant accounting for media it will not decode
+# (the operators/audiometa.py pattern: header-only triage, zero
+# payload work).  Everything below reads PUBLIC fixed-layout headers:
+# the VP8 keyframe's 10-byte uncompressed header (RFC 6386 §9.1 —
+# 3-byte frame tag, 3-byte start code 9D 01 2A, two 16-bit LE
+# dimension words with 2-bit scale fields) and the VP8X extended
+# header (WebP container spec — feature flags + 24-bit LE canvas
+# dimensions), with strict RIFF chunk tiling throughout.
+
+
+def _walk_riff_chunks(content: bytes) -> "list[tuple[bytes, bytes]] | None":
+    """Strict RIFF walk: [(fourcc, payload), ...] or None.  The RIFF
+    size must cover the content exactly, every chunk must fit, odd
+    chunk sizes carry one pad byte, and chunks must tile the payload
+    region with no trailing garbage (the Ogg page-tiling rule)."""
+    if content is None or len(content) < 12 or content[:4] != b"RIFF":
+        return None
+    (riff_size,) = struct.unpack_from("<I", content, 4)
+    if 8 + riff_size != len(content) or content[8:12] != b"WEBP":
+        return None
+    chunks: "list[tuple[bytes, bytes]]" = []
+    pos = 12
+    while pos < len(content):
+        if pos + 8 > len(content):
+            return None
+        fourcc = content[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", content, pos + 4)
+        end = pos + 8 + size
+        if end > len(content):
+            return None
+        chunks.append((fourcc, content[pos + 8 : end]))
+        if size % 2:  # odd sizes are padded to even offsets
+            if end >= len(content):
+                return None
+            end += 1
+        pos = end
+    return chunks or None
+
+
+def _parse_vp8_keyframe_header(payload: bytes) -> "dict | None":
+    """The 10-byte uncompressed VP8 keyframe header: frame tag
+    (frame-type bit, 3-bit version, show-frame bit, 19-bit first
+    partition size), start code 9D 01 2A, 14-bit width/height with
+    2-bit upscale fields.  None unless every validity rule holds AND
+    the declared first partition fits inside the payload."""
+    if len(payload) < 10:
+        return None
+    tag = payload[0] | (payload[1] << 8) | (payload[2] << 16)
+    if tag & 1:  # interframe cannot start a still image
+        return None
+    version = (tag >> 1) & 7
+    if version > 3:
+        return None
+    first_part = tag >> 5
+    if payload[3:6] != b"\x9d\x01\x2a":
+        return None
+    (wword,) = struct.unpack_from("<H", payload, 6)
+    (hword,) = struct.unpack_from("<H", payload, 8)
+    width, height = wword & 0x3FFF, hword & 0x3FFF
+    if width == 0 or height == 0:
+        return None
+    if first_part == 0 or 10 + first_part > len(payload):
+        return None
+    return {
+        "width": width,
+        "height": height,
+        "version": version,
+        "first_part_size": first_part,
+        "hscale": wword >> 14,
+        "vscale": hword >> 14,
+    }
+
+
+def _parse_vp8l_header(payload: bytes) -> "dict | None":
+    """Signature byte 0x2F + 14-bit w-1 / 14-bit h-1 / alpha hint /
+    3-bit version (must be 0) — dimension extraction only (the full
+    strict decode is :func:`decode_webp_lossless`)."""
+    if len(payload) < 5 or payload[0] != 0x2F:
+        return None
+    br = _BitReader(payload[1:])
+    wm1 = br.read(14)
+    hm1 = br.read(14)
+    alpha = br.read(1)
+    version = br.read(3)
+    if wm1 is None or version is None or version != 0:
+        return None
+    return {"width": wm1 + 1, "height": hm1 + 1, "has_alpha": bool(alpha)}
+
+
+def parse_webp_header(content: bytes) -> "dict | None":
+    """Header-only WebP triage: ``{variant, width, height, has_alpha,
+    has_icc, has_exif, has_xmp, has_animation, n_chunks}`` or None.
+
+    variant: 'lossy' (VP8), 'lossless' (VP8L), 'extended' (VP8X —
+    width/height are the CANVAS dimensions).  Strict: RIFF chunks must
+    tile exactly; a VP8X payload must be exactly 10 bytes with zero
+    reserved bits and must be followed by an image chunk (or an ANIM
+    chunk when the animation flag is set); the inner VP8/VP8L headers
+    must themselves parse.  No entropy-coded byte is ever read."""
+    chunks = _walk_riff_chunks(content)
+    if not chunks:
+        return None
+    fourcc, payload = chunks[0]
+    base = {
+        "has_alpha": False, "has_icc": False, "has_exif": False,
+        "has_xmp": False, "has_animation": False, "n_chunks": len(chunks),
+    }
+    if fourcc == b"VP8 ":
+        vp8 = _parse_vp8_keyframe_header(payload)
+        if vp8 is None or len(chunks) != 1:
+            return None
+        return {
+            "variant": "lossy", "width": vp8["width"],
+            "height": vp8["height"], **base,
+        }
+    if fourcc == b"VP8L":
+        vp8l = _parse_vp8l_header(payload)
+        if vp8l is None or len(chunks) != 1:
+            return None
+        return {
+            "variant": "lossless", "width": vp8l["width"],
+            "height": vp8l["height"],
+            **{**base, "has_alpha": vp8l["has_alpha"]},
+        }
+    if fourcc != b"VP8X" or len(payload) != 10:
+        return None
+    flags = payload[0]
+    # MSB-first: 2 reserved | ICC | alpha | EXIF | XMP | animation | 1 reserved
+    if flags & 0b11000001 or payload[1:4] != b"\x00\x00\x00":
+        return None
+    w = 1 + (payload[4] | (payload[5] << 8) | (payload[6] << 16))
+    h = 1 + (payload[7] | (payload[8] << 8) | (payload[9] << 16))
+    feats = {
+        "has_icc": bool(flags & 0x20), "has_alpha": bool(flags & 0x10),
+        "has_exif": bool(flags & 0x08), "has_xmp": bool(flags & 0x04),
+        "has_animation": bool(flags & 0x02),
+    }
+    rest = {fc: pl for fc, pl in chunks[1:]}
+    if feats["has_animation"]:
+        if b"ANIM" not in rest:
+            return None
+    elif b"VP8 " in rest:
+        if _parse_vp8_keyframe_header(rest[b"VP8 "]) is None:
+            return None
+    elif b"VP8L" in rest:
+        if _parse_vp8l_header(rest[b"VP8L"]) is None:
+            return None
+    else:
+        return None
+    return {
+        "variant": "extended", "width": w, "height": h,
+        **{**base, **feats},
+    }
+
+
+def sniff_webp_variant(content: "bytes | None") -> str:
+    """Cheap fourcc-level classification for quarantine accounting
+    (the sniff_audio_container contract: a positive sniff does NOT
+    mean the header parses): 'lossy' / 'lossless' / 'extended' /
+    'unknown'."""
+    if (
+        not content or len(content) < 16
+        or content[:4] != b"RIFF" or content[8:12] != b"WEBP"
+    ):
+        return "unknown"
+    fourcc = content[12:16]
+    if fourcc == b"VP8 ":
+        return "lossy"
+    if fourcc == b"VP8L":
+        return "lossless"
+    if fourcc == b"VP8X":
+        return "extended"
+    return "unknown"
+
+
+def encode_webp_lossy_stub(
+    width: int,
+    height: int,
+    version: int = 0,
+    first_part: "int | None" = None,
+    seed: int = 0,
+    truncate: int = 0,
+) -> bytes:
+    """Fixture writer: a structurally-valid LOSSY WebP — correct RIFF
+    container, VP8 keyframe tag, start code, and dimension words —
+    whose first partition is md5-derived junk (the triage tier never
+    reads it; a full VP8 decoder would reject it, exactly like a
+    real-crawl blob whose payload we do not decode).  ``truncate``
+    drops that many trailing bytes AFTER container assembly, producing
+    the strict-parser rejection case."""
+    if not (1 <= width <= 0x3FFF and 1 <= height <= 0x3FFF):
+        raise ValueError("dimensions must fit 14 bits")
+    if first_part is None:
+        first_part = 24 + seed % 48
+    tag = (version << 1) | (1 << 4) | (first_part << 5)
+    payload = bytearray()
+    payload += bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+    payload += b"\x9d\x01\x2a"
+    payload += struct.pack("<H", width)
+    payload += struct.pack("<H", height)
+    payload += b"".join(
+        _md5(f"vp8:{seed}:{i}".encode()).digest()
+        for i in range(first_part // 16 + 1)
+    )[:first_part]
+    chunk = b"VP8 " + struct.pack("<I", len(payload)) + bytes(payload)
+    if len(payload) % 2:
+        chunk += b"\x00"
+    body = b"WEBP" + chunk
+    out = b"RIFF" + struct.pack("<I", len(body)) + body
+    return out[: len(out) - truncate] if truncate else out
+
+
+def encode_webp_extended(
+    inner: bytes,
+    canvas_w: "int | None" = None,
+    canvas_h: "int | None" = None,
+    alpha: bool = False,
+    exif: bool = False,
+    xmp: bool = False,
+    icc: bool = False,
+    seed: int = 0,
+) -> bytes:
+    """Fixture writer: re-wrap a simple WebP (lossless from
+    :func:`encode_webp_lossless` or a lossy stub) as an EXTENDED file:
+    VP8X header chunk (feature flags + canvas size, defaulting to the
+    inner image's own dimensions) + optional ICCP/EXIF/XMP stub chunks
+    + the inner image chunk, with correct pad-byte tiling."""
+    hdr = parse_webp_header(inner)
+    if hdr is None or hdr["variant"] not in ("lossy", "lossless"):
+        raise ValueError("inner must be a parseable simple WebP")
+    if canvas_w is None:
+        canvas_w = hdr["width"]
+    if canvas_h is None:
+        canvas_h = hdr["height"]
+    flags = (
+        (0x20 if icc else 0) | (0x10 if alpha else 0)
+        | (0x08 if exif else 0) | (0x04 if xmp else 0)
+    )
+    vp8x = bytes([flags, 0, 0, 0])
+    vp8x += struct.pack("<I", canvas_w - 1)[:3]
+    vp8x += struct.pack("<I", canvas_h - 1)[:3]
+    parts = [b"VP8X" + struct.pack("<I", 10) + vp8x]
+
+    def stub_chunk(fourcc: bytes, n: int) -> bytes:
+        pl = b"".join(
+            _md5(f"{fourcc.decode()}:{seed}:{i}".encode()).digest()
+            for i in range(n // 16 + 1)
+        )[:n]
+        c = fourcc + struct.pack("<I", n) + pl
+        return c + (b"\x00" if n % 2 else b"")
+
+    if icc:
+        parts.append(stub_chunk(b"ICCP", 17 + seed % 16))
+    image_chunk = inner[12:]  # the simple file's single chunk (+pad)
+    parts.append(image_chunk)
+    if exif:
+        parts.append(stub_chunk(b"EXIF", 21 + seed % 16))
+    if xmp:
+        parts.append(stub_chunk(b"XMP ", 13 + seed % 16))
+    body = b"WEBP" + b"".join(parts)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+WEBP_META_SCHEMA = (
+    "media_id bigint, variant string, width int, height int, "
+    "has_alpha boolean, has_exif boolean, has_xmp boolean, "
+    "has_animation boolean, n_chunks int, size_bytes bigint"
+)
+
+
+def extract_webp_meta(df, id_col="media_id", content_col="content"):
+    """Per-blob WebP header triage in one Arrow-batched mapInPandas
+    pass: parsed headers yield (variant, width, height, feature
+    flags, chunk count); a blob the strict parser rejects emits the
+    per-VARIANT quarantine row — fourcc-sniffed variant with NULL
+    stats — so lossy/lossless/extended coverage loss is measurable
+    separately (the sniff_audio_formats contract).  Blobs never
+    shuffle."""
+    import pandas as pd
+
+    def run(batches):
+        for batch in batches:
+            out = []
+            for mid, content in zip(batch[id_col], batch[content_col]):
+                data = bytes(content) if content is not None else None
+                hdr = parse_webp_header(data) if data else None
+                if hdr is None:
+                    out.append({
+                        "media_id": int(mid),
+                        "variant": sniff_webp_variant(data),
+                        "width": None, "height": None, "has_alpha": None,
+                        "has_exif": None, "has_xmp": None,
+                        "has_animation": None, "n_chunks": None,
+                        "size_bytes": len(data) if data is not None else None,
+                    })
+                    continue
+                out.append({
+                    "media_id": int(mid), "variant": hdr["variant"],
+                    "width": hdr["width"], "height": hdr["height"],
+                    "has_alpha": hdr["has_alpha"],
+                    "has_exif": hdr["has_exif"], "has_xmp": hdr["has_xmp"],
+                    "has_animation": hdr["has_animation"],
+                    "n_chunks": hdr["n_chunks"],
+                    "size_bytes": len(data),
+                })
+            yield pd.DataFrame.from_records(out)
+
+    return df.select(id_col, content_col).mapInPandas(
+        run, schema=WEBP_META_SCHEMA
+    )

@@ -15176,3 +15176,239 @@ def q_webp_variants_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long"),
         ).alias("luma_units"),
     )
+
+
+@register(
+    "webp_lossy_meta",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id, (doc_id // 14) % 4 AS k
+        FROM documents WHERE doc_id % 14 = 3
+    )
+    SELECT doc_id AS media_id,
+           CASE WHEN k = 2 THEN 'lossless'
+                WHEN k = 1 THEN 'extended'
+                ELSE 'lossy' END AS variant,
+           CAST(CASE WHEN k IN (0, 1) THEN 1 + (doc_id * 37) % 4000
+                     WHEN k = 2 THEN 4 + doc_id % 13 END AS INT) AS width,
+           CAST(CASE WHEN k IN (0, 1) THEN 1 + (doc_id * 53) % 3000
+                     WHEN k = 2 THEN 4 + doc_id % 13 END AS INT) AS height,
+           CASE WHEN k = 3 THEN NULL
+                WHEN k = 1 THEN doc_id % 2 = 1
+                ELSE FALSE END AS has_alpha,
+           CASE WHEN k = 3 THEN NULL
+                WHEN k = 1 THEN (doc_id // 2) % 2 = 1
+                ELSE FALSE END AS has_exif,
+           CASE WHEN k = 3 THEN NULL
+                WHEN k = 1 THEN (doc_id // 4) % 2 = 1
+                ELSE FALSE END AS has_xmp,
+           CAST(CASE WHEN k = 3 THEN NULL
+                     WHEN k = 1 THEN 2 + (doc_id // 2) % 2 + (doc_id // 4) % 2
+                     ELSE 1 END AS INT) AS n_chunks
+    FROM ids
+    """,
+    doc="LOSSY-WebP (VP8/VP8X) header TRIAGE (operators/webp.py::"
+        "parse_webp_header + extract_webp_meta — r13 VERDICT ask #1): "
+        "the majority of real-crawl WebP is lossy and previously "
+        "quarantined dimension-less; the audiometa pattern applied to "
+        "the VP8 keyframe's 10-byte uncompressed header (frame tag "
+        "validity, start code 9D 01 2A, 14-bit dimension words) and "
+        "the VP8X extended header (feature flags, zero reserved bits, "
+        "24-bit LE canvas size, inner-chunk validation) gives every "
+        "variant dimensions and feature accounting with ZERO payload "
+        "decode.  The fixture cycles a bare lossy file (pad-byte "
+        "tiling exercised via odd first-partition sizes), a VP8X "
+        "extended file wrapping a lossy image with doc_id-driven "
+        "alpha/EXIF/XMP flags and stub metadata chunks, a REAL VP8L "
+        "lossless encode (dimension extraction through the same walk), "
+        "and a TRUNCATED lossy file the strict RIFF tiling must "
+        "reject into the fourcc-sniffed per-variant quarantine row.  "
+        "All outputs are doc_id arithmetic, so the oracle replays "
+        "every header decision bit-strict.  Scale shape: one "
+        "Arrow-batched 1->1 mapInPandas pass, blobs never shuffle.",
+)
+def q_webp_lossy_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.operators.webp import extract_webp_meta
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 14 == 3)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def build(d: int) -> bytes:
+        import numpy as np
+
+        from etl_tiki_webscraping_spark.operators.webp import (
+            encode_webp_extended,
+            encode_webp_lossless,
+            encode_webp_lossy_stub,
+        )
+
+        k = (d // 14) % 4
+        if k == 2:
+            s = 4 + d % 13
+            y, x = np.mgrid[0:s, 0:s]
+            img = ((d + 3 * y + 5 * x) % 256).astype(np.uint8)
+            return encode_webp_lossless(img)
+        w, h = 1 + (d * 37) % 4000, 1 + (d * 53) % 3000
+        if k == 1:
+            inner = encode_webp_lossy_stub(w, h, seed=d)
+            return encode_webp_extended(
+                inner,
+                alpha=d % 2 == 1,
+                exif=(d // 2) % 2 == 1,
+                xmp=(d // 4) % 2 == 1,
+                seed=d,
+            )
+        blob = encode_webp_lossy_stub(w, h, seed=d)
+        return blob[:-3] if k == 3 else blob
+
+    blob_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "content": b["media_id"].map(lambda d: build(int(d))),
+                }
+            )
+
+    blobs = ids.mapInPandas(gen, blob_schema)
+    return extract_webp_meta(blobs).select(
+        "media_id", "variant", "width", "height",
+        "has_alpha", "has_exif", "has_xmp", "n_chunks",
+    )
+
+
+@register(
+    "mp4_stream_metadata",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id, (doc_id // 14) % 4 AS k
+        FROM documents WHERE doc_id % 14 = 5
+    )
+    SELECT doc_id AS media_id,
+           TRUE AS is_mp4,
+           CASE k WHEN 0 THEN CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END
+                  WHEN 1 THEN 'mp42'
+                  WHEN 2 THEN 'M4A ' END AS brand,
+           CAST(CASE k
+                WHEN 0 THEN ((600 * (1 + doc_id % 4)) * (2 + doc_id % 30)
+                             + doc_id % 11) * 1000
+                            // (600 * (1 + doc_id % 4))
+                WHEN 1 THEN (90000 * (2 + doc_id % 30) + doc_id % 17) * 1000
+                            // 90000
+                WHEN 2 THEN (44100 * (1 + doc_id % 8) + doc_id % 13) * 1000
+                            // 44100
+           END AS BIGINT) AS duration_ms,
+           CAST(CASE k WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 1
+                END AS INT) AS n_tracks,
+           CASE k WHEN 0 THEN CASE doc_id % 3 WHEN 0 THEN 'avc1'
+                                   WHEN 1 THEN 'hvc1' ELSE 'vp09' END
+                  WHEN 1 THEN 'avc1,' || CASE WHEN doc_id % 2 = 0
+                                   THEN 'mp4a' ELSE 'opus' END
+                  WHEN 2 THEN 'mp4a' END AS codecs,
+           CAST(CASE k WHEN 0 THEN 24 * (2 + doc_id % 30)
+                       WHEN 1 THEN 130 + doc_id % 100 + doc_id % 50
+                       WHEN 2 THEN 500 + doc_id % 200
+                END AS BIGINT) AS total_samples
+    FROM ids
+    """,
+    doc="MP4 / ISO-BMFF container TRIAGE (operators/mp4meta.py — r13 "
+        "VERDICT ask #2): web video is MP4-dominant and had no triage "
+        "leg (the only video path was MJPEG-in-AVI).  A strict "
+        "header-only box walk — ftyp-first rule, exact box tiling at "
+        "every nesting level, mvhd v0 AND v1 (64-bit duration) "
+        "layouts, per-trak stsd first-entry codec fourcc, uniform-stsz "
+        "sample counts — yields brand / duration_ms / track count / "
+        "codec list / total samples with zero payload work.  The "
+        "fixture cycles a single-video file (avc1/hvc1/vp09 by "
+        "doc_id), a v1-mvhd video+audio mux (mp4a/opus), an audio-only "
+        "M4A, and a TRUNCATED file the tiling check must reject into "
+        "the ftyp-sniffed quarantine row (is_mp4 true, NULL stats).  "
+        "Every constructor argument is doc_id arithmetic, so the "
+        "oracle replays the full parse bit-strict.  Scale shape: one "
+        "Arrow-batched 1->1 mapInPandas pass, blobs never shuffle.",
+)
+def q_mp4_stream_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.operators.mp4meta import (
+        extract_mp4_metadata,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 14 == 5)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def build(d: int) -> bytes:
+        from etl_tiki_webscraping_spark.operators.mp4meta import (
+            encode_mp4_stub,
+        )
+
+        k = (d // 14) % 4
+        if k == 0:
+            ts = 600 * (1 + d % 4)
+            codec = ("avc1", "hvc1", "vp09")[d % 3]
+            return encode_mp4_stub(
+                brand="isom" if d % 2 == 0 else "mp42",
+                timescale=ts,
+                duration=ts * (2 + d % 30) + d % 11,
+                tracks=[(codec, "vide", 24 * (2 + d % 30))],
+                seed=d,
+            )
+        if k == 1:
+            return encode_mp4_stub(
+                brand="mp42",
+                timescale=90000,
+                duration=90000 * (2 + d % 30) + d % 17,
+                tracks=[
+                    ("avc1", "vide", 30 + d % 100),
+                    ("mp4a" if d % 2 == 0 else "opus", "soun", 100 + d % 50),
+                ],
+                mvhd_version=1,
+                seed=d,
+            )
+        if k == 2:
+            return encode_mp4_stub(
+                brand="M4A ",
+                timescale=44100,
+                duration=44100 * (1 + d % 8) + d % 13,
+                tracks=[("mp4a", "soun", 500 + d % 200)],
+                seed=d,
+            )
+        return encode_mp4_stub(seed=d)[:-7]  # truncated mdat tail
+
+    blob_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "content": b["media_id"].map(lambda d: build(int(d))),
+                }
+            )
+
+    blobs = ids.mapInPandas(gen, blob_schema)
+    return extract_mp4_metadata(blobs)

@@ -191,3 +191,146 @@ def test_meta_huffman_groups_roundtrip():
             _RNG.integers(0, 256, (8, 8)).astype(np.uint8),
             meta_split=True, cache_bits=4,
         )
+
+
+# --------------------------------------------------------------------------
+# round-14: lossy VP8 / extended VP8X header triage
+# --------------------------------------------------------------------------
+
+
+def test_lossy_header_triage_roundtrip():
+    from etl_tiki_webscraping_spark.operators.webp import (
+        encode_webp_lossy_stub,
+        parse_webp_header,
+        sniff_webp_variant,
+    )
+
+    for w, h, seed in ((1, 1, 0), (640, 480, 7), (16383, 16383, 3)):
+        b = encode_webp_lossy_stub(w, h, seed=seed)
+        hdr = parse_webp_header(b)
+        assert hdr is not None
+        assert (hdr["variant"], hdr["width"], hdr["height"]) == ("lossy", w, h)
+        assert hdr["n_chunks"] == 1 and not hdr["has_alpha"]
+        assert sniff_webp_variant(b) == "lossy"
+    with pytest.raises(ValueError):
+        encode_webp_lossy_stub(0, 5)
+    with pytest.raises(ValueError):
+        encode_webp_lossy_stub(5, 0x4000)
+
+
+def test_lossy_header_strictness():
+    from etl_tiki_webscraping_spark.operators.webp import (
+        encode_webp_lossy_stub,
+        parse_webp_header,
+        sniff_webp_variant,
+    )
+
+    b = encode_webp_lossy_stub(320, 200, seed=5)
+    # truncation anywhere -> None, but the fourcc sniff still routes it
+    for cut in (1, 3, len(b) - 21):
+        assert parse_webp_header(b[:-cut]) is None
+        assert sniff_webp_variant(b[:-cut]) == "lossy"
+    # bad start code
+    bb = bytearray(b)
+    bb[23] ^= 0x01
+    assert parse_webp_header(bytes(bb)) is None
+    # interframe bit set
+    bb = bytearray(b)
+    bb[20] |= 0x01
+    assert parse_webp_header(bytes(bb)) is None
+    # version > 3
+    bb = bytearray(b)
+    bb[20] = (bb[20] & ~0x0E) | (4 << 1)
+    assert parse_webp_header(bytes(bb)) is None
+    # RIFF size off by one
+    bb = bytearray(b)
+    bb[4] ^= 0x01
+    assert parse_webp_header(bytes(bb)) is None
+    # declared first partition overruns the chunk
+    bb = bytearray(b)
+    tag = bb[20] | (bb[21] << 8) | (bb[22] << 16)
+    tag = (tag & 0x1F) | (0x7FFFF << 5)
+    bb[20], bb[21], bb[22] = tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF
+    assert parse_webp_header(bytes(bb)) is None
+
+
+def test_extended_header_triage():
+    from etl_tiki_webscraping_spark.operators.webp import (
+        encode_webp_extended,
+        encode_webp_lossless,
+        encode_webp_lossy_stub,
+        parse_webp_header,
+        sniff_webp_variant,
+    )
+
+    inner = encode_webp_lossy_stub(101, 57, seed=9)  # odd first-part pad
+    ext = encode_webp_extended(inner, alpha=True, exif=True, xmp=True, icc=True, seed=2)
+    hdr = parse_webp_header(ext)
+    assert hdr is not None and hdr["variant"] == "extended"
+    assert (hdr["width"], hdr["height"]) == (101, 57)
+    assert hdr["has_alpha"] and hdr["has_exif"] and hdr["has_xmp"] and hdr["has_icc"]
+    assert hdr["n_chunks"] == 5
+    assert sniff_webp_variant(ext) == "extended"
+    # lossless inner + canvas override
+    img = _RNG.integers(0, 256, (6, 11)).astype(np.uint8)
+    ext2 = encode_webp_extended(encode_webp_lossless(img), canvas_w=400, canvas_h=300)
+    hdr2 = parse_webp_header(ext2)
+    assert hdr2 is not None and (hdr2["width"], hdr2["height"]) == (400, 300)
+    # reserved flag bits must be zero
+    bb = bytearray(ext)
+    bb[20] |= 0x80
+    assert parse_webp_header(bytes(bb)) is None
+    # animation flag without an ANIM chunk rejects
+    bb = bytearray(ext)
+    bb[20] |= 0x02
+    assert parse_webp_header(bytes(bb)) is None
+    # corrupting the INNER image header rejects the whole file
+    pos = ext.index(b"\x9d\x01\x2a")
+    bb = bytearray(ext)
+    bb[pos] ^= 0x01
+    assert parse_webp_header(bytes(bb)) is None
+
+
+def test_lossless_header_matches_decoder():
+    from etl_tiki_webscraping_spark.operators.webp import (
+        decode_webp_lossless,
+        encode_webp_lossless,
+        parse_webp_header,
+    )
+
+    for shape in ((8, 8), (13, 9), (5, 31)):
+        img = _RNG.integers(0, 256, shape).astype(np.uint8)
+        enc = encode_webp_lossless(img)
+        hdr = parse_webp_header(enc)
+        dec = decode_webp_lossless(enc)
+        assert hdr is not None and dec is not None
+        assert (hdr["height"], hdr["width"]) == dec.shape[:2]
+        assert hdr["variant"] == "lossless"
+
+
+def test_extract_webp_meta_spark(spark):
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.operators.webp import (
+        encode_webp_lossy_stub,
+        extract_webp_meta,
+    )
+
+    good = encode_webp_lossy_stub(44, 33, seed=1)
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(good[:-2])),           # truncated -> quarantine
+        (3, bytearray(b"\x00" * 30)),        # not RIFF -> unknown
+    ]
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    out = {
+        r["media_id"]: r
+        for r in extract_webp_meta(spark.createDataFrame(rows, schema)).collect()
+    }
+    assert out[1]["variant"] == "lossy" and out[1]["width"] == 44
+    assert out[1]["n_chunks"] == 1 and out[1]["size_bytes"] == len(good)
+    assert out[2]["variant"] == "lossy" and out[2]["width"] is None
+    assert out[3]["variant"] == "unknown" and out[3]["width"] is None
