@@ -14576,13 +14576,23 @@ def q_audio_format_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id AS media_id,
            CASE WHEN k = 2 THEN 'ogg' ELSE 'mp3' END AS container,
+           CASE WHEN k IN (0, 1) THEN 'mp3'
+                WHEN k = 2 THEN CASE doc_id % 3 WHEN 0 THEN 'vorbis'
+                                     WHEN 1 THEN 'opus' ELSE 'theora' END
+           END AS codec,
+           CAST(CASE WHEN k = 2 AND doc_id % 3 < 2
+                     THEN 1 + doc_id % 2 END AS INT) AS channels,
            CAST(CASE k WHEN 0 THEN 8 + doc_id % 7
                        WHEN 1 THEN 2 * (4 + doc_id % 5)
                        WHEN 2 THEN 3 + doc_id % 5 END AS INT) AS n_units,
            CAST(CASE k WHEN 0 THEN
                            CASE doc_id % 3 WHEN 0 THEN 44100
                                 WHEN 1 THEN 48000 ELSE 32000 END
-                       WHEN 1 THEN 44100 END AS INT) AS sample_rate,
+                       WHEN 1 THEN 44100
+                       WHEN 2 THEN CASE doc_id % 3
+                                WHEN 0 THEN 8000 * (1 + doc_id % 6)
+                                WHEN 1 THEN 48000 END
+                END AS INT) AS sample_rate,
            CAST(CASE k WHEN 0 THEN ((8 + doc_id % 7) * 1152 * 1000)
                            // (CASE doc_id % 3 WHEN 0 THEN 44100
                                     WHEN 1 THEN 48000 ELSE 32000 END)
@@ -14599,7 +14609,12 @@ def q_audio_format_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Layer III headers, frame sizes tiling the buffer, ID3v2 "
         "syncsafe skip) yield n_frames / sample_rate / duration_ms / "
         "VBR-ness; Ogg page walks (27-byte headers, lacing tables, "
-        "per-page CRC-32 VERIFIED) yield n_pages / last granule.  The "
+        "per-page CRC-32 VERIFIED) yield n_pages / last granule, plus "
+        "codec identity from the first packet's fixed-layout ident "
+        "header (r14, VERDICT ask #5): Vorbis (channels / rate / "
+        "nominal bitrate), Opus (RFC 7845 OpusHead), and a Theora "
+        "magic routed to the distinct video-in-Ogg quarantine class.  "
+        "The "
         "fixture cycles CBR MP3, VBR MP3 with an ID3 tag, CRC-correct "
         "Ogg pages, and a TRUNCATED MP3 the strict parser must reject "
         "into the per-format NULL quarantine row.  Ground truth is "
@@ -14637,9 +14652,24 @@ def q_audio_stream_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 id3_size=50 + d % 100, seed=d,
             )
         if k == 2:
+            from etl_tiki_webscraping_spark.operators.audiometa import (
+                encode_opus_head,
+                encode_vorbis_ident,
+            )
+
+            if d % 3 == 0:
+                ident = encode_vorbis_ident(
+                    1 + d % 2, 8000 * (1 + d % 6), 64_000 * (1 + d % 3)
+                )
+            elif d % 3 == 1:
+                ident = encode_opus_head(1 + d % 2, 48000, 312 + d % 100)
+            else:  # video-in-Ogg: the distinct quarantine route
+                ident = b"\x80theora" + bytes(
+                    bytearray((d + i) % 256 for i in range(20))
+                )
             return encode_ogg_pages(
                 3 + d % 5, serial=d & 0xFFFFFFFF,
-                final_granule=d * 441 + 17, seed=d,
+                final_granule=d * 441 + 17, seed=d, ident=ident,
             )
         return encode_mp3_frames([9] * 6, seed=d)[:-3]  # truncated
 

@@ -66,6 +66,8 @@ class TestOgg:
         assert o == {
             "n_pages": 5, "serial": 777, "last_granule": 123456,
             "payload_bytes": 1000, "bos": True, "eos": True,
+            # identless junk payload routes to the 'other' codec class
+            "codec": "other", "channels": None, "sample_rate": None,
         }
 
     def test_multi_segment_lacing(self):
@@ -122,3 +124,101 @@ def test_spark_triage_path(spark):
     assert got[2]["container"] == "ogg" and got[2]["last_granule"] == 99
     assert got[3]["container"] == "mp3" and got[3]["n_units"] is None
     assert got[4]["container"] == "unknown" and got[4]["n_units"] is None
+
+
+# --------------------------------------------------------------------------
+# round-14: Ogg identification headers (Vorbis / Opus / Theora routing)
+# --------------------------------------------------------------------------
+
+
+class TestOggIdent:
+    def test_vorbis_ident_roundtrip(self):
+        from etl_tiki_webscraping_spark.operators.audiometa import (
+            encode_ogg_pages,
+            encode_vorbis_ident,
+            parse_ogg_ident,
+            parse_ogg_stream,
+        )
+
+        ident = encode_vorbis_ident(2, 44100, 160_000)
+        p = parse_ogg_ident(ident)
+        assert p == {
+            "codec": "vorbis", "channels": 2, "sample_rate": 44100,
+            "bitrate_nominal": 160_000, "pre_skip": None,
+        }
+        stream = encode_ogg_pages(4, serial=7, final_granule=1000, ident=ident)
+        o = parse_ogg_stream(stream)
+        assert o is not None and o["codec"] == "vorbis"
+        assert o["channels"] == 2 and o["sample_rate"] == 44100
+        assert o["n_pages"] == 4 and o["last_granule"] == 1000
+
+    def test_opus_head_roundtrip(self):
+        from etl_tiki_webscraping_spark.operators.audiometa import (
+            encode_ogg_pages,
+            encode_opus_head,
+            parse_ogg_ident,
+            parse_ogg_stream,
+        )
+
+        ident = encode_opus_head(1, 48000, pre_skip=312)
+        p = parse_ogg_ident(ident)
+        assert p["codec"] == "opus" and p["channels"] == 1
+        assert p["sample_rate"] == 48000 and p["pre_skip"] == 312
+        o = parse_ogg_stream(
+            encode_ogg_pages(3, serial=9, final_granule=5, ident=ident)
+        )
+        assert o is not None and o["codec"] == "opus" and o["channels"] == 1
+
+    def test_theora_and_other_routing(self):
+        from etl_tiki_webscraping_spark.operators.audiometa import (
+            encode_ogg_pages,
+            parse_ogg_ident,
+            parse_ogg_stream,
+        )
+
+        assert parse_ogg_ident(b"\x80theora" + b"\x00" * 20)["codec"] == "theora"
+        assert parse_ogg_ident(b"junkpacket")["codec"] == "other"
+        o = parse_ogg_stream(
+            encode_ogg_pages(3, serial=1, final_granule=2,
+                             ident=b"\x80theora" + b"\x00" * 20)
+        )
+        assert o is not None and o["codec"] == "theora"
+        assert o["channels"] is None and o["sample_rate"] is None
+        # identless junk pages -> 'other'
+        o2 = parse_ogg_stream(encode_ogg_pages(3, serial=1, final_granule=2))
+        assert o2 is not None and o2["codec"] == "other"
+
+    def test_ident_strictness(self):
+        from etl_tiki_webscraping_spark.operators.audiometa import (
+            encode_opus_head,
+            encode_vorbis_ident,
+            parse_ogg_ident,
+        )
+
+        v = bytearray(encode_vorbis_ident(2, 44100))
+        v[7] = 1  # version != 0
+        assert parse_ogg_ident(bytes(v)) is None
+        v = bytearray(encode_vorbis_ident(2, 44100))
+        v[-1] = 0  # framing bit must be 1
+        assert parse_ogg_ident(bytes(v)) is None
+        assert parse_ogg_ident(encode_vorbis_ident(2, 44100)[:-2]) is None
+        o = bytearray(encode_opus_head(2, 48000))
+        o[8] = 16  # incompatible major version
+        assert parse_ogg_ident(bytes(o)) is None
+        o = bytearray(encode_opus_head(2, 48000))
+        o[9] = 3  # mapping family 0 caps channels at 2
+        assert parse_ogg_ident(bytes(o)) is None
+        assert parse_ogg_ident(encode_opus_head(1, 48000)[:18]) is None
+
+    def test_multipage_ident_lacing(self):
+        # an ident spanning multiple 255-lacing segments still parses
+        from etl_tiki_webscraping_spark.operators.audiometa import (
+            encode_ogg_pages,
+            parse_ogg_stream,
+        )
+
+        big = b"\x80theora" + b"\x01" * 600  # 3 lacing segments
+        o = parse_ogg_stream(
+            encode_ogg_pages(2, serial=4, final_granule=1, ident=big)
+        )
+        assert o is not None and o["codec"] == "theora"
