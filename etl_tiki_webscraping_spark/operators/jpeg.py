@@ -1246,3 +1246,215 @@ def decode_jpeg_luma(content: bytes) -> "np.ndarray | None":
         .reshape(y_bh * 8, y_bw * 8)
     )
     return plane[:fh, :fw].astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# metadata TRIAGE (round-14): EXIF orientation / JFIF density / ICC
+# --------------------------------------------------------------------------
+#
+# r13 VERDICT ask #7: the crawl-side dedup/quality signals that need
+# NO pixel decode — rotated near-dups hash apart without orientation,
+# print-targeted scans are flagged by density, color-managed images by
+# ICC presence.  Header-segment walk only (SOI .. SOS), same public
+# layouts as the decoder above plus the TIFF IFD structure inside the
+# EXIF APP1 (byte order II/MM, magic 42, 12-byte entries).
+
+
+def _parse_exif_orientation(payload: bytes) -> "int | None | bool":
+    """Orientation (1-8) from an ``Exif\\x00\\x00`` APP1 payload; None
+    when the IFD carries no orientation tag; False on a MALFORMED TIFF
+    (truncated IFD, bad byte order/magic, out-of-range value) — the
+    strict-reject signal."""
+    if payload[:6] != b"Exif\x00\x00":
+        return None
+    t = payload[6:]
+    if len(t) < 8:
+        return False
+    if t[:2] == b"II":
+        u16 = lambda o: t[o] | (t[o + 1] << 8)  # noqa: E731
+        u32 = lambda o: int.from_bytes(t[o : o + 4], "little")  # noqa: E731
+    elif t[:2] == b"MM":
+        u16 = lambda o: (t[o] << 8) | t[o + 1]  # noqa: E731
+        u32 = lambda o: int.from_bytes(t[o : o + 4], "big")  # noqa: E731
+    else:
+        return False
+    if u16(2) != 42:
+        return False
+    ifd = u32(4)
+    if ifd + 2 > len(t):
+        return False
+    count = u16(ifd)
+    if ifd + 2 + 12 * count + 4 > len(t):
+        return False
+    orientation: "int | None" = None
+    for i in range(count):
+        off = ifd + 2 + 12 * i
+        tag, typ, cnt = u16(off), u16(off + 2), u32(off + 4)
+        if tag == 0x0112:
+            if typ != 3 or cnt != 1:  # SHORT x1 per the TIFF spec
+                return False
+            val = u16(off + 8)
+            if not 1 <= val <= 8:
+                return False
+            orientation = val
+    return orientation
+
+
+def parse_jpeg_meta(content: bytes) -> "dict | None":
+    """Header-only JPEG metadata: ``{width, height, progressive,
+    n_components, orientation, has_exif, has_icc, density_unit,
+    x_density, y_density}`` or None.
+
+    Walks SOI .. SOS marker segments with strict length tiling (no
+    entropy-coded byte is read): SOF0/SOF2 yield dimensions, APP0 JFIF
+    yields the density triple, APP1 ``Exif`` yields orientation via a
+    bounds-checked TIFF IFD walk (a lying IFD rejects the whole blob —
+    the quarantine rule), APP2 ``ICC_PROFILE`` sets presence."""
+    if content is None or len(content) < 4:
+        return None
+    if content[0] != 0xFF or content[1] != 0xD8 or content[2] != 0xFF:
+        return None
+    d, n = content, len(content)
+    pos = 2
+    meta = {
+        "width": None, "height": None, "progressive": None,
+        "n_components": None, "orientation": None,
+        "has_exif": False, "has_icc": False,
+        "density_unit": None, "x_density": None, "y_density": None,
+    }
+    while True:
+        if pos + 2 > n or d[pos] != 0xFF:
+            return None
+        marker = d[pos + 1]
+        pos += 2
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI / RSTn: no body
+            continue
+        if pos + 2 > n:
+            return None
+        (seglen,) = struct.unpack_from(">H", d, pos)
+        if seglen < 2 or pos + seglen > n:
+            return None
+        body = d[pos + 2 : pos + seglen]
+        if marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if len(body) < 6:
+                return None
+            meta["height"], meta["width"] = struct.unpack_from(">HH", body, 1)
+            meta["n_components"] = body[5]
+            meta["progressive"] = marker == 0xC2
+            if meta["width"] == 0 or meta["height"] == 0:
+                return None
+        elif marker == 0xE0 and body[:5] == b"JFIF\x00":
+            if len(body) < 12:
+                return None
+            meta["density_unit"] = body[7]
+            meta["x_density"] = (body[8] << 8) | body[9]
+            meta["y_density"] = (body[10] << 8) | body[11]
+        elif marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            ori = _parse_exif_orientation(body)
+            if ori is False:
+                return None
+            meta["has_exif"] = True
+            meta["orientation"] = ori
+        elif marker == 0xE2 and body[:12] == b"ICC_PROFILE\x00":
+            meta["has_icc"] = True
+        elif marker == 0xDA:  # SOS: header region complete
+            if meta["width"] is None:
+                return None
+            return meta
+        pos += seglen
+
+
+def encode_exif_app1(
+    orientation: int, byte_order: str = "II", extra_tags: int = 0
+) -> bytes:
+    """Fixture writer: a complete EXIF APP1 segment (marker + length +
+    ``Exif\\x00\\x00`` + TIFF header + IFD0) carrying the orientation
+    tag, in either byte order; ``extra_tags`` prepends that many
+    benign ImageDescription-style entries so the walk skips non-target
+    tags."""
+    if not 1 <= orientation <= 8:
+        raise ValueError("orientation must be 1..8")
+    le = byte_order == "II"
+    if not le and byte_order != "MM":
+        raise ValueError("byte_order must be 'II' or 'MM'")
+
+    def u16(v: int) -> bytes:
+        return struct.pack("<H" if le else ">H", v)
+
+    def u32(v: int) -> bytes:
+        return struct.pack("<I" if le else ">I", v)
+
+    entries = []
+    for i in range(extra_tags):
+        # tag 0x010E ImageDescription, ASCII, inline 4-byte value
+        entries.append(
+            u16(0x010E) + u16(2) + u32(4) + b"t%d\x00\x00" % (i % 10)
+        )
+    entries.append(u16(0x0112) + u16(3) + u32(1) + u16(orientation) + b"\x00\x00")
+    ifd = u16(len(entries)) + b"".join(entries) + u32(0)
+    tiff = (b"II" if le else b"MM") + u16(42) + u32(8) + ifd
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", 2 + len(payload)) + payload
+
+
+def encode_icc_app2(n: int = 16, seed: int = 0) -> bytes:
+    """Fixture writer: an APP2 ICC_PROFILE segment with ``n`` bytes of
+    md5 junk profile data (presence is the triage signal)."""
+    from hashlib import md5 as _md5
+
+    junk = b"".join(
+        _md5(f"icc:{seed}:{i}".encode()).digest() for i in range(n // 16 + 1)
+    )[:n]
+    payload = b"ICC_PROFILE\x00" + bytes([1, 1]) + junk
+    return b"\xff\xe2" + struct.pack(">H", 2 + len(payload)) + payload
+
+
+def insert_app_segments(jpeg: bytes, segments: bytes) -> bytes:
+    """Splice raw APPn segment bytes immediately after the APP0 of a
+    JFIF file produced by the encoders above (the conventional EXIF
+    position)."""
+    if jpeg[:2] != b"\xff\xd8" or jpeg[2:4] != b"\xff\xe0":
+        raise ValueError("expected SOI + APP0")
+    (app0_len,) = struct.unpack_from(">H", jpeg, 4)
+    cut = 4 + app0_len
+    return jpeg[:cut] + segments + jpeg[cut:]
+
+
+JPEG_META_SCHEMA = (
+    "media_id bigint, width int, height int, progressive boolean, "
+    "orientation int, has_exif boolean, has_icc boolean, "
+    "density_unit int, x_density int, y_density int"
+)
+
+
+def extract_jpeg_meta(df, id_col="media_id", content_col="content"):
+    """Per-blob JPEG metadata triage in one Arrow-batched mapInPandas
+    pass — dimensions, progressive-ness, EXIF orientation, ICC
+    presence, JFIF density, ZERO pixel decode; a blob the strict
+    header walk rejects (including a lying EXIF IFD) emits the
+    NULL-stats quarantine row.  Blobs never shuffle."""
+    import pandas as pd
+
+    def run(batches):
+        for batch in batches:
+            out = []
+            for mid, content in zip(batch[id_col], batch[content_col]):
+                data = bytes(content) if content is not None else None
+                meta = parse_jpeg_meta(data)
+                rec = {"media_id": int(mid)}
+                if meta is None:
+                    rec.update({
+                        "width": None, "height": None, "progressive": None,
+                        "orientation": None, "has_exif": None,
+                        "has_icc": None, "density_unit": None,
+                        "x_density": None, "y_density": None,
+                    })
+                else:
+                    rec.update(meta)
+                    rec.pop("n_components", None)
+                out.append(rec)
+            yield pd.DataFrame.from_records(out)
+
+    return df.select(id_col, content_col).mapInPandas(
+        run, schema=JPEG_META_SCHEMA
+    )

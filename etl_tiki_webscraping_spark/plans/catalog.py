@@ -15442,3 +15442,112 @@ def q_mp4_stream_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = ids.mapInPandas(gen, blob_schema)
     return extract_mp4_metadata(blobs)
+
+
+@register(
+    "image_exif_meta",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id, (doc_id // 14) % 4 AS k
+        FROM documents WHERE doc_id % 14 = 7
+    )
+    SELECT doc_id AS media_id,
+           CAST(CASE WHEN k < 3 THEN 5 + doc_id % 12 END AS INT) AS width,
+           CAST(CASE WHEN k < 3 THEN 5 + (doc_id * 3) % 12 END AS INT)
+               AS height,
+           CASE WHEN k = 3 THEN NULL ELSE k = 1 END AS progressive,
+           CAST(CASE k WHEN 0 THEN 1 + doc_id % 8
+                       WHEN 1 THEN 1 + (doc_id * 3) % 8
+                END AS INT) AS orientation,
+           CASE WHEN k = 3 THEN NULL ELSE k IN (0, 1) END AS has_exif,
+           CASE WHEN k = 3 THEN NULL ELSE k = 1 END AS has_icc,
+           CAST(CASE WHEN k < 3 THEN 0 END AS INT) AS density_unit,
+           CAST(CASE WHEN k < 3 THEN 1 END AS INT) AS x_density,
+           CAST(CASE WHEN k < 3 THEN 1 END AS INT) AS y_density
+    FROM ids
+    """,
+    doc="JPEG EXIF / JFIF metadata TRIAGE (operators/jpeg.py::"
+        "parse_jpeg_meta + extract_jpeg_meta — r13 VERDICT ask #7): "
+        "the crawl-side dedup/quality signals that need no pixel "
+        "decode — EXIF orientation (rotated near-dups hash apart "
+        "without it), JFIF density, ICC presence, dimensions, "
+        "progressive-ness — via a strict SOI..SOS marker-segment walk "
+        "plus a bounds-checked TIFF IFD walk inside the EXIF APP1 "
+        "(both byte orders, non-target tags skipped).  The fixture "
+        "cycles a baseline JPEG with an EXIF orientation (II/MM by "
+        "doc_id, extra IFD entries exercised), a progressive JPEG "
+        "with EXIF + ICC, a plain JFIF with no EXIF, and a CORRUPT "
+        "EXIF (orientation value 0 — a lying IFD) the strict walk "
+        "must reject into the NULL quarantine row.  All signals are "
+        "doc_id arithmetic; the oracle replays the full walk "
+        "bit-strict.  Scale shape: one Arrow-batched 1->1 mapInPandas "
+        "pass, blobs never shuffle.",
+)
+def q_image_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.operators.jpeg import extract_jpeg_meta
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 14 == 7)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def build(d: int) -> bytes:
+        import numpy as np
+
+        from etl_tiki_webscraping_spark.operators.jpeg import (
+            encode_exif_app1,
+            encode_icc_app2,
+            encode_jpeg,
+            encode_jpeg_progressive,
+            insert_app_segments,
+        )
+
+        k = (d // 14) % 4
+        w, h = 5 + d % 12, 5 + (d * 3) % 12
+        y, x = np.mgrid[0:h, 0:w]
+        img = ((d + 7 * y + 11 * x) % 256).astype(np.uint8)
+        if k == 0:
+            return insert_app_segments(
+                encode_jpeg(img),
+                encode_exif_app1(
+                    1 + d % 8, "II" if d % 2 == 0 else "MM",
+                    extra_tags=d % 3,
+                ),
+            )
+        if k == 1:
+            return insert_app_segments(
+                encode_jpeg_progressive(img),
+                encode_exif_app1(1 + (d * 3) % 8, "II")
+                + encode_icc_app2(16 + d % 16, seed=d),
+            )
+        if k == 2:
+            return encode_jpeg(img)
+        # corrupt EXIF: orientation value 0 (TIFF SHORT out of range)
+        seg = bytearray(encode_exif_app1(1, "II"))
+        vpos = bytes(seg).index(b"\x12\x01\x03\x00") + 8
+        seg[vpos : vpos + 2] = b"\x00\x00"
+        return insert_app_segments(encode_jpeg(img), bytes(seg))
+
+    blob_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "content": b["media_id"].map(lambda d: build(int(d))),
+                }
+            )
+
+    blobs = ids.mapInPandas(gen, blob_schema)
+    return extract_jpeg_meta(blobs)

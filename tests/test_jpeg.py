@@ -273,3 +273,107 @@ def test_jpeg_dispatch_through_mapinpandas(spark):
     assert abs(feats[1]["mean_luma"] - float(want.mean())) < 1e-9
     assert feats[1]["mean_luma"] == 130.0  # grid-aligned level: exact
     assert (feats[2]["height"], feats[2]["width"]) == (8, 8)  # fake path
+
+
+# --------------------------------------------------------------------------
+# round-14: EXIF / JFIF metadata triage
+# --------------------------------------------------------------------------
+
+
+def test_jpeg_meta_plain_and_density():
+    from etl_tiki_webscraping_spark.operators.jpeg import (
+        encode_jpeg,
+        parse_jpeg_meta,
+    )
+
+    img = (np.arange(140).reshape(10, 14) % 256).astype(np.uint8)
+    m = parse_jpeg_meta(encode_jpeg(img))
+    assert (m["width"], m["height"]) == (14, 10)
+    assert m["progressive"] is False and m["n_components"] == 1
+    assert not m["has_exif"] and m["orientation"] is None
+    assert (m["density_unit"], m["x_density"], m["y_density"]) == (0, 1, 1)
+
+
+def test_jpeg_meta_exif_both_byte_orders():
+    from etl_tiki_webscraping_spark.operators.jpeg import (
+        encode_exif_app1,
+        encode_icc_app2,
+        encode_jpeg,
+        encode_jpeg_progressive,
+        insert_app_segments,
+        parse_jpeg_meta,
+    )
+
+    img = (np.arange(64).reshape(8, 8) * 3 % 256).astype(np.uint8)
+    for bo in ("II", "MM"):
+        for ori in (1, 5, 8):
+            b = insert_app_segments(
+                encode_jpeg(img), encode_exif_app1(ori, bo, extra_tags=2)
+            )
+            m = parse_jpeg_meta(b)
+            assert m["orientation"] == ori and m["has_exif"], (bo, ori)
+    prog = insert_app_segments(
+        encode_jpeg_progressive(img),
+        encode_exif_app1(3) + encode_icc_app2(24, seed=1),
+    )
+    m = parse_jpeg_meta(prog)
+    assert m["progressive"] is True and m["has_icc"] and m["orientation"] == 3
+
+
+def test_jpeg_meta_strictness():
+    from etl_tiki_webscraping_spark.operators.jpeg import (
+        encode_exif_app1,
+        encode_jpeg,
+        insert_app_segments,
+        parse_jpeg_meta,
+    )
+
+    img = (np.arange(64).reshape(8, 8) % 256).astype(np.uint8)
+    b = insert_app_segments(encode_jpeg(img), encode_exif_app1(2, "II"))
+    # truncation before SOS rejects
+    assert parse_jpeg_meta(b[:30]) is None
+    # IFD entry count overrunning the segment rejects
+    bb = bytearray(b)
+    pos = bytes(bb).index(b"Exif\x00\x00") + 6 + 8
+    bb[pos : pos + 2] = b"\x00\x40"  # II count 0x4000
+    assert parse_jpeg_meta(bytes(bb)) is None
+    # orientation value out of range rejects
+    bb = bytearray(b)
+    vpos = bytes(bb).index(b"\x12\x01\x03\x00") + 8
+    bb[vpos : vpos + 2] = b"\x09\x00"
+    assert parse_jpeg_meta(bytes(bb)) is None
+    # bad TIFF byte-order magic rejects
+    bb = bytearray(b)
+    tpos = bytes(bb).index(b"Exif\x00\x00") + 6
+    bb[tpos : tpos + 2] = b"XX"
+    assert parse_jpeg_meta(bytes(bb)) is None
+    # decoder-level sanity: EXIF splice never breaks pixel decode
+    from etl_tiki_webscraping_spark.operators.jpeg import decode_jpeg_luma
+
+    assert decode_jpeg_luma(b) is not None
+    assert parse_jpeg_meta(None) is None and parse_jpeg_meta(b"") is None
+
+
+def test_jpeg_meta_spark(spark):
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.operators.jpeg import (
+        encode_exif_app1,
+        encode_jpeg,
+        extract_jpeg_meta,
+        insert_app_segments,
+    )
+
+    img = (np.arange(64).reshape(8, 8) % 256).astype(np.uint8)
+    good = insert_app_segments(encode_jpeg(img), encode_exif_app1(7, "MM"))
+    rows = [(1, bytearray(good)), (2, bytearray(good[:25]))]
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    out = {
+        r["media_id"]: r
+        for r in extract_jpeg_meta(spark.createDataFrame(rows, schema)).collect()
+    }
+    assert out[1]["orientation"] == 7 and out[1]["width"] == 8
+    assert out[2]["width"] is None and out[2]["orientation"] is None
