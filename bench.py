@@ -239,6 +239,12 @@ HEADLINE = [
     ("png_palette_stats", "collect"),
     ("langid_script_mixed", "hash"),
     ("webp_variants_stats", "collect"),
+    # round-14 additions
+    ("webp_lossy_meta", "collect"),
+    ("mp4_stream_metadata", "collect"),
+    ("image_exif_meta", "collect"),
+    ("approx_distinct_users", "collect"),
+    ("streaming_sketch_maintenance", "collect"),
 ]
 
 

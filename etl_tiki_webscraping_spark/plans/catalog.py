@@ -138,23 +138,40 @@ def _driver_covered() -> "frozenset[str]":
 # automatically stalest-first, so forgetting an entry costs at most
 # ~ceil(catalog/50) rounds of evidence age, never unbounded drift.
 _DRIVER_FRESH = frozenset({
-    # r13 code changes (brand-new queries lead the window via `prio`
-    # without being listed here):
-    #   - the three sketch queries rebuilt on the portable md5
-    #     constructions (rows-only -> bit-strict oracles, r12 VERDICT
-    #     ask #3): these MUST get r13 driver rows to flip their
-    #     correctness evidence from the old rows-only contract
+    # r14 code changes (brand-new queries — webp_lossy_meta,
+    # mp4_stream_metadata, image_exif_meta — and the two rows-only ->
+    # oracle upgrades — approx_distinct_users,
+    # streaming_sketch_maintenance — lead the window via `prio`
+    # automatically, the latter because a rows-only driver row no
+    # longer covers a query that has since gained an oracle):
+    #   - the Ogg ident headers extended audio_stream_metadata's
+    #     schema + oracle; the mp3-sniff validity bits changed the
+    #     audio_format_quarantine fixture (and its streaming twin)
+    "audio_stream_metadata",
+    "audio_format_quarantine",
+    "streaming_media_triage",
+    #   - the FLAC STREAMINFO min/max-blocksize fix changes fixture
+    #     bytes for multi-frame streams
+    "flac_audio_features",
+    #   - the hll_oracle_sql linear-counting table now emits e0-suffix
+    #     DOUBLE literals (DECIMAL-unification fix)
     "hll_sketch_rollup",
-    "kll_quantile_rollup",
-    "theta_sketch_set_ops",
-    #   - the image dispatch gained the WebP sniff branch (additive),
-    #     and _decode_png/_png_unfilter were reworked for paletted PNG
-    #     (stride/bpp generalization touches every PNG decode) — the
-    #     PNG-family queries and the generic dispatch user re-verify
-    "multimodal_image_features",
-    "png_image_stats",
-    "png_interlaced_stats",
-    "gif_frame_sampling",
+    #   - the ASCII whitespace-class change ([ \t\n\f\r] replacing
+    #     Java \s / str.split()) touches every tokenizing expression
+    #     and kernel; representative users of each changed path
+    #     re-verify (tokenize_ws, normalize_text, minhash/simhash
+    #     kernels, repetition _ws_tokens, html_to_text, the UDTF)
+    "udtf_sliding_chunks",
+    "dedup_exact_text",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_minhash_cjk",
+    "doc_repetition_score",
+    "gopher_repetition_stats",
+    "html_text_extract",
+    "tfidf_top_terms",
+    "text_quality_score",
+    "decontaminate_corpus",
 })
 
 

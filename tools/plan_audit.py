@@ -814,12 +814,24 @@ def main() -> int:
           "shuffle, blobs never cross an exchange")
     for q in ("webp_image_stats", "flac_audio_features",
               "audio_format_quarantine", "audio_stream_metadata",
-              "png_palette_stats", "webp_variants_stats"):
+              "png_palette_stats", "webp_variants_stats",
+              # r14 header-triage tiers: same no-exchange blob contract
+              "webp_lossy_meta", "mp4_stream_metadata", "image_exif_meta"):
         p = plan_of(q)
         check(q,
               "MapInPandas" in p and "Exchange" not in p,
               "encode/decode is 1->1 mapInPandas; blobs never shuffle "
               "(no exchange in the whole plan)")
+
+    # --- r14 portable-HLL upgrades: register aggregation must partial-
+    # aggregate before its exchange (the map-side-combine shape), and
+    # the estimate stage's input is the bounded register table
+    for q in ("approx_distinct_users", "streaming_sketch_maintenance"):
+        p = plan_of(q)
+        check(q,
+              "partial" in p.lower() and "HashAggregate" in p,
+              "register fold partial-aggregates map-side before the "
+              "exchange (bounded |groups| x m rows cross the wire)")
 
     print()
     if failures:
