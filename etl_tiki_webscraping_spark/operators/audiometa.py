@@ -294,7 +294,20 @@ def parse_ogg_stream(content: bytes) -> "dict | None":
         return None
     ident = parse_ogg_ident(first_packet) or {
         "codec": "other", "channels": None, "sample_rate": None,
+        "pre_skip": None,
     }
+    # granule semantics are codec-defined: Vorbis counts PCM samples
+    # at the declared rate; Opus always counts 48 kHz samples and the
+    # decoded stream starts pre-skip samples in (RFC 7845 §4) — so the
+    # final granule yields a duration with zero payload decode
+    duration_ms = None
+    if last_granule is not None and last_granule >= 0:
+        if ident["codec"] == "vorbis" and ident["sample_rate"]:
+            duration_ms = last_granule * 1000 // ident["sample_rate"]
+        elif ident["codec"] == "opus":
+            duration_ms = max(
+                last_granule - (ident.get("pre_skip") or 0), 0
+            ) * 1000 // 48000
     return {
         "n_pages": n_pages,
         "serial": serial,
@@ -305,6 +318,7 @@ def parse_ogg_stream(content: bytes) -> "dict | None":
         "codec": ident["codec"],
         "channels": ident["channels"],
         "sample_rate": ident["sample_rate"],
+        "duration_ms": duration_ms,
     }
 
 
@@ -434,6 +448,7 @@ def extract_audio_stream_metadata(df, id_col="media_id", content_col="content"):
                             channels=o["channels"],
                             n_units=o["n_pages"],
                             sample_rate=o["sample_rate"],
+                            duration_ms=o["duration_ms"],
                             last_granule=o["last_granule"],
                         )
                 out.append(rec)

@@ -14614,7 +14614,14 @@ def q_audio_format_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
                            // (CASE doc_id % 3 WHEN 0 THEN 44100
                                     WHEN 1 THEN 48000 ELSE 32000 END)
                        WHEN 1 THEN (2 * (4 + doc_id % 5) * 1152 * 1000)
-                           // 44100 END AS BIGINT) AS duration_ms,
+                           // 44100
+                       WHEN 2 THEN CASE doc_id % 3
+                           WHEN 0 THEN (doc_id * 441 + 17) * 1000
+                                       // (8000 * (1 + doc_id % 6))
+                           WHEN 1 THEN greatest(doc_id * 441 + 17
+                                       - (312 + doc_id % 100), 0) * 1000
+                                       // 48000 END
+                END AS BIGINT) AS duration_ms,
            CASE k WHEN 0 THEN FALSE WHEN 1 THEN TRUE END AS vbr,
            CAST(CASE WHEN k = 2 THEN doc_id * 441 + 17 END
                 AS BIGINT) AS last_granule

@@ -68,6 +68,7 @@ class TestOgg:
             "payload_bytes": 1000, "bos": True, "eos": True,
             # identless junk payload routes to the 'other' codec class
             "codec": "other", "channels": None, "sample_rate": None,
+            "duration_ms": None,  # no codec -> no granule semantics
         }
 
     def test_multi_segment_lacing(self):
@@ -222,3 +223,27 @@ class TestOggIdent:
             encode_ogg_pages(2, serial=4, final_granule=1, ident=big)
         )
         assert o is not None and o["codec"] == "theora"
+
+    def test_granule_duration(self):
+        from etl_tiki_webscraping_spark.operators.audiometa import (
+            encode_ogg_pages,
+            encode_opus_head,
+            encode_vorbis_ident,
+            parse_ogg_stream,
+        )
+
+        # vorbis: granule counts PCM samples at the declared rate
+        o = parse_ogg_stream(encode_ogg_pages(
+            3, serial=1, final_granule=44100 * 7 + 123,
+            ident=encode_vorbis_ident(2, 44100),
+        ))
+        assert o["duration_ms"] == (44100 * 7 + 123) * 1000 // 44100
+        # opus: always 48 kHz, pre-skip subtracted (RFC 7845 §4)
+        o = parse_ogg_stream(encode_ogg_pages(
+            3, serial=1, final_granule=48000 * 2 + 312,
+            ident=encode_opus_head(1, 48000, pre_skip=312),
+        ))
+        assert o["duration_ms"] == 2000
+        # unknown codec: no duration claim
+        o = parse_ogg_stream(encode_ogg_pages(3, serial=1, final_granule=999))
+        assert o["duration_ms"] is None
