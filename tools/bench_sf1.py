@@ -212,6 +212,17 @@ NEW_R13 = [
     "audio_format_quarantine",
 ]
 
+NEW_R14 = [
+    # round-14: header-triage tiers + portable-HLL upgrades + the
+    # extended Ogg-ident audio triage
+    "webp_lossy_meta",
+    "mp4_stream_metadata",
+    "image_exif_meta",
+    "approx_distinct_users",
+    "streaming_sketch_maintenance",
+    "audio_stream_metadata",
+]
+
 NEW_R12 = [
     # the format trio completion + crawl-curation surface
     "jpeg_progressive_stats",
@@ -400,6 +411,7 @@ def main() -> None:
             "r7": NEW_R7, "r7c": NEW_R7C, "r7d": NEW_R7D, "r8": NEW_R8,
             "r8b": NEW_R8B, "r8c": NEW_R8C, "r8d": NEW_R8D, "r9": NEW_R9,
             "r10": NEW_R10, "r11": NEW_R11, "r12": NEW_R12, "r13": NEW_R13,
+            "r14": NEW_R14,
         }
         names = lists.get(sys.argv[1]) or [
             a for a in sys.argv[1:] if a in QUERIES
