@@ -389,11 +389,23 @@ def main() -> None:
         ).agg(F.expr("bit_xor(h)")).collect()
         return round(time.perf_counter() - t0, 3)
 
-    sentinel = {"start": run_sentinel()}
+    def loadavg() -> float:
+        try:
+            return round(os.getloadavg()[0], 2)
+        except OSError:
+            return -1.0
+
+    # load1 alongside each sentinel: a slow pass with FLAT sentinels
+    # and normal load is JVM-internal (GC/cleaner accumulation — the
+    # one observed r14 mode), not host contention; high load + slow
+    # sentinel is the host.  Both are attributable from the record.
+    sentinel = {"start": run_sentinel(), "load_start": loadavg()}
     pass1 = run_pass()
     sentinel["mid"] = run_sentinel()
+    sentinel["load_mid"] = loadavg()
     pass2 = run_pass()
     sentinel["end"] = run_sentinel()
+    sentinel["load_end"] = loadavg()
     _sent_vals = [sentinel["start"], sentinel["mid"], sentinel["end"]]
     sentinel["drift"] = round(max(_sent_vals) / max(min(_sent_vals), 1e-9), 2)
 
