@@ -245,6 +245,8 @@ HEADLINE = [
     ("image_exif_meta", "collect"),
     ("approx_distinct_users", "collect"),
     ("streaming_sketch_maintenance", "collect"),
+    ("webp_native_parity", "collect"),
+    ("webp_lossy_decode_meta", "collect"),
 ]
 
 

@@ -619,6 +619,19 @@ def _decode_image_impl(content: bytes) -> np.ndarray:
         webp = decode_webp_luma(content)
         if webp is not None:
             return webp
+        # lossy VP8 / extended VP8X: the pure-Python surface is
+        # VP8L-only, so route through the system libwebp when present
+        # (r14 — conformance-tested both directions against the VP8L
+        # codec in tests/test_webp_native.py); absent lib -> fall
+        # through to the deterministic fake, coverage loss observable
+        # via the triage quarantine rows
+        from etl_tiki_webscraping_spark.operators.webp_native import (
+            webp_native_decode_luma,
+        )
+
+        native = webp_native_decode_luma(content)
+        if native is not None:
+            return native
     arr = np.frombuffer(content[:64].ljust(64, b"\0"), dtype=np.uint8)
     return arr.reshape(8, 8).astype(np.float32)
 

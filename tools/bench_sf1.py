@@ -221,6 +221,8 @@ NEW_R14 = [
     "approx_distinct_users",
     "streaming_sketch_maintenance",
     "audio_stream_metadata",
+    "webp_native_parity",
+    "webp_lossy_decode_meta",
 ]
 
 NEW_R12 = [
