@@ -162,6 +162,9 @@ _DRIVER_FRESH = frozenset({
     #     re-verify (tokenize_ws, normalize_text, minhash/simhash
     #     kernels, repetition _ws_tokens, html_to_text, the UDTF)
     "udtf_sliding_chunks",
+    #   - the image dispatch gained the native-libwebp lossy fallback
+    #     (additive, after the pure-Python branches)
+    "multimodal_image_features",
     "dedup_exact_text",
     "dedup_minhash_lsh",
     "dedup_simhash",
