@@ -247,6 +247,8 @@ HEADLINE = [
     ("streaming_sketch_maintenance", "collect"),
     ("webp_native_parity", "collect"),
     ("webp_lossy_decode_meta", "collect"),
+    ("warc_record_scan", "count"),
+    ("webm_stream_metadata", "collect"),
 ]
 
 

@@ -15788,3 +15788,226 @@ def q_webp_lossy_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame.from_records(out)
 
     return ids.mapInPandas(run, out_schema)
+
+
+@register(
+    "warc_record_scan",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id, (doc_id // 12) % 3 AS k,
+               2 + doc_id % 4 AS n_pages
+        FROM documents WHERE doc_id % 12 = 10
+    ),
+    ok AS (
+        SELECT doc_id, n_pages, CAST(r.i AS INT) AS i
+        FROM ids, unnest(range(0, 1 + 2 * n_pages)) AS r(i)
+        WHERE k < 2
+    ),
+    rows_ok AS (
+        SELECT doc_id AS file_id, i AS record_idx,
+               CASE WHEN i = 0 THEN 'warcinfo'
+                    WHEN i % 2 = 1 THEN 'request'
+                    ELSE 'response' END AS warc_type,
+               CASE WHEN i = 0 THEN NULL
+                    ELSE 'https://example.org/site' || (doc_id % 97)
+                         || '/page' || ((i - 1) // 2) END AS target_uri,
+               CAST(CASE WHEN i = 0 THEN 19
+                    WHEN i % 2 = 1 THEN 44
+                         + length(CAST(doc_id % 97 AS VARCHAR))
+                         + length(CAST((i - 1) // 2 AS VARCHAR))
+                    ELSE 65 + 100 + (doc_id + (i - 1) // 2) % 64
+               END AS BIGINT) AS content_length,
+               CAST(CASE WHEN i > 0 AND i % 2 = 0
+                    THEN 200 + 4 * (((i - 1) // 2) % 2)
+               END AS INT) AS http_status,
+               CASE WHEN i > 0 AND i % 2 = 0 THEN 'text/html'
+               END AS http_content_type
+        FROM ok
+    ),
+    rows_bad AS (
+        SELECT doc_id AS file_id, CAST(-1 AS INT) AS record_idx,
+               NULL AS warc_type, NULL AS target_uri,
+               CAST(NULL AS BIGINT) AS content_length,
+               CAST(NULL AS INT) AS http_status,
+               NULL AS http_content_type
+        FROM ids WHERE k = 2
+    )
+    SELECT * FROM rows_ok UNION ALL SELECT * FROM rows_bad
+    """,
+    doc="WARC record scan (sources/warc.py — round-14): the "
+        "crawl-NATIVE source format a 100 TB pretraining pipeline "
+        "actually ingests (ISO 28500 / Common-Crawl layout).  Each "
+        "binary archive blob 1->N-expands into typed per-record rows: "
+        "WARC-Type, target URI, Content-Length, and — for response "
+        "records — the HTTP status line and Content-Type parsed from "
+        "the payload head (no body decode).  Both layouts are "
+        "exercised: plain .warc (records tile the file, CRLF-CRLF "
+        "separators enforced) and .warc.gz (one gzip MEMBER per "
+        "record, walked with stdlib zlib + the unused_data loop, "
+        "member tiling enforced); a TRUNCATED archive rejects into a "
+        "single record_idx = -1 quarantine row — a half-written "
+        "archive is never half-ingested.  The fixture writes "
+        "warcinfo + request/response pairs from pure doc_id "
+        "arithmetic, so the oracle replays every extracted field "
+        "including the exact byte lengths of the HTTP payloads.  "
+        "Scale shape: one Arrow-batched 1->N mapInPandas pass, files "
+        "never shuffle.",
+)
+def q_warc_record_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.sources.warc import scan_warc_records
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 12 == 10)
+        .select(F.col("doc_id").alias("file_id"))
+    )
+
+    def build(d: int) -> bytes:
+        from etl_tiki_webscraping_spark.sources.warc import encode_warc
+
+        k = (d // 12) % 3
+        n_pages = 2 + d % 4
+        if k == 0:
+            return encode_warc(d, n_pages, seed=d)
+        if k == 1:
+            return encode_warc(d, n_pages, gzip_per_record=True, seed=d)
+        return encode_warc(d, n_pages, seed=d, truncate=5)
+
+    blob_schema = T.StructType(
+        [
+            T.StructField("file_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "file_id": b["file_id"],
+                    "content": b["file_id"].map(lambda d: build(int(d))),
+                }
+            )
+
+    blobs = ids.mapInPandas(gen, blob_schema)
+    return scan_warc_records(blobs)
+
+
+@register(
+    "webm_stream_metadata",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id, (doc_id // 14) % 4 AS k
+        FROM documents WHERE doc_id % 14 = 1
+    )
+    SELECT doc_id AS media_id,
+           TRUE AS is_ebml,
+           CASE WHEN k = 3 THEN NULL
+                WHEN k = 2 THEN 'matroska' ELSE 'webm' END AS doc_type,
+           CAST(CASE k WHEN 0 THEN 3000 + doc_id % 50000
+                       WHEN 1 THEN 4000 + doc_id % 10000
+                       WHEN 2 THEN 2 * (1000 + doc_id % 9000)
+                END AS BIGINT) AS duration_ms,
+           CAST(CASE k WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 1
+                END AS INT) AS n_tracks,
+           CASE k WHEN 0 THEN CASE WHEN doc_id % 2 = 0
+                                   THEN 'V_VP8' ELSE 'V_VP9' END
+                  WHEN 1 THEN 'V_VP9,' || CASE WHEN doc_id % 2 = 0
+                                   THEN 'A_OPUS' ELSE 'A_VORBIS' END
+                  WHEN 2 THEN 'A_FLAC' END AS codecs,
+           CAST(CASE WHEN k IN (0, 1)
+                     THEN 640 + (doc_id % 64) * 2 END AS INT) AS video_w,
+           CAST(CASE WHEN k IN (0, 1)
+                     THEN 360 + (doc_id % 36) * 2 END AS INT) AS video_h,
+           CAST(CASE WHEN k IN (1, 2)
+                     THEN 1 + doc_id % 2 END AS INT) AS audio_channels
+    FROM ids
+    """,
+    doc="WebM / Matroska EBML container TRIAGE (operators/ebmlmeta.py "
+        "— round-14, completing the web-video container family next "
+        "to the MP4 box walk): a strict RFC 8794 element walk (VINT "
+        "ids/sizes, exact tiling at every nesting level, unknown-size "
+        "elements rejected) extracts DocType, duration (Matroska's "
+        "float-in-timestamp-scale-units — fixtures write "
+        "integer-valued doubles and integer-ratio scales so "
+        "duration_ms replays exactly), per-track codec IDs, and "
+        "video/audio parameters with zero payload decode.  The "
+        "fixture cycles video-only WebM (VP8/VP9), a v+a mux "
+        "(VP9 + Opus/Vorbis) at TimestampScale 500000, an audio-only "
+        "Matroska (FLAC) at scale 2000000, and a TRUNCATED file the "
+        "tiling check rejects into the EBML-sniffed quarantine row.  "
+        "Scale shape: one Arrow-batched 1->1 mapInPandas pass, blobs "
+        "never shuffle.",
+)
+def q_webm_stream_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.operators.ebmlmeta import (
+        extract_webm_metadata,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 14 == 1)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def build(d: int) -> bytes:
+        from etl_tiki_webscraping_spark.operators.ebmlmeta import (
+            encode_webm_stub,
+        )
+
+        k = (d // 14) % 4
+        w, h = 640 + (d % 64) * 2, 360 + (d % 36) * 2
+        if k == 0:
+            return encode_webm_stub(
+                tracks=[{"type": "video",
+                         "codec": "V_VP8" if d % 2 == 0 else "V_VP9",
+                         "w": w, "h": h}],
+                duration=3000 + d % 50000, seed=d,
+            )
+        if k == 1:
+            return encode_webm_stub(
+                tracks=[
+                    {"type": "video", "codec": "V_VP9", "w": w, "h": h},
+                    {"type": "audio",
+                     "codec": "A_OPUS" if d % 2 == 0 else "A_VORBIS",
+                     "channels": 1 + d % 2},
+                ],
+                timestamp_scale=500_000,
+                duration=2 * (4000 + d % 10000), seed=d,
+            )
+        if k == 2:
+            return encode_webm_stub(
+                doc_type="matroska",
+                tracks=[{"type": "audio", "codec": "A_FLAC",
+                         "channels": 1 + d % 2}],
+                timestamp_scale=2_000_000,
+                duration=1000 + d % 9000, seed=d,
+            )
+        return encode_webm_stub(seed=d)[:-5]  # truncated
+
+    blob_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "content": b["media_id"].map(lambda d: build(int(d))),
+                }
+            )
+
+    blobs = ids.mapInPandas(gen, blob_schema)
+    return extract_webm_metadata(blobs)

@@ -1,0 +1,79 @@
+"""WARC record scan (sources/warc.py): plain + per-record-gzip
+layouts, strict tiling, HTTP head extraction, quarantine, and the
+Spark-side 1->N expansion."""
+
+from __future__ import annotations
+
+import zlib
+
+from etl_tiki_webscraping_spark.sources.warc import (
+    encode_warc,
+    parse_warc_file,
+    parse_warc_records,
+    scan_warc_records,
+    split_gzip_members,
+)
+
+
+def test_plain_layout_roundtrip():
+    recs = parse_warc_file(encode_warc(7, 3, seed=1))
+    assert len(recs) == 7  # warcinfo + 3 request/response pairs
+    assert recs[0]["warc_type"] == "warcinfo"
+    assert recs[1]["warc_type"] == "request"
+    assert recs[2]["warc_type"] == "response"
+    assert recs[2]["target_uri"] == "https://example.org/site7/page0"
+    assert recs[2]["http_status"] == 200
+    assert recs[4]["http_status"] == 204  # alternating by page parity
+    assert recs[2]["http_content_type"] == "text/html"
+    assert recs[2]["content_length"] == 65 + 100 + (7 + 0) % 64
+
+
+def test_gzip_member_layout_matches_plain():
+    plain = parse_warc_file(encode_warc(12, 2, seed=3))
+    gz = parse_warc_file(encode_warc(12, 2, gzip_per_record=True, seed=3))
+    assert plain == gz
+
+
+def test_strictness():
+    b = encode_warc(5, 2, seed=2)
+    g = encode_warc(5, 2, gzip_per_record=True, seed=2)
+    for cut in (1, 5, len(b) - 10):
+        assert parse_warc_file(b[:-cut]) is None
+    assert parse_warc_file(g[:-4]) is None
+    assert parse_warc_file(b"\x00" * 40) is None
+    assert parse_warc_file(b"") is None and parse_warc_file(None) is None
+    # a lying Content-Length rejects
+    bad = b.replace(b"Content-Length: 19", b"Content-Length: 21", 1)
+    assert parse_warc_records(bad) is None
+    # a missing required field rejects
+    bad = b.replace(b"WARC-Date: ", b"X-Date: ", 1)
+    assert parse_warc_records(bad) is None
+    # trailing garbage after the last gzip member rejects
+    assert split_gzip_members(g + b"junk") is None
+    # a multi-record gzip member violates the .warc.gz contract
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    two_in_one = co.compress(b) + co.flush()
+    assert parse_warc_file(two_in_one) is None
+
+
+def test_spark_scan(spark):
+    from pyspark.sql import types as T
+
+    rows = [
+        (1, bytearray(encode_warc(1, 2, seed=9))),
+        (2, bytearray(encode_warc(2, 1, gzip_per_record=True, seed=9))),
+        (3, bytearray(encode_warc(3, 2, seed=9, truncate=6))),
+    ]
+    schema = T.StructType([
+        T.StructField("file_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    out = scan_warc_records(spark.createDataFrame(rows, schema)).collect()
+    by_file: dict = {}
+    for r in out:
+        by_file.setdefault(r["file_id"], []).append(r)
+    assert len(by_file[1]) == 5 and [r["record_idx"] for r in sorted(
+        by_file[1], key=lambda r: r["record_idx"])] == [0, 1, 2, 3, 4]
+    assert len(by_file[2]) == 3
+    assert len(by_file[3]) == 1 and by_file[3][0]["record_idx"] == -1
+    assert by_file[3][0]["warc_type"] is None

@@ -223,6 +223,8 @@ NEW_R14 = [
     "audio_stream_metadata",
     "webp_native_parity",
     "webp_lossy_decode_meta",
+    "warc_record_scan",
+    "webm_stream_metadata",
 ]
 
 NEW_R12 = [

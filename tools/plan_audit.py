@@ -816,7 +816,9 @@ def main() -> int:
               "audio_format_quarantine", "audio_stream_metadata",
               "png_palette_stats", "webp_variants_stats",
               # r14 header-triage tiers: same no-exchange blob contract
-              "webp_lossy_meta", "mp4_stream_metadata", "image_exif_meta"):
+              "webp_lossy_meta", "mp4_stream_metadata", "image_exif_meta",
+              "webp_native_parity", "webp_lossy_decode_meta",
+              "warc_record_scan", "webm_stream_metadata"):
         p = plan_of(q)
         check(q,
               "MapInPandas" in p and "Exchange" not in p,
