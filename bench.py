@@ -249,6 +249,7 @@ HEADLINE = [
     ("webp_lossy_decode_meta", "collect"),
     ("warc_record_scan", "count"),
     ("webm_stream_metadata", "collect"),
+    ("warc_html_extract", "hash"),
 ]
 
 

@@ -16011,3 +16011,78 @@ def q_webm_stream_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = ids.mapInPandas(gen, blob_schema)
     return extract_webm_metadata(blobs)
+
+
+@register(
+    "warc_html_extract",
+    oracle='\n    WITH ids AS (\n        SELECT doc_id, 2 + doc_id % 4 AS n_pages\n        FROM documents WHERE doc_id % 12 = 0\n    ),\n    pages AS (\n        SELECT doc_id, CAST(r.i AS INT) AS p\n        FROM ids, unnest(range(0, n_pages)) AS r(i)\n        WHERE r.i % 2 = 0\n    )\n    SELECT doc_id AS file_id, p AS page,\n           \'https://example.org/site\' || (doc_id % 97) || \'/page\' || p\n               AS target_uri,\n           trim(regexp_replace(replace(replace(replace(replace(replace(replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(\'<html><head><title>Site \' || (doc_id % 97) || \' page \' || p || \'</title><script>var x = \' || doc_id || \';</script></head><body><h1>Doc \' || doc_id || \'&nbsp;\' || p || \'</h1><p>alpha beta tok\' || ((doc_id + p) % 50) || \' gamma</p><!-- hidden \' || doc_id || \' --></body></html>\', \'(?is)<script[^>]*>.*?</script>\', \' \', \'g\'), \'(?is)<style[^>]*>.*?</style>\', \' \', \'g\'), \'(?s)<!--.*?-->\', \' \', \'g\'), \'<[^>]*>\', \' \', \'g\'), \'&nbsp;\', \' \'), \'&quot;\', \'"\'), \'&#39;\', \'\'\'\'), \'&lt;\', \'<\'), \'&gt;\', \'>\'), \'&amp;\', \'&\'), \'\\s+\', \' \', \'g\')) AS clean_text,\n           CAST(11 AS BIGINT) AS n_tokens\n    FROM pages\n',
+    doc="WARC -> corpus CAPSTONE (sources/warc.py::scan_warc_responses "
+        "+ functions/html.py::html_to_text — round-14): the first leg "
+        "of a real pretraining pipeline in ONE oracle-gated query.  "
+        "Archive blobs (plain and per-record-gzip alternating by "
+        "file) 1->N-expand into response records WITH bodies, the "
+        "HTTP filter keeps status-200 text/html (the 204s drop — "
+        "filter semantics under the gate), and the HTML bodies run "
+        "the full markup->text chain (script/comment stripping, tag "
+        "boundaries, entity decode, whitespace collapse) plus a "
+        "token count.  The fixture's HTML is pure (file_id, page) "
+        "arithmetic, so the DuckDB oracle REBUILDS the exact raw "
+        "string per page and pushes it through html_to_text_sql — "
+        "generated from the same pattern tables as the Spark "
+        "expression, so extraction and oracle cannot drift.  Scale "
+        "shape: one Arrow-batched 1->N mapInPandas expansion (files "
+        "never shuffle) followed by codegen'd JVM-side string "
+        "expressions; no Python in the per-record hot path.",
+)
+def q_warc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.functions.html import html_to_text
+    from etl_tiki_webscraping_spark.functions.text import token_count
+    from etl_tiki_webscraping_spark.sources.warc import scan_warc_responses
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 12 == 0)
+        .select(F.col("doc_id").alias("file_id"))
+    )
+
+    def build(d: int) -> bytes:
+        from etl_tiki_webscraping_spark.sources.warc import encode_warc
+
+        return encode_warc(
+            d, 2 + d % 4, gzip_per_record=d % 2 == 1,
+            html_bodies=True, seed=d,
+        )
+
+    blob_schema = T.StructType(
+        [
+            T.StructField("file_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "file_id": b["file_id"],
+                    "content": b["file_id"].map(lambda d: build(int(d))),
+                }
+            )
+
+    blobs = ids.mapInPandas(gen, blob_schema)
+    responses = scan_warc_responses(blobs)
+    kept = responses.filter(
+        (F.col("http_status") == 200)
+        & (F.col("http_content_type") == "text/html")
+    )
+    return kept.select(
+        "file_id",
+        "page",
+        "target_uri",
+        html_to_text(F.col("body")).alias("clean_text"),
+        token_count(html_to_text(F.col("body"))).alias("n_tokens"),
+    )

@@ -163,12 +163,28 @@ def _record(warc_type: str, record_id: str, date: str, payload: bytes,
     return b"\r\n".join(lines) + b"\r\n\r\n" + payload + b"\r\n\r\n"
 
 
+def warc_fixture_html(file_id: int, page: int) -> str:
+    """The deterministic HTML body used by ``encode_warc(...,
+    html_bodies=True)`` — script content to strip, an entity to
+    decode, a comment to drop, all replayable from (file_id, page)
+    arithmetic so the catalog oracle can rebuild the EXACT raw string
+    and push it through html_to_text_sql."""
+    return (
+        f"<html><head><title>Site {file_id % 97} page {page}</title>"
+        f"<script>var x = {file_id};</script></head>"
+        f"<body><h1>Doc {file_id}&nbsp;{page}</h1>"
+        f"<p>alpha beta tok{(file_id + page) % 50} gamma</p>"
+        f"<!-- hidden {file_id} --></body></html>"
+    )
+
+
 def encode_warc(
     file_id: int,
     n_pages: int,
     gzip_per_record: bool = False,
     truncate: int = 0,
     seed: int = 0,
+    html_bodies: bool = False,
 ) -> bytes:
     """Fixture writer: a warcinfo record followed by ``n_pages``
     request/response pairs with doc-arithmetic URIs, HTTP status
@@ -193,11 +209,15 @@ def encode_warc(
             f"Host: example.org\r\n".encode(),
             target_uri=uri,
         ))
-        body_len = 100 + (file_id + page) % 64
-        body = b"".join(
-            _md5(f"warc:{seed}:{file_id}:{page}:{i}".encode()).digest()
-            for i in range(body_len // 16 + 1)
-        )[:body_len]
+        if html_bodies:
+            body = warc_fixture_html(file_id, page).encode()
+            body_len = len(body)
+        else:
+            body_len = 100 + (file_id + page) % 64
+            body = b"".join(
+                _md5(f"warc:{seed}:{file_id}:{page}:{i}".encode()).digest()
+                for i in range(body_len // 16 + 1)
+            )[:body_len]
         status = 200 + 4 * (page % 2)
         http = (
             f"HTTP/1.1 {status} OK\r\n"
@@ -264,4 +284,85 @@ def scan_warc_records(df, id_col="file_id", content_col="content"):
 
     return df.select(id_col, content_col).mapInPandas(
         run, schema=WARC_SCAN_SCHEMA
+    )
+
+
+WARC_RESPONSE_SCHEMA = (
+    "file_id bigint, page int, target_uri string, http_status int, "
+    "http_content_type string, body string"
+)
+
+
+def scan_warc_responses(df, id_col="file_id", content_col="content"):
+    """Response-record expansion WITH bodies: each clean archive
+    yields one row per ``response`` record carrying the HTTP payload
+    body (bytes after the header's blank line) decoded as UTF-8 — the
+    form the text stack (HTML extraction, language id, dedup)
+    consumes directly.  Strictness and quarantine contracts are
+    identical to :func:`scan_warc_records` (a rejected file emits one
+    page = -1 row).  Page numbering follows the fixture convention:
+    response record 2p+2 is page p."""
+    import pandas as pd
+
+    def run(batches):
+        for batch in batches:
+            out = []
+            for fid, content in zip(batch[id_col], batch[content_col]):
+                data = bytes(content) if content is not None else None
+                # re-parse with payloads: parse_warc_file validates;
+                # the body walk below re-reads the validated records
+                if data is None or parse_warc_file(data) is None:
+                    out.append({
+                        "file_id": int(fid), "page": -1,
+                        "target_uri": None, "http_status": None,
+                        "http_content_type": None, "body": None,
+                    })
+                    continue
+                members = (
+                    split_gzip_members(data)
+                    if data[:2] == b"\x1f\x8b" else None
+                )
+                raw = b"".join(members) if members is not None else data
+                page = 0
+                pos = 0
+                while pos < len(raw):
+                    hdr_end = raw.find(b"\r\n\r\n", pos)
+                    lines = raw[pos:hdr_end].split(b"\r\n")
+                    fields = {}
+                    for line in lines[1:]:
+                        k, v = line.split(b":", 1)
+                        fields[k.strip().decode()] = v.strip().decode(
+                            "utf-8", "replace"
+                        )
+                    clen = int(fields["Content-Length"])
+                    payload = raw[hdr_end + 4 : hdr_end + 4 + clen]
+                    pos = hdr_end + 4 + clen + 4
+                    if fields["WARC-Type"] != "response":
+                        continue
+                    status = ctype = body = None
+                    if payload[:5] == b"HTTP/":
+                        parts = payload.split(b"\r\n\r\n", 1)
+                        head = parts[0].split(b"\r\n")
+                        sl = head[0].split(b" ")
+                        if len(sl) >= 2 and sl[1].isdigit():
+                            status = int(sl[1])
+                        for hl in head[1:]:
+                            if hl.lower().startswith(b"content-type:"):
+                                ctype = hl.split(b":", 1)[1].strip().decode(
+                                    "ascii", "replace"
+                                )
+                        if len(parts) == 2:
+                            body = parts[1].decode("utf-8", "replace")
+                    out.append({
+                        "file_id": int(fid), "page": page,
+                        "target_uri": fields.get("WARC-Target-URI"),
+                        "http_status": status,
+                        "http_content_type": ctype,
+                        "body": body,
+                    })
+                    page += 1
+            yield pd.DataFrame.from_records(out)
+
+    return df.select(id_col, content_col).mapInPandas(
+        run, schema=WARC_RESPONSE_SCHEMA
     )

@@ -77,3 +77,33 @@ def test_spark_scan(spark):
     assert len(by_file[2]) == 3
     assert len(by_file[3]) == 1 and by_file[3][0]["record_idx"] == -1
     assert by_file[3][0]["warc_type"] is None
+
+
+def test_scan_responses_with_bodies(spark):
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.sources.warc import (
+        scan_warc_responses,
+        warc_fixture_html,
+    )
+
+    rows = [
+        (1, bytearray(encode_warc(1, 3, html_bodies=True, seed=5))),
+        (2, bytearray(encode_warc(2, 2, html_bodies=True,
+                                  gzip_per_record=True, seed=5))),
+        (3, bytearray(encode_warc(3, 2, seed=5, truncate=4))),
+    ]
+    schema = T.StructType([
+        T.StructField("file_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    out = scan_warc_responses(spark.createDataFrame(rows, schema)).collect()
+    by_file: dict = {}
+    for r in out:
+        by_file.setdefault(r["file_id"], []).append(r)
+    f1 = sorted(by_file[1], key=lambda r: r["page"])
+    assert [r["page"] for r in f1] == [0, 1, 2]
+    assert f1[0]["http_status"] == 200 and f1[1]["http_status"] == 204
+    assert f1[2]["body"] == warc_fixture_html(1, 2)
+    assert len(by_file[2]) == 2 and by_file[2][0]["body"] is not None
+    assert by_file[3][0]["page"] == -1 and by_file[3][0]["body"] is None

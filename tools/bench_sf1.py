@@ -225,6 +225,7 @@ NEW_R14 = [
     "webp_lossy_decode_meta",
     "warc_record_scan",
     "webm_stream_metadata",
+    "warc_html_extract",
 ]
 
 NEW_R12 = [
