@@ -250,6 +250,7 @@ HEADLINE = [
     ("warc_record_scan", "count"),
     ("webm_stream_metadata", "collect"),
     ("warc_html_extract", "hash"),
+    ("avif_image_meta", "collect"),
 ]
 
 

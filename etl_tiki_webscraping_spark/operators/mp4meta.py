@@ -327,3 +327,171 @@ def extract_mp4_metadata(df, id_col="media_id", content_col="content"):
     return df.select(id_col, content_col).mapInPandas(
         run, schema=MP4_META_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# AVIF / HEIC still images (the ISO-BMFF `meta` branch) — round-14
+# --------------------------------------------------------------------------
+#
+# Modern crawl images increasingly arrive as AVIF (AV1 payload) and
+# HEIC (HEVC payload) — ISO-BMFF files whose image properties live in
+# fixed-layout boxes under `meta`: hdlr (handler 'pict'), iinf (item
+# count), pitm (primary item), iprp/ipco/ispe (image spatial extent =
+# the dimensions).  Like VP8 (see operators/webp_native.py), the
+# payload codecs are out of scope — but dimensions, item counts, and
+# brand accounting need only the box walk above, same strict-tiling
+# rules as parse_mp4.  Subset note: dimensions are taken from the
+# FIRST ispe in ipco (the single-image convention); files whose ipma
+# associates a different ispe with the primary item are out of scope.
+
+_AVIF_BRANDS = {"avif", "avis"}
+_HEIC_BRANDS = {"heic", "heix", "mif1", "msf1"}
+
+
+def parse_avif(content: bytes) -> "dict | None":
+    """Strict header-only AVIF/HEIC parse: ``{brand, family, width,
+    height, n_items, primary_item}`` or None.  family is 'avif' or
+    'heic' from the major brand; the meta box must be version-0 with a
+    'pict' handler, and every box must tile its parent exactly."""
+    if content is None or len(content) < 16:
+        return None
+    try:
+        top = list(_walk_boxes(content, 0, len(content)))
+        if not top or top[0][0] != b"ftyp":
+            return None
+        fs, fe = top[0][1], top[0][2]
+        if fe - fs < 8 or (fe - fs) % 4:
+            return None
+        brand = content[fs : fs + 4].decode("ascii", "replace")
+        if brand in _AVIF_BRANDS:
+            family = "avif"
+        elif brand in _HEIC_BRANDS:
+            family = "heic"
+        else:
+            return None
+        meta = None
+        for fc, s, e in top:
+            if fc == b"meta" and meta is None:
+                meta = (s, e)
+        if meta is None:
+            return None
+        # meta is a FULL box: version/flags precede the children
+        _, p = _fullbox(content, meta[0], meta[1])
+        hdlr = _child(content, p, meta[1], b"hdlr")
+        if hdlr is None:
+            return None
+        _, hp = _fullbox(content, hdlr[0], hdlr[1])
+        if hdlr[1] - hp < 8 or content[hp + 4 : hp + 8] != b"pict":
+            return None
+        n_items = None
+        iinf = _child(content, p, meta[1], b"iinf")
+        if iinf is not None:
+            ver, ip = _fullbox(content, iinf[0], iinf[1], versions=(0, 1))
+            need = 2 if ver == 0 else 4
+            if ip + need > iinf[1]:
+                return None
+            n_items = int.from_bytes(content[ip : ip + need], "big")
+        primary = None
+        pitm = _child(content, p, meta[1], b"pitm")
+        if pitm is not None:
+            ver, pp = _fullbox(content, pitm[0], pitm[1], versions=(0, 1))
+            need = 2 if ver == 0 else 4
+            if pp + need > pitm[1]:
+                return None
+            primary = int.from_bytes(content[pp : pp + need], "big")
+        iprp = _child(content, p, meta[1], b"iprp")
+        if iprp is None:
+            return None
+        ipco = _child(content, iprp[0], iprp[1], b"ipco")
+        if ipco is None:
+            return None
+        ispe = _child(content, ipco[0], ipco[1], b"ispe")
+        if ispe is None:
+            return None
+        _, sp = _fullbox(content, ispe[0], ispe[1])
+        if sp + 8 != ispe[1]:
+            return None
+        (width,) = struct.unpack_from(">I", content, sp)
+        (height,) = struct.unpack_from(">I", content, sp + 4)
+        if width == 0 or height == 0:
+            return None
+        return {
+            "brand": brand, "family": family,
+            "width": width, "height": height,
+            "n_items": n_items, "primary_item": primary,
+        }
+    except ValueError:
+        return None
+
+
+def encode_avif_stub(
+    brand: str = "avif",
+    width: int = 640,
+    height: int = 480,
+    n_items: int = 1,
+    seed: int = 0,
+    mdat_bytes: int = 48,
+) -> bytes:
+    """Fixture writer: ftyp + meta(hdlr 'pict' + pitm + iinf + iprp/
+    ipco/ispe) + mdat junk — every parsed field is a constructor
+    argument, replayable from id arithmetic."""
+    ftyp = _box(
+        b"ftyp",
+        brand.encode("ascii") + struct.pack(">I", 0)
+        + brand.encode("ascii") + b"mif1",
+    )
+    hdlr = _fullbox_bytes(
+        b"hdlr", 0,
+        struct.pack(">I", 0) + b"pict" + b"\x00" * 12 + b"f\x00",
+    )
+    pitm = _fullbox_bytes(b"pitm", 0, struct.pack(">H", 1))
+    infe = _fullbox_bytes(
+        b"infe", 2, struct.pack(">HH", 1, 0) + b"av01" + b"i\x00"
+    )
+    iinf = _fullbox_bytes(b"iinf", 0, struct.pack(">H", n_items) + infe * n_items)
+    ispe = _fullbox_bytes(b"ispe", 0, struct.pack(">II", width, height))
+    ipco = _box(b"ipco", ispe)
+    iprp = _box(b"iprp", ipco)
+    meta = _fullbox_bytes(b"meta", 0, hdlr + pitm + iinf + iprp)
+    junk = b"".join(
+        _md5(f"avif:{seed}:{i}".encode()).digest()
+        for i in range(mdat_bytes // 16 + 1)
+    )[:mdat_bytes]
+    return ftyp + meta + _box(b"mdat", junk)
+
+
+AVIF_META_SCHEMA = (
+    "media_id bigint, is_bmff boolean, family string, brand string, "
+    "width int, height int, n_items int"
+)
+
+
+def extract_avif_metadata(df, id_col="media_id", content_col="content"):
+    """Per-blob AVIF/HEIC triage in one Arrow-batched mapInPandas
+    pass; a blob the strict walk rejects emits the ftyp-sniffed
+    quarantine row (the parse_mp4 contract)."""
+    import pandas as pd
+
+    def run(batches):
+        for batch in batches:
+            out = []
+            for mid, content in zip(batch[id_col], batch[content_col]):
+                data = bytes(content) if content is not None else None
+                meta = parse_avif(data)
+                rec = {
+                    "media_id": int(mid), "is_bmff": sniff_mp4(data),
+                    "family": None, "brand": None,
+                    "width": None, "height": None, "n_items": None,
+                }
+                if meta is not None:
+                    rec.update(
+                        family=meta["family"], brand=meta["brand"],
+                        width=meta["width"], height=meta["height"],
+                        n_items=meta["n_items"],
+                    )
+                out.append(rec)
+            yield pd.DataFrame.from_records(out)
+
+    return df.select(id_col, content_col).mapInPandas(
+        run, schema=AVIF_META_SCHEMA
+    )

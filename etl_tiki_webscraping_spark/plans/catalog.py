@@ -16086,3 +16086,90 @@ def q_warc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         html_to_text(F.col("body")).alias("clean_text"),
         token_count(html_to_text(F.col("body"))).alias("n_tokens"),
     )
+
+
+@register(
+    "avif_image_meta",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id, (doc_id // 14) % 4 AS k
+        FROM documents WHERE doc_id % 14 = 4
+    )
+    SELECT doc_id AS media_id,
+           TRUE AS is_bmff,
+           CASE WHEN k = 1 THEN 'heic' WHEN k = 3 THEN NULL
+                ELSE 'avif' END AS family,
+           CASE k WHEN 0 THEN 'avif' WHEN 1 THEN 'heic'
+                  WHEN 2 THEN 'avis' END AS brand,
+           CAST(CASE WHEN k < 3 THEN 64 * (1 + doc_id % 32)
+                END AS INT) AS width,
+           CAST(CASE WHEN k < 3 THEN 48 * (1 + doc_id % 24)
+                END AS INT) AS height,
+           CAST(CASE WHEN k = 2 THEN 2 + doc_id % 3
+                     WHEN k < 2 THEN 1 END AS INT) AS n_items
+    FROM ids
+    """,
+    doc="AVIF / HEIC still-image TRIAGE (operators/mp4meta.py::"
+        "parse_avif — round-14): the modern crawl's growing image "
+        "formats are ISO-BMFF files whose dimensions live in the "
+        "meta/iprp/ipco/ispe box (image spatial extent), not in any "
+        "codec payload — the same strict box-tiling walk as "
+        "mp4_stream_metadata extended with the meta branch ('pict' "
+        "handler validation, version-0/1 iinf item counts, pitm "
+        "primary item).  The fixture cycles a single-item AVIF, a "
+        "HEIC, a multi-item AVIF sequence brand (avis), and a "
+        "TRUNCATED file the tiling check rejects into the "
+        "ftyp-sniffed quarantine row.  AV1/HEVC payload decode is out "
+        "of scope for the same table-constant reason as VP8 (see "
+        "webp_native.py) — dimensions and brand/item accounting need "
+        "only the structural walk.  Scale shape: one Arrow-batched "
+        "1->1 mapInPandas pass, blobs never shuffle.",
+)
+def q_avif_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.operators.mp4meta import (
+        extract_avif_metadata,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 14 == 4)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def build(d: int) -> bytes:
+        from etl_tiki_webscraping_spark.operators.mp4meta import (
+            encode_avif_stub,
+        )
+
+        k = (d // 14) % 4
+        w, h = 64 * (1 + d % 32), 48 * (1 + d % 24)
+        if k == 0:
+            return encode_avif_stub("avif", w, h, seed=d)
+        if k == 1:
+            return encode_avif_stub("heic", w, h, seed=d)
+        if k == 2:
+            return encode_avif_stub("avis", w, h, n_items=2 + d % 3, seed=d)
+        return encode_avif_stub("avif", w, h, seed=d)[:-6]
+
+    blob_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "content": b["media_id"].map(lambda d: build(int(d))),
+                }
+            )
+
+    blobs = ids.mapInPandas(gen, blob_schema)
+    return extract_avif_metadata(blobs)

@@ -100,3 +100,69 @@ def test_spark_extract(spark):
     assert out[1]["codecs"] == "mp4a" and out[1]["total_samples"] == 700
     assert out[2]["is_mp4"] and out[2]["brand"] is None
     assert not out[3]["is_mp4"] and out[3]["brand"] is None
+
+
+# --------------------------------------------------------------------------
+# round-14 second wave: AVIF / HEIC (the meta branch)
+# --------------------------------------------------------------------------
+
+
+def test_avif_parse():
+    from etl_tiki_webscraping_spark.operators.mp4meta import (
+        encode_avif_stub,
+        parse_avif,
+    )
+
+    m = parse_avif(encode_avif_stub("avif", 1024, 768, n_items=2, seed=1))
+    assert m == {
+        "brand": "avif", "family": "avif", "width": 1024, "height": 768,
+        "n_items": 2, "primary_item": 1,
+    }
+    m = parse_avif(encode_avif_stub("heic", 4032, 3024))
+    assert m["family"] == "heic" and (m["width"], m["height"]) == (4032, 3024)
+
+
+def test_avif_strictness():
+    from etl_tiki_webscraping_spark.operators.mp4meta import (
+        encode_avif_stub,
+        parse_avif,
+    )
+
+    b = encode_avif_stub("avif", 640, 480, seed=2)
+    for cut in (1, 6, len(b) - 20):
+        assert parse_avif(b[:-cut]) is None
+    # a video brand routes to parse_mp4's domain, not this one
+    assert parse_avif(encode_mp4_stub(seed=3)) is None
+    # a non-'pict' handler rejects
+    bad = b.replace(b"pict", b"vide", 1)
+    assert parse_avif(bad) is None
+    # zero dimensions reject
+    import struct as _s
+
+    bb = bytearray(b)
+    pos = bytes(bb).index(b"ispe") + 4 + 4
+    bb[pos : pos + 4] = _s.pack(">I", 0)
+    assert parse_avif(bytes(bb)) is None
+    assert parse_avif(None) is None and parse_avif(b"") is None
+
+
+def test_avif_spark(spark):
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.operators.mp4meta import (
+        encode_avif_stub,
+        extract_avif_metadata,
+    )
+
+    good = encode_avif_stub("avif", 320, 200, seed=4)
+    rows = [(1, bytearray(good)), (2, bytearray(good[:-7]))]
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    out = {
+        r["media_id"]: r
+        for r in extract_avif_metadata(spark.createDataFrame(rows, schema)).collect()
+    }
+    assert out[1]["family"] == "avif" and out[1]["width"] == 320
+    assert out[2]["is_bmff"] and out[2]["family"] is None

@@ -226,6 +226,7 @@ NEW_R14 = [
     "warc_record_scan",
     "webm_stream_metadata",
     "warc_html_extract",
+    "avif_image_meta",
 ]
 
 NEW_R12 = [

@@ -818,7 +818,8 @@ def main() -> int:
               # r14 header-triage tiers: same no-exchange blob contract
               "webp_lossy_meta", "mp4_stream_metadata", "image_exif_meta",
               "webp_native_parity", "webp_lossy_decode_meta",
-              "warc_record_scan", "webm_stream_metadata"):
+              "warc_record_scan", "webm_stream_metadata",
+              "warc_html_extract", "avif_image_meta"):
         p = plan_of(q)
         check(q,
               "MapInPandas" in p and "Exchange" not in p,
