@@ -251,6 +251,8 @@ HEADLINE = [
     ("webm_stream_metadata", "collect"),
     ("warc_html_extract", "hash"),
     ("avif_image_meta", "collect"),
+    ("zip_container_meta", "collect"),
+    ("sitemap_url_extract", "hash"),
 ]
 
 

@@ -16173,3 +16173,169 @@ def q_avif_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = ids.mapInPandas(gen, blob_schema)
     return extract_avif_metadata(blobs)
+
+
+@register(
+    "zip_container_meta",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id, (doc_id // 12) % 6 AS k,
+               2 + doc_id % 4 AS n_docs
+        FROM documents WHERE doc_id % 12 = 9
+    ),
+    sized AS (
+        SELECT doc_id, k, n_docs,
+               list_aggregate(
+                   list_transform(range(0, n_docs),
+                                  i -> 40 + (doc_id + i) % 32),
+                   'sum') AS payload_bytes
+        FROM ids
+    )
+    SELECT doc_id AS file_id,
+           TRUE AS is_zip,
+           CASE k WHEN 0 THEN 'zip' WHEN 1 THEN 'docx' WHEN 2 THEN 'epub'
+                  WHEN 3 THEN 'jar' WHEN 4 THEN 'xlsx' END AS kind,
+           CAST(CASE k WHEN 0 THEN n_docs
+                       WHEN 1 THEN n_docs + 2 WHEN 4 THEN n_docs + 2
+                       WHEN 2 THEN n_docs + 1 WHEN 3 THEN n_docs + 1
+                END AS INT) AS n_entries,
+           CAST(CASE k WHEN 0 THEN payload_bytes
+                       WHEN 1 THEN payload_bytes + 15
+                       WHEN 4 THEN payload_bytes + 15
+                       WHEN 2 THEN payload_bytes + 20
+                       WHEN 3 THEN payload_bytes + 23
+                END AS BIGINT) AS total_uncompressed,
+           CASE WHEN k < 5 THEN FALSE END AS has_encrypted
+    FROM sized
+    """,
+    doc="ZIP / office-document container TRIAGE (operators/zipmeta.py "
+        "— round-14): docx/xlsx/pptx are OPC zips, EPUB is a zip with "
+        "a 'mimetype' first entry, JARs carry META-INF/MANIFEST.MF — "
+        "a crawl classifies them all from the central directory alone "
+        "(PKWARE APPNOTE layout): EOCD located from the tail with the "
+        "comment-length-must-reach-EOF rule, per-entry name/method/"
+        "sizes/encryption-flag, entry count and directory size "
+        "cross-checked against the EOCD (a lying EOCD rejects), "
+        "ZIP64 and multi-disk explicitly out of scope rather than "
+        "silently wrong.  Fixtures are written by the STDLIB zipfile "
+        "module (stored entries, fixed date) but parsed by this "
+        "module's independent walk — writer and reader share no code; "
+        "the oracle replays kinds, entry counts, and exact "
+        "uncompressed byte totals from doc_id arithmetic, and a "
+        "TRUNCATED archive quarantines under the magic sniff.  Scale "
+        "shape: one Arrow-batched 1->1 mapInPandas pass, blobs never "
+        "shuffle.",
+)
+def q_zip_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.operators.zipmeta import (
+        extract_zip_metadata,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 12 == 9)
+        .select(F.col("doc_id").alias("file_id"))
+    )
+
+    def build(d: int) -> bytes:
+        from etl_tiki_webscraping_spark.operators.zipmeta import (
+            encode_zip_fixture,
+        )
+
+        k = (d // 12) % 6
+        n_docs = 2 + d % 4
+        kind = ("zip", "docx", "epub", "jar", "xlsx", "zip")[k]
+        blob = encode_zip_fixture(d, kind, n_docs=n_docs, seed=d)
+        return blob[:-4] if k == 5 else blob
+
+    blob_schema = T.StructType(
+        [
+            T.StructField("file_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "file_id": b["file_id"],
+                    "content": b["file_id"].map(lambda d: build(int(d))),
+                }
+            )
+
+    blobs = ids.mapInPandas(gen, blob_schema)
+    return extract_zip_metadata(blobs)
+
+
+@register(
+    "sitemap_url_extract",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id, 3 + doc_id % 5 AS n_urls
+        FROM documents WHERE doc_id % 12 = 11
+    )
+    SELECT doc_id, CAST(r.i AS INT) AS pos,
+           'https://example.org/p/' || (doc_id * 100 + r.i) AS url,
+           printf('2026-01-%02d', CAST(1 + r.i % 28 AS INT)) AS lastmod
+    FROM ids, unnest(range(0, n_urls)) AS r(i)
+    """,
+    doc="Sitemap URL extraction (round-14): the reference's FIRST "
+        "pipeline stage is a sitemap scan (dags/etl.py:25-46 — S1 in "
+        "SURVEY §2.1); the public-web equivalent is sitemaps.org XML, "
+        "and this query runs the whole trip as PURE JVM expressions — "
+        "the sitemap body is synthesized per doc with transform + "
+        "format_string, <loc>/<lastmod> pairs are pulled with "
+        "regexp_extract_all (RE2-safe pattern, identical in the "
+        "oracle's engine), zipped positionally with arrays_zip, and "
+        "posexploded to one row per URL.  No UDF, no mapInPandas, no "
+        "shuffle — a 100 TB sitemap dump extracts inside whole-stage "
+        "codegen.  The oracle rebuilds every URL/lastmod from doc_id "
+        "arithmetic, so a mis-paired zip or an off-by-one extraction "
+        "hash-mismatches.",
+)
+def q_sitemap_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 12 == 11)
+        .select("doc_id", (F.lit(3) + F.col("doc_id") % 5).alias("n_urls"))
+    )
+    entry = (
+        "<url><loc>https://example.org/p/%d</loc>"
+        "<lastmod>2026-01-%02d</lastmod></url>"
+    )
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_urls") - 1),
+                lambda i: F.format_string(
+                    entry, F.col("doc_id") * 100 + i, i % 28 + 1
+                ),
+            ),
+        ),
+        F.lit("</urlset>"),
+    )
+    docs = ids.select("doc_id", xml.alias("xml"))
+    pairs = docs.select(
+        "doc_id",
+        F.arrays_zip(
+            F.regexp_extract_all(F.col("xml"), F.lit("<loc>([^<]+)</loc>"), F.lit(1)).alias("url"),
+            F.regexp_extract_all(
+                F.col("xml"), F.lit("<lastmod>([^<]+)</lastmod>"), F.lit(1)
+            ).alias("lastmod"),
+        ).alias("entries"),
+    )
+    return pairs.select(
+        "doc_id", F.posexplode("entries").alias("pos", "e")
+    ).select(
+        "doc_id",
+        "pos",
+        F.col("e.url").alias("url"),
+        F.col("e.lastmod").alias("lastmod"),
+    )

@@ -227,6 +227,8 @@ NEW_R14 = [
     "webm_stream_metadata",
     "warc_html_extract",
     "avif_image_meta",
+    "zip_container_meta",
+    "sitemap_url_extract",
 ]
 
 NEW_R12 = [

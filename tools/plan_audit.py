@@ -819,7 +819,8 @@ def main() -> int:
               "webp_lossy_meta", "mp4_stream_metadata", "image_exif_meta",
               "webp_native_parity", "webp_lossy_decode_meta",
               "warc_record_scan", "webm_stream_metadata",
-              "warc_html_extract", "avif_image_meta"):
+              "warc_html_extract", "avif_image_meta",
+              "zip_container_meta"):
         p = plan_of(q)
         check(q,
               "MapInPandas" in p and "Exchange" not in p,
