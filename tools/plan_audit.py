@@ -827,6 +827,13 @@ def main() -> int:
               "encode/decode is 1->1 mapInPandas; blobs never shuffle "
               "(no exchange in the whole plan)")
 
+    # --- r14 sitemap extraction: pure narrow codegen, no shuffle ---------
+    p = plan_of("sitemap_url_extract")
+    check("sitemap_url_extract",
+          "Exchange" not in p and "Generate" in p,
+          "XML extraction + posexplode is a narrow codegen plan — no "
+          "shuffle anywhere")
+
     # --- r14 portable-HLL upgrades: register aggregation must partial-
     # aggregate before its exchange (the map-side-combine shape), and
     # the estimate stage's input is the bounded register table
