@@ -253,6 +253,8 @@ HEADLINE = [
     ("avif_image_meta", "collect"),
     ("zip_container_meta", "collect"),
     ("sitemap_url_extract", "hash"),
+    ("mp3_id3_tags", "collect"),
+    ("robots_rules_extract", "hash"),
 ]
 
 

@@ -108,3 +108,57 @@ def extract_host_sql(expr: str) -> str:
     host = f"regexp_replace({head}, '^[a-z][a-z0-9+.-]*://', '')"
     host = f"regexp_replace({host}, ':[0-9]+$', '')"
     return f"regexp_replace({host}, '^www\\.', '')"
+
+
+def robots_rules(df, id_col: str = "doc_id", text_col: str = "robots_txt"):
+    """robots.txt rule extraction (round-14) — the crawl-governance
+    twin of the sitemap scan: one row per Allow/Disallow/Sitemap
+    directive with the GOVERNING user-agent attached.
+
+    Pure Spark composition, no UDF: posexplode the lines, mark
+    ``User-agent:`` lines, and carry the agent forward with
+    ``last(ignorenulls)`` over a (file, line-order) window — the
+    standard group semantics (directives bind to the most recent
+    agent line; ``Sitemap:`` is global, agent NULL).  Lines are split
+    on \\n with \\r trimmed (both line conventions), directive names
+    match case-insensitively, values are whitespace-trimmed.  Scale
+    shape: one narrow explode + ONE window partitioned by file id —
+    robots files are tiny, so the per-file window state is bounded by
+    the line count."""
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.regexp_replace(F.col(text_col), "\r", ""), "\n")
+        ).alias("pos", "line"),
+    )
+    agent = F.when(
+        F.lower(F.col("line")).rlike("^user-agent:"),
+        F.trim(F.substring_index(F.col("line"), ":", -1)),
+    )
+    directive = F.regexp_extract(
+        F.col("line"), r"(?i)^(allow|disallow|sitemap):\s*(.*)$", 1
+    )
+    value = F.regexp_extract(
+        F.col("line"), r"(?i)^(allow|disallow|sitemap):\s*(.*)$", 2
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = lines.select(
+        id_col,
+        "pos",
+        F.last(agent, ignorenulls=True).over(w).alias("agent"),
+        F.lower(directive).alias("rule"),
+        F.trim(value).alias("value"),
+    )
+    return tagged.filter(F.col("rule") != "").select(
+        id_col,
+        "pos",
+        F.when(F.col("rule") != "sitemap", F.col("agent")).alias("agent"),
+        "rule",
+        "value",
+    )

@@ -495,3 +495,162 @@ def iter_mp3_frames(content: bytes) -> "list[tuple[int, int, int]] | None":
         out.append((len(out), kbps, frame_len))
         pos += frame_len
     return out or None
+
+
+# --------------------------------------------------------------------------
+# ID3v2 text frames (round-14 second wave) — the mp3 METADATA story
+# --------------------------------------------------------------------------
+#
+# parse_id3v2_size has always skipped the tag; a crawl also wants what
+# is IN it — title/artist/album drive music-content routing and
+# near-dup grouping.  Public layout (id3.org): 10-byte tag header
+# (version 3 or 4, syncsafe 28-bit size), then frames of 4-char id +
+# 4-byte size (v2.3: plain big-endian; v2.4: SYNCSAFE — the classic
+# cross-version bug) + 2 flag bytes; text frames (T***) carry an
+# encoding byte (0 latin-1, 3 utf-8 supported here) + the value.
+# Frames must tile the tag, with zero-byte padding allowed after the
+# last frame (the spec's padding region); anything else rejects.
+
+
+def parse_id3v2_frames(data: bytes) -> "dict | None":
+    """``{version, n_frames, title, artist, album}`` from a leading
+    ID3v2.3/2.4 tag, or None (no tag / malformed tag / non-tiling
+    frames / unsupported text encoding)."""
+    if len(data) < 10 or data[:3] != b"ID3":
+        return None
+    version = data[3]
+    if version not in (3, 4):
+        return None
+    if any(b & 0x80 for b in data[6:10]):
+        return None
+    size = (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
+    end = 10 + size
+    if end > len(data):
+        return None
+    pos = 10
+    n_frames = 0
+    out = {"version": version, "title": None, "artist": None, "album": None}
+    while pos < end:
+        if data[pos] == 0:  # padding region: must be zeros to the end
+            if any(b for b in data[pos:end]):
+                return None
+            break
+        if pos + 10 > end:
+            return None
+        fid = data[pos : pos + 4]
+        if not all(0x30 <= b <= 0x5A for b in fid):
+            return None
+        if version == 4:
+            if any(b & 0x80 for b in data[pos + 4 : pos + 8]):
+                return None
+            fsize = (
+                (data[pos + 4] << 21) | (data[pos + 5] << 14)
+                | (data[pos + 6] << 7) | data[pos + 7]
+            )
+        else:
+            fsize = int.from_bytes(data[pos + 4 : pos + 8], "big")
+        body_start = pos + 10
+        if fsize < 1 or body_start + fsize > end:
+            return None
+        body = data[body_start : body_start + fsize]
+        if fid[:1] == b"T":
+            enc = body[0]
+            if enc == 0:
+                text = body[1:].decode("latin-1")
+            elif enc == 3:
+                try:
+                    text = body[1:].decode("utf-8")
+                except UnicodeDecodeError:
+                    return None
+            else:
+                return None  # utf-16 variants out of scope (strict)
+            text = text.rstrip("\x00")
+            if fid == b"TIT2":
+                out["title"] = text
+            elif fid == b"TPE1":
+                out["artist"] = text
+            elif fid == b"TALB":
+                out["album"] = text
+        n_frames += 1
+        pos = body_start + fsize
+    if n_frames == 0:
+        return None
+    out["n_frames"] = n_frames
+    return out
+
+
+def encode_id3v2_tag(
+    version: int = 3,
+    title: "str | None" = None,
+    artist: "str | None" = None,
+    album: "str | None" = None,
+    padding: int = 0,
+    utf8: bool = False,
+) -> bytes:
+    """Fixture writer: an ID3v2.3 or v2.4 tag with TIT2/TPE1/TALB
+    text frames (latin-1 or utf-8), optional zero padding — sizes in
+    the version's own convention (v2.4 frames syncsafe)."""
+    if version not in (3, 4):
+        raise ValueError("version must be 3 or 4")
+    frames = bytearray()
+    for fid, text in ((b"TIT2", title), (b"TPE1", artist), (b"TALB", album)):
+        if text is None:
+            continue
+        body = (b"\x03" + text.encode()) if utf8 else (
+            b"\x00" + text.encode("latin-1")
+        )
+        n = len(body)
+        if version == 4:
+            fsize = bytes([
+                (n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F,
+            ])
+        else:
+            fsize = n.to_bytes(4, "big")
+        frames += fid + fsize + b"\x00\x00" + body
+    frames += b"\x00" * padding
+    n = len(frames)
+    hdr = b"ID3" + bytes([version, 0, 0]) + bytes([
+        (n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F,
+    ])
+    return hdr + bytes(frames)
+
+
+MP3_ID3_SCHEMA = (
+    "media_id bigint, id3_version int, n_frames int, title string, "
+    "artist string, album string, n_mp3_frames int"
+)
+
+
+def extract_mp3_id3_tags(df, id_col="media_id", content_col="content"):
+    """Per-blob ID3 + frame-walk triage in one Arrow-batched
+    mapInPandas pass: tag fields plus the strict MP3 frame count of
+    the audio that follows the tag; a blob whose tag OR stream rejects
+    emits the NULL quarantine row."""
+    import pandas as pd
+
+    def run(batches):
+        for batch in batches:
+            out = []
+            for mid, content in zip(batch[id_col], batch[content_col]):
+                data = bytes(content) if content is not None else None
+                rec = {
+                    "media_id": int(mid), "id3_version": None,
+                    "n_frames": None, "title": None, "artist": None,
+                    "album": None, "n_mp3_frames": None,
+                }
+                tag = parse_id3v2_frames(data) if data else None
+                stream = parse_mp3_stream(data) if data else None
+                if tag is not None and stream is not None:
+                    rec.update(
+                        id3_version=tag["version"],
+                        n_frames=tag["n_frames"],
+                        title=tag["title"], artist=tag["artist"],
+                        album=tag["album"],
+                        n_mp3_frames=stream["n_frames"],
+                    )
+                out.append(rec)
+            yield pd.DataFrame.from_records(out)
+
+    return df.select(id_col, content_col).mapInPandas(
+        run, schema=MP3_ID3_SCHEMA
+    )

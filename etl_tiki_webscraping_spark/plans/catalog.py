@@ -16339,3 +16339,161 @@ def q_sitemap_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.url").alias("url"),
         F.col("e.lastmod").alias("lastmod"),
     )
+
+
+@register(
+    "mp3_id3_tags",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id, (doc_id // 12) % 4 AS k
+        FROM documents WHERE doc_id % 12 = 3
+    )
+    SELECT doc_id AS media_id,
+           CAST(CASE k WHEN 0 THEN 3 WHEN 1 THEN 4 WHEN 2 THEN 3
+                END AS INT) AS id3_version,
+           CAST(CASE k WHEN 0 THEN 3 WHEN 1 THEN 3 WHEN 2 THEN 1
+                END AS INT) AS n_frames,
+           CASE WHEN k < 3 THEN 'Track ' || (doc_id % 1000)
+                END AS title,
+           CASE WHEN k IN (0, 1) THEN 'Artist ' || (doc_id % 50)
+                END AS artist,
+           CASE WHEN k IN (0, 1) THEN 'Album ' || (doc_id % 20)
+                END AS album,
+           CAST(CASE WHEN k < 3 THEN 4 + doc_id % 6
+                END AS INT) AS n_mp3_frames
+    FROM ids
+    """,
+    doc="ID3v2 text-frame extraction (operators/audiometa.py::"
+        "parse_id3v2_frames — round-14): the tag the MP3 frame walk "
+        "always skipped now yields title/artist/album — the metadata "
+        "that routes music content and groups near-dups.  Both tag "
+        "versions are exercised (v2.3 plain-big-endian frame sizes, "
+        "v2.4 SYNCSAFE sizes — the classic cross-version parser bug), "
+        "both supported text encodings (latin-1, utf-8), the padding "
+        "region (must be all zeros), and a TRUNCATED tag that rejects "
+        "into the NULL quarantine row.  Each blob also carries a real "
+        "MP3 frame stream after the tag, so the row pins tag AND "
+        "stream agreement.  All fields are doc_id arithmetic — "
+        "bit-strict oracle.  Scale shape: one Arrow-batched 1->1 "
+        "mapInPandas pass, blobs never shuffle.",
+)
+def q_mp3_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.operators.audiometa import (
+        extract_mp3_id3_tags,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 12 == 3)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def build(d: int) -> bytes:
+        from etl_tiki_webscraping_spark.operators.audiometa import (
+            encode_id3v2_tag,
+            encode_mp3_frames,
+        )
+
+        k = (d // 12) % 4
+        frames = encode_mp3_frames([1 + d % 14] * (4 + d % 6), seed=d)
+        title = f"Track {d % 1000}"
+        if k == 0:
+            tag = encode_id3v2_tag(
+                3, title, f"Artist {d % 50}", f"Album {d % 20}",
+                padding=d % 16,
+            )
+        elif k == 1:
+            tag = encode_id3v2_tag(
+                4, title, f"Artist {d % 50}", f"Album {d % 20}",
+                padding=d % 16, utf8=True,
+            )
+        elif k == 2:
+            tag = encode_id3v2_tag(3, title, padding=1 + d % 8)
+        else:
+            tag = encode_id3v2_tag(3, title, f"Artist {d % 50}")[:-3]
+            return tag  # truncated tag, no stream: quarantine
+        return tag + frames
+
+    blob_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "content": b["media_id"].map(lambda d: build(int(d))),
+                }
+            )
+
+    blobs = ids.mapInPandas(gen, blob_schema)
+    return extract_mp3_id3_tags(blobs)
+
+
+@register(
+    "robots_rules_extract",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id FROM documents WHERE doc_id % 14 = 8
+    )
+    SELECT doc_id, pos, agent, rule, value FROM (
+        SELECT doc_id, 1 AS pos, '*' AS agent, 'disallow' AS rule,
+               '/private' || (doc_id % 10) AS value FROM ids
+        UNION ALL
+        SELECT doc_id, 2, '*', 'allow', '/public' FROM ids
+        UNION ALL
+        SELECT doc_id, 5, 'bot' || (doc_id % 5), 'disallow',
+               '/tmp' || (doc_id % 7) FROM ids
+        UNION ALL
+        SELECT doc_id, 6, NULL, 'sitemap',
+               'https://example.org/sitemap' || (doc_id % 3) || '.xml'
+        FROM ids
+    )
+    """,
+    doc="robots.txt rule extraction (functions/url.py::robots_rules — "
+        "round-14): the crawl-GOVERNANCE operator every polite 100 TB "
+        "crawl runs before fetching — Allow/Disallow directives bound "
+        "to their governing User-agent group and global Sitemap "
+        "pointers.  Group semantics are the interesting part: a "
+        "directive binds to the MOST RECENT agent line, carried "
+        "forward with last(ignorenulls) over a per-file line-order "
+        "window (no UDF; the window state is bounded by the file's "
+        "line count).  The fixture synthesizes two agent groups + a "
+        "global sitemap per doc from pure arithmetic (CRLF and bare-LF "
+        "lines both exercised by parity), so the oracle replays every "
+        "(agent, rule, value, line-position) row directly.",
+)
+def q_robots_rules_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.functions.url import robots_rules
+
+    ids = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 14 == 8
+    )
+    nl = F.when(F.col("doc_id") % 2 == 0, F.lit("\n")).otherwise(
+        F.lit("\r\n")
+    )
+    robots = ids.select(
+        "doc_id",
+        F.concat_ws(
+            "",
+            F.lit("User-agent: *"), nl,
+            F.format_string("Disallow: /private%d", F.col("doc_id") % 10), nl,
+            F.lit("Allow: /public"), nl,
+            nl,
+            F.format_string("User-agent: bot%d", F.col("doc_id") % 5), nl,
+            F.format_string("Disallow: /tmp%d", F.col("doc_id") % 7), nl,
+            F.format_string(
+                "Sitemap: https://example.org/sitemap%d.xml",
+                F.col("doc_id") % 3,
+            ),
+        ).alias("robots_txt"),
+    )
+    return robots_rules(robots)

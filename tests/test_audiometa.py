@@ -247,3 +247,73 @@ class TestOggIdent:
         # unknown codec: no duration claim
         o = parse_ogg_stream(encode_ogg_pages(3, serial=1, final_granule=999))
         assert o["duration_ms"] is None
+
+
+class TestId3Frames:
+    def test_both_versions_and_encodings(self):
+        from etl_tiki_webscraping_spark.operators.audiometa import (
+            encode_id3v2_tag,
+            parse_id3v2_frames,
+        )
+
+        for v in (3, 4):
+            for utf8 in (False, True):
+                t = encode_id3v2_tag(
+                    v, "Song", "Band", "LP", padding=5, utf8=utf8
+                )
+                m = parse_id3v2_frames(t)
+                assert m == {
+                    "version": v, "title": "Song", "artist": "Band",
+                    "album": "LP", "n_frames": 3,
+                }, (v, utf8)
+        # partial tags keep missing fields NULL
+        m = parse_id3v2_frames(encode_id3v2_tag(3, title="Only"))
+        assert m["title"] == "Only" and m["artist"] is None
+        assert m["n_frames"] == 1
+
+    def test_strictness(self):
+        from etl_tiki_webscraping_spark.operators.audiometa import (
+            encode_id3v2_tag,
+            parse_id3v2_frames,
+        )
+
+        t = encode_id3v2_tag(4, "A", "B", "C")
+        assert parse_id3v2_frames(t[:-2]) is None
+        assert parse_id3v2_frames(b"ID3\x05\x00\x00\x00\x00\x00\x00") is None
+        assert parse_id3v2_frames(b"notatag") is None
+        # v2.4 frame size with a high bit set (non-syncsafe) rejects
+        bad = bytearray(t)
+        bad[14] = 0xFF
+        assert parse_id3v2_frames(bytes(bad)) is None
+        # nonzero bytes inside the padding region reject
+        p = bytearray(encode_id3v2_tag(3, "A", padding=4))
+        p[-2] = 0x41
+        assert parse_id3v2_frames(bytes(p)) is None
+        # utf-16 text encoding is strictly out of scope
+        u16 = bytearray(encode_id3v2_tag(3, "A"))
+        u16[20] = 0x01  # encoding byte of the TIT2 body
+        assert parse_id3v2_frames(bytes(u16)) is None
+
+    def test_tag_plus_stream_extract(self, spark):
+        from pyspark.sql import types as T
+
+        from etl_tiki_webscraping_spark.operators.audiometa import (
+            encode_id3v2_tag,
+            extract_mp3_id3_tags,
+        )
+
+        tag = encode_id3v2_tag(3, "T1", "A1", "L1", padding=2)
+        blob = tag + encode_mp3_frames([9] * 5)
+        rows = [(1, bytearray(blob)), (2, bytearray(tag[:-1]))]
+        schema = T.StructType([
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ])
+        out = {
+            r["media_id"]: r
+            for r in extract_mp3_id3_tags(
+                spark.createDataFrame(rows, schema)
+            ).collect()
+        }
+        assert out[1]["title"] == "T1" and out[1]["n_mp3_frames"] == 5
+        assert out[2]["title"] is None and out[2]["id3_version"] is None

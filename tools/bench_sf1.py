@@ -229,6 +229,8 @@ NEW_R14 = [
     "avif_image_meta",
     "zip_container_meta",
     "sitemap_url_extract",
+    "mp3_id3_tags",
+    "robots_rules_extract",
 ]
 
 NEW_R12 = [
