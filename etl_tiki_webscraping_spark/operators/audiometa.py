@@ -538,7 +538,9 @@ def parse_id3v2_frames(data: bytes) -> "dict | None":
         if pos + 10 > end:
             return None
         fid = data[pos : pos + 4]
-        if not all(0x30 <= b <= 0x5A for b in fid):
+        # ID3v2 frame ids are exactly A-Z / 0-9 (id3v2.4.0-structure
+        # §4); 0x3A-0x40 punctuation between the ranges is rejected
+        if not all(0x30 <= b <= 0x39 or 0x41 <= b <= 0x5A for b in fid):
             return None
         if version == 4:
             if any(b & 0x80 for b in data[pos + 4 : pos + 8]):

@@ -16497,3 +16497,96 @@ def q_robots_rules_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("robots_txt"),
     )
     return robots_rules(robots)
+
+
+@register(
+    "warc_http_decoding",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id, 2 + doc_id % 5 AS n_pages FROM documents
+        WHERE doc_id % 14 = 2
+    ),
+    pages AS (
+        SELECT doc_id, CAST(r.i AS INT) AS page,
+               CAST((doc_id + r.i) % 6 AS INT) AS mode,
+               'café doc ' || doc_id || ' page ' || r.i ||
+                   ' tok' || ((doc_id + r.i) % 50) AS txt
+        FROM ids, unnest(range(0, n_pages)) AS r(i)
+    )
+    SELECT doc_id AS file_id, page,
+           'https://example.org/site' || (doc_id % 97) || '/page' || page
+               AS target_uri,
+           CAST(200 AS INT) AS http_status,
+           CASE WHEN mode = 4 AND doc_id % 2 = 0
+                THEN 'text/html; charset=iso-8859-1'
+                ELSE 'text/html' END AS http_content_type,
+           CASE WHEN mode = 5 THEN NULL
+                WHEN mode = 4 AND doc_id % 2 = 1
+                THEN '<meta charset="iso-8859-1">' || txt
+                ELSE txt END AS body,
+           CASE mode WHEN 0 THEN 'identity' WHEN 1 THEN 'chunked'
+                WHEN 2 THEN 'gzip' WHEN 3 THEN 'chunked+gzip'
+                WHEN 4 THEN 'identity' WHEN 5 THEN 'bad_chunked'
+           END AS http_encoding,
+           CASE WHEN mode = 5 THEN NULL WHEN mode = 4 THEN 'latin-1'
+                ELSE 'utf-8' END AS charset
+    FROM pages
+    """,
+    doc="WARC HTTP-body DECODING (sources/warc.py::"
+        "decode_http_response — round-15, VERDICT r14 ask #1): the "
+        "majority shape of real crawl responses is Transfer-Encoding: "
+        "chunked and/or Content-Encoding: gzip with a non-UTF-8 "
+        "charset — previously those bodies reached the text stack as "
+        "chunk-framing garbage or mojibake.  The fixture cycles every "
+        "decode path per page ((file_id + page) % 6): identity, "
+        "chunked, gzipped, chunked+gzipped (dechunk THEN gunzip — the "
+        "layering order is part of the contract), latin-1 via the "
+        "Content-Type charset parameter (even file) or a <meta "
+        "charset> body tag (odd file), and a TRUNCATED chunk stream "
+        "that must quarantine at ROW granularity as bad_chunked with "
+        "a NULL body — never a silently shorter body, and never "
+        "poisoning sibling responses in the same archive.  Every "
+        "body carries a non-ASCII é so charset handling is "
+        "hash-observable.  The archive is parsed exactly ONCE "
+        "(validation and payload capture share the walk — the r14 "
+        "double-parse is gone).  Scale shape: one Arrow-batched 1->N "
+        "mapInPandas pass, blobs never shuffle.",
+)
+def q_warc_http_decoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.sources.warc import scan_warc_responses
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 14 == 2)
+        .select(F.col("doc_id").alias("file_id"))
+    )
+
+    def build(d: int) -> bytes:
+        from etl_tiki_webscraping_spark.sources.warc import encode_warc
+
+        return encode_warc(
+            d, 2 + d % 5, gzip_per_record=d % 2 == 1, http_modes=True,
+        )
+
+    blob_schema = T.StructType(
+        [
+            T.StructField("file_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "file_id": b["file_id"],
+                    "content": b["file_id"].map(lambda d: build(int(d))),
+                }
+            )
+
+    blobs = ids.mapInPandas(gen, blob_schema)
+    return scan_warc_responses(blobs)

@@ -107,3 +107,98 @@ def test_scan_responses_with_bodies(spark):
     assert f1[2]["body"] == warc_fixture_html(1, 2)
     assert len(by_file[2]) == 2 and by_file[2][0]["body"] is not None
     assert by_file[3][0]["page"] == -1 and by_file[3][0]["body"] is None
+
+
+def test_single_pass_payload_capture():
+    recs = parse_warc_file(
+        encode_warc(9, 2, gzip_per_record=True, seed=4), include_payload=True
+    )
+    from hashlib import md5
+
+    for r in recs:
+        assert md5(r["payload"]).hexdigest() == r["payload_digest"]
+        assert len(r["payload"]) == r["content_length"]
+
+
+def test_http_decode_modes():
+    from etl_tiki_webscraping_spark.sources.warc import (
+        decode_http_response,
+        encode_http_response,
+        warc_fixture_text,
+    )
+
+    # mode = (file_id + page) % 6; file_id parity picks the latin-1
+    # signalling channel (header param vs <meta charset>)
+    for fid, page, enc, charset in [
+        (6, 0, "identity", "utf-8"),
+        (6, 1, "chunked", "utf-8"),
+        (6, 2, "gzip", "utf-8"),
+        (6, 3, "chunked+gzip", "utf-8"),
+        (6, 4, "identity", "latin-1"),   # charset= param (even fid)
+        (7, 3, "identity", "latin-1"),   # <meta charset> (odd fid)
+    ]:
+        dec = decode_http_response(encode_http_response(fid, page))
+        assert dec["http_status"] == 200
+        assert dec["http_encoding"] == enc, (fid, page)
+        assert dec["charset"] == charset
+        expected = warc_fixture_text(fid, page)
+        if (fid, page) == (7, 3):
+            expected = '<meta charset="iso-8859-1">' + expected
+        assert dec["body"] == expected
+        assert "café" in dec["body"]
+    # mode 5: truncated chunk framing -> row-granular quarantine
+    dec = decode_http_response(encode_http_response(6, 5))
+    assert dec["http_encoding"] == "bad_chunked" and dec["body"] is None
+    assert dec["http_status"] == 200  # the head still parses
+
+
+def test_http_decode_quarantine_classes():
+    from etl_tiki_webscraping_spark.sources.warc import decode_http_response
+
+    assert decode_http_response(b"GET / HTTP/1.1\r\n\r\n")["http_encoding"] == "not_http"
+    assert decode_http_response(b"HTTP/1.1 200 OK\r\nX: 1")["http_encoding"] == "no_body"
+    # corrupt gzip body
+    bad_gz = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n\x1f\x8bjunk"
+    )
+    assert decode_http_response(bad_gz)["http_encoding"] == "bad_content_encoding"
+    # trailing garbage after a valid gzip stream is NOT a shorter body
+    import zlib
+
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    gz = co.compress(b"x") + co.flush()
+    assert decode_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + gz + b"!"
+    )["http_encoding"] == "bad_content_encoding"
+    # unknown coding and unsupported charset both quarantine
+    assert decode_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nxx"
+    )["http_encoding"] == "bad_content_encoding"
+    assert decode_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=shift_jis\r\n\r\nxx"
+    )["http_encoding"] == "bad_charset"
+
+
+def test_dechunk_strictness():
+    from etl_tiki_webscraping_spark.sources.warc import _dechunk
+
+    assert _dechunk(b"5\r\nhello\r\n0\r\n\r\n") == b"hello"
+    # chunk extension ignored; trailer section ignored
+    assert _dechunk(b"5;ext=1\r\nhello\r\n0\r\nX-T: v\r\n\r\n") == b"hello"
+    assert _dechunk(b"zz\r\nhello\r\n0\r\n\r\n") is None        # bad hex
+    assert _dechunk(b"6\r\nhello\r\n0\r\n\r\n") is None         # short data
+    assert _dechunk(b"5\r\nhelloXX0\r\n\r\n") is None           # missing CRLF
+    assert _dechunk(b"5\r\nhello\r\n") is None                  # no terminal
+
+
+def test_deflate_both_wrappers():
+    import zlib
+
+    from etl_tiki_webscraping_spark.sources.warc import _decompress_ce
+
+    body = b"deflate body bytes"
+    wrapped = zlib.compress(body)
+    raw = zlib.compressobj(wbits=-15)
+    raw_bytes = raw.compress(body) + raw.flush()
+    assert _decompress_ce(wrapped, "deflate") == body
+    assert _decompress_ce(raw_bytes, "deflate") == body
