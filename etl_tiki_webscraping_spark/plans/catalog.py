@@ -16445,31 +16445,47 @@ def q_mp3_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id FROM documents WHERE doc_id % 14 = 8
     )
     SELECT doc_id, pos, agent, rule, value FROM (
-        SELECT doc_id, 1 AS pos, '*' AS agent, 'disallow' AS rule,
-               '/private' || (doc_id % 10) AS value FROM ids
+        SELECT doc_id, 0 AS pos, NULL AS agent, 'disallow' AS rule,
+               '/orphan' AS value FROM ids
         UNION ALL
-        SELECT doc_id, 2, '*', 'allow', '/public' FROM ids
+        SELECT doc_id, 3, '*', 'disallow',
+               '/private' || (doc_id % 10) FROM ids
         UNION ALL
-        SELECT doc_id, 5, 'bot' || (doc_id % 5), 'disallow',
+        SELECT doc_id, 3, 'extrabot' || (doc_id % 4), 'disallow',
+               '/private' || (doc_id % 10) FROM ids
+        UNION ALL
+        SELECT doc_id, 4, '*', 'allow', '/public' FROM ids
+        UNION ALL
+        SELECT doc_id, 4, 'extrabot' || (doc_id % 4), 'allow', '/public'
+        FROM ids
+        UNION ALL
+        SELECT doc_id, 7, 'bot' || (doc_id % 5) || ':v2', 'disallow',
                '/tmp' || (doc_id % 7) FROM ids
         UNION ALL
-        SELECT doc_id, 6, NULL, 'sitemap',
+        SELECT doc_id, 8, NULL, 'sitemap',
                'https://example.org/sitemap' || (doc_id % 3) || '.xml'
         FROM ids
     )
     """,
     doc="robots.txt rule extraction (functions/url.py::robots_rules — "
-        "round-14): the crawl-GOVERNANCE operator every polite 100 TB "
-        "crawl runs before fetching — Allow/Disallow directives bound "
-        "to their governing User-agent group and global Sitemap "
-        "pointers.  Group semantics are the interesting part: a "
-        "directive binds to the MOST RECENT agent line, carried "
-        "forward with last(ignorenulls) over a per-file line-order "
-        "window (no UDF; the window state is bounded by the file's "
-        "line count).  The fixture synthesizes two agent groups + a "
-        "global sitemap per doc from pure arithmetic (CRLF and bare-LF "
-        "lines both exercised by parity), so the oracle replays every "
-        "(agent, rule, value, line-position) row directly.",
+        "round-14, RFC 9309 groups round-15): the crawl-GOVERNANCE "
+        "operator every polite 100 TB crawl runs before fetching — "
+        "Allow/Disallow directives bound to their governing User-agent "
+        "GROUP and global Sitemap pointers.  Group semantics per RFC "
+        "9309 §2.1: CONSECUTIVE agent lines share one group, so a rule "
+        "block under two agent lines emits one row per agent (the "
+        "fixture's first block sits under 'User-agent: *' AND "
+        "'User-agent: extrabotN' — both get the block's rules); the "
+        "agent value is captured after the FIRST colon, so the "
+        "fixture's 'botN:v2' product token survives intact; a rule "
+        "BEFORE any agent line emits with agent NULL (orphan rules "
+        "stay observable, never silently dropped).  No UDF: a running "
+        "rule-count keys the group, collect_list over the (file, "
+        "group) window gathers its agents, explode_outer fans rules "
+        "out per agent (window state bounded by the tiny per-file "
+        "line count).  CRLF and bare-LF line conventions are both "
+        "exercised by doc parity; the oracle replays every (agent, "
+        "rule, value, line-position) row directly.",
 )
 def q_robots_rules_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_tiki_webscraping_spark.functions.url import robots_rules
@@ -16484,11 +16500,13 @@ def q_robots_rules_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.concat_ws(
             "",
+            F.lit("Disallow: /orphan"), nl,
             F.lit("User-agent: *"), nl,
+            F.format_string("User-agent: extrabot%d", F.col("doc_id") % 4), nl,
             F.format_string("Disallow: /private%d", F.col("doc_id") % 10), nl,
             F.lit("Allow: /public"), nl,
             nl,
-            F.format_string("User-agent: bot%d", F.col("doc_id") % 5), nl,
+            F.format_string("User-agent: bot%d:v2", F.col("doc_id") % 5), nl,
             F.format_string("Disallow: /tmp%d", F.col("doc_id") % 7), nl,
             F.format_string(
                 "Sitemap: https://example.org/sitemap%d.xml",
@@ -16590,3 +16608,112 @@ def q_warc_http_decoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = ids.mapInPandas(gen, blob_schema)
     return scan_warc_responses(blobs)
+
+
+@register(
+    "robots_url_gate",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id, doc_id % 5 AS m5, doc_id % 3 AS m3
+        FROM documents WHERE doc_id % 14 = 6
+    ),
+    combos AS (
+        SELECT doc_id, m5, m3, CAST(r.i AS INT) AS k, b.bot
+        FROM ids, unnest(range(0, 5)) AS r(i),
+             (VALUES ('GenericBot'), ('Crawler:X')) AS b(bot)
+    )
+    SELECT 'h' || doc_id || '.example.org' AS host,
+           CASE k WHEN 0 THEN '/p' || m5 || '/a'
+                  WHEN 1 THEN '/p' || m5 || '/ok'
+                  WHEN 2 THEN '/p' || m5 || '/ok2'
+                  WHEN 3 THEN '/about'
+                  ELSE '/t' || m3 || '/f' END AS path,
+           bot,
+           CASE WHEN bot = 'Crawler:X' THEN k <> 4
+                ELSE k IN (1, 3, 4) END AS allowed,
+           CASE WHEN bot = 'Crawler:X'
+                THEN CASE WHEN k = 4 THEN 'disallow' ELSE 'allow' END
+                ELSE CASE WHEN k IN (0, 2) THEN 'disallow'
+                          WHEN k = 1 THEN 'allow' END
+           END AS matched_rule,
+           CASE WHEN bot = 'Crawler:X'
+                THEN CASE WHEN k = 4 THEN '/t' || m3 || '/'
+                          ELSE '/' END
+                ELSE CASE WHEN k IN (0, 2) THEN '/p' || m5 || '*'
+                          WHEN k = 1 THEN '/p' || m5 || '/ok$' END
+           END AS matched_value
+    FROM combos
+    """,
+    doc="robots.txt URL GATE (functions/url.py::robots_url_gate — "
+        "round-15, VERDICT r14 ask #4): extraction alone governs "
+        "nothing — this applies the extracted rules to a URL table "
+        "with the full public-REP precedence: group selection by "
+        "exact case-insensitive agent match falling back to '*' (the "
+        "fixture's 'Crawler:X' bot must select the 'crawler:x' group "
+        "— exercising BOTH case folding and the first-colon agent "
+        "capture), longest-rule-value match with '*' wildcards and "
+        "terminal-'$' anchors, Allow-first on length ties, "
+        "allowed-by-default when nothing matches.  The oracle is a "
+        "HAND-DERIVED expected-verdict table (per (path-kind, bot) "
+        "from the spec, parameterized by doc arithmetic), NOT a "
+        "replay of the match pipeline — a shared bug in the pattern "
+        "compiler cannot hide.  Composition is end-to-end: robots "
+        "text -> robots_rules extraction -> gate.  Scale shape: the "
+        "tiny rules side BROADCASTS (the 100 TB URL side never "
+        "shuffles for the join); the precedence windows key on "
+        "(host, path, bot) with state bounded by per-host rule "
+        "count.",
+)
+def q_robots_url_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.functions.url import (
+        robots_rules,
+        robots_url_gate,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 14 == 6)
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 5).alias("m5"),
+            (F.col("doc_id") % 3).alias("m3"),
+        )
+    )
+    host = F.concat(F.lit("h"), F.col("doc_id").cast("string"),
+                    F.lit(".example.org"))
+    nl = F.lit("\n")
+    robots = ids.select(
+        host.alias("host"),
+        F.concat_ws(
+            "",
+            F.lit("User-agent: *"), nl,
+            F.format_string("Disallow: /p%d*", F.col("m5")), nl,
+            F.format_string("Allow: /p%d/ok$", F.col("m5")), nl,
+            F.lit("User-agent: crawler:x"), nl,
+            F.lit("Allow: /"), nl,
+            F.format_string("Disallow: /t%d/", F.col("m3")),
+        ).alias("robots_txt"),
+    )
+    rules = robots_rules(robots, id_col="host", text_col="robots_txt")
+    k = F.col("k")
+    path = (
+        F.when(k == 0, F.format_string("/p%d/a", F.col("m5")))
+        .when(k == 1, F.format_string("/p%d/ok", F.col("m5")))
+        .when(k == 2, F.format_string("/p%d/ok2", F.col("m5")))
+        .when(k == 3, F.lit("/about"))
+        .otherwise(F.format_string("/t%d/f", F.col("m3")))
+    )
+    urls = (
+        ids.select(
+            "doc_id", "m5", "m3",
+            F.explode(F.sequence(F.lit(0), F.lit(4))).alias("k"),
+        )
+        .select(
+            host.alias("host"),
+            path.alias("path"),
+            F.explode(
+                F.array(F.lit("GenericBot"), F.lit("Crawler:X"))
+            ).alias("bot"),
+        )
+    )
+    return robots_url_gate(urls, rules)

@@ -166,3 +166,98 @@ def test_canonicalize_idempotent_property(spark):
     twice = once.select("i", "c1", canonicalize_url("c1").alias("c2"))
     for r in twice.collect():
         assert r["c1"] == r["c2"], (r["c1"], r["c2"])
+
+
+def test_robots_rules_rfc9309_groups(spark):
+    from etl_tiki_webscraping_spark.functions.url import robots_rules
+
+    txt = (
+        "Disallow: /orphan\n"        # before any group -> agent NULL
+        "User-agent: *\n"
+        "User-agent: FooBot\n"       # consecutive UA lines = ONE group
+        "User-agent: FooBot\n"       # duplicate agent dedupes
+        "Disallow: /a\n"
+        "Allow: /a/b\n"
+        "User-agent: bar:bot/2.0\n"  # agent value keeps its colon
+        "Disallow: /c\n"
+        "Sitemap: https://x/s.xml\n"
+    )
+    df = spark.createDataFrame([(1, txt)], "doc_id long, robots_txt string")
+    rows = {
+        (r["pos"], r["agent"], r["rule"], r["value"])
+        for r in robots_rules(df).collect()
+    }
+    assert rows == {
+        (0, None, "disallow", "/orphan"),
+        (4, "*", "disallow", "/a"),
+        (4, "FooBot", "disallow", "/a"),
+        (5, "*", "allow", "/a/b"),
+        (5, "FooBot", "allow", "/a/b"),
+        (7, "bar:bot/2.0", "disallow", "/c"),
+        (8, None, "sitemap", "https://x/s.xml"),
+    }
+
+
+def test_robots_match_pattern_parity():
+    """Spark and DuckDB compile the same pattern from the same rule,
+    and both engines agree on match verdicts."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from etl_tiki_webscraping_spark.functions.url import (
+        robots_match_pattern_sql,
+    )
+
+    cases = [
+        ("/a*", "/a/b", True), ("/a*", "/b/a", False),
+        ("/a$", "/a", True), ("/a$", "/a/", False),
+        ("/p.x*", "/p.x/q", True), ("/p.x*", "/pYx/q", False),  # '.' literal
+        ("/m$n", "/m$n", True),  # mid-string '$' is literal
+        ("/*/end$", "/x/end", True), ("/*/end$", "/x/end2", False),
+        ("/q(1)", "/q(1)", True), ("/q[2]", "/q[2]", True),
+    ]
+    con = duckdb.connect()
+    for rule, path, want in cases:
+        pat_sql = robots_match_pattern_sql(f"'{rule}'")
+        got = con.execute(
+            f"SELECT regexp_matches('{path}', {pat_sql})"
+        ).fetchone()[0]
+        assert got == want, (rule, path, "duckdb")
+
+
+def test_robots_url_gate_precedence(spark):
+    from etl_tiki_webscraping_spark.functions.url import robots_url_gate
+
+    rules = spark.createDataFrame(
+        [
+            ("h", "*", "disallow", "/dir"),
+            ("h", "*", "allow", "/dir"),      # equal length: Allow wins
+            ("h", "*", "disallow", "/dir/x"), # longer: Disallow wins
+            ("h", "mybot", "allow", "/"),
+            ("h", "mybot", "disallow", "/sec*"),
+            ("h", "*", "disallow", ""),       # empty value = unrestricted
+        ],
+        "host string, agent string, rule string, value string",
+    )
+    urls = spark.createDataFrame(
+        [
+            ("h", "/dir/a", "other"),   # tie at /dir -> Allow-first
+            ("h", "/dir/x/y", "other"), # /dir/x longer -> disallowed
+            ("h", "/none", "other"),    # no match -> allowed, NULL rule
+            ("h", "/sec/z", "MyBot"),   # exact group, case-folded
+            ("h", "/ok", "MyBot"),      # exact group Allow /
+            ("h2", "/any", "other"),    # host with no rules -> allowed
+        ],
+        "host string, path string, bot string",
+    )
+    got = {
+        (r["host"], r["path"], r["bot"]):
+            (r["allowed"], r["matched_rule"], r["matched_value"])
+        for r in robots_url_gate(urls, rules).collect()
+    }
+    assert got[("h", "/dir/a", "other")] == (True, "allow", "/dir")
+    assert got[("h", "/dir/x/y", "other")] == (False, "disallow", "/dir/x")
+    assert got[("h", "/none", "other")] == (True, None, None)
+    assert got[("h", "/sec/z", "MyBot")] == (False, "disallow", "/sec*")
+    assert got[("h", "/ok", "MyBot")] == (True, "allow", "/")
+    assert got[("h2", "/any", "other")] == (True, None, None)
