@@ -36,11 +36,13 @@ _EOCD_SIG = 0x06054B50
 _CDFH_SIG = 0x02014B50
 
 
-def parse_zip(content: bytes) -> "dict | None":
-    """Strict central-directory parse: ``{n_entries, total_uncompressed,
-    total_compressed, n_deflated, has_encrypted, kind, first_name}``
-    or None (no/ambiguous EOCD, comment not reaching EOF, directory
-    not tiling, count mismatch, ZIP64 markers)."""
+def _central_directory(content: bytes) -> "list[dict] | None":
+    """The strict central-directory walk shared by :func:`parse_zip`
+    and :func:`zip_member_bytes`: per-entry dicts ``{name, flags,
+    method, crc, csize, usize, local_off}`` or None on any
+    malformation (no/ambiguous EOCD, comment not reaching EOF,
+    directory not tiling, count mismatch, ZIP64 markers, a method
+    outside stored/deflate)."""
     if content is None or len(content) < 22:
         return None
     # EOCD: scan the last 64 KiB + 22 for the signature whose comment
@@ -66,31 +68,44 @@ def parse_zip(content: bytes) -> "dict | None":
         return None  # ZIP64 out of scope (strict, not silently wrong)
     if cd_off + cd_size != eocd:
         return None  # directory must end exactly at the EOCD
-    names: "list[str]" = []
-    total_u = total_c = n_deflated = 0
-    has_encrypted = False
+    entries: "list[dict]" = []
     p = cd_off
     for _ in range(n_total):
         if p + 46 > eocd or struct.unpack_from("<I", content, p)[0] != _CDFH_SIG:
             return None
         flags, method = struct.unpack_from("<HH", content, p + 8)
+        (crc,) = struct.unpack_from("<I", content, p + 16)
         csize, usize = struct.unpack_from("<II", content, p + 20)
         nlen, elen, klen = struct.unpack_from("<HHH", content, p + 28)
+        (local_off,) = struct.unpack_from("<I", content, p + 42)
         if p + 46 + nlen + elen + klen > eocd:
             return None
-        name = content[p + 46 : p + 46 + nlen].decode("utf-8", "replace")
-        names.append(name)
-        total_u += usize
-        total_c += csize
-        if method == 8:
-            n_deflated += 1
-        elif method != 0:
+        if method not in (0, 8):
             return None  # stored/deflate only (strict subset)
-        if flags & 0x1:
-            has_encrypted = True
+        entries.append({
+            "name": content[p + 46 : p + 46 + nlen].decode("utf-8", "replace"),
+            "flags": flags, "method": method, "crc": crc,
+            "csize": csize, "usize": usize, "local_off": local_off,
+        })
         p += 46 + nlen + elen + klen
     if p != eocd:
         return None
+    return entries
+
+
+def parse_zip(content: bytes) -> "dict | None":
+    """Strict central-directory parse: ``{n_entries, total_uncompressed,
+    total_compressed, n_deflated, has_encrypted, kind, first_name}``
+    or None (see :func:`_central_directory`)."""
+    entries = _central_directory(content)
+    if entries is None:
+        return None
+    names = [e["name"] for e in entries]
+    total_u = sum(e["usize"] for e in entries)
+    total_c = sum(e["csize"] for e in entries)
+    n_deflated = sum(1 for e in entries if e["method"] == 8)
+    has_encrypted = any(e["flags"] & 0x1 for e in entries)
+    n_total = len(entries)
     nameset = set(names)
     kind = "zip"
     if "[Content_Types].xml" in nameset:
@@ -193,4 +208,118 @@ def extract_zip_metadata(df, id_col="file_id", content_col="content"):
 
     return df.select(id_col, content_col).mapInPandas(
         run, schema=ZIP_META_SCHEMA
+    )
+
+
+_LFH_SIG = 0x04034B50
+
+
+def zip_member_bytes(content: bytes, name: str) -> "bytes | None":
+    """Inflate one member (round-15): locate ``name`` in the strict
+    central directory, follow its local-header offset (sig checked,
+    name cross-checked against the directory), read exactly csize
+    bytes, inflate raw-deflate (``wbits=-15``) for method 8 or slice
+    for stored, and verify BOTH the uncompressed size and the CRC-32
+    against the directory record — a member that lies about any of
+    them returns None (never silently-wrong text)."""
+    import zlib
+
+    entries = _central_directory(content)
+    if entries is None:
+        return None
+    ent = next((e for e in entries if e["name"] == name), None)
+    if ent is None or ent["flags"] & 0x1:
+        return None
+    off = ent["local_off"]
+    if off + 30 > len(content):
+        return None
+    if struct.unpack_from("<I", content, off)[0] != _LFH_SIG:
+        return None
+    nlen, elen = struct.unpack_from("<HH", content, off + 26)
+    if content[off + 30 : off + 30 + nlen].decode("utf-8", "replace") != ent["name"]:
+        return None
+    start = off + 30 + nlen + elen
+    raw = content[start : start + ent["csize"]]
+    if len(raw) != ent["csize"]:
+        return None
+    if ent["method"] == 0:
+        out = raw
+    else:
+        d = zlib.decompressobj(wbits=-15)
+        try:
+            out = d.decompress(raw)
+        except zlib.error:
+            return None
+        if d.unused_data:
+            return None
+    if len(out) != ent["usize"] or zlib.crc32(out) != ent["crc"]:
+        return None
+    return out
+
+
+def docx_fixture_paragraph(file_id: int, para: int) -> str:
+    """Replayable per-paragraph text: two <w:t> runs join with ''."""
+    return (
+        f"Para {para} alpha{(file_id + para) % 9}"
+        f" beta{(file_id + para) % 7}"
+    )
+
+
+def encode_docx_fixture(file_id: int, n_paras: int, truncate: int = 0) -> bytes:
+    """A real (minimal) OPC docx via stdlib ``zipfile`` with DEFLATED
+    entries — the inflate path is actually exercised: the content-type
+    marker plus ``word/document.xml`` whose paragraphs each carry two
+    ``<w:t>`` runs (the second with a leading preserved space, the
+    classic run-split shape)."""
+    buf = BytesIO()
+    date = (2026, 1, 1, 0, 0, 0)
+    paras = "".join(
+        f"<w:p><w:r><w:t>Para {p} alpha{(file_id + p) % 9}</w:t></w:r>"
+        f'<w:r><w:t xml:space="preserve"> beta{(file_id + p) % 7}</w:t>'
+        f"</w:r></w:p>"
+        for p in range(n_paras)
+    )
+    doc = f"<w:document><w:body>{paras}</w:body></w:document>"
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in (
+            ("[Content_Types].xml", b"<Types/>"),
+            ("word/document.xml", doc.encode()),
+        ):
+            zi = zipfile.ZipInfo(name, date_time=date)
+            # a bare ZipInfo defaults to STORED even in a DEFLATED
+            # archive — set it so the inflate path is really exercised
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(zi, data)
+    out = buf.getvalue()
+    return out[: len(out) - truncate] if truncate else out
+
+
+DOCX_XML_SCHEMA = "file_id bigint, document_xml string"
+
+
+def extract_docx_xml(df, id_col="file_id", content_col="content"):
+    """docx -> ``word/document.xml`` text in one Arrow-batched 1->1
+    mapInPandas pass: the strict directory walk must classify the
+    blob as docx AND the member must inflate with size+CRC agreement,
+    else the row quarantines (NULL xml).  Downstream paragraph/run
+    extraction stays JVM-side (regexp over the xml column) — Python
+    touches each blob exactly once."""
+    import pandas as pd
+
+    def run(batches):
+        for batch in batches:
+            out = []
+            for fid, content in zip(batch[id_col], batch[content_col]):
+                data = bytes(content) if content is not None else None
+                meta = parse_zip(data)
+                xml = None
+                if meta is not None and meta["kind"] == "docx":
+                    raw = zip_member_bytes(data, "word/document.xml")
+                    if raw is not None:
+                        xml = raw.decode("utf-8", "replace")
+                out.append({"file_id": int(fid), "document_xml": xml})
+            yield pd.DataFrame.from_records(out)
+
+    return df.select(id_col, content_col).mapInPandas(
+        run, schema=DOCX_XML_SCHEMA
     )

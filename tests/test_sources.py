@@ -169,3 +169,34 @@ def test_dbapi_read_single_partition_and_pushdown(spark, tmp_path):
         "k bigint, v string",
     )
     assert sorted((r["k"], r["v"]) for r in out.collect()) == [(2, "b"), (3, "c")]
+
+
+def test_gunzip_member_text(spark):
+    import zlib
+
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.sources.records import (
+        gunzip_member_text,
+    )
+
+    def gz(data: bytes) -> bytes:
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        return co.compress(data) + co.flush()
+
+    rows = [
+        (1, bytearray(b"<urlset>plain</urlset>")),
+        (2, bytearray(gz(b"<urlset>gz</urlset>"))),
+        (3, bytearray(gz(b"<urlset>cut</urlset>")[:-6])),   # truncated
+        (4, bytearray(gz(b"<u/>") + b"trailing")),           # garbage
+    ]
+    schema = T.StructType([
+        T.StructField("site_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    out = {r["site_id"]: r["xml"]
+           for r in gunzip_member_text(
+               spark.createDataFrame(rows, schema)).collect()}
+    assert out[1] == "<urlset>plain</urlset>"
+    assert out[2] == "<urlset>gz</urlset>"
+    assert out[3] is None and out[4] is None

@@ -64,3 +64,54 @@ def test_spark_extract(spark):
     }
     assert out[1]["kind"] == "epub" and out[1]["n_entries"] == 3
     assert out[2]["is_zip"] and out[2]["kind"] is None
+
+
+def test_zip_member_bytes_strictness():
+    import struct
+    import zlib
+
+    from etl_tiki_webscraping_spark.operators.zipmeta import (
+        encode_docx_fixture,
+        encode_zip_fixture,
+        zip_member_bytes,
+    )
+
+    b = encode_docx_fixture(11, 4)
+    xml = zip_member_bytes(b, "word/document.xml")
+    assert xml is not None and xml.count(b"<w:p>") == 4
+    assert zip_member_bytes(b, "missing") is None
+    # stored members read back too
+    z = encode_zip_fixture(5, "epub")
+    assert zip_member_bytes(z, "mimetype") == b"application/epub+zip"
+    # corrupt deflate payload -> None (CRC/size cross-check)
+    i = b.index(b"word/document.xml") + len("word/document.xml")
+    bad = bytearray(b)
+    bad[i + 5] ^= 0xFF
+    assert zip_member_bytes(bytes(bad), "word/document.xml") is None
+    # truncated archive rejects at the directory walk
+    assert zip_member_bytes(b[:-9], "word/document.xml") is None
+
+
+def test_docx_xml_spark_scan(spark):
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.operators.zipmeta import (
+        docx_fixture_paragraph,
+        encode_docx_fixture,
+        encode_zip_fixture,
+        extract_docx_xml,
+    )
+
+    rows = [
+        (1, bytearray(encode_docx_fixture(1, 2))),
+        (2, bytearray(encode_docx_fixture(2, 3, truncate=9))),
+        (3, bytearray(encode_zip_fixture(3, "epub"))),  # not a docx
+    ]
+    schema = T.StructType([
+        T.StructField("file_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    out = {r["file_id"]: r["document_xml"]
+           for r in extract_docx_xml(spark.createDataFrame(rows, schema)).collect()}
+    assert docx_fixture_paragraph(1, 1).split(" beta")[0] in out[1]
+    assert out[2] is None and out[3] is None
