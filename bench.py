@@ -283,6 +283,8 @@ def _final_line(
         rec["sentinel"] = {
             k: sentinel[k] for k in ("start", "mid", "end", "drift")
         }
+        if "mode" in sentinel:
+            rec["sentinel"]["mode"] = sentinel["mode"]
     return json.dumps(rec, separators=(",", ":"))
 
 
@@ -405,19 +407,71 @@ def main() -> None:
         except OSError:
             return -1.0
 
+    # JVM-mode stamp (VERDICT r14 ask #6): cumulative GC time, heap
+    # in use, and the ContextCleaner reference-buffer depth at each
+    # pass boundary — so the documented "JVM accumulation" slow-run
+    # mode is MEASURED in the record (gc delta per pass, cleaner
+    # backlog) rather than inferred from flag shapes.  All fields
+    # degrade to -1 if the JMX/reflection path is unavailable.
+    def jvm_stamp() -> dict:
+        out = {"gc_ms": -1, "heap_mb": -1, "cleaner_queue": -1}
+        try:
+            mf = spark._jvm.java.lang.management.ManagementFactory
+            total = 0
+            it = mf.getGarbageCollectorMXBeans().iterator()
+            while it.hasNext():
+                total += it.next().getCollectionTime()
+            out["gc_ms"] = int(total)
+            out["heap_mb"] = int(
+                mf.getMemoryMXBean().getHeapMemoryUsage().getUsed() >> 20
+            )
+        except Exception:
+            pass
+        try:
+            copt = spark.sparkContext._jsc.sc().cleaner()
+            if copt.isDefined():
+                cleaner = copt.get()
+                fld = cleaner.getClass().getDeclaredField("referenceBuffer")
+                fld.setAccessible(True)
+                out["cleaner_queue"] = int(fld.get(cleaner).size())
+        except Exception:
+            pass
+        return out
+
     # load1 alongside each sentinel: a slow pass with FLAT sentinels
     # and normal load is JVM-internal (GC/cleaner accumulation — the
     # one observed r14 mode), not host contention; high load + slow
     # sentinel is the host.  Both are attributable from the record.
-    sentinel = {"start": run_sentinel(), "load_start": loadavg()}
+    sentinel = {"start": run_sentinel(), "load_start": loadavg(),
+                "jvm_start": jvm_stamp()}
     pass1 = run_pass()
     sentinel["mid"] = run_sentinel()
     sentinel["load_mid"] = loadavg()
+    sentinel["jvm_mid"] = jvm_stamp()
     pass2 = run_pass()
     sentinel["end"] = run_sentinel()
     sentinel["load_end"] = loadavg()
+    sentinel["jvm_end"] = jvm_stamp()
     _sent_vals = [sentinel["start"], sentinel["mid"], sentinel["end"]]
     sentinel["drift"] = round(max(_sent_vals) / max(min(_sent_vals), 1e-9), 2)
+    # one-line mode classification (host / jvm / clean) from the
+    # stamps: a moved sentinel is the HOST; a flat sentinel with a
+    # slower pass 2 and a GC-time delta that outgrew pass 1's (or a
+    # cleaner backlog) is the JVM-accumulation mode; else clean.
+    _gc1 = sentinel["jvm_mid"]["gc_ms"] - sentinel["jvm_start"]["gc_ms"]
+    _gc2 = sentinel["jvm_end"]["gc_ms"] - sentinel["jvm_mid"]["gc_ms"]
+    sentinel["gc_ms_pass1"] = _gc1 if sentinel["jvm_start"]["gc_ms"] >= 0 else -1
+    sentinel["gc_ms_pass2"] = _gc2 if sentinel["jvm_mid"]["gc_ms"] >= 0 else -1
+    _p1t, _p2t = sum(pass1.values()), sum(pass2.values())
+    if sentinel["drift"] > 1.5:
+        sentinel["mode"] = "host"
+    elif _p2t > 1.3 * _p1t and (
+        (_gc2 > 2 * max(_gc1, 1) and sentinel["gc_ms_pass1"] >= 0)
+        or sentinel["jvm_end"]["cleaner_queue"] > 10_000
+    ):
+        sentinel["mode"] = "jvm"
+    else:
+        sentinel["mode"] = "clean"
 
     # Regression gate: diff steady-state (pass 2) timings against the
     # newest prior round's recorded bench. >1.5x AND >0.5s absolute is
