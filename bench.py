@@ -255,6 +255,16 @@ HEADLINE = [
     ("sitemap_url_extract", "hash"),
     ("mp3_id3_tags", "collect"),
     ("robots_rules_extract", "hash"),
+    # r15: HTTP-decoded WARC, PDF pair, docx capstone, sitemap index
+    # recursion, robots gate — all Arrow-kernel or broadcast shapes
+    ("warc_http_decoding", "hash"),
+    ("pdf_doc_meta", "hash"),
+    ("pdf_text_extract", "hash"),
+    ("docx_text_extract", "hash"),
+    ("sitemap_index_extract", "hash"),
+    ("robots_url_gate", "hash"),
+    ("crawl_frontier_gate", "hash"),
+    ("warc_corpus_router", "hash"),
 ]
 
 

@@ -138,43 +138,22 @@ def _driver_covered() -> "frozenset[str]":
 # automatically stalest-first, so forgetting an entry costs at most
 # ~ceil(catalog/50) rounds of evidence age, never unbounded drift.
 _DRIVER_FRESH = frozenset({
-    # r14 code changes (brand-new queries — webp_lossy_meta,
-    # mp4_stream_metadata, image_exif_meta — and the two rows-only ->
-    # oracle upgrades — approx_distinct_users,
-    # streaming_sketch_maintenance — lead the window via `prio`
-    # automatically, the latter because a rows-only driver row no
-    # longer covers a query that has since gained an oracle):
-    #   - the Ogg ident headers extended audio_stream_metadata's
-    #     schema + oracle; the mp3-sniff validity bits changed the
-    #     audio_format_quarantine fixture (and its streaming twin)
-    "audio_stream_metadata",
-    "audio_format_quarantine",
-    "streaming_media_triage",
-    #   - the FLAC STREAMINFO min/max-blocksize fix changes fixture
-    #     bytes for multi-frame streams
-    "flac_audio_features",
-    #   - the hll_oracle_sql linear-counting table now emits e0-suffix
-    #     DOUBLE literals (DECIMAL-unification fix)
-    "hll_sketch_rollup",
-    #   - the ASCII whitespace-class change ([ \t\n\f\r] replacing
-    #     Java \s / str.split()) touches every tokenizing expression
-    #     and kernel; representative users of each changed path
-    #     re-verify (tokenize_ws, normalize_text, minhash/simhash
-    #     kernels, repetition _ws_tokens, html_to_text, the UDTF)
-    "udtf_sliding_chunks",
-    #   - the image dispatch gained the native-libwebp lossy fallback
-    #     (additive, after the pure-Python branches)
-    "multimodal_image_features",
-    "dedup_exact_text",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_minhash_cjk",
-    "doc_repetition_score",
-    "gopher_repetition_stats",
-    "html_text_extract",
-    "tfidf_top_terms",
-    "text_quality_score",
-    "decontaminate_corpus",
+    # r15 code changes (brand-new queries — warc_http_decoding,
+    # robots_url_gate, pdf_doc_meta, pdf_text_extract,
+    # sitemap_index_extract, docx_text_extract — lead the window via
+    # `prio` automatically):
+    #   - the WARC single-pass rewrite + HTTP decode changed
+    #     scan_warc_responses' schema and parse_warc_records' walk
+    "warc_record_scan",
+    "warc_html_extract",
+    #   - robots_rules was rewritten for RFC 9309 consecutive-UA
+    #     groups + first-colon agent capture (new fixture AND oracle)
+    "robots_rules_extract",
+    #   - the ID3v2 frame-id alphabet tightened (parse_id3v2_frames)
+    "mp3_id3_tags",
+    #   - the ZIP central-directory walk refactored into
+    #     _central_directory shared with the new member inflation
+    "zip_container_meta",
 })
 
 
@@ -17143,3 +17122,216 @@ def q_docx_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.length("text").cast("int").alias("n_chars"),
     )
+
+
+@register(
+    "crawl_frontier_gate",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id, 3 + doc_id % 5 AS n_urls
+        FROM documents WHERE doc_id % 14 = 5
+    )
+    SELECT 'h' || doc_id || '.example.org' AS host,
+           CAST(n_urls AS BIGINT) AS n_urls,
+           CAST(n_urls - 1 - CASE WHEN n_urls >= 4 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_allowed,
+           CAST(1 + CASE WHEN n_urls >= 4 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_blocked
+    FROM ids
+    """,
+    doc="Crawl-frontier GATE capstone (round-15): the polite-crawl "
+        "front door in ONE oracle-gated composition — sitemap-shaped "
+        "URL lists (with the real-world noise: utm_ tracking params, "
+        "fragments, unsorted query params, cycling by u % 3) pass "
+        "through url.py::canonicalize_url, the canonical path+query "
+        "joins the per-host robots rules through robots_rules -> "
+        "robots_url_gate (exact 'frontierbot' group selected over a "
+        "Disallow-all '*' group — a group-selection bug would block "
+        "EVERYTHING and shift every count), and the verdict rolls up "
+        "per host.  Per-site arithmetic: rules block u = 1 (prefix "
+        "rule) and u = 3 (terminal-$ anchored rule) of n = 3 + d % 5 "
+        "URLs, so the oracle's expected counts are a HAND-DERIVED "
+        "closed form (n_blocked = 1 + [n >= 4]), independent of the "
+        "whole extraction+match pipeline.  Scale shape: codegen'd "
+        "canonicalization, tiny rules BROADCAST, one (host) rollup "
+        "exchange.",
+)
+def q_crawl_frontier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.functions.url import (
+        canonicalize_url,
+        robots_rules,
+        robots_url_gate,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 14 == 5)
+        .select("doc_id", (F.lit(3) + F.col("doc_id") % 5).alias("n_urls"))
+    )
+    host = F.concat(F.lit("h"), F.col("doc_id").cast("string"),
+                    F.lit(".example.org"))
+    nl = F.lit("\n")
+    robots = ids.select(
+        host.alias("host"),
+        F.concat_ws(
+            "",
+            F.lit("User-agent: frontierbot"), nl,
+            F.format_string("Disallow: /p/%d", F.col("doc_id") * 100 + 1), nl,
+            F.format_string("Disallow: /p/%d$", F.col("doc_id") * 100 + 3), nl,
+            F.lit("User-agent: *"), nl,
+            F.lit("Disallow: /"),
+        ).alias("robots_txt"),
+    )
+    rules = robots_rules(robots, id_col="host", text_col="robots_txt")
+    u = F.col("u")
+    suffix = (
+        F.when(u % 3 == 0, F.lit("?utm_source=x"))
+        .when(u % 3 == 1, F.lit("#frag"))
+        .otherwise(F.lit("?b=2&a=1"))
+    )
+    raw_urls = ids.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_urls") - 1)).alias("u"),
+    ).select(
+        F.concat(
+            F.lit("https://h"), F.col("doc_id").cast("string"),
+            F.lit(".example.org/p/"),
+            (F.col("doc_id") * 100 + u).cast("string"),
+            suffix,
+        ).alias("url"),
+    )
+    canon = raw_urls.select(canonicalize_url("url").alias("curl"))
+    urls = canon.select(
+        F.regexp_extract("curl", r"^https://([^/]+)", 1).alias("host"),
+        F.regexp_replace("curl", r"^https://[^/]+", "").alias("path"),
+        F.lit("FrontierBot").alias("bot"),
+    )
+    gated = robots_url_gate(urls, rules)
+    return gated.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum(F.col("allowed").cast("bigint")).alias("n_allowed"),
+        F.sum((~F.col("allowed")).cast("bigint")).alias("n_blocked"),
+    )
+
+
+def _register_warc_corpus_router() -> None:
+    from etl_tiki_webscraping_spark.functions.html import html_to_text_sql
+
+    _raw_html = (
+        "'<html><head><title>Site ' || (doc_id % 97) || ' page ' || page"
+        " || '</title><script>var x = ' || doc_id || ';</script></head>"
+        "<body><h1>Doc ' || doc_id || '&nbsp;' || page || '</h1>"
+        "<p>alpha beta tok' || ((doc_id + page) % 50) || ' gamma</p>"
+        "<!-- hidden ' || doc_id || ' --></body></html>'"
+    )
+
+    @register(
+        "warc_corpus_router",
+        oracle=f"""
+        WITH ids AS (
+            SELECT doc_id, 2 + doc_id % 4 AS n_pages
+            FROM documents WHERE doc_id % 14 = 13
+        ),
+        pages AS (
+            SELECT doc_id, CAST(r.i AS INT) AS page,
+                   CAST(r.i % 3 AS INT) AS kind3,
+                   doc_id + r.i AS e
+            FROM ids, unnest(range(0, n_pages)) AS r(i)
+        ),
+        html AS (
+            SELECT doc_id, page, 'html' AS kind,
+                   {html_to_text_sql('raw')} AS clean_text,
+                   CAST(len(string_split({html_to_text_sql('raw')}, ' '))
+                        AS BIGINT) AS n_tokens
+            FROM (SELECT doc_id, page, {_raw_html} AS raw
+                  FROM pages WHERE kind3 <> 1)
+        ),
+        pdf AS (
+            SELECT doc_id, page, 'pdf' AS kind,
+                   CASE WHEN e % 5 = 3 THEN NULL ELSE
+                       array_to_string(list_transform(range(0, 1 + e % 4),
+                           p -> 'Pdf ' || e || ' page ' || p ||
+                                ' (q' || ((e + p) % 7) || ') tok' ||
+                                ((e + p) % 50)), ' ')
+                   END AS clean_text,
+                   CASE WHEN e % 5 = 3 THEN NULL
+                        ELSE CAST(6 * (1 + e % 4) AS BIGINT)
+                   END AS n_tokens
+            FROM pages WHERE kind3 = 1
+        )
+        SELECT doc_id AS file_id, page, kind, clean_text, n_tokens
+        FROM html
+        UNION ALL
+        SELECT doc_id, page, kind, clean_text, n_tokens FROM pdf
+        """,
+        doc="WARC mixed-media corpus ROUTER capstone (sources/warc.py::"
+            "scan_warc_routed — round-15): the real crawl front end in "
+            "one oracle-gated query — a single archive carries "
+            "text/html (identity AND gzip-encoded), application/pdf, "
+            "and the router dispatches each response body by MIME "
+            "type AFTER framing decode: HTML ships the charset-decoded "
+            "string to the JVM html_to_text chain; PDF ships the "
+            "framing-decoded BYTES through pdfmeta.parse_pdf_text "
+            "in-kernel (binary must never round-trip a charset "
+            "decode — the bug class this query pins); an ENCRYPTED "
+            "embedded PDF keeps kind='pdf' with NULL text.  The "
+            "oracle rebuilds HTML text via html_to_text_sql from the "
+            "same pattern tables and PDF text from closed-form "
+            "arithmetic (hand-derived 6-tokens-per-page count).  "
+            "Scale shape: one Arrow 1->N kernel per archive, then "
+            "codegen'd extraction; blobs never shuffle.",
+    )
+    def q_warc_corpus_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import types as T
+
+        from etl_tiki_webscraping_spark.functions.html import html_to_text
+        from etl_tiki_webscraping_spark.functions.text import token_count
+        from etl_tiki_webscraping_spark.sources.warc import scan_warc_routed
+
+        ids = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 14 == 13)
+            .select(F.col("doc_id").alias("file_id"))
+        )
+
+        def build(d: int) -> bytes:
+            from etl_tiki_webscraping_spark.sources.warc import encode_warc
+
+            return encode_warc(
+                d, 2 + d % 4, gzip_per_record=d % 2 == 1,
+                mixed_bodies=True,
+            )
+
+        blob_schema = T.StructType(
+            [
+                T.StructField("file_id", T.LongType(), False),
+                T.StructField("content", T.BinaryType(), False),
+            ]
+        )
+
+        def gen(batches):
+            import pandas as pd
+
+            for b in batches:
+                yield pd.DataFrame(
+                    {
+                        "file_id": b["file_id"],
+                        "content": b["file_id"].map(lambda d: build(int(d))),
+                    }
+                )
+
+        routed = scan_warc_routed(ids.mapInPandas(gen, blob_schema))
+        clean = (
+            F.when(F.col("kind") == "html", html_to_text(F.col("html")))
+            .when(F.col("kind") == "pdf", F.col("pdf_text"))
+        )
+        return routed.select(
+            "file_id",
+            "page",
+            "kind",
+            clean.alias("clean_text"),
+            F.when(clean.isNotNull(), token_count(clean)).alias("n_tokens"),
+        )
+
+
+_register_warc_corpus_router()

@@ -281,14 +281,19 @@ def _pick_charset(content_type: "str | None", body: bytes) -> "str | None":
 def decode_http_response(payload: bytes) -> "dict":
     """Full HTTP/1.x response decode: status + headers, chunked
     de-framing, content-decoding, charset decode.  Returns
-    ``{http_status, http_content_type, body, http_encoding, charset}``
-    where http_encoding names the applied framing chain
-    ('identity', 'chunked', 'gzip', 'chunked+gzip', 'deflate', ...) or
-    a quarantine class ('not_http', 'no_body', 'bad_chunked',
-    'bad_content_encoding', 'bad_charset') with body = None."""
+    ``{http_status, http_content_type, body, body_bytes,
+    http_encoding, charset}`` where http_encoding names the applied
+    framing chain ('identity', 'chunked', 'gzip', 'chunked+gzip',
+    'deflate', ...) or a quarantine class ('not_http', 'no_body',
+    'bad_chunked', 'bad_content_encoding', 'bad_charset') with
+    body = None.  ``body_bytes`` is the framing-decoded but
+    charset-UNdecoded payload — the form binary media (PDF, images)
+    must flow through; it survives a 'bad_charset' verdict (the bytes
+    are fine, only the text decode is refused)."""
     rec = {
         "http_status": None, "http_content_type": None,
-        "body": None, "http_encoding": None, "charset": None,
+        "body": None, "body_bytes": None,
+        "http_encoding": None, "charset": None,
     }
     if payload[:5] != b"HTTP/":
         rec["http_encoding"] = "not_http"
@@ -314,12 +319,13 @@ def decode_http_response(payload: bytes) -> "dict":
             rec["http_encoding"] = "bad_content_encoding"
             return rec
         chain.append(ce)
+    rec["body_bytes"] = body
+    rec["http_encoding"] = "+".join(chain) if chain else "identity"
     charset = _pick_charset(rec["http_content_type"], body)
     if charset is None:
         rec["http_encoding"] = "bad_charset"
         return rec
     rec["body"] = body.decode(charset, "replace")
-    rec["http_encoding"] = "+".join(chain) if chain else "identity"
     rec["charset"] = charset
     return rec
 
@@ -422,6 +428,36 @@ def encode_http_response(file_id: int, page: int) -> bytes:
     return head + raw
 
 
+def encode_mixed_response(file_id: int, page: int) -> bytes:
+    """One HTTP/1.1 response whose body TYPE cycles on ``page % 3``
+    for the content-routing fixture: HTML (identity utf-8),
+    application/pdf carrying a REAL :mod:`..operators.pdfmeta`
+    fixture built from ``file_id + page`` arithmetic, and GZIPPED
+    HTML (framing and routing must compose)."""
+    kind = page % 3
+    if kind == 1:
+        from etl_tiki_webscraping_spark.operators.pdfmeta import (
+            encode_pdf_fixture,
+        )
+
+        raw = encode_pdf_fixture(file_id + page)
+        ctype = "application/pdf"
+        headers = [f"Content-Length: {len(raw)}"]
+    else:
+        raw = warc_fixture_html(file_id, page).encode()
+        ctype = "text/html"
+        if kind == 2:
+            raw = _gzip_bytes(raw)
+            headers = ["Content-Encoding: gzip", f"Content-Length: {len(raw)}"]
+        else:
+            headers = [f"Content-Length: {len(raw)}"]
+    head = (
+        f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
+        + "\r\n".join(headers) + "\r\n\r\n"
+    ).encode()
+    return head + raw
+
+
 def encode_warc(
     file_id: int,
     n_pages: int,
@@ -430,6 +466,7 @@ def encode_warc(
     seed: int = 0,
     html_bodies: bool = False,
     http_modes: bool = False,
+    mixed_bodies: bool = False,
 ) -> bytes:
     """Fixture writer: a warcinfo record followed by ``n_pages``
     request/response pairs with doc-arithmetic URIs, HTTP status
@@ -456,7 +493,9 @@ def encode_warc(
             f"Host: example.org\r\n".encode(),
             target_uri=uri,
         ))
-        if http_modes:
+        if mixed_bodies:
+            http = encode_mixed_response(file_id, page)
+        elif http_modes:
             http = encode_http_response(file_id, page)
         else:
             if html_bodies:
@@ -597,4 +636,74 @@ def scan_warc_responses(df, id_col="file_id", content_col="content"):
 
     return df.select(id_col, content_col).mapInPandas(
         run, schema=WARC_RESPONSE_SCHEMA
+    )
+
+
+WARC_ROUTED_SCHEMA = (
+    "file_id bigint, page int, kind string, html string, pdf_text string"
+)
+
+
+def scan_warc_routed(df, id_col="file_id", content_col="content"):
+    """Content-type ROUTER over WARC response records (round-15): the
+    front end of a real mixed-media crawl.  Each response's framing is
+    decoded once (:func:`decode_http_response`), then the MIME type
+    routes the body: ``text/html`` ships the charset-decoded string
+    out for the JVM-side html_to_text chain, ``application/pdf``
+    ships the framing-decoded BYTES through
+    :func:`..operators.pdfmeta.parse_pdf_text` in-kernel (binary must
+    never round-trip through a charset decode), anything else is
+    ``kind='other'`` with NULL text.  An encrypted/undecodable PDF
+    keeps kind='pdf' with NULL pdf_text (quarantine observable per
+    row); a rejected archive emits the single page = -1 row.  One
+    Arrow-batched 1->N mapInPandas pass; blobs never shuffle."""
+    import pandas as pd
+
+    from etl_tiki_webscraping_spark.operators.pdfmeta import parse_pdf_text
+
+    def run(batches):
+        for batch in batches:
+            out = []
+            for fid, content in zip(batch[id_col], batch[content_col]):
+                data = bytes(content) if content is not None else None
+                recs = (
+                    parse_warc_file(data, include_payload=True)
+                    if data is not None else None
+                )
+                if recs is None:
+                    out.append({
+                        "file_id": int(fid), "page": -1, "kind": None,
+                        "html": None, "pdf_text": None,
+                    })
+                    continue
+                page = 0
+                for r in recs:
+                    if r["warc_type"] != "response":
+                        continue
+                    dec = decode_http_response(r["payload"])
+                    mime = (
+                        (dec["http_content_type"] or "")
+                        .split(";")[0].strip().lower()
+                    )
+                    rec = {
+                        "file_id": int(fid), "page": page,
+                        "kind": "other", "html": None, "pdf_text": None,
+                    }
+                    if mime == "text/html":
+                        rec["kind"] = "html"
+                        rec["html"] = dec["body"]
+                    elif mime == "application/pdf":
+                        rec["kind"] = "pdf"
+                        pages = (
+                            parse_pdf_text(dec["body_bytes"])
+                            if dec["body_bytes"] is not None else None
+                        )
+                        if pages is not None:
+                            rec["pdf_text"] = " ".join(pages)
+                    out.append(rec)
+                    page += 1
+            yield pd.DataFrame.from_records(out)
+
+    return df.select(id_col, content_col).mapInPandas(
+        run, schema=WARC_ROUTED_SCHEMA
     )

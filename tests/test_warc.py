@@ -202,3 +202,44 @@ def test_deflate_both_wrappers():
     raw_bytes = raw.compress(body) + raw.flush()
     assert _decompress_ce(wrapped, "deflate") == body
     assert _decompress_ce(raw_bytes, "deflate") == body
+
+
+def test_mixed_bodies_and_router(spark):
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.operators.pdfmeta import (
+        pdf_fixture_text,
+    )
+    from etl_tiki_webscraping_spark.sources.warc import (
+        scan_warc_routed,
+        warc_fixture_html,
+    )
+
+    rows = [
+        (13, bytearray(encode_warc(13, 6, mixed_bodies=True))),
+        # file 3: page 1 embeds pdf id 4 (clean); file 2: page 1 embeds
+        # pdf id 3 (ENCRYPTED -> kind pdf, NULL text)
+        (2, bytearray(encode_warc(2, 2, mixed_bodies=True,
+                                  gzip_per_record=True))),
+        (9, bytearray(encode_warc(9, 2, mixed_bodies=True, truncate=5))),
+    ]
+    schema = T.StructType([
+        T.StructField("file_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    out = {}
+    for r in scan_warc_routed(spark.createDataFrame(rows, schema)).collect():
+        out[(r["file_id"], r["page"])] = r
+    # html pages (identity and gzip CE) carry the raw html string
+    assert out[(13, 0)]["kind"] == "html"
+    assert out[(13, 0)]["html"] == warc_fixture_html(13, 0)
+    assert out[(13, 2)]["kind"] == "html"  # gzip-encoded leg
+    assert out[(13, 2)]["html"] == warc_fixture_html(13, 2)
+    # pdf page: bytes routed through the pdf extractor, text joined ' '
+    e = 13 + 1
+    want = " ".join(pdf_fixture_text(e, p) for p in range(1 + e % 4))
+    assert out[(13, 1)]["kind"] == "pdf" and out[(13, 1)]["pdf_text"] == want
+    # encrypted embedded pdf (e = 2 + 1 = 3, 3 % 5 == 3): NULL text
+    assert out[(2, 1)]["kind"] == "pdf" and out[(2, 1)]["pdf_text"] is None
+    # truncated archive quarantines whole-file
+    assert out[(9, -1)]["kind"] is None

@@ -834,6 +834,36 @@ def main() -> int:
           "XML extraction + posexplode is a narrow codegen plan — no "
           "shuffle anywhere")
 
+    # --- r15 container/text-source tiers: same no-exchange blob
+    # contract (the PDF pair, the docx capstone, WARC HTTP decoding,
+    # and the sitemap-index recursion with its gunzip kernel) ---------
+    for q in ("warc_http_decoding", "pdf_doc_meta", "pdf_text_extract",
+              "docx_text_extract", "sitemap_index_extract"):
+        p = plan_of(q)
+        check(q,
+              ("MapInPandas" in p or "ArrowEvalPython" in p)
+              and "Exchange" not in p,
+              "blob decode is Arrow-kernel 1->1/1->N; blobs never "
+              "shuffle (no exchange in the whole plan)")
+
+    # --- r15 robots URL gate: the rules side must BROADCAST (the URL
+    # side never shuffles for the join); the precedence windows are the
+    # only exchanges, keyed on (host, path, bot) ----------------------
+    for q in ("robots_url_gate", "crawl_frontier_gate"):
+        p = plan_of(q)
+        check(q,
+              "BroadcastHashJoin" in p or "BroadcastExchange" in p,
+              "rules side broadcasts; the URL side never shuffles for "
+              "the join")
+
+    # --- r15 mixed-media router: one Arrow kernel, blobs never
+    # shuffle (same contract as the other container tiers) ------------
+    p = plan_of("warc_corpus_router")
+    check("warc_corpus_router",
+          "MapInPandas" in p and "Exchange" not in p,
+          "router is 1->N mapInPandas + codegen extraction; blobs "
+          "never shuffle")
+
     # --- r14 portable-HLL upgrades: register aggregation must partial-
     # aggregate before its exchange (the map-side-combine shape), and
     # the estimate stage's input is the bounded register table
