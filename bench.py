@@ -265,6 +265,13 @@ HEADLINE = [
     ("robots_url_gate", "hash"),
     ("crawl_frontier_gate", "hash"),
     ("warc_corpus_router", "hash"),
+    # r15 wave 2: training-shard containers (tar/WebDataset, WET,
+    # jsonl.gz) + subtitle cues — Arrow-kernel or narrow-codegen
+    ("tar_shard_scan", "hash"),
+    ("webdataset_sample_group", "hash"),
+    ("wet_text_scan", "hash"),
+    ("jsonl_gz_ingest", "hash"),
+    ("subtitle_cue_extract", "hash"),
 ]
 
 

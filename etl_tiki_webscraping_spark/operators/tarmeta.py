@@ -1,0 +1,229 @@
+"""TAR / WebDataset shard TRIAGE — strict ustar walk (round-15): the
+container format TRAINING data actually ships in.  Large-scale
+multimodal pipelines (the WebDataset convention) store samples as tar
+shards whose members share a basename key (``sample123.jpg`` +
+``sample123.txt`` + ``sample123.json`` = one sample), streamed
+sequentially — the exact access pattern a 100 TB Spark ingest wants:
+one blob in, N member rows out, no seeks, no shuffle.
+
+The walk implements the PUBLIC POSIX.1-1988 ustar layout only:
+
+- 512-byte header blocks: name[100] mode[8] uid[8] gid[8] size[12]
+  mtime[12] chksum[8] typeflag[1] linkname[100] magic[6] version[2]
+  uname[32] gname[32] devmajor[8] devminor[8] prefix[155];
+- octal numeric fields (NUL/space padded) — a non-octal byte rejects;
+- the checksum is the byte sum of the header with the chksum field
+  read as 8 spaces, and it MUST verify — a corrupt header never
+  yields a member row;
+- member data occupies ceil(size/512) blocks immediately after the
+  header; the archive ends with TWO zero blocks, optionally followed
+  by all-zero padding to the blocking factor (GNU tar pads to
+  10 KiB records);
+- strict tiling: total length a multiple of 512, every declared data
+  block inside the file, nothing but zeros after the end marker.
+  A truncated shard rejects whole — half a shard is never half
+  ingested (the WARC/ZIP quarantine contract).
+
+Strict SUBSET by design (same posture as the ZIP64 rejection in
+zipmeta.py): typeflags other than regular file ('0'/NUL) and
+directory ('5') — links, FIFOs, pax 'x'/'g' extended headers, GNU
+'L' long names — reject the archive rather than parse it wrong.
+
+Spark-side shape: one Arrow-batched 1->N mapInPandas expansion
+(:func:`scan_tar_members`); blobs never shuffle, and the WebDataset
+sample grouping downstream is a JVM-side groupBy on (file_id, key)
+over the NARROW member rows — Python touches each blob exactly once.
+Fixtures are written with the stdlib ``tarfile`` module in
+USTAR_FORMAT but parsed with THIS module's independent walk — writer
+and reader share no code.
+"""
+
+from __future__ import annotations
+
+import io
+import tarfile
+from hashlib import md5 as _md5
+
+_BLOCK = 512
+
+# 2026-01-01T00:00:00Z — fixed fixture mtime so the field replays
+_FIXTURE_MTIME = 1767225600
+
+
+def _octal(field: bytes) -> "int | None":
+    """Parse a NUL/space-padded octal field; None on any non-octal
+    byte (strict — a corrupted size field must not walk the archive
+    off the rails)."""
+    s = field.rstrip(b"\x00 ").lstrip(b" ")
+    if not s:
+        return 0
+    try:
+        return int(s, 8)
+    except ValueError:
+        return None
+
+
+def sniff_tar(content: "bytes | None") -> bool:
+    """ustar magic at offset 257 of the first header block."""
+    return (
+        content is not None
+        and len(content) >= 263
+        and content[257:262] == b"ustar"
+    )
+
+
+def parse_tar(content: "bytes | None") -> "list[dict] | None":
+    """Strict ustar walk: per-member dicts ``{name, size, mtime,
+    is_dir}`` in archive order, or None on ANY malformation (length
+    not a block multiple, bad magic/checksum/octal field, unsupported
+    typeflag, declared data overrunning the file, missing two-zero-
+    block end marker, non-zero bytes after it)."""
+    if content is None or len(content) % _BLOCK != 0 or len(content) < 2 * _BLOCK:
+        return None
+    n_blocks = len(content) // _BLOCK
+    entries: "list[dict]" = []
+    b = 0
+    while True:
+        if b >= n_blocks:
+            return None  # ran off the end without an end marker
+        hdr = content[b * _BLOCK : (b + 1) * _BLOCK]
+        if hdr.count(0) == _BLOCK:
+            # end marker: a second zero block, then only zero padding
+            tail = content[(b + 1) * _BLOCK :]
+            if len(tail) < _BLOCK or tail.count(0) != len(tail):
+                return None
+            return entries
+        if hdr[257:262] != b"ustar":
+            return None
+        stored = _octal(hdr[148:156])
+        if stored is None:
+            return None
+        summed = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+        if stored != summed:
+            return None
+        size = _octal(hdr[124:136])
+        mtime = _octal(hdr[136:148])
+        if size is None or mtime is None:
+            return None
+        typeflag = hdr[156:157]
+        if typeflag not in (b"0", b"\x00", b"5"):
+            return None  # strict subset: links/pax/gnu-long reject
+        is_dir = typeflag == b"5"
+        if is_dir and size != 0:
+            return None
+        name = hdr[0:100].rstrip(b"\x00").decode("utf-8", "replace")
+        prefix = hdr[345:500].rstrip(b"\x00").decode("utf-8", "replace")
+        if prefix:
+            name = prefix + "/" + name
+        if not name:
+            return None
+        data_blocks = (size + _BLOCK - 1) // _BLOCK
+        if b + 1 + data_blocks > n_blocks:
+            return None  # declared data truncated
+        entries.append(
+            {"name": name, "size": size, "mtime": mtime, "is_dir": is_dir}
+        )
+        b += 1 + data_blocks
+
+
+def _member_bytes(file_id: int, sample: int, part: int, n: int) -> bytes:
+    """Deterministic member payload of exactly n bytes (content is
+    never inspected by the scan — only its SIZE replays)."""
+    out = b"".join(
+        _md5(f"tar:{file_id}:{sample}:{part}:{j}".encode()).digest()
+        for j in range(n // 16 + 1)
+    )
+    return out[:n]
+
+
+def webdataset_parts(file_id: int, sample: int) -> "list[tuple[str, int]]":
+    """The fixture's (ext, size) list for one sample — 3 parts, plus a
+    two-segment ``seg.png`` on odd samples (pinning the key-is-up-to-
+    FIRST-dot WebDataset contract).  Pure arithmetic so the oracle
+    replays every size."""
+    d, i = file_id, sample
+    parts = [
+        ("jpg", 120 + (d + i) % 64),
+        ("txt", 30 + (d + i) % 16),
+        ("json", 25 + (d + i) % 8),
+    ]
+    if i % 2 == 1:
+        parts.append(("seg.png", 40 + (d + i) % 32))
+    return parts
+
+
+def encode_tar_shard(
+    file_id: int,
+    n_samples: int,
+    dir_prefix: "str | None" = None,
+    truncate: bool = False,
+) -> bytes:
+    """WebDataset-style fixture shard via stdlib ``tarfile``
+    (USTAR_FORMAT — writer and reader share no code): ``n_samples``
+    samples keyed ``sample{file_id*1000+i}`` with
+    :func:`webdataset_parts` members, optionally under a leading
+    directory entry.  ``truncate`` keeps only the first header block
+    (declared data missing -> the strict walk must quarantine)."""
+    buf = io.BytesIO()
+    with tarfile.open(
+        fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+    ) as tf:
+        if dir_prefix is not None:
+            ti = tarfile.TarInfo(dir_prefix + "/")
+            ti.type = tarfile.DIRTYPE
+            ti.mtime = _FIXTURE_MTIME
+            ti.mode = 0o755
+            tf.addfile(ti)
+        for i in range(n_samples):
+            key = f"sample{file_id * 1000 + i}"
+            for p, (ext, n) in enumerate(webdataset_parts(file_id, i)):
+                name = f"{key}.{ext}"
+                if dir_prefix is not None:
+                    name = f"{dir_prefix}/{name}"
+                ti = tarfile.TarInfo(name)
+                ti.size = n
+                ti.mtime = _FIXTURE_MTIME
+                ti.mode = 0o644
+                tf.addfile(ti, io.BytesIO(_member_bytes(file_id, i, p, n)))
+    out = buf.getvalue()
+    return out[:_BLOCK] if truncate else out
+
+
+TAR_SCAN_SCHEMA = (
+    "file_id bigint, member_idx int, name string, size bigint, "
+    "mtime bigint, is_dir boolean"
+)
+
+
+def scan_tar_members(df, id_col="file_id", content_col="content"):
+    """Per-shard member scan in one Arrow-batched 1->N mapInPandas
+    expansion: each valid archive yields one row per member in
+    archive order; a blob the strict walk rejects yields the single
+    ``member_idx = -1`` quarantine row (NULL fields) — the shard
+    stays observable, never half-ingested.  Blobs never shuffle."""
+    import pandas as pd
+
+    def run(batches):
+        for batch in batches:
+            out = []
+            for fid, content in zip(batch[id_col], batch[content_col]):
+                data = bytes(content) if content is not None else None
+                entries = parse_tar(data)
+                if entries is None:
+                    out.append({
+                        "file_id": int(fid), "member_idx": -1,
+                        "name": None, "size": None, "mtime": None,
+                        "is_dir": None,
+                    })
+                    continue
+                for idx, e in enumerate(entries):
+                    out.append({
+                        "file_id": int(fid), "member_idx": idx,
+                        "name": e["name"], "size": e["size"],
+                        "mtime": e["mtime"], "is_dir": e["is_dir"],
+                    })
+            yield pd.DataFrame.from_records(out)
+
+    return df.select(id_col, content_col).mapInPandas(
+        run, schema=TAR_SCAN_SCHEMA
+    )

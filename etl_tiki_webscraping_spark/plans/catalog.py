@@ -17335,3 +17335,565 @@ def _register_warc_corpus_router() -> None:
 
 
 _register_warc_corpus_router()
+
+
+@register(
+    "tar_shard_scan",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id, (doc_id // 13) % 3 AS k,
+               2 + doc_id % 3 AS n_samples
+        FROM documents WHERE doc_id % 13 = 2
+    ),
+    samples AS (
+        SELECT doc_id, k, CAST(s.i AS INT) AS i
+        FROM ids, unnest(range(0, n_samples)) AS s(i)
+        WHERE k < 2
+    ),
+    parts AS (
+        SELECT doc_id, k, i, CAST(p.j AS INT) AS p
+        FROM samples, unnest(range(0, 3 + i % 2)) AS p(j)
+    ),
+    member_rows AS (
+        SELECT doc_id AS file_id,
+               CAST(CASE WHEN k = 1 THEN 1 ELSE 0 END
+                    + 3 * i + i // 2 + p AS INT) AS member_idx,
+               CASE WHEN k = 1 THEN 'data/' ELSE '' END
+                   || 'sample' || (doc_id * 1000 + i) || '.'
+                   || CASE p WHEN 0 THEN 'jpg' WHEN 1 THEN 'txt'
+                             WHEN 2 THEN 'json' ELSE 'seg.png' END AS name,
+               CAST(CASE p WHEN 0 THEN 120 + (doc_id + i) % 64
+                           WHEN 1 THEN 30 + (doc_id + i) % 16
+                           WHEN 2 THEN 25 + (doc_id + i) % 8
+                           ELSE 40 + (doc_id + i) % 32
+                    END AS BIGINT) AS size,
+               CAST(1767225600 AS BIGINT) AS mtime,
+               FALSE AS is_dir
+        FROM parts
+    ),
+    dir_rows AS (
+        SELECT doc_id AS file_id, CAST(0 AS INT) AS member_idx,
+               'data/' AS name, CAST(0 AS BIGINT) AS size,
+               CAST(1767225600 AS BIGINT) AS mtime, TRUE AS is_dir
+        FROM ids WHERE k = 1
+    ),
+    bad_rows AS (
+        SELECT doc_id AS file_id, CAST(-1 AS INT) AS member_idx,
+               NULL AS name, CAST(NULL AS BIGINT) AS size,
+               CAST(NULL AS BIGINT) AS mtime,
+               CAST(NULL AS BOOLEAN) AS is_dir
+        FROM ids WHERE k = 2
+    )
+    SELECT * FROM member_rows
+    UNION ALL SELECT * FROM dir_rows
+    UNION ALL SELECT * FROM bad_rows
+    """,
+    doc="TAR / WebDataset shard scan (operators/tarmeta.py — "
+        "round-15): the container format TRAINING data ships in — "
+        "multimodal pipelines stream tar shards of keyed samples (the "
+        "WebDataset convention), and a 100 TB ingest triages them "
+        "exactly like WARC: one blob in, N member rows out.  The "
+        "strict POSIX.1-1988 ustar walk verifies the header checksum "
+        "(chksum field read as spaces), parses NUL/space-padded octal "
+        "sizes/mtimes, honors the prefix field, requires declared "
+        "data blocks to tile inside the file and the two-zero-block "
+        "end marker (plus only zero padding after it), and REJECTS "
+        "the non-ustar typeflags (links, pax, GNU long names — the "
+        "strict-subset posture of the ZIP64 rejection).  The fixture "
+        "cycles a plain shard, a shard under a directory entry, and a "
+        "TRUNCATED shard (header block only) that quarantines as the "
+        "member_idx = -1 row.  Fixtures are written by stdlib "
+        "tarfile (USTAR_FORMAT) — writer and reader share no code.  "
+        "Scale shape: one Arrow-batched 1->N mapInPandas expansion, "
+        "blobs never shuffle.",
+)
+def q_tar_shard_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.operators.tarmeta import scan_tar_members
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 2)
+        .select(F.col("doc_id").alias("file_id"))
+    )
+
+    def build(d: int) -> bytes:
+        from etl_tiki_webscraping_spark.operators.tarmeta import (
+            encode_tar_shard,
+        )
+
+        k = (d // 13) % 3
+        n_samples = 2 + d % 3
+        if k == 0:
+            return encode_tar_shard(d, n_samples)
+        if k == 1:
+            return encode_tar_shard(d, n_samples, dir_prefix="data")
+        return encode_tar_shard(d, n_samples, truncate=True)
+
+    blob_schema = T.StructType(
+        [
+            T.StructField("file_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "file_id": b["file_id"],
+                    "content": b["file_id"].map(lambda d: build(int(d))),
+                }
+            )
+
+    blobs = ids.mapInPandas(gen, blob_schema)
+    return scan_tar_members(blobs)
+
+
+@register(
+    "webdataset_sample_group",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id, 2 + doc_id % 4 AS n_samples
+        FROM documents WHERE doc_id % 13 = 7
+    ),
+    samples AS (
+        SELECT doc_id, CAST(s.i AS INT) AS i
+        FROM ids, unnest(range(0, n_samples)) AS s(i)
+    )
+    SELECT doc_id AS file_id,
+           'sample' || (doc_id * 1000 + i) AS sample_key,
+           CAST(3 + i % 2 AS BIGINT) AS n_parts,
+           CAST(120 + (doc_id + i) % 64 + 30 + (doc_id + i) % 16
+                + 25 + (doc_id + i) % 8
+                + CASE WHEN i % 2 = 1 THEN 40 + (doc_id + i) % 32
+                       ELSE 0 END AS BIGINT) AS total_bytes,
+           CASE WHEN i % 2 = 1 THEN 'jpg,json,seg.png,txt'
+                ELSE 'jpg,json,txt' END AS exts
+    FROM samples
+    """,
+    doc="WebDataset sample grouping CAPSTONE (operators/tarmeta.py — "
+        "round-15): tar member rows -> training SAMPLES.  The "
+        "WebDataset contract keys every member by the basename up to "
+        "the FIRST dot (so ``sample1.seg.png`` and ``sample1.jpg`` "
+        "are parts of ONE sample — pinned by the fixture's "
+        "two-segment extension on odd samples), and a sample row "
+        "aggregates its parts: count, total bytes, and the sorted "
+        "extension list.  After the one Arrow-batched 1->N member "
+        "scan everything is JVM-side: regexp key/ext extraction and "
+        "a groupBy (file_id, sample_key) whose groups are tiny "
+        "(<= 4 parts) and whose exchange carries only the narrow "
+        "member rows — never the blobs.  collect_list goes through "
+        "array_sort so the exts column is deterministic under any "
+        "partitioning.",
+)
+def q_webdataset_sample_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.operators.tarmeta import scan_tar_members
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 7)
+        .select(F.col("doc_id").alias("file_id"))
+    )
+
+    def build(d: int) -> bytes:
+        from etl_tiki_webscraping_spark.operators.tarmeta import (
+            encode_tar_shard,
+        )
+
+        return encode_tar_shard(d, 2 + d % 4)
+
+    blob_schema = T.StructType(
+        [
+            T.StructField("file_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "file_id": b["file_id"],
+                    "content": b["file_id"].map(lambda d: build(int(d))),
+                }
+            )
+
+    members = scan_tar_members(ids.mapInPandas(gen, blob_schema))
+    files = members.filter(
+        (F.col("member_idx") >= 0) & (~F.col("is_dir"))
+    ).select(
+        "file_id",
+        F.regexp_extract(F.col("name"), r"^([^.]+)", 1).alias("sample_key"),
+        F.regexp_extract(F.col("name"), r"^[^.]+\.(.*)$", 1).alias("ext"),
+        "size",
+    )
+    return files.groupBy("file_id", "sample_key").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("size").alias("total_bytes"),
+        F.concat_ws(",", F.array_sort(F.collect_list("ext"))).alias("exts"),
+    )
+
+
+@register(
+    "wet_text_scan",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id, (doc_id // 12) % 3 AS k,
+               2 + doc_id % 4 AS n_pages
+        FROM documents WHERE doc_id % 12 = 6
+    ),
+    ok AS (
+        SELECT doc_id, CAST(p.i AS INT) AS page
+        FROM ids, unnest(range(0, n_pages)) AS p(i)
+        WHERE k < 2
+    ),
+    rows_ok AS (
+        SELECT doc_id AS file_id, page,
+               'https://example.org/site' || (doc_id % 97) || '/page'
+                   || page AS target_uri,
+               'Résumé doc ' || doc_id || ' page ' || page
+                   || ': alpha beta tok' || ((doc_id + page) % 50)
+                   || ' gamma delta' AS text,
+               CAST(10 AS BIGINT) AS n_tokens
+        FROM ok
+    ),
+    rows_bad AS (
+        SELECT doc_id AS file_id, CAST(-1 AS INT) AS page,
+               NULL AS target_uri, NULL AS text,
+               CAST(NULL AS BIGINT) AS n_tokens
+        FROM ids WHERE k = 2
+    )
+    SELECT * FROM rows_ok UNION ALL SELECT * FROM rows_bad
+    """,
+    doc="WET conversion-record scan (sources/warc.py::"
+        "scan_wet_conversions — round-15): Common Crawl's published "
+        "TEXT derivative — the same ISO 28500 framing as WARC but "
+        "carrying one ``conversion`` record of pre-extracted utf-8 "
+        "text per page — is the single cheapest entry point to "
+        "web-scale pretraining text, and it rides the SAME single "
+        "validated walk as every other WARC query (strict tiling, "
+        "per-member gzip via the unused_data loop, lenient header "
+        "decode).  Non-conversion records (warcinfo) skip without "
+        "consuming a page index; the fixture cycles plain .wet, "
+        "per-record-gzip .wet.gz, and a TRUNCATED archive that "
+        "quarantines as the page = -1 row.  The text carries "
+        "non-ASCII (Résumé) so the utf-8 payload decode is "
+        "hash-observable, and token counting stays JVM-side "
+        "(token_count over the scanned column).  Scale shape: one "
+        "Arrow-batched 1->N mapInPandas pass, blobs never shuffle.",
+)
+def q_wet_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.functions.text import token_count
+    from etl_tiki_webscraping_spark.sources.warc import scan_wet_conversions
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 12 == 6)
+        .select(F.col("doc_id").alias("file_id"))
+    )
+
+    def build(d: int) -> bytes:
+        from etl_tiki_webscraping_spark.sources.warc import encode_wet
+
+        k = (d // 12) % 3
+        n_pages = 2 + d % 4
+        if k == 0:
+            return encode_wet(d, n_pages)
+        if k == 1:
+            return encode_wet(d, n_pages, gzip_per_record=True)
+        return encode_wet(d, n_pages, truncate=5)
+
+    blob_schema = T.StructType(
+        [
+            T.StructField("file_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "file_id": b["file_id"],
+                    "content": b["file_id"].map(lambda d: build(int(d))),
+                }
+            )
+
+    scanned = scan_wet_conversions(ids.mapInPandas(gen, blob_schema))
+    return scanned.select(
+        "file_id", "page", "target_uri", "text",
+        F.when(
+            F.col("text").isNotNull(), token_count(F.col("text"))
+        ).alias("n_tokens"),
+    )
+
+
+@register(
+    "jsonl_gz_ingest",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id, (doc_id // 11) % 3 AS k,
+               4 + doc_id % 5 AS n_lines
+        FROM documents WHERE doc_id % 11 = 4
+    ),
+    lines AS (
+        SELECT doc_id, CAST(l.i AS INT) AS line_idx,
+               (doc_id + l.i) % 7 = 3 AS bad
+        FROM ids, unnest(range(0, n_lines)) AS l(i)
+        WHERE k < 2
+    ),
+    rows_ok AS (
+        SELECT doc_id AS file_id, line_idx,
+               CAST(CASE WHEN bad THEN NULL
+                    ELSE doc_id * 100 + line_idx END AS BIGINT) AS rec_id,
+               CASE WHEN bad THEN NULL
+                    ELSE CASE (doc_id + line_idx) % 4
+                         WHEN 0 THEN 'en' WHEN 1 THEN 'vi'
+                         WHEN 2 THEN 'fr' ELSE 'de' END END AS lang,
+               CAST(CASE WHEN bad THEN NULL
+                    ELSE length('doc ' || (doc_id * 100 + line_idx)
+                                || ' é text') END AS BIGINT) AS n_chars,
+               NOT bad AS valid
+        FROM lines
+    ),
+    rows_bad AS (
+        SELECT doc_id AS file_id, CAST(-1 AS INT) AS line_idx,
+               CAST(NULL AS BIGINT) AS rec_id, NULL AS lang,
+               CAST(NULL AS BIGINT) AS n_chars, FALSE AS valid
+        FROM ids WHERE k = 2
+    )
+    SELECT * FROM rows_ok UNION ALL SELECT * FROM rows_bad
+    """,
+    doc="Gzipped-JSONL shard ingest (sources/records.py::"
+        "gunzip_concat_text — round-15): the OTHER format training "
+        "corpora actually ship in (c4/RedPajama/FineWeb-style "
+        "``.jsonl.gz`` shards).  The decompress honors RFC 1952 "
+        "multi-member concatenation — shard writers APPEND members, "
+        "so the fixture cycles a single-member shard, a TWO-member "
+        "shard split mid-line-list (only correct member concatenation "
+        "reproduces the full line set), and a TRUNCATED member that "
+        "quarantines the whole file as the line_idx = -1 row.  "
+        "Everything after the one 1->1 Arrow decompress is JVM-side: "
+        "split + posexplode to lines (original line numbers "
+        "preserved), from_json with an explicit schema, and LINE-"
+        "level quarantine — a malformed line yields valid = false "
+        "with NULL fields while its neighbors survive (row-granular "
+        "loss, the WARC http-decode contract at line granularity).  "
+        "The text carries é so the utf-8 decode is hash-observable.",
+)
+def q_jsonl_gz_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.sources.records import gunzip_concat_text
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 11 == 4)
+        .select(F.col("doc_id").alias("file_id"))
+    )
+
+    def build(d: int) -> bytes:
+        import json
+        import zlib
+
+        def gz(b: bytes) -> bytes:
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            return co.compress(b) + co.flush()
+
+        k = (d // 11) % 3
+        n_lines = 4 + d % 5
+        langs = ["en", "vi", "fr", "de"]
+        lines = []
+        for i in range(n_lines):
+            if (d + i) % 7 == 3:
+                lines.append("{oops")
+            else:
+                rid = d * 100 + i
+                lines.append(json.dumps({
+                    "id": rid, "lang": langs[(d + i) % 4],
+                    "text": f"doc {rid} é text",
+                }, ensure_ascii=False))
+        if k == 1:
+            h = (n_lines + 1) // 2
+            m1 = ("\n".join(lines[:h]) + "\n").encode("utf-8")
+            m2 = ("\n".join(lines[h:]) + "\n").encode("utf-8")
+            return gz(m1) + gz(m2)
+        raw = gz(("\n".join(lines) + "\n").encode("utf-8"))
+        return raw[:-5] if k == 2 else raw
+
+    blob_schema = T.StructType(
+        [
+            T.StructField("file_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "file_id": b["file_id"],
+                    "content": b["file_id"].map(lambda d: build(int(d))),
+                }
+            )
+
+    shards = gunzip_concat_text(
+        ids.mapInPandas(gen, blob_schema), text_col="text"
+    )
+    # single pass over the kernel output: a quarantined file explodes
+    # into one NULL line (-> the line_idx = -1 row) instead of a
+    # separate union branch, so the Arrow decompress runs exactly ONCE
+    # per blob — a union-of-filters shape re-evaluates the kernel per
+    # branch (verified in the physical plan)
+    lines = F.when(
+        F.col("text").isNull(), F.array(F.lit(None).cast("string"))
+    ).otherwise(F.split(F.col("text"), "\n"))
+    exploded = shards.select(
+        "file_id",
+        F.col("text").isNull().alias("bad_file"),
+        F.posexplode(lines).alias("pos", "line"),
+    ).filter(F.col("bad_file") | (F.col("line") != ""))
+    rec = F.from_json(F.col("line"), "id BIGINT, lang STRING, text STRING")
+    return exploded.select(
+        "file_id",
+        F.when(F.col("bad_file"), F.lit(-1))
+        .otherwise(F.col("pos")).alias("line_idx"),
+        rec.getField("id").alias("rec_id"),
+        rec.getField("lang").alias("lang"),
+        F.length(rec.getField("text")).cast("bigint").alias("n_chars"),
+        (~F.col("bad_file") & rec.getField("id").isNotNull()).alias("valid"),
+    )
+
+
+@register(
+    "subtitle_cue_extract",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id, 2 + doc_id % 4 AS n_cues
+        FROM documents WHERE doc_id % 9 = 2
+    ),
+    cues AS (
+        SELECT doc_id, CAST(c.i AS INT) AS cue_idx
+        FROM ids, unnest(range(0, n_cues)) AS c(i)
+    )
+    SELECT doc_id AS sub_id, cue_idx,
+           CAST(cue_idx * 2000 + doc_id % 500 AS BIGINT) AS start_ms,
+           CAST(cue_idx * 2000 + doc_id % 500 + 1200
+                + (cue_idx % 3) * 300 AS BIGINT) AS end_ms,
+           CAST(1200 + (cue_idx % 3) * 300 AS BIGINT) AS duration_ms,
+           'Line one tok' || ((doc_id + cue_idx) % 40)
+               || ' second line ' || (doc_id % 7) AS text,
+           CAST(6 AS BIGINT) AS n_tokens
+    FROM cues
+    """,
+    doc="SRT / WebVTT subtitle cue extraction (round-15): subtitles "
+        "are the highest-volume ALIGNED text for speech/video "
+        "training data, and both public formats parse with pure JVM "
+        "string machinery — zero UDF, zero shuffle, whole-stage "
+        "codegen end to end (the sitemap_url_extract shape).  The "
+        "fixture builds each document JVM-side from doc_id "
+        "arithmetic — SRT on even ids (comma millisecond separator), "
+        "WebVTT on odd (header line, dot separator) — and the parser "
+        "under test is format-agnostic: one regexp family accepting "
+        "``[,.]`` pulls the ``HH:MM:SS?mmm --> HH:MM:SS?mmm`` stamp "
+        "pairs and the two text lines per cue via "
+        "regexp_extract_all + arrays_zip + posexplode, then converts "
+        "stamps to integer milliseconds with split/cast arithmetic "
+        "(start, end, duration) and counts tokens.  The oracle "
+        "replays the closed form.",
+)
+def q_subtitle_cue_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.functions.text import token_count
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 9 == 2)
+        .select(
+            F.col("doc_id").alias("sub_id"),
+            (F.lit(2) + F.col("doc_id") % 4).alias("n_cues"),
+        )
+    )
+
+    sep = F.when(F.col("sub_id") % 2 == 0, F.lit(",")).otherwise(F.lit("."))
+
+    def stamp(ms):
+        return F.concat(
+            F.lit("00:00:"),
+            F.lpad((ms / 1000).cast("int").cast("string"), 2, "0"),
+            sep,
+            F.lpad((ms % 1000).cast("string"), 3, "0"),
+        )
+
+    def cue(i):
+        start = i * 2000 + F.col("sub_id") % 500
+        end = start + 1200 + (i % 3) * 300
+        return F.concat(
+            (i + 1).cast("string"), F.lit("\n"),
+            stamp(start), F.lit(" --> "), stamp(end), F.lit("\n"),
+            F.lit("Line one tok"),
+            ((F.col("sub_id") + i) % 40).cast("string"), F.lit("\n"),
+            F.lit("second line "),
+            (F.col("sub_id") % 7).cast("string"), F.lit("\n\n"),
+        )
+
+    body = F.concat_ws(
+        "",
+        F.transform(F.sequence(F.lit(0), F.col("n_cues") - 1), cue),
+    )
+    doc = F.when(
+        F.col("sub_id") % 2 == 0, body
+    ).otherwise(F.concat(F.lit("WEBVTT\n\n"), body))
+    docs = ids.select("sub_id", doc.alias("doc"))
+
+    ts = r"\d{2}:\d{2}:\d{2}[,.]\d{3}"
+    cue_pat = (
+        "(" + ts + ") --> (" + ts + r")\n([^\n]+)\n([^\n]+)\n\n"
+    )
+    zipped = docs.select(
+        "sub_id",
+        F.arrays_zip(
+            F.regexp_extract_all(F.col("doc"), F.lit(cue_pat), F.lit(1)).alias("s"),
+            F.regexp_extract_all(F.col("doc"), F.lit(cue_pat), F.lit(2)).alias("e"),
+            F.regexp_extract_all(F.col("doc"), F.lit(cue_pat), F.lit(3)).alias("t1"),
+            F.regexp_extract_all(F.col("doc"), F.lit(cue_pat), F.lit(4)).alias("t2"),
+        ).alias("cues"),
+    )
+
+    def to_ms(col):
+        p = F.split(col, "[:,.]")
+        return (
+            p.getItem(0).cast("bigint") * 3600000
+            + p.getItem(1).cast("bigint") * 60000
+            + p.getItem(2).cast("bigint") * 1000
+            + p.getItem(3).cast("bigint")
+        )
+
+    rows = zipped.select(
+        "sub_id", F.posexplode("cues").alias("cue_idx", "c")
+    )
+    text = F.concat(F.col("c.t1"), F.lit(" "), F.col("c.t2"))
+    start_ms = to_ms(F.col("c.s"))
+    end_ms = to_ms(F.col("c.e"))
+    return rows.select(
+        "sub_id",
+        "cue_idx",
+        start_ms.alias("start_ms"),
+        end_ms.alias("end_ms"),
+        (end_ms - start_ms).alias("duration_ms"),
+        text.alias("text"),
+        token_count(text).alias("n_tokens"),
+    )

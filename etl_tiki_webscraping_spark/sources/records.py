@@ -202,3 +202,56 @@ def gunzip_member_text(df: DataFrame, content_col: str = "content",
         return pd.Series(out, dtype="object")
 
     return df.withColumn(text_col, kernel(F.col(content_col)))
+
+
+def gunzip_concat_text(df: DataFrame, content_col: str = "content",
+                       text_col: str = "text") -> DataFrame:
+    """Strict MULTI-member gzip -> utf-8 text (round-15, the
+    ``.jsonl.gz`` shard shape): concatenated gzip members are a valid
+    gzip stream (RFC 1952 §2.2) and the standard way shard writers
+    append — every member must decompress to ITS OWN clean EOF and
+    the members must tile the blob exactly (truncated final member or
+    trailing garbage -> NULL, the observable-quarantine rule); the
+    decompressed members concatenate in order.  One Arrow-batched
+    pandas_udf, 1->1 — blobs never shuffle, and everything after the
+    decompress (line split, JSON parse) stays JVM-side."""
+    global pd
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def kernel(blobs: pd.Series) -> pd.Series:
+        import zlib
+
+        out = []
+        for blob in blobs:
+            if blob is None:
+                out.append(None)
+                continue
+            data = bytes(blob)
+            if data[:2] != b"\x1f\x8b":
+                out.append(None)
+                continue
+            parts: "list[bytes]" = []
+            rest = data
+            ok = True
+            while rest:
+                d = zlib.decompressobj(wbits=31)
+                try:
+                    parts.append(d.decompress(rest))
+                except zlib.error:
+                    ok = False
+                    break
+                if not d.eof:
+                    ok = False  # truncated member
+                    break
+                rest = d.unused_data
+                if rest and rest[:2] != b"\x1f\x8b":
+                    ok = False  # trailing garbage between members
+                    break
+            out.append(
+                b"".join(parts).decode("utf-8", "replace") if ok else None
+            )
+        return pd.Series(out, dtype="object")
+
+    return df.withColumn(text_col, kernel(F.col(content_col)))

@@ -707,3 +707,99 @@ def scan_warc_routed(df, id_col="file_id", content_col="content"):
     return df.select(id_col, content_col).mapInPandas(
         run, schema=WARC_ROUTED_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# WET conversion records (round-15): Common Crawl's text derivative
+# --------------------------------------------------------------------------
+
+
+def wet_fixture_text(file_id: int, page: int) -> str:
+    """Deterministic conversion-record text — carries non-ASCII
+    (``Résumé``) so the utf-8 payload decode is hash-observable,
+    replayable from (file_id, page) arithmetic."""
+    return (
+        f"Résumé doc {file_id} page {page}: alpha beta "
+        f"tok{(file_id + page) % 50} gamma delta"
+    )
+
+
+def encode_wet(
+    file_id: int,
+    n_pages: int,
+    gzip_per_record: bool = False,
+    truncate: int = 0,
+) -> bytes:
+    """WET fixture writer: a warcinfo record followed by ``n_pages``
+    ``conversion`` records whose payloads are the utf-8
+    :func:`wet_fixture_text` — the layout Common Crawl publishes as
+    its pre-extracted text derivative (one conversion record per
+    successfully extracted page, no request/response pairs).
+    ``gzip_per_record`` emits the .wet.gz one-member-per-record
+    layout; ``truncate`` drops trailing bytes for the strict-rejection
+    case."""
+    date = "2026-01-01T00:00:00Z"
+    recs: "list[bytes]" = [
+        _record(
+            "warcinfo", f"<urn:uuid:wet-{file_id:08d}-0>", date,
+            b"software: fixture-wet\r\n",
+        )
+    ]
+    for page in range(n_pages):
+        recs.append(_record(
+            "conversion", f"<urn:uuid:wet-{file_id:08d}-{page + 1}>", date,
+            wet_fixture_text(file_id, page).encode("utf-8"),
+            target_uri=f"https://example.org/site{file_id % 97}/page{page}",
+        ))
+    if gzip_per_record:
+        out = b"".join(_gzip_member(r) for r in recs)
+    else:
+        out = b"".join(recs)
+    return out[: len(out) - truncate] if truncate else out
+
+
+WET_SCAN_SCHEMA = (
+    "file_id bigint, page int, target_uri string, text string"
+)
+
+
+def scan_wet_conversions(df, id_col="file_id", content_col="content"):
+    """WET -> per-page text rows in one Arrow-batched 1->N mapInPandas
+    expansion: the blob runs the SAME single validated walk as the
+    WARC scans (:func:`parse_warc_file` — strict tiling, per-member
+    gzip, lenient header decode), then each ``conversion`` record
+    yields (page, target_uri, utf-8 text); non-conversion records
+    (warcinfo, metadata) are skipped without consuming a page index.
+    A blob the walk rejects emits the single ``page = -1`` quarantine
+    row — a truncated shard is never half-ingested.  Token counting
+    and all downstream text operators stay JVM-side; blobs never
+    shuffle."""
+    import pandas as pd
+
+    def run(batches):
+        for batch in batches:
+            out = []
+            for fid, content in zip(batch[id_col], batch[content_col]):
+                data = bytes(content) if content is not None else None
+                recs = parse_warc_file(data, include_payload=True)
+                if recs is None:
+                    out.append({
+                        "file_id": int(fid), "page": -1,
+                        "target_uri": None, "text": None,
+                    })
+                    continue
+                page = 0
+                for rec in recs:
+                    if rec["warc_type"] != "conversion":
+                        continue
+                    out.append({
+                        "file_id": int(fid), "page": page,
+                        "target_uri": rec["target_uri"],
+                        "text": rec["payload"].decode("utf-8", "replace"),
+                    })
+                    page += 1
+            yield pd.DataFrame.from_records(out)
+
+    return df.select(id_col, content_col).mapInPandas(
+        run, schema=WET_SCAN_SCHEMA
+    )

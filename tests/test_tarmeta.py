@@ -1,0 +1,135 @@
+"""TAR / WebDataset shard triage (operators/tarmeta.py): ustar walk
+strictness, checksum/octal validation, prefix reconstruction, the
+strict-subset typeflag posture, and the Spark 1->N scan path."""
+
+from __future__ import annotations
+
+import io
+import tarfile
+
+from etl_tiki_webscraping_spark.operators.tarmeta import (
+    encode_tar_shard,
+    parse_tar,
+    scan_tar_members,
+    sniff_tar,
+    webdataset_parts,
+)
+
+_BLOCK = 512
+
+
+def _rechecksum(hdr: bytearray) -> None:
+    """Recompute a patched header's checksum so a test can reach the
+    validation stage BEHIND the checksum gate."""
+    s = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:512])
+    hdr[148:156] = b"%06o\x00 " % s
+
+
+def test_roundtrip_and_order():
+    b = encode_tar_shard(7, 3)
+    entries = parse_tar(b)
+    assert entries is not None
+    # archive order: per sample, the webdataset_parts write order
+    names = [e["name"] for e in entries]
+    expect = [
+        f"sample{7000 + i}.{ext}"
+        for i in range(3)
+        for ext, _ in webdataset_parts(7, i)
+    ]
+    assert names == expect
+    for e, (_, size) in zip(
+        entries,
+        [p for i in range(3) for p in webdataset_parts(7, i)],
+    ):
+        assert e["size"] == size and not e["is_dir"]
+        assert e["mtime"] == 1767225600
+
+
+def test_dir_entry_and_sniff():
+    b = encode_tar_shard(9, 2, dir_prefix="data")
+    entries = parse_tar(b)
+    assert entries[0] == {
+        "name": "data/", "size": 0, "mtime": 1767225600, "is_dir": True,
+    }
+    assert all(e["name"].startswith("data/") for e in entries[1:])
+    assert sniff_tar(b) and not sniff_tar(b"not a tar") and not sniff_tar(None)
+
+
+def test_strictness_classes():
+    b = encode_tar_shard(5, 2)
+    # truncated: declared data missing
+    assert parse_tar(b[:_BLOCK]) is None
+    # length not a block multiple
+    assert parse_tar(b[:-7]) is None
+    # trailing zeros stripped: end marker / block tiling gone
+    assert parse_tar(b.rstrip(b"\x00")) is None
+    # corrupt a name byte -> checksum mismatch
+    bad = bytearray(b)
+    bad[0] ^= 0xFF
+    assert parse_tar(bytes(bad)) is None
+    # non-octal size field (checksum recomputed so the octal gate is
+    # what rejects)
+    bad = bytearray(b)
+    bad[124:126] = b"zz"
+    hdr = bytearray(bad[:512])
+    _rechecksum(hdr)
+    bad[:512] = hdr
+    assert parse_tar(bytes(bad)) is None
+    # non-zero garbage after the end marker
+    assert parse_tar(b + b"x" * _BLOCK) is None
+    assert parse_tar(None) is None and parse_tar(b"") is None
+
+
+def test_unsupported_typeflag_rejects():
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        ti = tarfile.TarInfo("link")
+        ti.type = tarfile.SYMTYPE
+        ti.linkname = "target"
+        ti.mtime = 0
+        tf.addfile(ti)
+    assert parse_tar(buf.getvalue()) is None
+
+
+def test_prefix_reconstruction_and_empty_member():
+    long_dir = "d" * 120
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        ti = tarfile.TarInfo(long_dir + "/leaf.txt")
+        ti.size = 3
+        ti.mtime = 0
+        tf.addfile(ti, io.BytesIO(b"abc"))
+        ti = tarfile.TarInfo("empty.bin")
+        ti.size = 0
+        ti.mtime = 0
+        tf.addfile(ti)
+    entries = parse_tar(buf.getvalue())
+    assert entries is not None
+    # tarfile spilled the long path into the prefix field; the walk
+    # must reconstruct prefix + '/' + name
+    assert entries[0]["name"] == long_dir + "/leaf.txt"
+    assert entries[0]["size"] == 3
+    assert entries[1] == {
+        "name": "empty.bin", "size": 0, "mtime": 0, "is_dir": False,
+    }
+
+
+def test_spark_scan(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("file_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    rows = [
+        (1, bytearray(encode_tar_shard(1, 2))),
+        (2, bytearray(encode_tar_shard(2, 1, truncate=True))),
+    ]
+    out = scan_tar_members(spark.createDataFrame(rows, schema))
+    got = {(r.file_id, r.member_idx): r for r in out.collect()}
+    n1 = sum(len(webdataset_parts(1, i)) for i in range(2))
+    assert sum(1 for k in got if k[0] == 1) == n1
+    assert got[(1, 0)].name == "sample1000.jpg"
+    # quarantine: single -1 row, NULL fields
+    assert got[(2, -1)].name is None and got[(2, -1)].size is None
+    assert sum(1 for k in got if k[0] == 2) == 1

@@ -233,6 +233,24 @@ NEW_R14 = [
     "robots_rules_extract",
 ]
 
+NEW_R15 = [
+    # round-15: crawl HTTP realism + document formats (wave 1) and
+    # training-shard containers + aligned text (wave 2)
+    "warc_http_decoding",
+    "pdf_doc_meta",
+    "pdf_text_extract",
+    "docx_text_extract",
+    "sitemap_index_extract",
+    "robots_url_gate",
+    "crawl_frontier_gate",
+    "warc_corpus_router",
+    "tar_shard_scan",
+    "webdataset_sample_group",
+    "wet_text_scan",
+    "jsonl_gz_ingest",
+    "subtitle_cue_extract",
+]
+
 NEW_R12 = [
     # the format trio completion + crawl-curation surface
     "jpeg_progressive_stats",
@@ -421,7 +439,7 @@ def main() -> None:
             "r7": NEW_R7, "r7c": NEW_R7C, "r7d": NEW_R7D, "r8": NEW_R8,
             "r8b": NEW_R8B, "r8c": NEW_R8C, "r8d": NEW_R8D, "r9": NEW_R9,
             "r10": NEW_R10, "r11": NEW_R11, "r12": NEW_R12, "r13": NEW_R13,
-            "r14": NEW_R14,
+            "r14": NEW_R14, "r15": NEW_R15,
         }
         names = lists.get(sys.argv[1]) or [
             a for a in sys.argv[1:] if a in QUERIES

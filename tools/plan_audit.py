@@ -864,6 +864,40 @@ def main() -> int:
           "router is 1->N mapInPandas + codegen extraction; blobs "
           "never shuffle")
 
+    # --- r15 training-shard wave: tar/WET scans keep the no-exchange
+    # blob contract; the JSONL shard is one Arrow decompress with all
+    # JSON parsing JVM-side; WebDataset grouping exchanges only the
+    # NARROW member rows (never the blobs); subtitle parsing is pure
+    # narrow codegen like the sitemap extraction ----------------------
+    for q in ("tar_shard_scan", "wet_text_scan"):
+        p = plan_of(q)
+        check(q,
+              "MapInPandas" in p and "Exchange" not in p,
+              "shard scan is 1->N mapInPandas; blobs never shuffle "
+              "(no exchange in the whole plan)")
+    p = plan_of("jsonl_gz_ingest")
+    check("jsonl_gz_ingest",
+          p.count("ArrowEvalPython") == 1
+          and "Exchange" not in p and "from_json" in p,
+          "the Arrow gunzip kernel evaluates exactly ONCE per blob "
+          "(no union-of-filters re-evaluation), JSON parsed JVM-side "
+          "(from_json), no shuffle anywhere")
+    p = plan_of("webdataset_sample_group")
+    _wds_ex = [seg for seg in p.split("\n") if "Exchange" in seg]
+    check("webdataset_sample_group",
+          "MapInPandas" in p and len(_wds_ex) >= 1
+          and all("content" not in seg for seg in _wds_ex)
+          and "partial" in p.lower(),
+          "sample groupBy partial-aggregates map-side and its "
+          "exchange carries only the narrow member rows — the blob "
+          "column never crosses the wire")
+    p = plan_of("subtitle_cue_extract")
+    check("subtitle_cue_extract",
+          "Exchange" not in p and "Generate" in p
+          and "ArrowEvalPython" not in p and "MapInPandas" not in p,
+          "cue extraction is a narrow codegen plan — regexp + "
+          "posexplode, zero UDF, no shuffle anywhere")
+
     # --- r14 portable-HLL upgrades: register aggregation must partial-
     # aggregate before its exchange (the map-side-combine shape), and
     # the estimate stage's input is the bounded register table
