@@ -272,6 +272,10 @@ HEADLINE = [
     ("wet_text_scan", "hash"),
     ("jsonl_gz_ingest", "hash"),
     ("subtitle_cue_extract", "hash"),
+    ("tfrecord_example_scan", "hash"),
+    ("avro_record_scan", "hash"),
+    ("sequence_pack_manifest", "hash"),
+    ("webdataset_media_router", "hash"),
 ]
 
 

@@ -72,12 +72,18 @@ def sniff_tar(content: "bytes | None") -> bool:
     )
 
 
-def parse_tar(content: "bytes | None") -> "list[dict] | None":
+def parse_tar(
+    content: "bytes | None", include_payload: bool = False
+) -> "list[dict] | None":
     """Strict ustar walk: per-member dicts ``{name, size, mtime,
     is_dir}`` in archive order, or None on ANY malformation (length
     not a block multiple, bad magic/checksum/octal field, unsupported
     typeflag, declared data overrunning the file, missing two-zero-
-    block end marker, non-zero bytes after it)."""
+    block end marker, non-zero bytes after it).  With
+    ``include_payload`` each regular-file dict also carries the raw
+    ``payload`` bytes — callers that need member bodies share this
+    single validated walk instead of re-parsing (the WARC
+    single-pass lesson, ADVICE r14)."""
     if content is None or len(content) % _BLOCK != 0 or len(content) < 2 * _BLOCK:
         return None
     n_blocks = len(content) // _BLOCK
@@ -120,9 +126,12 @@ def parse_tar(content: "bytes | None") -> "list[dict] | None":
         data_blocks = (size + _BLOCK - 1) // _BLOCK
         if b + 1 + data_blocks > n_blocks:
             return None  # declared data truncated
-        entries.append(
-            {"name": name, "size": size, "mtime": mtime, "is_dir": is_dir}
-        )
+        entry = {"name": name, "size": size, "mtime": mtime, "is_dir": is_dir}
+        if include_payload and not is_dir:
+            entry["payload"] = content[
+                (b + 1) * _BLOCK : (b + 1) * _BLOCK + size
+            ]
+        entries.append(entry)
         b += 1 + data_blocks
 
 
@@ -226,4 +235,120 @@ def scan_tar_members(df, id_col="file_id", content_col="content"):
 
     return df.select(id_col, content_col).mapInPandas(
         run, schema=TAR_SCAN_SCHEMA
+    )
+
+
+def wds_media_text(file_id: int, sample: int) -> str:
+    """Replayable .txt member body for the media-router fixture."""
+    return (
+        f"wds doc {file_id * 100 + sample} é alpha"
+        f" tok{(file_id + sample) % 50}"
+    )
+
+
+def encode_wds_media_shard(
+    file_id: int, n_samples: int, truncate: bool = False
+) -> bytes:
+    """WebDataset shard with REAL media payloads (round-15, the
+    router fixture): per sample a genuine 8-bit gray PNG (pixel
+    ``(y, x) = (file_id + sample + 3y + 5x) % 256`` on a 6x8 canvas —
+    the luma sum replays from arithmetic), a utf-8 text member
+    carrying non-ASCII, and a JSON label member.  stdlib ``tarfile``
+    writes the container; the PNG comes from the multimodal encoder
+    half (fixture scaffolding by convention)."""
+    import numpy as np
+
+    from etl_tiki_webscraping_spark.operators.multimodal import encode_png
+
+    buf = io.BytesIO()
+    with tarfile.open(
+        fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+    ) as tf:
+        for i in range(n_samples):
+            key = f"s{file_id * 1000 + i}"
+            y, x = np.mgrid[0:6, 0:8]
+            img = ((file_id + i + 3 * y + 5 * x) % 256).astype(np.uint8)
+            parts = [
+                (f"{key}.png", encode_png(img)),
+                (f"{key}.txt", wds_media_text(file_id, i).encode("utf-8")),
+                (f"{key}.json",
+                 b'{"label": %d}' % (file_id * 10 + i % 7)),
+            ]
+            for name, payload in parts:
+                ti = tarfile.TarInfo(name)
+                ti.size = len(payload)
+                ti.mtime = _FIXTURE_MTIME
+                ti.mode = 0o644
+                tf.addfile(ti, io.BytesIO(payload))
+    out = buf.getvalue()
+    return out[:_BLOCK] if truncate else out
+
+
+TAR_ROUTED_SCHEMA = (
+    "file_id bigint, member_idx int, name string, kind string, "
+    "luma_sum bigint, img_w int, img_h int, payload_text string"
+)
+
+
+def scan_tar_routed(df, id_col="file_id", content_col="content"):
+    """Mixed-media WebDataset router: ONE validated walk per shard
+    (payload capture inline — never a second parse), then per-member
+    dispatch by MAGIC, not extension: PNG signature -> in-kernel
+    image decode (luma sum + dimensions; binary never round-trips a
+    charset decode), ``{`` -> JSON string shipped OUT to JVM
+    from_json, anything else -> utf-8 text shipped OUT to JVM token
+    counting.  Directories route nowhere; a shard the strict walk
+    rejects emits the single ``member_idx = -1`` quarantine row.
+    One Arrow-batched 1->N mapInPandas pass, blobs never shuffle."""
+    import pandas as pd
+
+    def run(batches):
+        from etl_tiki_webscraping_spark.operators.multimodal import (
+            _decode_image_impl,
+        )
+
+        for batch in batches:
+            out = []
+            for fid, content in zip(batch[id_col], batch[content_col]):
+                data = bytes(content) if content is not None else None
+                entries = parse_tar(data, include_payload=True)
+                if entries is None:
+                    out.append({
+                        "file_id": int(fid), "member_idx": -1,
+                        "name": None, "kind": None, "luma_sum": None,
+                        "img_w": None, "img_h": None,
+                        "payload_text": None,
+                    })
+                    continue
+                for idx, e in enumerate(entries):
+                    if e["is_dir"]:
+                        continue
+                    payload = e["payload"]
+                    row = {
+                        "file_id": int(fid), "member_idx": idx,
+                        "name": e["name"], "kind": "text",
+                        "luma_sum": None, "img_w": None, "img_h": None,
+                        "payload_text": None,
+                    }
+                    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                        arr = _decode_image_impl(payload)
+                        row.update(
+                            kind="image",
+                            luma_sum=int(arr.sum()),
+                            img_h=arr.shape[0], img_w=arr.shape[1],
+                        )
+                    elif payload[:1] == b"{":
+                        row.update(
+                            kind="json",
+                            payload_text=payload.decode("utf-8", "replace"),
+                        )
+                    else:
+                        row.update(
+                            payload_text=payload.decode("utf-8", "replace"),
+                        )
+                    out.append(row)
+            yield pd.DataFrame.from_records(out)
+
+    return df.select(id_col, content_col).mapInPandas(
+        run, schema=TAR_ROUTED_SCHEMA
     )

@@ -17897,3 +17897,472 @@ def q_subtitle_cue_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.alias("text"),
         token_count(text).alias("n_tokens"),
     )
+
+
+@register(
+    "tfrecord_example_scan",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id, (doc_id // 14) % 4 AS k,
+               3 + doc_id % 4 AS n_records
+        FROM documents WHERE doc_id % 14 = 5
+    ),
+    recs AS (
+        SELECT doc_id, k, n_records, CAST(r.i AS INT) AS i
+        FROM ids, unnest(range(0, n_records)) AS r(i)
+        WHERE k < 2
+    ),
+    tok AS (
+        SELECT doc_id, i,
+               CAST(SUM(100 + (doc_id + i + t.j) % 50) AS BIGINT)
+                   AS tokens_sum
+        FROM recs, unnest(range(0, 2 + i % 3)) AS t(j)
+        GROUP BY doc_id, i
+    ),
+    rows_ok AS (
+        SELECT r.doc_id AS file_id, r.i AS record_idx,
+               NOT (r.k = 1 AND r.i = r.doc_id % r.n_records) AS valid,
+               CAST(CASE WHEN r.k = 1 AND r.i = r.doc_id % r.n_records
+                    THEN NULL ELSE 4 END AS INT) AS n_features,
+               CASE WHEN r.k = 1 AND r.i = r.doc_id % r.n_records
+                    THEN NULL
+                    ELSE 'image,label,tokens,weight' END AS feature_names,
+               CAST(CASE WHEN r.k = 1 AND r.i = r.doc_id % r.n_records
+                    THEN NULL ELSE r.doc_id * 10 + r.i % 5
+                    END AS BIGINT) AS label,
+               CASE WHEN r.k = 1 AND r.i = r.doc_id % r.n_records
+                    THEN NULL ELSE (r.i % 8) / 4.0 END AS weight,
+               CASE WHEN r.k = 1 AND r.i = r.doc_id % r.n_records
+                    THEN NULL ELSE t.tokens_sum END AS tokens_sum,
+               CAST(CASE WHEN r.k = 1 AND r.i = r.doc_id % r.n_records
+                    THEN NULL ELSE 2 + r.i % 3 END AS INT) AS n_tokens,
+               CAST(CASE WHEN r.k = 1 AND r.i = r.doc_id % r.n_records
+                    THEN NULL ELSE 40 + (r.doc_id + r.i) % 60
+                    END AS BIGINT) AS image_len
+        FROM recs r JOIN tok t ON r.doc_id = t.doc_id AND r.i = t.i
+    ),
+    rows_bad AS (
+        SELECT doc_id AS file_id, CAST(-1 AS INT) AS record_idx,
+               FALSE AS valid, CAST(NULL AS INT) AS n_features,
+               NULL AS feature_names, CAST(NULL AS BIGINT) AS label,
+               CAST(NULL AS DOUBLE) AS weight,
+               CAST(NULL AS BIGINT) AS tokens_sum,
+               CAST(NULL AS INT) AS n_tokens,
+               CAST(NULL AS BIGINT) AS image_len
+        FROM ids WHERE k >= 2
+    )
+    SELECT * FROM rows_ok UNION ALL SELECT * FROM rows_bad
+    """,
+    doc="TFRecord / tf.Example scan (operators/tfrecord.py — "
+        "round-15): the TensorFlow training-shard format, parsed at "
+        "BOTH public layers — the TFRecord framing (masked-CRC32C "
+        "Castagnoli over length and payload, verified against the "
+        "public 0xe3069283 test vector) and the tf.Example protobuf "
+        "wire format (varint/fixed/length-delimited field walk; "
+        "BytesList / packed FloatList / packed-varint Int64List).  "
+        "Quarantine granularity follows what each failure leaves "
+        "trustworthy: a corrupt DATA crc quarantines that RECORD "
+        "(valid=false, NULL features) while neighbors survive; a "
+        "corrupt LENGTH crc or truncation quarantines the FILE "
+        "(record_idx = -1) because the walk itself cannot continue.  "
+        "The fixture's float32 weights sit on the exact 0.25 grid so "
+        "the float32->double decode is bit-replayable in the oracle; "
+        "labels, token sums and image lengths are doc_id arithmetic.  "
+        "Scale shape: one Arrow-batched 1->N mapInPandas expansion, "
+        "blobs never shuffle.",
+)
+def q_tfrecord_example_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.operators.tfrecord import (
+        scan_tfrecord_examples,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 14 == 5)
+        .select(F.col("doc_id").alias("file_id"))
+    )
+
+    def build(d: int) -> bytes:
+        from etl_tiki_webscraping_spark.operators.tfrecord import (
+            encode_tfrecord_file,
+        )
+
+        k = (d // 14) % 4
+        n = 3 + d % 4
+        if k == 0:
+            return encode_tfrecord_file(d, n)
+        if k == 1:
+            return encode_tfrecord_file(d, n, corrupt_data_crc_at=d % n)
+        if k == 2:
+            return encode_tfrecord_file(d, n, corrupt_length_crc_at=0)
+        return encode_tfrecord_file(d, n, truncate=3)
+
+    blob_schema = T.StructType(
+        [
+            T.StructField("file_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "file_id": b["file_id"],
+                    "content": b["file_id"].map(lambda d: build(int(d))),
+                }
+            )
+
+    return scan_tfrecord_examples(ids.mapInPandas(gen, blob_schema))
+
+
+@register(
+    "avro_record_scan",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id, (doc_id // 10) % 3 AS k,
+               3 + doc_id % 5 AS n_records
+        FROM documents WHERE doc_id % 10 = 7
+    ),
+    ok AS (
+        SELECT doc_id, k, CAST(r.i AS INT) AS i
+        FROM ids, unnest(range(0, n_records)) AS r(i)
+        WHERE k < 2
+    ),
+    rows_ok AS (
+        SELECT doc_id AS file_id, i AS rec_idx,
+               CAST(doc_id * 100 + i AS BIGINT) AS rec_id,
+               'avro doc ' || (doc_id * 100 + i) || ' é tok'
+                   || ((doc_id + i) % 50) AS text,
+               CASE k WHEN 0 THEN 'null' ELSE 'deflate' END AS codec
+        FROM ok
+    ),
+    rows_bad AS (
+        SELECT doc_id AS file_id, CAST(-1 AS INT) AS rec_idx,
+               CAST(NULL AS BIGINT) AS rec_id, NULL AS text,
+               NULL AS codec
+        FROM ids WHERE k = 2
+    )
+    SELECT * FROM rows_ok UNION ALL SELECT * FROM rows_bad
+    """,
+    doc="Avro Object Container File record scan (operators/"
+        "avrometa.py — round-15): the data-lake interchange format "
+        "(Kafka dumps, schema-registry pipelines), decoded END TO "
+        "END — OCF header metadata map (avro.schema JSON + "
+        "avro.codec), 16-byte sync-marker discipline on every block, "
+        "zigzag-varint longs, per-block record decode for the "
+        "fixture's ``record Doc { long id; string text; }`` schema "
+        "with null AND raw-deflate codecs, and the strict contract "
+        "that each block's records consume its bytes EXACTLY with "
+        "the declared count.  Any malformation (sync mismatch, "
+        "truncation, codec/schema outside the strict subset, leftover "
+        "block bytes) rejects the whole file into the rec_idx = -1 "
+        "quarantine row.  The text carries é so the utf-8 string "
+        "decode is hash-observable.  Scale shape: one Arrow-batched "
+        "1->N mapInPandas expansion, blobs never shuffle.",
+)
+def q_avro_record_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.operators.avrometa import (
+        scan_avro_records,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 7)
+        .select(F.col("doc_id").alias("file_id"))
+    )
+
+    def build(d: int) -> bytes:
+        from etl_tiki_webscraping_spark.operators.avrometa import (
+            encode_avro_file,
+        )
+
+        k = (d // 10) % 3
+        n = 3 + d % 5
+        if k == 0:
+            return encode_avro_file(d, n)
+        if k == 1:
+            return encode_avro_file(d, n, codec="deflate")
+        return encode_avro_file(d, n, truncate=3)
+
+    blob_schema = T.StructType(
+        [
+            T.StructField("file_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "file_id": b["file_id"],
+                    "content": b["file_id"].map(lambda d: build(int(d))),
+                }
+            )
+
+    return scan_avro_records(ids.mapInPandas(gen, blob_schema))
+
+
+@register(
+    "sequence_pack_manifest",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(list_filter(
+                   string_split_regex(trim(text), '[ \t\n\f\r]+'),
+                   t -> t <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_before
+        FROM toks
+    )
+    SELECT doc_id, n_tokens, cum_before,
+           CAST(cum_before // 512 AS BIGINT) AS pack_first,
+           CAST((cum_before + greatest(n_tokens, 1) - 1) // 512
+               AS BIGINT) AS pack_last,
+           CAST((cum_before + greatest(n_tokens, 1) - 1) // 512
+               - cum_before // 512 AS BIGINT) AS n_boundary_crossings,
+           CAST(cum_before % 512 AS BIGINT) AS offset_in_pack
+    FROM cum
+    """,
+    doc="Sequence packing manifest (round-15): the GPT-style "
+        "concat-and-chunk step every pretraining run performs — "
+        "documents concatenate in a deterministic order and the token "
+        "stream cuts into fixed 512-token packs, so each document "
+        "lands at (pack_first, offset) and may cross pack boundaries.  "
+        "The interesting part is the SCALE SHAPE of the global "
+        "ordered cumsum: a naive Window over ORDER BY doc_id with no "
+        "partition key collapses Spark onto ONE task for the whole "
+        "corpus, so this query computes it as the classic two-pass "
+        "distributed prefix sum instead — (1) per-bucket token sums "
+        "(doc_id // 1000 buckets, a map-side-combined groupBy over "
+        "BOUNDED groups), (2) bucket prefix offsets on the driver "
+        "(a .collect() of |buckets| rows ~ |docs|/1000 — bounded, "
+        "annotated), (3) broadcast-joined back and a window "
+        "PARTITIONED BY bucket for the within-bucket cumsum — no "
+        "single-task sort anywhere, every exchange keyed and "
+        "bounded.  The DuckDB oracle replays the same arithmetic "
+        "with a plain global window (correctness is "
+        "order-deterministic, only the execution shape differs).",
+)
+def q_sequence_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from etl_tiki_webscraping_spark.functions.text import token_count
+
+    cap = 512
+    bucket_width = 1000
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            token_count(F.col("text")).alias("n_tokens"),
+            (F.col("doc_id") / bucket_width).cast("bigint").alias("bucket"),
+        )
+    )
+    # pass 1: per-bucket totals (bounded: |docs| / bucket_width groups)
+    bucket_sums = docs.groupBy("bucket").agg(
+        F.sum("n_tokens").alias("bucket_total")
+    )
+    # pass 2: bucket prefix offsets.  The .collect() is bounded by the
+    # bucket count (5 rows at sf0.1, ~100k at 100 TB with a wider
+    # bucket) — the classic distributed prefix-sum driver step.
+    rows = sorted(
+        (r["bucket"], r["bucket_total"]) for r in bucket_sums.collect()
+    )
+    prefix = []
+    acc = 0
+    for b, total in rows:
+        prefix.append((b, acc))
+        acc += total
+    prefix_df = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            prefix, "bucket bigint, bucket_prefix bigint"
+        )
+    )
+    # pass 3: within-bucket window + broadcast prefix
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = (
+        F.col("bucket_prefix")
+        + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).cast("bigint")
+    eff = F.greatest(F.col("n_tokens"), F.lit(1))
+    out = (
+        docs.join(prefix_df, "bucket")
+        .withColumn("cum_before", cum_before)
+        .withColumn(
+            "pack_first", (F.col("cum_before") / cap).cast("bigint")
+        )
+        .withColumn(
+            "pack_last",
+            ((F.col("cum_before") + eff - 1) / cap).cast("bigint"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "cum_before",
+        "pack_first",
+        "pack_last",
+        (F.col("pack_last") - F.col("pack_first")).alias(
+            "n_boundary_crossings"
+        ),
+        (F.col("cum_before") % cap).alias("offset_in_pack"),
+    )
+
+
+@register(
+    "webdataset_media_router",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id, (doc_id // 15) % 2 AS k,
+               2 + doc_id % 3 AS n_samples
+        FROM documents WHERE doc_id % 15 = 3
+    ),
+    samples AS (
+        SELECT doc_id, CAST(s.i AS INT) AS i
+        FROM ids, unnest(range(0, n_samples)) AS s(i)
+        WHERE k = 0
+    ),
+    luma AS (
+        SELECT doc_id, i,
+               CAST(SUM((doc_id + i + 3 * g.y + 5 * g.x) % 256)
+                   AS BIGINT) AS luma_sum
+        FROM samples,
+             unnest(range(0, 6)) AS g_(y),
+             unnest(range(0, 8)) AS g2(x),
+             LATERAL (SELECT g_.y AS y, g2.x AS x) AS g
+        GROUP BY doc_id, i
+    ),
+    png_rows AS (
+        SELECT s.doc_id AS file_id, CAST(3 * s.i AS INT) AS member_idx,
+               's' || (s.doc_id * 1000 + s.i) || '.png' AS name,
+               'image' AS kind, l.luma_sum,
+               CAST(8 AS INT) AS img_w, CAST(6 AS INT) AS img_h,
+               CAST(NULL AS BIGINT) AS n_tokens,
+               CAST(NULL AS BIGINT) AS label
+        FROM samples s JOIN luma l ON s.doc_id = l.doc_id AND s.i = l.i
+    ),
+    txt_rows AS (
+        SELECT doc_id AS file_id, CAST(3 * i + 1 AS INT) AS member_idx,
+               's' || (doc_id * 1000 + i) || '.txt' AS name,
+               'text' AS kind, CAST(NULL AS BIGINT) AS luma_sum,
+               CAST(NULL AS INT) AS img_w, CAST(NULL AS INT) AS img_h,
+               CAST(6 AS BIGINT) AS n_tokens,
+               CAST(NULL AS BIGINT) AS label
+        FROM samples
+    ),
+    json_rows AS (
+        SELECT doc_id AS file_id, CAST(3 * i + 2 AS INT) AS member_idx,
+               's' || (doc_id * 1000 + i) || '.json' AS name,
+               'json' AS kind, CAST(NULL AS BIGINT) AS luma_sum,
+               CAST(NULL AS INT) AS img_w, CAST(NULL AS INT) AS img_h,
+               CAST(NULL AS BIGINT) AS n_tokens,
+               CAST(doc_id * 10 + i % 7 AS BIGINT) AS label
+        FROM samples
+    ),
+    bad_rows AS (
+        SELECT doc_id AS file_id, CAST(-1 AS INT) AS member_idx,
+               NULL AS name, NULL AS kind,
+               CAST(NULL AS BIGINT) AS luma_sum,
+               CAST(NULL AS INT) AS img_w, CAST(NULL AS INT) AS img_h,
+               CAST(NULL AS BIGINT) AS n_tokens,
+               CAST(NULL AS BIGINT) AS label
+        FROM ids WHERE k = 1
+    )
+    SELECT * FROM png_rows UNION ALL SELECT * FROM txt_rows
+    UNION ALL SELECT * FROM json_rows UNION ALL SELECT * FROM bad_rows
+    """,
+    doc="WebDataset mixed-media router CAPSTONE (operators/tarmeta.py"
+        "::scan_tar_routed — round-15): the multimodal twin of "
+        "warc_corpus_router, tying the tar container to the image and "
+        "text stacks in one oracle-gated query.  One validated ustar "
+        "walk per shard (payload capture inline — never a second "
+        "parse); members dispatch by MAGIC, not extension: the PNG "
+        "signature routes through the REAL in-kernel PNG decode "
+        "(stdlib-zlib inflate + unfilter; the fixture's gray 6x8 "
+        "gradient replays its luma SUM exactly — integer-valued "
+        "float32 sums below 2^24 are exact), ``{`` routes the bytes "
+        "out as a JSON string for JVM from_json (label extraction), "
+        "and everything else decodes utf-8 and token-counts JVM-side "
+        "(é in the fixture pins the charset path).  Binary never "
+        "round-trips a charset decode.  A truncated shard "
+        "quarantines whole (member_idx = -1).  Scale shape: one "
+        "Arrow-batched 1->N mapInPandas pass, blobs never shuffle, "
+        "all post-scan extraction is codegen'd JVM work.",
+)
+def q_webdataset_media_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.functions.text import token_count
+    from etl_tiki_webscraping_spark.operators.tarmeta import scan_tar_routed
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 15 == 3)
+        .select(F.col("doc_id").alias("file_id"))
+    )
+
+    def build(d: int) -> bytes:
+        from etl_tiki_webscraping_spark.operators.tarmeta import (
+            encode_wds_media_shard,
+        )
+
+        k = (d // 15) % 2
+        return encode_wds_media_shard(d, 2 + d % 3, truncate=k == 1)
+
+    blob_schema = T.StructType(
+        [
+            T.StructField("file_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "file_id": b["file_id"],
+                    "content": b["file_id"].map(lambda d: build(int(d))),
+                }
+            )
+
+    routed = scan_tar_routed(ids.mapInPandas(gen, blob_schema))
+    return routed.select(
+        "file_id",
+        "member_idx",
+        "name",
+        "kind",
+        "luma_sum",
+        "img_w",
+        "img_h",
+        F.when(
+            F.col("kind") == "text", token_count(F.col("payload_text"))
+        ).alias("n_tokens"),
+        F.when(
+            F.col("kind") == "json",
+            F.from_json(F.col("payload_text"), "label BIGINT").getField(
+                "label"
+            ),
+        ).alias("label"),
+    )

@@ -133,3 +133,50 @@ def test_spark_scan(spark):
     # quarantine: single -1 row, NULL fields
     assert got[(2, -1)].name is None and got[(2, -1)].size is None
     assert sum(1 for k in got if k[0] == 2) == 1
+
+
+def test_payload_capture_single_walk():
+    b = encode_tar_shard(4, 2)
+    entries = parse_tar(b, include_payload=True)
+    for e, (_, size) in zip(
+        entries, [p for i in range(2) for p in webdataset_parts(4, i)]
+    ):
+        assert len(e["payload"]) == size == e["size"]
+    # without the flag no payload key is materialized
+    assert "payload" not in parse_tar(b)[0]
+
+
+def test_media_router_spark(spark):
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.operators.tarmeta import (
+        encode_wds_media_shard,
+        scan_tar_routed,
+        wds_media_text,
+    )
+
+    schema = T.StructType([
+        T.StructField("file_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    rows = [
+        (1, bytearray(encode_wds_media_shard(1, 2))),
+        (2, bytearray(encode_wds_media_shard(2, 1, truncate=True))),
+    ]
+    out = scan_tar_routed(spark.createDataFrame(rows, schema))
+    got = {(r.file_id, r.member_idx): r for r in out.collect()}
+    # image member: real PNG decode, exact gradient luma sum
+    y, x = np.mgrid[0:6, 0:8]
+    assert got[(1, 0)].kind == "image"
+    assert got[(1, 0)].luma_sum == int(((1 + 0 + 3 * y + 5 * x) % 256).sum())
+    assert (got[(1, 0)].img_w, got[(1, 0)].img_h) == (8, 6)
+    # text member: utf-8 through, non-ASCII preserved
+    assert got[(1, 1)].kind == "text"
+    assert got[(1, 1)].payload_text == wds_media_text(1, 0)
+    # json member routed as string (JVM parses downstream)
+    assert got[(1, 2)].kind == "json"
+    assert got[(1, 2)].payload_text == '{"label": 10}'
+    # truncated shard: single quarantine row
+    assert got[(2, -1)].kind is None
+    assert sum(1 for k in got if k[0] == 2) == 1

@@ -249,6 +249,10 @@ NEW_R15 = [
     "wet_text_scan",
     "jsonl_gz_ingest",
     "subtitle_cue_extract",
+    "tfrecord_example_scan",
+    "avro_record_scan",
+    "sequence_pack_manifest",
+    "webdataset_media_router",
 ]
 
 NEW_R12 = [

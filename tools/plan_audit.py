@@ -869,7 +869,8 @@ def main() -> int:
     # JSON parsing JVM-side; WebDataset grouping exchanges only the
     # NARROW member rows (never the blobs); subtitle parsing is pure
     # narrow codegen like the sitemap extraction ----------------------
-    for q in ("tar_shard_scan", "wet_text_scan"):
+    for q in ("tar_shard_scan", "wet_text_scan",
+              "tfrecord_example_scan", "avro_record_scan"):
         p = plan_of(q)
         check(q,
               "MapInPandas" in p and "Exchange" not in p,
@@ -891,6 +892,22 @@ def main() -> int:
           "sample groupBy partial-aggregates map-side and its "
           "exchange carries only the narrow member rows — the blob "
           "column never crosses the wire")
+    p = plan_of("webdataset_media_router")
+    check("webdataset_media_router",
+          "MapInPandas" in p and "Exchange" not in p
+          and "from_json" in p,
+          "router is one 1->N mapInPandas walk (payload capture "
+          "inline, no second parse); JSON/token extraction is JVM "
+          "codegen; blobs never shuffle")
+    p = plan_of("sequence_pack_manifest")
+    _spm_ex = [seg for seg in p.split("\n") if "Exchange" in seg]
+    check("sequence_pack_manifest",
+          all("SinglePartition" not in seg for seg in _spm_ex)
+          and "BroadcastHashJoin" in p and "Window" in p,
+          "the global cumsum is the two-pass distributed prefix sum: "
+          "bucket-partitioned window + broadcast prefix join — NO "
+          "single-partition exchange anywhere (the naive global "
+          "window's scale-killer shape)")
     p = plan_of("subtitle_cue_extract")
     check("subtitle_cue_extract",
           "Exchange" not in p and "Generate" in p
