@@ -276,6 +276,7 @@ HEADLINE = [
     ("avro_record_scan", "hash"),
     ("sequence_pack_manifest", "hash"),
     ("webdataset_media_router", "hash"),
+    ("wds_datasource_scan", "hash"),
 ]
 
 
@@ -309,6 +310,33 @@ def _final_line(
     return json.dumps(rec, separators=(",", ":"))
 
 
+
+def _warm_datasource_workers(spark) -> None:
+    """Warm the python-DataSource worker pool (plan + read workers are
+    a DIFFERENT pool from the Arrow-UDF workers the kernel warm-up
+    forks): one 1-shard read over a temp dir, untimed — measured ~5 s
+    of first-read startup that would otherwise bill the first
+    datasource headliner's pass-1."""
+    import tempfile
+
+    from etl_tiki_webscraping_spark.operators.tarmeta import encode_tar_shard
+    from etl_tiki_webscraping_spark.sources.wds_datasource import (
+        WebDatasetDataSource,
+    )
+
+    spark.dataSource.register(WebDatasetDataSource)
+    wdir = tempfile.mkdtemp(prefix="wds-warm-")
+    with open(os.path.join(wdir, "w.tar"), "wb") as fh:
+        fh.write(encode_tar_shard(0, 1))
+    (
+        spark.read.format("webdataset")
+        .schema("shard string, member_idx int, name string, size bigint")
+        .option("path", wdir)
+        .load()
+        .count()
+    )
+
+
 def main() -> None:
     from etl_tiki_webscraping_spark.plans.catalog import QUERIES
     from etl_tiki_webscraping_spark.session import get_spark
@@ -331,6 +359,7 @@ def main() -> None:
     _warm = F.pandas_udf(_warm_kernel, "long")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark.range(10_000).repartition(cpus).select(_warm("id")).count()
+    _warm_datasource_workers(spark)
 
     # OS page-cache warm of the input parquet: timings should measure
     # the engine, not whether this run's first scan found cold disk

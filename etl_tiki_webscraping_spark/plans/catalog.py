@@ -207,6 +207,7 @@ _EAGER_STAGING_QUERIES = (
     "streaming_corpus_screen",  # runs the multi-batch screen to its sink
     "streaming_media_triage",  # runs the multi-batch triage to its sink
     "contamination_new_docs",  # builds + memoizes the base winnow store
+    "wds_datasource_scan",  # stages the WebDataset shard directory
 )
 
 
@@ -18365,4 +18366,119 @@ def q_webdataset_media_router(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "label"
             ),
         ).alias("label"),
+    )
+
+
+_WDS_SHARD_DIRS: "dict[str, str]" = {}
+
+
+def _wds_shard_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (memoized per sf_dir) the WebDataset shard DIRECTORY the
+    custom DataSource reads — the deployment analog is a shard
+    directory that already exists on shared storage.  The staging
+    .collect() is the fixture WRITER, bounded at |docs|/17 shard ids
+    (~300 rows at sf0.1); the READ path never collects."""
+    if sf_dir in _WDS_SHARD_DIRS:
+        return _WDS_SHARD_DIRS[sf_dir]
+    import os
+    import tempfile
+
+    from etl_tiki_webscraping_spark.operators.tarmeta import encode_tar_shard
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 17 == 4)
+        .select("doc_id")
+        .collect()
+    ]
+    d_dir = tempfile.mkdtemp(prefix="wds-shards-")
+    for d in sorted(ids):
+        k = (d // 17) % 3
+        blob = encode_tar_shard(d, 2 + d % 3, truncate=k == 2)
+        with open(os.path.join(d_dir, f"shard{d:06d}.tar"), "wb") as fh:
+            fh.write(blob)
+    _WDS_SHARD_DIRS[sf_dir] = d_dir
+    return d_dir
+
+
+@register(
+    "wds_datasource_scan",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id, (doc_id // 17) % 3 AS k,
+               2 + doc_id % 3 AS n_samples
+        FROM documents WHERE doc_id % 17 = 4
+    ),
+    samples AS (
+        SELECT doc_id, CAST(s.i AS INT) AS i
+        FROM ids, unnest(range(0, n_samples)) AS s(i)
+        WHERE k < 2
+    ),
+    parts AS (
+        SELECT doc_id, i, CAST(p.j AS INT) AS p
+        FROM samples, unnest(range(0, 3 + i % 2)) AS p(j)
+    ),
+    rows_ok AS (
+        SELECT 'shard' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+                   || '.tar' AS shard,
+               CAST(3 * i + i // 2 + p AS INT) AS member_idx,
+               'sample' || (doc_id * 1000 + i) || '.'
+                   || CASE p WHEN 0 THEN 'jpg' WHEN 1 THEN 'txt'
+                             WHEN 2 THEN 'json' ELSE 'seg.png' END AS name,
+               CAST(CASE p WHEN 0 THEN 120 + (doc_id + i) % 64
+                           WHEN 1 THEN 30 + (doc_id + i) % 16
+                           WHEN 2 THEN 25 + (doc_id + i) % 8
+                           ELSE 40 + (doc_id + i) % 32
+                    END AS BIGINT) AS size,
+               'sample' || (doc_id * 1000 + i) AS sample_key,
+               CASE p WHEN 0 THEN 'jpg' WHEN 1 THEN 'txt'
+                      WHEN 2 THEN 'json' ELSE 'seg.png' END AS ext
+        FROM parts
+    ),
+    rows_bad AS (
+        SELECT 'shard' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+                   || '.tar' AS shard,
+               CAST(-1 AS INT) AS member_idx, NULL AS name,
+               CAST(NULL AS BIGINT) AS size, NULL AS sample_key,
+               NULL AS ext
+        FROM ids WHERE k = 2
+    )
+    SELECT * FROM rows_ok UNION ALL SELECT * FROM rows_bad
+    """,
+    doc="WebDataset shard-directory DataSource (sources/"
+        "wds_datasource.py — round-15): the Spark-4-native packaging "
+        "of the tar layer.  A registered python DataSource whose "
+        "planner-visible unit of parallelism is the SHARD FILE — one "
+        "InputPartition per *.tar, so Spark schedules shards across "
+        "executors like file splits, a task retry re-reads only its "
+        "own shard, and the strict ustar walk (checksum/octal/tiling/"
+        "end-marker) runs inside the partition read with the "
+        "member_idx = -1 quarantine row surfacing at the source "
+        "boundary.  Key/extension derivation stays JVM-side "
+        "(regexp over the narrow member rows).  The staged directory "
+        "is the deployment analog of shards on shared storage "
+        "(memoized; bench hoists it like the other warehouse "
+        "fixtures).",
+)
+def q_wds_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.sources.wds_datasource import (
+        WebDatasetDataSource,
+    )
+
+    spark.dataSource.register(WebDatasetDataSource)
+    d_dir = _wds_shard_dir(spark, sf_dir)
+    raw = (
+        spark.read.format("webdataset")
+        .schema("shard string, member_idx int, name string, size bigint")
+        .option("path", d_dir)
+        .load()
+    )
+    return raw.select(
+        "shard",
+        "member_idx",
+        "name",
+        "size",
+        F.regexp_extract(F.col("name"), r"^([^.]+)", 1).alias("sample_key"),
+        F.regexp_extract(F.col("name"), r"^[^.]+\.(.*)$", 1).alias("ext"),
     )

@@ -180,3 +180,44 @@ def test_media_router_spark(spark):
     # truncated shard: single quarantine row
     assert got[(2, -1)].kind is None
     assert sum(1 for k in got if k[0] == 2) == 1
+
+
+def test_wds_datasource(spark, tmp_path):
+    from etl_tiki_webscraping_spark.sources.wds_datasource import (
+        WebDatasetDataSource,
+    )
+
+    for d, trunc in ((3, False), (4, True)):
+        with open(tmp_path / f"shard{d}.tar", "wb") as fh:
+            fh.write(encode_tar_shard(d, 2, truncate=trunc))
+    spark.dataSource.register(WebDatasetDataSource)
+    df = (
+        spark.read.format("webdataset")
+        .schema("shard string, member_idx int, name string, size bigint")
+        .option("path", str(tmp_path))
+        .load()
+    )
+    got = {(r.shard, r.member_idx): r for r in df.collect()}
+    n3 = sum(len(webdataset_parts(3, i)) for i in range(2))
+    assert sum(1 for k in got if k[0] == "shard3.tar") == n3
+    assert got[("shard3.tar", 0)].name == "sample3000.jpg"
+    # truncated shard surfaces its quarantine row at the source
+    assert got[("shard4.tar", -1)].name is None
+    assert sum(1 for k in got if k[0] == "shard4.tar") == 1
+    # the parallelism floor splits a small directory across tasks
+    # (default min_partitions=32 shrinks the byte budget below one
+    # shard, so each file gets its own partition here)...
+    assert df.rdd.getNumPartitions() == 2
+    # ...while min_partitions=1 lets the 128 MiB budget bin-pack the
+    # whole directory into ONE task, and the rows are identical
+    packed = (
+        spark.read.format("webdataset")
+        .schema("shard string, member_idx int, name string, size bigint")
+        .option("path", str(tmp_path))
+        .option("min_partitions", "1")
+        .load()
+    )
+    assert packed.rdd.getNumPartitions() == 1
+    assert sorted(r.name for r in packed.collect() if r.name) == sorted(
+        r.name for r in df.collect() if r.name
+    )

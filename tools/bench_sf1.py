@@ -253,6 +253,7 @@ NEW_R15 = [
     "avro_record_scan",
     "sequence_pack_manifest",
     "webdataset_media_router",
+    "wds_datasource_scan",
 ]
 
 NEW_R12 = [
@@ -436,6 +437,9 @@ def main() -> None:
     # untimed warm-up + stream-input staging, mirroring bench.py
     spark.range(1000).selectExpr("sum(id)").collect()
     read_events_stream_multibatch(spark, sf_dir, n_batches=3)
+    from bench import _warm_datasource_workers
+
+    _warm_datasource_workers(spark)
 
     names = FIVE
     if len(sys.argv) > 1:

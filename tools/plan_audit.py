@@ -908,6 +908,12 @@ def main() -> int:
           "bucket-partitioned window + broadcast prefix join — NO "
           "single-partition exchange anywhere (the naive global "
           "window's scale-killer shape)")
+    p = plan_of("wds_datasource_scan")
+    check("wds_datasource_scan",
+          "BatchScan webdataset" in p and "Exchange" not in p,
+          "shard directory reads through the registered python "
+          "DataSource (one InputPartition per shard file); key/ext "
+          "derivation is a narrow projection — no shuffle anywhere")
     p = plan_of("subtitle_cue_extract")
     check("subtitle_cue_extract",
           "Exchange" not in p and "Generate" in p
