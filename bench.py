@@ -277,6 +277,7 @@ HEADLINE = [
     ("sequence_pack_manifest", "hash"),
     ("webdataset_media_router", "hash"),
     ("wds_datasource_scan", "hash"),
+    ("streaming_shard_ingest", "collect"),
 ]
 
 

@@ -208,6 +208,7 @@ _EAGER_STAGING_QUERIES = (
     "streaming_media_triage",  # runs the multi-batch triage to its sink
     "contamination_new_docs",  # builds + memoizes the base winnow store
     "wds_datasource_scan",  # stages the WebDataset shard directory
+    "streaming_shard_ingest",  # runs the multi-batch ingest to its sink
 )
 
 
@@ -17641,6 +17642,41 @@ def q_wet_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jsonl_gz_blob(d: int) -> bytes:
+    """The jsonl.gz shard fixture shared by the batch ingest and its
+    streaming twin: (d // 11) % 3 cycles single-member / two-member
+    (split mid-line-list) / truncated-member; (d + i) % 7 == 3 lines
+    are malformed JSON.  Pure doc_id arithmetic — both oracles replay
+    every field."""
+    import json
+    import zlib
+
+    def gz(b: bytes) -> bytes:
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        return co.compress(b) + co.flush()
+
+    k = (d // 11) % 3
+    n_lines = 4 + d % 5
+    langs = ["en", "vi", "fr", "de"]
+    lines = []
+    for i in range(n_lines):
+        if (d + i) % 7 == 3:
+            lines.append("{oops")
+        else:
+            rid = d * 100 + i
+            lines.append(json.dumps({
+                "id": rid, "lang": langs[(d + i) % 4],
+                "text": f"doc {rid} é text",
+            }, ensure_ascii=False))
+    if k == 1:
+        h = (n_lines + 1) // 2
+        m1 = ("\n".join(lines[:h]) + "\n").encode("utf-8")
+        m2 = ("\n".join(lines[h:]) + "\n").encode("utf-8")
+        return gz(m1) + gz(m2)
+    raw = gz(("\n".join(lines) + "\n").encode("utf-8"))
+    return raw[:-5] if k == 2 else raw
+
+
 @register(
     "jsonl_gz_ingest",
     oracle="""
@@ -17705,34 +17741,7 @@ def q_jsonl_gz_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("file_id"))
     )
 
-    def build(d: int) -> bytes:
-        import json
-        import zlib
-
-        def gz(b: bytes) -> bytes:
-            co = zlib.compressobj(6, zlib.DEFLATED, 31)
-            return co.compress(b) + co.flush()
-
-        k = (d // 11) % 3
-        n_lines = 4 + d % 5
-        langs = ["en", "vi", "fr", "de"]
-        lines = []
-        for i in range(n_lines):
-            if (d + i) % 7 == 3:
-                lines.append("{oops")
-            else:
-                rid = d * 100 + i
-                lines.append(json.dumps({
-                    "id": rid, "lang": langs[(d + i) % 4],
-                    "text": f"doc {rid} é text",
-                }, ensure_ascii=False))
-        if k == 1:
-            h = (n_lines + 1) // 2
-            m1 = ("\n".join(lines[:h]) + "\n").encode("utf-8")
-            m2 = ("\n".join(lines[h:]) + "\n").encode("utf-8")
-            return gz(m1) + gz(m2)
-        raw = gz(("\n".join(lines) + "\n").encode("utf-8"))
-        return raw[:-5] if k == 2 else raw
+    build = _jsonl_gz_blob
 
     blob_schema = T.StructType(
         [
@@ -18481,4 +18490,153 @@ def q_wds_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "size",
         F.regexp_extract(F.col("name"), r"^([^.]+)", 1).alias("sample_key"),
         F.regexp_extract(F.col("name"), r"^[^.]+\.(.*)$", 1).alias("ext"),
+    )
+
+
+_STREAM_SHARD_INGEST: dict = {}
+
+
+@register(
+    "streaming_shard_ingest",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id, (doc_id // 11) % 3 AS k,
+               4 + doc_id % 5 AS n_lines
+        FROM documents WHERE doc_id % 11 = 4
+    ),
+    lines AS (
+        SELECT doc_id, CAST(l.i AS INT) AS i,
+               (doc_id + l.i) % 7 = 3 AS bad
+        FROM ids, unnest(range(0, n_lines)) AS l(i)
+        WHERE k < 2
+    ),
+    cls AS (
+        SELECT CASE WHEN bad THEN NULL
+                    ELSE CASE (doc_id + i) % 4
+                         WHEN 0 THEN 'en' WHEN 1 THEN 'vi'
+                         WHEN 2 THEN 'fr' ELSE 'de' END END AS lang,
+               NOT bad AS valid,
+               CASE WHEN bad THEN 0
+                    ELSE length('doc ' || (doc_id * 100 + i)
+                                || ' é text') END AS n_chars
+        FROM lines
+        UNION ALL
+        SELECT NULL AS lang, FALSE AS valid, 0 AS n_chars
+        FROM ids WHERE k = 2
+    )
+    SELECT lang, valid, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total
+    FROM cls GROUP BY lang, valid
+    """,
+    doc="STREAMING twin of the jsonl.gz shard ingest: a REAL "
+        "multi-micro-batch run (maxFilesPerTrigger=1, AvailableNow "
+        "over a 3-file staged copy of the shard ids); each micro-batch "
+        "synthesizes its shards (the shared _jsonl_gz_blob fixture — "
+        "single-member / split-members / truncated cycling), runs the "
+        "SAME single-pass decompress + JVM from_json + line-granular "
+        "quarantine as the batch query, and appends per-line verdicts "
+        "to a committed sink.  Ingest is per-shard, so batch "
+        "boundaries cannot change the answer — the property that "
+        "makes shard ingest stream safely stateless — and the sink "
+        "rollup per (lang, valid) must equal the batch ground truth "
+        "(the oracle).  The crawl-ingest shape: shards land "
+        "continuously, parse/quarantine accounting runs "
+        "incrementally.",
+)
+def q_streaming_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _STREAM_SHARD_INGEST.get(sf_dir)
+    if out is None:
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        from etl_tiki_webscraping_spark.sources.records import (
+            gunzip_concat_text,
+        )
+
+        root = tempfile.mkdtemp(prefix="stream-shards-")
+        src, sink_dir = root + "/src", root + "/verdicts"
+        ids = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 11 == 4)
+            .select(F.col("doc_id").alias("file_id"))
+        )
+        ids.repartition(3).write.parquet(src)
+
+        blob_schema = T.StructType(
+            [
+                T.StructField("file_id", T.LongType(), False),
+                T.StructField("content", T.BinaryType(), False),
+            ]
+        )
+
+        def ingest(batch_df, _batch_id: int) -> None:
+            def gen(batches):
+                import pandas as pd
+
+                for b in batches:
+                    yield pd.DataFrame(
+                        {
+                            "file_id": b["file_id"],
+                            "content": b["file_id"].map(
+                                lambda d: _jsonl_gz_blob(int(d))
+                            ),
+                        }
+                    )
+
+            shards = gunzip_concat_text(
+                batch_df.mapInPandas(gen, blob_schema), text_col="text"
+            )
+            lines = F.when(
+                F.col("text").isNull(),
+                F.array(F.lit(None).cast("string")),
+            ).otherwise(F.split(F.col("text"), "\n"))
+            exploded = shards.select(
+                "file_id",
+                F.col("text").isNull().alias("bad_file"),
+                F.posexplode(lines).alias("pos", "line"),
+            ).filter(F.col("bad_file") | (F.col("line") != ""))
+            rec = F.from_json(
+                F.col("line"), "id BIGINT, lang STRING, text STRING"
+            )
+            verdicts = exploded.select(
+                "file_id",
+                F.when(~F.col("bad_file"), rec.getField("lang")).alias(
+                    "lang"
+                ),
+                (
+                    ~F.col("bad_file")
+                    & rec.getField("id").isNotNull()
+                ).alias("valid"),
+                F.coalesce(
+                    F.when(
+                        ~F.col("bad_file"),
+                        F.length(rec.getField("text")).cast("bigint"),
+                    ),
+                    F.lit(0),
+                ).alias("n_chars"),
+            )
+            verdicts.write.mode("append").parquet(sink_dir)
+
+        q = (
+            spark.readStream.schema("file_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", root + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming shard ingest did not finish")
+        out = sink_dir
+        _STREAM_SHARD_INGEST[sf_dir] = out
+    return (
+        spark.read.parquet(out)
+        .groupBy("lang", "valid")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").alias("chars_total"),
+        )
     )

@@ -254,6 +254,7 @@ NEW_R15 = [
     "sequence_pack_manifest",
     "webdataset_media_router",
     "wds_datasource_scan",
+    "streaming_shard_ingest",
 ]
 
 NEW_R12 = [
