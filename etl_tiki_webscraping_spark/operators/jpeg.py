@@ -1120,6 +1120,8 @@ def decode_jpeg_luma(content: bytes) -> "np.ndarray | None":
             return None
         while pos + 1 < n and d[pos + 1] == 0xFF:
             pos += 1  # fill bytes before a marker are legal (B.1.1.2)
+        if pos + 1 >= n:
+            return None  # stream ends inside a fill-byte run
         marker = d[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

@@ -957,6 +957,9 @@ def test_mp3_walk_reconstructs_schedule(indices, sr_idx):
 
 
 @given(blob=st.binary(min_size=0, max_size=400))
+# pinned: a trailing 0xFF fill-byte run walked the JPEG marker loop
+# one past EOF (IndexError in a kernel) before the r15 bounds check
+@example(blob=b"\xff")
 @settings(max_examples=60, deadline=None)
 def test_no_decoder_ever_raises_on_arbitrary_bytes(blob):
     """A decoder exception inside a mapInPandas kernel kills the whole
