@@ -154,6 +154,13 @@ _DRIVER_FRESH = frozenset({
     #   - the ZIP central-directory walk refactored into
     #     _central_directory shared with the new member inflation
     "zip_container_meta",
+    #   - the JPEG marker walk gained the fill-byte-run EOF bounds
+    #     check (fuzz find) — every query that decodes JPEG re-verifies
+    "jpeg_image_stats",
+    "jpeg_progressive_stats",
+    "mjpeg_video_stats",
+    "image_exif_meta",
+    "image_dedup_ahash",
 })
 
 
