@@ -278,6 +278,8 @@ HEADLINE = [
     ("webdataset_media_router", "hash"),
     ("wds_datasource_scan", "hash"),
     ("streaming_shard_ingest", "collect"),
+    ("compressed_shard_dispatch", "hash"),
+    ("chat_turns_extract", "hash"),
 ]
 
 

@@ -18647,3 +18647,257 @@ def q_streaming_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("chars_total"),
         )
     )
+
+
+@register(
+    "compressed_shard_dispatch",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id, (doc_id // 16) % 4 AS k,
+               3 + doc_id % 4 AS n_lines
+        FROM documents WHERE doc_id % 16 = 9
+    ),
+    lines AS (
+        SELECT doc_id, k, CAST(l.i AS INT) AS line_idx
+        FROM ids, unnest(range(0, n_lines)) AS l(i)
+        WHERE k < 3
+    ),
+    rows_ok AS (
+        SELECT doc_id AS file_id, line_idx,
+               CAST(doc_id * 100 + line_idx AS BIGINT) AS rec_id,
+               CAST(length('z doc ' || (doc_id * 100 + line_idx)
+                           || ' é') AS BIGINT) AS n_chars,
+               CASE k WHEN 0 THEN 'gzip' WHEN 1 THEN 'bz2'
+                      ELSE 'xz' END AS codec
+        FROM lines
+    ),
+    rows_bad AS (
+        SELECT doc_id AS file_id, CAST(-1 AS INT) AS line_idx,
+               CAST(NULL AS BIGINT) AS rec_id,
+               CAST(NULL AS BIGINT) AS n_chars,
+               'bz2' AS codec
+        FROM ids WHERE k = 3
+    )
+    SELECT * FROM rows_ok UNION ALL SELECT * FROM rows_bad
+    """,
+    doc="Codec-dispatched shard ingest (sources/records.py::"
+        "decompress_concat_text — round-15): the OTHER compressions "
+        "public corpus dumps ship — bzip2 MULTISTREAM (the Wikipedia-"
+        "dump layout, two independently-compressed streams "
+        "concatenated so only a correct stream walk replays the full "
+        "line set), xz (Pushshift-era archives), and gzip members — "
+        "all stdlib, dispatched on magic INSIDE one Arrow kernel, "
+        "with codec identification ALSO done JVM-side (hex-prefix "
+        "compare on the binary column) so the quarantine row for a "
+        "truncated bz2 stream still reports codec='bz2' — the loss "
+        "is observable AND attributable.  Line parse and the "
+        "quarantine row share the single-pass explode shape "
+        "(kernel evaluates once per blob).",
+)
+def q_compressed_shard_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.sources.records import (
+        decompress_concat_text,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 16 == 9)
+        .select(F.col("doc_id").alias("file_id"))
+    )
+
+    def build(d: int) -> bytes:
+        import bz2
+        import json
+        import lzma
+        import zlib
+
+        def gz(b: bytes) -> bytes:
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            return co.compress(b) + co.flush()
+
+        k = (d // 16) % 4
+        n_lines = 3 + d % 4
+        lines = [
+            json.dumps(
+                {"id": d * 100 + i, "text": f"z doc {d * 100 + i} é"},
+                ensure_ascii=False,
+            )
+            for i in range(n_lines)
+        ]
+        raw = ("\n".join(lines) + "\n").encode("utf-8")
+        if k == 0:
+            return gz(raw)
+        if k == 1:
+            h = len(raw) // 2  # split mid-stream: true multistream
+            return bz2.compress(raw[:h]) + bz2.compress(raw[h:])
+        if k == 2:
+            return lzma.compress(raw, format=lzma.FORMAT_XZ)
+        return bz2.compress(raw)[:-4]  # truncated final stream
+
+    blob_schema = T.StructType(
+        [
+            T.StructField("file_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "file_id": b["file_id"],
+                    "content": b["file_id"].map(lambda d: build(int(d))),
+                }
+            )
+
+    blobs = ids.mapInPandas(gen, blob_schema)
+    # codec identification JVM-side from the magic bytes — reported
+    # even for blobs the kernel quarantines
+    codec = (
+        F.when(
+            F.hex(F.expr("substring(content, 1, 2)")) == "1F8B", "gzip"
+        )
+        .when(F.hex(F.expr("substring(content, 1, 3)")) == "425A68", "bz2")
+        .when(
+            F.hex(F.expr("substring(content, 1, 6)")) == "FD377A585A00",
+            "xz",
+        )
+        .otherwise("unknown")
+    )
+    shards = decompress_concat_text(blobs).withColumn("codec", codec)
+    lines = F.when(
+        F.col("text").isNull(), F.array(F.lit(None).cast("string"))
+    ).otherwise(F.split(F.col("text"), "\n"))
+    exploded = shards.select(
+        "file_id",
+        "codec",
+        F.col("text").isNull().alias("bad_file"),
+        F.posexplode(lines).alias("pos", "line"),
+    ).filter(F.col("bad_file") | (F.col("line") != ""))
+    rec = F.from_json(F.col("line"), "id BIGINT, text STRING")
+    return exploded.select(
+        "file_id",
+        F.when(F.col("bad_file"), F.lit(-1))
+        .otherwise(F.col("pos")).alias("line_idx"),
+        rec.getField("id").alias("rec_id"),
+        F.length(rec.getField("text")).cast("bigint").alias("n_chars"),
+        "codec",
+    )
+
+
+@register(
+    "chat_turns_extract",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id, 3 + doc_id % 5 AS n_turns,
+               doc_id % 7 = 2 AS broken
+        FROM documents WHERE doc_id % 18 = 6
+    ),
+    turns AS (
+        SELECT doc_id, broken, CAST(t.j AS INT) AS turn_idx
+        FROM ids, unnest(range(0, n_turns)) AS t(j)
+    )
+    SELECT doc_id AS conv_id, turn_idx,
+           CASE WHEN turn_idx = 0 THEN 'system'
+                WHEN turn_idx = 2 AND broken THEN 'user'
+                WHEN turn_idx % 2 = 1 THEN 'user'
+                ELSE 'assistant' END AS role,
+           CASE WHEN turn_idx = 0 THEN 'sys prompt ' || (doc_id % 13)
+                ELSE 'msg ' || turn_idx || ' tok'
+                     || ((doc_id + turn_idx) % 30) || ' é' END AS content,
+           CAST(CASE WHEN turn_idx = 0 THEN 3 ELSE 4 END AS BIGINT)
+               AS n_tokens,
+           NOT broken AS conv_valid
+    FROM turns
+    """,
+    doc="Chat-conversation turn extraction (round-15): the SFT/RLHF "
+        "data-prep step — ShareGPT-style conversation documents "
+        "(a JSON array of {role, content} messages) flatten to typed "
+        "turn rows with a per-conversation ROLE-ALTERNATION gate: "
+        "system first, then strict user/assistant alternation; a "
+        "conversation with two consecutive user turns (the fixture "
+        "breaks position 2 on doc_id % 7 == 2) fails the gate for "
+        "ALL its turns.  Everything is JVM codegen: the fixture "
+        "builds each document through to_json over transform-built "
+        "structs (a REAL JSON string), the parse is from_json with "
+        "an explicit array<struct> schema + posexplode, and the gate "
+        "is bool_and(role == expected(turn_idx)) over a window "
+        "partitioned by conversation — small per-conversation "
+        "groups, nothing wide crosses the exchange.  Zero UDF, one "
+        "keyed window exchange.",
+)
+def q_chat_turns_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from etl_tiki_webscraping_spark.functions.text import token_count
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 18 == 6)
+        .select(
+            F.col("doc_id").alias("conv_id"),
+            (F.lit(3) + F.col("doc_id") % 5).alias("n_turns"),
+            (F.col("doc_id") % 7 == 2).alias("broken"),
+        )
+    )
+
+    def role_of(j):
+        return (
+            F.when(j == 0, F.lit("system"))
+            .when((j == 2) & F.col("broken"), F.lit("user"))
+            .when(j % 2 == 1, F.lit("user"))
+            .otherwise(F.lit("assistant"))
+        )
+
+    def content_of(j):
+        return F.when(
+            j == 0,
+            F.concat(F.lit("sys prompt "), (F.col("conv_id") % 13).cast("string")),
+        ).otherwise(
+            F.concat(
+                F.lit("msg "), j.cast("string"), F.lit(" tok"),
+                ((F.col("conv_id") + j) % 30).cast("string"), F.lit(" é"),
+            )
+        )
+
+    doc = F.to_json(
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_turns") - 1),
+            lambda j: F.struct(
+                role_of(j).alias("role"), content_of(j).alias("content")
+            ),
+        )
+    )
+    docs = ids.select("conv_id", doc.alias("doc"))
+
+    turns = docs.select(
+        "conv_id",
+        F.posexplode(
+            F.from_json(
+                F.col("doc"), "array<struct<role string, content string>>"
+            )
+        ).alias("turn_idx", "turn"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("turn.role").alias("role"),
+        F.col("turn.content").alias("content"),
+    )
+    expected = (
+        F.when(F.col("turn_idx") == 0, F.lit("system"))
+        .when(F.col("turn_idx") % 2 == 1, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+    )
+    w = Window.partitionBy("conv_id")
+    return turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "content",
+        token_count(F.col("content")).alias("n_tokens"),
+        F.bool_and(F.col("role") == expected).over(w).alias("conv_valid"),
+    )

@@ -255,3 +255,93 @@ def gunzip_concat_text(df: DataFrame, content_col: str = "content",
         return pd.Series(out, dtype="object")
 
     return df.withColumn(text_col, kernel(F.col(content_col)))
+
+
+def decompress_concat_text(df: DataFrame, content_col: str = "content",
+                           text_col: str = "text") -> DataFrame:
+    """Codec-dispatched strict decompression (round-15): the three
+    compressions public corpus dumps actually ship — gzip members
+    (RFC 1952), bzip2 MULTISTREAM (the Wikipedia-dump layout:
+    independently-compressed streams concatenated back to back), and
+    xz (Pushshift-era archives) — all stdlib, dispatched on magic
+    bytes.  Every member/stream must reach its own clean EOF and the
+    members must tile the blob exactly; truncation, trailing garbage,
+    or an unknown magic -> NULL (the observable-quarantine rule).
+    One Arrow-batched pandas_udf, 1->1 — blobs never shuffle;
+    codec SNIFFING stays JVM-side in callers (hex prefix compare) so
+    the quarantine row still reports what the blob claimed to be."""
+    global pd
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def kernel(blobs: pd.Series) -> pd.Series:
+        import bz2
+        import lzma
+        import zlib
+
+        def gunzip_all(data: bytes) -> "bytes | None":
+            parts, rest = [], data
+            while rest:
+                d = zlib.decompressobj(wbits=31)
+                try:
+                    parts.append(d.decompress(rest))
+                except zlib.error:
+                    return None
+                if not d.eof:
+                    return None
+                rest = d.unused_data
+                if rest and rest[:2] != b"\x1f\x8b":
+                    return None
+            return b"".join(parts)
+
+        def bunzip_all(data: bytes) -> "bytes | None":
+            parts, rest = [], data
+            while rest:
+                d = bz2.BZ2Decompressor()
+                try:
+                    parts.append(d.decompress(rest))
+                except OSError:
+                    return None
+                if not d.eof:
+                    return None  # truncated stream
+                rest = d.unused_data
+                if rest and rest[:3] != b"BZh":
+                    return None
+            return b"".join(parts)
+
+        def unxz_all(data: bytes) -> "bytes | None":
+            parts, rest = [], data
+            while rest:
+                d = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+                try:
+                    parts.append(d.decompress(rest))
+                except lzma.LZMAError:
+                    return None
+                if not d.eof:
+                    return None
+                rest = d.unused_data
+                if rest and rest[:6] != b"\xfd7zXZ\x00":
+                    return None
+            return b"".join(parts)
+
+        out = []
+        for blob in blobs:
+            if blob is None:
+                out.append(None)
+                continue
+            data = bytes(blob)
+            if data[:2] == b"\x1f\x8b":
+                raw = gunzip_all(data)
+            elif data[:3] == b"BZh":
+                raw = bunzip_all(data)
+            elif data[:6] == b"\xfd7zXZ\x00":
+                raw = unxz_all(data)
+            else:
+                raw = None
+            out.append(
+                raw.decode("utf-8", "replace") if raw is not None else None
+            )
+        return pd.Series(out, dtype="object")
+
+    return df.withColumn(text_col, kernel(F.col(content_col)))

@@ -79,3 +79,36 @@ def test_gunzip_concat_members(spark):
     # members concatenate across the split-mid-line boundary
     assert got[2] == "line1\nline2\nline3\n"
     assert got[3] is None and got[4] is None and got[5] is None
+
+
+def test_decompress_concat_dispatch(spark):
+    import bz2
+    import lzma
+
+    from pyspark.sql import types as T
+
+    from etl_tiki_webscraping_spark.sources.records import (
+        decompress_concat_text,
+    )
+
+    schema = T.StructType([
+        T.StructField("file_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    raw = "line1 é\nline2\n".encode()
+    rows = [
+        (1, bytearray(_gz(raw))),
+        # bz2 multistream split mid-line: only a correct stream walk
+        # reproduces the full text
+        (2, bytearray(bz2.compress(raw[:5]) + bz2.compress(raw[5:]))),
+        (3, bytearray(lzma.compress(raw, format=lzma.FORMAT_XZ))),
+        (4, bytearray(bz2.compress(raw)[:-4])),       # truncated
+        (5, bytearray(bz2.compress(raw) + b"JUNK")),  # trailing garbage
+        (6, bytearray(b"not compressed")),            # unknown magic
+        (7, bytearray(lzma.compress(raw, format=lzma.FORMAT_XZ)[:-3])),
+    ]
+    out = decompress_concat_text(spark.createDataFrame(rows, schema))
+    got = {r.file_id: r.text for r in out.collect()}
+    assert got[1] == got[2] == got[3] == raw.decode()
+    assert got[4] is None and got[5] is None
+    assert got[6] is None and got[7] is None

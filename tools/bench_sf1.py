@@ -255,6 +255,8 @@ NEW_R15 = [
     "webdataset_media_router",
     "wds_datasource_scan",
     "streaming_shard_ingest",
+    "compressed_shard_dispatch",
+    "chat_turns_extract",
 ]
 
 NEW_R12 = [

@@ -908,6 +908,18 @@ def main() -> int:
           "bucket-partitioned window + broadcast prefix join — NO "
           "single-partition exchange anywhere (the naive global "
           "window's scale-killer shape)")
+    p = plan_of("compressed_shard_dispatch")
+    check("compressed_shard_dispatch",
+          p.count("ArrowEvalPython") == 1 and "Exchange" not in p
+          and "from_json" in p,
+          "one codec-dispatched Arrow decompress per blob; JSON and "
+          "the magic-sniffed codec column are JVM-side; no shuffle")
+    p = plan_of("chat_turns_extract")
+    check("chat_turns_extract",
+          "ArrowEvalPython" not in p and "MapInPandas" not in p
+          and "from_json" in p and "Window" in p,
+          "conversation parse + alternation gate is pure JVM codegen "
+          "(from_json + posexplode + a conv-keyed window) — zero UDF")
     p = plan_of("wds_datasource_scan")
     check("wds_datasource_scan",
           "BatchScan webdataset" in p and "Exchange" not in p,
