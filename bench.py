@@ -280,6 +280,8 @@ HEADLINE = [
     ("streaming_shard_ingest", "collect"),
     ("compressed_shard_dispatch", "hash"),
     ("chat_turns_extract", "hash"),
+    ("preference_pair_prep", "hash"),
+    ("fim_transform", "hash"),
 ]
 
 

@@ -18901,3 +18901,152 @@ def q_chat_turns_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count(F.col("content")).alias("n_tokens"),
         F.bool_and(F.col("role") == expected).over(w).alias("conv_valid"),
     )
+
+
+@register(
+    "preference_pair_prep",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id,
+               'answer ' || (doc_id % 50) || ' alpha beta é' AS chosen,
+               CASE WHEN doc_id % 11 = 5
+                    THEN 'answer ' || (doc_id % 50) || ' alpha beta é'
+                    ELSE 'reply ' || (doc_id % 31) || ' gamma'
+                         || CASE WHEN doc_id % 3 = 0
+                                 THEN ' delta epsilon zeta eta theta'
+                                 ELSE '' END END AS rejected
+        FROM documents WHERE doc_id % 18 = 11
+    ),
+    feats AS (
+        SELECT doc_id AS pair_id,
+               CAST(len(list_filter(string_split_regex(trim(chosen),
+                   '[ \t\n\f\r]+'), t -> t <> '')) AS BIGINT)
+                   AS chosen_tokens,
+               CAST(len(list_filter(string_split_regex(trim(rejected),
+                   '[ \t\n\f\r]+'), t -> t <> '')) AS BIGINT)
+                   AS rejected_tokens,
+               chosen = rejected AS degenerate
+        FROM ids
+    )
+    SELECT pair_id, chosen_tokens, rejected_tokens, degenerate,
+           NOT degenerate
+               AND chosen_tokens * 4 >= rejected_tokens
+               AND rejected_tokens * 4 >= chosen_tokens AS keep
+    FROM feats
+    """,
+    doc="Preference-pair preparation (round-15): the RLHF/DPO data-"
+        "hygiene step — (chosen, rejected) pairs built from doc_id "
+        "arithmetic (degenerate identical pairs on doc_id % 11 == 5, "
+        "length-skewed rejections on doc_id % 3 == 0) gate on the "
+        "two standard filters: degenerate pairs (chosen == rejected "
+        "teaches the reward model nothing) and extreme length "
+        "imbalance (a >4x token-count gap lets the model learn "
+        "length, not preference — the documented length-bias "
+        "failure).  All JVM codegen: the ASCII-class tokenizer both "
+        "engines share, integer-ratio comparisons (never a float "
+        "division), zero UDF, zero shuffle.",
+)
+def q_preference_pair_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tiki_webscraping_spark.functions.text import token_count
+
+    ids = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 18 == 11
+    )
+    chosen = F.concat(
+        F.lit("answer "), (F.col("doc_id") % 50).cast("string"),
+        F.lit(" alpha beta é"),
+    )
+    rejected = F.when(F.col("doc_id") % 11 == 5, chosen).otherwise(
+        F.concat(
+            F.lit("reply "), (F.col("doc_id") % 31).cast("string"),
+            F.lit(" gamma"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(" delta epsilon zeta eta theta"),
+            ).otherwise(F.lit("")),
+        )
+    )
+    pairs = ids.select(
+        F.col("doc_id").alias("pair_id"),
+        token_count(chosen).alias("chosen_tokens"),
+        token_count(rejected).alias("rejected_tokens"),
+        (chosen == rejected).alias("degenerate"),
+    )
+    return pairs.select(
+        "pair_id",
+        "chosen_tokens",
+        "rejected_tokens",
+        "degenerate",
+        (
+            ~F.col("degenerate")
+            & (F.col("chosen_tokens") * 4 >= F.col("rejected_tokens"))
+            & (F.col("rejected_tokens") * 4 >= F.col("chosen_tokens"))
+        ).alias("keep"),
+    )
+
+
+@register(
+    "fim_transform",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, text, length(text) AS n
+        FROM documents WHERE doc_id % 18 = 15
+    ),
+    cuts AS (
+        SELECT doc_id, text, n,
+               CAST(1 + (n * 2) // 5 + doc_id % 7 AS BIGINT) AS a,
+               CAST(1 + (n * 2) // 5 + doc_id % 7 + (n * 3) // 10
+                   AS BIGINT) AS b
+        FROM docs
+    )
+    SELECT doc_id,
+           CAST(a - 1 AS BIGINT) AS prefix_len,
+           CAST(b - a AS BIGINT) AS middle_len,
+           CAST(n - b + 1 AS BIGINT) AS suffix_len,
+           '<PRE>' || substr(text, 1, CAST(a - 1 AS INT))
+               || '<SUF>' || substr(text, CAST(b AS INT))
+               || '<MID>' || substr(text, CAST(a AS INT),
+                                    CAST(b - a AS INT)) AS psm
+    FROM cuts
+    """,
+    doc="Fill-in-the-middle transform (round-15): the PSM "
+        "(prefix-suffix-middle) reordering code-model pretraining "
+        "applies to a fraction of documents — deterministic cut "
+        "points from pure length/doc_id arithmetic (a at ~40% + "
+        "jitter, b at a + ~30%), the document re-emitted as "
+        "<PRE>prefix<SUF>suffix<MID>middle with the three span "
+        "lengths, so the model learns to infill conditioned on both "
+        "sides.  Cut points land mid-token by design (FIM operates "
+        "on characters/bytes, not token boundaries — the public "
+        "recipe).  All JVM codegen substring arithmetic on REAL "
+        "document text (1-based substr agrees across engines), zero "
+        "UDF, zero shuffle; the oracle replays every span from the "
+        "same closed form.",
+)
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 18 == 15)
+        .select("doc_id", "text", F.length("text").alias("n"))
+    )
+    a = (
+        F.lit(1) + (F.col("n") * 2 / 5).cast("bigint")
+        + F.col("doc_id") % 7
+    ).cast("bigint")
+    b = (a + (F.col("n") * 3 / 10).cast("bigint")).cast("bigint")
+    cuts = docs.select("doc_id", "text", "n", a.alias("a"), b.alias("b"))
+    psm = F.concat(
+        F.lit("<PRE>"),
+        F.expr("substr(text, 1, CAST(a - 1 AS INT))"),
+        F.lit("<SUF>"),
+        F.expr("substr(text, CAST(b AS INT))"),
+        F.lit("<MID>"),
+        F.expr("substr(text, CAST(a AS INT), CAST(b - a AS INT))"),
+    )
+    return cuts.select(
+        "doc_id",
+        (F.col("a") - 1).alias("prefix_len"),
+        (F.col("b") - F.col("a")).alias("middle_len"),
+        (F.col("n") - F.col("b") + 1).alias("suffix_len"),
+        psm.alias("psm"),
+    )

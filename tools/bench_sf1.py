@@ -257,6 +257,8 @@ NEW_R15 = [
     "streaming_shard_ingest",
     "compressed_shard_dispatch",
     "chat_turns_extract",
+    "preference_pair_prep",
+    "fim_transform",
 ]
 
 NEW_R12 = [

@@ -920,6 +920,13 @@ def main() -> int:
           and "from_json" in p and "Window" in p,
           "conversation parse + alternation gate is pure JVM codegen "
           "(from_json + posexplode + a conv-keyed window) — zero UDF")
+    for q in ("preference_pair_prep", "fim_transform"):
+        p = plan_of(q)
+        check(q,
+              "ArrowEvalPython" not in p and "MapInPandas" not in p
+              and "Exchange" not in p,
+              "training-prep transform is pure narrow JVM codegen — "
+              "zero UDF, no shuffle anywhere")
     p = plan_of("wds_datasource_scan")
     check("wds_datasource_scan",
           "BatchScan webdataset" in p and "Exchange" not in p,
