@@ -282,6 +282,7 @@ HEADLINE = [
     ("chat_turns_extract", "hash"),
     ("preference_pair_prep", "hash"),
     ("fim_transform", "hash"),
+    ("context_length_histogram", "collect"),
 ]
 
 

@@ -19050,3 +19050,81 @@ def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") - F.col("b") + 1).alias("suffix_len"),
         psm.alias("psm"),
     )
+
+
+@register(
+    "context_length_histogram",
+    oracle="""
+    WITH toks AS (
+        SELECT CAST(len(list_filter(
+            string_split_regex(trim(text), '[ \t\n\f\r]+'),
+            t -> t <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    b AS (
+        SELECT CAST(length(bin(greatest(n_tokens, 1))) AS INT)
+                   AS bucket,
+               n_tokens
+        FROM toks
+    ),
+    g AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens_total
+        FROM b GROUP BY bucket
+    )
+    SELECT bucket,
+           CAST(power(2, bucket - 1) AS BIGINT) AS lo,
+           CAST(power(2, bucket) - 1 AS BIGINT) AS hi,
+           n_docs, tokens_total,
+           CAST(SUM(tokens_total) OVER (
+               ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS tokens_cum
+    FROM g
+    """,
+    doc="Context-length histogram (round-15): the context-window "
+        "planning stat every pretraining run computes — documents "
+        "bucketed by power-of-two token-count ranges (how much data "
+        "fits a 2k/8k/32k context, what share of tokens lives in "
+        "long documents).  The log2 bucket uses the cross-engine "
+        "leading-zero recipe (r13 portability note #4): Spark "
+        "length(conv(x, 10, 2)) == DuckDB length(bin(x)), both "
+        "unpadded — never a float log().  The cumulative-token "
+        "window runs over the BUCKET rollup (<= 64 rows by "
+        "construction), so the unpartitioned window is bounded and "
+        "scale-safe; the per-document work is one map-side-combined "
+        "groupBy.  All JVM codegen, zero UDF.",
+)
+def q_context_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from etl_tiki_webscraping_spark.functions.text import token_count
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        token_count(F.col("text")).alias("n_tokens")
+    )
+    bucket = F.length(
+        F.conv(F.greatest(F.col("n_tokens"), F.lit(1)), 10, 2)
+    ).cast("int")
+    g = (
+        toks.select(bucket.alias("bucket"), "n_tokens")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_total"),
+        )
+    )
+    # the unpartitioned window runs over the bucket ROLLUP (<= 64
+    # rows by construction) — bounded, not a scale-killer
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.select(
+        "bucket",
+        F.pow(F.lit(2), F.col("bucket") - 1).cast("bigint").alias("lo"),
+        (F.pow(F.lit(2), F.col("bucket")) - 1).cast("bigint").alias("hi"),
+        "n_docs",
+        "tokens_total",
+        F.sum("tokens_total").over(w).cast("bigint").alias("tokens_cum"),
+    )

@@ -259,6 +259,7 @@ NEW_R15 = [
     "chat_turns_extract",
     "preference_pair_prep",
     "fim_transform",
+    "context_length_histogram",
 ]
 
 NEW_R12 = [

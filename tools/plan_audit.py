@@ -920,6 +920,13 @@ def main() -> int:
           and "from_json" in p and "Window" in p,
           "conversation parse + alternation gate is pure JVM codegen "
           "(from_json + posexplode + a conv-keyed window) — zero UDF")
+    p = plan_of("context_length_histogram")
+    check("context_length_histogram",
+          "ArrowEvalPython" not in p and "MapInPandas" not in p
+          and "partial" in p.lower(),
+          "per-doc bucketing partial-aggregates map-side; the only "
+          "unpartitioned window runs over the <= 64-row bucket "
+          "rollup — bounded, zero UDF")
     for q in ("preference_pair_prep", "fim_transform"):
         p = plan_of(q)
         check(q,
