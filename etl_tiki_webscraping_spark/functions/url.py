@@ -285,8 +285,16 @@ def robots_url_gate(
             F.length("value").alias("vlen"),
         )
     )
-    j = urls.join(F.broadcast(r), on=host_col, how="left")
-    key = [host_col, path_col, bot_col]
+    # unique per-input-row discriminator: without it, duplicate input
+    # URL rows collapse into ONE output row (the row_number pick keeps
+    # a single winner per (host, path, bot)), silently changing row
+    # counts for downstream joins (ADVICE r15).  The id is ephemeral —
+    # window partitioning only — so nondeterminism of the assignment
+    # never reaches the output.
+    j = urls.withColumn("__row_id", F.monotonically_increasing_id()).join(
+        F.broadcast(r), on=host_col, how="left"
+    )
+    key = [host_col, path_col, bot_col, "__row_id"]
     wk = Window.partitionBy(*key)
     is_exact = F.col("agent_lc") == F.lower(F.col(bot_col))
     has_exact = F.coalesce(

@@ -83,10 +83,27 @@ def repetition_report(
     distinct-gram count and ``SUM`` the total — the shape that also
     survives 100 TB, where a per-row array materialization would not.
     """
-    grams = word_ngrams(text_col, n)
+    # one id-keyed exchange of raw text (r16): hashpartitioning(id)
+    # satisfies the clustering of BOTH aggregates and the final join,
+    # so the per-gram exchange (n-gram strings, heavier than the text)
+    # disappears and the gram construction parallelizes past however
+    # few splits the scan produced (guide §2.3/§2.4)
+    df = df.select(F.col(id_col), F.col(text_col)).repartition(F.col(id_col))
     ids = df.select(id_col)
+    # tokenize in its OWN projection (the ngrams_of_tokens contract):
+    # passing word_ngrams(text) straight to the explode inlines the
+    # split/lower/trim into every interpreted gram slice — measured
+    # 4.2 s vs 0.6 s at sf0.1 for the gram explode alone (r16, guide
+    # §4.1: keep per-row work out of re-evaluated HOF lambdas)
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.col(text_col))), "[ \t\n\f\r]+").alias("__tok"),
+    )
     per_gram = (
-        df.select(F.col(id_col), F.explode(grams).alias("__g"))
+        toks.select(
+            F.col(id_col),
+            F.explode(ngrams_of_tokens(F.col("__tok"), n)).alias("__g"),
+        )
         .groupBy(id_col, "__g")
         .agg(F.count(F.lit(1)).alias("__c"))
     )

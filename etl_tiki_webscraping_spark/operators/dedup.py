@@ -1037,6 +1037,16 @@ def winnow_fingerprints(
         # — doc_chunking — or raise _WINNOW_BASE)
         & (F.length("t") < _WINNOW_BASE)
     )
+    # id-keyed exchange of RAW TEXT (~1 byte/char), placed BEFORE the
+    # gram explode: the winnow window below requires clustering by id
+    # anyway, and without this the exchange lands AFTER the explode —
+    # carrying (id, n_grams, i, enc) rows at ~36 bytes PER CHARACTER
+    # (~30x the bytes) — while the per-gram md5 chain runs in however
+    # few tasks the scan produced (ONE task on a single-file input:
+    # guide §2.5 input-skew, §2.3 project-before-the-exchange).  Any
+    # hashpartitioning(id, n) satisfies the window's ClusteredDistri-
+    # bution(id), so no second exchange appears (r16, plan-audited).
+    norm = norm.repartition(F.col("id"))
     grams = norm.select(
         "id",
         (F.length("t") - (k - 1)).alias("n_grams"),

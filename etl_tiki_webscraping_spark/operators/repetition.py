@@ -110,10 +110,23 @@ def repetition_signals(
     documents).  See the module docstring for the exact variant
     definitions and the plan shape.
     """
+    # ONE id-keyed exchange of raw text up front (r16): every keyed
+    # step below — the (doc_id, n, g) gram aggregate, the per-(doc_id,
+    # n) rollup, the per-doc pivot, and the final doc_id join — has a
+    # required clustering that hashpartitioning(doc_id) already
+    # satisfies, so the plan needs NO further exchange.  Without this
+    # the gram aggregate exchanges ~4 gram-strings per token position
+    # (far heavier than the text itself) and the tokenizer + gram
+    # construction run in however few tasks the scan produced (one on
+    # a single-file input) — guide §2.3/§2.4: project before the
+    # exchange, share one exchange across same-keyed operations.
+    docs_part = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    ).repartition(F.col("doc_id"))
     base = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            _doc_tokens(F.col(text_col), segment_cjk).alias("toks"),
+        docs_part.select(
+            "doc_id",
+            _doc_tokens(F.col("__text"), segment_cjk).alias("toks"),
         )
         .select(
             "doc_id",
@@ -123,31 +136,49 @@ def repetition_signals(
         )
     )
 
-    empty = F.array().cast("array<struct<n:int,g:string>>")
+    # Tagged (n, gram) stream via posexplode + lead window instead of
+    # the former flatten(array(transform × 4)) HOF chain (r16): higher-
+    # order transforms run INTERPRETED with per-element struct
+    # allocation — measured 4.0 s vs 1.4 s at sf0.1 for the full
+    # signals chain — while posexplode, lead, concat_ws and the
+    # 4-struct array below are all codegen.  Gram strings are
+    # IDENTICAL (tokens + internal spaces): lead(k) is NULL exactly
+    # beyond the document tail, so `g IS NULL` reproduces the old
+    # `size(toks) >= n` guard gram-for-gram.  The window's clustering
+    # (doc_id) is pre-satisfied by the repartition above — no
+    # exchange; the sort is per-doc positions.
+    from pyspark.sql import Window
 
-    def _tagged_gram(n: int):
-        # one-parameter closure, NOT `lambda i, n=n`: pyspark
-        # dispatches on the lambda's ARITY, and a two-parameter lambda
-        # is called as (element, index) — the default would silently
-        # rebind n to the array index
-        return lambda i: F.struct(
-            F.lit(n).cast("int").alias("n"),
-            F.array_join(F.slice("toks", i, n), " ").alias("g"),
+    te = base.select("doc_id", F.posexplode("toks").alias("pos", "t0"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    led = te.select(
+        "doc_id",
+        "t0",
+        *[F.lead("t0", k).over(w).alias(f"t{k}") for k in (1, 2, 3, 4)],
+    )
+    grams = (
+        led.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(n).cast("int").alias("n"),
+                            F.when(
+                                F.col(f"t{n - 1}").isNotNull(),
+                                F.concat_ws(
+                                    " ", "t0", *[f"t{k}" for k in range(1, n)]
+                                ),
+                            ).alias("g"),
+                        )
+                        for n in (2, 3, 4, 5)
+                    ]
+                )
+            ).alias("x"),
         )
-
-    gram_lists = [
-        F.when(
-            F.size("toks") >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
-                _tagged_gram(n),
-            ),
-        ).otherwise(empty)
-        for n in (2, 3, 4, 5)
-    ]
-    grams = base.select(
-        "doc_id", F.explode(F.flatten(F.array(*gram_lists))).alias("x")
-    ).select("doc_id", F.col("x.n").alias("n"), F.col("x.g").alias("g"))
+        .filter(F.col("x.g").isNotNull())
+        .select("doc_id", F.col("x.n").alias("n"), F.col("x.g").alias("g"))
+    )
 
     per_gram = grams.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
     per_n = per_gram.groupBy("doc_id", "n").agg(

@@ -203,6 +203,16 @@ def parse_tf_example(data: bytes) -> "dict[str, dict] | None":
                                     if r is None:
                                         return None
                                     v, p = r
+                                    # two's-complement fold: a legal
+                                    # negative int64 (e.g. label -1)
+                                    # arrives as a 10-byte varint and
+                                    # must NOT surface as 2^64-1 —
+                                    # the Arrow int64 conversion then
+                                    # overflows and kills the query
+                                    # on a valid shard (ADVICE r15)
+                                    v &= (1 << 64) - 1
+                                    if v >= 1 << 63:
+                                        v -= 1 << 64
                                     vals.append(v)
                                 values = vals
                 if kind is None:
@@ -219,6 +229,11 @@ def parse_tf_example(data: bytes) -> "dict[str, dict] | None":
 
 
 def _varint(x: int) -> bytes:
+    # negative int64s encode as the 10-byte two's-complement varint
+    # (proto wire contract); without the mask the shift loop below
+    # never terminates on a negative input (ADVICE r15)
+    if x < 0:
+        x &= (1 << 64) - 1
     out = bytearray()
     while True:
         b = x & 0x7F

@@ -215,12 +215,13 @@ def _dechunk(body: bytes) -> "bytes | None":
         if eol < 0:
             return None
         size_tok = body[pos:eol].split(b";", 1)[0].strip()
-        if not size_tok:
+        # strict hex token: int(tok, 16) also accepts '-', '+', '0x'
+        # and '_' — a negative size rewinds pos and loops FOREVER on
+        # crafted input (ADVICE r15: a hang defeats the quarantine
+        # design; a task must never spin on untrusted payload bytes)
+        if not re.fullmatch(rb"[0-9A-Fa-f]{1,16}", size_tok):
             return None
-        try:
-            size = int(size_tok, 16)
-        except ValueError:
-            return None
+        size = int(size_tok, 16)
         pos = eol + 2
         if size == 0:
             return bytes(out)  # trailers (if any) are ignored

@@ -89,6 +89,24 @@ def test_avro_zigzag_and_roundtrip():
         ]
 
 
+def test_tf_example_negative_int64_roundtrip():
+    # ADVICE r15: a legal negative int64 feature (10-byte varint, e.g.
+    # label -1) decoded as 2^64-1 and the Arrow int64 conversion then
+    # raised OverflowError, killing the query on a valid shard.  The
+    # decode now folds two's complement; the encoder masks negatives
+    # (it previously spun forever on them).
+    from etl_tiki_webscraping_spark.operators.tfrecord import (
+        encode_tf_example,
+        parse_tf_example,
+    )
+
+    ex = encode_tf_example(
+        {"label": ("int64", [-1, 0, 1, -(2**63), 2**63 - 1])}
+    )
+    got = parse_tf_example(ex)
+    assert got["label"]["values"] == [-1, 0, 1, -(2**63), 2**63 - 1]
+
+
 def test_avro_strictness():
     b = encode_avro_file(9, 4)
     assert parse_avro_records(b[:-3]) is None

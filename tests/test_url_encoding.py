@@ -261,3 +261,23 @@ def test_robots_url_gate_precedence(spark):
     assert got[("h", "/sec/z", "MyBot")] == (False, "disallow", "/sec*")
     assert got[("h", "/ok", "MyBot")] == (True, "allow", "/")
     assert got[("h2", "/any", "other")] == (True, None, None)
+
+
+def test_robots_url_gate_keeps_duplicate_urls(spark):
+    # ADVICE r15: the precedence window partitioned only by
+    # (host, path, bot), so duplicate input URL rows collapsed into
+    # ONE output row — 'one row per input URL' contract violation.
+    from etl_tiki_webscraping_spark.functions.url import robots_url_gate
+
+    rules = spark.createDataFrame(
+        [("h", "*", "disallow", "/sec")],
+        "host string, agent string, rule string, value string",
+    )
+    urls = spark.createDataFrame(
+        [("h", "/sec/a", "bot")] * 3 + [("h", "/ok", "bot")] * 2,
+        "host string, path string, bot string",
+    )
+    rows = robots_url_gate(urls, rules).collect()
+    assert len(rows) == 5
+    assert sum(1 for r in rows if not r["allowed"]) == 3
+    assert sum(1 for r in rows if r["allowed"]) == 2

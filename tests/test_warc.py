@@ -189,6 +189,14 @@ def test_dechunk_strictness():
     assert _dechunk(b"6\r\nhello\r\n0\r\n\r\n") is None         # short data
     assert _dechunk(b"5\r\nhelloXX0\r\n\r\n") is None           # missing CRLF
     assert _dechunk(b"5\r\nhello\r\n") is None                  # no terminal
+    # ADVICE r15: int(tok, 16) accepts '-', '+', '0x', '_' — a crafted
+    # negative chunk size rewound pos and the loop never terminated
+    # (an untrusted-bytes HANG, worse than an exception).  Strict hex
+    # now rejects these up front, and the call returns (quarantine).
+    assert _dechunk(b"-2\r\n-2\r\n-2\r\n-6\r\n" * 5) is None
+    assert _dechunk(b"+5\r\nhello\r\n0\r\n\r\n") is None
+    assert _dechunk(b"0x5\r\nhello\r\n0\r\n\r\n") is None
+    assert _dechunk(b"1_0\r\n" + b"x" * 16 + b"\r\n0\r\n\r\n") is None
 
 
 def test_deflate_both_wrappers():
