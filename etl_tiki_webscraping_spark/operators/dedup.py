@@ -139,19 +139,13 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # shingling + minhash
 # --------------------------------------------------------------------------
 
-def shingles(col: Column | str, n: int = 3, segment_cjk: bool = False) -> Column:
-    """Word n-gram shingle set (distinct).  ``segment_cjk=True`` routes
-    tokenization through ``functions.text.tokenize_mixed`` so no-space
-    scripts (CJK/Thai/...) shingle over character bigrams instead of
-    collapsing each sentence to ONE token (which would make every
-    same-length CJK doc pair Jaccard-0 and near-dup detection blind)."""
-    c = F.col(col) if isinstance(col, str) else col
-    if segment_cjk:
-        from etl_tiki_webscraping_spark.functions.text import tokenize_mixed
-
-        toks = tokenize_mixed(F.lower(c))
-    else:
-        toks = tokenize_ws(F.lower(c))
+def shingles_of_tokens(toks: Column, n: int) -> Column:
+    """Distinct word n-gram shingles of an already-materialized token
+    array column.  Prefer this over :func:`shingles` whenever the token
+    array can live in its own projection: passing the tokenizer
+    expression straight into the shingle transform makes Catalyst
+    inline the split/lower chain into EVERY interpreted gram slice
+    (the r16 word_ngrams lesson — measured 7x on the gram explode)."""
     if n == 1:
         # fast path: unigram shingles ARE the distinct tokens — skip the
         # interpreted sequence/slice/concat_ws chain entirely (empty docs
@@ -167,6 +161,27 @@ def shingles(col: Column | str, n: int = 3, segment_cjk: bool = False) -> Column
     return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
         F.array(F.concat_ws(" ", toks))
     )
+
+
+def shingles(col: Column | str, n: int = 3, segment_cjk: bool = False) -> Column:
+    """Word n-gram shingle set (distinct).  ``segment_cjk=True`` routes
+    tokenization through ``functions.text.tokenize_mixed`` so no-space
+    scripts (CJK/Thai/...) shingle over character bigrams instead of
+    collapsing each sentence to ONE token (which would make every
+    same-length CJK doc pair Jaccard-0 and near-dup detection blind).
+
+    NOTE: this inlines the tokenizer into the shingle transform —
+    fine for one-shot column use, but materialize the token array in
+    its own projection and call :func:`shingles_of_tokens` on any hot
+    path (see that function's docstring)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if segment_cjk:
+        from etl_tiki_webscraping_spark.functions.text import tokenize_mixed
+
+        toks = tokenize_mixed(F.lower(c))
+    else:
+        toks = tokenize_ws(F.lower(c))
+    return shingles_of_tokens(toks, n)
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
@@ -290,12 +305,21 @@ def minhash_analysis(
     recomputing the narrow scan.
 
     ``target_partitions`` repartitions before the kernel for corpora
-    whose scan yields fewer splits than cores; left off by default —
-    at real scale parquet splitting already saturates the executors,
-    and on small fixtures forking one Python worker per core costs
-    more than the compute."""
+    whose scan yields fewer splits than cores.  Default (None): the
+    input is repartitioned BY ID exactly when the scan produced fewer
+    splits than ``defaultParallelism`` (guide §2.5 input-skew — a
+    single-file corpus otherwise runs the whole kernel on ONE core;
+    workers are pre-forked by session warm-up, so the old
+    fork-cost argument no longer binds).  Keying the exchange by id
+    additionally makes every downstream id-keyed join/groupBy over
+    the analysis exchange-free.  At real scale the scan yields more
+    splits than cores and this is a no-op."""
     if target_partitions:
         df = df.repartition(target_partitions)
+    else:
+        sc = df.sparkSession.sparkContext
+        if df.rdd.getNumPartitions() < sc.defaultParallelism:
+            df = df.repartition(F.col(id_col))
     udf = minhash_analysis_udf(num_hashes, shingle_n, segment_cjk)
     return df.select(
         F.col(id_col).alias("id"), udf(F.col(text_col)).alias("a")
@@ -898,17 +922,32 @@ def setsim_prefix_join(
         raise ValueError("threshold must satisfy 0 < num/den <= 1")
     num, den = int(threshold_num), int(threshold_den)
 
-    # shingles() emits array_distinct arrays, so the exploded
-    # (id, token) stream is already unique per doc — no distinct
-    # shuffle needed.  Persisted: it feeds FOUR consumers (sizes,
-    # document frequency, the ranked prefix, and both verify arrays) —
-    # unpersisted, Catalyst re-scans and re-shingles the corpus per
-    # consumer (same rationale as the minhash analysis persist above)
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(text_col, n=shingle_n)).alias("token"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # Shingle ARRAYS, one row per doc, persisted (r16 reshape).  The
+    # former shape exploded to (id, token) rows first and then rebuilt
+    # the per-doc arrays with a collect_list groupBy — paying an extra
+    # id-keyed exchange of every token just to recover what the
+    # shingle transform already produced.  Keeping the array form as
+    # the persisted root gives sizes (F.size) and both verify legs
+    # with NO exchange at all; only dfreq/ranked explode it.  The
+    # raw-text repartition up front (a) parallelizes the shingle
+    # transform past however few splits the scan produced and (b)
+    # pre-satisfies every id-keyed clustering downstream (guide
+    # §2.3/§2.4).  Tokens materialize in their own projection so the
+    # tokenizer isn't re-inlined into every interpreted gram slice
+    # (shingles_of_tokens contract — measured 7x on word_ngrams).
+    # shingles emit array_distinct arrays, so the exploded (id, token)
+    # stream is already unique per doc — no distinct shuffle needed.
+    sh = (
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+        .repartition(F.col("id"))
+        .select("id", tokenize_ws(F.lower(F.col("__text"))).alias("__tok"))
+        .select(
+            "id", shingles_of_tokens(F.col("__tok"), shingle_n).alias("tok")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = sh.select("id", F.size("tok").alias("sz"))
+    toks = sh.select("id", F.explode("tok").alias("token"))
     dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
 
     w = Window.partitionBy("id").orderBy("df", "token")
@@ -946,17 +985,16 @@ def setsim_prefix_join(
     # amplify |cand| by tokens-per-doc before matching (100x row blowup
     # measured at sf0.1); this shape shuffles each pair with one array
     # per side, so verify cost is O(|cand| * doc_len), never
-    # O(|cand| * doc_len) ROWS through an exchange
-    arrays = toks.groupBy("id").agg(
-        F.collect_list("token").alias("tok"), F.count(F.lit(1)).alias("sz")
-    )
-    aa = arrays.select(
+    # O(|cand| * doc_len) ROWS through an exchange.  Both legs read
+    # the persisted shingle arrays directly (id-partitioned, so only
+    # the candidate side exchanges — r16).
+    aa = sh.select(
         F.col("id").alias("id_a"), F.col("tok").alias("tok_a"),
-        F.col("sz").alias("sz_a"),
+        F.size("tok").alias("sz_a"),
     )
-    ab = arrays.select(
+    ab = sh.select(
         F.col("id").alias("id_b"), F.col("tok").alias("tok_b"),
-        F.col("sz").alias("sz_b"),
+        F.size("tok").alias("sz_b"),
     )
     return (
         cand.join(aa, "id_a")

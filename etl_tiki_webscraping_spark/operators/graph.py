@@ -84,15 +84,25 @@ def pagerank(
     n = nodes.count()  # scalar; graphs fit node COUNTS on the driver, not nodes
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    outdeg = (
-        e.groupBy("src")
-        .agg(F.count(F.lit(1)).cast("double").alias("od"))
+    # out-degree rides ON the node/rank table (r16): the former shape
+    # kept outdeg as a separate checkpointed table and joined +
+    # broadcast it TWICE per iteration (contribution join, dangling
+    # anti-join) — two extra broadcast-build jobs and one extra join
+    # per iteration, 6x over.  Folding od into the node table once
+    # makes the contribution pass a single rank-table join and turns
+    # the dangling anti-join into a null-od filter over the already-
+    # checkpointed ranks.  Values are unchanged: same rows feed the
+    # same quantized sums.
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("od"))
+    nodes_od = (
+        nodes.join(outdeg, nodes["node"] == outdeg["src"], "left")
+        .select("node", "od")
         .localCheckpoint()
     )
 
     inv_n = 1.0 / float(n)
     teleport = (1.0 - damping) / float(n)
-    ranks = nodes.select("node", F.lit(inv_n).alias("rank"))
+    ranks = nodes_od.select("node", "od", F.lit(inv_n).alias("rank"))
 
     # adaptive join strategy, decided from the EXACT node count the
     # driver already holds: when the rank table fits comfortably in a
@@ -117,8 +127,10 @@ def pagerank(
         # x <= 1 and x*1e15 <= 1e15 < 2^53 — the product is an exact
         # integer in double on both engines.
         contrib = (
-            e.join(maybe_broadcast(ranks), ranks["node"] == e["src"])
-            .join(maybe_broadcast(outdeg), "src")
+            e.join(
+                maybe_broadcast(ranks.filter(F.col("od").isNotNull())),
+                ranks["node"] == e["src"],
+            )
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 (
@@ -133,11 +145,7 @@ def pagerank(
             )
         )
         dangling = (
-            ranks.join(
-                maybe_broadcast(outdeg),
-                ranks["node"] == outdeg["src"],
-                "left_anti",
-            )
+            ranks.filter(F.col("od").isNull())
             .agg(
                 (
                     F.coalesce(
@@ -153,10 +161,11 @@ def pagerank(
             )
         )
         new_ranks = (
-            nodes.crossJoin(F.broadcast(dangling))  # 1-row scalar
+            nodes_od.crossJoin(F.broadcast(dangling))  # 1-row scalar
             .join(contrib, "node", "left")
             .select(
                 "node",
+                "od",
                 (
                     F.lit(teleport)
                     + F.lit(damping)
@@ -188,7 +197,7 @@ def pagerank(
                 break
         else:
             ranks = new_ranks
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def pagerank_oracle_sql(

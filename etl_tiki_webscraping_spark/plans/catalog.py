@@ -8958,11 +8958,32 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # r16: iterate over INTEGER node ids (supplier 2k, customer 2k+1 —
+    # bijective with the 's<k>'/'c<k>' labels) and reattach the string
+    # labels once at the end: the per-iteration contribution groupBy,
+    # the edge distinct, and every node join then hash/compare 8-byte
+    # longs instead of variable-length strings (guide §2.3 narrower
+    # types).  The graph is isomorphic and the quantized sums are
+    # label-independent, so ranks — and the labeled output the oracle
+    # replays — are bit-identical.
     edges = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        (F.col("l_suppkey").cast("bigint") * 2).alias("src"),
+        (F.col("o_custkey").cast("bigint") * 2 + 1).alias("dst"),
     )
-    return pagerank(edges, damping=0.85, iterations=6)
+    pr = pagerank(edges, damping=0.85, iterations=6)
+    return pr.select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("s"), (F.col("node") / 2).cast("bigint").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("c"), ((F.col("node") - 1) / 2).cast("bigint").cast("string")
+            )
+        )
+        .alias("node"),
+        "rank",
+    )
 
 
 @register(

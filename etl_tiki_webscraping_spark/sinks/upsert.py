@@ -2778,23 +2778,31 @@ def scd2_apply(
         [F.col(effective_ts_col).desc(), *[F.col(c).desc() for c in attrs]],
     )
     u = updates.select(*keys, *attrs, F.col(effective_ts_col).alias("__eff"))
-    t = cur.select(*keys, *[F.col(c).alias(f"__t_{c}") for c in attrs], "valid_from")
+    t = cur.select(
+        *keys,
+        *[F.col(c).alias(f"__t_{c}") for c in attrs],
+        "valid_from",
+        F.lit(True).alias("__matched"),
+    )
     j = u.join(t, on=keys, how="left")
     same = F.lit(True)
     for c in attrs:
         same = same & F.col(c).eqNullSafe(F.col(f"__t_{c}"))
-    changed = j.filter(F.col("valid_from").isNull() | ~same)  # new key or attr change
+    changed = j.filter(F.col("__matched").isNull() | ~same)  # new key or attr change
 
     changed_keys = changed.select(*keys).distinct()
-    closing = (
-        cur.join(F.broadcast(changed.select(*keys, "__eff")), on=keys, how="inner")
-        .select(
-            *keys,
-            *attrs,
-            "valid_from",
-            F.col("__eff").alias("valid_to"),
-            F.lit(False).alias("is_current"),
-        )
+    # the join row already carries the matched current row's attrs
+    # (__t_*) and valid_from, so the closing rows project straight off
+    # `changed` — the former cur ⋈ changed re-join re-executed the
+    # whole merge subtree for a second consumer (r16; correct under
+    # the one-current-row-per-key invariant both shapes assume: each
+    # matched update row sees exactly its key's current row)
+    closing = changed.filter(F.col("__matched").isNotNull()).select(
+        *keys,
+        *[F.col(f"__t_{c}").alias(c) for c in attrs],
+        "valid_from",
+        F.col("__eff").alias("valid_to"),
+        F.lit(False).alias("is_current"),
     )
     untouched = cur.join(changed_keys, on=keys, how="left_anti").select(*out_cols)
     fresh = changed.select(
@@ -2831,7 +2839,14 @@ def scd2_from_change_feed(
     fact table's dimension history therefore accrues per batch from
     batch-sized change files; the base table is never rescanned.
     """
-    feed = read_change_feed(spark, target_path, from_version, to_version)
+    # persisted (r16): the consumers below read the feed several times
+    # (version list, per-commit upsert legs, delete legs) — without the
+    # pin every leg re-runs the multi-snapshot union scan (measured
+    # ~0.4 s/scan at sf0.1, ~2.5 s of the 4.6 s 3-commit fold).  The
+    # feed is batch-sized by contract (bounded by retained commits,
+    # never the base table), so pinning it is the production-correct
+    # call too.
+    feed = read_change_feed(spark, target_path, from_version, to_version).persist()
     keys = list(keys)
     data_fields = [
         f for f in feed.schema.fields
@@ -2852,28 +2867,51 @@ def scd2_from_change_feed(
     )
     dim = spark.createDataFrame([], dim_schema)
     out_cols = [f.name for f in dim_schema.fields]
-    versions = sorted(
-        r[0] for r in feed.select("_commit_version").distinct().collect()
-    )  # bounded by retained commits, not rows
-    for v in versions:
+    # one scalar pass gives the version list AND which halves each
+    # commit actually carries (r16): a delete-only commit previously
+    # still paid the full upsert merge (window dedup + join + unions +
+    # their exchanges) over ZERO update rows, and upsert-only commits
+    # paid the two delete-leg joins over zero deletes.  Skipping an
+    # empty half is an identity: scd2_apply with no updates returns
+    # hist ∪ cur unchanged, and the delete fold with no keys closes
+    # nothing.  Bounded by retained commits, not rows.
+    presence = {
+        r["v"]: (bool(r["has_ups"]), bool(r["has_dels"]))
+        for r in feed.groupBy(F.col("_commit_version").alias("v"))
+        .agg(
+            F.max(
+                F.col("_change_type").isin("insert", "update_postimage")
+            ).alias("has_ups"),
+            F.max(F.col("_change_type") == "delete").alias("has_dels"),
+        )
+        .collect()
+    }
+    for v in sorted(presence):
+        has_ups, has_dels = presence[v]
         batch = feed.filter(F.col("_commit_version") == v)
-        ups = batch.filter(
-            F.col("_change_type").isin("insert", "update_postimage")
-        ).select(*keys, *attrs, F.lit(v).cast("int").alias("__eff_v"))
-        dim = scd2_apply(dim, ups, keys, effective_ts_col="__eff_v", compare_cols=attrs)
-        dels = (
-            batch.filter(F.col("_change_type") == "delete").select(*keys).distinct()
-        )
-        cur = dim.filter(F.col("is_current")).select(*out_cols)
-        hist = dim.filter(~F.col("is_current")).select(*out_cols)
-        closed = (
-            cur.join(F.broadcast(dels), on=keys, how="inner")
-            .withColumn("valid_to", F.lit(v).cast("int"))
-            .withColumn("is_current", F.lit(False))
-            .select(*out_cols)
-        )
-        surviving = cur.join(dels, on=keys, how="left_anti").select(*out_cols)
-        dim = hist.unionByName(surviving).unionByName(closed)
+        if has_ups:
+            ups = batch.filter(
+                F.col("_change_type").isin("insert", "update_postimage")
+            ).select(*keys, *attrs, F.lit(v).cast("int").alias("__eff_v"))
+            dim = scd2_apply(
+                dim, ups, keys, effective_ts_col="__eff_v", compare_cols=attrs
+            )
+        if has_dels:
+            dels = (
+                batch.filter(F.col("_change_type") == "delete")
+                .select(*keys)
+                .distinct()
+            )
+            cur = dim.filter(F.col("is_current")).select(*out_cols)
+            hist = dim.filter(~F.col("is_current")).select(*out_cols)
+            closed = (
+                cur.join(F.broadcast(dels), on=keys, how="inner")
+                .withColumn("valid_to", F.lit(v).cast("int"))
+                .withColumn("is_current", F.lit(False))
+                .select(*out_cols)
+            )
+            surviving = cur.join(dels, on=keys, how="left_anti").select(*out_cols)
+            dim = hist.unionByName(surviving).unionByName(closed)
         # materialize the dimension per commit: the fold re-references
         # `dim` on several join legs each iteration, so an unmaterialized
         # lineage grows ~5x per commit (plan-analysis blowup by v4, and
@@ -2928,7 +2966,14 @@ def scd2_backfill_from_feed(
     """
     from pyspark.sql import Window
 
-    feed = read_change_feed(spark, target_path, from_version, to_version)
+    # persisted (r16): the consumers below read the feed several times
+    # (version list, per-commit upsert legs, delete legs) — without the
+    # pin every leg re-runs the multi-snapshot union scan (measured
+    # ~0.4 s/scan at sf0.1, ~2.5 s of the 4.6 s 3-commit fold).  The
+    # feed is batch-sized by contract (bounded by retained commits,
+    # never the base table), so pinning it is the production-correct
+    # call too.
+    feed = read_change_feed(spark, target_path, from_version, to_version).persist()
     keys = list(keys)
     data_fields = [
         f for f in feed.schema.fields
