@@ -88,7 +88,11 @@ def repetition_report(
     # so the per-gram exchange (n-gram strings, heavier than the text)
     # disappears and the gram construction parallelizes past however
     # few splits the scan produced (guide §2.3/§2.4)
-    df = df.select(F.col(id_col), F.col(text_col)).repartition(F.col(id_col))
+    # explicit count: AQE would coalesce the tiny exchange to one
+    # partition and serialize the gram build (r16)
+    df = df.select(F.col(id_col), F.col(text_col)).repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     ids = df.select(id_col)
     # tokenize in its OWN projection (the ngrams_of_tokens contract):
     # passing word_ngrams(text) straight to the explode inlines the

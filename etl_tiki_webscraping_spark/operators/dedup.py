@@ -319,7 +319,9 @@ def minhash_analysis(
     else:
         sc = df.sparkSession.sparkContext
         if df.rdd.getNumPartitions() < sc.defaultParallelism:
-            df = df.repartition(F.col(id_col))
+            # explicit count — AQE would coalesce the tiny exchange
+            # back to one partition and serialize the kernel (r16)
+            df = df.repartition(sc.defaultParallelism, F.col(id_col))
     udf = minhash_analysis_udf(num_hashes, shingle_n, segment_cjk)
     return df.select(
         F.col(id_col).alias("id"), udf(F.col(text_col)).alias("a")
@@ -939,7 +941,11 @@ def setsim_prefix_join(
     # stream is already unique per doc — no distinct shuffle needed.
     sh = (
         docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
-        .repartition(F.col("id"))
+        # explicit count: AQE would coalesce the tiny exchange to one
+        # partition and serialize the shingle transform (r16)
+        .repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, F.col("id")
+        )
         .select("id", tokenize_ws(F.lower(F.col("__text"))).alias("__tok"))
         .select(
             "id", shingles_of_tokens(F.col("__tok"), shingle_n).alias("tok")
@@ -1084,7 +1090,12 @@ def winnow_fingerprints(
     # guide §2.5 input-skew, §2.3 project-before-the-exchange).  Any
     # hashpartitioning(id, n) satisfies the window's ClusteredDistri-
     # bution(id), so no second exchange appears (r16, plan-audited).
-    norm = norm.repartition(F.col("id"))
+    # The count is EXPLICIT: AQE's byte-based coalescing folds a tiny
+    # keyless-size exchange to ONE partition, serializing the md5
+    # chain — a compute-bound stage must pin its parallelism.
+    norm = norm.repartition(
+        norm.sparkSession.sparkContext.defaultParallelism, F.col("id")
+    )
     grams = norm.select(
         "id",
         (F.length("t") - (k - 1)).alias("n_grams"),

@@ -120,9 +120,13 @@ def repetition_signals(
     # construction run in however few tasks the scan produced (one on
     # a single-file input) — guide §2.3/§2.4: project before the
     # exchange, share one exchange across same-keyed operations.
+    # explicit count: AQE's byte-based coalescing would fold the tiny
+    # exchange to ONE partition and serialize the gram build (r16)
     docs_part = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
-    ).repartition(F.col("doc_id"))
+    ).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col("doc_id")
+    )
     base = (
         docs_part.select(
             "doc_id",

@@ -35,6 +35,21 @@ from etl_tiki_webscraping_spark.operators.relational import (
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
 
+def _par_ids(ids: DataFrame) -> DataFrame:
+    """Spread a small id table across ``defaultParallelism`` partitions
+    before a synthesis/decode Arrow kernel (r16, guide §2.5): the id
+    tables these fixtures derive from a single parquet file arrive as
+    ONE split, so the per-blob encode/decode kernels otherwise run on
+    one core.  The exchange carries BARE IDS only — blobs still never
+    cross an exchange (the plan-audited contract).  The partition
+    count is EXPLICIT because AQE's byte-based coalescing folds a tiny
+    keyless-size exchange back to one partition, which is exactly
+    wrong for a compute-bound kernel stage; defaultParallelism scales
+    with the cluster."""
+    sc = ids.sparkSession.sparkContext
+    return ids.repartition(sc.defaultParallelism, *ids.columns[:1])
+
+
 @dataclass
 class QuerySpec:
     fn: SparkQuery
@@ -10061,6 +10076,15 @@ def q_image_dedup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("content"),
     )
+    # r16: the synthetic blobs here ARE the fixture text (bytes come
+    # straight off the scan), so spreading them across
+    # defaultParallelism partitions is one input-sized alignment pass
+    # — the same raw-text repartition the text-dedup family does —
+    # and it parallelizes the decode + aHash kernels past the single
+    # scan split (explicit count: AQE would coalesce it back to one).
+    media = media.repartition(
+        spark.sparkContext.defaultParallelism, "media_id"
+    )
     hashes = image_ahash(extract_image_features(media))
     return image_neardup_pairs(hashes, max_hamming=6)
 
@@ -13302,7 +13326,7 @@ def q_gif_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = ids.mapInPandas(gen, blob_schema)
+    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
     return sample_gif_frames(blobs, every_n=2).select(
         "media_id", "frame_index", "height", "width", "luma_units"
     )
@@ -13389,7 +13413,7 @@ def q_jpeg_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = ids.mapInPandas(gen, blob_schema)
+    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
     feats = extract_image_features(blobs)
     return feats.select(
         "media_id",
@@ -13480,7 +13504,7 @@ def q_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = ids.mapInPandas(gen, blob_schema)
+    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
     feats = extract_image_features(blobs)
     return feats.select(
         "media_id",
@@ -13566,7 +13590,7 @@ def q_png_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = ids.mapInPandas(gen, blob_schema)
+    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
     feats = extract_image_features(blobs)
     return feats.select(
         "media_id",
@@ -13647,7 +13671,7 @@ def q_png_interlaced_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = ids.mapInPandas(gen, blob_schema)
+    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
     feats = extract_image_features(blobs)
     return feats.select(
         "media_id",
@@ -13744,7 +13768,7 @@ def q_mjpeg_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = ids.mapInPandas(gen, blob_schema)
+    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
     return sample_video_frames(blobs, every_n=2).select(
         "media_id", "frame_index", "height", "width", "luma_units"
     )
@@ -13802,7 +13826,7 @@ def q_audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = ids.mapInPandas(gen, blob_schema)
+    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
     return extract_audio_spectral_features(blobs)
 
 
@@ -14368,7 +14392,7 @@ def q_webp_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = ids.mapInPandas(gen, blob_schema)
+    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
     feats = extract_image_features(blobs)
     return feats.select(
         "media_id",
@@ -14486,7 +14510,7 @@ def q_flac_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = ids.mapInPandas(gen, blob_schema)
+    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
     return extract_audio_pcm_features(blobs)
 
 
@@ -14592,7 +14616,7 @@ def q_audio_format_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = ids.mapInPandas(gen, blob_schema)
+    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
     return sniff_audio_formats(blobs)
 
 
@@ -14727,7 +14751,7 @@ def q_audio_stream_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = ids.mapInPandas(gen, blob_schema)
+    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
     return extract_audio_stream_metadata(blobs)
 
 
@@ -14800,7 +14824,7 @@ def q_udtf_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = ids.mapInPandas(gen, blob_schema)
+    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
     return mp3_frames(spark, blobs)
 
 
@@ -14985,7 +15009,7 @@ def q_png_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = ids.mapInPandas(gen, blob_schema)
+    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
     feats = extract_image_features(blobs)
     return feats.select(
         "media_id",
@@ -15230,7 +15254,7 @@ def q_webp_variants_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = ids.mapInPandas(gen, blob_schema)
+    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
     feats = extract_image_features(blobs)
     return feats.select(
         "media_id",
@@ -15350,7 +15374,7 @@ def q_webp_lossy_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = ids.mapInPandas(gen, blob_schema)
+    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
     return extract_webp_meta(blobs).select(
         "media_id", "variant", "width", "height",
         "has_alpha", "has_exif", "has_xmp", "n_chunks",
@@ -15476,7 +15500,7 @@ def q_mp4_stream_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = ids.mapInPandas(gen, blob_schema)
+    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
     return extract_mp4_metadata(blobs)
 
 
@@ -15585,7 +15609,7 @@ def q_image_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = ids.mapInPandas(gen, blob_schema)
+    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
     return extract_jpeg_meta(blobs)
 
 
@@ -15902,7 +15926,7 @@ def q_warc_record_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = ids.mapInPandas(gen, blob_schema)
+    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
     return scan_warc_records(blobs)
 
 
@@ -16018,7 +16042,7 @@ def q_webm_stream_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = ids.mapInPandas(gen, blob_schema)
+    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
     return extract_webm_metadata(blobs)
 
 
@@ -16082,7 +16106,7 @@ def q_warc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = ids.mapInPandas(gen, blob_schema)
+    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
     responses = scan_warc_responses(blobs)
     kept = responses.filter(
         (F.col("http_status") == 200)
@@ -16180,7 +16204,7 @@ def q_avif_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = ids.mapInPandas(gen, blob_schema)
+    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
     return extract_avif_metadata(blobs)
 
 
@@ -16277,7 +16301,7 @@ def q_zip_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = ids.mapInPandas(gen, blob_schema)
+    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
     return extract_zip_metadata(blobs)
 
 
@@ -16443,7 +16467,7 @@ def q_mp3_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = ids.mapInPandas(gen, blob_schema)
+    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
     return extract_mp3_id3_tags(blobs)
 
 
@@ -16615,7 +16639,7 @@ def q_warc_http_decoding(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = ids.mapInPandas(gen, blob_schema)
+    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
     return scan_warc_responses(blobs)
 
 
@@ -16805,7 +16829,7 @@ def q_pdf_doc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = ids.mapInPandas(gen, blob_schema)
+    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
     return extract_pdf_metadata(blobs)
 
 
@@ -16885,7 +16909,7 @@ def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = ids.mapInPandas(gen, blob_schema)
+    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
     return extract_pdf_text(blobs)
 
 
@@ -17129,7 +17153,7 @@ def q_docx_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = ids.mapInPandas(gen, blob_schema)
+    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
     xml = extract_docx_xml(blobs)
     texts = F.transform(
         F.regexp_extract_all(
@@ -17350,7 +17374,7 @@ def _register_warc_corpus_router() -> None:
                     }
                 )
 
-        routed = scan_warc_routed(ids.mapInPandas(gen, blob_schema))
+        routed = scan_warc_routed(_par_ids(ids).mapInPandas(gen, blob_schema))
         clean = (
             F.when(F.col("kind") == "html", html_to_text(F.col("html")))
             .when(F.col("kind") == "pdf", F.col("pdf_text"))
@@ -17479,7 +17503,7 @@ def q_tar_shard_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = ids.mapInPandas(gen, blob_schema)
+    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
     return scan_tar_members(blobs)
 
 
@@ -17556,7 +17580,7 @@ def q_webdataset_sample_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    members = scan_tar_members(ids.mapInPandas(gen, blob_schema))
+    members = scan_tar_members(_par_ids(ids).mapInPandas(gen, blob_schema))
     files = members.filter(
         (F.col("member_idx") >= 0) & (~F.col("is_dir"))
     ).select(
@@ -17661,7 +17685,7 @@ def q_wet_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    scanned = scan_wet_conversions(ids.mapInPandas(gen, blob_schema))
+    scanned = scan_wet_conversions(_par_ids(ids).mapInPandas(gen, blob_schema))
     return scanned.select(
         "file_id", "page", "target_uri", "text",
         F.when(
@@ -17790,7 +17814,7 @@ def q_jsonl_gz_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     shards = gunzip_concat_text(
-        ids.mapInPandas(gen, blob_schema), text_col="text"
+        _par_ids(ids).mapInPandas(gen, blob_schema), text_col="text"
     )
     # single pass over the kernel output: a quarantined file explodes
     # into one NULL line (-> the line_idx = -1 row) instead of a
@@ -18055,7 +18079,7 @@ def q_tfrecord_example_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return scan_tfrecord_examples(ids.mapInPandas(gen, blob_schema))
+    return scan_tfrecord_examples(_par_ids(ids).mapInPandas(gen, blob_schema))
 
 
 @register(
@@ -18147,7 +18171,7 @@ def q_avro_record_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return scan_avro_records(ids.mapInPandas(gen, blob_schema))
+    return scan_avro_records(_par_ids(ids).mapInPandas(gen, blob_schema))
 
 
 @register(
@@ -18385,7 +18409,7 @@ def q_webdataset_media_router(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    routed = scan_tar_routed(ids.mapInPandas(gen, blob_schema))
+    routed = scan_tar_routed(_par_ids(ids).mapInPandas(gen, blob_schema))
     return routed.select(
         "file_id",
         "member_idx",
@@ -18775,7 +18799,7 @@ def q_compressed_shard_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = ids.mapInPandas(gen, blob_schema)
+    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
     # codec identification JVM-side from the magic bytes — reported
     # even for blobs the kernel quarantines
     codec = (
