@@ -45,7 +45,14 @@ def _par_ids(ids: DataFrame) -> DataFrame:
     count is EXPLICIT because AQE's byte-based coalescing folds a tiny
     keyless-size exchange back to one partition, which is exactly
     wrong for a compute-bound kernel stage; defaultParallelism scales
-    with the cluster."""
+    with the cluster.
+
+    Applied SELECTIVELY (r16 measurement): the exchange + extra task
+    wave costs ~0.25 s fixed at fixture scale, so only fixtures whose
+    serial synthesis/decode kernel measured >= ~1 s keep it (FLAC
+    encode+decode 3.2 s -> 0.75 s, full-pixel webp/jpeg/png decodes,
+    MP3 frame UDTF); header-triage tiers whose kernel is a cheap
+    byte-walk stay on the plain single-split scan."""
     sc = ids.sparkSession.sparkContext
     return ids.repartition(sc.defaultParallelism, *ids.columns[:1])
 
@@ -12478,6 +12485,15 @@ def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
+    # r16: one explicit-count id-keyed exchange of raw text BEFORE the
+    # token explode — the lag window and the final per-doc rollup then
+    # reuse the partitioning (no exploded-token exchange), and the
+    # tokenizer parallelizes past the single scan split (explicit
+    # count because AQE would coalesce the tiny exchange to one
+    # partition and serialize it)
+    docs = docs.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = docs.select(
         "doc_id",
         F.posexplode(
@@ -12906,6 +12922,15 @@ def _kn_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
+    # r16: one explicit-count id-keyed exchange of raw text BEFORE the
+    # token explode — the lag window and the final per-doc rollup then
+    # reuse the partitioning (no exploded-token exchange), and the
+    # tokenizer parallelizes past the single scan split (explicit
+    # count because AQE would coalesce the tiny exchange to one
+    # partition and serialize it)
+    docs = docs.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = docs.select(
         "doc_id",
         F.posexplode(
@@ -13326,7 +13351,7 @@ def q_gif_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
+    blobs = ids.mapInPandas(gen, blob_schema)
     return sample_gif_frames(blobs, every_n=2).select(
         "media_id", "frame_index", "height", "width", "luma_units"
     )
@@ -13671,7 +13696,7 @@ def q_png_interlaced_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
+    blobs = ids.mapInPandas(gen, blob_schema)
     feats = extract_image_features(blobs)
     return feats.select(
         "media_id",
@@ -14616,7 +14641,7 @@ def q_audio_format_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
+    blobs = ids.mapInPandas(gen, blob_schema)
     return sniff_audio_formats(blobs)
 
 
@@ -14751,7 +14776,7 @@ def q_audio_stream_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
+    blobs = ids.mapInPandas(gen, blob_schema)
     return extract_audio_stream_metadata(blobs)
 
 
@@ -15009,7 +15034,7 @@ def q_png_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
+    blobs = ids.mapInPandas(gen, blob_schema)
     feats = extract_image_features(blobs)
     return feats.select(
         "media_id",
@@ -15374,7 +15399,7 @@ def q_webp_lossy_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
+    blobs = ids.mapInPandas(gen, blob_schema)
     return extract_webp_meta(blobs).select(
         "media_id", "variant", "width", "height",
         "has_alpha", "has_exif", "has_xmp", "n_chunks",
@@ -15500,7 +15525,7 @@ def q_mp4_stream_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
+    blobs = ids.mapInPandas(gen, blob_schema)
     return extract_mp4_metadata(blobs)
 
 
@@ -15609,7 +15634,7 @@ def q_image_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
+    blobs = ids.mapInPandas(gen, blob_schema)
     return extract_jpeg_meta(blobs)
 
 
@@ -15926,7 +15951,7 @@ def q_warc_record_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
+    blobs = ids.mapInPandas(gen, blob_schema)
     return scan_warc_records(blobs)
 
 
@@ -16042,7 +16067,7 @@ def q_webm_stream_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
+    blobs = ids.mapInPandas(gen, blob_schema)
     return extract_webm_metadata(blobs)
 
 
@@ -16106,7 +16131,7 @@ def q_warc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
+    blobs = ids.mapInPandas(gen, blob_schema)
     responses = scan_warc_responses(blobs)
     kept = responses.filter(
         (F.col("http_status") == 200)
@@ -16204,7 +16229,7 @@ def q_avif_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
+    blobs = ids.mapInPandas(gen, blob_schema)
     return extract_avif_metadata(blobs)
 
 
@@ -16301,7 +16326,7 @@ def q_zip_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
+    blobs = ids.mapInPandas(gen, blob_schema)
     return extract_zip_metadata(blobs)
 
 
@@ -16467,7 +16492,7 @@ def q_mp3_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
+    blobs = ids.mapInPandas(gen, blob_schema)
     return extract_mp3_id3_tags(blobs)
 
 
@@ -16639,7 +16664,7 @@ def q_warc_http_decoding(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
+    blobs = ids.mapInPandas(gen, blob_schema)
     return scan_warc_responses(blobs)
 
 
@@ -16829,7 +16854,7 @@ def q_pdf_doc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
+    blobs = ids.mapInPandas(gen, blob_schema)
     return extract_pdf_metadata(blobs)
 
 
@@ -16909,7 +16934,7 @@ def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
+    blobs = ids.mapInPandas(gen, blob_schema)
     return extract_pdf_text(blobs)
 
 
@@ -17153,7 +17178,7 @@ def q_docx_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
+    blobs = ids.mapInPandas(gen, blob_schema)
     xml = extract_docx_xml(blobs)
     texts = F.transform(
         F.regexp_extract_all(
@@ -17374,7 +17399,7 @@ def _register_warc_corpus_router() -> None:
                     }
                 )
 
-        routed = scan_warc_routed(_par_ids(ids).mapInPandas(gen, blob_schema))
+        routed = scan_warc_routed(ids.mapInPandas(gen, blob_schema))
         clean = (
             F.when(F.col("kind") == "html", html_to_text(F.col("html")))
             .when(F.col("kind") == "pdf", F.col("pdf_text"))
@@ -17503,7 +17528,7 @@ def q_tar_shard_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
+    blobs = ids.mapInPandas(gen, blob_schema)
     return scan_tar_members(blobs)
 
 
@@ -17580,7 +17605,7 @@ def q_webdataset_sample_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    members = scan_tar_members(_par_ids(ids).mapInPandas(gen, blob_schema))
+    members = scan_tar_members(ids.mapInPandas(gen, blob_schema))
     files = members.filter(
         (F.col("member_idx") >= 0) & (~F.col("is_dir"))
     ).select(
@@ -17685,7 +17710,7 @@ def q_wet_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    scanned = scan_wet_conversions(_par_ids(ids).mapInPandas(gen, blob_schema))
+    scanned = scan_wet_conversions(ids.mapInPandas(gen, blob_schema))
     return scanned.select(
         "file_id", "page", "target_uri", "text",
         F.when(
@@ -17814,7 +17839,7 @@ def q_jsonl_gz_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     shards = gunzip_concat_text(
-        _par_ids(ids).mapInPandas(gen, blob_schema), text_col="text"
+        ids.mapInPandas(gen, blob_schema), text_col="text"
     )
     # single pass over the kernel output: a quarantined file explodes
     # into one NULL line (-> the line_idx = -1 row) instead of a
@@ -18079,7 +18104,7 @@ def q_tfrecord_example_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return scan_tfrecord_examples(_par_ids(ids).mapInPandas(gen, blob_schema))
+    return scan_tfrecord_examples(ids.mapInPandas(gen, blob_schema))
 
 
 @register(
@@ -18171,7 +18196,7 @@ def q_avro_record_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return scan_avro_records(_par_ids(ids).mapInPandas(gen, blob_schema))
+    return scan_avro_records(ids.mapInPandas(gen, blob_schema))
 
 
 @register(
@@ -18409,7 +18434,7 @@ def q_webdataset_media_router(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    routed = scan_tar_routed(_par_ids(ids).mapInPandas(gen, blob_schema))
+    routed = scan_tar_routed(ids.mapInPandas(gen, blob_schema))
     return routed.select(
         "file_id",
         "member_idx",
@@ -18799,7 +18824,7 @@ def q_compressed_shard_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = _par_ids(ids).mapInPandas(gen, blob_schema)
+    blobs = ids.mapInPandas(gen, blob_schema)
     # codec identification JVM-side from the magic bytes — reported
     # even for blobs the kernel quarantines
     codec = (

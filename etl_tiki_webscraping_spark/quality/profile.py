@@ -40,6 +40,18 @@ def profile_table(
     numeric = {
         f.name for f in df.schema.fields if isinstance(f.dataType, T.NumericType)
     }
+    # r16 (guide §2.5): the multi-distinct aggregate expands every row
+    # once per distinct column BEFORE its exchange, so a scan that
+    # produced fewer splits than cores runs the whole Expand + partial
+    # aggregation serially.  Spread the PROJECTED columns (narrow —
+    # only what the profile reads) across defaultParallelism first;
+    # no-op at real scale where the scan already yields enough splits.
+    # Exact results are partitioning-independent (count/min/max/
+    # decimal sums, distinct via the expand group-by).
+    df = df.select(*cols)
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.append(F.count(F.col(c)).alias(f"__cnt_{c}"))
