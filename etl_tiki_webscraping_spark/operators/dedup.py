@@ -317,6 +317,12 @@ def minhash_analysis(
     if target_partitions:
         df = df.repartition(target_partitions)
     else:
+        # AQE caveat (r16 ADVICE): .rdd on a plan CONTAINING EXCHANGES
+        # eagerly materializes query stages whose work the real query
+        # then repeats.  Every catalog caller passes a narrow
+        # scan+projection (no exchange), where .rdd only plans the scan
+        # splits; callers with exchange-bearing inputs should pass
+        # target_partitions explicitly instead.
         sc = df.sparkSession.sparkContext
         if df.rdd.getNumPartitions() < sc.defaultParallelism:
             # explicit count — AQE would coalesce the tiny exchange
@@ -463,8 +469,24 @@ def jaccard_on_pairs(
     """Exact n-gram Jaccard for candidate pairs: join shingle sets back
     on both ids, intersect/union sizes.  Only candidate pairs pay the
     set comparison cost.
+
+    Deliberately NOT persisted (r17, measured): pinning the shingle
+    table for the two join legs trades a cheap narrow recompute for a
+    corpus-sized cache (all shingle arrays) plus a serializing cache-
+    materialization stage — measured net-slower at fixture scale, and
+    at 100 TB the disk round-trip of the cache costs more than
+    re-deriving shingles from the scan.  Instead, an UNDER-SPLIT scan
+    gets the conditional id-keyed spread (guide §2.5, the
+    minhash_analysis guard): both legs' shingle builds then
+    parallelize past the single scan split, and because the two legs'
+    repartition subtrees are identical, ReuseExchange ships the text
+    once.  No-op at real scale where the scan out-splits the cores.
     """
-    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh"))
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        base = base.repartition(sc.defaultParallelism, "id")
+    sh = base.select("id", shingles("__t", shingle_n).alias("sh"))
     return (
         pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), on="id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), on="id_b")

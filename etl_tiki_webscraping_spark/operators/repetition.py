@@ -85,7 +85,16 @@ def _doc_tokens(text_col: Column, segment_cjk: bool) -> Column:
     ``functions.text.tokenize_mixed`` so no-space scripts (CJK / Thai /
     ...) contribute character bigrams instead of one sentence-sized
     token — without it every repetition mass on such text is trivially
-    0 (a 1-token doc has no 2-gram)."""
+    0 (a 1-token doc has no 2-gram).
+
+    LOAD-BEARING CONTRACT (r16 ADVICE): the returned array never
+    contains NULL elements — both branches split/filter non-null
+    strings, so every element is a non-null string.  The lead-window
+    gram guard in :func:`repetition_signals` (``t{n-1} IS NOT NULL``
+    marks a complete n-gram) is equivalent to the old ``size(toks) >=
+    n`` slice guard ONLY under this no-NULL-token invariant; a future
+    tokenizer emitting NULL tokens would silently drop mid-document
+    grams.  Keep any new branch NULL-free (or change the guard)."""
     if not segment_cjk:
         return _ws_tokens(text_col)
     from etl_tiki_webscraping_spark.functions.text import tokenize_mixed

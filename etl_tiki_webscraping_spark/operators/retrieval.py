@@ -118,20 +118,26 @@ def bm25_from_index(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
     )
-    dft = postings.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
-
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(term).alias("term")
     ).distinct()
-    # queries are tiny: broadcast them so only searched terms' postings
-    # survive — the scored intermediate never approaches corpus size.
-    # dft gets the same broadcast pre-filter: without it the term-keyed
-    # join would shuffle the FULL vocabulary for a handful of terms
-    dft_searched = dft.join(
+    # queries are tiny: broadcast-semi-filter the postings FIRST so only
+    # searched terms' rows survive — the broadcast filter pushes below
+    # the tf groupBy (grouping keys include the term), so the postings
+    # exchange itself shrinks to searched-term tokens.  df_t then counts
+    # over the filtered slice (identical values: postings are unique per
+    # (doc, term)), which deletes the r16 full-VOCABULARY groupBy that
+    # aggregated every term to keep a handful (guide §2.3).  Persisted:
+    # the slice feeds BOTH the df_t count and the scoring join — without
+    # the pin each leg re-runs the corpus tokenize+explode+groupBy
+    # (bounded by |query terms| x docs, never corpus size; released via
+    # LRU / spark.catalog.clearCache()).
+    p_searched = postings.join(
         F.broadcast(q.select("term").distinct()), on="term", how="left_semi"
-    )
+    ).persist()
+    dft_searched = p_searched.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
     scored_terms = (
-        postings.join(F.broadcast(q), on="term")
+        p_searched.join(F.broadcast(q), on="term")
         .join(F.broadcast(dft_searched), on="term")
         .join(F.broadcast(stats))
     )

@@ -857,21 +857,22 @@ def ivf_pq_topk(
     """
     spark = corpus.sparkSession
 
-    # index build: cell assignment + raw-vector PQ codes (cell rides
-    # through the encode kernel)
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col, centroid_id_col)
-    codes = pq_encode(assigned, codebooks, id_col, vec_col, carry_cols=("cell",))
-
-    # driver-side query routing + ADC lookup tables: both need the
-    # collected query matrix anyway (small side by contract)
+    # centroids and codebooks are collected ONCE each (r17): the same
+    # rows feed the fused index kernel's broadcast AND the driver-side
+    # query routing / ADC LUT build — previously ivf_assign and
+    # pq_encode each re-collected their model table (4 driver jobs for
+    # 2 small tables) and the two kernels moved every corpus vector
+    # across the Python boundary twice (guide §4: fewer round trips).
     c_rows = sorted(
         centroids.select(centroid_id_col, vec_col).collect(),
         key=lambda r: r[centroid_id_col],
     )
     c_ids = np.array([r[centroid_id_col] for r in c_rows])
-    c_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in c_rows])
-    c_mat = c_mat / np.maximum(
-        np.linalg.norm(c_mat, axis=1, keepdims=True), 1e-12
+    c_raw = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in c_rows])
+    # quantized-unit form for the assignment argmax (ivf_assign parity)
+    c_units = np.floor(c_raw * 1e6 + 0.5).astype(np.int64)
+    c_mat = c_raw / np.maximum(
+        np.linalg.norm(c_raw, axis=1, keepdims=True), 1e-12
     )
 
     cb = codebooks.orderBy("subspace", "code").collect()
@@ -881,6 +882,55 @@ def ivf_pq_topk(
     tensor = np.zeros((m, ncodes, sub))
     for r in cb:
         tensor[r["subspace"], r["code"]] = np.asarray(r["subvec"])
+
+    # index build: cell assignment + raw-vector PQ codes FUSED into one
+    # Arrow pass (r17; was ivf_assign -> pq_encode, two MapInPandas
+    # nodes).  Identical arithmetic: the assignment is the exact
+    # quantized-unit argmax of ivf_assign, the codes/norm are
+    # pq_encode's — only the second JVM->Python->JVM round trip of the
+    # full vector column is gone.
+    b_index = spark.sparkContext.broadcast((c_ids, c_units, tensor))
+    codes_schema = f"{id_col} bigint, codes array<int>, norm double, cell bigint"
+
+    def assign_encode(batches):
+        ids, cu, t = b_index.value
+        nc = (cu * cu).sum(axis=1).astype(np.float64)  # exact, < 2^46
+        sqrt_nc = np.sqrt(nc)
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
+            )
+            # --- ivf_assign parity: quantized cosine argmax ---
+            units = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+            nv = (units * units).sum(axis=1).astype(np.float64)
+            dots = (units @ cu.T).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                simq = np.floor(
+                    dots / (np.sqrt(nv)[:, None] * sqrt_nc[None, :]) * 1e6 + 0.5
+                )
+            simq[~np.isfinite(simq)] = -np.inf  # zero norms: undefined cosine
+            best = simq.argmax(axis=1)  # first max -> lowest centroid id
+            # --- pq_encode parity: per-subspace nearest code + norm ---
+            n = len(mat)
+            pq = np.empty((n, m), dtype=np.int32)
+            for j in range(m):
+                seg = mat[:, j * sub : (j + 1) * sub]
+                d2 = -2.0 * seg @ t[j].T + (t[j] ** 2).sum(axis=1)[None, :]
+                pq[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: batch[id_col].to_numpy(),
+                    "codes": list(pq),
+                    "norm": np.linalg.norm(mat, axis=1),
+                    "cell": ids[best],
+                }
+            )
+
+    codes = corpus.select(id_col, vec_col).mapInPandas(
+        assign_encode, schema=codes_schema
+    )
 
     q_rows = queries.select(query_id_col, vec_col).collect()
     if not q_rows:  # empty query set -> empty result, not a numpy stack crash

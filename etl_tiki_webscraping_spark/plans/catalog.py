@@ -1790,7 +1790,12 @@ def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return run_available_now_to_memory(agg, "stream_windowed_counts", "complete")
+    # no_data_batches=False (r17): complete mode rewrites the full
+    # result every trigger, so the trailing watermark-only round can't
+    # change the table — it only costs a state reload/commit cycle
+    return run_available_now_to_memory(
+        agg, "stream_windowed_counts", "complete", no_data_batches=False
+    )
 
 
 @register(
@@ -1813,7 +1818,12 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = streaming_dedup(stream, keys=["event_id"]).select(
         "event_id", "user_id", "event_type", "value"
     )
-    return run_available_now_to_memory(deduped, "stream_dedup_ids", "append")
+    # no_data_batches=False (r17): dedup emits each surviving row IN
+    # the batch it arrives (state only suppresses later duplicates), so
+    # the trailing watermark-only round emits nothing
+    return run_available_now_to_memory(
+        deduped, "stream_dedup_ids", "append", no_data_batches=False
+    )
 
 
 # ===========================================================================
@@ -3466,7 +3476,10 @@ def q_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream_multibatch(spark, sf_dir, n_batches=3)
     dim = load_table(spark, sf_dir, "nation")
     agg = enriched_windowed_counts(stream, dim)
-    return run_available_now_to_memory(agg, "stream_enriched_counts", "complete")
+    # no_data_batches=False (r17): complete mode — see stream_windowed
+    return run_available_now_to_memory(
+        agg, "stream_enriched_counts", "complete", no_data_batches=False
+    )
 
 
 @register(
@@ -3941,8 +3954,13 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-micro-batch store overhead dominates at fixture scale —
     # measured sp=4 ~15% faster than sp=8 at sf0.1 (r11 tuning, the
     # r3 windowed-counts exercise applied to the join)
+    # no_data_batches=False (r17): an INNER stream-stream join emits a
+    # pair in the micro-batch where the later side arrives; the trailing
+    # watermark-only round only evicts state (no emission) and costs a
+    # full 4-store x 4-partition reload/commit cycle + re-plan (~1 s)
     return run_available_now_to_memory(
-        joined, "stream_stream_join", "append", shuffle_partitions=4
+        joined, "stream_stream_join", "append", shuffle_partitions=4,
+        no_data_batches=False,
     )
 
 
@@ -3988,8 +4006,14 @@ def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # sp=4: see streaming_stream_stream_join — four state stores per
     # partition make per-batch store overhead the cost driver here
+    # no_data_batches=False (r17): the LOJ's tail is flushed by the TWO
+    # trailing heartbeat DATA batches (the 1st advances the watermark
+    # past every view's expiry — margin 1h+10min+120s — and the 2nd's
+    # processing emits the evicted null-extensions), so the trailing
+    # watermark-only round emits nothing; oracle-verified
     res = run_available_now_to_memory(
-        joined, "stream_stream_loj", "append", shuffle_partitions=4
+        joined, "stream_stream_loj", "append", shuffle_partitions=4,
+        no_data_batches=False,
     )
     return res.filter(F.col("user_id") >= 0)
 
@@ -4158,9 +4182,13 @@ def q_crosscorpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10).cast("bigint") % 100
         < 70
     )
+    # persisted (r17): the bucket table splits into a NEW and an OLD
+    # side below, and each side is an independent consumer — unpinned,
+    # the Arrow signature kernel (the dominant cost) re-ran per side.
+    # One kernel pass total now; released via LRU / clearCache.
     sig = minhash_analysis(docs, "text", "doc_id").select(
         "id", "sig", is_old.alias("__is_old")
-    )
+    ).persist()
     buckets = sig.select(
         "id", "__is_old", F.explode(_band_buckets(F.col("sig"), 16, 4)).alias("bb")
     ).select("id", "__is_old", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
@@ -10083,15 +10111,17 @@ def q_image_dedup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("content"),
     )
-    # r16: the synthetic blobs here ARE the fixture text (bytes come
-    # straight off the scan), so spreading them across
-    # defaultParallelism partitions is one input-sized alignment pass
-    # — the same raw-text repartition the text-dedup family does —
-    # and it parallelizes the decode + aHash kernels past the single
-    # scan split (explicit count: AQE would coalesce it back to one).
-    media = media.repartition(
-        spark.sparkContext.defaultParallelism, "media_id"
-    )
+    # r16/r17: the synthetic blobs here ARE the fixture text (bytes
+    # come straight off the scan); spreading them parallelizes the
+    # decode + aHash kernels past a single scan split (explicit count:
+    # AQE would coalesce it back to one).  CONDITIONAL on an
+    # under-split scan (r17, VERDICT r16 #2): nothing downstream needs
+    # media_id clustering (near-dup pairs band on hash), so on a
+    # multi-split input at real scale this is a no-op — never an
+    # unconditional input-sized exchange of all image bytes.
+    sc = spark.sparkContext
+    if media.rdd.getNumPartitions() < sc.defaultParallelism:
+        media = media.repartition(sc.defaultParallelism, "media_id")
     hashes = image_ahash(extract_image_features(media))
     return image_neardup_pairs(hashes, max_hamming=6)
 
@@ -12494,6 +12524,12 @@ def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs.select("doc_id", "text").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
+    # persisted (r17): the token stream has TWO independent consumers —
+    # the bigram build and the vocabulary-size count.  Unpinned, the
+    # vsize leg re-scans and re-tokenizes the whole corpus through its
+    # OWN copy of the doc_id exchange (exchange reuse cannot fire
+    # across the bigram cache boundary), i.e. the raw-text exchange was
+    # paid twice (VERDICT r16 #3).  One tokenize pass total now.
     toks = docs.select(
         "doc_id",
         F.posexplode(
@@ -12502,7 +12538,7 @@ def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda t: t != "",
             )
         ).alias("pos", "term"),
-    )
+    ).persist()
     doc_w = Window.partitionBy("doc_id").orderBy("pos")
     # persisted: the bigram stream has TWO consumers (the count build
     # and the scoring join) — without pinning it, the explode + lag

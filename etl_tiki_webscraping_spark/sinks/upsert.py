@@ -2919,6 +2919,10 @@ def scd2_from_change_feed(
         # fold MERGEs into a stored dimension per batch for the same
         # reason; localCheckpoint is that materialization in-session.
         dim = dim.localCheckpoint(eager=True)
+    # the eager per-commit checkpoints mean the returned dim no longer
+    # references the feed — release its cached blocks instead of leaking
+    # them for the session lifetime across repeated calls (r16 ADVICE)
+    feed.unpersist()
     return dim
 
 
@@ -2972,7 +2976,11 @@ def scd2_backfill_from_feed(
     # ~0.4 s/scan at sf0.1, ~2.5 s of the 4.6 s 3-commit fold).  The
     # feed is batch-sized by contract (bounded by retained commits,
     # never the base table), so pinning it is the production-correct
-    # call too.
+    # call too.  Lifecycle (r16 ADVICE): the returned frame is LAZY and
+    # still references the feed, so this function cannot unpersist it
+    # (the fold variant can, its checkpoints cut the lineage) — the pin
+    # is released by LRU eviction or spark.catalog.clearCache(), the
+    # catalog-wide convention for in-query persists.
     feed = read_change_feed(spark, target_path, from_version, to_version).persist()
     keys = list(keys)
     data_fields = [

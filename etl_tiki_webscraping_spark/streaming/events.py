@@ -187,6 +187,7 @@ def run_available_now_to_memory(
     query_name: str,
     output_mode: str,
     shuffle_partitions: int | None = 8,
+    no_data_batches: bool = True,
 ) -> DataFrame:
     """Execute a streaming plan over all currently-available input
     (``Trigger.AvailableNow`` — the idiomatic form of the reference's
@@ -201,11 +202,29 @@ def run_available_now_to_memory(
     is frozen into the checkpoint).  Default 8 suits the fixture
     streams; production picks per-stream capacity and keeps it fixed
     for the checkpoint's lifetime.  Restored after the run.
+
+    ``no_data_batches=False`` disables the trailing watermark-only
+    micro-batch (``spark.sql.streaming.noDataMicroBatches.enabled``;
+    restored after the run).  Each no-data round costs a full
+    state-store reload/commit cycle across every store partition plus
+    an incremental re-plan (~1 s at fixture scale, r16 measurement) and
+    exists ONLY to emit results an advancing watermark unlocks after
+    the last data batch.  Callers may disable it exactly when their
+    emitted rows cannot depend on that trailing round: complete-mode
+    aggregates (every trigger rewrites the full result), inner
+    stream-stream joins (rows emit when the matching data arrives), and
+    append sinks whose tail is flushed by trailing DATA batches (the
+    left-outer join's heartbeat spacers).  Queries whose tail emission
+    NEEDS a watermark-only round must keep the default.
     """
     session = stream.sparkSession
     prev = session.conf.get("spark.sql.shuffle.partitions")
+    _ND_KEY = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_nd = session.conf.get(_ND_KEY)
     if shuffle_partitions is not None:
         session.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    if not no_data_batches:
+        session.conf.set(_ND_KEY, "false")
     try:
         q = (
             stream.writeStream.outputMode(output_mode)
@@ -219,6 +238,7 @@ def run_available_now_to_memory(
     finally:
         if shuffle_partitions is not None:
             session.conf.set("spark.sql.shuffle.partitions", prev)
+        session.conf.set(_ND_KEY, prev_nd)
     return session.table(query_name)
 
 

@@ -406,10 +406,16 @@ def main() -> int:
         # r16: fixture id tables are spread across defaultParallelism
         # partitions BEFORE the synthesis/decode kernel (_par_ids in
         # plans/catalog.py) so the per-blob work parallelizes past the
-        # single scan split.  The contract stays "blobs never cross an
-        # exchange": every exchange in the plan must be that explicit
-        # bare-id repartition (REPARTITION_BY_NUM on the id column),
-        # never a hash/range exchange carrying the content column.
+        # single scan split.  Scope of the check (r16 ADVICE): explain
+        # Exchange lines show only PARTITIONING EXPRESSIONS, so this
+        # enforces "every exchange is the explicit REPARTITION_BY_NUM
+        # and content is never a PARTITION KEY" — it cannot see columns
+        # riding through the shuffle, and is vacuously true on a plan
+        # with no Exchange at all.  The riding-through half of the
+        # blobs-never-shuffle contract is structural: _par_ids tables
+        # carry ONLY the id column by construction (the blob is
+        # synthesized/decoded downstream of the exchange), which the
+        # per-tier kernel position checks below pin.
         ex = [seg for seg in plan.split("\n") if "Exchange" in seg]
         return all(
             "REPARTITION_BY_NUM" in e and "content" not in e for e in ex
