@@ -680,6 +680,7 @@ def _deletion_variant_rows(
     df: DataFrame,
     name_col: str,
     max_distance: int,
+    keep_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """One Arrow kernel emitting the input row once per DISTINCT
     deletion variant of its ``name_col`` — the exploded twin of
@@ -693,6 +694,13 @@ def _deletion_variant_rows(
     — while per-batch python slicing over the same Arrow batch is
     ~10x cheaper.  NULL names yield no rows (the explode of a NULL
     array drops the row, same as the expression form).
+
+    ``keep_cols`` limits which INPUT columns ride the exploded output
+    (default: all).  Everything emitted crosses the Python->JVM Arrow
+    boundary ~170x per input row, so a caller that only needs the id
+    and block keys downstream should not ship the name with every
+    variant (guide §4: pass only the columns the function needs —
+    r17, measured on the entity-match path).
     """
     import pandas as pd
 
@@ -701,10 +709,15 @@ def _deletion_variant_rows(
             "deletion neighborhoods support max_distance in {1, 2}; "
             f"got {max_distance} (C(L, k) variants per row explodes past 2)"
         )
+    fields = (
+        df.schema.fields
+        if keep_cols is None
+        else [f for f in df.schema.fields if f.name in set(keep_cols)]
+    )
     out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        f"{f.name} {f.dataType.simpleString()}" for f in fields
     ) + ", _variant string"
-    cols = [f.name for f in df.schema.fields]
+    cols = [f.name for f in fields]
     k = max_distance
 
     def gen(batches):
@@ -774,9 +787,14 @@ def deletion_neighborhood_pairs(
     # being repartitioned are the CHEAP side (pre-explosion)
     base = base.repartition(df.sparkSession.sparkContext.defaultParallelism)
     bk = [f"_bk{i}" for i in range(len(block_cols))]
-    v = _deletion_variant_rows(base, "name", max_distance).select(
+    # keep_cols: the variant stream never needs the name — names are
+    # re-joined onto the DEDUPED pairs from `base` below, so shipping
+    # the name with all ~170 variants of every row across the Arrow
+    # boundary was pure payload (r17)
+    v = _deletion_variant_rows(
+        base, "name", max_distance, keep_cols=["id", *bk]
+    ).select(
         "id",
-        "name",
         *bk,
         F.conv(F.substring(F.md5("_variant"), 1, 15), 16, 10)
         .cast("bigint")

@@ -150,6 +150,26 @@ def test_overflow_union_equals_uncapped_self_join(spark):
     assert (100, 101, "zz", "zz", 0) in routed2
 
 
+@pytest.mark.parametrize("max_d", [1, 2])
+def test_variant_kernel_keep_cols_trims_payload(spark, max_d):
+    # keep_cols (r17): the exploded output carries ONLY the requested
+    # input columns (+_variant) — the entity-match path ships (id, blk)
+    # and not the ~170x-duplicated name — and the variant set per id is
+    # unchanged from the full-payload form
+    from etl_tiki_webscraping_spark.operators.relational import (
+        _deletion_variant_rows,
+    )
+
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    full = _deletion_variant_rows(df, "name", max_d)
+    trimmed = _deletion_variant_rows(df, "name", max_d, keep_cols=["id", "blk"])
+    assert trimmed.columns == ["id", "blk", "_variant"]
+    assert "name" not in trimmed.columns
+    want = {(r["id"], r["_variant"]) for r in full.collect()}
+    got = {(r["id"], r["_variant"]) for r in trimmed.collect()}
+    assert got == want
+
+
 def test_rejects_unsupported_distance_and_policy(spark):
     df = spark.createDataFrame(ROWS, SCHEMA)
     with pytest.raises(ValueError):
