@@ -160,29 +160,39 @@ def _driver_covered() -> "frozenset[str]":
 # automatically stalest-first, so forgetting an entry costs at most
 # ~ceil(catalog/50) rounds of evidence age, never unbounded drift.
 _DRIVER_FRESH = frozenset({
-    # r15 code changes (brand-new queries — warc_http_decoding,
-    # robots_url_gate, pdf_doc_meta, pdf_text_extract,
-    # sitemap_index_extract, docx_text_extract — lead the window via
-    # `prio` automatically):
-    #   - the WARC single-pass rewrite + HTTP decode changed
-    #     scan_warc_responses' schema and parse_warc_records' walk
-    "warc_record_scan",
-    "warc_html_extract",
-    #   - robots_rules was rewritten for RFC 9309 consecutive-UA
-    #     groups + first-colon agent capture (new fixture AND oracle)
-    "robots_rules_extract",
-    #   - the ID3v2 frame-id alphabet tightened (parse_id3v2_frames)
-    "mp3_id3_tags",
-    #   - the ZIP central-directory walk refactored into
-    #     _central_directory shared with the new member inflation
-    "zip_container_meta",
-    #   - the JPEG marker walk gained the fill-byte-run EOF bounds
-    #     check (fuzz find) — every query that decodes JPEG re-verifies
-    "jpeg_image_stats",
-    "jpeg_progressive_stats",
-    "mjpeg_video_stats",
-    "image_exif_meta",
+    # r17 code changes (optimization round — every reshaped query path
+    # re-verifies against the driver's oracle next):
+    #   - bm25_from_index: dft from the semi-filtered postings slice +
+    #     shared persisted slice (operators/retrieval.py)
+    "bm25_search",
+    "bm25_search_cjk",
+    "hybrid_search_rrf",
+    "incremental_postings_bm25",
+    #   - ivf_pq_topk: fused assign+encode Arrow kernel, single collects
+    "knn_ivf_pq",
+    #   - jaccard_on_pairs: conditional id-spread of the shingle base
+    "ngram_jaccard_pairs",
+    "dedup_cluster_components",
+    "crosscorpus_neardup_lsh",  # + persisted signature table
+    "golden_record_survivorship",
+    #   - doc_bigram_logprob: persisted token stream (one exchange)
+    "doc_bigram_logprob",
+    #   - run_available_now_to_memory: trailing no-data micro-batch
+    #     disabled at the five safe call sites
+    "streaming_windowed_counts",
+    "streaming_dedup_ids",
+    "streaming_enriched_counts",
+    "streaming_stream_stream_join",
+    "streaming_stream_stream_left_outer",
+    #   - conditional (under-split-only) media repartition
     "image_dedup_ahash",
+    #   - scd2_from_change_feed: coalesced checkpoints + lazy last commit
+    "scd2_dim_from_feed",
+    #   - _deletion_variant_rows keep_cols payload trim
+    "entity_match_blocked",
+    "entity_resolution_clusters",
+    #   - pagerank: lazy per-iteration checkpoint
+    "graph_pagerank",
 })
 
 
